@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Each query's plan is fully executed via the noop sink (computes every
+column, writes nothing). Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gmall_flink_210726_spark.registry import load_all
+from gmall_flink_210726_spark.session import default_cpus, get_spark
+
+
+def run_query(spec, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = spec.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("gmall-bench", cpus=default_cpus())
+    specs = load_all()
+
+    # Warm the JVM/codegen once on the smallest table so per-query times
+    # measure the plan, not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        try:
+            timings[name] = round(run_query(spec, spark, sf_dir), 3)
+        except Exception as exc:  # keep the bench line parseable
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

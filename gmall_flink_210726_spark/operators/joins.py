@@ -1,0 +1,80 @@
+"""Joins — J1-J3 from SURVEY.md §2.6.
+
+Three join shapes in the reference, all re-expressed declaratively:
+
+- J1 interval join (dwm/OrderWideApp.java:87-97): Flink keyed two-sided
+  buffered state → Spark equi-join + range predicate (batch) or
+  watermarked stream-stream join (streaming/pipelines.py).
+- J2 async dimension lookup (func/DimAsyncFunction.java:19-58 +
+  Redis cache util/DimUtil.java:15-41 + thread pool): per-record remote
+  RPC with caching → a set-oriented **broadcast hash join** per dim.
+  One broadcast replaces the cache, the async pool, and the timeout
+  machinery; freshness = micro-batch granularity.
+- J3 broadcast config join (dwd/BaseDBApp.java:75-84): tiny config
+  relation broadcast to every task → ``F.broadcast(config_df)`` join.
+
+Scale note (100 TB): the fact side never moves for J2/J3 — broadcast
+joins are map-side, no shuffle. J1 shuffles both sides once on the join
+key; with skewed keys AQE skew-join splits oversized partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """J1 — event-time interval join: rows pair when keys match and
+    ``right_ts ∈ [left_ts + lower, left_ts + upper]``.
+
+    Reference: order⋈detail ±5 s (dwm/OrderWideApp.java:91), payment⋈
+    order [-15 s, 0] (dwm/PaymentWideApp.java:90). Catalyst plans the
+    equi-part as a hash/sort-merge join and evaluates the range as a
+    post-join filter, so only same-key pairs are ever materialized.
+    """
+    lhs, rhs = left.alias("l"), right.alias("r")
+    cond = (F.col(f"l.{left_key}") == F.col(f"r.{right_key}")) & (
+        F.col(f"r.{right_ts}").between(
+            F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"),
+            F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"),
+        )
+    )
+    return lhs.join(rhs, cond, how)
+
+
+def enrich_dims(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Column, Sequence[Column]]],
+    how: str = "left",
+) -> DataFrame:
+    """J2 — chained star-schema dimension enrichment via broadcast joins.
+
+    ``dims`` is a list of (dim_df, join_cond, projected_cols). Replaces
+    the reference's chain of 5-6 AsyncDataStream lookups
+    (dwm/OrderWideApp.java:100-195): each dim is broadcast once per
+    batch instead of queried per record via Redis/Phoenix.
+    """
+    out = fact
+    for dim_df, cond, cols in dims:
+        out = out.join(F.broadcast(dim_df.select(*cols)), cond, how)
+    return out
+
+
+def broadcast_config_join(
+    data: DataFrame, config: DataFrame, cond: Column, how: str = "inner"
+) -> DataFrame:
+    """J3 — tiny config relation joined map-side (dwd/BaseDBApp.java:75-84)."""
+    return data.join(F.broadcast(config), cond, how)

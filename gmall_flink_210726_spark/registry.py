@@ -1,0 +1,46 @@
+"""Query registry — the driver-facing correctness surface.
+
+Every implemented operator from SURVEY.md §2 registers one (or more)
+named queries here. A query is a ``(spark, sf_dir) -> DataFrame``
+callable plus (when SQL-expressible) a DuckDB oracle SQL string over the
+same parquet tables. ``__spark_entry__.py`` exposes this registry to the
+driver verbatim.
+
+Alias discipline: every computed column is aliased identically in the
+Spark plan and the oracle SQL — the driver sorts columns by name before
+hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple = ()):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side-effect: registration)."""
+    from gmall_flink_210726_spark.queries import gmall, llm, tpch  # noqa: F401
+
+    return QUERIES

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference configures each Flink app by hand (parallelism, checkpoint
+interval, state backend — e.g. dwd/BaseLogApp.java:31-44). Here one
+factory produces a session whose defaults are chosen for the execution
+tier:
+
+- local[N] testing: shuffle partitions ≈ cores, AQE on, Arrow on.
+- cluster (100 TB target): same declarative plans; AQE handles runtime
+  coalescing/skew, so the only per-deployment knobs are cores/memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "gmall_flink_210726_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    Session timezone is pinned to UTC so event-time semantics are
+    deterministic and oracle-comparable (DuckDB timestamps are UTC-naive).
+    """
+    cpus = cpus or default_cpus()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Keep shuffle spill + broadcast thresholds at defaults; AQE
+        # auto-broadcasts small sides and coalesces tiny partitions.
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

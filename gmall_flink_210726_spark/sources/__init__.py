@@ -1,0 +1,3 @@
+from gmall_flink_210726_spark.sources.batch import TABLES, load_table, load_tables, register_views
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
