@@ -29,13 +29,19 @@ def run_query(spec, spark, sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0  # unrecognized dir naming; still emit the JSON line
     spark = get_spark("gmall-bench", cpus=default_cpus())
     specs = load_all()
 
     # Warm the JVM/codegen once on the smallest table so per-query times
     # measure the plan, not session startup.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    except Exception as exc:
+        print(f"bench: warm-up read failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):

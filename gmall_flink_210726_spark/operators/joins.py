@@ -33,24 +33,27 @@ def interval_join(
     right_key: str,
     left_ts: str,
     right_ts: str,
-    lower: str,
-    upper: str,
+    lower_s: float,
+    upper_s: float,
     how: str = "inner",
 ) -> DataFrame:
     """J1 — event-time interval join: rows pair when keys match and
-    ``right_ts ∈ [left_ts + lower, left_ts + upper]``.
+    ``right_ts ∈ [left_ts + lower_s, left_ts + upper_s]`` (seconds;
+    lower may be negative).
 
     Reference: order⋈detail ±5 s (dwm/OrderWideApp.java:91), payment⋈
     order [-15 s, 0] (dwm/PaymentWideApp.java:90). Catalyst plans the
     equi-part as a hash/sort-merge join and evaluates the range as a
-    post-join filter, so only same-key pairs are ever materialized.
+    join-time residual condition, so only same-key pairs are ever
+    materialized. The bound arithmetic stays in exact integer micros.
     """
     lhs, rhs = left.alias("l"), right.alias("r")
-    cond = (F.col(f"l.{left_key}") == F.col(f"r.{right_key}")) & (
-        F.col(f"r.{right_ts}").between(
-            F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"),
-            F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"),
-        )
+    l_us = F.expr(f"unix_micros(l.{left_ts})")
+    r_us = F.expr(f"unix_micros(r.{right_ts})")
+    cond = (
+        (F.col(f"l.{left_key}") == F.col(f"r.{right_key}"))
+        & (r_us >= l_us + F.lit(int(lower_s * 1_000_000)))
+        & (r_us <= l_us + F.lit(int(upper_s * 1_000_000)))
     )
     return lhs.join(rhs, cond, how)
 

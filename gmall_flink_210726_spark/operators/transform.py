@@ -1,0 +1,62 @@
+"""Row transforms — P3-P9 (SURVEY §2.3).
+
+Filters, derived-column projection, metric normalization, and the
+wide-row merge. All pure Column expressions: JVM-side, codegen'd,
+pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark.functions.scalar import DT_FMT
+
+
+def filter_deletes(df: DataFrame, type_col: str = "type") -> DataFrame:
+    """P3 — drop CDC delete events (dwd/BaseDBApp.java:55-60)."""
+    return df.filter(F.col(type_col) != "delete")
+
+
+def derive_datetime(df: DataFrame, ts_col: str) -> DataFrame:
+    """P7 — split an event-time column into date / hour / epoch-ms
+    derivatives (dwm/OrderWideApp.java:57-64). Works for TimestampType."""
+    c = F.col(ts_col)
+    return (
+        df.withColumn("create_date", F.date_format(c, "yyyy-MM-dd"))
+        .withColumn("create_hour", F.hour(c))
+        .withColumn("create_ts", F.expr(f"unix_micros({ts_col}) div 1000"))
+    )
+
+
+def coalesce_merge(
+    left: DataFrame,
+    right: DataFrame,
+    cond: Column,
+    merge_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """P9 — wide-row construction with firstNonNull merge semantics
+    (bean/OrderWide.java:88-105): for columns present on both sides the
+    left (order-centric) value wins unless null."""
+    l, r = left.alias("l"), right.alias("r")
+    joined = l.join(r, cond, how)
+    out_cols: list[Column] = []
+    for c in left.columns:
+        if c in merge_cols and c in right.columns:
+            out_cols.append(F.coalesce(F.col(f"l.{c}"), F.col(f"r.{c}")).alias(c))
+        else:
+            out_cols.append(F.col(f"l.{c}").alias(c))
+    for c in right.columns:
+        if c not in left.columns:
+            out_cols.append(F.col(f"r.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
+def project_config_columns(df: DataFrame, sink_columns: str) -> DataFrame:
+    """P6 — config-driven column pruning: keep only the columns named in
+    a CSV config string (func/TableProcessFunction.java:71-77)."""
+    cols = [c.strip() for c in sink_columns.split(",") if c.strip()]
+    return df.select(*[c for c in cols if c in df.columns])
