@@ -322,6 +322,9 @@ def a5_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("gmall", "udf"),
 )
 def d1_tokenizer_udf_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(spark)  # the UDF's module must be importable on workers
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(tokenize_udf(F.col("text"))).alias("keyword"))
     return words.groupBy("keyword").agg(F.count(F.lit(1)).alias("ct"))

@@ -17,6 +17,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable by executor Python workers.
+
+    Module-level Python functions (UDFs, applyInPandasWithState handlers)
+    are pickled *by reference* — workers re-import the defining module.
+    When the driver process runs from another cwd (the spark-graft
+    driver does), the package isn't on the workers' path; shipping a
+    zip via addPyFile fixes that once per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_gmall_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stem = os.path.join(tempfile.gettempdir(), f"gmall_pkg_{os.getpid()}")
+    archive = shutil.make_archive(
+        stem, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir)
+    )
+    sc.addPyFile(archive)
+    sc._gmall_pkg_shipped = True
+
+
 def default_cpus() -> int:
     env = os.environ.get("SPARK_GRAFT_CPUS")
     if env:
