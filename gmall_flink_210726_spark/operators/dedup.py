@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash. All hot paths are
+JVM-side Column expressions (split/transform/slice/aggregate — no
+Python in the shingle or signature computation); only SimHash bit
+packing uses an Arrow-vectorized pandas UDF.
+
+Scale design (100 TB):
+- exact dedup: one hash-shuffle on a 64-hex digest, not raw text.
+- shingle join: the classic candidate blow-up on common shingles is
+  capped with ``max_df`` (drop shingles appearing in more than N docs —
+  they carry no discriminative signal); this keeps the join fan-out
+  bounded under skew.
+- MinHash/LSH: signatures are k integers per doc (constant state);
+  candidates come from b band-joins (equi-join on band hash — shuffle
+  on small keys), then only candidates pay the exact-verify cost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1 (Mersenne): classic MinHash universal-hash modulus; fits in a
+# long with 32-bit multipliers without overflow.
+_MINHASH_P = 2_147_483_647
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest id.
+    Output: one row per distinct text — (keep_id, dup_count).
+    The shuffle key is sha2(text) (64 bytes) rather than the document
+    body, so 100 TB of text shuffles only digests + ids."""
+    digest = F.sha2(normalized_text(text_col), 256).alias("_digest")
+    return (
+        docs.select(F.col(id_col), digest)
+        .groupBy("_digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("_digest")
+    )
+
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, entirely in JVM higher-order
+    functions: split → slide an n-window → concat."""
+    ws = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: w != ""
+    )
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def _shingle_table(
+    docs: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """(id, shingle) pairs + per-doc distinct-shingle counts; optionally
+    drops shingles with document frequency > max_df (skew cap)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
+    )
+    if max_df is not None:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") > max_df
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return sh.join(counts, "id")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs:
+    J(A,B) = |shingles∩| / |shingles∪| ≥ threshold, emitted as
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    The pair generation is a self-equi-join on shingle (co-occurrence),
+    so only docs sharing ≥1 shingle are ever compared — never the full
+    O(n²) cross product."""
+    sh = _shingle_table(docs, id_col, text_col, n, max_df)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return inter.select(
+        "id_a", "id_b", j.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _minhash_perms(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine coefficients for k permutations."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P)) for _ in range(k)]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: base hash = crc32 of the
+    shingle (JVM), permuted by k affine maps mod 2^31-1, min per doc.
+    One explode + one grouped aggregation — no Python."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
+    ).withColumn("h", F.crc32(F.col("sh")))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_minhash_perms(k, seed))
+    ]
+    return sh.groupBy("id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    banding: k/bands rows per band; docs agreeing on any band become
+    candidates (equi-join per band on the band digest); candidates are
+    then verified with exact n-gram Jaccard so the output has no false
+    positives (recall is the b,r tradeoff: P(candidate) =
+    1-(1-J^r)^b)."""
+    sig = minhash_signatures(docs, id_col, text_col, n, k, seed)
+    r = k // bands
+    band_cols = [
+        F.hash(*[F.col(f"mh{band * r + i}") for i in range(r)]).alias(f"band{band}")
+        for band in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    cand = None
+    for band in range(bands):
+        a = banded.select(F.col("id").alias("id_a"), F.col(f"band{band}").alias("bv"))
+        b = banded.select(F.col("id").alias("id_b"), F.col(f"band{band}").alias("bv"))
+        pairs = a.join(b, "bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
+    return exact.join(cand, ["id_a", "id_b"], "inner")
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc. Token base hashes are JVM crc32 over the
+    token and a salted copy (two 32-bit halves); the per-bit
+    majority-vote packing runs in one Arrow-vectorized pandas UDF over
+    the token-hash arrays (numpy bit ops), not per-row Python."""
+    from pyspark.sql.types import LongType
+
+    toks = F.filter(F.split(normalized_text(text_col), " "), lambda w: w != "")
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda w: F.crc32(w)).alias("h_lo"),
+        F.transform(toks, lambda w: F.crc32(F.concat(w, F.lit("#salt")))).alias("h_hi"),
+    )
+
+    @F.pandas_udf(LongType())
+    def pack(h_lo: pd.Series, h_hi: pd.Series) -> pd.Series:
+        out = np.zeros(len(h_lo), dtype=np.int64)
+        for i, (lo_arr, hi_arr) in enumerate(zip(h_lo, h_hi)):
+            if lo_arr is None or len(lo_arr) == 0:
+                continue
+            h = (np.asarray(hi_arr, dtype=np.uint64) << np.uint64(32)) | np.asarray(
+                lo_arr, dtype=np.uint64
+            )
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(sim.astype(np.int64))
+        return pd.Series(out)
+
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(docs.sparkSession)
+    return hashed.select("id", pack("h_lo", "h_hi").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup candidates by the 4-band pigeonhole trick:
+    hamming ≤ 3 ⇒ at least one of four 16-bit bands is identical, so
+    candidates come from 4 equi-joins; verified by exact popcount."""
+    sig = simhash64(docs, id_col, text_col)
+    bands = [
+        (F.shiftrightunsigned(F.col("simhash"), b * 16) % F.lit(65536).cast("long")).alias(f"b{b}")
+        for b in range(4)
+    ]
+    banded = sig.select("id", "simhash", *bands)
+    cand = None
+    for b in range(4):
+        l = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"b{b}").alias("bv"))
+        r = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"b{b}").alias("bv"))
+        p = l.join(r, "bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
+        cand = p if cand is None else cand.unionByName(p)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star):
+- brute-force cosine top-k — the exactness baseline; JVM higher-order
+  functions (zip_with + aggregate), no Python in the dot product.
+- cosine threshold self-join — near-duplicate detection by embedding.
+- LSH-bucketed ANN (random hyperplanes) — the scale path: candidates
+  share a bucket, exact cosine only inside buckets.
+
+Scale design (100 TB): brute-force top-k for Q queries × N corpus is a
+broadcast of Q query vectors over a single corpus scan (no shuffle of
+the corpus). The LSH variant reduces per-query work to one bucket;
+bucket ids are computed once per row in an Arrow-vectorized pandas UDF
+(numpy matmul against the plane matrix) and the join is an equi-join
+on bucket id. Determinism: cosine is rounded to 6 decimals and ties
+break on vec_id, so top-k is stable across engines and runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the Q query vectors, scan the
+    corpus once, rank per query by (rounded cosine desc, vec_id)."""
+    # norms are computed once per side, not once per pair
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_threshold_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_ids: list[int] | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
+    With probe_ids the left side is restricted (broadcast probe set);
+    otherwise a full self-join (quadratic — use the LSH variant at
+    scale)."""
+    left = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    if probe_ids is not None:
+        left = left.filter(F.col("id_a").isin(probe_ids))
+        left = F.broadcast(left)
+    right = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        right.join(left, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11):
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype("float64")
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent hash
+    tables of ``n_planes`` sign bits each. One vectorized numpy matmul
+    per Arrow batch computes ALL tables' buckets; output has one row per
+    (vector, table) — the standard recall lever (collide in ANY table).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype="float64") for v in vecs])
+        signs = ((mat @ planes.T) > 0).astype(np.int64)
+        signs = signs.reshape(len(mat), n_tables, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series(list(signs @ weights))
+
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(embeddings.sparkSession)
+    with_buckets = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        buckets(F.col(vec_col)).alias("bs"),
+    )
+    return with_buckets.select(
+        "id", "v", F.posexplode("bs").alias("table_idx", "bucket")
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only among corpus vectors
+    sharing an LSH bucket with the query in at least one table.
+    Recall < 1 by design (tunable via n_tables); the scale path when
+    the corpus no longer fits a broadcast-and-scan."""
+    bucketed = lsh_bucket_ids(
+        embeddings, dim, n_planes, n_tables, seed, id_col, vec_col
+    )
+    q = bucketed.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "table_idx", "bucket"
+    )
+    c = bucketed.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "table_idx", "bucket"
+    )
+    candidates = (
+        c.join(F.broadcast(q), ["table_idx", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = candidates.withColumn(
+        "cos", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

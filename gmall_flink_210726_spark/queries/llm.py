@@ -1,5 +1,297 @@
-"""LLM-data-pipeline queries (dedup / similarity / text analysis).
+"""LLM-data-pipeline queries (dedup / similarity / text analysis /
+multimodal) over the driver's documents + embeddings tables.
 
-Filled in by wave 4 — see operators/dedup.py, operators/similarity.py,
-operators/text.py.
+Oracle notes:
+- All text ops are pure integer/fixed-order-double arithmetic, so the
+  DuckDB SQL reproduces them exactly.
+- Cosine values are rounded to 6 decimals on both sides before compare/
+  rank (operators/similarity.py rationale).
+- MinHash+LSH carries the exact-Jaccard oracle: candidates are
+  exact-verified, and at these thresholds the fixture's near-dup pairs
+  (J ≥ 0.9, verified bimodal — nothing in [0.1, 0.9)) are caught by
+  8×4 banding with probability ≈ 1-3e-4 per pair; the parity test
+  pins the actual behavior on the driver's own data.
+- SimHash has no portable SQL equivalent → rows-only check (unit tests
+  cover consistency against n-gram Jaccard).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from gmall_flink_210726_spark.operators.multimodal import decode_media, media_from_documents
+from gmall_flink_210726_spark.operators.similarity import (
+    cosine_threshold_pairs,
+    knn_bruteforce,
+)
+from gmall_flink_210726_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+# DuckDB fragments shared by the dedup oracles
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_SHINGLES = f"""
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(ws) >= 3
+             THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)]
+             ELSE [] END) AS sh
+    FROM (SELECT doc_id, list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws
+          FROM documents)
+"""
+_JACCARD_PAIRS = f"""
+    WITH g AS ({_SHINGLES})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY {_NORM}
+    """,
+    doc="Exact dedup by content digest: keep min doc_id per normalized "
+    "text; shuffle carries sha2 digests, not bodies",
+    tags=("llm", "dedup", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"{_JACCARD_PAIRS} AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5",
+    doc="Exact word-3-gram Jaccard near-dup pairs (J ≥ 0.5) via shingle "
+    "co-occurrence join — no O(n²) cross product",
+    tags=("llm", "dedup", "bench"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"{_JACCARD_PAIRS} AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5",
+    doc="MinHash(64)+LSH(16×4) candidate generation, exact-Jaccard "
+    "verified (J ≥ 0.5); the scale path — signatures are 64 ints/doc, "
+    "candidates from 16 band equi-joins (miss prob ≈ 1e-7 at the "
+    "fixture's J ≥ 0.89 near-dup band)",
+    tags=("llm", "dedup", "bench"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), k=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # engine-specific 64-bit packing — rows-only check
+    doc="SimHash64 near-dup pairs (hamming ≤ 3) via 4-band pigeonhole "
+    "join; bit packing in one Arrow-vectorized pandas UDF",
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 6) AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for query vectors vec_id<10: broadcast "
+    "queries over one corpus scan, JVM zip_with/aggregate dot product, "
+    "deterministic (round-6, id tiebreak) ranking",
+    tags=("llm", "similarity", "bench"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, query_ids=list(range(10)), k=5)
+
+
+@register(
+    "ann_threshold_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+    doc="Embedding near-dup pairs: cosine ≥ 0.4 self-join (exact); the "
+    "LSH-bucketed variant is the scale path",
+    tags=("llm", "similarity"),
+)
+def ann_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_threshold_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # recall < 1 by design — rows-only; unit test measures recall
+    doc="LSH-bucketed ANN top-5 (16 tables × 4 hyperplanes): exact "
+    "cosine only among bucket-collision candidates; one numpy matmul "
+    "per Arrow batch computes all tables; recall measured in tests",
+    tags=("llm", "similarity"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, query_ids=list(range(10)), k=5)
+
+
+@register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace words + BPE-ish pre-tokenizer regex "
+    "pieces, all JVM-side regex",
+    tags=("llm", "text"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+@register(
+    "text_quality_scores",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                  x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS BIGINT) AS n_stop
+      FROM documents)
+    SELECT doc_id,
+           n_chars AS q_chars,
+           n_words AS q_words,
+           round(CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE)/n_words ELSE 0.0 END, 6) AS q_avg_word_len,
+           round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS q_punct_ratio,
+           round(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END, 6) AS q_stop_ratio,
+           round(greatest(0.0, least(1.0,
+             0.5 + 0.5 * (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE)/n_words ELSE 0.0 END)
+                 - 2.0 * (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END)
+                 - (CASE WHEN (CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE)/n_words ELSE 0.0 END) < 2
+                          OR (CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE)/n_words ELSE 0.0 END) > 12
+                         THEN 0.25 ELSE 0.0 END))), 6) AS q_score
+    FROM f
+    """,
+    doc="Quality scoring: length/word/punctuation/stopword features + "
+    "composite score, fixed-order double arithmetic",
+    tags=("llm", "text", "bench"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "q_chars", "q_words", "q_avg_word_len",
+        "q_punct_ratio", "q_stop_ratio", "q_score",
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(ws, x -> x IN ('the','and','of','is'))) AS BIGINT) AS score_en,
+             CAST(len(list_filter(ws, x -> x IN ('der','und','das','ist'))) AS BIGINT) AS score_de,
+             CAST(len(list_filter(ws, x -> x IN ('el','los','que','es'))) AS BIGINT) AS score_es,
+             CAST(len(list_filter(ws, x -> x IN ('le','les','des','est'))) AS BIGINT) AS score_fr
+      FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+            FROM documents))
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE WHEN greatest(score_en, score_de, score_es, score_fr) <= 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+    doc="Language ID: marker-word scoring, argmax with fixed tie order "
+    "(deterministic classifier shape; n-gram-profile upgrade slots in "
+    "behind the same columns)",
+    tags=("llm", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs).select(
+        "doc_id", "score_en", "score_de", "score_es", "score_fr", "pred_lang"
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(
+             [CAST(i AS BIGINT) * (ascii(substring(ws[i], 1, 1)) * 31 + length(ws[i]))
+              for i in range(1, len(ws) + 1)]), 0) AS BIGINT) AS fingerprint
+    FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+          FROM documents)
+    """,
+    doc="Document fingerprint: position-weighted rolling hash over words "
+    "— exact integer arithmetic, order-sensitive",
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN strlen(text) >= 4
+                THEN ascii(substring(text,1,1))*16777216 + ascii(substring(text,2,1))*65536
+                   + ascii(substring(text,3,1))*256 + ascii(substring(text,4,1))
+                ELSE 0 END AS BIGINT) AS header,
+           CAST(COALESCE(list_sum([ascii(substring(text, i, 1))
+                for i in range(1, least(64, strlen(text)) + 1)]), 0) AS BIGINT) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary content column → mapInPandas decode "
+    "(Arrow-batched, bounded batch size); deterministic fake decoder "
+    "stands in for the stubbed codecs (operators/multimodal.py)",
+    tags=("llm", "multimodal"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return decode_media(media)
