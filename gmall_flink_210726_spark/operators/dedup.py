@@ -168,20 +168,52 @@ def minhash_lsh_pairs(
     1-(1-J^r)^b)."""
     sig = minhash_signatures(docs, id_col, text_col, n, k, seed)
     r = k // bands
-    band_cols = [
-        F.hash(*[F.col(f"mh{band * r + i}") for i in range(r)]).alias(f"band{band}")
-        for band in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    cand = None
-    for band in range(bands):
-        a = banded.select(F.col("id").alias("id_a"), F.col(f"band{band}").alias("bv"))
-        b = banded.select(F.col("id").alias("id_b"), F.col(f"band{band}").alias("bv"))
-        pairs = a.join(b, "bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
-    return exact.join(cand, ["id_a", "id_b"], "inner")
+    # one row per (doc, band): candidates = equi-join on (band, digest),
+    # deduped across bands — a single shuffle instead of `bands` joins
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.hash(*[F.col(f"mh{band * r + i}") for i in range(r)]).alias("bv"),
+            )
+            for band in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bv")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact-Jaccard verify ONLY the candidates: join each side's shingle
+    # table through the candidate list, so the expensive pairwise count
+    # is O(candidates · shingles), never O(all co-occurring pairs)
+    sh = _shingle_table(docs, id_col, text_col, n, max_df=None)
+    sh_a = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    sh_b = sh.select(
+        F.col("id").alias("_idb"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return inter.select("id_a", "id_b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash64(
