@@ -1,0 +1,156 @@
+"""End-to-end streaming DWS apps over the log fixture: file stream of
+raw JSON lines → parse/split → windowed stats in append mode; results
+must equal the batch apps on the same data (final-result parity,
+SURVEY §7.4 risk 4)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark import fixtures
+from gmall_flink_210726_spark.plans import apps
+from gmall_flink_210726_spark.streaming.apps import (
+    base_log_stream,
+    enrich_stream_with_dims,
+    keyword_stats_stream,
+    visitor_stats_stream,
+)
+
+# The sentinel is itself a search event: Catalyst pushes deterministic
+# filters below the EventTimeWatermark node, so a non-matching sentinel
+# would never advance the keyword query's watermark. Its own window can
+# never close (nothing comes after), so it can't appear in any output.
+SENTINEL = json.dumps(
+    {
+        "common": {"mid": "_sentinel", "vc": "v", "ch": "c", "ar": "0", "is_new": "0"},
+        "page": {"page_id": "search", "last_page_id": "search", "item": "sentinelword",
+                 "item_type": "keyword", "during_time": 1},
+        "ts": 1_900_000_000_000,
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def log_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_logs")
+
+    # arrival order ≈ event-time order, as in the real log stream —
+    # otherwise the watermark legitimately drops the late events (T10)
+    # and the batch twin (which never drops) can't match
+    def ts_of(line: str) -> int:
+        try:
+            return json.loads(line)["ts"]
+        except json.JSONDecodeError:
+            return 0
+
+    lines = sorted(fixtures.gen_log_events(), key=ts_of)
+    chunk = (len(lines) + 2) // 3
+    for i in range(3):
+        part = lines[i * chunk : (i + 1) * chunk]
+        if i == 2:
+            part = part + [SENTINEL]  # flush watermark for append mode
+        p = d / f"part_{i:03d}.txt"
+        p.write_text("\n".join(part))
+        t = 1_700_000_000 + i * 10
+        os.utime(p, (t, t))
+    return str(d)
+
+
+def _run(spark, df, name):
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _raw_stream(spark, log_dir):
+    return (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(log_dir)
+    )
+
+
+class TestStreamingDws:
+    def test_visitor_stats_stream_matches_batch(self, spark, log_dir):
+        branches = base_log_stream(_raw_stream(spark, log_dir))
+        out = _run(spark, visitor_stats_stream(branches["page"]), "vs_stream")
+        got = {
+            (r.stt, r.vc, r.ch, r.ar, r.is_new): (r.pv_ct, r.sv_ct, r.dur_sum)
+            for r in out.collect()
+            if not r.stt.startswith("2030")  # sentinel window never closes anyway
+        }
+
+        # batch twin on the same files (minus sentinel), WITHOUT the
+        # is_new rewrite (the streaming shape applies T6 separately)
+        raw = spark.read.text(log_dir)
+        from gmall_flink_210726_spark.operators.parse import parse_json_column
+        from gmall_flink_210726_spark.schemas import LOG_EVENT_SCHEMA
+
+        good, _ = parse_json_column(raw, "value", LOG_EVENT_SCHEMA)
+        page = good.filter(F.col("start").isNull()).filter(
+            F.col("common.mid") != "_sentinel"
+        )
+        batch = (
+            page.withColumn("event_time", F.timestamp_millis("ts"))
+            .groupBy(
+                F.window("event_time", "10 seconds").alias("w"),
+                F.col("common.ar").alias("ar"),
+                F.col("common.ch").alias("ch"),
+                F.col("common.vc").alias("vc"),
+                F.col("common.is_new").alias("is_new"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("pv_ct"),
+                F.sum(F.when(F.col("page.last_page_id").isNull(), 1).otherwise(0)).alias("sv_ct"),
+                F.sum("page.during_time").alias("dur_sum"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                "vc", "ch", "ar", "is_new", "pv_ct", "sv_ct", "dur_sum",
+            )
+        )
+        expected = {
+            (r.stt, r.vc, r.ch, r.ar, r.is_new): (r.pv_ct, r.sv_ct, r.dur_sum)
+            for r in batch.collect()
+        }
+        assert got == expected
+
+    def test_keyword_stats_stream_matches_batch(self, spark, log_dir):
+        branches = base_log_stream(_raw_stream(spark, log_dir))
+        out = _run(spark, keyword_stats_stream(branches["page"]), "ks_stream")
+        got = {(r.stt, r.keyword): r.ct for r in out.collect()}
+
+        raw = spark.read.text(log_dir)
+        batch_page = apps.base_log_app(raw)["page"].filter(
+            F.col("common.mid") != "_sentinel"
+        )
+        batch = apps.keyword_stats_app(batch_page, now_ms=0)
+        expected = {(r.stt, r.keyword): r.ct for r in batch.collect()}
+        assert got == expected
+
+    def test_stream_static_dim_join_sees_upserts(self, spark, log_dir, tmp_path):
+        """J2 freshness contract: a dim upsert between micro-batches is
+        visible to the next batch (replaces the Redis cache)."""
+        from gmall_flink_210726_spark import sinks
+
+        dim_path = str(tmp_path / "dim_sku")
+        sku_dims = fixtures.gen_dims()["dim_sku_info"]
+        sinks.upsert_dim_table(spark, dim_path, spark.createDataFrame(sku_dims), pk="id")
+
+        branches = base_log_stream(_raw_stream(spark, log_dir))
+        clicks = branches["page"].filter(
+            (F.col("page.page_id") == "good_detail")
+            & (F.col("page.item_type") == "sku_id")
+        ).select(F.col("page.item").alias("sku"), "ts")
+        enriched = enrich_stream_with_dims(
+            clicks, spark.read.parquet(dim_path), "sku", "id"
+        )
+        out = _run(spark, enriched.select("sku", "sku_name"), "enr_stream")
+        rows = out.collect()
+        assert len(rows) > 0
+        assert all(r.sku_name is not None for r in rows)
