@@ -120,6 +120,84 @@ def cosine_threshold_pairs(
     )
 
 
+def knn_bruteforce_blocked(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, numpy-blocked: the 100 TB-shape of the
+    brute-force baseline. The Q query vectors are collected (bounded by
+    Q, like a broadcast), each corpus partition computes a single
+    ``(batch × Q)`` matmul per Arrow batch and emits only its local
+    top-k per query; a final window re-ranks the ≤ partitions·k
+    survivors. Corpus never shuffles; Python sees each row once in a
+    vectorized batch.
+
+    Results match ``knn_bruteforce`` after the round-6 contract (the
+    float-sum order differs below that precision).
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    qn = np.linalg.norm(qm, axis=1)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1)
+            cos = np.round((mat @ qm.T) / (norms[:, None] * qn[None, :]), 6)
+            frames = []
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                mask = ids != qid  # exclude self
+                cids, cvals = ids[mask], col[mask]
+                if len(cids) == 0:
+                    continue
+                top = min(k, len(cids))
+                # local top-k: largest cos, ties by smallest neighbor_id
+                order = np.lexsort((cids, -cvals))[:top]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": cids[order], "cos": cvals[order]}
+                    )
+                )
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+            )
+
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(embeddings.sparkSession)
+    local_topk = embeddings.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 11):
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).astype("float64")

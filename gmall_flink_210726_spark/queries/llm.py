@@ -140,6 +140,34 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_blocked",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 6) AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5, numpy-blocked mapInPandas: one "
+    "(batch × Q) matmul per Arrow batch, local top-k per partition, "
+    "global re-rank — the 100 TB shape of the exact baseline; same "
+    "oracle as the JVM-fold variant (round-6 contract)",
+    tags=("llm", "similarity", "bench"),
+)
+def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.similarity import knn_bruteforce_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce_blocked(emb, query_ids=list(range(10)), k=5)
+
+
+@register(
     "ann_threshold_pairs",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -95,6 +95,14 @@ class TestSimilarity:
             coss = [c for _, c in rows]
             assert coss == sorted(coss, reverse=True)
 
+    def test_blocked_knn_equals_jvm_fold(self, emb):
+        from gmall_flink_210726_spark.operators.similarity import knn_bruteforce_blocked
+
+        qids = list(range(10))
+        a = {(r.query_id, r.rank): (r.neighbor_id, r.cos) for r in knn_bruteforce(emb, qids, 5).collect()}
+        b = {(r.query_id, r.rank): (r.neighbor_id, r.cos) for r in knn_bruteforce_blocked(emb, qids, 5).collect()}
+        assert a == b
+
     def test_lsh_ann_recall(self, emb):
         """Multi-table bucketed ANN: top-1 recall vs brute force ≥ 60%
         with 16 tables × 4 planes (documented tradeoff, not exactness)."""
