@@ -92,6 +92,20 @@ def append_stats_table(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def append_stats_exactly_once(df: DataFrame, epoch_id: int, path: str) -> None:
+    """K3/T9 — idempotent micro-batch append: each epoch writes its own
+    ``epoch_id=N`` partition with overwrite, so a RETRIED epoch (crash
+    after write, before checkpoint commit) replaces rather than
+    duplicates its rows. This closes the at-least-once gap plain
+    append() leaves; readers just scan ``path`` (partition column is
+    pruned like any other).
+
+        stream.writeStream.foreachBatch(
+            lambda b, e: append_stats_exactly_once(b, e, out)) ...
+    """
+    df.write.mode("overwrite").parquet(os.path.join(path, f"epoch_id={epoch_id}"))
+
+
 def debug_sink(df: DataFrame, n: int = 20) -> None:
     """K6 — the reference's `.print()` (dwd/BaseDBApp.java:89-90)."""
     df.show(n, truncate=False)

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): operator semantics vs independent
+pure-Python models on randomized inputs. Example counts are small —
+every example pays a Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark.functions.tokenizer import _tokenize_py, tokenize_col
+from gmall_flink_210726_spark.operators.joins import interval_join
+from gmall_flink_210726_spark.operators.stateful import first_per_key
+
+SETTLE = dict(max_examples=8, deadline=None)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from gmall_flink_210726_spark.session import get_spark
+
+        _spark = get_spark("props", cpus=4, shuffle_partitions=4)
+    return _spark
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=40),     # ts (seconds)
+        st.integers(min_value=0, max_value=10_000), # unique-ish id source
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(**SETTLE)
+@given(left=rows_strategy, right=rows_strategy, lo=st.integers(-10, 0), hi=st.integers(0, 10))
+def test_interval_join_matches_bruteforce(left, right, lo, hi):
+    spark = _get_spark()
+    l = spark.createDataFrame(
+        [(k, t * 1000000, i) for i, (k, t, _) in enumerate(left)] or [(None, None, None)],
+        "k long, us long, idx long",
+    ).filter(F.col("k").isNotNull()).withColumn("ts", F.timestamp_micros("us"))
+    r = spark.createDataFrame(
+        [(k, t * 1000000, i) for i, (k, t, _) in enumerate(right)] or [(None, None, None)],
+        "k long, us long, idx long",
+    ).filter(F.col("k").isNotNull()).withColumn("ts", F.timestamp_micros("us"))
+    got = {
+        (row["l.idx"], row["r.idx"])
+        for row in interval_join(l, r, "k", "k", "ts", "ts", lo, hi)
+        .select(F.col("l.idx").alias("l.idx"), F.col("r.idx").alias("r.idx"))
+        .collect()
+    }
+    expected = {
+        (i, j)
+        for i, (lk, lt, _) in enumerate(left)
+        for j, (rk, rt, _) in enumerate(right)
+        if lk == rk and lo <= rt - lt <= hi
+    }
+    assert got == expected
+
+
+@settings(**SETTLE)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XYZ09.,-!", min_size=0, max_size=40), min_size=1, max_size=10
+    )
+)
+def test_tokenizer_col_equals_python_fallback(texts):
+    spark = _get_spark()
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = [r.toks for r in df.select(tokenize_col("t").alias("toks")).collect()]
+    expected = [_tokenize_py(t) for t in texts]
+    assert got == expected
+
+
+@settings(**SETTLE)
+@given(rows=rows_strategy)
+def test_first_per_key_deterministic_minimum(rows):
+    spark = _get_spark()
+    data = [(k, t, i) for i, (k, t, _) in enumerate(rows)]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "k long, t long, idx long")
+    got = {(r.k, r.t, r.idx) for r in first_per_key(df, ["k"], ["t", "idx"]).collect()}
+    expected = set()
+    by_key: dict[int, list] = {}
+    for k, t, i in data:
+        by_key.setdefault(k, []).append((t, i, k))
+    for k, lst in by_key.items():
+        t, i, _ = min(lst)
+        expected.add((k, t, i))
+    assert got == expected

@@ -1,0 +1,118 @@
+"""Fault-tolerance semantics (T9, SURVEY §2.9): checkpoint recovery of
+keyed Python state, CDC snapshot+stream without double-counting, and
+idempotent epoch appends under simulated batch retry."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark import sinks
+from gmall_flink_210726_spark.sources.cdc import read_cdc_batch, snapshot_then_stream
+from gmall_flink_210726_spark.streaming.stateful import streaming_fix_is_new
+
+
+class TestStatefulCheckpointRecovery:
+    def test_state_survives_restart(self, spark, tmp_path):
+        """applyInPandasWithState state must be restored from the
+        checkpoint: events in the second run (same mid, claimed new)
+        must be rewritten because the FIRST run recorded the mid."""
+        src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+        src.mkdir()
+        out1 = str(tmp_path / "out1")
+        (src / "b0.json").write_text(
+            json.dumps({"mid": "m1", "ts": 1000, "flag": "1", "payload": "a"})
+            + "\n"
+            + json.dumps({"mid": "m2", "ts": 1500, "flag": "0", "payload": "b"})
+        )
+
+        def run(out):
+            stream = spark.readStream.schema(
+                "mid string, ts long, flag string, payload string"
+            ).json(str(src))
+            q = (
+                streaming_fix_is_new(stream)
+                .writeStream.foreachBatch(
+                    lambda b, e: sinks.append_stats_table(b, out)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run(out1)
+        got1 = {(r.mid, r.flag) for r in spark.read.parquet(out1).collect()}
+        assert got1 == {("m1", "1"), ("m2", "0")}  # first-ever m1 keeps '1'
+
+        # second run, SAME checkpoint: m1 claims '1' again → state must
+        # remember it and rewrite to '0'
+        (src / "b1.json").write_text(
+            json.dumps({"mid": "m1", "ts": 2000, "flag": "1", "payload": "c"})
+        )
+        out2 = str(tmp_path / "out2")
+        run(out2)
+        got2 = {(r.mid, r.flag, r.payload) for r in spark.read.parquet(out2).collect()}
+        assert got2 == {("m1", "0", "c")}
+
+
+class TestCdcSnapshotThenStream:
+    def test_no_double_count(self, spark, tmp_path):
+        """S2 StartupOptions.initial() semantics (SURVEY §7.4 risk 6):
+        the snapshot is a batch read of current state, the stream holds
+        only post-snapshot changes; replaying both into the dim store
+        yields exactly the final state."""
+        snap_dir, stream_dir = tmp_path / "snap", tmp_path / "stream"
+        snap_dir.mkdir(), stream_dir.mkdir()
+        # snapshot: rows 1, 2 exist
+        (snap_dir / "s.json").write_text(
+            "\n".join(
+                json.dumps(
+                    {"database": "g", "tableName": "sku", "before": {},
+                     "after": {"id": str(i), "name": f"v{i}"}, "type": "insert"}
+                )
+                for i in (1, 2)
+            )
+        )
+        # stream: row 2 updated, row 3 inserted
+        (stream_dir / "c.json").write_text(
+            "\n".join(
+                [
+                    json.dumps({"database": "g", "tableName": "sku", "before": {"id": "2", "name": "v2"},
+                                "after": {"id": "2", "name": "v2b"}, "type": "update"}),
+                    json.dumps({"database": "g", "tableName": "sku", "before": {},
+                                "after": {"id": "3", "name": "v3"}, "type": "insert"}),
+                ]
+            )
+        )
+        snap = read_cdc_batch(spark, str(snap_dir))
+        stream = read_cdc_batch(spark, str(stream_dir))  # batch-replay mode
+        merged = snapshot_then_stream(snap, stream)
+        rows = merged.select(
+            F.col("after")["id"].alias("id"), F.col("after")["name"].alias("name"), "type"
+        )
+        dim = str(tmp_path / "dim")
+        # apply in arrival order: bootstrap first, then changes
+        sinks.upsert_dim_table(
+            spark, dim, rows.filter(F.col("type") == "bootstrap-insert").drop("type"), pk="id"
+        )
+        sinks.upsert_dim_table(
+            spark, dim, rows.filter(F.col("type") != "bootstrap-insert").drop("type"), pk="id"
+        )
+        got = {r.id: r.name for r in spark.read.parquet(dim).collect()}
+        assert got == {"1": "v1", "2": "v2b", "3": "v3"}
+
+
+class TestEpochIdempotentAppend:
+    def test_retried_epoch_overwrites(self, spark, tmp_path):
+        out = str(tmp_path / "stats")
+        batch = spark.createDataFrame([(1,), (2,)], ["x"])
+        sinks.append_stats_exactly_once(batch, 7, out)
+        # simulated retry of the SAME epoch (crash between write and
+        # checkpoint commit): must replace, not duplicate
+        sinks.append_stats_exactly_once(batch, 7, out)
+        sinks.append_stats_exactly_once(spark.createDataFrame([(3,)], ["x"]), 8, out)
+        vals = sorted(r.x for r in spark.read.parquet(out).collect())
+        assert vals == [1, 2, 3]
