@@ -134,7 +134,10 @@ def unique_visit_app(page: DataFrame) -> DataFrame:
     with_day = entries.withColumn(
         "dt", F.date_format(_event_time_ms(F.col("ts")), "yyyy-MM-dd")
     )
-    w = Window.partitionBy("common.mid", "dt").orderBy(F.col("ts").asc())
+    # page_id tie-break: deterministic winner when two entries share a ts
+    w = Window.partitionBy("common.mid", "dt").orderBy(
+        F.col("ts").asc(), F.col("page.page_id").asc()
+    )
     return (
         with_day.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
