@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from gmall_flink_210726_spark.session import get_spark
@@ -10,5 +12,13 @@ SF_MED = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("gmall-tests", cpus=4, shuffle_partitions=8)
+    s = get_spark(
+        "gmall-tests",
+        cpus=4,
+        shuffle_partitions=8,
+        extra_conf={
+            # managed tables (bucketing tests) land in a scratch dir
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="gmall_wh_"),
+        },
+    )
     yield s
