@@ -71,7 +71,7 @@ def money(col: Column | str, precision: int = 18, scale: int = 6) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
-def money_sum(col: Column | Column | str, alias: str) -> Column:
+def money_sum(col: Column | str, alias: str) -> Column:
     """Exact decimal sum surfaced as double (stable across engines).
 
     Accepts a raw double column OR an already-built double expression;

@@ -96,14 +96,19 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def decode_media(df: DataFrame, batch_size: int = 256) -> DataFrame:
+def decode_media(df: DataFrame, batch_size: int | None = None) -> DataFrame:
     """mapInPandas decode pipeline over MEDIA_SCHEMA-shaped input.
 
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds Arrow batch
-    memory when blobs are large; the iterator shape lets a real decoder
-    stream batch-by-batch without materializing a partition."""
+    Pass ``batch_size`` to bound Arrow batch memory for large blobs
+    (sets the session's ``arrow.maxRecordsPerBatch`` — a session-wide
+    knob, so only set it when you mean it; the default leaves the
+    session untouched). The iterator shape lets a real decoder stream
+    batch-by-batch without materializing a partition."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    if batch_size is not None:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
     from gmall_flink_210726_spark.session import ship_package
 
     ship_package(spark)

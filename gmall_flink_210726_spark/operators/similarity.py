@@ -92,25 +92,30 @@ def cosine_threshold_pairs(
     vec_col: str = "embedding",
     probe_ids: list[int] | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold, id_a < id_b.
-    With probe_ids the left side is restricted (broadcast probe set);
-    otherwise a full self-join (quadratic — use the LSH variant at
-    scale)."""
+    """Embedding near-dup pairs: cosine ≥ threshold.
+
+    Full mode (probe_ids=None): self-join emitting each unordered pair
+    once as id_a < id_b (quadratic — use the LSH variant at scale).
+    Probe mode: id_a is always the probe and the full corpus is the
+    right side (id_a != id_b), so a probe finds matches with BOTH
+    smaller and larger ids."""
     left = embeddings.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
         _norm(F.col(vec_col)).alias("na"),
     )
     if probe_ids is not None:
-        left = left.filter(F.col("id_a").isin(probe_ids))
-        left = F.broadcast(left)
+        left = F.broadcast(left.filter(F.col("id_a").isin(probe_ids)))
+        pair_cond = F.col("id_a") != F.col("id_b")
+    else:
+        pair_cond = F.col("id_a") < F.col("id_b")
     right = embeddings.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         _norm(F.col(vec_col)).alias("nb"),
     )
     return (
-        right.join(left, F.col("id_a") < F.col("id_b"))
+        right.join(left, pair_cond)
         .withColumn(
             "cos",
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
@@ -205,7 +210,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 11):
 
 def lsh_bucket_ids(
     embeddings: DataFrame,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 11,
@@ -219,6 +224,8 @@ def lsh_bucket_ids(
     """
     from pyspark.sql.types import ArrayType, LongType
 
+    if dim is None:  # infer from the data (one tiny job)
+        dim = embeddings.select(F.size(vec_col)).first()[0]
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -248,7 +255,7 @@ def ann_lsh_topk(
     k: int = 5,
     n_planes: int = 4,
     n_tables: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 11,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -12,8 +12,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gmall_flink_210726_spark.functions.scalar import DT_FMT
-
 
 def filter_deletes(df: DataFrame, type_col: str = "type") -> DataFrame:
     """P3 — drop CDC delete events (dwd/BaseDBApp.java:55-60)."""

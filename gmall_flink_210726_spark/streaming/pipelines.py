@@ -85,12 +85,15 @@ def streaming_tumbling_agg(
 def streaming_dedup(
     df: DataFrame, keys: list[str], event_time_col: str, watermark: str
 ) -> DataFrame:
-    """T5 streaming — watermarked dropDuplicates: state for a key is
-    evicted once the watermark passes, ≈ the 24 h ValueState TTL
-    (dwm/UniqueVisitApp.java:61-63) with watermark-driven expiry."""
-    return df.withWatermark(event_time_col, watermark).dropDuplicates(
-        keys + [event_time_col] if event_time_col not in keys else keys
-    )
+    """T5 streaming — watermarked dedup on the KEYS (first event per key
+    wins, later duplicates drop), ≈ the 24 h ValueState TTL
+    (dwm/UniqueVisitApp.java:61-63) with watermark-driven state expiry.
+
+    Uses dropDuplicatesWithinWatermark so per-key state is evicted once
+    the watermark passes (bounded state); keys must NOT include the
+    event-time column — that would dedup on exact timestamps and keep
+    every distinct-ts duplicate."""
+    return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def write_foreach_batch(

@@ -48,6 +48,18 @@ def _parsed_events(log_lines):
     return evts
 
 
+def test_fixture_has_unique_mid_ts(log_lines):
+    """The app-layer windows tie-break on (mid, ts); the fixture must
+    not contain same-mid-same-ts collisions or downstream determinism
+    (and the DuckDB pipeline oracle) would be at the mercy of sort
+    order. Guard the invariant the determinism rests on."""
+    seen = set()
+    for e in _parsed_events(log_lines):
+        key = (e["common"]["mid"], e["ts"])
+        assert key not in seen, f"fixture collision: {key}"
+        seen.add(key)
+
+
 class TestBaseLogApp:
     def test_dirty_side_output(self, log_branches, log_lines):
         n_bad = len(log_lines) - len(_parsed_events(log_lines))

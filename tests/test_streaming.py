@@ -163,6 +163,38 @@ class TestStatefulStreaming:
         assert got == expected
 
 
+class TestStreamingDedup:
+    def test_dedup_keeps_one_row_per_key(self, spark, tmp_path):
+        """streaming_dedup must dedup on the KEYS — distinct timestamps
+        for the same key are duplicates, not distinct rows."""
+        import os
+
+        from gmall_flink_210726_spark.streaming.pipelines import streaming_dedup
+
+        p = tmp_path / "b0.json"
+        rows = [
+            {"mid": "m1", "dt": "2024-06-01", "ts": 1_717_200_000_000},
+            {"mid": "m1", "dt": "2024-06-01", "ts": 1_717_200_300_000},  # later same day
+            {"mid": "m1", "dt": "2024-06-02", "ts": 1_717_286_400_000},
+            {"mid": "m2", "dt": "2024-06-01", "ts": 1_717_200_100_000},
+        ]
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (1_700_000_000, 1_700_000_000))
+        src = (
+            spark.readStream.schema("mid string, dt string, ts long")
+            .json(str(tmp_path))
+            .withColumn("event_time", F.timestamp_millis("ts"))
+        )
+        out = _run_stream(
+            spark,
+            streaming_dedup(src, ["mid", "dt"], "event_time", "1 hour"),
+            "dedup_out",
+        )
+        got = {(r.mid, r.dt) for r in out.collect()}
+        assert got == {("m1", "2024-06-01"), ("m1", "2024-06-02"), ("m2", "2024-06-01")}
+        assert out.count() == 3  # the 10:05 duplicate of (m1, 06-01) dropped
+
+
 class TestStreamingBindings:
     def test_tumbling_agg_matches_batch(self, spark, tmp_path):
         rows = _flat_events()
