@@ -41,6 +41,14 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple = 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side-effect: registration)."""
-    from gmall_flink_210726_spark.queries import extras, gmall, gmall2, llm, tpch, tpch2  # noqa: F401
+    from gmall_flink_210726_spark.queries import (  # noqa: F401
+        extras,
+        extras2,
+        gmall,
+        gmall2,
+        llm,
+        tpch,
+        tpch2,
+    )
 
     return QUERIES
