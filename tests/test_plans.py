@@ -52,6 +52,31 @@ class TestPlanShapes:
         assert "partial_count" in plan  # map-side combine before shuffle
 
 
+class TestPartitionPruning:
+    def test_date_partitioned_scan_prunes(self, spark, tmp_path):
+        """100 TB pattern: stats tables partitioned by day; a day filter
+        must prune partitions at the scan (PartitionFilters), not read
+        everything and filter."""
+        import contextlib
+        import io
+
+        events = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        out = str(tmp_path / "events_by_day")
+        (
+            events.withColumn("dt", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"))
+            if dict(events.dtypes).get("ts") == "bigint"
+            else events.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        ).write.partitionBy("dt").parquet(out)
+
+        one_day = spark.read.parquet(out).filter(F.col("dt") == "2024-01-03")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            one_day.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters: [isnotnull(dt" in plan
+        assert one_day.count() > 0
+
+
 class TestBucketedJoin:
     def test_bucketing_removes_join_shuffle(self, spark, tmp_path):
         """100 TB pattern: co-located join via bucketBy — both sides
