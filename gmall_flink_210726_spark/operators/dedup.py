@@ -74,11 +74,21 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
 def _shingle_table(
     docs: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
 ) -> DataFrame:
-    """(id, shingle) pairs + per-doc distinct-shingle counts; optionally
-    drops shingles with document frequency > max_df (skew cap)."""
+    """(id, shingle-hash) pairs + per-doc distinct-shingle counts;
+    optionally drops shingles with document frequency > max_df (skew
+    cap).
+
+    Shingles are carried as xxhash64 values, not strings: the
+    co-occurrence join shuffles 8-byte keys instead of ~n-word strings.
+    A hash collision would conflate two distinct shingles; at D distinct
+    shingles the probability of ANY collision is ≈ D²/2⁶⁵ (10⁹ shingles
+    → ~3·10⁻²), and a single collision perturbs one intersection count
+    by 1 — acceptable for near-dup mining at scale, exact on any
+    collision-free dataset (verified against the string-based oracle)."""
     sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
-    )
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("sh_str"),
+    ).select("id", F.xxhash64("sh_str").alias("sh"))
     if max_df is not None:
         hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") > max_df
