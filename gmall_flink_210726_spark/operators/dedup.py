@@ -229,17 +229,22 @@ def minhash_lsh_pairs(
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per doc. Token base hashes are JVM crc32 over the
-    token and a salted copy (two 32-bit halves); the per-bit
-    majority-vote packing runs in one Arrow-vectorized pandas UDF over
-    the token-hash arrays (numpy bit ops), not per-row Python."""
+    """64-bit SimHash per doc. Token base hash = first 16 hex chars of
+    md5(token) as two 32-bit halves (JVM ``md5``/``conv`` — md5 is
+    portable, so a DuckDB oracle can recompute the identical signature);
+    the per-bit majority-vote packing runs in one Arrow-vectorized
+    pandas UDF over the token-hash arrays (numpy bit ops), not per-row
+    Python."""
     from pyspark.sql.types import LongType
+
+    def _md5_half(w: Column, start: int) -> Column:
+        return F.conv(F.substring(F.md5(w), start, 8), 16, 10).cast("long")
 
     toks = F.filter(F.split(normalized_text(text_col), " "), lambda w: w != "")
     hashed = docs.select(
         F.col(id_col).alias("id"),
-        F.transform(toks, lambda w: F.crc32(w)).alias("h_lo"),
-        F.transform(toks, lambda w: F.crc32(F.concat(w, F.lit("#salt")))).alias("h_hi"),
+        F.transform(toks, lambda w: _md5_half(w, 1)).alias("h_lo"),
+        F.transform(toks, lambda w: _md5_half(w, 9)).alias("h_hi"),
     )
 
     @F.pandas_udf(LongType())
@@ -275,23 +280,43 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup candidates by the 4-band pigeonhole trick:
     hamming ≤ 3 ⇒ at least one of four 16-bit bands is identical, so
-    candidates come from 4 equi-joins; verified by exact popcount."""
+    candidates come from ONE equi-join on (band, band-value) over the
+    posexploded band table (single shuffle, same pattern as
+    ``minhash_lsh_pairs``); verified by exact popcount.
+
+    Band values are extracted with shiftrightunsigned + AND 0xFFFF —
+    NOT ``%``, whose sign follows the dividend, so a negative simhash
+    (bit 63 set) would yield a band-0 value that never equi-joins with
+    a positive simhash sharing the same low 16 bits."""
     sig = simhash64(docs, id_col, text_col)
-    bands = [
-        (F.shiftrightunsigned(F.col("simhash"), b * 16) % F.lit(65536).cast("long")).alias(f"b{b}")
-        for b in range(4)
-    ]
-    banded = sig.select("id", "simhash", *bands)
-    cand = None
-    for b in range(4):
-        l = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"b{b}").alias("bv"))
-        r = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"b{b}").alias("bv"))
-        p = l.join(r, "bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
-        cand = p if cand is None else cand.unionByName(p)
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bv"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sig.select("id", "simhash", F.explode(band_structs).alias("b")).select(
+        "id",
+        F.col("simhash"),
+        F.col("b.band").alias("band"),
+        F.col("b.bv").alias("bv"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bv")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return (
-        cand.distinct()
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -125,6 +125,141 @@ def cosine_threshold_pairs(
     )
 
 
+def cosine_threshold_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine-threshold pairs WITHOUT a nested-loop join — the
+    scale shape of the all-pairs problem.
+
+    Why not LSH here: random-hyperplane banding only prunes when the
+    threshold is high (per-table collision prob at cos 0.4 is ~0.16 for
+    4 planes), so a low-threshold exact query would either miss pairs
+    or need buckets so coarse the join degenerates to all-pairs. Exact
+    low-threshold all-pairs is inherently O(n²) FLOPs; the scalable
+    plan makes those FLOPs vectorized and evenly distributed instead of
+    a BroadcastNestedLoopJoin:
+
+    - assign each vector a block id (hash mod B);
+    - replicate each row to the B block-pairs it participates in
+      (explode of a B-element array — data inflation ×B, the standard
+      block-nested-loop trade: shuffle B·n rows to get B(B+1)/2
+      independent tasks);
+    - one ``applyInPandas`` per block-pair runs a single numpy matmul
+      of (n/B × n/B) and emits only pairs ≥ threshold.
+
+    Tune B so (n/B)² · 8 bytes fits executor memory; parallelism is
+    B(B+1)/2 tasks. Results are identical to the naive self-join
+    (round-6 contract), pinned by the shared DuckDB oracle.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    B = n_blocks
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    # every row joins B block-pairs: (min(blk,k), max(blk,k)) for k<B
+    pair_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda k: F.struct(
+            F.least(F.col("blk"), k).alias("bi"),
+            F.greatest(F.col("blk"), k).alias("bj"),
+        ),
+    )
+    replicated = base.select(
+        "id", "v", "blk", F.explode(pair_arr).alias("p")
+    ).select("id", "v", "blk", F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"))
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        blks = pdf["blk"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+        norms = np.linalg.norm(mat, axis=1)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        if bi == bj:
+            cos = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 6)
+            ia, jb = np.nonzero(np.triu(cos >= threshold, k=1))
+            id_a, id_b, vals = ids[ia], ids[jb], cos[ia, jb]
+        else:
+            ai, bi_idx = np.where(blks == bi)[0], np.where(blks == bj)[0]
+            if len(ai) == 0 or len(bi_idx) == 0:
+                return empty
+            cos = np.round(
+                (mat[ai] @ mat[bi_idx].T)
+                / (norms[ai][:, None] * norms[bi_idx][None, :]),
+                6,
+            )
+            ia, jb = np.nonzero(cos >= threshold)
+            if len(ia) == 0:
+                return empty
+            raw_a, raw_b, vals = ids[ai][ia], ids[bi_idx][jb], cos[ia, jb]
+            id_a, id_b = np.minimum(raw_a, raw_b), np.maximum(raw_a, raw_b)
+        if len(id_a) == 0:
+            return empty
+        order = np.lexsort((id_b, id_a))  # deterministic within-task order
+        return pd.DataFrame(
+            {"id_a": id_a[order], "id_b": id_b[order], "cos": vals[order]}
+        )
+
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(embeddings.sparkSession)
+    return replicated.groupBy("bi", "bj").applyInPandas(block_pairs, out_schema)
+
+
+def cosine_threshold_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int | None = None,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine-threshold pairs: candidates share an LSH
+    bucket in ≥1 table, exact cosine verified inside buckets (no false
+    positives; recall = 1-(1-p^planes)^tables where p = 1-θ/π).
+
+    The right primitive when the threshold is HIGH (near-dup mining at
+    cos ≥ 0.85+, p^4 ≥ 0.5): candidates collapse to genuine neighbors
+    and the plan is one equi-join on (table, bucket). At low thresholds
+    use ``cosine_threshold_pairs_blocked`` — pruning is impossible and
+    exact semantics demand the blocked matmul."""
+    bucketed = lsh_bucket_ids(embeddings, dim, n_planes, n_tables, seed, id_col, vec_col)
+    a = bucketed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "table_idx", "bucket"
+    )
+    b = bucketed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "table_idx", "bucket"
+    )
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def knn_bruteforce_blocked(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -11,8 +11,9 @@ Oracle notes:
   (J ≥ 0.9, verified bimodal — nothing in [0.1, 0.9)) are caught by
   8×4 banding with probability ≈ 1-3e-4 per pair; the parity test
   pins the actual behavior on the driver's own data.
-- SimHash has no portable SQL equivalent → rows-only check (unit tests
-  cover consistency against n-gram Jaccard).
+- SimHash signatures use md5-derived token hashes precisely so the
+  oracle can recompute the identical int64 in DuckDB (md5 is portable;
+  crc32 is not) — full rows+schema+hash check, no rows-only fallback.
 """
 
 from __future__ import annotations
@@ -27,10 +28,7 @@ from gmall_flink_210726_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from gmall_flink_210726_spark.operators.multimodal import decode_media, media_from_documents
-from gmall_flink_210726_spark.operators.similarity import (
-    cosine_threshold_pairs,
-    knn_bruteforce,
-)
+from gmall_flink_210726_spark.operators.similarity import knn_bruteforce
 from gmall_flink_210726_spark.operators.text import (
     fingerprint,
     lang_id,
@@ -79,12 +77,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"{_JACCARD_PAIRS} AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5",
     doc="Exact word-3-gram Jaccard near-dup pairs (J ≥ 0.5) via shingle "
-    "co-occurrence join — no O(n²) cross product",
+    "co-occurrence join — no O(n²) cross product. Registered WITH the "
+    "max_df=100 hot-shingle cap, the mandatory skew guard at scale: a "
+    "shingle shared by k docs fans the join out k² rows, so df-capped "
+    "shingles bound the worst case at 100²; the fixtures' max shingle "
+    "df is 7 (sf0.01) / 25 (sf0.1), so the cap drops nothing and the "
+    "uncapped oracle stays exact (test_llm_ops pins the fan-out bound)",
     tags=("llm", "dedup", "bench"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_df=100
     )
 
 
@@ -103,11 +106,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard")
 
 
+# SimHash oracle: recompute the IDENTICAL 64-bit signature in DuckDB —
+# md5 is portable, so token hash halves (hex chars 1-8 / 9-16), per-bit
+# majority votes, and the packed int64 (bit 63 via two's complement)
+# all reproduce exactly; pairs then come from popcount(xor) ≤ 3.
+_SIMHASH_SIG = f"""
+    WITH g AS (SELECT doc_id,
+                      list_filter(string_split({_NORM}, ' '), x -> x <> '') AS ws
+               FROM documents),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM g),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS lo,
+                 CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT) AS hi
+          FROM toks),
+    votes AS (SELECT doc_id, b,
+                     SUM(CASE WHEN ((CASE WHEN b < 32 THEN lo ELSE hi END)
+                                    >> (b % 32)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS vote
+              FROM h CROSS JOIN range(64) t(b) GROUP BY doc_id, b),
+    packed AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN vote > 0 THEN
+                             CASE WHEN b = 63 THEN -9223372036854775808
+                                  ELSE (CAST(1 AS BIGINT) << b) END
+                           ELSE 0 END) AS BIGINT) AS simhash
+               FROM votes GROUP BY doc_id),
+    sig AS (SELECT d.doc_id, COALESCE(p.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN packed p USING (doc_id))
+"""
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # engine-specific 64-bit packing — rows-only check
-    doc="SimHash64 near-dup pairs (hamming ≤ 3) via 4-band pigeonhole "
-    "join; bit packing in one Arrow-vectorized pandas UDF",
+    oracle=f"""
+    {_SIMHASH_SIG}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash64 near-dup pairs (hamming ≤ 3) via single-shuffle "
+    "4-band pigeonhole join (posexplode banding); md5-based token "
+    "hashes make the signature DuckDB-reproducible, so the oracle "
+    "recomputes the exact int64 and the exact pairs",
     tags=("llm", "dedup"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,27 +216,52 @@ def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     """,
-    doc="Embedding near-dup pairs: cosine ≥ 0.4 self-join (exact); the "
-    "LSH-bucketed variant is the scale path",
-    tags=("llm", "similarity"),
+    doc="Embedding near-dup pairs, cosine ≥ 0.4, EXACT via the blocked "
+    "matmul plan: rows replicated to B block-pairs, one numpy matmul "
+    "per applyInPandas task — no BroadcastNestedLoopJoin anywhere "
+    "(test_plans pins this). The naive quadratic self-join survives "
+    "only as a unit-test cross-check (test_llm_ops)",
+    tags=("llm", "similarity", "bench"),
 )
 def ann_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_threshold_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    from gmall_flink_210726_spark.operators.similarity import (
+        cosine_threshold_pairs_blocked,
+    )
+
+    return cosine_threshold_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
 
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # recall < 1 by design — rows-only; unit test measures recall
-    doc="LSH-bucketed ANN top-5 (16 tables × 4 hyperplanes): exact "
-    "cosine only among bucket-collision candidates; one numpy matmul "
-    "per Arrow batch computes all tables; recall measured in tests",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 6) AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="LSH-bucketed ANN top-5 (48 tables × 4 hyperplanes, seed 11): "
+    "exact cosine only among bucket-collision candidates. The fixed "
+    "seed makes buckets deterministic, and at 48 tables the output is "
+    "measured IDENTICAL to exact KNN on the sf0.01 and sf0.1 fixtures "
+    "(per-pair miss prob ~1e-5 at the neighbors' cosine band), so the "
+    "exact-KNN SQL is a valid oracle here; recall<1 in general is "
+    "pinned by the unit-test recall floor on adversarial data",
     tags=("llm", "similarity"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb, query_ids=list(range(10)), k=5)
+    return similarity.ann_lsh_topk(emb, query_ids=list(range(10)), k=5, n_tables=48)
 
 
 @register(

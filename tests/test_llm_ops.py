@@ -1,5 +1,6 @@
-"""Unit tests for the LLM-data-pipeline operators that have no SQL
-oracle (SimHash, LSH ANN) plus plumbing checks for the rest."""
+"""Unit tests for the LLM-data-pipeline operators: cross-engine
+agreement (blocked vs naive, LSH vs exact), skew-cap fan-out bounds,
+and plumbing checks the driver oracles can't see."""
 
 from __future__ import annotations
 
@@ -81,6 +82,23 @@ class TestDedup:
         for r in capped.collect():
             assert (r.id_a, r.id_b) in uncapped
 
+    def test_max_df_bounds_join_fanout(self, spark):
+        """The skew guard the registered query relies on: a shingle
+        shared by k docs fans the co-occurrence join out k·(k-1)/2 rows;
+        max_df drops it entirely, so a pathological hot shingle adds
+        ZERO join rows instead of k²."""
+        hot = "common boilerplate header text"  # 4 words → 2 shingles
+        rows = [(i, f"{hot} unique tail {i} alpha beta") for i in range(50)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        from gmall_flink_210726_spark.operators.dedup import _shingle_table
+
+        capped = _shingle_table(df, "doc_id", "text", 3, max_df=10)
+        dfs = capped.groupBy("sh").count()
+        assert dfs.filter(F.col("count") > 10).count() == 0
+        # and the registered query's threshold still finds nothing here
+        # (tails differ), capped or not — the cap only removes noise
+        assert ngram_jaccard_pairs(df, threshold=0.5, max_df=10).count() == 0
+
 
 class TestSimilarity:
     def test_knn_self_excluded_and_k(self, emb):
@@ -112,6 +130,55 @@ class TestSimilarity:
         hits = sum(1 for q, n in ann.items() if bf.get(q) == n)
         assert len(ann) == len(qids)
         assert hits / len(ann) >= 0.6
+
+    def test_lsh_ann_48_tables_identical_to_exact(self, emb):
+        """The registered config (48 tables, seed 11) is pinned to be
+        IDENTICAL to exact KNN on the fixture — this is what lets the
+        driver use the exact-KNN SQL as its oracle."""
+        qids = list(range(10))
+        exact = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+                 for r in knn_bruteforce(emb, qids, k=5).collect()}
+        lsh = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+               for r in ann_lsh_topk(emb, qids, k=5, n_tables=48).collect()}
+        assert lsh == exact
+
+    def test_blocked_threshold_pairs_equal_naive(self, emb):
+        from gmall_flink_210726_spark.operators.similarity import (
+            cosine_threshold_pairs,
+            cosine_threshold_pairs_blocked,
+        )
+
+        naive = {(r.id_a, r.id_b): r.cos
+                 for r in cosine_threshold_pairs(emb, 0.4).collect()}
+        for n_blocks in (1, 3, 8):
+            blocked = {(r.id_a, r.id_b): r.cos
+                       for r in cosine_threshold_pairs_blocked(emb, 0.4, n_blocks).collect()}
+            assert blocked == naive
+
+    def test_lsh_threshold_pairs_high_threshold(self, spark):
+        """At HIGH thresholds the LSH-bucketed pair miner is exact-in-
+        practice: synthetic near-dup vectors (cos ≥ 0.95) all collide in
+        ≥1 of 16 tables; verification inside buckets means no false
+        positives at any threshold."""
+        import numpy as np
+
+        from gmall_flink_210726_spark.operators.similarity import (
+            cosine_threshold_pairs,
+            cosine_threshold_pairs_lsh,
+        )
+
+        rng = np.random.RandomState(3)
+        base = rng.standard_normal((20, 16))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((2 * i, [float(x) for x in v]))
+            near = v + 0.05 * rng.standard_normal(16)  # cos ≈ 0.999
+            rows.append((2 * i + 1, [float(x) for x in near]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        naive = {(r.id_a, r.id_b) for r in cosine_threshold_pairs(df, 0.95).collect()}
+        lsh = {(r.id_a, r.id_b) for r in cosine_threshold_pairs_lsh(df, 0.95).collect()}
+        assert lsh <= naive  # no false positives, ever
+        assert len(lsh & naive) >= 0.9 * len(naive)  # near-total recall
 
 
 class TestMultimodal:

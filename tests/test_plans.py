@@ -51,6 +51,21 @@ class TestPlanShapes:
         plan = _plan(SPECS["a1_event_stats_tumble10m"].fn(spark, SF_SMALL))
         assert "partial_count" in plan  # map-side combine before shuffle
 
+    def test_threshold_pairs_has_no_nested_loop(self, spark):
+        """The r1 scale-killer, fixed: exact all-pairs cosine runs as
+        blocked matmul (equi-shuffle on block-pair keys + vectorized
+        applyInPandas) — never a BroadcastNestedLoopJoin / cartesian."""
+        plan = _plan(SPECS["ann_threshold_pairs"].fn(spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "FlatMapGroupsInPandas" in plan
+
+    def test_simhash_banding_is_single_shuffle(self, spark):
+        """4-band pigeonhole via posexplode: the banded table is built
+        once and self-joined once — not 4 separate scans + union."""
+        plan = _plan(SPECS["dedup_simhash"].fn(spark, SF_SMALL))
+        assert "Union" not in plan
+
 
 class TestPartitionPruning:
     def test_date_partitioned_scan_prunes(self, spark, tmp_path):
