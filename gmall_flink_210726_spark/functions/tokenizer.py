@@ -34,10 +34,15 @@ except Exception:  # pragma: no cover
 
 
 def tokenize_col(col: Column | str) -> Column:
-    """JVM-side tokenizer: lowercase, split on non-alphanumerics, drop
-    empties. ≡ LATERAL TABLE(SplitFunction(x)) for ASCII keywords."""
+    """JVM-side tokenizer: lowercase, split on anything that is neither
+    alphanumeric nor CJK, drop empties. CJK codepoints (一-鿿) survive
+    the split so Chinese search terms — the reference's primary
+    IK-analyzer use case — emit keywords instead of vanishing; without
+    a segmenter a CJK run stays one token (the same degradation as the
+    reference's error path at func/SplitFunction.java:22-24, which the
+    jieba-backed ``tokenize_udf`` upgrades when available)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), "[^0-9a-z]+"), lambda w: w != "")
+    return F.filter(F.split(F.lower(c), "[^0-9a-z一-鿿]+"), lambda w: w != "")
 
 
 def _tokenize_py(text: str | None) -> list[str]:

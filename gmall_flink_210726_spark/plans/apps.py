@@ -68,16 +68,27 @@ def base_log_app(raw: DataFrame, value_col: str = "value") -> dict[str, DataFram
     """
     good, dirty = parse_json_column(raw, value_col, LOG_EVENT_SCHEMA)
 
-    # T6: a claimed is_new='1' is kept only on the mid's first event
-    # (batch replay of the ValueState marker at :79-94).
-    w = Window.partitionBy("common.mid").orderBy(F.col("ts").asc())
+    # T6: BaseLogApp.java:79-94 writes the seen-ValueState ONLY on events
+    # that claim is_new='1' — the mid's first claimed-new event keeps
+    # '1', later claimed-new events become '0', and events claiming '0'
+    # neither consult nor set the marker (so a mid whose first event
+    # claims '0' still keeps a later claimed '1' — reference semantics).
+    # page_id tiebreak (null-first for start events) keeps the window
+    # deterministic when a mid has two events at the same ts.
+    w = (
+        Window.partitionBy("common.mid")
+        .orderBy(F.col("ts").asc(), F.col("page.page_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    claimed_new = F.col("common.is_new") == "1"
+    prior_claims = F.count(F.when(claimed_new, F.lit(1))).over(w)
     fixed = good.withColumn(
         "common",
         F.col("common").withField(
             "is_new",
-            F.when(
-                (F.col("common.is_new") == "1") & (F.row_number().over(w) > 1), "0"
-            ).otherwise(F.col("common.is_new")),
+            F.when(claimed_new & (prior_claims > 0), "0").otherwise(
+                F.col("common.is_new")
+            ),
         ),
     )
 
@@ -158,7 +169,10 @@ def user_jump_detail_app(page: DataFrame, timeout_s: int = 60) -> DataFrame:
     Both branches emit the entry event itself; a non-entry next event
     within the window means normal navigation (no jump).
     """
-    w = Window.partitionBy("common.mid").orderBy(F.col("ts").asc())
+    # page_id tiebreak: deterministic lead() when two events share a ts
+    w = Window.partitionBy("common.mid").orderBy(
+        F.col("ts").asc(), F.col("page.page_id").asc_nulls_first()
+    )
     next_ts = F.lead("ts").over(w)
     next_is_entry = F.lead(F.col("page.last_page_id")).over(w).isNull()
     is_entry = F.col("page.last_page_id").isNull()

@@ -290,7 +290,7 @@ def a4_province_stats_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT word AS keyword, source, COUNT(*) AS ct
     FROM (SELECT source,
-                 unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS word
+                 unnest(string_split_regex(lower(text), '[^0-9a-z一-鿿]+')) AS word
           FROM documents)
     WHERE word <> ''
     GROUP BY 1, 2
@@ -311,7 +311,7 @@ def a5_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d1_tokenizer_udf_topwords",
     oracle="""
     SELECT word AS keyword, COUNT(*) AS ct
-    FROM (SELECT unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS word
+    FROM (SELECT unnest(string_split_regex(lower(text), '[^0-9a-z一-鿿]+')) AS word
           FROM documents)
     WHERE word <> ''
     GROUP BY 1

@@ -78,11 +78,23 @@ def upsert_dim_table(
         merged = kept.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
+    # swap order matters: move the OLD table aside first and delete it
+    # last, so a crash at any point leaves either the old or the new
+    # copy at a recoverable location — never neither. (Local-FS only,
+    # like the rest of this emulation; a real deployment is Delta
+    # MERGE, where the swap is a transactional commit and concurrent
+    # readers see a consistent snapshot.)
     tmp = f"{path}__tmp_upsert"
+    old = f"{path}__old_upsert"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    had_prev = os.path.exists(path)
+    if had_prev:
+        os.rename(path, old)
     os.rename(tmp, path)
+    if had_prev:
+        shutil.rmtree(old)
 
 
 def append_stats_table(df: DataFrame, path: str) -> None:

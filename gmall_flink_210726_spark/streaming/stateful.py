@@ -57,20 +57,26 @@ def _sorted_concat(pdfs: Iterable[pd.DataFrame]) -> pd.DataFrame:
 
 
 def _fix_is_new_fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    """T6 — dwd/BaseLogApp.java:64-95: a claimed is_new='1' survives only
-    on the mid's first-ever event; state is a seen marker."""
+    """T6 — dwd/BaseLogApp.java:79-94: the seen-state is written ONLY by
+    events claiming is_new='1', so the first claimed-new event keeps
+    '1', later claimed-new events become '0', and '0'-claiming events
+    pass through without touching state (matches the reference and the
+    batch twin in plans/apps.base_log_app)."""
     pdf = _sorted_concat(pdfs)
     seen = state.exists
-    out_flags = []
-    for flag in pdf["flag"]:
-        if flag == "1" and seen:
-            out_flags.append("0")
+    claimed = (pdf["flag"] == "1").to_numpy()
+    out = pdf["flag"].to_numpy(dtype=object).copy()
+    # all claimed-new rows after the first seen claim are rewritten
+    if claimed.any():
+        if seen:
+            out[claimed] = "0"
         else:
-            out_flags.append(flag)
-        seen = True
-    if len(pdf) and not state.exists:
-        state.update(("seen",))
-    pdf = pdf.assign(flag=out_flags)
+            first = claimed.nonzero()[0][0]
+            later = claimed.copy()
+            later[first] = False
+            out[later] = "0"
+            state.update(("seen",))
+    pdf = pdf.assign(flag=out)
     yield pdf
 
 
@@ -93,19 +99,20 @@ def _daily_uv_fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
     re-keys by day — replay keeps the date string)."""
     pdf = _sorted_concat(pdfs)
     last_date = state.get[0] if state.exists else None
-    keep = []
-    for _, row in pdf.iterrows():
-        day = pd.Timestamp(row["ts"], unit="ms").strftime("%Y-%m-%d")
-        if day != last_date:
-            keep.append(row)
-            last_date = day
     if len(pdf):
-        state.update((last_date,))
-    yield (
-        pd.DataFrame(keep, columns=pdf.columns)
-        if keep
-        else pd.DataFrame(columns=pdf.columns)
-    )
+        # vectorized first-per-day: a row is kept when its day differs
+        # from the previous kept row's day — with rows sorted by ts,
+        # that is exactly 'day != previous row's day', seeded by the
+        # carried-over state date.
+        days = pd.to_datetime(pdf["ts"], unit="ms").dt.strftime("%Y-%m-%d")
+        prev = days.shift(1)
+        prev.iloc[0] = last_date
+        keep_mask = (days != prev).to_numpy()
+        kept = pdf[keep_mask]
+        state.update((days.iloc[-1],))
+        yield kept
+    else:
+        yield pd.DataFrame(columns=pdf.columns)
 
 
 def streaming_daily_uv(df: DataFrame) -> DataFrame:

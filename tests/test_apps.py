@@ -84,18 +84,16 @@ class TestBaseLogApp:
         assert row.page_id is not None and row.ts is not None
 
     def test_is_new_rewrite(self, log_branches):
-        # after the rewrite no mid may have is_new=1 on any event later
-        # than its first (T6)
+        # T6 reference semantics (BaseLogApp.java:79-94): at most ONE
+        # surviving is_new=1 per mid — the earliest CLAIMED-new event
+        # (an earlier '0'-claiming event does not burn the marker)
         pages = log_branches["page"].unionByName(log_branches["start"], allowMissingColumns=True)
-        firsts = (
-            pages.groupBy("common.mid")
-            .agg(F.min("ts").alias("first_ts"))
+        per_mid = (
+            pages.filter(F.col("common.is_new") == "1")
+            .groupBy("common.mid")
+            .count()
         )
-        late_news = (
-            pages.join(firsts, pages["common.mid"] == firsts["mid"])
-            .filter((F.col("common.is_new") == "1") & (F.col("ts") > F.col("first_ts")))
-        )
-        assert late_news.count() == 0
+        assert per_mid.filter(F.col("count") > 1).count() == 0
 
 
 class TestUniqueVisit:

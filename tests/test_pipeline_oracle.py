@@ -42,12 +42,16 @@ def setup(spark, tmp_path_factory):
         WHERE ts IS NOT NULL
         """
     )
-    # T6 replay: is_new survives only on the mid's first event
+    # T6 replay, reference semantics: only CLAIMED-new events burn the
+    # seen-marker — is_new='1' survives on the mid's first claimed-new
+    # event only; '0'-claims pass through untouched
     con.execute(
         """
         CREATE VIEW ev_fixed AS
         SELECT *, CASE WHEN claimed_new = '1'
-                        AND row_number() OVER (PARTITION BY mid ORDER BY ts) > 1
+                        AND COUNT(*) FILTER (WHERE claimed_new = '1') OVER (
+                              PARTITION BY mid ORDER BY ts, page_id NULLS FIRST
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0
                        THEN '0' ELSE claimed_new END AS is_new
         FROM ev
         """
@@ -85,8 +89,8 @@ def test_visitor_stats_matches_duckdb_pipeline(spark, setup):
                       '%Y-%m-%d %H:%M:%S') stt, vc, ch, ar, is_new,
                       0 uv, 0 pv, 0 sv, 1 uj, 0 dur
                FROM (SELECT *,
-                        lead(ts) OVER (PARTITION BY mid ORDER BY ts) nxt,
-                        lead(last_page_id IS NULL) OVER (PARTITION BY mid ORDER BY ts) nxt_entry
+                        lead(ts) OVER (PARTITION BY mid ORDER BY ts, page_id NULLS FIRST) nxt,
+                        lead(last_page_id IS NULL) OVER (PARTITION BY mid ORDER BY ts, page_id NULLS FIRST) nxt_entry
                      FROM page)
                WHERE last_page_id IS NULL
                  AND (nxt IS NULL OR nxt - ts > 60000

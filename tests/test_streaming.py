@@ -103,15 +103,18 @@ class TestStatefulStreaming:
         out = _run_stream(
             spark, streaming_fix_is_new(_stream_source(spark, str(tmp_path))), "t6_out"
         )
-        # batch ground truth (same rule as operators/stateful.rewrite_is_new):
-        # claimed '1' survives only on the mid's first event
+        # reference ground truth (BaseLogApp.java:79-94): only CLAIMED-new
+        # events burn the seen-marker — claimed '1' survives on the mid's
+        # first claimed-new event; '0'-claims pass through untouched
         seen: dict[str, bool] = {}
         expected = {}
         for r in rows:
             flag = r["is_new"]
-            if flag == "1" and seen.get(r["mid"]):
-                flag = "0"
-            seen[r["mid"]] = True
+            if flag == "1":
+                if seen.get(r["mid"]):
+                    flag = "0"
+                else:
+                    seen[r["mid"]] = True
             expected[(r["mid"], r["ts"], r["payload"])] = flag
         got = {
             (r.mid, r.ts, r.payload): r.flag for r in out.collect()
