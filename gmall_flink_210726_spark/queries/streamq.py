@@ -1,0 +1,149 @@
+"""Streaming-mode driver queries — the correctness gate actually
+executes ``writeStream`` (VERDICT r1 item 6).
+
+Every other registered query exercises batch replay; these two run the
+real Structured Streaming path end-to-end inside a ``(spark, sf_dir) ->
+DataFrame`` callable: file-stream source over the driver's events
+parquet → streaming operator → memory sink → the materialized result is
+returned as a batch DataFrame for the DuckDB oracle compare.
+
+- ``st1_stream_daily_uv`` drives the T5 keyed-state operator
+  (``applyInPandasWithState``, streaming/stateful.py) — the streaming
+  twin of dwm/UniqueVisitApp.java:50-92.
+- ``st2_stream_tumble_pv`` drives a watermarked tumbling window in
+  append mode — the T1/T2/T3 semantics of dws/VisitorStatsApp.java:
+  100-116 (14 s watermark). Append mode only emits windows the final
+  watermark (max event time − delay) has closed, so the oracle applies
+  the same rule: ``window_end <= max_ms − 14000``. Spark finalizes on
+  a non-strict bound; an exact tie between a window boundary and the
+  watermark cannot occur here because the watermark inherits the
+  events' sub-second offsets while windows are day-aligned.
+
+Scale notes: the file-stream source is the replayed-Kafka stand-in
+(no broker in the container — util/MyKafkaUtil.java:32-37 is the real
+source at deploy time); state per key is O(1); the window agg is
+partial+final per micro-batch exactly as in batch mode. ns→ms uses
+integer ``div`` — double division is lossy above 2^53 (epoch-ns crossed
+that in 1970).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.streaming.stateful import streaming_daily_uv
+
+EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+_sink_seq = itertools.count()
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-stream source. The trailing glob is
+    load-bearing: FileStreamSource requires a directory basePath, and a
+    glob makes it resolve the parent dir instead of the file itself."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_DDL).parquet(f"{sf_dir}/events.parque*")
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, prefix: str) -> str:
+    """Execute the streaming plan with an availableNow trigger into a
+    memory sink; returns the sink table name. availableNow processes the
+    whole backlog then stops, running trailing no-data micro-batches so
+    watermark-closed state flushes (noDataMicroBatches, on by default)."""
+    name = f"{prefix}_{next(_sink_seq)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError(f"streaming query {name} did not finish")
+    finally:
+        q.stop()
+    return name
+
+
+@register(
+    "st1_stream_daily_uv",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(DISTINCT user_id) AS uv_ct
+    FROM events
+    GROUP BY 1
+    """,
+    doc="T5 streaming twin under the driver gate: file-stream the events "
+    "table through applyInPandasWithState daily-UV dedup (writeStream, "
+    "append, availableNow), then count the emitted first-visits per day "
+    "(dwm/UniqueVisitApp.java:50-92).",
+    tags=("streaming", "stateful"),
+)
+def st1_stream_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flat = _stream_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("mid"),
+        F.expr("ts div 1000000").alias("ts"),
+        F.lit("1").alias("flag"),
+        # zero-padded so the operator's string tiebreak sorts like the
+        # numeric event_id (same-ms ties stay deterministic)
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("payload"),
+    )
+    sink = _run_to_memory(streaming_daily_uv(flat), "st1_daily_uv")
+    kept = spark.table(sink)
+    # one emitted row per (mid, day) ⇒ per-day count = distinct users
+    return kept.groupBy(
+        F.from_unixtime(F.expr("ts div 1000"), "yyyy-MM-dd").alias("dt")
+    ).agg(F.count(F.lit(1)).alias("uv_ct"))
+
+
+@register(
+    "st2_stream_tumble_pv",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+         wm AS (SELECT max(ms) - 14000 AS w FROM ev)
+    SELECT strftime(to_timestamp((ms // 86400000) * 86400),
+                    '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(to_timestamp((ms // 86400000 + 1) * 86400),
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           event_type, COUNT(*) AS pv_ct
+    FROM ev, wm
+    WHERE (ms // 86400000 + 1) * 86400000 <= w
+    GROUP BY 1, 2, 3
+    """,
+    doc="T1-T3 under the driver gate: watermarked (14 s, per dws/"
+    "VisitorStatsApp.java:100-106) tumbling-day count by event_type in "
+    "append mode — only watermark-closed windows are emitted, and the "
+    "oracle applies the identical window_end <= max_ms - 14000 rule.",
+    tags=("streaming", "window"),
+)
+def st2_stream_tumble_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+            "event_type",
+        )
+        .withWatermark("event_time", "14 seconds")
+    )
+    agg = ev.groupBy(F.window("event_time", "1 day").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("pv_ct")
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "event_type",
+        "pv_ct",
+    )
+    sink = _run_to_memory(out, "st2_tumble_pv")
+    return spark.table(sink)

@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
         gmall,
         gmall2,
         llm,
+        streamq,
         tpch,
         tpch2,
     )
