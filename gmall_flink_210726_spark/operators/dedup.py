@@ -85,8 +85,11 @@ def _shingle_table(
     → ~3·10⁻²), and a single collision perturbs one intersection count
     by 1 — acceptable for near-dup mining at scale, exact on any
     collision-free dataset (verified against the string-based oracle)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+    sh = base.select(
+        "id",
         F.explode(word_shingles(text_col, n)).alias("sh_str"),
     ).select("id", F.xxhash64("sh_str").alias("sh"))
     if max_df is not None:
@@ -149,8 +152,11 @@ def minhash_signatures(
     """k-permutation MinHash signature per doc: base hash = crc32 of the
     shingle (JVM), permuted by k affine maps mod 2^31-1, min per doc.
     One explode + one grouped aggregation — no Python."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+    sh = base.select(
+        "id", F.explode(word_shingles(text_col, n)).alias("sh")
     ).withColumn("h", F.crc32(F.col("sh")))
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"mh{i}")
@@ -240,9 +246,12 @@ def simhash64(
     def _md5_half(w: Column, start: int) -> Column:
         return F.conv(F.substring(F.md5(w), start, 8), 16, 10).cast("long")
 
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
     toks = F.filter(F.split(normalized_text(text_col), " "), lambda w: w != "")
-    hashed = docs.select(
-        F.col(id_col).alias("id"),
+    base = ensure_parallelism(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+    hashed = base.select(
+        "id",
         F.transform(toks, lambda w: _md5_half(w, 1)).alias("h_lo"),
         F.transform(toks, lambda w: _md5_half(w, 9)).alias("h_hi"),
     )

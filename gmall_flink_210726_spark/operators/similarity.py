@@ -62,7 +62,9 @@ def knn_bruteforce(
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
     )
-    corpus = embeddings.select(
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(embeddings.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
@@ -157,8 +159,10 @@ def cosine_threshold_pairs_blocked(
     """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
     B = n_blocks
-    base = embeddings.select(
+    base = ensure_parallelism(embeddings.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
@@ -193,7 +197,10 @@ def cosine_threshold_pairs_blocked(
         if bi == bj:
             cos = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 6)
             ia, jb = np.nonzero(np.triu(cos >= threshold, k=1))
-            id_a, id_b, vals = ids[ia], ids[jb], cos[ia, jb]
+            # triu positions give each unordered pair once, but row order
+            # within the group is arbitrary — normalize to id_a < id_b
+            raw_a, raw_b, vals = ids[ia], ids[jb], cos[ia, jb]
+            id_a, id_b = np.minimum(raw_a, raw_b), np.maximum(raw_a, raw_b)
         else:
             ai, bi_idx = np.where(blks == bi)[0], np.where(blks == bj)[0]
             if len(ai) == 0 or len(bi_idx) == 0:
@@ -324,10 +331,12 @@ def knn_bruteforce_blocked(
                 else pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
             )
 
-    from gmall_flink_210726_spark.session import ship_package
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
 
     ship_package(embeddings.sparkSession)
-    local_topk = embeddings.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    local_topk = ensure_parallelism(embeddings.select(id_col, vec_col)).mapInPandas(
+        gen, out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -371,10 +380,10 @@ def lsh_bucket_ids(
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series(list(signs @ weights))
 
-    from gmall_flink_210726_spark.session import ship_package
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
 
     ship_package(embeddings.sparkSession)
-    with_buckets = embeddings.select(
+    with_buckets = ensure_parallelism(embeddings.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         buckets(F.col(vec_col)).alias("bs"),

@@ -25,6 +25,9 @@ def _words(text: Column | str) -> Column:
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace word count + BPE-ish subword-piece count per doc."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     return docs.select(
         "*",
         F.size(_words(text_col)).cast("long").alias("n_ws_tokens"),
@@ -38,6 +41,9 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + composite score in [0,1]:
     length, word stats, punctuation ratio, stopword ratio. The score
     formula is fixed-order double arithmetic (engine-reproducible)."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     n_chars = F.length(F.col(text_col)).cast("long")
     words = _words(text_col)
     n_words = F.size(words).cast("long")
@@ -95,6 +101,9 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: argmax over per-language marker counts,
     'und' when no markers hit. Ties resolve by the fixed language order
     (en, de, es, fr) — same CASE/GREATEST shape in the SQL oracle."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     words = _words(text_col)
     scores = {
         lang: F.size(F.filter(words, lambda w: w.isin(*markers)))
@@ -117,6 +126,9 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     Integer arithmetic end-to-end (exact in every engine); word order
     matters, so reordered near-dups get different prints while exact
     dups collide."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     words = _words(text_col)
     terms = F.transform(
         words,

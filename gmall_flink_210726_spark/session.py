@@ -41,6 +41,25 @@ def ship_package(spark: SparkSession) -> None:
     sc._gmall_pkg_shipped = True
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition IFF the plan's scan parallelism is below
+    the cluster's core count.
+
+    Per-row-heavy operators (shingling, signatures, matmuls) inherit the
+    scan's partitioning. A small benchmark table is often a single
+    parquet file → a single input split → one task doing all the Python/
+    codegen work while every other core idles. At real scale (100 TB =
+    many splits) the condition is false and this is a NO-OP — no extra
+    shuffle is ever added on big inputs; on small ones the shuffle moves
+    only the operator's projected columns (call after .select).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def default_cpus() -> int:
     env = os.environ.get("SPARK_GRAFT_CPUS")
     if env:
