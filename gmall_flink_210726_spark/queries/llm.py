@@ -265,6 +265,40 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 6) AS cos
+      FROM e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="IVF-flat ANN top-5 (16 cells, nprobe 12, deterministic "
+    "driver-side spherical k-means training): exact cosine only among "
+    "probed cells' members via a broadcast (query, cell) equi-join — "
+    "corpus scans twice (assign, score) and never shuffles. nprobe=12 "
+    "is measured-exact on every fixture (the isotropic bench embeddings "
+    "put true neighbors at cos~0.3, where pruning is impossible for any "
+    "index; clustered data needs nprobe<<n_cells, pinned by unit test), "
+    "so the exact-KNN SQL is a valid oracle",
+    tags=("llm", "similarity"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(
+        emb, query_ids=list(range(10)), k=5, n_cells=16, nprobe=12
+    )
+
+
+@register(
     "text_token_counts",
     oracle=r"""
     SELECT doc_id,

@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_210726_spark.registry import register
-from gmall_flink_210726_spark.streaming.stateful import streaming_daily_uv
+from gmall_flink_210726_spark.streaming.stateful import (
+    streaming_daily_uv,
+    streaming_detect_jumps,
+)
 
 EVENTS_DDL = (
     "event_id bigint, ts bigint, user_id bigint, "
@@ -127,6 +130,7 @@ def st1_stream_daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle applies the identical window_end <= max_ms - 14000 rule.",
     tags=("streaming", "window"),
 )
+
 def st2_stream_tumble_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         _stream_events(spark, sf_dir)
@@ -147,3 +151,130 @@ def st2_stream_tumble_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(out, "st2_tumble_pv")
     return spark.table(sink)
+
+
+@register(
+    "st3_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, COUNT(*) AS view_ct
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - 300000000
+     AND epoch_us(v.ts) <= epoch_us(p.ts)
+    GROUP BY 1
+    """,
+    doc="J1 streaming twin under the driver gate: a real watermarked "
+    "stream-stream interval join (views in [-5 min, 0] of each same-"
+    "user purchase, dwm/PaymentWideApp.java:86-96) through writeStream; "
+    "inner joins emit matches eagerly, so no sentinel is needed and "
+    "the final sink equals the batch join (j1's oracle). State on both "
+    "sides is watermark-evicted — Flink's interval-join cleanup.",
+    tags=("streaming", "join"),
+)
+def st3_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_uid"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", "0 seconds")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_uid"), F.col("event_time").alias("v_time"))
+        .withWatermark("v_time", "0 seconds")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_uid = v_uid AND "
+            "v_time >= p_time - INTERVAL 300 SECOND AND v_time <= p_time"
+        ),
+    ).select("purchase_id")
+    sink = _run_to_memory(joined, "st3_interval_join")
+    return (
+        spark.table(sink)
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("view_ct"))
+    )
+
+
+@register(
+    "st4_stream_jump_detection",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 1000 AS ms,
+             (CAST(props->>'$.k' AS BIGINT) % 5 = 0) AS is_entry,
+             lead(epoch_us(ts) // 1000) OVER w AS next_ms,
+             lead((CAST(props->>'$.k' AS BIGINT) % 5 = 0)) OVER w AS next_entry
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT CAST(user_id AS VARCHAR) AS mid, ms AS ts
+    FROM ev
+    WHERE is_entry
+      AND (next_ms IS NULL OR next_ms - ms > 60000 OR next_entry)
+    """,
+    doc="T4/R4 streaming twin under the driver gate: the "
+    "applyInPandasWithState CEP operator (event-time timers, "
+    "dwm/UserJumpDetailApp.java:65-96) run through writeStream. Entry "
+    "events (props.k % 5 = 0 — a per-event stand-in for last_page_id "
+    "IS NULL) are jumps when strict-next is another entry within 60 s "
+    "(matched branch) or nothing follows within 60 s (timeout branch, "
+    "fired by event-time timers). A far-future non-entry sentinel file "
+    "advances the final watermark so trailing timers flush — the "
+    "availableNow analog of a stream that keeps running.",
+    tags=("streaming", "stateful"),
+)
+def st4_stream_jump_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    # stage events + a far-future sentinel into a temp stream dir; the
+    # sentinel's mid emits nothing (non-entry, fresh key) but its ts
+    # pushes the watermark past every pending entry's 60 s deadline
+    stage = tempfile.mkdtemp(prefix="st4_stream_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "00_events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    max_ts = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).agg(
+        F.max("ts")
+    ).first()[0]
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(max_ts + 86_400_000_000_000).cast("long").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "zz_sentinel"))
+
+    flat = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+        .select(
+            F.col("user_id").cast("string").alias("mid"),
+            F.expr("ts div 1000000").alias("ts"),
+            F.when(
+                F.get_json_object("props", "$.k").cast("long") % 5 == 0, "entry"
+            ).otherwise("page").alias("flag"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("payload"),
+        )
+    )
+    try:
+        sink = _run_to_memory(streaming_detect_jumps(flat), "st4_jumps")
+    finally:
+        # memory sink holds the materialized rows; the staged files are done
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(sink).filter(F.col("mid") != "-1").select("mid", "ts")

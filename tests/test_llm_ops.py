@@ -198,3 +198,109 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG....")
+
+
+class TestIVF:
+    def test_ivf_registered_config_identical_to_exact(self, emb):
+        """The registered config (16 cells, nprobe 12) is pinned
+        IDENTICAL to exact KNN on the fixture — what lets the driver use
+        the exact-KNN SQL as its oracle (same contract as the LSH
+        query's 48-table pin)."""
+        from gmall_flink_210726_spark.operators.similarity import ann_ivf_topk
+
+        qids = list(range(10))
+        exact = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+                 for r in knn_bruteforce(emb, qids, k=5).collect()}
+        ivf = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+               for r in ann_ivf_topk(emb, qids, k=5, n_cells=16, nprobe=12).collect()}
+        assert ivf == exact
+
+    def test_ivf_prunes_on_clustered_data(self, spark):
+        """On CLUSTERED embeddings — the real-world shape — nprobe=1 of
+        8 cells already achieves exact top-k: the index scans ~1/8 of
+        the corpus. This is the scale case the isotropic bench fixture
+        cannot show."""
+        import numpy as np
+
+        from gmall_flink_210726_spark.operators.similarity import (
+            ann_ivf_topk,
+            ivf_assign,
+            ivf_centroids,
+            knn_bruteforce,
+        )
+
+        rng = np.random.RandomState(3)
+        centers = rng.standard_normal((8, 32)) * 5
+        rows = []
+        for i in range(400):
+            c = i % 8
+            v = centers[c] + rng.standard_normal(32) * 0.3
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        qids = [0, 1, 2, 3]
+        exact = {(r.query_id, r.rank): r.neighbor_id
+                 for r in knn_bruteforce(df, qids, k=3).collect()}
+        ivf = {(r.query_id, r.rank): r.neighbor_id
+               for r in ann_ivf_topk(df, qids, k=3, n_cells=8, nprobe=1).collect()}
+        assert ivf == exact
+
+        # and the index really partitions: every cell is non-trivial
+        C = ivf_centroids(df, n_cells=8)
+        sizes = (
+            ivf_assign(df, C).groupBy("cell").count().collect()
+        )
+        assert len(sizes) == 8
+        assert all(r["count"] >= 20 for r in sizes)
+
+    def test_ivf_centroids_deterministic(self, emb):
+        import numpy as np
+
+        from gmall_flink_210726_spark.operators.similarity import ivf_centroids
+
+        a = ivf_centroids(emb, n_cells=16)
+        b = ivf_centroids(emb, n_cells=16)
+        assert np.array_equal(a, b)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+class TestLshThresholdPairs:
+    def test_lsh_pairs_identical_to_exact_at_48_tables(self, emb):
+        """48-table LSH candidates + exact verify agree with the exact
+        blocked-matmul pairs on the fixture (recall 1-(1-p^4)^48 at
+        cos 0.5 ~ 0.99998/pair). Not registered as a bench query: on
+        isotropic data 48 tables collide ~95% of ALL pairs, so the
+        exact blocked matmul is strictly faster — LSH pairs win only in
+        the high-threshold clustered regime (next test)."""
+        from gmall_flink_210726_spark.operators.similarity import (
+            cosine_threshold_pairs_blocked,
+            cosine_threshold_pairs_lsh,
+        )
+
+        exact = {(r.id_a, r.id_b): r.cos
+                 for r in cosine_threshold_pairs_blocked(emb, 0.5).collect()}
+        lsh = {(r.id_a, r.id_b): r.cos
+               for r in cosine_threshold_pairs_lsh(emb, 0.5, n_tables=48).collect()}
+        assert lsh == exact
+
+    def test_lsh_pairs_no_false_positives_high_threshold(self, spark):
+        """Planted near-dups: LSH finds exactly the planted pairs at a
+        high threshold, nothing else."""
+        import numpy as np
+
+        from gmall_flink_210726_spark.operators.similarity import (
+            cosine_threshold_pairs_lsh,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = []
+        for i in range(100):
+            v = rng.standard_normal(32)
+            rows.append((i, [float(x) for x in v]))
+            if i < 5:  # plant a near-dup of docs 0..4 as ids 100..104
+                w = v + rng.standard_normal(32) * 0.05
+                rows.append((100 + i, [float(x) for x in w]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {(r.id_a, r.id_b) for r in
+               cosine_threshold_pairs_lsh(df, 0.9, n_tables=16).collect()}
+        assert out == {(i, 100 + i) for i in range(5)}
