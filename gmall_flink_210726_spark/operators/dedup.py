@@ -151,7 +151,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: base hash = crc32 of the
     shingle (JVM), permuted by k affine maps mod 2^31-1, min per doc.
-    One explode + one grouped aggregation — no Python."""
+    One explode + one grouped aggregation — no Python. (Measured against
+    a map-side aggregate/zip_with higher-order-function fold and an
+    Arrow pandas UDF: the codegen'd k-column min-agg is the fastest of
+    the three — interpreted HOFs allocate a k-array per shingle, and the
+    Python path pays worker+Arrow transfer.)"""
     from gmall_flink_210726_spark.session import ensure_parallelism
 
     base = ensure_parallelism(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
@@ -163,6 +167,36 @@ def minhash_signatures(
         for i, (a, b) in enumerate(_minhash_perms(k, seed))
     ]
     return sh.groupBy("id").agg(*mins)
+
+
+def _bucket_pairs(banded: DataFrame, payload: Column | None = None) -> DataFrame:
+    """Distinct candidate id pairs from an LSH bucket table
+    (id, band, bv[, payload]): group each (band, bv) bucket, emit every
+    i<j pair of its sorted member list via JVM array expressions.
+
+    One shuffle (the groupBy) and ONE evaluation of the upstream
+    signature plan — a self-equi-join on (band, bv) would execute the
+    signature subtree once per join side (Spark does not reuse the
+    exchange across aliased scans) and then shuffle both copies.
+    Bucket fan-out is the inherent LSH g²/2; callers bound g by band
+    width the same way they would for the join form."""
+    agg = [F.array_sort(F.collect_list(F.struct("id", *([payload] if payload is not None else [])))).alias("ms")]
+    buckets = (
+        banded.groupBy("band", "bv").agg(*agg).filter(F.size("ms") >= 2)
+    )
+    n = F.size("ms")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at("ms", i).alias("a"), F.element_at("ms", j).alias("b")
+                ),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
 def minhash_lsh_pairs(
@@ -198,33 +232,37 @@ def minhash_lsh_pairs(
     banded = sig.select("id", F.explode(band_structs).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
-    a = banded.select(F.col("id").alias("id_a"), "band", "bv")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bv")
     cand = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        _bucket_pairs(banded)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verify ONLY the candidates: join each side's shingle
-    # table through the candidate list, so the expensive pairwise count
-    # is O(candidates · shingles), never O(all co-occurring pairs)
-    sh = _shingle_table(docs, id_col, text_col, n, max_df=None)
-    sh_a = sh.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    # exact-Jaccard verify ONLY the candidates, via map-side shingle
+    # ARRAYS + array_intersect: the shingle-set table is a pure
+    # projection of the corpus scan (no explode, no counts join), the
+    # candidate pairs join against it by id, and the intersection is a
+    # per-pair JVM array op. Candidate count << corpus, so the joins
+    # broadcast the candidate side and the corpus never shuffles.
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    # repartition BEFORE the shingle projection: documents often arrive
+    # as a handful of files, and a projection below the exchange would
+    # evaluate the shingle HOFs single-threaded in the scan stage
+    arrs = (
+        ensure_parallelism(docs.select(F.col(id_col).alias("id"), text_col))
+        .select("id", word_shingles(text_col, n).alias("arr"))
+        .withColumn("n_sh", F.size("arr"))
     )
-    sh_b = sh.select(
-        F.col("id").alias("_idb"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    va = arrs.select(
+        F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
+    )
+    vb = arrs.select(
+        F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("n_sh").alias("nb")
     )
     inter = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
     )
     j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return inter.select("id_a", "id_b", j.alias("jaccard")).filter(
@@ -315,12 +353,14 @@ def simhash_near_pairs(
         F.col("b.band").alias("band"),
         F.col("b.bv").alias("bv"),
     )
-    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bv")
-    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bv")
     cand = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        _bucket_pairs(banded, payload=F.col("simhash"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")

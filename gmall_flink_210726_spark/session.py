@@ -55,7 +55,18 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # probe scan parallelism via the file list (sub-ms) instead of
+    # df.rdd.getNumPartitions(), which forces a full physical plan
+    # (~1 s of driver time per call). File count underestimates split
+    # count for multi-split files; the worst case is an unnecessary
+    # repartition of a small input, never a lost split.
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs == 0:
+        n_inputs = df.rdd.getNumPartitions()
+    if n_inputs < target:
         return df.repartition(target)
     return df
 
