@@ -240,9 +240,9 @@ def minhash_lsh_pairs(
     # exact-Jaccard verify ONLY the candidates, via map-side shingle
     # ARRAYS + array_intersect: the shingle-set table is a pure
     # projection of the corpus scan (no explode, no counts join), the
-    # candidate pairs join against it by id, and the intersection is a
-    # per-pair JVM array op. Candidate count << corpus, so the joins
-    # broadcast the candidate side and the corpus never shuffles.
+    # pair sides are exploded to (pair, id) rows and joined against it
+    # ONCE — a single corpus scan with the (small) candidate side
+    # broadcast, then a per-pair regroup pulls both arrays together.
     from gmall_flink_210726_spark.session import ensure_parallelism
 
     # repartition BEFORE the shingle projection: documents often arrive
@@ -251,18 +251,20 @@ def minhash_lsh_pairs(
     arrs = (
         ensure_parallelism(docs.select(F.col(id_col).alias("id"), text_col))
         .select("id", word_shingles(text_col, n).alias("arr"))
-        .withColumn("n_sh", F.size("arr"))
     )
-    va = arrs.select(
-        F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("n_sh").alias("na")
-    )
-    vb = arrs.select(
-        F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("n_sh").alias("nb")
+    sides = cand.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )
     inter = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        arrs.join(F.broadcast(sides), "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min_by("arr", F.col("id") != F.col("id_a")).alias("arr_a"),
+            F.max_by("arr", F.col("id") != F.col("id_a")).alias("arr_b"),
+        )
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn("na", F.size("arr_a"))
+        .withColumn("nb", F.size("arr_b"))
     )
     j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return inter.select("id_a", "id_b", j.alias("jaccard")).filter(
