@@ -66,6 +66,37 @@ class TestPlanShapes:
         plan = _plan(SPECS["dedup_simhash"].fn(spark, SF_SMALL))
         assert "Union" not in plan
 
+    def test_lsh_bucket_pairing_evaluates_signatures_once(self, spark):
+        """Candidates come from one groupBy over the band table with
+        in-plan pair expansion — a self-equi-join would execute the
+        signature aggregation once per join side. The signature agg is
+        the only HashAggregate pair (partial+final) below the bucket
+        groupBy, so each dedup plan carries exactly two aggregations
+        (4 partial/final HashAggregate nodes), and no join appears
+        before candidate generation."""
+        # a doubled signature subtree shows up as an extra corpus scan:
+        # minhash = sig scan + verify scan (2); simhash = sig scan (1)
+        for q, max_scans in (("dedup_minhash_lsh", 2), ("dedup_simhash", 1)):
+            plan = _plan(SPECS[q].fn(spark, SF_SMALL))
+            scans = plan.count("Scan parquet")
+            assert scans <= max_scans, f"{q}: {scans} corpus scans:\n{plan}"
+
+    def test_ivf_topk_no_nested_loop_and_broadcast_probes(self, spark):
+        """IVF scoring joins the corpus to a BROADCAST (query, cell)
+        probe table on an equi-key — never a nested loop over the
+        corpus."""
+        plan = _plan(SPECS["ann_ivf_topk"].fn(spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_minhash_verify_broadcasts_candidates(self, spark):
+        """The exact-Jaccard verify streams the corpus once against the
+        broadcast candidate side: no SortMergeJoin (corpus shuffle) in
+        the whole dedup plan."""
+        plan = _plan(SPECS["dedup_minhash_lsh"].fn(spark, SF_SMALL))
+        assert "SortMergeJoin" not in plan
+
 
 class TestPartitionPruning:
     def test_date_partitioned_scan_prunes(self, spark, tmp_path):
