@@ -120,6 +120,89 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021, §A1.1
+    'Quality filtering' — public heuristics; defaults are the paper's
+    thresholds): per-doc rule flags plus the composite ``kept`` verdict.
+
+    All rules are Column expressions over one projection — a 100 TB
+    corpus filter is a single scan with every predicate fused into
+    whole-stage codegen, and the flags make reject-reason analytics a
+    groupBy away (the usual companion query in a data pipeline).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min, max]; '#'/'…' symbols per word ≤ ratio; lines ending in an
+    ellipsis ≤ fraction; words containing an alphabetic char ≥
+    fraction; at least ``min_stopword_hits`` stopword occurrences."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    c = F.col(text_col)
+    words = _words(text_col)
+    n_words = F.size(words).cast("long")
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_word_len.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0)).cast("long")
+    symbol_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"\.\.\.$"))
+    ).cast("long")
+    ellipsis_frac = F.when(
+        n_lines > 0, n_ellipsis_lines.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("long")
+    alpha_frac = F.when(n_words > 0, n_alpha_words.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("long")
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_word_len = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    r_symbol = symbol_ratio <= max_symbol_word_ratio
+    r_ellipsis = ellipsis_frac <= max_ellipsis_line_frac
+    r_alpha = alpha_frac >= min_alpha_word_frac
+    r_stop = n_stop >= min_stopword_hits
+    return docs.select(
+        "*",
+        n_words.alias("g_words"),
+        F.round(mean_word_len, 6).alias("g_mean_word_len"),
+        F.round(symbol_ratio, 6).alias("g_symbol_ratio"),
+        F.round(ellipsis_frac, 6).alias("g_ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("g_alpha_word_frac"),
+        n_stop.alias("g_stopword_hits"),
+        r_words.alias("r_word_count"),
+        r_word_len.alias("r_mean_word_len"),
+        r_symbol.alias("r_symbol_ratio"),
+        r_ellipsis.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        (r_words & r_word_len & r_symbol & r_ellipsis & r_alpha & r_stop).alias(
+            "kept"
+        ),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-sensitive document fingerprint: position-weighted rolling
     sum over words — fp = Σ (pos+1)·(ascii(first)·31 + len(word)).

@@ -386,6 +386,65 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_gopher_filter",
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_len,
+             n_sym,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$'))) AS BIGINT) AS n_ell,
+             CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(ws, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) AS BIGINT) AS n_stop
+      FROM f),
+    r AS (
+      SELECT doc_id,
+             n_words AS g_words,
+             round(CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE)/n_words ELSE 0.0 END, 6) AS g_mean_word_len,
+             round(CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE)/n_words ELSE 0.0 END, 6) AS g_symbol_ratio,
+             round(CASE WHEN n_lines > 0 THEN CAST(n_ell AS DOUBLE)/n_lines ELSE 0.0 END, 6) AS g_ellipsis_line_frac,
+             round(CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE)/n_words ELSE 0.0 END, 6) AS g_alpha_word_frac,
+             n_stop AS g_stopword_hits,
+             (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+             (CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE)/n_words ELSE 0.0 END BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+             ((CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE)/n_words ELSE 0.0 END) <= 0.1) AS r_symbol_ratio,
+             ((CASE WHEN n_lines > 0 THEN CAST(n_ell AS DOUBLE)/n_lines ELSE 0.0 END) <= 0.3) AS r_ellipsis_lines,
+             ((CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE)/n_words ELSE 0.0 END) >= 0.8) AS r_alpha_words,
+             (n_stop >= 2) AS r_stopwords
+      FROM m)
+    SELECT *,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio
+            AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS kept
+    FROM r
+    """,
+    doc="Gopher-rules document quality filter (Rae et al. 2021 §A1.1 "
+    "public thresholds): word count, mean word length, symbol ratio, "
+    "ellipsis lines, alpha-word fraction, stopword hits — per-doc rule "
+    "flags + composite kept verdict, one fused scan (every predicate "
+    "in whole-stage codegen; reject-reason analytics is a groupBy on "
+    "the flags)",
+    tags=("llm", "text", "bench"),
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text import gopher_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs).select(
+        "doc_id", "g_words", "g_mean_word_len", "g_symbol_ratio",
+        "g_ellipsis_line_frac", "g_alpha_word_frac", "g_stopword_hits",
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "kept",
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=r"""
     SELECT doc_id,

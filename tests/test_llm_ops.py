@@ -200,6 +200,35 @@ class TestMultimodal:
             decode_image(b"\x89PNG....")
 
 
+class TestGopherFilter:
+    def test_rules_and_composite(self, spark):
+        from gmall_flink_210726_spark.operators.text import gopher_quality_filter
+
+        rows = [
+            # long well-formed prose: passes everything
+            (1, "the quick brown fox jumps over the lazy dog and it is " * 10),
+            # too short
+            (2, "the cat is in the hat"),
+            # symbol spam: '#' per word > 0.1
+            (3, "the # of # things # is # high # here " * 10),
+            # no stopwords at all
+            (4, "alpha beta gamma delta epsilon zeta " * 12),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in gopher_quality_filter(df).collect()}
+        assert out[1].kept
+        assert not out[2].kept and not out[2].r_word_count
+        assert not out[3].kept and not out[3].r_symbol_ratio
+        assert not out[4].kept and not out[4].r_stopwords
+
+    def test_empty_doc_is_rejected_not_crashed(self, spark):
+        from gmall_flink_210726_spark.operators.text import gopher_quality_filter
+
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        r = gopher_quality_filter(df).collect()[0]
+        assert not r.kept and r.g_words == 0
+
+
 class TestIVF:
     def test_ivf_registered_config_identical_to_exact(self, emb):
         """The registered config (16 cells, nprobe 12) is pinned
