@@ -203,6 +203,113 @@ def gopher_quality_filter(
     )
 
 
+def repetition_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.3,
+    max_top_word_share: float = 0.2,
+    max_top_bigram_share: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1
+    'Repetition removal' — public heuristics): duplicate-line fraction
+    (map-side array op) plus top-unigram and top-bigram shares
+    (explode → two-level aggregation: partial counts combine map-side,
+    the per-doc max/sum reduce shuffles only (doc, term) counts — the
+    standard scalable shape for per-doc term statistics).
+
+    Output: per-doc features, per-rule flags, composite ``rep_kept``."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+    words = _words("_t")
+    lines = F.split(F.col("_t"), "\n")
+    head = base.select(
+        "id",
+        F.when(
+            F.size(lines) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+    )
+
+    def _top_share(term_col: Column, name: str) -> DataFrame:
+        counts = (
+            base.select("id", F.explode(term_col).alias("term"))
+            .groupBy("id", "term")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        return counts.groupBy("id").agg(
+            (F.max("ct").cast("double") / F.sum("ct")).alias(name)
+        )
+
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = _top_share(words, "top_word_share")
+    bi = _top_share(bigrams, "top_bigram_share")
+    out = (
+        head.join(uni, "id", "left")
+        .join(bi, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round(F.coalesce("top_word_share", F.lit(0.0)), 6).alias(
+                "top_word_share"
+            ),
+            F.round(F.coalesce("top_bigram_share", F.lit(0.0)), 6).alias(
+                "top_bigram_share"
+            ),
+        )
+    )
+    r_lines = F.col("dup_line_frac") <= max_dup_line_frac
+    r_word = F.col("top_word_share") <= max_top_word_share
+    r_bigram = F.col("top_bigram_share") <= max_top_bigram_share
+    return out.select(
+        "*",
+        r_lines.alias("r_dup_lines"),
+        r_word.alias("r_top_word"),
+        r_bigram.alias("r_top_bigram"),
+        (r_lines & r_word & r_bigram).alias("rep_kept"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free key hash:
+    bucket = first 4 hex chars of md5(salt || id) mod 100. Pure
+    projection — no shuffle, no sampling state, reproducible across
+    engines and runs, and stable under corpus growth (a doc's split
+    never changes when other docs arrive, unlike randomSplit). md5 is
+    portable, so the oracle reproduces assignments bit-for-bit."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        "*",
+        bucket.alias("split_bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-sensitive document fingerprint: position-weighted rolling
     sum over words — fp = Σ (pos+1)·(ascii(first)·31 + len(word)).

@@ -445,6 +445,82 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_filter",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    head AS (
+      SELECT doc_id,
+             round(CASE WHEN len(lines) > 0
+                   THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines)
+                   ELSE 0.0 END, 6) AS dup_line_frac
+      FROM base),
+    uni AS (
+      SELECT doc_id, CAST(max(ct) AS DOUBLE)/sum(ct) AS tws FROM (
+        SELECT doc_id, w, count(*) AS ct
+        FROM (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY 1, 2)
+      GROUP BY 1),
+    bi AS (
+      SELECT doc_id, CAST(max(ct) AS DOUBLE)/sum(ct) AS tbs FROM (
+        SELECT doc_id, b, count(*) AS ct
+        FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+                                     for i in range(1, len(ws))]) AS b
+              FROM base)
+        GROUP BY 1, 2)
+      GROUP BY 1),
+    r AS (
+      SELECT h.doc_id, h.dup_line_frac,
+             round(COALESCE(u.tws, 0.0), 6) AS top_word_share,
+             round(COALESCE(b.tbs, 0.0), 6) AS top_bigram_share
+      FROM head h LEFT JOIN uni u USING (doc_id) LEFT JOIN bi b USING (doc_id))
+    SELECT *,
+           (dup_line_frac <= 0.3) AS r_dup_lines,
+           (top_word_share <= 0.2) AS r_top_word,
+           (top_bigram_share <= 0.18) AS r_top_bigram,
+           (dup_line_frac <= 0.3 AND top_word_share <= 0.2
+            AND top_bigram_share <= 0.18) AS rep_kept
+    FROM r
+    """,
+    doc="Gopher-rules repetition filter (Rae et al. 2021 §A1.1): "
+    "duplicate-line fraction (map-side array op) + top-unigram/-bigram "
+    "shares via explode → two-level agg (partial counts combine "
+    "map-side; only (doc, term) counts shuffle) — per-rule flags + "
+    "composite rep_kept",
+    tags=("llm", "text", "bench"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text import repetition_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
+@register(
+    "text_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS BIGINT) AS split_bucket,
+           CASE WHEN CAST(('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split by salted md5 of the doc "
+    "key: pure projection, no shuffle, reproducible across engines, "
+    "stable under corpus growth (unlike randomSplit)",
+    tags=("llm", "text"),
+)
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "split_bucket", "split")
+
+
+@register(
     "text_fingerprint",
     oracle=r"""
     SELECT doc_id,

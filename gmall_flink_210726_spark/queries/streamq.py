@@ -264,18 +264,36 @@ def st4_stream_jump_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="st4_stream_")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "00_events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    max_ts = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).agg(
-        F.max("ts")
-    ).first()[0]
-    sentinel = spark.range(1).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        F.lit(max_ts + 86_400_000_000_000).cast("long").alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("sentinel").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit('{"k": 1}').alias("props"),
+    # driver-side pyarrow for the watermark bound and the sentinel file:
+    # the max(ts) comes from parquet row-group statistics (footer read,
+    # no scan job) and the one-row sentinel needs no Spark write job
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+    ts_idx = meta.schema.names.index("ts")
+    raw_max = max(
+        meta.row_group(g).column(ts_idx).statistics.max
+        for g in range(meta.num_row_groups)
     )
-    sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "zz_sentinel"))
+    # TIMESTAMP(NANOS) statistics surface as datetime-likes in some
+    # pyarrow versions; Spark reads the column as int64 nanos
+    max_ts = raw_max if isinstance(raw_max, int) else pa.scalar(raw_max).cast(
+        pa.timestamp("ns")
+    ).value
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([int(max_ts) + 86_400_000_000_000], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"]),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(['{"k": 1}']),
+            }
+        ),
+        os.path.join(stage, "zz_sentinel.parquet"),
+    )
 
     flat = (
         spark.readStream.schema(EVENTS_DDL)

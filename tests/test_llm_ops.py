@@ -229,6 +229,48 @@ class TestGopherFilter:
         assert not r.kept and r.g_words == 0
 
 
+class TestRepetitionFilter:
+    def test_planted_repetition_is_caught(self, spark):
+        from gmall_flink_210726_spark.operators.text import repetition_features
+
+        rows = [
+            (1, "a normal document with mostly distinct words in it today"),
+            (2, "spam spam spam spam spam spam spam spam spam ham"),  # top word 0.9
+            (3, "line one\nline two\nline two\nline two\nline two"),  # dup lines 0.6
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in repetition_features(df).collect()}
+        assert out[1].rep_kept
+        assert not out[2].rep_kept and not out[2].r_top_word
+        assert not out[3].rep_kept and not out[3].r_dup_lines
+
+
+class TestHashSplit:
+    def test_split_is_deterministic_and_partitioned(self, spark):
+        from gmall_flink_210726_spark.operators.text import hash_split
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in hash_split(df).collect()}
+        b = {r.doc_id: r.split for r in hash_split(df).collect()}
+        assert a == b
+        from collections import Counter
+
+        dist = Counter(a.values())
+        assert set(dist) == {"train", "val", "test"}
+        assert 0.7 < dist["train"] / 2000 < 0.9
+
+    def test_assignment_stable_under_growth(self, spark):
+        """A doc's split never changes when the corpus grows — the
+        property randomSplit lacks."""
+        from gmall_flink_210726_spark.operators.text import hash_split
+
+        small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+        big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in hash_split(small).collect()}
+        b = {r.doc_id: r.split for r in hash_split(big).collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+
 class TestIVF:
     def test_ivf_registered_config_identical_to_exact(self, emb):
         """The registered config (16 cells, nprobe 12) is pinned
