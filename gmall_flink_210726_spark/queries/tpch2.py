@@ -282,30 +282,31 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3, 4, 5
     """,
     doc="TPC-H Q18 shape (large-quantity orders): the HAVING subquery "
-    "becomes a pre-aggregated key set left-semi-joined to orders — "
-    "lineitem aggregates once on its natural key (map-side partials), "
-    "and only qualifying orders flow into the final join",
+    "IS the aggregate the output needs, so lineitem scans and "
+    "aggregates exactly once on its natural key (map-side partials); "
+    "the filtered per-order sums — a tiny set — then join orders on "
+    "the shuffle key and broadcast-join customer. No second fact scan, "
+    "no re-aggregation after the join.",
     tags=("tpch", "join"),
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    big_keys = (
+    per_order = (
         lineitem.groupBy("l_orderkey")
         .agg(F.sum(money("l_quantity")).alias("q"))
         .filter(F.col("q") > 260)
-        .select("l_orderkey")
     )
-    joined = (
-        lineitem.join(big_keys.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("q").cast("double").alias("sum_qty"),
+        )
     )
-    return joined.groupBy(
-        "c_custkey",
-        "c_name",
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-        F.col("o_totalprice").cast("double").alias("o_totalprice"),
-    ).agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
