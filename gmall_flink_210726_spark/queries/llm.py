@@ -559,3 +559,160 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return decode_media(media)
+
+
+@register(
+    "corpus_stats_cube",
+    oracle="""
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           COUNT(*) AS doc_ct,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+    doc="Corpus-card composition report: doc counts and char volume by "
+    "every (lang, source) combination via CUBE — one pass with "
+    "grouping-set expansion (partial aggs per set), the standard "
+    "dataset-documentation query at corpus scale",
+    tags=("llm", "text", "agg"),
+)
+def corpus_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "doc_ct",
+            "total_chars",
+            (F.col("total_chars").cast("double") / F.col("doc_ct"))
+            .cast("double")
+            .alias("mean_chars"),
+        )
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS nrm
+      FROM embeddings)
+    SELECT label,
+           COUNT(*) AS vec_ct,
+           CAST(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_norm,
+           round(MIN(nrm), 6) AS min_norm,
+           round(MAX(nrm), 6) AS max_norm
+    FROM n
+    GROUP BY label
+    """,
+    doc="Per-label embedding L2-norm statistics: the norm is a map-side "
+    "JVM fold over the vector (fixed element order, rounded before "
+    "aggregation), then one grouped agg with an exact decimal sum for "
+    "the mean — the drift/QA check a vector pipeline runs per ingest "
+    "batch",
+    tags=("llm", "similarity", "agg"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    nrm = F.round(F.sqrt(sq), 6)
+    from gmall_flink_210726_spark.functions.scalar import money
+
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vec_ct"),
+            (F.sum(money("nrm")).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "llm_corpus_clean",
+    oracle=r"""
+    WITH ws_t AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
+             string_split(text, chr(10)) AS lines,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text
+      FROM documents),
+    gopher AS (
+      SELECT doc_id,
+             (len(ws) BETWEEN 50 AND 100000
+              AND (CASE WHEN len(ws) > 0 THEN CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS DOUBLE)/len(ws) ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+              AND (CASE WHEN len(ws) > 0 THEN CAST(n_sym AS DOUBLE)/len(ws) ELSE 0.0 END) <= 0.1
+              AND (CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$'))) AS DOUBLE)/len(lines) ELSE 0.0 END) <= 0.3
+              AND (CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(ws) ELSE 0.0 END) >= 0.8
+              AND len(list_filter(ws, x -> x IN ('the','a','an','of','and','or','to','in','is','it'))) >= 2) AS g_kept
+      FROM ws_t),
+    dup_line AS (
+      SELECT doc_id,
+             (CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines) ELSE 0.0 END) <= 0.3 AS ok
+      FROM ws_t),
+    uni AS (
+      SELECT doc_id, CAST(max(ct) AS DOUBLE)/sum(ct) <= 0.2 AS ok FROM (
+        SELECT doc_id, w, count(*) AS ct
+        FROM (SELECT doc_id, unnest(ws) AS w FROM ws_t) GROUP BY 1, 2)
+      GROUP BY 1),
+    bi AS (
+      SELECT doc_id, CAST(max(ct) AS DOUBLE)/sum(ct) <= 0.18 AS ok FROM (
+        SELECT doc_id, b, count(*) AS ct
+        FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1]
+                                     for i in range(1, len(ws))]) AS b
+              FROM ws_t)
+        GROUP BY 1, 2)
+      GROUP BY 1),
+    canonical AS (
+      SELECT MIN(doc_id) AS doc_id FROM ws_t GROUP BY norm_text)
+    SELECT w.doc_id, w.lang, w.source
+    FROM ws_t w
+    JOIN gopher g USING (doc_id)
+    JOIN dup_line dl USING (doc_id)
+    LEFT JOIN uni USING (doc_id)
+    LEFT JOIN bi USING (doc_id)
+    WHERE g.g_kept AND dl.ok
+      AND COALESCE(uni.ok, TRUE) AND COALESCE(bi.ok, TRUE)
+      AND doc_id IN (SELECT doc_id FROM canonical)
+    """,
+    doc="End-to-end corpus cleaning pipeline: Gopher quality rules AND "
+    "repetition rules AND exact-dedup canonicalization (keep min "
+    "doc_id per normalized text) composed as one DataFrame plan — the "
+    "filter a user actually ships; every stage reuses an "
+    "independently-oracled operator",
+    tags=("llm", "dedup", "text", "bench"),
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.dedup import exact_dedup
+    from gmall_flink_210726_spark.operators.text import (
+        gopher_quality_filter,
+        repetition_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_quality_filter(docs).select("doc_id", "lang", "source", "kept")
+    r = repetition_features(docs).select("doc_id", "rep_kept")
+    keepers = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    return (
+        g.filter(F.col("kept"))
+        .join(r.filter(F.col("rep_kept")), "doc_id", "left_semi")
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+    )
