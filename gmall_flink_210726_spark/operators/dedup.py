@@ -272,6 +272,76 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round a node adopts the minimum label among itself and its
+    neighbors; at fixpoint every component carries its minimum member
+    id. Output: one row per node — (node_col, cluster_id). Nodes
+    absent from ``pairs`` are singleton clusters of themselves.
+
+    This is the step that turns pair-mining (MinHash/SimHash/Jaccard)
+    into actionable dedup groups — "keep cluster_id, drop the rest" —
+    the standard tail of a large-corpus dedup pipeline.
+
+    Scale design: each round is one equi-join of (node, label) against
+    the symmetrized edge list plus a min-groupBy — only 16-byte id
+    pairs ever shuffle, never document payloads. Round count equals
+    the graph diameter; near-dup graphs are unions of small dense
+    clusters (diameter 1-3 in practice) so a handful of rounds close.
+    Convergence detection is free of an extra join: labels only ever
+    decrease, so the label SUM is strictly monotone until fixpoint and
+    one scalar agg per round detects it. For adversarial long-chain
+    graphs the cost is bounded by ``max_iters``; if diameter ever
+    dominates, the large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") drops rounds to
+    O(log n) with the same join-shape per round.
+    """
+    sym = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).union(
+        pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+    )
+    edges = sym.persist()
+    labels = (
+        nodes.select(F.col(node_col).alias("u"))
+        .distinct()
+        .withColumn("lbl", F.col("u"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")
+            )
+            # truncate lineage each round: the logical plan would
+            # otherwise nest one join deeper per iteration
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("u").alias(node_col), F.col("lbl").alias("cluster_id")
+    )
+
+
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -327,3 +327,73 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
     fp = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: acc + v)
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def vocab_df_idf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary by document frequency: one row per token —
+    (token, df, idf) for the top_k most document-frequent tokens
+    (ties broken by token, so the cut is deterministic).
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn convention).
+
+    Scale shape: per-doc DISTINCT tokens come from a map-side
+    array_distinct (no doc-level shuffle); the explode shuffles
+    (token) keys once into a countable agg — partial counts combine
+    map-side, so the shuffle carries one row per distinct (partition,
+    token), not per occurrence. The N scalar joins in as a broadcast
+    single-row agg of the same scan (no driver-side .count() action).
+    Top-k is a TakeOrdered, not a global sort."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    toks = base.select(
+        F.explode(F.array_distinct(_words(text_col))).alias("token")
+    )
+    df = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        df.join(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0),
+                6,
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(top_k)
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 20,
+    salt: str = "strat-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified downsample: at most ``n_per_stratum``
+    rows per stratum, chosen by salted-md5 order of the row key — the
+    corpus-rebalancing step (cap over-represented languages/sources)
+    of a training-data pipeline.
+
+    Unlike ``df.sampleBy``, the choice is reproducible across engines
+    and stable under corpus growth: a document's sort key never
+    changes, so adding new documents can only displace rows at the
+    boundary, and re-runs pick identical samples. One shuffle on the
+    stratum key; rank via row_number with the id as tiebreak (md5
+    collisions notwithstanding, the order is total)."""
+    from pyspark.sql import Window
+
+    sort_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(sort_key, F.col(id_col))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -1,0 +1,117 @@
+"""LLM-data-pipeline queries, wave 2: dedup clustering (connected
+components over the near-dup pair graph), corpus vocabulary / IDF, and
+deterministic stratified downsampling.
+
+Oracle notes:
+- Connected components is SQL-expressible via a recursive CTE: the
+  min reachable id per node IS the component min-label, which is what
+  the iterative Spark propagation converges to. DuckDB's
+  WITH RECURSIVE handles the fixture-scale graph easily; the Spark
+  side never materializes paths — only (node, label) pairs.
+- idf uses ln(); both engines round to 6 decimals before compare,
+  absorbing any last-ulp libm difference.
+- The stratified sample's md5 sort keys compare identically in both
+  engines (binary/ASCII collation on hex strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark.operators.dedup import (
+    connected_components,
+    ngram_jaccard_pairs,
+)
+from gmall_flink_210726_spark.operators.text import stratified_sample, vocab_df_idf
+from gmall_flink_210726_spark.queries.llm import _SHINGLES
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u, MIN(lbl) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+    """,
+    doc="Near-dup CLUSTERS, not just pairs: connected components over "
+    "the exact word-3-gram Jaccard (J ≥ 0.5) pair graph by iterative "
+    "min-label propagation — every doc mapped to its cluster's minimum "
+    "doc_id (singletons map to themselves). The canonical tail of a "
+    "corpus dedup pipeline ('keep one doc per cluster'); the pair "
+    "source is interchangeable (MinHash-LSH feeds the same operator at "
+    "scale). Each round shuffles bare (id, label) pairs; convergence "
+    "is detected by the monotone label sum — no extra join",
+    tags=("llm", "dedup", "bench"),
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(pairs, nodes, node_col="id")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "text_vocab_topdf",
+    oracle=r"""
+    WITH t AS (
+      SELECT unnest(list_distinct(
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS token
+      FROM documents),
+    df AS (SELECT token, COUNT(*) AS df FROM t GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, df, round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+    FROM df, n
+    ORDER BY df DESC, token
+    LIMIT 100
+    """,
+    doc="Corpus vocabulary: top-100 tokens by DOCUMENT frequency with "
+    "smoothed idf — the tokenizer-vocab / feature-selection primitive. "
+    "Per-doc distinct is a map-side array op, token counts combine "
+    "map-side partials, N joins in as a broadcast single-row agg, and "
+    "the cut is a TakeOrdered with token tiebreak (deterministic)",
+    tags=("llm", "text"),
+)
+def text_vocab_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_df_idf(docs, top_k=100)
+
+
+@register(
+    "text_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY md5('strat-v1' || CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 20
+    """,
+    doc="Deterministic stratified downsample: ≤20 docs per language by "
+    "salted-md5 order — corpus rebalancing that is reproducible across "
+    "engines and stable under growth (a doc's sort key never changes), "
+    "unlike sampleBy. One shuffle on the stratum key",
+    tags=("llm", "text"),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, strata_col="lang", n_per_stratum=20).select(
+        "doc_id", "lang", "sample_rank"
+    )

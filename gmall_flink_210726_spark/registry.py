@@ -47,9 +47,11 @@ def load_all() -> dict[str, QuerySpec]:
         gmall,
         gmall2,
         llm,
+        llm2,
         streamq,
         tpch,
         tpch2,
+        tpch3,
     )
 
     return QUERIES

@@ -375,3 +375,73 @@ class TestLshThresholdPairs:
         out = {(r.id_a, r.id_b) for r in
                cosine_threshold_pairs_lsh(df, 0.9, n_tables=16).collect()}
         assert out == {(i, 100 + i) for i in range(5)}
+
+
+class TestConnectedComponents:
+    """Min-label propagation must produce exact components — including
+    on long chains, which force multiple propagation rounds."""
+
+    def _cc(self, spark, edges, n_nodes):
+        from gmall_flink_210726_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+        out = connected_components(pairs, nodes, node_col="id")
+        return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+    def test_chain_propagates_to_min(self, spark):
+        # 0-1-2-3-4 chain (diameter 4 → several rounds) + isolated 5
+        got = self._cc(spark, [(0, 1), (1, 2), (2, 3), (3, 4)], 6)
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5}
+
+    def test_two_components_and_singletons(self, spark):
+        got = self._cc(spark, [(1, 2), (2, 3), (5, 6)], 8)
+        assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    def test_cluster_id_is_component_min(self, docs):
+        from gmall_flink_210726_spark.operators.dedup import connected_components
+
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+        cc = connected_components(
+            pairs, docs.select(F.col("doc_id").alias("id")), node_col="id"
+        )
+        rows = cc.collect()
+        assert len(rows) == docs.count()  # every doc labeled exactly once
+        assert all(r["cluster_id"] <= r["id"] for r in rows)
+        # both endpoints of every pair share a label
+        lbl = {r["id"]: r["cluster_id"] for r in rows}
+        for p in pairs.collect():
+            assert lbl[p["id_a"]] == lbl[p["id_b"]]
+
+
+class TestVocabAndSample:
+    def test_vocab_topk_cut_is_deterministic(self, docs):
+        from gmall_flink_210726_spark.operators.text import vocab_df_idf
+
+        a = [tuple(r) for r in vocab_df_idf(docs, top_k=50).collect()]
+        b = [tuple(r) for r in vocab_df_idf(docs, top_k=50).collect()]
+        assert a == b and 0 < len(a) <= 50  # fixture vocab < top_k is fine
+        dfs = [r[1] for r in a]
+        assert dfs == sorted(dfs, reverse=True)
+
+    def test_stratified_sample_stable_under_growth(self, spark):
+        from gmall_flink_210726_spark.operators.text import stratified_sample
+
+        base = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(100)],
+            "doc_id long, lang string",
+        )
+        grown = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+            "doc_id long, lang string",
+        )
+        pick = lambda df: {
+            r["doc_id"] for r in stratified_sample(df, n_per_stratum=10).collect()
+        }
+        small, big = pick(base), pick(grown)
+        # growth can only displace boundary rows, never reshuffle: the
+        # retained old docs are exactly old_sample ∩ new_sample and the
+        # overlap stays large (hash order is uniform, 100→200 doubles
+        # the competition, keeping ≈half in expectation)
+        assert len(small & big) >= 5
+        assert all(d < 100 for d in small)
