@@ -304,15 +304,25 @@ def connected_components(
     "Connected Components in MapReduce and Beyond") drops rounds to
     O(log n) with the same join-shape per round.
     """
-    sym = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).union(
-        pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
-    )
+    # symmetrize via explode, NOT union: a union of two selects over
+    # `pairs` would evaluate the (expensive) pair-mining subtree once
+    # per branch — explode duplicates each row in-plan, one evaluation
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     edges = sym.persist()
+    # propagate only over nodes that have at least one edge — isolated
+    # nodes can never change label, so they skip the iteration entirely
+    # and rejoin as self-labeled singletons at the end. On dedup
+    # workloads the edge-connected subgraph is a tiny fraction of the
+    # corpus, so every round's join runs on near-dup docs only.
     labels = (
-        nodes.select(F.col(node_col).alias("u"))
-        .distinct()
-        .withColumn("lbl", F.col("u"))
-        .persist()
+        edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iters):
@@ -337,8 +347,13 @@ def connected_components(
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(
-        F.col("u").alias(node_col), F.col("lbl").alias("cluster_id")
+    all_nodes = nodes.select(F.col(node_col).alias("u")).distinct()
+    # no broadcast hint: the labeled set is tiny on typical dedup
+    # graphs (AQE auto-broadcasts it) but can be corpus-sized in the
+    # worst case — let the runtime stats decide the join strategy
+    return all_nodes.join(labels, "u", "left").select(
+        F.col("u").alias(node_col),
+        F.coalesce("lbl", F.col("u")).alias("cluster_id"),
     )
 
 

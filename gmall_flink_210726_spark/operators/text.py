@@ -397,3 +397,90 @@ def stratified_sample(
         docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing at least
+    one word-n-gram with an evaluation set. Output: one row per
+    training doc — (id_col, n_hit_shingles, contaminated).
+
+    Scale shape: the eval side collapses to DISTINCT shingle hashes —
+    benchmark suites are tiny relative to the corpus, so that set
+    broadcasts; the corpus pays one scan + explode and an equi-join on
+    8-byte xxhash64 keys (never shingle strings, same rationale as
+    ngram_jaccard_pairs), then a per-doc count. No corpus self-join
+    anywhere. A hash collision could over-count one doc's hits by one
+    — acceptable for a contamination FILTER (false-positive direction
+    only), exact on collision-free fixtures."""
+    from gmall_flink_210726_spark.operators.dedup import word_shingles
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    eval_sh = (
+        eval_docs.select(F.explode(word_shingles(text_col, n)).alias("sh_str"))
+        .select(F.xxhash64("sh_str").alias("sh"))
+        .distinct()
+    )
+    base = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    hits = (
+        base.select(id_col, F.explode(word_shingles(text_col, n)).alias("sh_str"))
+        .select(id_col, F.xxhash64("sh_str").alias("sh"))
+        .join(F.broadcast(eval_sh), "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_hit_shingles"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_shingles", F.lit(0)).cast("long").alias("n_hit_shingles"),
+            (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = 512,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy stream packing of documents into fixed-token-budget
+    training sequences: within each shard, documents are concatenated
+    in id order and cut every ``budget`` tokens; a document's sequence
+    is the one its FIRST token lands in. Output: (id_col, shard,
+    n_tokens, seq_id, seq_offset) — deterministic, integer-exact.
+
+    This is the streaming-packer shape (docs visit once, in order) —
+    not bin-packing FFD, which needs global sorting by length and
+    yields marginally less padding at far higher cost. Scale shape:
+    one window cumsum per shard; real pipelines pack per OUTPUT SHARD
+    with shard count >> executor count, so the per-shard sequential
+    scan parallelizes across shards and no global ordering exists."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(_words(text_col)).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return (
+        docs.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        .select(
+            id_col,
+            shard_col,
+            "n_tokens",
+            F.floor(start / budget).cast("long").alias("seq_id"),
+            (start % budget).cast("long").alias("seq_offset"),
+        )
+    )

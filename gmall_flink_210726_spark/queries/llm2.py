@@ -115,3 +115,67 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, strata_col="lang", n_per_stratum=20).select(
         "doc_id", "lang", "sample_rank"
     )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 50 <> 0),
+    hits AS (SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n_hit
+             FROM tr JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+           h.doc_id IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """,
+    doc="Benchmark decontamination: training docs (doc_id % 50 ≠ 0) "
+    "flagged when they share any word-3-gram with the held-out eval "
+    "slice (doc_id % 50 = 0) — the leakage check every training-data "
+    "pipeline runs before shipping. Eval shingles collapse to a "
+    "broadcast distinct-hash set; the corpus pays one scan + explode "
+    "+ 8-byte equi-join, never a self-join",
+    tags=("llm", "text", "dedup"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(train, eval_docs)
+
+
+@register(
+    "text_sequence_pack",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR(start / 512) AS BIGINT) AS seq_id,
+           CAST(start % 512 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+    doc="Greedy stream packing of documents into 512-token training "
+    "sequences per language shard: windowed cumulative token count in "
+    "id order, integer-exact — sequences cut every 512 tokens, each "
+    "doc assigned where its first token lands. Real pipelines pack "
+    "per output shard (shard count >> executors) so the per-shard "
+    "scan parallelizes; no global ordering anywhere",
+    tags=("llm", "text"),
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text import sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_pack(docs, budget=512, shard_col="lang")

@@ -150,3 +150,45 @@ class TestBucketedJoin:
             assert joined.count() == plain.count()
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestTpchWave2Plans:
+    def test_q6_all_predicates_reach_the_scan(self, spark):
+        import contextlib
+        import io
+
+        df = SPECS["tpch_q6_forecast_revenue"].fn(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        pushed = buf.getvalue()
+        for frag in (
+            "GreaterThanOrEqual(l_shipdate,1997-01-01",
+            "LessThan(l_shipdate,1998-01-01",
+            "GreaterThanOrEqual(l_discount,0.05)",
+            "LessThanOrEqual(l_discount,0.07)",
+            "LessThan(l_quantity,24.0)",
+        ):
+            assert frag in pushed, f"predicate not pushed: {frag}"
+
+    def test_q19_disjunction_prunes_both_sides(self, spark):
+        import contextlib
+        import io
+
+        df = SPECS["tpch_q19_disjunctive"].fn(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # Catalyst extracts each side's implication of the OR-of-ANDs:
+        # the quantity disjunction reaches the lineitem scan, the
+        # brand/size disjunction reaches the part scan
+        assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+        assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_q21_semi_anti_no_cartesian(self, spark):
+        plan = _plan(SPECS["tpch_q21_waiting_supplier"].fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "LeftSemi" in plan and "LeftAnti" in plan
