@@ -456,3 +456,105 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "id",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): identical output to ``connected_components`` —
+    (node_col, cluster_id = component minimum) — but converging in
+    O(log n) rounds instead of O(diameter).
+
+    Per round each node u looks at its neighborhood N(u):
+    - large-star rewires every neighbor LARGER than u to
+      m = min(N(u) ∪ {u});
+    - small-star rewires u and its ≤-neighbors to their minimum.
+    Both preserve connectivity and strictly shrink tree height; at
+    fixpoint the edge set is a star forest rooted at component minima.
+    Each round is ONE groupBy-shuffle of bare (node, neighbor) id
+    pairs with the neighborhood min computed in the same aggregation —
+    no joins at all inside the loop (label propagation needs one per
+    round). Convergence = the (count, xor-of-edge-hashes) signature
+    repeating, read from the same aggregation pass via a second agg.
+
+    Prefer this over ``connected_components`` when components may
+    chain deeply (transitive near-dup chains at corpus scale); for
+    shallow clique-like dup graphs both run the same 2-3 rounds and
+    label propagation's rounds are marginally cheaper.
+    """
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        # in-plan duplication (explode), not union: one evaluation of
+        # the upstream subtree per round
+        return edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        # each round works on the UNDIRECTED neighborhood (the paper's
+        # map phase emits both edge directions), so symmetrize the
+        # previous round's directed star edges first. Group each
+        # node's neighborhood once; min and rewiring both come from
+        # the collected set (held per-node: dedup graphs have bounded
+        # neighborhoods; a skew-salted two-level min is the escape
+        # hatch for pathological hubs)
+        grouped = _sym(edges).groupBy("u").agg(F.collect_set("v").alias("nv"))
+        m = F.array_min(F.array_union("nv", F.array("u")))
+        if large:
+            targets = F.filter("nv", lambda v: v > F.col("u"))
+        else:
+            targets = F.array_union(
+                F.filter("nv", lambda v: v <= F.col("u")), F.array("u")
+            )
+        return (
+            grouped.select(F.explode(targets).alias("u2"), m.alias("v2"))
+            .filter(F.col("u2") != F.col("v2"))
+            .select(F.col("u2").alias("u"), F.col("v2").alias("v"))
+            .distinct()
+        )
+
+    edges = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).persist()  # directed is enough — _star symmetrizes per round
+    prev_sig = None
+    for _ in range(max_rounds):
+        # localCheckpoint truncates lineage (plans would otherwise
+        # nest two shuffles deeper per round) and caches the result
+        stepped = _star(_star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        row = stepped.agg(
+            F.count(F.lit(1)),
+            # decimal sum: a long sum of xxhash64 values overflows
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        sig = (row[0], row[1])
+        edges.unpersist()
+        edges = stepped
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # star forest: every remaining edge points a node at its component
+    # min; one symmetric min-pass labels roots and leaves alike
+    labels = _sym(edges).groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("lbl")
+    )
+    all_nodes = nodes.select(F.col(node_col).alias("u")).distinct()
+    out = all_nodes.join(labels, "u", "left").select(
+        F.col("u").alias(node_col),
+        F.coalesce("lbl", F.col("u")).alias("cluster_id"),
+    )
+    edges.unpersist()
+    return out

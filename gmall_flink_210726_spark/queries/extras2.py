@@ -122,3 +122,56 @@ def x4_docs_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_docs"), money_sum("n_chars", "chars_sum")
     )
+
+
+@register(
+    "w8_moving_avg_ntile",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS odate,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS day_total
+      FROM orders GROUP BY 1, 2),
+    framed AS (
+      SELECT o_custkey, odate, day_total,
+             CAST(AVG(CAST(day_total AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY odate
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS ma3,
+             CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY day_total, odate)
+                  AS BIGINT) AS quartile
+      FROM daily)
+    SELECT o_custkey, odate, day_total, round(ma3, 6) AS ma3, quartile
+    FROM framed
+    """,
+    doc="Frame-spec window functions the reference lacks (SURVEY §2.8): "
+    "3-row moving average (ROWS BETWEEN 2 PRECEDING) and ntile "
+    "quartiles per customer over daily order totals — one shuffle on "
+    "the partition key serves the agg AND both window functions; "
+    "decimal-exact day totals make the double avg engine-identical, "
+    "rounded to 6 for the frame-sum tail; deterministic ntile via the "
+    "(day_total, odate) total order",
+    tags=("extras", "window"),
+)
+def w8_moving_avg_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gmall_flink_210726_spark.functions.scalar import money
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            "o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate")
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("day_total"))
+    )
+    ma_w = (
+        Window.partitionBy("o_custkey").orderBy("odate").rowsBetween(-2, 0)
+    )
+    nt_w = Window.partitionBy("o_custkey").orderBy("day_total", "odate")
+    return daily.select(
+        "o_custkey",
+        "odate",
+        "day_total",
+        F.round(F.avg(money("day_total")).over(ma_w).cast("double"), 6).alias("ma3"),
+        F.ntile(4).over(nt_w).cast("long").alias("quartile"),
+    )

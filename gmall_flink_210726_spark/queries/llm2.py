@@ -179,3 +179,49 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sequence_pack(docs, budget=512, shard_col="lang")
+
+
+# RECURSIVE must appear in the WITH prefix for the reach CTE; DuckDB
+# is happy with non-recursive CTEs inside a WITH RECURSIVE list.
+from gmall_flink_210726_spark.queries.llm import _SIMHASH_SIG
+
+_REC_SIMHASH_SIG = _SIMHASH_SIG.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@register(
+    "dedup_cc_star_simhash",
+    oracle=f"""
+    {_REC_SIMHASH_SIG},
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u, MIN(lbl) AS cluster_id FROM reach GROUP BY u)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+    """,
+    doc="Dedup clusters by large-star/small-star contraction (Kiveris "
+    "et al.) over the SimHash hamming≤3 pair graph: O(log n) rounds vs "
+    "label propagation's O(diameter) — the CC variant for corpora whose "
+    "near-dup chains run deep. Each round is one groupBy shuffle of "
+    "bare id pairs (no joins inside the loop); agreement with the "
+    "propagation operator is unit-pinned on chains and random graphs",
+    tags=("llm", "dedup"),
+)
+def dedup_cc_star_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.dedup import (
+        connected_components_star,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components_star(pairs, nodes, node_col="id")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")

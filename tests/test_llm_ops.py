@@ -445,3 +445,59 @@ class TestVocabAndSample:
         # the competition, keeping ≈half in expectation)
         assert len(small & big) >= 5
         assert all(d < 100 for d in small)
+
+
+class TestStarContraction:
+    """large-star/small-star CC must agree exactly with min-label
+    propagation — including on a long chain, where star contraction's
+    O(log n) rounds actually matter."""
+
+    def _both(self, spark, edges, n_nodes):
+        from gmall_flink_210726_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+        prop = connected_components(pairs, nodes, node_col="id", max_iters=50)
+        star = connected_components_star(pairs, nodes, node_col="id")
+        return (
+            {r["id"]: r["cluster_id"] for r in prop.collect()},
+            {r["id"]: r["cluster_id"] for r in star.collect()},
+        )
+
+    def test_chain_30(self, spark):
+        edges = [(i, i + 1) for i in range(29)]
+        prop, star = self._both(spark, edges, 31)
+        assert star == prop
+        assert star[29] == 0 and star[30] == 30
+
+    def test_random_graph_agreement(self, spark):
+        import random
+
+        rng = random.Random(13)
+        edges = [
+            (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        prop, star = self._both(spark, edges, 60)
+        assert star == prop
+
+    def test_star_on_fixture_pairs(self, docs):
+        from gmall_flink_210726_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        a = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(pairs, nodes, node_col="id").collect()
+        }
+        b = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components_star(pairs, nodes, node_col="id").collect()
+        }
+        assert a == b
