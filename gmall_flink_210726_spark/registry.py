@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch,
         tpch2,
         tpch3,
+        tpch4,
     )
 
     return QUERIES

@@ -192,3 +192,37 @@ class TestTpchWave2Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
         assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    def test_q2_min_join_back_no_nested_loop(self, spark):
+        """Q2's decorrelated MIN: candidate agg + equality join-back
+        must stay hash joins (the equality on (partkey, cost) is an
+        equi-condition) — and the part/supplier dims broadcast."""
+        plan = _plan(SPECS["tpch_q2_min_cost_supplier"].fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_q9_fact_broadcast_dims(self, spark):
+        """Q9 joins the fact on part, supplier, nation (broadcast) and
+        orders; no SortMergeJoin against any dim."""
+        plan = _plan(SPECS["tpch_q9_product_profit"].fn(spark, SF_SMALL))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "partial_sum" in plan  # map-side combine on the profit agg
+
+    def test_q11_scalar_total_is_broadcast(self, spark):
+        """The HAVING-vs-global-total compare joins a single-row agg —
+        must be a broadcast, never a shuffle of the grouped side."""
+        plan = _plan(SPECS["tpch_q11_important_stock"].fn(spark, SF_SMALL))
+        assert "BroadcastNestedLoop" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q16_anti_join_before_distinct(self, spark):
+        plan = _plan(SPECS["tpch_q16_supplier_count"].fn(spark, SF_SMALL))
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q20_semi_chain_no_cartesian(self, spark):
+        plan = _plan(SPECS["tpch_q20_dominant_supplier"].fn(spark, SF_SMALL))
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
