@@ -484,3 +484,127 @@ def sequence_pack(
             (start % budget).cast("long").alias("seq_offset"),
         )
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    min_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, public
+    rules): keep only lines that END IN TERMINAL PUNCTUATION (. ! ? ")
+    and have at least ``min_words`` words; drop the whole page when it
+    contains a curly brace or 'lorem ipsum' (code/boilerplate marker).
+    Output per doc: line counts, the cleaned text (kept lines joined
+    by newline), and the page-level verdict.
+
+    Everything is JVM higher-order array functions over one split — a
+    single fused projection inside whole-stage codegen, no shuffle, no
+    Python; at 100 TB this is a pure map stage."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    trimmed = lambda l: F.trim(l)  # noqa: E731
+    line_words = lambda l: F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != "")  # noqa: E731
+    last_char = lambda l: F.substring(F.trim(l), F.length(F.trim(l)), 1)  # noqa: E731
+    is_kept = lambda l: last_char(l).isin(".", "!", "?", '"') & (  # noqa: E731
+        F.size(line_words(l)) >= min_words
+    )
+    kept = F.filter(lines, is_kept)
+    page_bad = text.contains("{") | F.lower(text).contains("lorem ipsum")
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        (~page_bad & (F.size(kept) > 0)).alias("c4_kept"),
+    )
+
+
+# PII patterns — ASCII-only so Java regex (Spark) and RE2 (DuckDB)
+# agree on every construct used (\b, \d, classes, bounded repeats).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction: count and mask emails, IPv4 addresses, and
+    NXX-XXXX phone fragments. Output: (id, n_emails, n_ips, n_phones,
+    scrubbed, n_scrubbed_chars). Pure JVM regex projection (one scan,
+    no shuffle); masking replaces each match with a fixed tag so
+    downstream token counts stay stable.
+
+    Order matters and is fixed: emails are masked BEFORE IPv4 so a
+    dotted-quad inside an email hostname counts once as email, not
+    again as IP (the tag text contains no digits or '@')."""
+    text = F.col(text_col)
+    n = lambda p: F.size(F.regexp_extract_all(text, F.lit(p), 0)).cast("long")  # noqa: E731
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        n(PII_EMAIL).alias("n_emails"),
+        F.size(F.regexp_extract_all(scrubbed, F.lit(PII_IPV4), 0))
+        .cast("long")
+        .alias("n_ips"),
+        n(PII_PHONE).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+        F.length(scrubbed).cast("long").alias("n_scrubbed_chars"),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    chunk_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detection (the C4 'remove any line
+    seen in more than one page' rule, at chunk granularity): break each
+    doc into non-overlapping ``chunk_words``-word chunks, count each
+    chunk's DOCUMENT frequency corpus-wide, and report per doc how much
+    of it is shared boilerplate. Output: (id, n_chunks, n_boiler_chunks,
+    boiler_pct) with boiler_pct an integer percentage (exact — no
+    float rounding hazard).
+
+    Scale shape: one explode → one groupBy on the chunk (map-side
+    partial counts combine), then the per-doc rollup joins chunk
+    df-counts back on the chunk key. Chunks shuffle as strings here for
+    oracle parity; the 100 TB deployment swaps the key for xxhash64 the
+    same way the Jaccard shingle join does (operators/dedup.py)."""
+    ws = _words(text_col)
+    n_chunks = F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * chunk_words + 1, chunk_words)
+        ),
+    )
+    base = docs.select(F.col(id_col).alias("id"), F.explode(chunks).alias("chunk"))
+    df_ct = base.groupBy("chunk").agg(
+        F.count_distinct("id").alias("chunk_df")
+    )
+    per_doc = (
+        base.join(df_ct, "chunk")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("chunk_df") > 1).cast("long")).alias("n_boiler_chunks"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_chunks",
+        "n_boiler_chunks",
+        (F.lit(100) * F.col("n_boiler_chunks") / F.col("n_chunks"))
+        .cast("long")
+        .alias("boiler_pct"),
+    )
