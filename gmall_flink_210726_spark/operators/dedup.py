@@ -169,34 +169,54 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*mins)
 
 
-def _bucket_pairs(banded: DataFrame, payload: Column | None = None) -> DataFrame:
-    """Distinct candidate id pairs from an LSH bucket table
-    (id, band, bv[, payload]): group each (band, bv) bucket, emit every
-    i<j pair of its sorted member list via JVM array expressions.
+def _bucket_pairs(
+    banded: DataFrame,
+    payload: Column | None = None,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """Candidate id pairs from an LSH bucket table
+    (id, band, bv[, payload]), with BOUNDED per-task memory and
+    fan-out: sort each (band, bv) bucket by the member struct, then
+    pair every member with its ``max_bucket`` nearest predecessors via
+    a sliding window frame (``rowsBetween(-max_bucket, -1)``).
 
-    One shuffle (the groupBy) and ONE evaluation of the upstream
-    signature plan — a self-equi-join on (band, bv) would execute the
-    signature subtree once per join side (Spark does not reuse the
-    exchange across aliased scans) and then shuffle both copies.
-    Bucket fan-out is the inherent LSH g²/2; callers bound g by band
-    width the same way they would for the join form."""
-    agg = [F.array_sort(F.collect_list(F.struct("id", *([payload] if payload is not None else [])))).alias("ms")]
-    buckets = (
-        banded.groupBy("band", "bv").agg(*agg).filter(F.size("ms") >= 2)
+    For buckets of g ≤ max_bucket+1 members this emits exactly the
+    i<j all-pairs set (identical to a collect_list-then-expand).
+    For degenerate buckets (g ≫ max_bucket — e.g. a corpus of
+    near-identical docs all hashing to one band value) it emits
+    g·max_bucket pairs instead of g²/2, each task holding at most a
+    max_bucket-element frame instead of a g-element array row:
+    memory stays bounded no matter the skew, output stays linear in
+    g. Recall note: pairs farther than max_bucket apart in sorted
+    order are dropped, but every member is still chained to its
+    neighbors, so connected-components clustering recovers the full
+    duplicate cluster; only direct long-range pairs in oversized
+    buckets are elided (and such buckets are near-identical content
+    by construction).
+
+    One shuffle (the window exchange) and ONE evaluation of the
+    upstream signature plan — a self-equi-join on (band, bv) would
+    execute the signature subtree once per join side (Spark does not
+    reuse the exchange across aliased scans) and then shuffle both
+    copies. The window's partition buffer spills to disk under
+    memory pressure (UnsafeExternalSorter), unlike a collect_list
+    array row which cannot."""
+    from pyspark.sql.window import Window
+
+    member = F.struct("id", *([payload] if payload is not None else []))
+    rows = banded.select("band", "bv", member.alias("m"))
+    w = (
+        Window.partitionBy("band", "bv")
+        .orderBy("m")
+        .rowsBetween(-max_bucket, -1)
     )
-    n = F.size("ms")
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, n),
-                lambda j: F.struct(
-                    F.element_at("ms", i).alias("a"), F.element_at("ms", j).alias("b")
-                ),
-            ),
-        )
+    # the window expression must sit in its own projection — the
+    # analyzer cannot extract a window call nested inside a HOF lambda
+    with_prev = rows.select("m", F.collect_list("m").over(w).alias("prev"))
+    pairs = F.transform(
+        "prev", lambda p: F.struct(p.alias("a"), F.col("m").alias("b"))
     )
-    return buckets.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    return with_prev.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
 def minhash_lsh_pairs(
@@ -208,6 +228,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 7,
+    max_bucket: int = 512,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified.
 
@@ -233,7 +254,7 @@ def minhash_lsh_pairs(
         "id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
     cand = (
-        _bucket_pairs(banded)
+        _bucket_pairs(banded, max_bucket=max_bucket)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -411,6 +432,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 512,
 ) -> DataFrame:
     """SimHash near-dup candidates by the 4-band pigeonhole trick:
     hamming ≤ 3 ⇒ at least one of four 16-bit bands is identical, so
@@ -441,7 +463,7 @@ def simhash_near_pairs(
         F.col("b.bv").alias("bv"),
     )
     cand = (
-        _bucket_pairs(banded, payload=F.col("simhash"))
+        _bucket_pairs(banded, payload=F.col("simhash"), max_bucket=max_bucket)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

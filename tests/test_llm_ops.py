@@ -99,6 +99,68 @@ class TestDedup:
         # (tails differ), capped or not — the cap only removes noise
         assert ngram_jaccard_pairs(df, threshold=0.5, max_df=10).count() == 0
 
+    def test_bucket_pairs_degenerate_skew_bounded(self, spark):
+        """Degenerate-skew guard: a corpus of k identical docs lands
+        every doc in ONE (band, bv) bucket per band. The sliding-window
+        pair miner must emit O(k·cap) pairs — never the k²/2 blow-up —
+        and hold at most a cap-sized frame per task."""
+        from gmall_flink_210726_spark.operators.dedup import _bucket_pairs
+
+        g, cap = 200, 8
+        banded = spark.createDataFrame(
+            [(i, 0, 42) for i in range(g)], "id long, band int, bv long"
+        )
+        n = _bucket_pairs(banded, max_bucket=cap).count()
+        # exact sliding-window pair count: sum_i min(i, cap)
+        expected = sum(min(i, cap) for i in range(g))
+        assert n == expected
+        assert n < g * g // 4  # nowhere near the quadratic blow-up
+
+    def test_bucket_pairs_exact_below_cap(self, spark):
+        """For buckets of g ≤ cap+1 the capped miner is IDENTICAL to
+        all-pairs i<j — the cap only changes degenerate buckets, so
+        every existing oracle output is unchanged."""
+        from gmall_flink_210726_spark.operators.dedup import _bucket_pairs
+
+        banded = spark.createDataFrame(
+            [(i, 0, 7) for i in range(6)] + [(10, 1, 9), (11, 1, 9)],
+            "id long, band int, bv long",
+        )
+        got = {
+            (r.ia, r.ib)
+            for r in _bucket_pairs(banded)
+            .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+            .collect()
+        }
+        want = {(i, j) for i in range(6) for j in range(i + 1, 6)} | {(10, 11)}
+        assert got == want
+
+    def test_capped_lsh_identical_docs_cluster_fully(self, spark):
+        """End-to-end degenerate case: 120 identical docs, tiny cap.
+        The capped candidate set still chains every doc, so
+        connected-components recovers ONE cluster of all 120 — recall
+        of the dedup GROUPS survives the cap even when long-range
+        pairs are elided. The capped pair graph is chain-like (each doc
+        linked to its ``cap`` sorted neighbors), so its diameter is
+        g/cap — the O(log n) star-contraction CC is the right closer
+        here, exactly as its docstring prescribes for deep chains."""
+        from gmall_flink_210726_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        g = 120
+        df = spark.createDataFrame(
+            [(i, "the same exact document body repeated many times over")
+             for i in range(g)],
+            ["doc_id", "text"],
+        )
+        pairs = minhash_lsh_pairs(df, max_bucket=4)
+        cc = connected_components_star(
+            pairs, df.select(F.col("doc_id").alias("id")), node_col="id"
+        )
+        clusters = {r.cluster_id for r in cc.collect()}
+        assert clusters == {0}
+
 
 class TestSimilarity:
     def test_knn_self_excluded_and_k(self, emb):
