@@ -415,9 +415,12 @@ def decontaminate(
     broadcasts; the corpus pays one scan + explode and an equi-join on
     8-byte xxhash64 keys (never shingle strings, same rationale as
     ngram_jaccard_pairs), then a per-doc count. No corpus self-join
-    anywhere. A hash collision could over-count one doc's hits by one
-    — acceptable for a contamination FILTER (false-positive direction
-    only), exact on collision-free fixtures."""
+    anywhere. Hash-collision note: a corpus↔eval collision adds a
+    spurious hit (over-count), while a collision between two distinct
+    HIT shingles merges them under count_distinct (under-count) — so
+    ``n_hit_shingles`` can be perturbed in either direction; only the
+    boolean ``contaminated`` flag errs strictly false-positive.
+    Exact on collision-free fixtures."""
     from gmall_flink_210726_spark.operators.dedup import word_shingles
     from gmall_flink_210726_spark.session import ensure_parallelism
 
@@ -541,21 +544,20 @@ def pii_scrub(
     dotted-quad inside an email hostname counts once as email, not
     again as IP (the tag text contains no digits or '@')."""
     text = F.col(text_col)
-    n = lambda p: F.size(F.regexp_extract_all(text, F.lit(p), 0)).cast("long")  # noqa: E731
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
+    count = lambda c, p: F.size(F.regexp_extract_all(c, F.lit(p), 0)).cast("long")  # noqa: E731
+    # each count runs against the PREVIOUS masking stage, so a count is
+    # exactly the number of replacements that stage performs: emails on
+    # the raw text, IPs on the email-masked text (a dotted quad inside
+    # an email hostname counts once as email, never again as IP),
+    # phones on the ip-masked text
+    email_masked = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    ip_masked = F.regexp_replace(email_masked, PII_IPV4, "<IP>")
+    scrubbed = F.regexp_replace(ip_masked, PII_PHONE, "<PHONE>")
     return docs.select(
         F.col(id_col),
-        n(PII_EMAIL).alias("n_emails"),
-        F.size(F.regexp_extract_all(scrubbed, F.lit(PII_IPV4), 0))
-        .cast("long")
-        .alias("n_ips"),
-        n(PII_PHONE).alias("n_phones"),
+        count(text, PII_EMAIL).alias("n_emails"),
+        count(email_masked, PII_IPV4).alias("n_ips"),
+        count(ip_masked, PII_PHONE).alias("n_phones"),
         scrubbed.alias("scrubbed"),
         F.length(scrubbed).cast("long").alias("n_scrubbed_chars"),
     )
@@ -582,12 +584,19 @@ def boilerplate_lines(
     same way the Jaccard shingle join does (operators/dedup.py)."""
     ws = _words(text_col)
     n_chunks = F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(ws, i * chunk_words + 1, chunk_words)
+    # sequence(0, -1) on a zero-word doc would generate a DESCENDING
+    # [0, -1] and emit two bogus chunks — guard like word_shingles
+    # (dedup.py); empty/whitespace-only docs have no chunks and are
+    # absent from the output (explode of an empty array).
+    chunks = F.when(
+        F.size(ws) >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(ws, i * chunk_words + 1, chunk_words)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     base = docs.select(F.col(id_col).alias("id"), F.explode(chunks).alias("chunk"))
     df_ct = base.groupBy("chunk").agg(
         F.count_distinct("id").alias("chunk_df")

@@ -1,0 +1,128 @@
+"""LLM-data-pipeline queries, wave 3: C4-style line cleaning, PII
+redaction, and cross-document boilerplate detection — the remaining
+corpus-cleaning surface (Raffel et al. 2020 §2.2 public rules).
+
+Oracle notes:
+- Every regex used is ASCII-only and restricted to constructs Java
+  (Spark) and RE2 (DuckDB) implement identically: literal classes,
+  \\d, \\b, bounded repeats. DuckDB regexp_replace needs the 'g'
+  flag to match Spark's replace-all default.
+- Spark ``split(text, '\\n')`` keeps trailing empty strings (limit
+  -1), as does DuckDB ``string_split`` — line counts agree.
+- boiler_pct: both engines compute the same IEEE double division and
+  truncate toward zero (Spark cast-to-long / DuckDB FLOOR-then-cast;
+  values are non-negative so they coincide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_flink_210726_spark.operators.text import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    boilerplate_lines,
+    c4_line_filter,
+    pii_scrub,
+)
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+_C4_KEPT_LINES = r"""
+      list_filter(string_split(text, chr(10)),
+        l -> list_contains(['.', '!', '?', '"'], right(trim(l), 1))
+             AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                 x -> x <> '')) >= 5)
+"""
+
+
+@register(
+    "text_c4_line_filter",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, text, {_C4_KEPT_LINES} AS kept
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+           (NOT (contains(text, '{{') OR contains(lower(text), 'lorem ipsum'))
+            AND len(kept) > 0) AS c4_kept
+    FROM k
+    """,
+    doc="C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep "
+    "lines ending in terminal punctuation with ≥5 words; drop pages "
+    "containing a curly brace or 'lorem ipsum'. Pure JVM higher-order "
+    "array functions over one split — a single fused map-stage "
+    "projection, no shuffle, no Python",
+    tags=("llm", "text"),
+)
+def text_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return c4_line_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS em
+      FROM documents),
+    s2 AS (SELECT *, regexp_replace(em, '{PII_IPV4}', '<IP>', 'g') AS ipm
+           FROM s1)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(em, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(ipm, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           regexp_replace(ipm, '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(length(regexp_replace(ipm, '{PII_PHONE}', '<PHONE>', 'g'))
+                AS BIGINT) AS n_scrubbed_chars
+    FROM s2
+    """,
+    doc="PII redaction: mask emails, IPv4 addresses, and NXX-XXXX "
+    "phone fragments with fixed tags, counting each stage's "
+    "replacements against the previous stage's text (an IP inside an "
+    "email hostname counts once as email). One JVM regex projection — "
+    "no shuffle; patterns are Java/RE2-portable by construction",
+    tags=("llm", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_boilerplate_lines",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(len(ws) / 3.0) AS INT)),
+               i -> array_to_string(list_slice(ws, i * 3 + 1, i * 3 + 3), ' ')
+             )) AS chunk
+      FROM w WHERE len(ws) >= 1),
+    df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS chunk_df
+           FROM ch GROUP BY chunk),
+    pd AS (SELECT ch.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                  CAST(SUM(CASE WHEN df.chunk_df > 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_boiler_chunks
+           FROM ch JOIN df USING (chunk) GROUP BY ch.doc_id)
+    SELECT doc_id, n_chunks, n_boiler_chunks,
+           CAST(FLOOR(100 * n_boiler_chunks / n_chunks) AS BIGINT) AS boiler_pct
+    FROM pd
+    """,
+    doc="Cross-document boilerplate detection (the C4 'line seen on "
+    "more than one page' rule at 3-word-chunk granularity): explode "
+    "chunks, count document frequency corpus-wide (map-side partial "
+    "combine), join df-counts back per doc. Empty/whitespace-only "
+    "docs have no chunks and are absent from the output",
+    tags=("llm", "text"),
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_lines(load_table(spark, sf_dir, "documents"))

@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         gmall2,
         llm,
         llm2,
+        llm3,
         streamq,
         tpch,
         tpch2,

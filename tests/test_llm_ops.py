@@ -509,6 +509,94 @@ class TestVocabAndSample:
         assert all(d < 100 for d in small)
 
 
+class TestTextCleaning:
+    """C4 line filter / PII scrub / boilerplate detection — the
+    corpus-cleaning trio."""
+
+    def test_c4_line_rules(self, spark):
+        from gmall_flink_210726_spark.operators.text import c4_line_filter
+
+        good = "this line has enough words to keep."
+        df = spark.createDataFrame(
+            [
+                (1, f"{good}\nshort line.\nno terminal punctuation here at all\n{good}"),
+                (2, f"{good}\ncode {{ block }} marker here today."),
+                (3, "Lorem Ipsum dolor sit amet consectetur adipiscing elit."),
+                (4, "nothing keepable\nat all"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+        assert out[1].n_lines == 4 and out[1].n_kept_lines == 2
+        assert out[1].clean_text == f"{good}\n{good}"
+        assert out[1].c4_kept
+        assert not out[2].c4_kept  # curly brace pages dropped
+        assert not out[3].c4_kept  # lorem ipsum pages dropped
+        assert out[3].n_kept_lines == 1  # line rule itself passes
+        assert out[4].n_kept_lines == 0 and not out[4].c4_kept
+        assert out[4].clean_text == ""
+
+    def test_pii_scrub_counts_and_masking(self, spark):
+        from gmall_flink_210726_spark.operators.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail bob@10.1.2.3.example.com then call 555-1234 now"),
+                (2, "server at 10.0.0.1 and 192.168.1.1 no mail"),
+                (3, "clean text with nothing sensitive at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in pii_scrub(df).collect()}
+        # the dotted quad lives inside the email hostname: counts once
+        # as email, never again as IP
+        assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 1)
+        assert out[1].scrubbed == "mail <EMAIL> then call <PHONE> now"
+        assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 2, 0)
+        assert out[2].scrubbed == "server at <IP> and <IP> no mail"
+        assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+        assert out[3].scrubbed == "clean text with nothing sensitive at all"
+        assert out[3].n_scrubbed_chars == len(out[3].scrubbed)
+
+    def test_boilerplate_shared_chunks(self, spark):
+        from gmall_flink_210726_spark.operators.text import boilerplate_lines
+
+        shared = "copyright two thousand"  # one 3-word chunk
+        df = spark.createDataFrame(
+            [
+                (1, f"{shared} alpha beta gamma"),
+                (2, f"{shared} delta epsilon zeta"),
+                (3, "totally unique content here"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in boilerplate_lines(df).collect()}
+        assert out[1].n_chunks == 2 and out[1].n_boiler_chunks == 1
+        assert out[1].boiler_pct == 50
+        assert out[2].n_boiler_chunks == 1
+        assert out[3].n_boiler_chunks == 0 and out[3].boiler_pct == 0
+
+    def test_boilerplate_empty_doc_guard(self, spark):
+        """The sequence(0, -1) hazard: an empty or whitespace-only doc
+        must emit ZERO chunks — not two bogus descending-range chunks —
+        and must not inflate the corpus-wide df of the '' chunk."""
+        from gmall_flink_210726_spark.operators.text import boilerplate_lines
+
+        df = spark.createDataFrame(
+            [
+                (1, ""),
+                (2, "   \n\t  "),
+                (3, "one two three four five six"),
+                (4, "one two three four five six"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in boilerplate_lines(df).collect()}
+        assert set(out) == {3, 4}  # empty docs absent, not corrupted
+        assert out[3].n_chunks == 2 and out[3].n_boiler_chunks == 2
+        assert out[3].boiler_pct == 100
+
+
 class TestStarContraction:
     """large-star/small-star CC must agree exactly with min-label
     propagation — including on a long chain, where star contraction's
