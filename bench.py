@@ -51,17 +51,29 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # The driver's stdout capture has truncated the tail of this line
+    # before (BENCH_r02 lost 20+ per-query times): persist the full line
+    # in-repo and echo a copy to stderr, keeping stdout at exactly ONE
+    # JSON line for the driver's parser.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError as exc:
+        print(f"bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
+    print(line, file=sys.stderr, flush=True)
+    print(line, flush=True)
     spark.stop()
 
 

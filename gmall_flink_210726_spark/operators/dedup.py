@@ -345,7 +345,12 @@ def connected_components(
     labels = (
         edges.select("u").distinct().withColumn("lbl", F.col("u")).persist()
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # decimal(38,0) sum: a long sum would silently wrap at
+    # billion-node/64-bit-id scale in non-ANSI Spark, and a wrap-aliased
+    # equality would falsely signal convergence (same guard as the star
+    # variant's signature aggregation)
+    _lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lbl_sum).collect()[0][0]
     for _ in range(max_iters):
         nbr = (
             edges.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
@@ -361,7 +366,7 @@ def connected_components(
             # otherwise nest one join deeper per iteration
             .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        cur_sum = new_labels.agg(_lbl_sum).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:

@@ -120,6 +120,194 @@ def decode_media(df: DataFrame, batch_size: int | None = None) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(gen, DECODED_SCHEMA)
 
 
+HEADER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("data_bytes", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_sum", LongType()),
+    ]
+)
+
+# deterministic fixture-dim formulas (shared by the synthesizer and the
+# DuckDB oracle in queries/llm.py — the decoder itself never sees them,
+# it parses the bytes)
+_BMP_W = lambda i: 4 + i % 29  # noqa: E731
+_BMP_H = lambda i: 3 + i % 13  # noqa: E731
+_WAV_CH = lambda i: 1 + i % 2  # noqa: E731
+_WAV_SR = lambda i: 8000 + (i % 5) * 2000  # noqa: E731
+_WAV_NS = lambda i: 32 + i % 64  # noqa: E731
+
+
+def _make_bmp(media_id: int) -> bytes:
+    """24-bpp BITMAPINFOHEADER BMP built with stdlib struct. Rows are
+    4-byte padded per the spec; every payload byte (padding included)
+    follows the LCG ``(id*31 + 7*i) % 256`` so a SQL oracle can recompute
+    the exact byte sum."""
+    import struct
+
+    import numpy as np
+
+    w, h = _BMP_W(media_id), _BMP_H(media_id)
+    row = (w * 3 + 3) // 4 * 4
+    n = row * h
+    payload = ((media_id * 31 + 7 * np.arange(n, dtype=np.int64)) % 256).astype(
+        np.uint8
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + n, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, n, 2835, 2835, 0, 0
+    )
+    return header + payload.tobytes()
+
+
+def _make_wav(media_id: int) -> bytes:
+    """16-bit PCM RIFF/WAVE file built with stdlib struct. Samples
+    follow ``(id*13 + 5*i) % 65536 - 32768`` little-endian, again so the
+    oracle can recompute the data-byte sum."""
+    import struct
+
+    import numpy as np
+
+    ch, sr, ns = _WAV_CH(media_id), _WAV_SR(media_id), _WAV_NS(media_id)
+    n = ns * ch * 2
+    u = (media_id * 13 + 5 * np.arange(ns * ch, dtype=np.int64)) % 65536
+    samples = (u - 32768).astype("<i2")
+    header = (
+        struct.pack("<4sI4s", b"RIFF", 36 + n, b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        + struct.pack("<4sI", b"data", n)
+    )
+    return header + samples.tobytes()
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL media blobs: even doc_ids become BMP
+    images, odd doc_ids 16-bit PCM WAV files, dims/rates deterministic
+    functions of the id. Fixture generation runs through the same
+    Arrow-batched mapInPandas plumbing the decode path uses."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(docs.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            content = [
+                _make_bmp(i) if i % 2 == 0 else _make_wav(i) for i in ids
+            ]
+            meta = [
+                {
+                    "format": "bmp" if i % 2 == 0 else "wav",
+                    "width": _BMP_W(i) if i % 2 == 0 else 0,
+                    "height": _BMP_H(i) if i % 2 == 0 else 0,
+                    "sample_rate": 0 if i % 2 == 0 else _WAV_SR(i),
+                }
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {"media_id": ids, "content": content, "meta": meta}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _decode_headers_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real header parsing with stdlib struct — no codec libs needed for
+    the container formats (BMP BITMAPINFOHEADER, WAV RIFF/fmt chunks).
+    Unknown magic bytes degrade to format='unknown' with zeroed fields
+    (the honest analog of a corrupt-blob branch at 100 TB: never throw
+    away the partition for one bad file)."""
+    import struct
+
+    import numpy as np
+
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "width": 0,
+            "height": 0,
+            "n_channels": 0,
+            "sample_rate": 0,
+            "bits_per_sample": 0,
+            "data_bytes": 0,
+            "n_bytes": len(b),
+            "payload_sum": 0,
+        }
+        try:
+            if b[:2] == b"BM" and len(b) >= 54:
+                off = struct.unpack_from("<I", b, 10)[0]
+                _, w, h, _, bpp, _, size_img = struct.unpack_from("<IiiHHII", b, 14)
+                row.update(
+                    format="bmp",
+                    width=w,
+                    height=abs(h),
+                    bits_per_sample=bpp,
+                    data_bytes=size_img or len(b) - off,
+                    payload_sum=int(
+                        np.frombuffer(b, np.uint8, offset=off).sum()
+                    ),
+                )
+            elif b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 44:
+                # walk the chunk list (fmt /data are not guaranteed adjacent)
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid, csz = struct.unpack_from("<4sI", b, pos)
+                    if cid == b"fmt ":
+                        _, ch, sr, _, _, bits = struct.unpack_from(
+                            "<HHIIHH", b, pos + 8
+                        )
+                        row.update(
+                            format="wav",
+                            n_channels=ch,
+                            sample_rate=sr,
+                            bits_per_sample=bits,
+                        )
+                    elif cid == b"data":
+                        row.update(
+                            data_bytes=csz,
+                            payload_sum=int(
+                                np.frombuffer(
+                                    b, np.uint8, offset=pos + 8, count=csz
+                                ).sum()
+                            ),
+                        )
+                    pos += 8 + csz + (csz & 1)
+        except (struct.error, ValueError):
+            pass  # keep the unknown-format row
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in HEADER_SCHEMA.fields])
+
+
+def decode_media_headers(df: DataFrame, batch_size: int | None = None) -> DataFrame:
+    """Real decode pipeline over MEDIA_SCHEMA input: Arrow-batched
+    mapInPandas, struct-parsed BMP/WAV headers + exact payload byte
+    sums. Same plumbing contract as ``decode_media``; this one reads
+    actual on-wire bytes."""
+    spark = df.sparkSession
+    if batch_size is not None:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_headers_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, HEADER_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a MEDIA_SCHEMA table from the documents fixture: utf-8
     bytes as the opaque payload (the container has no real media), with

@@ -48,13 +48,45 @@ EVENTS_DDL = (
 _sink_seq = itertools.count()
 
 
+def _events_ts_is_timestamp(path: str) -> bool:
+    """Probe the parquet footer (driver-side, no scan job) for the
+    physical type of ``ts``: the driver has generated TIMESTAMP(NANOS)
+    (rounds 1-2, read as int64 nanos under nanosAsLong) and
+    TIMESTAMP(MICROS) (round 3+, read as TimestampType) testdata."""
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(path).field("ts").type).startswith("timestamp")
+
+
+def _read_events_stream(spark: SparkSession, glob_path: str, ts_is_timestamp: bool, **options) -> DataFrame:
+    """File-stream the events table with ``ts`` normalized to epoch-NANOS
+    bigint regardless of the physical type, so every downstream
+    ``ts div 1000000`` (ns→ms) stays unit-correct."""
+    if ts_is_timestamp:
+        ddl = EVENTS_DDL.replace("ts bigint", "ts timestamp")
+        reader = spark.readStream.schema(ddl)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.parquet(glob_path).withColumn(
+            "ts", F.expr("unix_micros(ts) * 1000")
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_DDL)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(glob_path)
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-stream source. The trailing glob is
     load-bearing: FileStreamSource requires a directory basePath, and a
     glob makes it resolve the parent dir instead of the file itself."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_DDL).parquet(f"{sf_dir}/events.parque*")
+    import os
+
+    return _read_events_stream(
+        spark,
+        f"{sf_dir}/events.parque*",
+        _events_ts_is_timestamp(os.path.join(sf_dir, "events.parquet")),
     )
 
 
@@ -262,30 +294,34 @@ def st4_stream_jump_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel's mid emits nothing (non-entry, fresh key) but its ts
     # pushes the watermark past every pending entry's 60 s deadline
     stage = tempfile.mkdtemp(prefix="st4_stream_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "00_events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(stage, "00_events.parquet"))
+    ts_is_timestamp = _events_ts_is_timestamp(src)
     # driver-side pyarrow for the watermark bound and the sentinel file:
     # the max(ts) comes from parquet row-group statistics (footer read,
-    # no scan job) and the one-row sentinel needs no Spark write job
+    # no scan job) and the one-row sentinel needs no Spark write job;
+    # the sentinel's ts column mirrors the source's physical type so
+    # one declared stream schema covers both files
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata
+    meta = pq.ParquetFile(src).metadata
     ts_idx = meta.schema.names.index("ts")
     raw_max = max(
         meta.row_group(g).column(ts_idx).statistics.max
         for g in range(meta.num_row_groups)
     )
-    # TIMESTAMP(NANOS) statistics surface as datetime-likes in some
-    # pyarrow versions; Spark reads the column as int64 nanos
-    max_ts = raw_max if isinstance(raw_max, int) else pa.scalar(raw_max).cast(
-        pa.timestamp("ns")
-    ).value
+    # statistics surface as datetime-likes for timestamp columns in some
+    # pyarrow versions; normalize to an integer in the column's own unit
+    unit = pa.timestamp("us") if ts_is_timestamp else pa.timestamp("ns")
+    day = 86_400_000_000 if ts_is_timestamp else 86_400_000_000_000
+    max_ts = raw_max if isinstance(raw_max, int) else pa.scalar(raw_max).cast(unit).value
+    sentinel_ts = pa.array([int(max_ts) + day], unit if ts_is_timestamp else pa.int64())
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([int(max_ts) + 86_400_000_000_000], pa.int64()),
+                "ts": sentinel_ts,
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["sentinel"]),
                 "value": pa.array([0.0], pa.float64()),
@@ -296,9 +332,7 @@ def st4_stream_jump_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     flat = (
-        spark.readStream.schema(EVENTS_DDL)
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
+        _read_events_stream(spark, stage, ts_is_timestamp, recursiveFileLookup="true")
         .select(
             F.col("user_id").cast("string").alias("mid"),
             F.expr("ts div 1000000").alias("ts"),

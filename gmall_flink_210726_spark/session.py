@@ -102,6 +102,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are parquet TIMESTAMP(isAdjustedToUTC=false);
+        # read them as TimestampType UTC instants (not TIMESTAMP_NTZ) so
+        # unix_micros()/window() apply and values match the UTC-naive
+        # DuckDB oracle under the UTC session timezone pinned above
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Keep shuffle spill + broadcast thresholds at defaults; AQE

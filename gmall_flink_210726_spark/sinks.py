@@ -47,12 +47,38 @@ def create_table_if_not_exists(
     return True
 
 
+_POINTER = "_CURRENT"
+
+
+def _current_version(path: str) -> str | None:
+    """Name of the committed version dir (``v{n}``) or None when `path`
+    is absent / a legacy flat-parquet table / an empty bootstrap."""
+    ptr = os.path.join(path, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    return name or None
+
+
+def read_dim_table(spark: SparkSession, path: str) -> DataFrame:
+    """Reader for a dim table written by ``upsert_dim_table``: resolve
+    the ``_CURRENT`` pointer to the committed version dir. Falls back to
+    reading `path` directly for legacy flat-parquet tables (including
+    ``create_table_if_not_exists`` bootstraps)."""
+    cur = _current_version(path)
+    if cur is not None:
+        return spark.read.parquet(os.path.join(path, cur))
+    return spark.read.parquet(path)
+
+
 def upsert_dim_table(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     pk: str,
     order_col: str | None = None,
+    keep_versions: int = 2,
 ) -> None:
     """K4 — upsert (insert-or-replace by pk) into a parquet dim table.
 
@@ -61,6 +87,19 @@ def upsert_dim_table(
     whose pk appears in the batch are replaced, others kept. The Redis
     cache invalidation at :39 is obsolete — readers broadcast the dim
     per micro-batch (SURVEY §2.6 J2).
+
+    Commit protocol — version dirs + atomic pointer (the same shape as
+    a Delta/Iceberg commit, minus the log): each upsert writes a fresh
+    ``path/v{n+1}/`` parquet dir, then atomically replaces the one-line
+    ``path/_CURRENT`` pointer file via ``os.replace`` (POSIX rename is
+    atomic). A crash at ANY point leaves the pointer naming a complete
+    version: before the rename readers still see ``v{n}``; after it
+    they see ``v{n+1}``. Concurrent readers that resolved the pointer
+    just before a commit keep reading their (still-present) ``v{n}``
+    dir — the previous ``keep_versions - 1`` versions are retained and
+    only older ones are GC'd, after the commit. Use ``read_dim_table``
+    to read; it also understands legacy flat-parquet layouts and
+    migrates them on the next upsert.
     """
     if order_col is not None:
         w = Window.partitionBy(pk).orderBy(F.col(order_col).desc())
@@ -72,29 +111,48 @@ def upsert_dim_table(
     else:
         updates = updates.dropDuplicates([pk])
 
-    if os.path.exists(path):
-        current = spark.read.parquet(path)
+    cur = _current_version(path)
+    legacy = cur is None and os.path.exists(path)
+    if cur is not None:
+        current = spark.read.parquet(os.path.join(path, cur))
+        cur_n = int(cur[1:])
+    elif legacy:
+        current = spark.read.parquet(path)  # flat layout: migrate below
+        cur_n = 0
+    else:
+        current = None
+        cur_n = 0
+
+    if current is not None:
         kept = current.join(updates.select(pk), pk, "left_anti")
         merged = kept.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
-    # swap order matters: move the OLD table aside first and delete it
-    # last, so a crash at any point leaves either the old or the new
-    # copy at a recoverable location — never neither. (Local-FS only,
-    # like the rest of this emulation; a real deployment is Delta
-    # MERGE, where the swap is a transactional commit and concurrent
-    # readers see a consistent snapshot.)
-    tmp = f"{path}__tmp_upsert"
-    old = f"{path}__old_upsert"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    had_prev = os.path.exists(path)
-    if had_prev:
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if had_prev:
-        shutil.rmtree(old)
+
+    next_v = f"v{cur_n + 1}"
+    if legacy:
+        # force the merge plan to materialize BEFORE writing under
+        # `path`: the source files sit flat in `path` itself and the
+        # listing must not pick up the new version dir mid-write
+        merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(os.path.join(path, next_v))
+    # ---- commit point: atomic pointer replace ----
+    tmp_ptr = os.path.join(path, f"{_POINTER}.tmp")
+    with open(tmp_ptr, "w") as f:
+        f.write(next_v + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_ptr, os.path.join(path, _POINTER))
+    # ---- post-commit GC (crash here is harmless: extra files only) ----
+    if legacy:
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if os.path.isfile(full) and name not in (_POINTER,):
+                os.remove(full)  # old flat parquet/_SUCCESS files
+    floor = cur_n + 2 - max(keep_versions, 1)
+    for name in os.listdir(path):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < floor:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def append_stats_table(df: DataFrame, path: str) -> None:

@@ -33,18 +33,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright. nanosAsLong must be set BEFORE the read is
-        # planned (externally-built driver sessions don't have it);
-        # it reads ts as epoch-nanos bigint, and DIV keeps the
-        # nanos→micros conversion in exact integer arithmetic.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+    # Timestamp normalization — the driver has generated testdata with
+    # two different physical types across rounds, and externally-built
+    # driver sessions don't carry our session defaults, so both confs
+    # are (re-)set imperatively BEFORE the read is planned:
+    #  - TIMESTAMP(NANOS) (rounds 1-2): Spark rejects it outright unless
+    #    nanosAsLong reads it as epoch-nanos bigint; DIV converts in
+    #    exact integer arithmetic below.
+    #  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 3+): would
+    #    infer TIMESTAMP_NTZ, breaking unix_micros()/window(); with
+    #    inference off it reads as TimestampType UTC instants, which is
+    #    also what the UTC-naive DuckDB oracle computes on under the
+    #    UTC session timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # unknown conf on some build: NTZ cast fallback below
+    df = spark.read.parquet(path)
+    for col, dtype in df.dtypes:
+        if name == "events" and col == "ts" and dtype == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(path)
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -152,8 +152,10 @@ def _detect_jumps_fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
 
     pdf = _sorted_concat(pdfs)
     pending: tuple[int, str] | None = tuple(state.get) if state.exists else None
-    for _, row in pdf.iterrows():
-        ts, flag, payload = int(row["ts"]), row["flag"], row["payload"]
+    for ts, flag, payload in zip(
+        pdf["ts"].astype("int64"), pdf["flag"], pdf["payload"]
+    ):
+        ts = int(ts)
         is_entry = flag == "entry"
         if pending is not None:
             delta = ts - pending[0]

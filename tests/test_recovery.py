@@ -101,7 +101,7 @@ class TestCdcSnapshotThenStream:
         sinks.upsert_dim_table(
             spark, dim, rows.filter(F.col("type") != "bootstrap-insert").drop("type"), pk="id"
         )
-        got = {r.id: r.name for r in spark.read.parquet(dim).collect()}
+        got = {r.id: r.name for r in sinks.read_dim_table(spark, dim).collect()}
         assert got == {"1": "v1", "2": "v2b", "3": "v3"}
 
 
@@ -116,3 +116,86 @@ class TestEpochIdempotentAppend:
         sinks.append_stats_exactly_once(spark.createDataFrame([(3,)], ["x"]), 8, out)
         vals = sorted(r.x for r in spark.read.parquet(out).collect())
         assert vals == [1, 2, 3]
+
+
+class TestDimUpsertCommitProtocol:
+    """K4 atomicity: the version-dir + atomic-pointer commit must leave a
+    readable, consistent table across a crash at any point (reference
+    behavior: Phoenix upsert is atomic per row, func/DimSinkFunction.java:28-72)."""
+
+    def test_crash_before_pointer_commit_keeps_old_version(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = str(tmp_path / "dim")
+        v1 = spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "name"])
+        sinks.upsert_dim_table(spark, path, v1, pk="id")
+        before = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
+
+        # crash injection: die after the new version dir is fully
+        # written but before the pointer replace (the commit point)
+        real_replace = os.replace
+
+        def exploding_replace(src, dst):
+            if os.path.basename(dst) == "_CURRENT":
+                raise OSError("injected crash before pointer commit")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", exploding_replace)
+        v2 = spark.createDataFrame([("2", "B2"), ("3", "c")], ["id", "name"])
+        try:
+            sinks.upsert_dim_table(spark, path, v2, pk="id")
+            raise AssertionError("crash injection did not fire")
+        except OSError:
+            pass
+        monkeypatch.undo()
+
+        # reader sees the LAST COMMITTED version, complete and unchanged
+        after = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
+        assert after == before == {"1": "a", "2": "b"}
+
+        # the interrupted upsert is retryable and converges
+        sinks.upsert_dim_table(spark, path, v2, pk="id")
+        got = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
+        assert got == {"1": "a", "2": "B2", "3": "c"}
+
+    def test_concurrent_reader_snapshot_survives_commit(self, spark, tmp_path):
+        path = str(tmp_path / "dim")
+        sinks.upsert_dim_table(
+            spark, path, spark.createDataFrame([("1", "a")], ["id", "name"]), pk="id"
+        )
+        # reader resolves the pointer (simulating an in-flight scan) ...
+        snapshot_df = sinks.read_dim_table(spark, path)
+        # ... then a writer commits a new version underneath it
+        sinks.upsert_dim_table(
+            spark, path, spark.createDataFrame([("1", "A2")], ["id", "name"]), pk="id"
+        )
+        # old version dir is retained (keep_versions=2): the snapshot read
+        # still completes against intact files
+        assert {r.name for r in snapshot_df.collect()} == {"a"}
+        assert {r.name for r in sinks.read_dim_table(spark, path).collect()} == {"A2"}
+
+    def test_legacy_flat_table_migrates(self, spark, tmp_path):
+        path = str(tmp_path / "dim")
+        spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "name"]).write.parquet(
+            path
+        )  # legacy flat layout (pre-versioning)
+        sinks.upsert_dim_table(
+            spark, path, spark.createDataFrame([("2", "B2")], ["id", "name"]), pk="id"
+        )
+        got = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
+        assert got == {"1": "a", "2": "B2"}
+        assert sinks._current_version(path) == "v1"
+
+    def test_old_versions_gc(self, spark, tmp_path):
+        path = str(tmp_path / "dim")
+        for i in range(4):
+            sinks.upsert_dim_table(
+                spark,
+                path,
+                spark.createDataFrame([("1", f"n{i}")], ["id", "name"]),
+                pk="id",
+            )
+        versions = sorted(n for n in os.listdir(path) if n.startswith("v"))
+        assert versions == ["v3", "v4"]  # current + one predecessor
+        got = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
+        assert got == {"1": "n3"}

@@ -30,7 +30,7 @@ class TestDimStore:
         sinks.upsert_dim_table(spark, path, v1, pk="id")
         v2 = spark.createDataFrame([("2", "B2"), ("4", "d")], ["id", "name"])
         sinks.upsert_dim_table(spark, path, v2, pk="id")
-        got = {r.id: r.name for r in spark.read.parquet(path).collect()}
+        got = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
         assert got == {"1": "a", "2": "B2", "3": "c", "4": "d"}
 
     def test_upsert_latest_wins_within_batch(self, spark, tmp_path):
@@ -39,7 +39,7 @@ class TestDimStore:
             [("1", "old", 1), ("1", "new", 2)], ["id", "name", "ver"]
         )
         sinks.upsert_dim_table(spark, path, batch, pk="id", order_col="ver")
-        got = spark.read.parquet(path).collect()
+        got = sinks.read_dim_table(spark, path).collect()
         assert len(got) == 1 and got[0].name == "new"
 
     def test_append_stats(self, spark, tmp_path):

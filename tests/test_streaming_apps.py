@@ -148,7 +148,7 @@ class TestStreamingDws:
             & (F.col("page.item_type") == "sku_id")
         ).select(F.col("page.item").alias("sku"), "ts")
         enriched = enrich_stream_with_dims(
-            clicks, spark.read.parquet(dim_path), "sku", "id"
+            clicks, sinks.read_dim_table(spark, dim_path), "sku", "id"
         )
         out = _run(spark, enriched.select("sku", "sku_name"), "enr_stream")
         rows = out.collect()
