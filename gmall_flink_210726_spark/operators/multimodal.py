@@ -257,7 +257,12 @@ def _decode_headers_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                     ),
                 )
             elif b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 44:
-                # walk the chunk list (fmt /data are not guaranteed adjacent)
+                # walk the chunk list (fmt /data are not guaranteed
+                # adjacent), staging fields in a local dict applied only
+                # after the whole walk succeeds — a corrupt/truncated
+                # chunk mid-walk must yield the clean unknown-format
+                # row, never a partially-populated 'wav' row
+                pending: dict = {}
                 pos = 12
                 while pos + 8 <= len(b):
                     cid, csz = struct.unpack_from("<4sI", b, pos)
@@ -265,14 +270,14 @@ def _decode_headers_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                         _, ch, sr, _, _, bits = struct.unpack_from(
                             "<HHIIHH", b, pos + 8
                         )
-                        row.update(
+                        pending.update(
                             format="wav",
                             n_channels=ch,
                             sample_rate=sr,
                             bits_per_sample=bits,
                         )
                     elif cid == b"data":
-                        row.update(
+                        pending.update(
                             data_bytes=csz,
                             payload_sum=int(
                                 np.frombuffer(
@@ -281,6 +286,7 @@ def _decode_headers_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                             ),
                         )
                     pos += 8 + csz + (csz & 1)
+                row.update(pending)
         except (struct.error, ValueError):
             pass  # keep the unknown-format row
         out.append(row)

@@ -41,8 +41,33 @@ class RouteRule:
     sink_extend: str = ""
 
 
+_CONFIG_COLS = (
+    "source_table",
+    "operate_type",
+    "sink_type",
+    "sink_table",
+    "sink_columns",
+    "sink_pk",
+    "sink_extend",
+)
+
+
 def config_df(spark, rules: list[RouteRule]) -> DataFrame:
-    return spark.createDataFrame([r.__dict__ for r in rules])
+    """Constant config table as a JVM LocalRelation via a SQL ``VALUES``
+    literal — ``createDataFrame`` over local Python rows would back the
+    scan with a Python RDD (and schema inference runs a 32-task job on
+    first touch); a VALUES literal is a metadata-only LocalTableScan."""
+    if not rules:
+        ddl = ", ".join(f"{c} string" for c in _CONFIG_COLS)
+        return spark.createDataFrame([], ddl)
+    lit = lambda v: "'" + str(v).replace("'", "''") + "'"  # noqa: E731
+    rows = ", ".join(
+        "(" + ", ".join(lit(getattr(r, c)) for c in _CONFIG_COLS) + ")"
+        for r in rules
+    )
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows}) AS t({', '.join(_CONFIG_COLS)})"
+    )
 
 
 def route_with_config(

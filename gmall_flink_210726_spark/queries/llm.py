@@ -27,7 +27,12 @@ from gmall_flink_210726_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from gmall_flink_210726_spark.operators.multimodal import decode_media, media_from_documents
+from gmall_flink_210726_spark.operators.multimodal import (
+    decode_media,
+    decode_media_headers,
+    media_from_documents,
+    synthesize_media,
+)
 from gmall_flink_210726_spark.operators.similarity import knn_bruteforce
 from gmall_flink_210726_spark.operators.text import (
     fingerprint,
@@ -539,7 +544,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_decode",
+    "multimodal_plumbing",
     oracle="""
     SELECT doc_id AS media_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -551,14 +556,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(1, least(64, strlen(text)) + 1)]), 0) AS BIGINT) AS checksum
     FROM documents
     """,
-    doc="Multimodal plumbing: binary content column → mapInPandas decode "
-    "(Arrow-batched, bounded batch size); deterministic fake decoder "
-    "stands in for the stubbed codecs (operators/multimodal.py)",
+    doc="Multimodal PLUMBING check (formerly multimodal_decode): binary "
+    "content column → mapInPandas byte-stats decode (Arrow-batched, "
+    "bounded batch size) exercising the UDF signature/batch shape the "
+    "real codecs drop into; the advertised decode surface is "
+    "multimodal_headers (real BMP/WAV byte parsing)",
     tags=("llm", "multimodal"),
 )
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return decode_media(media)
+
+
+@register(
+    "multimodal_headers",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 2 = 0 AS is_bmp,
+             4 + doc_id % 29 AS w,
+             3 + doc_id % 13 AS h,
+             1 + doc_id % 2 AS ch,
+             8000 + (doc_id % 5) * 2000 AS sr,
+             32 + doc_id % 64 AS ns
+      FROM documents),
+    d AS (
+      SELECT *, ((w * 3 + 3) // 4) * 4 * h AS bmp_n, ns * ch * 2 AS wav_n
+      FROM m)
+    SELECT media_id,
+           CASE WHEN is_bmp THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE WHEN is_bmp THEN w ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE WHEN is_bmp THEN h ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE WHEN is_bmp THEN 0 ELSE ch END AS BIGINT) AS n_channels,
+           CAST(CASE WHEN is_bmp THEN 0 ELSE sr END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN is_bmp THEN 24 ELSE 16 END AS BIGINT) AS bits_per_sample,
+           CAST(CASE WHEN is_bmp THEN bmp_n ELSE wav_n END AS BIGINT) AS data_bytes,
+           CAST(CASE WHEN is_bmp THEN 54 + bmp_n ELSE 44 + wav_n END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN is_bmp
+                THEN list_sum([(media_id * 31 + 7 * i) % 256
+                               for i in range(0, bmp_n)])
+                ELSE list_sum([((media_id * 13 + 5 * j + 32768) % 65536) % 256
+                             + ((media_id * 13 + 5 * j + 32768) % 65536) // 256
+                               for j in range(0, ns * ch)])
+                END AS BIGINT) AS payload_sum
+    FROM d
+    """,
+    doc="REAL multimodal decode: synthesize actual BMP (24-bpp, padded "
+    "rows) and 16-bit PCM WAV blobs from the documents ids, then parse "
+    "the on-wire bytes back with stdlib struct (BITMAPINFOHEADER / "
+    "RIFF chunk walk) in an Arrow-batched mapInPandas — header fields "
+    "plus exact payload byte sums. The oracle recomputes every field "
+    "from the fixture LCG formulas (operators/multimodal.py:141-145) "
+    "WITHOUT seeing the bytes, so a decoder that misparses any header "
+    "offset or pads rows wrong hash-mismatches",
+    tags=("llm", "multimodal"),
+)
+def multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return decode_media_headers(media)
 
 
 @register(

@@ -52,10 +52,17 @@ def _events_ts_is_timestamp(path: str) -> bool:
     """Probe the parquet footer (driver-side, no scan job) for the
     physical type of ``ts``: the driver has generated TIMESTAMP(NANOS)
     (rounds 1-2, read as int64 nanos under nanosAsLong) and
-    TIMESTAMP(MICROS) (round 3+, read as TimestampType) testdata."""
+    TIMESTAMP(MICROS) (round 3+, read as TimestampType) testdata.
+
+    The unit matters, not the type family: Spark rejects TIMESTAMP(NANOS)
+    under a TimestampType schema ("Illegal Parquet type"), so nanos must
+    fall back to the nanosAsLong bigint path even though pyarrow reports
+    it as a timestamp type too."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    return str(pq.read_schema(path).field("ts").type).startswith("timestamp")
+    t = pq.read_schema(path).field("ts").type
+    return pa.types.is_timestamp(t) and t.unit != "ns"
 
 
 def _read_events_stream(spark: SparkSession, glob_path: str, ts_is_timestamp: bool, **options) -> DataFrame:

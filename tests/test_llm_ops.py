@@ -261,6 +261,84 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG....")
 
+    def test_real_header_decode_round_trip(self, spark):
+        """synthesize_media writes real BMP/WAV bytes; decode_media_headers
+        must recover every header field + the exact payload byte sum the
+        fixture formulas predict — WITHOUT seeing the formulas."""
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _BMP_H,
+            _BMP_W,
+            _WAV_CH,
+            _WAV_NS,
+            _WAV_SR,
+            decode_media_headers,
+            synthesize_media,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(0, 40)], "doc_id long"
+        )
+        got = {
+            r.media_id: r
+            for r in decode_media_headers(synthesize_media(docs)).collect()
+        }
+        assert len(got) == 40
+        for i in range(40):
+            r = got[i]
+            if i % 2 == 0:
+                w, h = _BMP_W(i), _BMP_H(i)
+                n = (w * 3 + 3) // 4 * 4 * h
+                assert (r.format, r.width, r.height) == ("bmp", w, h)
+                assert (r.bits_per_sample, r.data_bytes) == (24, n)
+                assert r.n_bytes == 54 + n
+                assert r.payload_sum == sum(
+                    (i * 31 + 7 * k) % 256 for k in range(n)
+                )
+            else:
+                ch, sr, ns = _WAV_CH(i), _WAV_SR(i), _WAV_NS(i)
+                n = ns * ch * 2
+                assert (r.format, r.n_channels, r.sample_rate) == ("wav", ch, sr)
+                assert (r.bits_per_sample, r.data_bytes) == (16, n)
+                assert r.n_bytes == 44 + n
+                exp = 0
+                for j in range(ns * ch):
+                    v = (i * 13 + 5 * j + 32768) % 65536
+                    exp += v % 256 + v // 256
+                assert r.payload_sum == exp
+
+    def test_corrupt_blobs_degrade_to_unknown(self, spark):
+        """Truncated/garbage/null blobs yield the clean unknown-format
+        row — never a partially-populated one, never a thrown task."""
+        import struct
+
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _make_wav,
+            decode_media_headers,
+        )
+
+        wav = _make_wav(7)
+        # truncated mid-data: fmt chunk parses, data csz overruns buffer
+        truncated = wav[: 44 + 10]
+        # data-chunk size field inflated past the buffer
+        bad_sz = bytearray(wav)
+        bad_sz[40:44] = struct.pack("<I", 1 << 30)
+        rows = [
+            (1, truncated),
+            (2, bytes(bad_sz)),
+            (3, b"\x00\x01\x02garbage-not-a-media-file"),
+            (4, None),
+            (5, b"RIFF\x00\x00\x00\x00WAVE"),  # RIFF magic, no chunks, <44B
+        ]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        got = {r.media_id: r for r in decode_media_headers(df).collect()}
+        assert len(got) == 5
+        for mid, r in got.items():
+            assert r.format == "unknown", mid
+            assert (r.width, r.height, r.n_channels, r.sample_rate) == (0, 0, 0, 0)
+            assert (r.bits_per_sample, r.data_bytes, r.payload_sum) == (0, 0, 0)
+        assert got[4].n_bytes == 0
+        assert got[1].n_bytes == 54
+
 
 class TestGopherFilter:
     def test_rules_and_composite(self, spark):

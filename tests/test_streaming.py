@@ -261,3 +261,47 @@ class TestStreamingBindings:
             if abs((datetime.strptime(d["create_time"], "%Y-%m-%d %H:%M:%S") - o_time[d["order_id"]]).total_seconds()) <= 5
         }
         assert got == expected
+
+
+class TestTsProbe:
+    """The footer probe must route on the timestamp UNIT, not the type
+    family: TIMESTAMP(NANOS) is a pyarrow timestamp type too, but Spark
+    rejects it under a TimestampType schema — nanos must take the
+    nanosAsLong bigint path (queries/streamq.py)."""
+
+    def test_micros_routes_to_timestamp(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.queries.streamq import _events_ts_is_timestamp
+
+        p = str(tmp_path / "micros.parquet")
+        pq.write_table(
+            pa.table({"ts": pa.array([1, 2], pa.timestamp("us"))}), p
+        )
+        assert _events_ts_is_timestamp(p) is True
+
+    def test_nanos_routes_to_bigint(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.queries.streamq import _events_ts_is_timestamp
+
+        p = str(tmp_path / "nanos.parquet")
+        pq.write_table(
+            pa.table({"ts": pa.array([1, 2], pa.timestamp("ns"))}),
+            p,
+            use_deprecated_int96_timestamps=False,
+            coerce_timestamps=None,
+        )
+        assert _events_ts_is_timestamp(p) is False
+
+    def test_bigint_routes_to_bigint(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.queries.streamq import _events_ts_is_timestamp
+
+        p = str(tmp_path / "int.parquet")
+        pq.write_table(pa.table({"ts": pa.array([1, 2], pa.int64())}), p)
+        assert _events_ts_is_timestamp(p) is False
