@@ -328,3 +328,158 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit(0).cast("long").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("thumb_sum", LongType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def _resize_batch(pdf: pd.DataFrame, out_w: int, out_h: int) -> pd.DataFrame:
+    """Nearest-neighbor BMP thumbnail from the on-wire bytes: sample
+    source pixel (x*w//out_w, y*h//out_h) in stored-row space (BMP rows
+    are physically bottom-up; nearest-neighbor is orientation-
+    invariant for the stats and the thumb keeps the stored order).
+    Non-BMP/corrupt blobs degrade to format='unknown', thumb NULL."""
+    import struct
+
+    import numpy as np
+
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "out_w": 0,
+            "out_h": 0,
+            "thumb_sum": 0,
+            "thumb": None,
+        }
+        try:
+            if b[:2] == b"BM" and len(b) >= 54:
+                off = struct.unpack_from("<I", b, 10)[0]
+                _, w, h, _, bpp, _, _ = struct.unpack_from("<IiiHHII", b, 14)
+                h = abs(h)
+                rowb = (w * 3 + 3) // 4 * 4
+                if bpp == 24 and w > 0 and h > 0 and off + rowb * h <= len(b):
+                    arr = np.frombuffer(
+                        b, np.uint8, offset=off, count=rowb * h
+                    ).reshape(h, rowb)
+                    sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                    sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                    cols = (sx[:, None] * 3 + np.arange(3)).ravel()
+                    thumb = arr[np.ix_(sy, cols)]
+                    row.update(
+                        format="bmp",
+                        out_w=out_w,
+                        out_h=out_h,
+                        thumb_sum=int(thumb.sum(dtype=np.int64)),
+                        thumb=thumb.tobytes(),
+                    )
+        except (struct.error, ValueError):
+            pass
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+
+def resize_images(
+    df: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """Image resize over MEDIA_SCHEMA input — the feature-extract /
+    thumbnail stage of a multimodal training pipeline, on real BMP
+    bytes (no codec libs needed). Arrow-batched mapInPandas; blobs
+    cross into Python once per batch, vectorized numpy per blob."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _resize_batch(pdf, out_w, out_h)
+
+    return df.select("media_id", "content").mapInPandas(gen, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_sum", LongType()),
+        StructField("frame_abs_sum", LongType()),
+    ]
+)
+
+
+def _frame_sample_batch(pdf: pd.DataFrame, stride: int) -> pd.DataFrame:
+    """Every ``stride``-th audio frame (one frame = one sample per
+    channel) from real WAV bytes: signed-sample sum + abs sum of the
+    sampled frames — the fixed-rate subsampling a speech pipeline runs
+    before featurization. Non-WAV/corrupt → format='unknown', zeros."""
+    import struct
+
+    import numpy as np
+
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "n_frames": 0,
+            "frame_sum": 0,
+            "frame_abs_sum": 0,
+        }
+        try:
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 44:
+                ch = bits = 0
+                data_pos = data_sz = 0
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid, csz = struct.unpack_from("<4sI", b, pos)
+                    if cid == b"fmt ":
+                        _, ch, _, _, _, bits = struct.unpack_from(
+                            "<HHIIHH", b, pos + 8
+                        )
+                    elif cid == b"data":
+                        data_pos, data_sz = pos + 8, csz
+                    pos += 8 + csz + (csz & 1)
+                if ch > 0 and bits == 16 and data_pos and data_pos + data_sz <= len(b):
+                    n_samp = data_sz // (2 * ch) * ch  # whole frames only
+                    arr = np.frombuffer(
+                        b, "<i2", offset=data_pos, count=n_samp
+                    ).reshape(-1, ch)
+                    sampled = arr[::stride].astype(np.int64)
+                    row.update(
+                        format="wav",
+                        n_frames=int(sampled.shape[0]),
+                        frame_sum=int(sampled.sum()),
+                        frame_abs_sum=int(np.abs(sampled).sum()),
+                    )
+        except (struct.error, ValueError):
+            pass
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+
+def frame_sample_audio(df: DataFrame, stride: int = 4) -> DataFrame:
+    """Audio frame subsampling over MEDIA_SCHEMA input (see
+    ``_frame_sample_batch``). Same Arrow-batched mapInPandas plumbing
+    as the decoders; partition parallelism is decode parallelism."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _frame_sample_batch(pdf, stride)
+
+    return df.select("media_id", "content").mapInPandas(gen, FRAME_SCHEMA)

@@ -525,10 +525,17 @@ def c4_line_filter(
 
 
 # PII patterns — ASCII-only so Java regex (Spark) and RE2 (DuckDB)
-# agree on every construct used (\b, \d, classes, bounded repeats).
+# agree on every construct used (\b, \d, classes, bounded repeats,
+# non-capturing groups, leftmost-first alternation).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE = r"\b\d{3}-\d{4}\b"
+# IPv4 with octet bounds (0-255): 999.999.999.999 is NOT an address and
+# stays unmasked. \b on both ends keeps 1234.1.1.1 / 1.1.1.1234 whole.
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+PII_IPV4 = rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b"
+# Phone forms, longest alternative first (leftmost-first semantics are
+# identical in Java and RE2): (NXX) NXX-XXXX, NXX-NXX-XXXX, bare
+# NXX-XXXX fragment. 555-123-45678 matches nothing (trailing \b).
+PII_PHONE = r"\(\d{3}\)\s?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b|\b\d{3}-\d{4}\b"
 
 
 def pii_scrub(

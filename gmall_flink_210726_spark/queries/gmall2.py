@@ -330,6 +330,51 @@ def d1_tokenizer_udf_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("keyword").agg(F.count(F.lit(1)).alias("ct"))
 
 
+# Chinese search-terms fixture — the driver's documents table is ASCII,
+# so the reference's PRIMARY IK-analyzer input (Chinese keywords,
+# func/SplitFunction.java:12-27) would otherwise never hit the
+# correctness gate. Mixed-script terms pin the exact degradation
+# contract: without a segmenter a contiguous CJK run stays ONE keyword
+# (digits/latin glued to CJK stay in the same run — '2021款' is one
+# token), and scripts split only at non-[0-9a-z一-鿿] separators.
+_CJK_TERMS = (
+    "小米手机",
+    "苹果手机",
+    "华为手机 价格",
+    "pixel 手机壳",
+    "小米手机",
+    "电视机 lg 4k",
+    "冰箱",
+    "华为 mate40 手机",
+    "2021款 小米手机",
+    "图书 《三体》",
+)
+_CJK_VALUES = ", ".join(f"('{t}')" for t in _CJK_TERMS)
+
+
+@register(
+    "d1_tokenizer_cjk_keywords",
+    oracle=f"""
+    SELECT word AS keyword, COUNT(*) AS ct
+    FROM (SELECT unnest(string_split_regex(lower(kw), '[^0-9a-z一-鿿]+')) AS word
+          FROM (VALUES {_CJK_VALUES}) AS t(kw))
+    WHERE word <> ''
+    GROUP BY 1
+    """,
+    doc="D1 CJK fixture — Chinese search terms through the tokenizer + "
+    "explode + count pipeline (the reference's IK-analyzer use case, "
+    "func/SplitFunction.java:12-27). Pins contiguous-run segmentation "
+    "(one CJK run = one keyword, '2021款' stays whole) and separator "
+    "behavior for mixed-script terms; both sides build the fixture "
+    "from the same VALUES literal, independent of the documents table",
+    tags=("gmall", "udf", "cjk"),
+)
+def d1_tokenizer_cjk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = spark.sql(f"SELECT * FROM (VALUES {_CJK_VALUES}) AS t(kw)")
+    words = terms.select(F.explode(tokenize_col("kw")).alias("keyword"))
+    return words.groupBy("keyword").agg(F.count(F.lit(1)).alias("ct"))
+
+
 @register(
     "t5_daily_unique_visitors",
     oracle="""

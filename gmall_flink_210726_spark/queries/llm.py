@@ -30,7 +30,9 @@ from gmall_flink_210726_spark.operators.dedup import (
 from gmall_flink_210726_spark.operators.multimodal import (
     decode_media,
     decode_media_headers,
+    frame_sample_audio,
     media_from_documents,
+    resize_images,
     synthesize_media,
 )
 from gmall_flink_210726_spark.operators.similarity import knn_bruteforce
@@ -614,6 +616,77 @@ def multimodal_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     return decode_media_headers(media)
+
+
+@register(
+    "multimodal_resize_thumb",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 29 AS w,
+             3 + doc_id % 13 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    d AS (SELECT *, ((w * 3 + 3) // 4) * 4 AS rowb FROM m)
+    SELECT media_id,
+           'bmp' AS format,
+           CAST(8 AS BIGINT) AS out_w,
+           CAST(8 AS BIGINT) AS out_h,
+           CAST(list_sum(
+             [(media_id * 31
+               + 7 * ((i // 24) * h // 8 * rowb
+                      + ((i // 3) % 8) * w // 8 * 3
+                      + i % 3)) % 256
+              for i in range(0, 192)]) AS BIGINT) AS thumb_sum
+    FROM d
+    """,
+    doc="Multimodal resize: 8x8 nearest-neighbor BMP thumbnails from "
+    "real on-wire bytes (sample source pixel (x*w//8, y*h//8), 3 "
+    "bytes each) in an Arrow-batched mapInPandas. The oracle "
+    "recomputes the sampled-byte sum from the fixture LCG alone — a "
+    "resize that miscomputes the row stride, padding, or sampling "
+    "grid hash-mismatches",
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    bmps = media.filter(F.col("meta.format") == "bmp")
+    return resize_images(bmps, 8, 8).drop("thumb")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             1 + doc_id % 2 AS ch,
+             32 + doc_id % 64 AS ns
+      FROM documents WHERE doc_id % 2 = 1),
+    d AS (SELECT *, (ns + 3) // 4 AS nf FROM m),
+    v AS (
+      SELECT media_id, nf,
+             [((media_id * 13 + 5 * ((i // ch) * 4 * ch + i % ch))
+               % 65536) - 32768
+              for i in range(0, nf * ch)] AS vals
+      FROM d)
+    SELECT media_id,
+           'wav' AS format,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(list_sum(vals) AS BIGINT) AS frame_sum,
+           CAST(list_sum(list_transform(vals, x -> abs(x))) AS BIGINT)
+             AS frame_abs_sum
+    FROM v
+    """,
+    doc="Multimodal frame sampling: every 4th audio frame (one frame = "
+    "one int16 sample per channel) from real WAV bytes — signed sum + "
+    "abs sum of the sampled frames, the fixed-rate subsample a speech "
+    "pipeline runs before featurization. Oracle recomputes both sums "
+    "from the fixture LCG; interleaving or stride errors mismatch",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    wavs = media.filter(F.col("meta.format") == "wav")
+    return frame_sample_audio(wavs, 4)
 
 
 @register(

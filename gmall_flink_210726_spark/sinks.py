@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -48,6 +49,47 @@ def create_table_if_not_exists(
 
 
 _POINTER = "_CURRENT"
+_LOCK = "_LOCK"
+
+
+def _acquire_writer_lock(
+    path: str, timeout: float, stale_after: float
+) -> str:
+    """Claim the table's single-writer mutex with ``O_CREAT|O_EXCL``
+    (atomic on POSIX): the whole read-merge-write-commit runs under it,
+    so two concurrent upserts serialize instead of both computing
+    ``v{n+1}`` and racing the pointer. A lock left by a CRASHED writer
+    is broken once older than ``stale_after`` (a live writer's lock is
+    young — it was created this upsert); a lock held by a LIVE writer
+    makes us wait up to ``timeout`` then raise TimeoutError."""
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            finally:
+                os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between open and stat — retry
+            if age > stale_after:
+                try:  # crashed writer: break the stale lock
+                    os.remove(lock)
+                except OSError:
+                    pass  # another breaker won the race — retry
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"writer lock {lock} held for {age:.1f}s; "
+                    f"gave up after {timeout}s"
+                )
+            time.sleep(0.05)
 
 
 def _current_version(path: str) -> str | None:
@@ -79,6 +121,9 @@ def upsert_dim_table(
     pk: str,
     order_col: str | None = None,
     keep_versions: int = 2,
+    lock_timeout: float = 60.0,
+    lock_stale_after: float = 600.0,
+    gc_grace_seconds: float = 0.0,
 ) -> None:
     """K4 — upsert (insert-or-replace by pk) into a parquet dim table.
 
@@ -97,9 +142,16 @@ def upsert_dim_table(
     they see ``v{n+1}``. Concurrent readers that resolved the pointer
     just before a commit keep reading their (still-present) ``v{n}``
     dir — the previous ``keep_versions - 1`` versions are retained and
-    only older ones are GC'd, after the commit. Use ``read_dim_table``
-    to read; it also understands legacy flat-parquet layouts and
-    migrates them on the next upsert.
+    only older ones are GC'd, after the commit (``gc_grace_seconds``
+    additionally spares any version dir younger than the grace window,
+    so a scan straddling several rapid commits keeps its files). Use
+    ``read_dim_table`` to read; it also understands legacy flat-parquet
+    layouts and migrates them on the next upsert.
+
+    Concurrent writers: the whole read-merge-write-commit runs under a
+    per-table ``O_CREAT|O_EXCL`` lock file, so racing upserts serialize
+    (no lost update, no pointer race); a lock orphaned by a crash is
+    broken after ``lock_stale_after`` seconds.
     """
     if order_col is not None:
         w = Window.partitionBy(pk).orderBy(F.col(order_col).desc())
@@ -111,48 +163,78 @@ def upsert_dim_table(
     else:
         updates = updates.dropDuplicates([pk])
 
-    cur = _current_version(path)
-    legacy = cur is None and os.path.exists(path)
-    if cur is not None:
-        current = spark.read.parquet(os.path.join(path, cur))
-        cur_n = int(cur[1:])
-    elif legacy:
-        current = spark.read.parquet(path)  # flat layout: migrate below
-        cur_n = 0
-    else:
-        current = None
-        cur_n = 0
+    lock = _acquire_writer_lock(path, lock_timeout, lock_stale_after)
+    try:
+        # pointer + layout are resolved UNDER the lock: a writer queued
+        # behind a commit must merge from the version that commit wrote
+        cur = _current_version(path)
+        is_version_artifact = lambda n: (  # noqa: E731
+            (n.startswith("v") and n[1:].isdigit())
+            or n in (_POINTER, _LOCK)
+            or n.endswith(".tmp")
+        )
+        legacy = cur is None and any(
+            not is_version_artifact(n) for n in os.listdir(path)
+        )
+        if cur is not None:
+            current = spark.read.parquet(os.path.join(path, cur))
+            cur_n = int(cur[1:])
+        elif legacy:
+            current = spark.read.parquet(path)  # flat layout: migrate below
+            cur_n = 0
+        else:
+            current = None
+            # a crash may have orphaned version dirs with no pointer;
+            # write past them rather than into them
+            orphans = [
+                int(n[1:])
+                for n in os.listdir(path)
+                if n.startswith("v") and n[1:].isdigit()
+            ]
+            cur_n = max(orphans, default=0)
 
-    if current is not None:
-        kept = current.join(updates.select(pk), pk, "left_anti")
-        merged = kept.unionByName(updates, allowMissingColumns=True)
-    else:
-        merged = updates
+        if current is not None:
+            kept = current.join(updates.select(pk), pk, "left_anti")
+            merged = kept.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = updates
 
-    next_v = f"v{cur_n + 1}"
-    if legacy:
-        # force the merge plan to materialize BEFORE writing under
-        # `path`: the source files sit flat in `path` itself and the
-        # listing must not pick up the new version dir mid-write
-        merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(os.path.join(path, next_v))
-    # ---- commit point: atomic pointer replace ----
-    tmp_ptr = os.path.join(path, f"{_POINTER}.tmp")
-    with open(tmp_ptr, "w") as f:
-        f.write(next_v + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp_ptr, os.path.join(path, _POINTER))
-    # ---- post-commit GC (crash here is harmless: extra files only) ----
-    if legacy:
+        next_v = f"v{cur_n + 1}"
+        if legacy:
+            # force the merge plan to materialize BEFORE writing under
+            # `path`: the source files sit flat in `path` itself and the
+            # listing must not pick up the new version dir mid-write
+            merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(os.path.join(path, next_v))
+        # ---- commit point: atomic pointer replace ----
+        tmp_ptr = os.path.join(path, f"{_POINTER}.tmp")
+        with open(tmp_ptr, "w") as f:
+            f.write(next_v + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_ptr, os.path.join(path, _POINTER))
+        # ---- post-commit GC (crash here is harmless: extra files only) ----
+        if legacy:
+            for name in os.listdir(path):
+                full = os.path.join(path, name)
+                if os.path.isfile(full) and name not in (_POINTER, _LOCK):
+                    os.remove(full)  # old flat parquet/_SUCCESS files
+        floor = cur_n + 2 - max(keep_versions, 1)
+        now = time.time()
         for name in os.listdir(path):
-            full = os.path.join(path, name)
-            if os.path.isfile(full) and name not in (_POINTER,):
-                os.remove(full)  # old flat parquet/_SUCCESS files
-    floor = cur_n + 2 - max(keep_versions, 1)
-    for name in os.listdir(path):
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < floor:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < floor:
+                full = os.path.join(path, name)
+                try:
+                    if now - os.path.getmtime(full) < gc_grace_seconds:
+                        continue  # reader grace window: spare young versions
+                except OSError:
+                    pass
+                shutil.rmtree(full, ignore_errors=True)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass  # stale-broken by a peer after a long stall — harmless
 
 
 def append_stats_table(df: DataFrame, path: str) -> None:

@@ -306,6 +306,79 @@ class TestMultimodal:
                     exp += v % 256 + v // 256
                 assert r.payload_sum == exp
 
+    def test_resize_nearest_neighbor_exact(self, spark):
+        """8x8 thumbnail of a synthesized BMP: every sampled byte must
+        equal the LCG value at source offset sy*rowb + sx*3 + c."""
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _BMP_H,
+            _BMP_W,
+            resize_images,
+            synthesize_media,
+        )
+
+        ids = [0, 2, 6, 28]  # spans small and near-max widths
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        media = synthesize_media(docs)
+        got = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+        for i in ids:
+            w, h = _BMP_W(i), _BMP_H(i)
+            rowb = (w * 3 + 3) // 4 * 4
+            exp_bytes = bytes(
+                (i * 31 + 7 * ((y * h // 8) * rowb + (x * w // 8) * 3 + c)) % 256
+                for y in range(8)
+                for x in range(8)
+                for c in range(3)
+            )
+            r = got[i]
+            assert (r.format, r.out_w, r.out_h) == ("bmp", 8, 8)
+            assert bytes(r.thumb) == exp_bytes
+            assert r.thumb_sum == sum(exp_bytes)
+
+    def test_frame_sample_stride_and_channels(self, spark):
+        """Every 4th frame of a synthesized WAV: stride walks FRAMES
+        (all channels of a frame kept), signed int16 values."""
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _WAV_CH,
+            _WAV_NS,
+            frame_sample_audio,
+            synthesize_media,
+        )
+
+        ids = [1, 7, 63]
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        media = synthesize_media(docs)
+        got = {r.media_id: r for r in frame_sample_audio(media, 4).collect()}
+        for i in ids:
+            ch, ns = _WAV_CH(i), _WAV_NS(i)
+            vals = [
+                (i * 13 + 5 * (f * ch + c)) % 65536 - 32768
+                for f in range(0, ns, 4)
+                for c in range(ch)
+            ]
+            r = got[i]
+            assert (r.format, r.n_frames) == ("wav", (ns + 3) // 4)
+            assert r.frame_sum == sum(vals)
+            assert r.frame_abs_sum == sum(abs(v) for v in vals)
+
+    def test_resize_and_frame_sample_reject_wrong_format(self, spark):
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _make_bmp,
+            _make_wav,
+            frame_sample_audio,
+            resize_images,
+        )
+
+        rows = [(1, _make_wav(1)), (2, _make_bmp(2)), (3, None)]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        rs = {r.media_id: r for r in resize_images(df, 8, 8).collect()}
+        assert rs[1].format == "unknown" and rs[1].thumb is None
+        assert rs[2].format == "bmp"
+        assert rs[3].format == "unknown" and rs[3].thumb_sum == 0
+        fs = {r.media_id: r for r in frame_sample_audio(df, 4).collect()}
+        assert fs[1].format == "wav"
+        assert fs[2].format == "unknown" and fs[2].n_frames == 0
+        assert fs[3].format == "unknown"
+
     def test_corrupt_blobs_degrade_to_unknown(self, spark):
         """Truncated/garbage/null blobs yield the clean unknown-format
         row — never a partially-populated one, never a thrown task."""
@@ -635,6 +708,34 @@ class TestTextCleaning:
         assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
         assert out[3].scrubbed == "clean text with nothing sensitive at all"
         assert out[3].n_scrubbed_chars == len(out[3].scrubbed)
+
+    def test_pii_adversarial_bounds(self, spark):
+        """Octet bounds and fuller phone shapes: invalid IPs stay
+        unmasked; (NXX) NXX-XXXX / NXX-NXX-XXXX mask as ONE phone;
+        overlong digit runs mask nothing."""
+        from gmall_flink_210726_spark.operators.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "bad 999.999.999.999 and 256.1.1.1 ips"),
+                (2, "long 1234.1.1.1 and 1.1.1.1234 runs"),
+                (3, "edge 0.0.0.0 and 255.255.255.255 valid"),
+                (4, "call (555) 123-4567 or 555-123-4567 or 555-1234"),
+                (5, "not 555-123-45678 nor 55-1234 numbers"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in pii_scrub(df).collect()}
+        assert out[1].n_ips == 0
+        assert out[1].scrubbed == "bad 999.999.999.999 and 256.1.1.1 ips"
+        assert out[2].n_ips == 0
+        assert out[2].scrubbed == "long 1234.1.1.1 and 1.1.1.1234 runs"
+        assert out[3].n_ips == 2
+        assert out[3].scrubbed == "edge <IP> and <IP> valid"
+        assert out[4].n_phones == 3
+        assert out[4].scrubbed == "call <PHONE> or <PHONE> or <PHONE>"
+        assert out[5].n_phones == 0
+        assert out[5].scrubbed == "not 555-123-45678 nor 55-1234 numbers"
 
     def test_boilerplate_shared_chunks(self, spark):
         from gmall_flink_210726_spark.operators.text import boilerplate_lines

@@ -95,3 +95,45 @@ def test_first_per_key_deterministic_minimum(rows):
         t, i, _ = min(lst)
         expected.add((k, t, i))
     assert got == expected
+
+
+class TestCJKTokenizer:
+    """Pin the CJK segmentation contract (the reference's IK-analyzer
+    surface, func/SplitFunction.java:12-27): without a segmenter a
+    contiguous [0-9a-z一-鿿] run is ONE keyword, and a tokenizer error
+    degrades to emitting the raw keyword (the reference's catch branch
+    at :22-24)."""
+
+    def test_contiguous_cjk_run_is_one_token(self):
+        spark = _get_spark()
+        rows = [
+            ("小米手机",),
+            ("华为手机 价格",),
+            ("2021款 小米手机",),
+            ("图书 《三体》",),
+            ("pixel 手机壳",),
+        ]
+        df = spark.createDataFrame(rows, ["t"])
+        got = [r.toks for r in df.select(tokenize_col("t").alias("toks")).collect()]
+        assert got[0] == ["小米手机"]  # one run, one keyword
+        assert got[1] == ["华为手机", "价格"]  # split at the space only
+        assert got[2] == ["2021款", "小米手机"]  # digits glue to CJK
+        assert got[3] == ["图书", "三体"]  # fullwidth brackets are separators
+        assert got[4] == ["pixel", "手机壳"]  # latin/CJK split at the space
+        # JVM column path and Python fallback agree on CJK too
+        assert got == [_tokenize_py(t) for (t,) in rows]
+
+    def test_error_degrades_to_raw_keyword(self, monkeypatch):
+        import gmall_flink_210726_spark.functions.tokenizer as tok
+
+        class Boom:
+            def split(self, *_):
+                raise RuntimeError("segmenter exploded")
+
+            def fullmatch(self, *_):
+                raise RuntimeError("segmenter exploded")
+
+        monkeypatch.setattr(tok, "_FALLBACK_RE", Boom())
+        assert tok._tokenize_py("小米手机 价格") == ["小米手机 价格"]
+        monkeypatch.undo()
+        assert tok._tokenize_py("小米手机 价格") == ["小米手机", "价格"]

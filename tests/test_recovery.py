@@ -199,3 +199,94 @@ class TestDimUpsertCommitProtocol:
         assert versions == ["v3", "v4"]  # current + one predecessor
         got = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
         assert got == {"1": "n3"}
+
+
+class TestDimUpsertConcurrentWriters:
+    """Two concurrent upserts must serialize via the O_CREAT|O_EXCL
+    writer lock: without it both compute v{n+1}, clobber each other's
+    version dir, and race the pointer (one update silently lost)."""
+
+    def test_two_writer_race_loses_no_update(self, spark, tmp_path):
+        import threading
+
+        path = str(tmp_path / "dim")
+        sinks.upsert_dim_table(
+            spark,
+            path,
+            spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "name"]),
+            pk="id",
+        )
+        barrier = threading.Barrier(2)
+        errs = []
+
+        def writer(rows):
+            try:
+                barrier.wait()
+                sinks.upsert_dim_table(
+                    spark,
+                    path,
+                    spark.createDataFrame(rows, ["id", "name"]),
+                    pk="id",
+                )
+            except Exception as e:  # pragma: no cover - failure reporting
+                errs.append(e)
+
+        t1 = threading.Thread(target=writer, args=([("1", "A2")],))
+        t2 = threading.Thread(target=writer, args=([("3", "c")],))
+        t1.start(), t2.start()
+        t1.join(120), t2.join(120)
+        assert not errs
+        got = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
+        # BOTH updates survive regardless of commit order
+        assert got == {"1": "A2", "2": "b", "3": "c"}
+        assert not os.path.exists(os.path.join(path, "_LOCK"))
+
+    def test_stale_lock_from_crashed_writer_is_broken(self, spark, tmp_path):
+        path = str(tmp_path / "dim")
+        os.makedirs(path)
+        lock = os.path.join(path, "_LOCK")
+        with open(lock, "w") as f:
+            f.write("dead-writer\n")
+        os.utime(lock, (1, 1))  # crashed long ago
+        sinks.upsert_dim_table(
+            spark,
+            path,
+            spark.createDataFrame([("1", "a")], ["id", "name"]),
+            pk="id",
+            lock_stale_after=5.0,
+        )
+        got = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
+        assert got == {"1": "a"}
+        assert not os.path.exists(lock)
+
+    def test_live_lock_times_out(self, spark, tmp_path):
+        import pytest
+
+        path = str(tmp_path / "dim")
+        os.makedirs(path)
+        with open(os.path.join(path, "_LOCK"), "w") as f:
+            f.write("live-writer\n")  # fresh mtime: looks held
+        with pytest.raises(TimeoutError):
+            sinks.upsert_dim_table(
+                spark,
+                path,
+                spark.createDataFrame([("1", "a")], ["id", "name"]),
+                pk="id",
+                lock_timeout=0.3,
+            )
+
+    def test_gc_grace_spares_young_versions(self, spark, tmp_path):
+        path = str(tmp_path / "dim")
+        for i in range(4):
+            sinks.upsert_dim_table(
+                spark,
+                path,
+                spark.createDataFrame([("1", f"n{i}")], ["id", "name"]),
+                pk="id",
+                gc_grace_seconds=3600.0,
+            )
+        versions = sorted(n for n in os.listdir(path) if n.startswith("v"))
+        # all versions are young: none GC'd despite keep_versions=2
+        assert versions == ["v1", "v2", "v3", "v4"]
+        got = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
+        assert got == {"1": "n3"}
