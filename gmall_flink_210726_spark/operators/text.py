@@ -584,11 +584,14 @@ def boilerplate_lines(
     boiler_pct) with boiler_pct an integer percentage (exact — no
     float rounding hazard).
 
-    Scale shape: one explode → one groupBy on the chunk (map-side
-    partial counts combine), then the per-doc rollup joins chunk
-    df-counts back on the chunk key. Chunks shuffle as strings here for
-    oracle parity; the 100 TB deployment swaps the key for xxhash64 the
-    same way the Jaccard shingle join does (operators/dedup.py)."""
+    Scale shape: one explode → one groupBy (map-side partial counts
+    combine), then the per-doc rollup joins chunk df-counts back. The
+    shuffle key is ``xxhash64(chunk)`` — 8 bytes instead of the chunk
+    string, the same trick as the Jaccard shingle join
+    (operators/dedup.py); output columns carry no chunk text, so the
+    result is identical barring a 64-bit collision (~1e-8 at 1e6
+    chunks, and at 1e11 chunks a collision merely nudges one doc's
+    boiler_pct)."""
     ws = _words(text_col)
     n_chunks = F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int")
     # sequence(0, -1) on a zero-word doc would generate a DESCENDING
@@ -604,12 +607,18 @@ def boilerplate_lines(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col).alias("id"), F.explode(chunks).alias("chunk"))
-    df_ct = base.groupBy("chunk").agg(
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    base = (
+        ensure_parallelism(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(chunks).alias("chunk"))
+        .select("id", F.xxhash64("chunk").alias("ck"))
+    )
+    df_ct = base.groupBy("ck").agg(
         F.count_distinct("id").alias("chunk_df")
     )
     per_doc = (
-        base.join(df_ct, "chunk")
+        base.join(df_ct, "ck")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),

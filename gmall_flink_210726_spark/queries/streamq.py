@@ -1,11 +1,12 @@
 """Streaming-mode driver queries — the correctness gate actually
 executes ``writeStream`` (VERDICT r1 item 6).
 
-Every other registered query exercises batch replay; these two run the
-real Structured Streaming path end-to-end inside a ``(spark, sf_dir) ->
-DataFrame`` callable: file-stream source over the driver's events
-parquet → streaming operator → memory sink → the materialized result is
-returned as a batch DataFrame for the DuckDB oracle compare.
+Every other registered query exercises batch replay; the ``st*``
+queries run the real Structured Streaming path end-to-end inside a
+``(spark, sf_dir) -> DataFrame`` callable: file-stream source over the
+driver's events parquet → streaming operator → memory sink → the
+materialized result is returned as a batch DataFrame for the DuckDB
+oracle compare.
 
 - ``st1_stream_daily_uv`` drives the T5 keyed-state operator
   (``applyInPandasWithState``, streaming/stateful.py) — the streaming
@@ -355,3 +356,66 @@ def st4_stream_jump_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         # memory sink holds the materialized rows; the staged files are done
         shutil.rmtree(stage, ignore_errors=True)
     return spark.table(sink).filter(F.col("mid") != "-1").select("mid", "ts")
+
+
+@register(
+    "st5_stream_session_window",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+    s AS (
+      SELECT user_id, ms,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+    g AS (
+      SELECT user_id, ms,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s),
+    sess AS (
+      SELECT user_id, sid,
+             MIN(ms) AS start_ms,
+             MAX(ms) + 1800000 AS end_ms,
+             COUNT(*) AS ev_ct
+      FROM g GROUP BY 1, 2),
+    wm AS (SELECT MAX(ms) - 14000 AS w FROM ev)
+    SELECT user_id,
+           strftime(to_timestamp(start_ms // 1000), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(to_timestamp(end_ms // 1000), '%Y-%m-%d %H:%M:%S') AS edt,
+           ev_ct
+    FROM sess, wm WHERE end_ms <= w
+    """,
+    doc="Native session windows under the driver gate — the STREAMING "
+    "twin of w7 (batch session_window) and w4 (islands "
+    "sessionization): per-user 30-minute-gap sessions through a real "
+    "watermarked (14 s) writeStream in append mode. A session window's "
+    "end is last-event + gap and append emits it once the final "
+    "watermark (max event time - 14 s) passes it, so the oracle "
+    "rebuilds sessions with the lag/cumsum islands idiom and applies "
+    "the identical end_ms <= max_ms - 14000 close rule. State per key "
+    "is the open session only — watermark-evicted exactly like the "
+    "tumbling case.",
+    tags=("streaming", "window"),
+)
+def st5_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+        )
+        .withWatermark("event_time", "14 seconds")
+    )
+    agg = ev.groupBy(
+        F.session_window("event_time", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("ev_ct"))
+    out = agg.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "ev_ct",
+    )
+    sink = _run_to_memory(out, "st5_session")
+    return spark.table(sink)
