@@ -191,9 +191,10 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     images, odd doc_ids 16-bit PCM WAV files, dims/rates deterministic
     functions of the id. Fixture generation runs through the same
     Arrow-batched mapInPandas plumbing the decode path uses."""
-    from gmall_flink_210726_spark.session import ship_package
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
 
     ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -483,3 +484,76 @@ def frame_sample_audio(df: DataFrame, stride: int = 4) -> DataFrame:
             yield _frame_sample_batch(pdf, stride)
 
     return df.select("media_id", "content").mapInPandas(gen, FRAME_SCHEMA)
+
+
+CHANNEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_c0", LongType()),
+        StructField("sum_c1", LongType()),
+        StructField("sum_c2", LongType()),
+    ]
+)
+
+
+def _channel_stats_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-channel byte sums over the PIXELS of a 24-bpp BMP (BGR order
+    on the wire: c0=blue, c1=green, c2=red) — the feature-extraction
+    stage of an image pipeline, on real bytes. Row PADDING is excluded,
+    so an implementation that sums the raw payload (stride-naive) gets
+    a different answer on any width whose 3*w is not 4-aligned."""
+    import struct
+
+    import numpy as np
+
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "n_pixels": 0,
+            "sum_c0": 0,
+            "sum_c1": 0,
+            "sum_c2": 0,
+        }
+        try:
+            if b[:2] == b"BM" and len(b) >= 54:
+                off = struct.unpack_from("<I", b, 10)[0]
+                _, w, h, _, bpp, _, _ = struct.unpack_from("<IiiHHII", b, 14)
+                h = abs(h)
+                rowb = (w * 3 + 3) // 4 * 4
+                if bpp == 24 and w > 0 and h > 0 and off + rowb * h <= len(b):
+                    arr = np.frombuffer(
+                        b, np.uint8, offset=off, count=rowb * h
+                    ).reshape(h, rowb)
+                    px = arr[:, : w * 3].reshape(h, w, 3).astype(np.int64)
+                    sums = px.sum(axis=(0, 1))
+                    row.update(
+                        format="bmp",
+                        n_pixels=int(w * h),
+                        sum_c0=int(sums[0]),
+                        sum_c1=int(sums[1]),
+                        sum_c2=int(sums[2]),
+                    )
+        except (struct.error, ValueError):
+            pass
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in CHANNEL_SCHEMA.fields])
+
+
+def image_channel_stats(df: DataFrame) -> DataFrame:
+    """Image feature extraction over MEDIA_SCHEMA input (see
+    ``_channel_stats_batch``); same Arrow-batched mapInPandas plumbing
+    as the decoders."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _channel_stats_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, CHANNEL_SCHEMA)

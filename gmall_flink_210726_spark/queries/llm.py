@@ -31,6 +31,7 @@ from gmall_flink_210726_spark.operators.multimodal import (
     decode_media,
     decode_media_headers,
     frame_sample_audio,
+    image_channel_stats,
     media_from_documents,
     resize_images,
     synthesize_media,
@@ -687,6 +688,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     wavs = media.filter(F.col("meta.format") == "wav")
     return frame_sample_audio(wavs, 4)
+
+
+@register(
+    "multimodal_channel_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 29 AS w,
+             3 + doc_id % 13 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    d AS (SELECT *, ((w * 3 + 3) // 4) * 4 AS rowb FROM m)
+    SELECT media_id,
+           'bmp' AS format,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_sum([(media_id * 31
+               + 7 * ((j // w) * rowb + (j % w) * 3 + 0)) % 256
+              for j in range(0, w * h)]) AS BIGINT) AS sum_c0,
+           CAST(list_sum([(media_id * 31
+               + 7 * ((j // w) * rowb + (j % w) * 3 + 1)) % 256
+              for j in range(0, w * h)]) AS BIGINT) AS sum_c1,
+           CAST(list_sum([(media_id * 31
+               + 7 * ((j // w) * rowb + (j % w) * 3 + 2)) % 256
+              for j in range(0, w * h)]) AS BIGINT) AS sum_c2
+    FROM d
+    """,
+    doc="Multimodal feature extraction: per-channel (BGR) byte sums "
+    "over the PIXELS of real BMP blobs — row padding excluded, so a "
+    "stride-naive reader that sums the raw payload mismatches on any "
+    "width whose 3*w is not 4-aligned. Arrow-batched mapInPandas, "
+    "vectorized numpy per blob; the oracle recomputes all three "
+    "channel sums from the fixture LCG alone",
+    tags=("llm", "multimodal"),
+)
+def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    bmps = media.filter(F.col("meta.format") == "bmp")
+    return image_channel_stats(bmps)
 
 
 @register(

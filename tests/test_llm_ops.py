@@ -360,6 +360,40 @@ class TestMultimodal:
             assert r.frame_sum == sum(vals)
             assert r.frame_abs_sum == sum(abs(v) for v in vals)
 
+    def test_channel_stats_exclude_row_padding(self, spark):
+        """Per-channel sums count PIXEL bytes only: doc_id 2 has w=6
+        (3*6=18, padded to 20), so a stride-naive payload sum would
+        include 2 padding bytes per row and mismatch."""
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _BMP_H,
+            _BMP_W,
+            image_channel_stats,
+            synthesize_media,
+        )
+
+        ids = [0, 2, 4]  # w=4 (aligned), w=6, w=8 (padded rows)
+        docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r.media_id: r
+            for r in image_channel_stats(synthesize_media(docs)).collect()
+        }
+        for i in ids:
+            w, h = _BMP_W(i), _BMP_H(i)
+            rowb = (w * 3 + 3) // 4 * 4
+            sums = [0, 0, 0]
+            for y in range(h):
+                for x in range(w):
+                    for c in range(3):
+                        sums[c] += (i * 31 + 7 * (y * rowb + x * 3 + c)) % 256
+            r = got[i]
+            assert (r.format, r.n_pixels) == ("bmp", w * h)
+            assert (r.sum_c0, r.sum_c1, r.sum_c2) == tuple(sums)
+            if w * 3 % 4 != 0:  # the padded-width case is actually hit
+                padded_total = sum(
+                    (i * 31 + 7 * k) % 256 for k in range(rowb * h)
+                )
+                assert sum(sums) != padded_total
+
     def test_resize_and_frame_sample_reject_wrong_format(self, spark):
         from gmall_flink_210726_spark.operators.multimodal import (
             _make_bmp,
