@@ -103,11 +103,30 @@ def _current_version(path: str) -> str | None:
     return name or None
 
 
-def read_dim_table(spark: SparkSession, path: str) -> DataFrame:
+def read_dim_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Reader for a dim table written by ``upsert_dim_table``: resolve
     the ``_CURRENT`` pointer to the committed version dir. Falls back to
     reading `path` directly for legacy flat-parquet tables (including
-    ``create_table_if_not_exists`` bootstraps)."""
+    ``create_table_if_not_exists`` bootstraps).
+
+    ``version`` pins a historical snapshot (time travel over the
+    retained version dirs — how far back depends on the writer's
+    ``keep_versions``/``gc_grace_seconds``); raises FileNotFoundError
+    with the retained versions listed when it has been GC'd."""
+    if version is not None:
+        vdir = os.path.join(path, f"v{version}")
+        if not os.path.isdir(vdir):
+            have = sorted(
+                int(n[1:])
+                for n in (os.listdir(path) if os.path.isdir(path) else [])
+                if n.startswith("v") and n[1:].isdigit()
+            )
+            raise FileNotFoundError(
+                f"version v{version} not retained at {path}; available: {have}"
+            )
+        return spark.read.parquet(vdir)
     cur = _current_version(path)
     if cur is not None:
         return spark.read.parquet(os.path.join(path, cur))
@@ -256,6 +275,36 @@ def append_stats_exactly_once(df: DataFrame, epoch_id: int, path: str) -> None:
             lambda b, e: append_stats_exactly_once(b, e, out)) ...
     """
     df.write.mode("overwrite").parquet(os.path.join(path, f"epoch_id={epoch_id}"))
+
+
+def compact_stats_table(
+    spark: SparkSession, path: str, target_partitions: int = 1
+) -> int:
+    """Small-file compaction for the K3 stats sink — the operational
+    counterpart of frequent micro-batch appends: every 2-second epoch
+    writes its own files, and at warehouse scale a day of epochs is
+    tens of thousands of tiny parquet files that throttle every scan
+    on listing + open cost.
+
+    Rewrites the whole table into ``target_partitions`` files under a
+    fresh ``_compact_tmp`` dir, then atomically swaps it in via two
+    ``os.replace``-style renames (old table parked at ``_precompact``
+    and removed after the swap; a crash between the renames leaves
+    ``_precompact`` intact for manual recovery). Readers of epoch-id
+    partitioned layouts keep working: the epoch_id partition column is
+    preserved as a normal column when present. Returns the row count
+    (compaction must be loss-free; callers can assert it)."""
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    tmp = path.rstrip("/") + "_compact_tmp"
+    old = path.rstrip("/") + "_precompact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_rows
 
 
 def debug_sink(df: DataFrame, n: int = 20) -> None:

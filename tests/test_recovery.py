@@ -290,3 +290,67 @@ class TestDimUpsertConcurrentWriters:
         assert versions == ["v1", "v2", "v3", "v4"]
         got = {r.id: r.name for r in sinks.read_dim_table(spark, path).collect()}
         assert got == {"1": "n3"}
+
+
+class TestDimTimeTravel:
+    def test_version_pinned_read(self, spark, tmp_path):
+        path = str(tmp_path / "dim")
+        for i in range(3):
+            sinks.upsert_dim_table(
+                spark,
+                path,
+                spark.createDataFrame([("1", f"n{i}")], ["id", "name"]),
+                pk="id",
+                keep_versions=3,
+            )
+        assert {r.name for r in sinks.read_dim_table(spark, path).collect()} == {"n2"}
+        assert {
+            r.name for r in sinks.read_dim_table(spark, path, version=2).collect()
+        } == {"n1"}
+        assert {
+            r.name for r in sinks.read_dim_table(spark, path, version=1).collect()
+        } == {"n0"}
+
+    def test_gcd_version_raises_with_retained_list(self, spark, tmp_path):
+        import pytest
+
+        path = str(tmp_path / "dim")
+        for i in range(4):  # keep_versions=2 → v1, v2 GC'd
+            sinks.upsert_dim_table(
+                spark,
+                path,
+                spark.createDataFrame([("1", f"n{i}")], ["id", "name"]),
+                pk="id",
+            )
+        with pytest.raises(FileNotFoundError) as ei:
+            sinks.read_dim_table(spark, path, version=1)
+        assert "[3, 4]" in str(ei.value)
+
+
+class TestStatsCompaction:
+    def test_compaction_is_lossless_and_shrinks_files(self, spark, tmp_path):
+        path = str(tmp_path / "stats")
+        # simulate many tiny exactly-once epochs
+        for epoch in range(8):
+            df = spark.createDataFrame(
+                [(epoch, i, float(i)) for i in range(5)], ["batch", "k", "v"]
+            )
+            sinks.append_stats_exactly_once(df, epoch, path)
+        before = {(r.batch, r.k, r.v) for r in spark.read.parquet(path).collect()}
+        n_files_before = sum(
+            1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        n = sinks.compact_stats_table(spark, path, target_partitions=1)
+        assert n == 40
+        after_df = spark.read.parquet(path)
+        after = {(r.batch, r.k, r.v) for r in after_df.collect()}
+        assert after == before
+        # epoch_id partition column survives as a data column
+        assert "epoch_id" in after_df.columns
+        n_files_after = sum(
+            1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+        assert n_files_after < n_files_before
+        assert n_files_after == 1
+        assert not os.path.exists(path.rstrip("/") + "_precompact")
+        assert not os.path.exists(path.rstrip("/") + "_compact_tmp")
