@@ -633,3 +633,55 @@ def boilerplate_lines(
         .cast("long")
         .alias("boiler_pct"),
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-derived unigram language-model score per document — the
+    perplexity-proxy quality signal a data pipeline computes when a
+    real LM (KenLM et al.) is not on the cluster: fit the unigram MLE
+    on the corpus itself (one token-count aggregation), then score each
+    doc by its mean token log-probability. Low scores flag gibberish /
+    rare-token soup; high scores flag repetitive common-word text.
+    Output: (id, n_tokens, sum_logprob, avg_logprob); empty docs have
+    no tokens and are absent.
+
+    Determinism contract: each token's ln(ct/N) is rounded to 6 dp and
+    summed as DECIMAL(18,6) — exact, order-free — then divided by the
+    token count (same discipline as embedding_norm_stats). Scale shape:
+    ONE explode feeds both the count agg and the score join (the token
+    stream shuffles on the 8-byte-ish token key twice — count, then
+    join-back); N is a bounded scalar collect. At 100 TB the vocabulary
+    join is a plain equi-join, never a broadcast of the corpus vocab."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    tok = base.select(
+        F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("w")
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    n_total = counts.agg(F.sum("ct")).collect()[0][0] or 0
+    scored = tok.join(counts, "w").select(
+        "id",
+        F.round(F.log(F.col("ct").cast("double") / F.lit(float(n_total))), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp").alias("sum_lp"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.col("sum_lp").cast("double").alias("sum_logprob"),
+            # divide as DOUBLES (both engines IEEE-identical) — decimal
+            # division scale rules differ between engines
+            (F.col("sum_lp").cast("double") / F.col("n_tokens"))
+            .cast("double")
+            .alias("avg_logprob"),
+        )
+    )

@@ -126,3 +126,40 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_lines(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents),
+    cts AS (SELECT w, COUNT(*) AS ct FROM tok GROUP BY w),
+    n AS (SELECT SUM(ct) AS n_total FROM cts),
+    lp AS (
+      SELECT tok.doc_id,
+             CAST(round(ln(CAST(ct AS DOUBLE) / n_total), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM tok JOIN cts USING (w), n)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lp) AS DOUBLE) AS sum_logprob,
+           CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+    doc="Corpus-derived unigram LM score per doc — the perplexity-proxy "
+    "quality signal (KenLM stand-in): unigram MLE fit on the corpus in "
+    "one token-count agg, each doc scored by mean token log-prob. "
+    "Per-token ln rounded to 6 dp and summed as DECIMAL (order-free "
+    "exact), mean divided as doubles — deterministic on both engines. "
+    "One explode feeds both the count agg and the score join; the "
+    "vocabulary join is a plain equi-join, never a corpus-vocab "
+    "broadcast",
+    tags=("llm", "text"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text import unigram_logprob_score
+
+    return unigram_logprob_score(load_table(spark, sf_dir, "documents"))

@@ -864,3 +864,27 @@ class TestStarContraction:
             for r in connected_components_star(pairs, nodes, node_col="id").collect()
         }
         assert a == b
+
+
+class TestUnigramLogprob:
+    def test_hand_computed_tiny_corpus(self, spark):
+        """Corpus 'a a b' + 'a c': N=5, p(a)=3/5, p(b)=p(c)=1/5; scores
+        are mean rounded-ln per doc; empty doc absent."""
+        import math
+
+        from gmall_flink_210726_spark.operators.text import unigram_logprob_score
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "A c"), (3, "   ")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+        assert set(out) == {1, 2}  # whitespace-only doc absent
+        lp_a = round(math.log(3 / 5), 6)
+        lp_b = round(math.log(1 / 5), 6)
+        assert out[1].n_tokens == 3
+        assert out[1].sum_logprob == pytest.approx(2 * lp_a + lp_b, abs=1e-9)
+        assert out[1].avg_logprob == pytest.approx((2 * lp_a + lp_b) / 3, abs=1e-9)
+        assert out[2].n_tokens == 2
+        assert out[2].sum_logprob == pytest.approx(lp_a + lp_b, abs=1e-9)
+        # common-word doc scores higher than rare-word doc
+        assert out[1].avg_logprob > out[2].avg_logprob
