@@ -419,3 +419,72 @@ def st5_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _run_to_memory(out, "st5_session")
     return spark.table(sink)
+
+
+@register(
+    "st6_stream_foreach_batch_sink",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+         wm AS (SELECT max(ms) - 14000 AS w FROM ev),
+         agg AS (
+           SELECT strftime(to_timestamp((ms // 600000) * 600),
+                           '%Y-%m-%d %H:%M:%S') AS stt,
+                  event_type,
+                  COUNT(*) AS pv_ct
+           FROM ev, wm
+           WHERE (ms // 600000 + 1) * 600000 <= w
+           GROUP BY 1, 2)
+    SELECT stt, event_type, pv_ct, CAST(pv_ct AS BIGINT) % 2 AS parity
+    FROM agg
+""",
+    doc="K3/T9 under the driver gate: a checkpointed foreachBatch "
+    "pipeline end-to-end — watermarked (14 s) 10-minute tumble by "
+    "event_type in append mode, each micro-batch written through "
+    "append_stats_exactly_once (one overwrite-idempotent epoch_id=N "
+    "partition per epoch, the retry-safe K3 sink), then the parquet "
+    "table is read BACK and returned, so the driver hashes what the "
+    "sink durably wrote, not what the plan computed. The parity "
+    "column is a trivially recomputable checksum keeping the oracle "
+    "sensitive to row duplication a non-idempotent retry would cause.",
+    tags=("streaming", "sink"),
+)
+def st6_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import write_foreach_batch
+
+    out = tempfile.mkdtemp(prefix="st6_sink_")
+    ckpt = tempfile.mkdtemp(prefix="st6_ckpt_")
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+            "event_type",
+        )
+        .withWatermark("event_time", "14 seconds")
+    )
+    agg = ev.groupBy(
+        F.window("event_time", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("pv_ct"))
+    result = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "event_type",
+        "pv_ct",
+        (F.col("pv_ct") % 2).alias("parity"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            result,
+            lambda b, e: append_stats_exactly_once(b, e, out),
+            checkpoint_dir=ckpt,
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st6 foreachBatch stream did not finish")
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).select("stt", "event_type", "pv_ct", "parity")
