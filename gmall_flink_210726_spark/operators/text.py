@@ -685,3 +685,38 @@ def unigram_logprob_score(
             .alias("avg_logprob"),
         )
     )
+
+
+# URL patterns — Java+RE2-portable (literal classes, bounded
+# constructs, scoped (?i:) case-insensitive scheme)
+URL_RE = r"(?i:https?)://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?"
+URL_DOMAIN_RE = r"(?i:https?)://([A-Za-z0-9.-]+)"
+
+
+def url_filter(
+    docs: DataFrame,
+    blocked_domains: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style URL screening (the public step-1 rule:
+    drop pages citing blocklisted domains): extract every http(s) URL,
+    take its lowercased domain, count blocklist hits. Output: (id,
+    n_urls, n_blocked, url_kept). One fused JVM regex/array projection
+    — no shuffle, a pure map stage at 100 TB; the blocklist is a plan
+    literal (real deployments broadcast-join a list table instead once
+    it outgrows a literal)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    domains = F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, URL_DOMAIN_RE, 1))
+    )
+    n_urls = F.size(urls).cast("long")
+    n_blocked = F.size(
+        F.filter(domains, lambda d: d.isin(*blocked_domains))
+    ).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_urls.alias("n_urls"),
+        n_blocked.alias("n_blocked"),
+        (n_blocked == 0).alias("url_kept"),
+    )

@@ -163,3 +163,56 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.operators.text import unigram_logprob_score
 
     return unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+# URL-screening fixture — the driver's documents table contains no URLs
+# (checked), so the C4/RefinedWeb step-1 rule is pinned on a VALUES
+# fixture built identically on both engines (same pattern as the CJK
+# tokenizer fixture). Pages cover: blocked domain, allowed domain,
+# mixed case, explicit port, deep path, multiple URLs, no URL.
+_URL_PAGES = (
+    (1, "read this at https://spam.example.com/offer now"),
+    (2, "docs live at https://docs.python.org/3/library/ and are good"),
+    (3, "mirror HTTPS://SPAM.EXAMPLE.COM:8443/deep/path?x=1 plus http://ok.org"),
+    (4, "two bad http://spam.example.com/a http://casino.test/b pages"),
+    (5, "a page with no links at all"),
+    (6, "edge http://sub.spam.example.com not blocked (exact-domain rule)"),
+)
+_URL_BLOCKLIST = ("spam.example.com", "casino.test")
+_URL_VALUES = ", ".join(
+    "(" + str(i) + ", '" + t.replace("'", "''") + "')" for i, t in _URL_PAGES
+)
+_URL_BLOCK_SQL = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+
+
+@register(
+    "text_url_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(urls) AS BIGINT) AS n_urls,
+           CAST(len(list_filter(urls,
+                u -> list_contains([{_URL_BLOCK_SQL}],
+                       lower(regexp_extract(u, '(?i:https?)://([A-Za-z0-9.-]+)', 1)))))
+                AS BIGINT) AS n_blocked,
+           len(list_filter(urls,
+                u -> list_contains([{_URL_BLOCK_SQL}],
+                       lower(regexp_extract(u, '(?i:https?)://([A-Za-z0-9.-]+)', 1)))))
+             = 0 AS url_kept
+    FROM (SELECT doc_id,
+                 regexp_extract_all(text,
+                   '(?i:https?)://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s]*)?') AS urls
+          FROM (VALUES {_URL_VALUES}) AS t(doc_id, text))
+    """,
+    doc="C4/RefinedWeb URL screening: extract http(s) URLs, lowercase "
+    "the domain, count blocklist hits, keep pages with zero — one "
+    "fused JVM regex/array projection (pure map stage at 100 TB). "
+    "Exact-domain match by design: subdomains of a blocked domain "
+    "are not blocked (page 6 pins this). Fixture VALUES-built on "
+    "both engines; patterns Java+RE2-portable",
+    tags=("llm", "text"),
+)
+def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text import url_filter
+
+    docs = spark.sql(f"SELECT * FROM (VALUES {_URL_VALUES}) AS t(doc_id, text)")
+    return url_filter(docs, _URL_BLOCKLIST)
