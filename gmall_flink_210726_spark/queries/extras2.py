@@ -175,3 +175,70 @@ def w8_moving_avg_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(money("day_total")).over(ma_w).cast("double"), 6).alias("ma3"),
         F.ntile(4).over(nt_w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "x5_corr_regression_moments",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS sxy,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS sxx,
+             SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS syy
+      FROM lineitem GROUP BY 1),
+    d AS (
+      SELECT l_returnflag, n_rows,
+             CAST(n_rows AS DOUBLE) AS dn,
+             CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+             CAST(sxy AS DOUBLE) AS dsxy, CAST(sxx AS DOUBLE) AS dsxx,
+             CAST(syy AS DOUBLE) AS dsyy
+      FROM a)
+    SELECT l_returnflag,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round((dn * dsxy - dsx * dsy)
+                 / (sqrt(dn * dsxx - dsx * dsx) * sqrt(dn * dsyy - dsy * dsy)),
+                 6) AS corr_qty_price,
+           round((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx), 6) AS slope,
+           round((dsy - ((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)) * dsx)
+                 / dn, 6) AS intercept
+    FROM d
+    """,
+    doc="Pearson correlation + OLS slope/intercept per return flag from "
+    "EXACT decimal moment sums (n, Sx, Sy, Sxy, Sxx, Syy): the "
+    "built-in corr/regr_* aggregates stream doubles in partition "
+    "order and are not reproducible across engines or runs; moment "
+    "sums as DECIMAL are order-free exact, and the closed-form "
+    "combine is fixed-order IEEE double arithmetic mirrored "
+    "token-for-token in the oracle. One partial+final aggregation — "
+    "the same shuffle shape as any groupBy at 100 TB",
+    tags=("extras", "stats"),
+)
+def x5_corr_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec(q)).alias("sx"),
+        F.sum(dec(p)).alias("sy"),
+        F.sum(dec(q * p)).alias("sxy"),
+        F.sum(dec(q * q)).alias("sxx"),
+        F.sum(dec(p * p)).alias("syy"),
+    )
+    dn = F.col("n_rows").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    dsxx, dsyy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = dn * dsxy - dsx * dsy
+    vx = dn * dsxx - dsx * dsx
+    vy = dn * dsyy - dsy * dsy
+    return a.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_qty_price"),
+        F.round(cov / vx, 6).alias("slope"),
+        F.round((dsy - (cov / vx) * dsx) / dn, 6).alias("intercept"),
+    )
