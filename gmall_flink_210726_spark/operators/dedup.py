@@ -585,3 +585,35 @@ def connected_components_star(
     )
     edges.unpersist()
     return out
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental ingest dedup — the production shape: an incoming
+    batch is deduped (a) against the HISTORICAL corpus via its digest
+    table and (b) within itself (keep the smallest id per digest).
+    Output: the surviving incoming rows as (id, text, digest) — the
+    digest column is exactly what gets appended to ``seen_digests``
+    for the next batch, closing the ingest loop.
+
+    Scale shape: the incoming batch's sha2 digests anti-join the
+    digest table on the 64-char key — history never rescans its
+    bodies, and with the digest table bucketed on digest this is a
+    co-located join. In-batch dedup is one window-free groupBy-min
+    join-back (no sort)."""
+    digest = F.sha2(normalized_text(text_col), 256)
+    tagged = new_docs.select(F.col(id_col), F.col(text_col), digest.alias("_d"))
+    fresh = tagged.join(
+        seen_digests.select(F.col(digest_col).alias("_d")), "_d", "left_anti"
+    )
+    keep = fresh.groupBy("_d").agg(F.min(id_col).alias("_keep"))
+    return (
+        fresh.join(keep, "_d")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .select(id_col, text_col, F.col("_d").alias(digest_col))
+    )

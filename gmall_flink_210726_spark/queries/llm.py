@@ -882,3 +882,41 @@ def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keepers, "doc_id", "left_semi")
         .select("doc_id", "lang", "source")
     )
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=r"""
+    WITH nrm AS (
+      SELECT doc_id, text,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+      FROM documents),
+    hist AS (SELECT * FROM nrm WHERE doc_id % 3 <> 0),
+    inc  AS (SELECT * FROM nrm WHERE doc_id % 3 = 0),
+    fresh AS (SELECT * FROM inc
+              WHERE nt NOT IN (SELECT nt FROM hist)),
+    keep AS (SELECT nt, MIN(doc_id) AS k FROM fresh GROUP BY nt)
+    SELECT f.doc_id, f.text, sha256(f.nt) AS digest
+    FROM fresh f JOIN keep ON f.nt = keep.nt AND f.doc_id = keep.k
+    """,
+    doc="Incremental ingest dedup — every-third doc plays the incoming "
+    "batch, the rest the historical corpus: the batch's sha2 digests "
+    "anti-join history's digest table (history bodies never rescan; "
+    "bucketed-on-digest at scale this is co-located), then the batch "
+    "dedups within itself keeping min id. Output rows carry the "
+    "digest that appends to the seen-digest table for the next batch",
+    tags=("llm", "dedup"),
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.dedup import (
+        incremental_dedup,
+        normalized_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    seen = history.select(
+        F.sha2(normalized_text("text"), 256).alias("digest")
+    )
+    return incremental_dedup(incoming, seen)

@@ -888,3 +888,35 @@ class TestUnigramLogprob:
         assert out[2].sum_logprob == pytest.approx(lp_a + lp_b, abs=1e-9)
         # common-word doc scores higher than rare-word doc
         assert out[1].avg_logprob > out[2].avg_logprob
+
+
+class TestIncrementalDedup:
+    def test_batch_dedups_against_history_and_itself(self, spark):
+        from gmall_flink_210726_spark.operators.dedup import (
+            incremental_dedup,
+            normalized_text,
+        )
+
+        history = spark.createDataFrame(
+            [(100, "seen before"), (101, "also known text")], ["doc_id", "text"]
+        )
+        seen = history.select(
+            F.sha2(normalized_text("text"), 256).alias("digest")
+        )
+        incoming = spark.createDataFrame(
+            [
+                (1, "Seen   BEFORE "),   # dup of history after normalization
+                (2, "brand new text"),
+                (3, "brand  NEW text"),  # in-batch dup of 2 → keep min id
+                (4, "also known text"),  # dup of history
+                (5, "another fresh one"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = incremental_dedup(incoming, seen)
+        ids = {r.doc_id for r in out.collect()}
+        assert ids == {2, 5}
+        # the emitted digests close the loop: append them and replay —
+        # everything is now a dup
+        seen2 = seen.unionByName(out.select("digest"))
+        assert incremental_dedup(incoming, seen2).count() == 0
