@@ -225,3 +225,60 @@ def dedup_cc_star_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("id"))
     cc = connected_components_star(pairs, nodes, node_col="id")
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "dedup_near_corpus",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+    e AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+    full_cc AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.u = d.doc_id),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+           FROM full_cc GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(sz.cluster_size AS BIGINT) AS cluster_size
+    FROM full_cc f
+    JOIN sz USING (cluster_id)
+    JOIN documents d USING (doc_id)
+    WHERE f.doc_id = f.cluster_id
+    """,
+    doc="Near-dup dedup MATERIALIZED: the surviving corpus after "
+    "'keep the min-id doc per near-dup cluster' — pairs (exact "
+    "3-gram Jaccard J >= 0.5, df-capped) -> connected components -> "
+    "representative selection -> join back to doc metadata with the "
+    "cluster size each survivor represents. This is the artifact a "
+    "dedup pipeline actually ships; the pair source swaps for "
+    "MinHash-LSH at scale with no change downstream",
+    tags=("llm", "dedup"),
+)
+def dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(pairs, nodes, node_col="id")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    survivors = cc.filter(F.col("id") == F.col("cluster_id"))
+    return (
+        survivors.join(sizes, "cluster_id")
+        .join(
+            docs.select("doc_id", "lang", "source"),
+            F.col("id") == F.col("doc_id"),
+        )
+        .select("doc_id", "lang", "source", "cluster_size")
+    )
