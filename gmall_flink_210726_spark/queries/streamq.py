@@ -488,3 +488,52 @@ def st6_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out).select("stt", "event_type", "pv_ct", "parity")
+
+
+@register(
+    "st7_stream_dedup_replay",
+    oracle="""
+    SELECT event_type, COUNT(*) AS ev_ct
+    FROM events
+    GROUP BY 1
+    """,
+    doc="T5/T10 watermarked streaming dedup under the driver gate: the "
+    "events file is staged TWICE (an exactly-once-less replay — the "
+    "at-least-once Kafka redelivery case), streamed through "
+    "dropDuplicatesWithinWatermark on event_id with a watermark delay "
+    "longer than the data span so the second copy arrives in-state "
+    "and every duplicate drops. The oracle is the single-copy batch "
+    "count — the stream result equals it ONLY if dedup removed "
+    "exactly the redelivered rows. State is per-key and watermark-"
+    "evicted; at deploy scale the delay bounds redelivery lag, not "
+    "the dataset span.",
+    tags=("streaming", "stateful"),
+)
+def st7_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.streaming.pipelines import streaming_dedup
+
+    stage = tempfile.mkdtemp(prefix="st7_replay_")
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(stage, "00_events.parquet"))
+    shutil.copy(src, os.path.join(stage, "01_events_redelivered.parquet"))
+    ts_is_timestamp = _events_ts_is_timestamp(src)
+    ev = _read_events_stream(
+        spark, stage, ts_is_timestamp, recursiveFileLookup="true"
+    ).select(
+        "event_id",
+        "event_type",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+    )
+    deduped = streaming_dedup(
+        ev, keys=["event_id"], event_time_col="event_time", watermark="366 days"
+    )
+    sink = _run_to_memory(deduped.select("event_id", "event_type"), "st7_dedup")
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("ev_ct"))
+    )

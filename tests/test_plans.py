@@ -226,3 +226,32 @@ class TestTpchWave2Plans:
         assert "LeftSemi" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestRound4PlanShapes:
+    def test_x5_moments_single_exchange(self, spark):
+        """Exact-moment correlation must stay one partial+final
+        aggregation — a single shuffle of 6 decimal sums per group."""
+        plan = _plan(SPECS["x5_corr_regression_moments"].fn(spark, SF_SMALL))
+        assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan
+        assert "partial" in plan  # map-side combine present
+
+    def test_boilerplate_shuffles_hashes_not_strings(self, spark):
+        """The chunk shuffle key is xxhash64(chunk) — chunk strings must
+        not appear as a shuffle output attribute."""
+        plan = _plan(SPECS["text_boilerplate_lines"].fn(spark, SF_SMALL))
+        assert "xxhash64" in plan, plan
+
+    def test_routing_config_is_local_relation(self, spark):
+        """The constant config table must be a metadata LocalTableScan,
+        never a Python-RDD-backed scan (r2-r3 regression guard)."""
+        from gmall_flink_210726_spark.operators.routing import (
+            RouteRule,
+            config_df,
+        )
+
+        plan = _plan(
+            config_df(spark, [RouteRule("t", "insert", "kafka", "s", "a,b")])
+        )
+        assert "LocalTableScan" in plan
+        assert "ExistingRDD" not in plan and "EvalPython" not in plan
