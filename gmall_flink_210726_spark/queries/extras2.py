@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_210726_spark.functions.scalar import money_sum
+from gmall_flink_210726_spark.operators.layout import zorder_key_sql
 from gmall_flink_210726_spark.registry import register
 from gmall_flink_210726_spark.sources.batch import load_table
 
@@ -241,4 +242,35 @@ def x5_corr_regression_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_qty_price"),
         F.round(cov / vx, 6).alias("slope"),
         F.round((dsy - (cov / vx) * dsx) / dn, 6).alias("intercept"),
+    )
+
+
+@register(
+    "x6_zorder_keys",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({zorder_key_sql("(o_custkey & 65535)", "(o_orderkey & 65535)")}
+                AS BIGINT) AS zkey
+    FROM orders
+    """,
+    doc="Z-order (Morton) clustering keys over (o_custkey, o_orderkey) "
+    "low 16 bits - the data-skipping layout primitive: writing a table "
+    "range-partitioned and sorted by this key bounds BOTH columns' "
+    "min-max range per file, so predicates on either dimension prune "
+    "(operators/layout.py zorder_layout is the full OPTIMIZE-ZORDER "
+    "recipe; test_llm_ops proves the per-file range bound). Pure JVM "
+    "shift/mask projection; the oracle SQL is generated from the SAME "
+    "loop as the Column expression so they cannot drift",
+    tags=("extras", "layout"),
+)
+def x6_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        zorder_key(
+            F.col("o_custkey").bitwiseAND(F.lit(65535)),
+            F.col("o_orderkey").bitwiseAND(F.lit(65535)),
+        ).alias("zkey"),
     )

@@ -920,3 +920,54 @@ class TestIncrementalDedup:
         # everything is now a dup
         seen2 = seen.unionByName(out.select("digest"))
         assert incremental_dedup(incoming, seen2).count() == 0
+
+
+class TestZOrderLayout:
+    def test_interleave_bijective_on_grid(self, spark):
+        """On a full 16x16 grid the Morton keys are a permutation of
+        0..255 (bijectivity = no key collisions = stable sort key)."""
+        from gmall_flink_210726_spark.operators.layout import zorder_key
+
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+        )
+        zs = sorted(r.z for r in grid.select(zorder_key("x", "y", 4).alias("z")).collect())
+        assert zs == list(range(256))
+
+    def test_layout_bounds_both_dimensions(self, spark, tmp_path):
+        """The data-skipping claim, measured: write the same table (a)
+        sorted by x only and (b) z-ordered on (x, y), then compare the
+        per-file min-max WIDTH of y. Z-order must bound y's per-file
+        range (pruning works for y predicates); the x-sorted layout
+        leaves y unbounded in every file."""
+        import glob
+
+        from gmall_flink_210726_spark.operators.layout import zorder_layout
+
+        n, files = 4096, 8
+        rows = [(i % 64, (i * 37) % 64) for i in range(n)]  # x, y in [0, 64)
+        df = spark.createDataFrame(rows, "x long, y long")
+
+        p_x = str(tmp_path / "by_x")
+        df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(p_x)
+        p_z = str(tmp_path / "by_z")
+        zorder_layout(df, "x", "y", files, bits=6).write.parquet(p_z)
+
+        def total_y_width(path):
+            import pyarrow.parquet as pq
+
+            widths = []
+            for f in glob.glob(f"{path}/*.parquet"):
+                t = pq.read_table(f, columns=["y"])
+                if t.num_rows:
+                    col = t.column("y").to_pylist()
+                    widths.append(max(col) - min(col))
+            return sum(widths)
+
+        w_x, w_z = total_y_width(p_x), total_y_width(p_z)
+        # x-sorted files each span ~the full y domain; z-ordered files
+        # must cut the summed y-width at least in half
+        assert w_z < 0.5 * w_x, (w_z, w_x)
+        # and the z layout is loss-free
+        got = sorted((r.x, r.y) for r in spark.read.parquet(p_z).collect())
+        assert got == sorted(rows)
