@@ -274,3 +274,43 @@ def x6_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").bitwiseAND(F.lit(65535)),
         ).alias("zkey"),
     )
+
+
+@register(
+    "x7_scd2_user_history",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(COALESCE(
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+             TIMESTAMP '9999-12-31 00:00:00'), '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL AS is_current,
+           value
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'purchase'
+    """,
+    doc="Type-2 SCD build: each user's change rows (signup/purchase "
+    "events standing in for dim-attribute changes) become validity "
+    "intervals [valid_from, valid_to) with an is_current flag — the "
+    "history-preserving complement of the K4 SCD1 upsert, enabling "
+    "as-of joins against any past state. One lead() window per key "
+    "(single key shuffle, no self-join), (ts, event_id) tiebreak "
+    "keeps equal-timestamp chains deterministic",
+    tags=("extras", "temporal"),
+)
+def x7_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.transform import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    out = scd2_intervals(ev, "user_id", "ts", "event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+        "value",
+    )
