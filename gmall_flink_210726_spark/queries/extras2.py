@@ -314,3 +314,49 @@ def x7_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "value",
     )
+
+
+@register(
+    "x8_asof_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id AS change_id, ts AS valid_from,
+             COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      FROM events WHERE event_type IN ('signup', 'purchase'))
+    SELECT p.event_id AS probe_id, p.user_id, iv.change_id
+    FROM events p
+    JOIN iv ON p.user_id = iv.user_id
+            AND p.ts >= iv.valid_from AND p.ts < iv.valid_to
+    WHERE p.event_type = 'view'
+    """,
+    doc="Temporal as-of join against SCD2 history — the RANGE-JOIN "
+    "shape: each view event matches the dimension interval active at "
+    "its timestamp (equi key + half-open band residual; intervals are "
+    "disjoint per key so at most one match). Plans as a single "
+    "key-partitioned join with the range as residual predicate — no "
+    "cross product; the interval build rides the same key shuffle",
+    tags=("extras", "temporal", "join"),
+)
+def x8_asof_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.transform import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type").isin("signup", "purchase"))
+    iv = scd2_intervals(changes, "user_id", "ts", "event_id").select(
+        F.col("user_id").alias("iv_user"),
+        F.col("event_id").alias("change_id"),
+        "valid_from",
+        "valid_to",
+    )
+    probes = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("probe_id"), "user_id", "ts"
+    )
+    joined = probes.join(
+        iv,
+        (probes.user_id == iv.iv_user)
+        & (probes.ts >= iv.valid_from)
+        & (probes.ts < iv.valid_to),
+    )
+    return joined.select("probe_id", "user_id", "change_id")
