@@ -360,3 +360,89 @@ def x8_asof_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (probes.ts < iv.valid_to),
     )
     return joined.select("probe_id", "user_id", "change_id")
+
+
+@register(
+    "x9_sliding_window_pv",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+    hops AS (
+      SELECT event_type,
+             unnest(list_transform(range(0, 4),
+               k -> (ms // 21600000) * 21600000 - k * 21600000)) AS wstart
+      FROM ev),
+    valid AS (
+      SELECT event_type, wstart FROM hops
+      WHERE wstart >= 0),
+    agg AS (
+      SELECT wstart, event_type, COUNT(*) AS pv_ct
+      FROM valid GROUP BY 1, 2)
+    SELECT strftime(to_timestamp(wstart // 1000), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(to_timestamp(wstart // 1000 + 86400), '%Y-%m-%d %H:%M:%S') AS edt,
+           event_type, pv_ct
+    FROM agg
+    """,
+    doc="Sliding (hop) windows — 1-day duration, 6-hour slide: every "
+    "event contributes to duration/slide = 4 overlapping windows. "
+    "Spark's window(ts, '1 day', '6 hours') expands in-plan (no "
+    "self-join); the oracle enumerates each event's 4 hop starts "
+    "explicitly. Completes the window-class coverage: tumble (a1/a2), "
+    "session (w4/w7/st5), frame (w8), and now hop",
+    tags=("extras", "window"),
+)
+def x9_sliding_window_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.timestamp_millis(F.expr("unix_micros(ts) div 1000")).alias("event_time"),
+        "event_type",
+    )
+    agg = ev.groupBy(
+        F.window("event_time", "1 day", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("pv_ct"))
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "event_type",
+        "pv_ct",
+    )
+
+
+@register(
+    "x10_unpivot_nation_metrics",
+    oracle="""
+    SELECT n_name, metric, CAST(val AS BIGINT) AS val
+    FROM (
+      SELECT n.n_name,
+             COUNT(DISTINCT c.c_custkey) AS customers,
+             COUNT(DISTINCT s.s_suppkey) AS suppliers
+      FROM nation n
+      LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1)
+    UNPIVOT (val FOR metric IN (customers, suppliers))
+    """,
+    doc="Native unpivot (melt) — the inverse of x1's pivot: a wide "
+    "per-nation metric row becomes (nation, metric, value) long form, "
+    "the shape feeding generic metric sinks/dashboards. Spark's "
+    "unpivot expands in-plan (an Expand node, no join/shuffle beyond "
+    "the source agg); DuckDB's UNPIVOT mirrors it",
+    tags=("extras", "reshape"),
+)
+def x10_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    wide = (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("c_custkey").alias("customers"),
+            F.count_distinct("s_suppkey").alias("suppliers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["customers", "suppliers"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select("n_name", "metric", F.col("val").cast("long").alias("val"))
