@@ -446,3 +446,82 @@ def x10_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     ).select("n_name", "metric", F.col("val").cast("long").alias("val"))
+
+
+@register(
+    "x11_profile_orders",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_custkey) AS nn_custkey,
+             COUNT(DISTINCT o_custkey) AS nd_custkey,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn_custkey,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx_custkey,
+             COUNT(o_orderstatus) AS nn_status,
+             COUNT(DISTINCT o_orderstatus) AS nd_status,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_status,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_status,
+             COUNT(o_totalprice) AS nn_price,
+             COUNT(DISTINCT o_totalprice) AS nd_price,
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price
+      FROM orders)
+    SELECT col, n_rows, n_nonnull, n_distinct, min_val, max_val
+    FROM (
+      SELECT 'o_custkey' AS col, n_rows, nn_custkey AS n_nonnull,
+             nd_custkey AS n_distinct, mn_custkey AS min_val, mx_custkey AS max_val
+      FROM s
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nn_status, nd_status, mn_status, mx_status
+      FROM s
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, nn_price, nd_price, mn_price, mx_price
+      FROM s)
+    """,
+    doc="Table profiling (the Deequ/data-quality primitive): per-column "
+    "row count, non-null count, exact distinct count, min and max — "
+    "computed in ONE aggregation pass over the table (all columns' "
+    "stats as parallel aggregate expressions, partial+final combine), "
+    "then reshaped to the long (col, stat...) form a quality monitor "
+    "stores. Values stringified with fixed formatting on both engines",
+    tags=("extras", "quality"),
+)
+def x11_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # min/max compute on the NATIVE value then stringify (stringifying
+    # first would make them lexicographic)
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("mn_custkey"),
+        F.max("o_custkey").cast("string").alias("mx_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").cast("string").alias("mn_status"),
+        F.max("o_orderstatus").cast("string").alias("mx_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn_price"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx_price"),
+    )
+    rows = []
+    for col, nn, nd, mn, mx in [
+        ("o_custkey", "nn_custkey", "nd_custkey", "mn_custkey", "mx_custkey"),
+        ("o_orderstatus", "nn_status", "nd_status", "mn_status", "mx_status"),
+        ("o_totalprice", "nn_price", "nd_price", "mn_price", "mx_price"),
+    ]:
+        rows.append(
+            agg.select(
+                F.lit(col).alias("col"),
+                F.col("n_rows"),
+                F.col(nn).alias("n_nonnull"),
+                F.col(nd).alias("n_distinct"),
+                F.col(mn).alias("min_val"),
+                F.col(mx).alias("max_val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
