@@ -617,3 +617,47 @@ def incremental_dedup(
         .filter(F.col(id_col) == F.col("_keep"))
         .select(id_col, text_col, F.col("_d").alias(digest_col))
     )
+
+
+def triangle_list(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Ordered triangle enumeration over an undirected i<j edge list —
+    the graph-motif primitive beyond connected components (dense
+    near-dup cliques, spam rings, co-citation tightness). Each triangle
+    (a<b<c) is emitted exactly once: wedges come from joining ordered
+    edges (a,b)x(b,c), closed by an equi-join probe for (a,c).
+
+    Scale shape: two equi-joins on bare ids, no cross product; the
+    wedge fan-out is sum(degree^2) over middle nodes, so a hub node
+    dominates — ``max_degree`` drops hubs before the wedge join (the
+    standard heavy-hitter cap, same spirit as the shingle max_df), at
+    the cost of triangles through dropped hubs."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    if max_degree is not None:
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") > max_degree)
+        )
+        e = e.join(
+            deg.select(F.col("n").alias("u")), "u", "left_anti"
+        ).join(deg.select(F.col("n").alias("v")), "v", "left_anti")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("id_a"),
+            F.col("e1.v").alias("id_b"),
+            F.col("e2.v").alias("id_c"),
+        )
+    )

@@ -282,3 +282,34 @@ def dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source", "cluster_size")
     )
+
+
+@register(
+    "dedup_triangle_motifs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    p AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+    SELECT e1.u AS id_a, e1.v AS id_b, e2.v AS id_c
+    FROM p e1
+    JOIN p e2 ON e1.v = e2.u
+    JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    doc="Triangle motifs in the near-dup graph — dense-clique evidence "
+    "beyond what connected components shows (a chain and a clique are "
+    "one component, but only the clique has triangles). Ordered "
+    "enumeration: wedges from one ordered-edge self-join closed by an "
+    "equi-probe, each triangle emitted once; hub nodes cap with "
+    "max_degree at scale (see operators/dedup.py triangle_list)",
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_triangle_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.dedup import triangle_list
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    return triangle_list(pairs)

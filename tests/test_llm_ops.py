@@ -971,3 +971,22 @@ class TestZOrderLayout:
         # and the z layout is loss-free
         got = sorted((r.x, r.y) for r in spark.read.parquet(p_z).collect())
         assert got == sorted(rows)
+
+
+class TestTriangles:
+    def test_k4_chain_and_hub_cap(self, spark):
+        from gmall_flink_210726_spark.operators.dedup import triangle_list
+
+        # K4 on {1,2,3,4} (4 triangles), a chain 10-11-12 (0 triangles)
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges = k4 + [(10, 11), (11, 12)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        tris = {
+            (r.id_a, r.id_b, r.id_c) for r in triangle_list(df).collect()
+        }
+        assert tris == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+        # each K4 node has degree 3: capping at 2 drops every hub,
+        # leaving only the chain — zero triangles, bounded fan-out
+        assert triangle_list(df, max_degree=2).count() == 0
+        # cap above the max degree changes nothing
+        assert triangle_list(df, max_degree=3).count() == 4
