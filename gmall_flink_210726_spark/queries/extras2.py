@@ -525,3 +525,32 @@ def x11_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "x12_histogram_order_totals",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS ct,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="Equi-width histogram of order totals (50k-wide buckets): the "
+    "distribution-profiling aggregate behind dashboards and skew "
+    "diagnosis. Fixed bucket bounds keep it one partial+final "
+    "aggregation (a data-dependent min/max binning would need a "
+    "pre-pass); IEEE floor-of-division buckets identically on both "
+    "engines and the per-bucket sum is an exact decimal",
+    tags=("extras", "stats"),
+)
+def x12_histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return orders.groupBy(
+        bucket.alias("bucket"), (bucket * 50000).cast("long").alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("ct"),
+        money_sum("o_totalprice", "bucket_sum"),
+    )

@@ -537,3 +537,49 @@ def st7_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("ev_ct"))
     )
+
+
+@register(
+    "st8_stream_sliding_pv",
+    oracle="""
+    WITH ev AS (SELECT epoch_ms(ts) AS ms, event_type FROM events),
+         wm AS (SELECT max(ms) - 14000 AS w FROM ev),
+    hops AS (
+      SELECT event_type, ms,
+             unnest(list_transform(range(0, 4),
+               k -> (ms // 21600000) * 21600000 - k * 21600000)) AS wstart
+      FROM ev),
+    closed AS (
+      SELECT event_type, wstart FROM hops, wm
+      WHERE wstart >= 0 AND wstart + 86400000 <= w)
+    SELECT strftime(to_timestamp(wstart // 1000), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type, COUNT(*) AS pv_ct
+    FROM closed GROUP BY 1, 2
+    """,
+    doc="Sliding (hop) windows through the real streaming path — the "
+    "watermarked (14 s) streaming twin of x9: 1-day windows sliding "
+    "every 6 hours in append mode, each event expanding to 4 windows "
+    "in-plan; only windows the final watermark closed are emitted, and "
+    "the oracle enumerates hop starts and applies the identical "
+    "wstart + duration <= max_ms - 14000 close rule.",
+    tags=("streaming", "window"),
+)
+def st8_stream_sliding_pv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select(
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+            "event_type",
+        )
+        .withWatermark("event_time", "14 seconds")
+    )
+    agg = ev.groupBy(
+        F.window("event_time", "1 day", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("pv_ct"))
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "event_type",
+        "pv_ct",
+    )
+    sink = _run_to_memory(out, "st8_sliding")
+    return spark.table(sink)
