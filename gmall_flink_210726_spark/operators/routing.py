@@ -60,7 +60,14 @@ def config_df(spark, rules: list[RouteRule]) -> DataFrame:
     if not rules:
         ddl = ", ".join(f"{c} string" for c in _CONFIG_COLS)
         return spark.createDataFrame([], ddl)
-    lit = lambda v: "'" + str(v).replace("'", "''") + "'"  # noqa: E731
+    # escape backslash FIRST (Spark SQL string literals treat \ as an
+    # escape even inside '' — a regex or Windows path in sink_extend
+    # must round-trip), then single quotes
+    lit = (  # noqa: E731
+        lambda v: "'"
+        + str(v).replace("\\", "\\\\").replace("'", "''")
+        + "'"
+    )
     rows = ", ".join(
         "(" + ", ".join(lit(getattr(r, c)) for c in _CONFIG_COLS) + ")"
         for r in rules

@@ -648,22 +648,36 @@ def unigram_logprob_score(
     no tokens and are absent.
 
     Determinism contract: each token's ln(ct/N) is rounded to 6 dp and
-    summed as DECIMAL(18,6) — exact, order-free — then divided by the
-    token count (same discipline as embedding_norm_stats). Scale shape:
-    ONE explode feeds both the count agg and the score join (the token
-    stream shuffles on the 8-byte-ish token key twice — count, then
-    join-back); N is a bounded scalar collect. At 100 TB the vocabulary
-    join is a plain equi-join, never a broadcast of the corpus vocab."""
+    summed as DECIMAL (exact, order-free: per-(doc,token) the rounded
+    decimal is multiplied by the integer occurrence count — an exact
+    integer multiple, identical to summing the token stream row by
+    row) then divided by the token count (same discipline as
+    embedding_norm_stats). Scale shape: the 100 TB corpus is scanned
+    and exploded exactly ONCE — the per-(doc, token) occurrence counts
+    are aggregated and eagerly localCheckpoint'ed (the same lineage-
+    truncation pattern as connected_components), so the vocabulary
+    agg, the corpus-size scalar, and the score join-back all read the
+    compact materialized (id, w, k) table, never the raw documents
+    again. The vocabulary join stays a plain equi-join on the token
+    key, never a broadcast of the corpus vocab."""
     from gmall_flink_210726_spark.session import ensure_parallelism
 
     base = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
     tok = base.select(
         F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("w")
     )
-    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("ct"))
+    # ONE physical corpus pass: everything downstream derives from this
+    # materialized per-(doc, token) aggregate.
+    doc_tok = (
+        tok.groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    counts = doc_tok.groupBy("w").agg(F.sum("k").alias("ct"))
     n_total = counts.agg(F.sum("ct")).collect()[0][0] or 0
-    scored = tok.join(counts, "w").select(
+    scored = doc_tok.join(counts, "w").select(
         "id",
+        "k",
         F.round(F.log(F.col("ct").cast("double") / F.lit(float(n_total))), 6)
         .cast("decimal(18,6)")
         .alias("lp"),
@@ -671,8 +685,8 @@ def unigram_logprob_score(
     return (
         scored.groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("lp").alias("sum_lp"),
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("lp") * F.col("k").cast("decimal(12,0)")).alias("sum_lp"),
         )
         .select(
             F.col("id").alias(id_col),

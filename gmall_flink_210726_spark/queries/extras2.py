@@ -505,26 +505,19 @@ def x11_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn_price"),
         F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx_price"),
     )
-    rows = []
-    for col, nn, nd, mn, mx in [
-        ("o_custkey", "nn_custkey", "nd_custkey", "mn_custkey", "mx_custkey"),
-        ("o_orderstatus", "nn_status", "nd_status", "mn_status", "mx_status"),
-        ("o_totalprice", "nn_price", "nd_price", "mn_price", "mx_price"),
-    ]:
-        rows.append(
-            agg.select(
-                F.lit(col).alias("col"),
-                F.col("n_rows"),
-                F.col(nn).alias("n_nonnull"),
-                F.col(nd).alias("n_distinct"),
-                F.col(mn).alias("min_val"),
-                F.col(mx).alias("max_val"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # stack() reshapes the single agg row to long form in ONE guaranteed
+    # evaluation — the previous 3-way union-of-selects was only one scan
+    # because ReuseExchange happened to kick in (r4 VERDICT #2)
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'o_custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey, "
+            "'o_orderstatus', nn_status, nd_status, mn_status, mx_status, "
+            "'o_totalprice', nn_price, nd_price, mn_price, mx_price) "
+            "AS (col, n_nonnull, n_distinct, min_val, max_val)"
+        ),
+        F.col("n_rows"),
+    ).select("col", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
 
 
 @register(

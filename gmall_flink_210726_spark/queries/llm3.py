@@ -154,7 +154,9 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one token-count agg, each doc scored by mean token log-prob. "
     "Per-token ln rounded to 6 dp and summed as DECIMAL (order-free "
     "exact), mean divided as doubles — deterministic on both engines. "
-    "One explode feeds both the count agg and the score join; the "
+    "The corpus is scanned/exploded physically ONCE: the per-(doc, "
+    "token) aggregate is eagerly checkpointed and feeds the vocab "
+    "counts, the corpus-size scalar, and the score join-back; the "
     "vocabulary join is a plain equi-join, never a corpus-vocab "
     "broadcast",
     tags=("llm", "text"),

@@ -485,9 +485,21 @@ def st6_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         if not finished:  # pragma: no cover - hung stream
             raise TimeoutError("st6 foreachBatch stream did not finish")
         q.stop()
+        # materialize the read-back BEFORE deleting the sink dir (the
+        # driver collects after we return), then clean up: repeated
+        # bench/parity runs must not accumulate /tmp state
+        readback = (
+            spark.read.parquet(out)
+            .select("stt", "event_type", "pv_ct", "parity")
+            .localCheckpoint(eager=True)
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out).select("stt", "event_type", "pv_ct", "parity")
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return readback
 
 
 @register(
@@ -517,21 +529,26 @@ def st7_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.streaming.pipelines import streaming_dedup
 
     stage = tempfile.mkdtemp(prefix="st7_replay_")
-    src = os.path.join(sf_dir, "events.parquet")
-    shutil.copy(src, os.path.join(stage, "00_events.parquet"))
-    shutil.copy(src, os.path.join(stage, "01_events_redelivered.parquet"))
-    ts_is_timestamp = _events_ts_is_timestamp(src)
-    ev = _read_events_stream(
-        spark, stage, ts_is_timestamp, recursiveFileLookup="true"
-    ).select(
-        "event_id",
-        "event_type",
-        F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
-    )
-    deduped = streaming_dedup(
-        ev, keys=["event_id"], event_time_col="event_time", watermark="366 days"
-    )
-    sink = _run_to_memory(deduped.select("event_id", "event_type"), "st7_dedup")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(stage, "00_events.parquet"))
+        shutil.copy(src, os.path.join(stage, "01_events_redelivered.parquet"))
+        ts_is_timestamp = _events_ts_is_timestamp(src)
+        ev = _read_events_stream(
+            spark, stage, ts_is_timestamp, recursiveFileLookup="true"
+        ).select(
+            "event_id",
+            "event_type",
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+        )
+        deduped = streaming_dedup(
+            ev, keys=["event_id"], event_time_col="event_time", watermark="366 days"
+        )
+        sink = _run_to_memory(deduped.select("event_id", "event_type"), "st7_dedup")
+    finally:
+        # memory sink holds the rows once _run_to_memory returns; the
+        # staged replay files are no longer needed (matches st4)
+        shutil.rmtree(stage, ignore_errors=True)
     return (
         spark.table(sink)
         .groupBy("event_type")

@@ -27,7 +27,9 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -52,16 +54,88 @@ _POINTER = "_CURRENT"
 _LOCK = "_LOCK"
 
 
+class _WriterLock:
+    """Held writer mutex: the lock file plus a heartbeat thread that
+    refreshes its mtime every ``stale_after / 4`` seconds, so a LIVE
+    holder whose Spark merge runs longer than ``stale_after`` is never
+    judged stale by a waiter (the stale test measures heartbeat age,
+    not upsert duration). The heartbeat recreates the file if a
+    misjudging breaker removed it — self-healing for the (tiny,
+    inode-guarded) wrong-break window."""
+
+    def __init__(self, lock: str, stale_after: float) -> None:
+        self.path = lock
+        self._stop = threading.Event()
+        interval = max(min(stale_after / 4.0, 15.0), 0.05)
+        self._thread = threading.Thread(
+            target=self._beat, args=(interval,), daemon=True
+        )
+        self._thread.start()
+
+    def _beat(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            try:
+                os.utime(self.path)
+            except FileNotFoundError:
+                try:  # wrongly broken by a misjudging waiter: restore
+                    fd = os.open(
+                        self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    os.close(fd)
+                except OSError:
+                    pass
+            except OSError:
+                pass
+
+    def release(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass  # stale-broken by a peer after a long stall — harmless
+
+
+def _break_stale_lock(lock: str, seen_ino: int) -> None:
+    """Break a lock judged stale WITHOUT the remove() TOCTOU: rename it
+    to a unique name (atomic — exactly one breaker wins; the loser gets
+    FileNotFoundError and re-waits), then fstat the renamed file and
+    compare inodes with what we judged stale. An inode mismatch means a
+    new holder re-created the lock between our stat and our rename —
+    restore it via ``os.link`` (atomic, fails if a lock re-appeared)
+    and back off; the holder's heartbeat also self-heals this case."""
+    broken = f"{lock}.broken.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(lock, broken)
+    except OSError:
+        return  # another breaker won, or the holder released — re-wait
+    try:
+        fresh = os.stat(broken).st_ino != seen_ino
+    except OSError:
+        return
+    if fresh:
+        try:  # we grabbed a NEW holder's lock — put it back atomically
+            os.link(broken, lock)
+        except OSError:
+            pass  # a lock already re-exists; heartbeat covers the holder
+    try:
+        os.remove(broken)
+    except OSError:
+        pass
+
+
 def _acquire_writer_lock(
     path: str, timeout: float, stale_after: float
-) -> str:
+) -> _WriterLock:
     """Claim the table's single-writer mutex with ``O_CREAT|O_EXCL``
     (atomic on POSIX): the whole read-merge-write-commit runs under it,
     so two concurrent upserts serialize instead of both computing
-    ``v{n+1}`` and racing the pointer. A lock left by a CRASHED writer
-    is broken once older than ``stale_after`` (a live writer's lock is
-    young — it was created this upsert); a lock held by a LIVE writer
-    makes us wait up to ``timeout`` then raise TimeoutError."""
+    ``v{n+1}`` and racing the pointer. The returned ``_WriterLock``
+    heartbeats the file's mtime, so "stale" (older than
+    ``stale_after``) really means CRASHED holder, not slow merge; a
+    stale lock is broken atomically via rename + inode check
+    (``_break_stale_lock``). A lock held by a LIVE writer makes us
+    wait up to ``timeout`` then raise TimeoutError."""
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, _LOCK)
     deadline = time.monotonic() + timeout
@@ -72,17 +146,15 @@ def _acquire_writer_lock(
                 os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
             finally:
                 os.close(fd)
-            return lock
+            return _WriterLock(lock, stale_after)
         except FileExistsError:
             try:
-                age = time.time() - os.path.getmtime(lock)
+                st = os.stat(lock)
             except OSError:
                 continue  # holder released between open and stat — retry
+            age = time.time() - st.st_mtime
             if age > stale_after:
-                try:  # crashed writer: break the stale lock
-                    os.remove(lock)
-                except OSError:
-                    pass  # another breaker won the race — retry
+                _break_stale_lock(lock, st.st_ino)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -169,8 +241,11 @@ def upsert_dim_table(
 
     Concurrent writers: the whole read-merge-write-commit runs under a
     per-table ``O_CREAT|O_EXCL`` lock file, so racing upserts serialize
-    (no lost update, no pointer race); a lock orphaned by a crash is
-    broken after ``lock_stale_after`` seconds.
+    (no lost update, no pointer race). The holder heartbeats the lock
+    mtime while the merge runs, so only a lock orphaned by a CRASH goes
+    stale (after ``lock_stale_after`` seconds without a heartbeat) and
+    is broken — atomically, via rename + inode check, so two waiters
+    cannot double-break and a freshly re-created lock is never lost.
     """
     if order_col is not None:
         w = Window.partitionBy(pk).orderBy(F.col(order_col).desc())
@@ -250,10 +325,7 @@ def upsert_dim_table(
                     pass
                 shutil.rmtree(full, ignore_errors=True)
     finally:
-        try:
-            os.remove(lock)
-        except OSError:
-            pass  # stale-broken by a peer after a long stall — harmless
+        lock.release()
 
 
 def append_stats_table(df: DataFrame, path: str) -> None:
@@ -286,14 +358,24 @@ def compact_stats_table(
     tens of thousands of tiny parquet files that throttle every scan
     on listing + open cost.
 
+    PRECONDITION — the writer must be quiesced: stop the streaming
+    query (or pause the foreachBatch trigger) before calling. The
+    compactor snapshots the file listing at ``spark.read.parquet``
+    time, so epochs appended AFTER that instant would be silently
+    dropped by the directory swap; the post-swap row-count check below
+    turns that silent loss into a hard error, but only stopping the
+    stream makes compaction safe. Readers racing the swap can
+    transiently see no table between the two renames (retry), and a
+    crash between them leaves ``_precompact`` intact for recovery.
+
     Rewrites the whole table into ``target_partitions`` files under a
-    fresh ``_compact_tmp`` dir, then atomically swaps it in via two
-    ``os.replace``-style renames (old table parked at ``_precompact``
-    and removed after the swap; a crash between the renames leaves
-    ``_precompact`` intact for manual recovery). Readers of epoch-id
-    partitioned layouts keep working: the epoch_id partition column is
-    preserved as a normal column when present. Returns the row count
-    (compaction must be loss-free; callers can assert it)."""
+    fresh ``_compact_tmp`` dir, then swaps it in via two renames (old
+    table parked at ``_precompact``). The parked copy is removed ONLY
+    after re-counting the swapped-in table equals the snapshot count —
+    on mismatch (a writer raced the compaction) it raises and keeps
+    ``_precompact`` for recovery. Readers of epoch-id partitioned
+    layouts keep working: the epoch_id partition column is preserved
+    as a normal column when present. Returns the row count."""
     df = spark.read.parquet(path)
     n_rows = df.count()
     tmp = path.rstrip("/") + "_compact_tmp"
@@ -303,6 +385,20 @@ def compact_stats_table(
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
+    # loss check BEFORE discarding the parked original: epochs appended
+    # after the listing snapshot travel with the rename into `old`, so
+    # a racing writer shows up as old_count > n_rows (the swapped-in
+    # table would equal the snapshot either way — counting it proves
+    # nothing). Also verify the rewrite itself round-tripped.
+    old_count = spark.read.parquet(old).count()
+    post = spark.read.parquet(path).count()
+    if old_count != n_rows or post != n_rows:
+        raise RuntimeError(
+            f"compaction of {path} unsafe: snapshot={n_rows}, "
+            f"original-at-swap={old_count}, rewritten={post} — a writer "
+            f"raced the compaction (stop the stream first); original "
+            f"table preserved at {old}"
+        )
     shutil.rmtree(old, ignore_errors=True)
     return n_rows
 

@@ -255,3 +255,48 @@ class TestRound4PlanShapes:
         )
         assert "LocalTableScan" in plan
         assert "ExistingRDD" not in plan and "EvalPython" not in plan
+
+
+class TestRound5PlanShapes:
+    def test_unigram_lm_scans_documents_once(self, spark):
+        """unigram_logprob_score must read the corpus exactly once: the
+        per-(doc, token) aggregate is eagerly localCheckpoint'ed, so the
+        returned plan derives everything (vocab counts, score join-back)
+        from the materialized checkpoint — zero parquet re-scans of
+        documents in the final physical plan (r4 VERDICT #1: the old
+        shape executed the shared explode subtree twice)."""
+        plan = _plan(SPECS["text_unigram_logprob"].fn(spark, SF_SMALL))
+        assert "Scan parquet" not in plan, plan
+        assert "documents.parquet" not in plan, plan
+        # the single upstream scan is the checkpointed RDD, referenced
+        # (possibly reused) for both the vocab agg and the join-back
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+        assert "Generate explode" not in plan, plan
+
+    def test_x11_profile_single_scan_no_reused_exchange(self, spark):
+        """The profile reshape must be a stack() over ONE aggregate
+        evaluation — a single orders scan with no union of ReusedExchange
+        branches (r4 VERDICT #2: the old 3-way union relied on
+        ReuseExchange for its one-scan property)."""
+        plan = _plan(SPECS["x11_profile_orders"].fn(spark, SF_SMALL))
+        assert plan.count("Scan parquet") == 1, plan
+        assert "ReusedExchange" not in plan, plan
+        assert "Union" not in plan, plan
+
+    def test_routing_config_literal_roundtrips_special_chars(self, spark):
+        """Backslashes (regexes / Windows paths in sink_extend) and
+        single quotes must survive the VALUES-literal encoding — Spark
+        SQL treats backslash as an escape inside string literals
+        (ADVICE r4)."""
+        from gmall_flink_210726_spark.operators.routing import (
+            RouteRule,
+            config_df,
+        )
+
+        gnarly = r"regex=\d+\\server\it's"
+        df = config_df(
+            spark, [RouteRule("t", "insert", "kafka", "s", "a,b", "id", gnarly)]
+        )
+        row = df.collect()[0]
+        assert row.sink_extend == gnarly
+        assert "LocalTableScan" in _plan(df)

@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import json
 import os
+import time
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -354,3 +357,124 @@ class TestStatsCompaction:
         assert n_files_after == 1
         assert not os.path.exists(path.rstrip("/") + "_precompact")
         assert not os.path.exists(path.rstrip("/") + "_compact_tmp")
+
+
+class TestWriterLockHeartbeat:
+    """ADVICE r4: a LIVE holder whose merge outlasts lock_stale_after
+    must NOT have its lock broken (heartbeat refreshes mtime), and
+    stale-breaking must be atomic (rename + inode check, no remove()
+    TOCTOU double-break)."""
+
+    def test_heartbeat_keeps_long_merge_lock_fresh(self, tmp_path):
+        path = str(tmp_path / "dim")
+        lock = sinks._acquire_writer_lock(path, timeout=1.0, stale_after=0.4)
+        try:
+            time.sleep(1.2)  # 3× stale_after: un-heartbeated would be stale
+            age = time.time() - os.path.getmtime(lock.path)
+            assert age < 0.4, f"heartbeat failed to refresh mtime (age={age})"
+            # a waiter therefore times out instead of breaking the lock
+            with pytest.raises(TimeoutError):
+                sinks._acquire_writer_lock(path, timeout=0.3, stale_after=0.4)
+        finally:
+            lock.release()
+        assert not os.path.exists(lock.path)
+
+    def test_heartbeat_restores_wrongly_broken_lock(self, tmp_path):
+        path = str(tmp_path / "dim")
+        lock = sinks._acquire_writer_lock(path, timeout=1.0, stale_after=0.4)
+        try:
+            os.remove(lock.path)  # simulate a misjudging breaker
+            time.sleep(0.5)  # > one heartbeat interval (stale_after/4)
+            assert os.path.exists(lock.path), "heartbeat did not self-heal"
+        finally:
+            lock.release()
+
+    def test_stale_break_is_single_winner(self, tmp_path):
+        """N threads race to break one genuinely stale lock: exactly one
+        writer may hold at a time afterwards, and no thread errors (the
+        losers' rename raises FileNotFoundError internally and re-waits)."""
+        import threading
+
+        path = str(tmp_path / "dim")
+        os.makedirs(path)
+        stale = os.path.join(path, "_LOCK")
+        with open(stale, "w") as f:
+            f.write("dead\n")
+        os.utime(stale, (1, 1))
+        barrier = threading.Barrier(4)
+        holders, errs = [], []
+        guard = threading.Lock()
+
+        def contender():
+            try:
+                barrier.wait()
+                lk = sinks._acquire_writer_lock(
+                    path, timeout=30.0, stale_after=5.0
+                )
+                with guard:
+                    holders.append(threading.get_ident())
+                time.sleep(0.05)
+                lk.release()
+            except Exception as e:  # pragma: no cover - failure reporting
+                errs.append(e)
+
+        ts = [threading.Thread(target=contender) for _ in range(4)]
+        [t.start() for t in ts]
+        [t.join(60) for t in ts]
+        assert not errs
+        assert len(holders) == 4  # everyone eventually acquired
+        assert not os.path.exists(stale)
+        # no stray .broken.* artifacts left behind
+        assert not [n for n in os.listdir(path) if ".broken." in n]
+
+
+class TestCompactionGuards:
+    def test_compaction_detects_racing_writer(self, spark, tmp_path):
+        """Rows appended after the compactor's listing snapshot must turn
+        into a hard error with the parked original preserved — never a
+        silent drop (ADVICE r4)."""
+        path = str(tmp_path / "stats")
+        df = spark.range(100).withColumn("v", F.col("id") * 2)
+        df.write.mode("append").parquet(path)
+        snap = spark.read.parquet(path)  # listing snapshot taken here
+        n0 = snap.count()
+
+        real_count = sinks.compact_stats_table.__globals__  # noqa: F841
+        # inject the race: append AFTER the snapshot read inside
+        # compact_stats_table by monkeypatching spark.read to append
+        # first on the second read... simpler: emulate the sequence
+        # manually with the same primitives the function uses, then
+        # call the function on a directory that mutates mid-flight via
+        # a wrapper around DataFrameReader is overkill — instead drive
+        # the function and race it with a writer thread.
+        import threading
+
+        stop = threading.Event()
+
+        def late_writer():
+            # keep appending small batches while compaction runs
+            while not stop.is_set():
+                spark.range(5).withColumn(
+                    "v", F.col("id") * 2
+                ).write.mode("append").parquet(path)
+                time.sleep(0.01)
+
+        t = threading.Thread(target=late_writer, daemon=True)
+        t.start()
+        try:
+            try:
+                sinks.compact_stats_table(spark, path, target_partitions=1)
+                raced = False
+            except RuntimeError as e:
+                raced = True
+                assert "preserved" in str(e)
+                assert os.path.exists(path.rstrip("/") + "_precompact")
+        finally:
+            stop.set()
+            t.join(30)
+        if raced:
+            # nothing lost: parked original holds at least the snapshot
+            old = path.rstrip("/") + "_precompact"
+            assert spark.read.parquet(old).count() >= n0
+        else:  # writer never landed inside the window — loss-free anyway
+            assert spark.read.parquet(path).count() >= n0
