@@ -11,12 +11,19 @@ Two tiers:
 - ``tokenize_udf``   — Python path that uses ``jieba`` when importable
   (real CJK segmentation) and degrades to the same deterministic regex
   fallback — mirroring the reference's catch-and-emit-raw behavior at
-  func/SplitFunction.java:22-24.
+  func/SplitFunction.java:22-24. Arrow-batched (``pandas_udf``): rows
+  cross the JVM↔Python boundary in columnar batches instead of
+  per-row pickled tuples (~10-100× less serialization overhead); the
+  per-ROW semantics — including the catch-and-emit-raw error path —
+  are unchanged, as each batch element still goes through
+  ``_tokenize_py``.
 """
 
 from __future__ import annotations
 
 import re
+
+import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -59,4 +66,8 @@ def _tokenize_py(text: str | None) -> list[str]:
         return [text]
 
 
-tokenize_udf = F.udf(_tokenize_py, ArrayType(StringType()))
+def _tokenize_batch(texts: pd.Series) -> pd.Series:
+    return texts.map(_tokenize_py)
+
+
+tokenize_udf = F.pandas_udf(_tokenize_batch, ArrayType(StringType()))

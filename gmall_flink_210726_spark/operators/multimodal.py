@@ -1,9 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Beyond-reference surface (BASELINE.json north star). The container has
-no image/audio codecs, so the decode kernels are STUBS behind
-``try-import`` (decode_image/decode_audio raise NotImplementedError
-without the libs, exactly as documented); what IS real and tested:
+Beyond-reference surface (BASELINE.json north star). REAL, fully
+decoded with stdlib alone: BMP (struct header walk + exact payload
+sums), WAV (RIFF chunk walk, 16-bit PCM frames), and PNG (8-bit
+truecolor — chunk walk + CRC + zlib IDAT inflate + all five spec
+scanline unfilters). Codec-library formats (JPEG etc.) remain honest
+stubs behind ``try-import`` (decode_image raises NotImplementedError
+without PIL). Also real and tested:
 
 - the column contract: ``content binary`` + ``meta struct<format,
   width, height, sample_rate>``;
@@ -557,3 +560,287 @@ def image_channel_stats(df: DataFrame) -> DataFrame:
             yield _channel_stats_batch(pdf)
 
     return df.select("media_id", "content").mapInPandas(gen, CHANNEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG — a GENERAL compressed codec with stdlib zlib alone (closes the
+# r4 "general codecs honestly stubbed" gap for the one format whose
+# whole decode path — inflate + per-scanline unfilter — needs no
+# external library). 8-bit truecolor (color type 2) is fully decoded;
+# palette/alpha/16-bit/interlaced variants still degrade to
+# format='unknown' like any unrecognized blob.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# fixture-dim formulas (shared with the DuckDB oracle in queries/llm.py,
+# like _BMP_W etc. above — the decoder never sees them)
+_PNG_W = lambda i: 3 + i % 17  # noqa: E731
+_PNG_H = lambda i: 2 + i % 11  # noqa: E731
+_PNG_BAD = lambda i: i % 97 == 0  # noqa: E731 — deterministic corrupt rows
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _filter_scanline(ft: int, cur, prev):
+    """Apply PNG filter ``ft`` (0=None 1=Sub 2=Up 3=Average 4=Paeth,
+    bpp=3) to raw scanline ``cur`` given the raw prior scanline
+    ``prev``; returns the filtered bytes. Encoder-side mirror of
+    ``_unfilter_scanline`` — kept spec-complete so tests can exercise
+    every decode branch with real blobs."""
+    import numpy as np
+
+    c = cur.astype(np.int16)
+    left = np.concatenate([np.zeros(3, np.int16), c[:-3]])
+    up = prev.astype(np.int16)
+    if ft == 0:
+        return cur.tobytes()
+    if ft == 1:
+        return ((c - left) % 256).astype(np.uint8).tobytes()
+    if ft == 2:
+        return ((c - up) % 256).astype(np.uint8).tobytes()
+    if ft == 3:
+        return ((c - (left + up) // 2) % 256).astype(np.uint8).tobytes()
+    if ft == 4:
+        ul = np.concatenate([np.zeros(3, np.int16), up[:-3]])
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        return ((c - pred) % 256).astype(np.uint8).tobytes()
+    raise ValueError(f"bad filter {ft}")
+
+
+def _make_png(media_id: int, filters=None) -> bytes:
+    """8-bit truecolor PNG built with stdlib struct + zlib. Raw pixel
+    byte ``i`` (row-major RGB raster) follows the LCG
+    ``(id*37 + 11*i) % 256`` so a SQL oracle recomputes exact channel
+    sums blind; scanline ``y`` is stored with filter ``y % 3``
+    (None/Sub/Up — a decoder that skips unfiltering mismatches on any
+    image taller than one row). ``filters`` overrides the per-row
+    filter choice (tests use it to exercise Average/Paeth). Ids hitting
+    ``_PNG_BAD`` are truncated after IHDR — a real-world corrupt blob."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = _PNG_W(media_id), _PNG_H(media_id)
+    raw = (
+        ((media_id * 37 + 11 * np.arange(h * w * 3, dtype=np.int64)) % 256)
+        .astype(np.uint8)
+        .reshape(h, w * 3)
+    )
+    lines = []
+    prev = np.zeros(w * 3, np.uint8)
+    for y in range(h):
+        ft = (y % 3) if filters is None else filters[y % len(filters)]
+        lines.append(bytes([ft]) + _filter_scanline(ft, raw[y], prev))
+        prev = raw[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    if _PNG_BAD(media_id):
+        return png[:33]  # signature + IHDR chunk, no pixel data
+    return png
+
+
+def _unfilter_scanline(ft: int, line, prev):
+    """Invert PNG filter ``ft`` for one scanline (bpp=3). None/Up are
+    pure vector ops; Sub is a per-channel cumulative sum; Average and
+    Paeth carry a left-pixel dependency, walked pixel-at-a-time (the
+    spec-complete slow path — real-world encoders emit them, the
+    fixture's hot path stays vectorized)."""
+    import numpy as np
+
+    f = line.astype(np.int64)
+    up = prev.astype(np.int64)
+    if ft == 0:
+        return f % 256
+    if ft == 1:  # raw[x] = filt[x] + raw[x-3]: cumsum per channel
+        return np.cumsum(f.reshape(-1, 3), axis=0).reshape(-1) % 256
+    if ft == 2:
+        return (f + up) % 256
+    out = np.zeros_like(f)
+    for x in range(len(f)):
+        left = out[x - 3] if x >= 3 else 0
+        above = up[x]
+        ul = up[x - 3] if x >= 3 else 0
+        if ft == 3:
+            pred = (left + above) // 2
+        elif ft == 4:
+            p = left + above - ul
+            pa, pb, pc = abs(p - left), abs(p - above), abs(p - ul)
+            pred = left if pa <= pb and pa <= pc else (above if pb <= pc else ul)
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out[x] = (f[x] + pred) % 256
+    return out
+
+
+def _decode_png(b: bytes):
+    """Parse + inflate + unfilter an 8-bit truecolor PNG; returns
+    (w, h, pixel ndarray[h, w, 3]) or raises ValueError on anything
+    malformed (bad signature/CRC/dims, truncated chunk, wrong inflate
+    size, unsupported color mode)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(b):
+        ln, ctype = struct.unpack_from(">I4s", b, pos)
+        if pos + 12 + ln > len(b):
+            raise ValueError("truncated chunk")
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError("crc mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("unsupported PNG variant")
+    if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24):
+        raise ValueError("bad dims")
+    rawz = zlib.decompress(b"".join(idat))
+    stride = 1 + w * 3
+    if len(rawz) != stride * h:
+        raise ValueError("inflate size mismatch")
+    px = np.zeros((h, w * 3), np.int64)
+    prev = np.zeros(w * 3, np.int64)
+    for y in range(h):
+        ft = rawz[y * stride]
+        line = np.frombuffer(rawz, np.uint8, count=w * 3, offset=y * stride + 1)
+        prev = _unfilter_scanline(ft, line, prev)
+        px[y] = prev
+    return w, h, px.reshape(h, w, 3)
+
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def _png_pixels_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    import struct
+    import zlib
+
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "width": 0,
+            "height": 0,
+            "n_pixels": 0,
+            "sum_r": 0,
+            "sum_g": 0,
+            "sum_b": 0,
+        }
+        try:
+            w, h, px = _decode_png(b)
+            sums = px.sum(axis=(0, 1))
+            row.update(
+                format="png",
+                width=w,
+                height=h,
+                n_pixels=w * h,
+                sum_r=int(sums[0]),
+                sum_g=int(sums[1]),
+                sum_b=int(sums[2]),
+            )
+        except (ValueError, zlib.error, struct.error):
+            pass  # malformed blob → clean unknown row; never throw
+            # away the partition for one bad file
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in PNG_SCHEMA.fields])
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL zlib-compressed PNG blobs, one per
+    doc_id (dims deterministic in the id; ids hitting ``_PNG_BAD`` are
+    truncated-after-IHDR corrupt blobs with meta format 'corrupt').
+    Same Arrow-batched mapInPandas plumbing as ``synthesize_media``."""
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_png(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _PNG_BAD(i) else "png",
+                            "width": _PNG_W(i),
+                            "height": _PNG_H(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def png_pixel_stats(df: DataFrame, batch_size: int | None = None) -> DataFrame:
+    """REAL general-codec image decode over MEDIA_SCHEMA input: inflate
+    the IDAT stream with stdlib zlib, undo the per-scanline filters
+    (all five spec filters supported), and emit per-channel (RGB) pixel
+    sums — the feature-extraction core of an image pipeline with zero
+    codec libraries. Corrupt/unsupported blobs degrade to
+    format='unknown' zeroed rows. Arrow-batched mapInPandas; decode
+    parallelism is partition parallelism, blobs cross into Python once
+    per batch."""
+    spark = df.sparkSession
+    if batch_size is not None:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _png_pixels_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, PNG_SCHEMA)

@@ -734,3 +734,53 @@ def url_filter(
         n_blocked.alias("n_blocked"),
         (n_blocked == 0).alias("url_kept"),
     )
+
+
+def url_filter_table(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """URL screening with the blocklist as a TABLE (the deployment
+    shape once the list outgrows a plan literal — ``url_filter``'s own
+    docstring promises this variant): extract every http(s) URL,
+    explode its lowercased domain, left BROADCAST-join the blocklist,
+    re-aggregate per doc. Same output contract as ``url_filter``:
+    (id, n_urls, n_blocked, url_kept), exact-domain match, every
+    occurrence counted.
+
+    Scale shape: the corpus side is never shuffled for the join (the
+    blocklist — small by definition — broadcasts); the only shuffle is
+    the per-doc re-aggregation of bare (id, domain) rows, bytes-tiny
+    next to the document bodies. ``explode_outer`` keeps zero-URL docs
+    in the output (their domain row is NULL, so ``count(domain)``
+    yields n_urls=0). The blocklist is deduped before broadcast so a
+    repeated entry cannot double-count a hit."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    domains = F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, URL_DOMAIN_RE, 1))
+    )
+    exploded = docs.select(
+        F.col(id_col), F.explode_outer(domains).alias("_dom")
+    )
+    block = F.broadcast(
+        blocklist.select(F.col(domain_col).alias("_blocked_dom")).dropDuplicates(
+            ["_blocked_dom"]
+        )
+    )
+    return (
+        exploded.join(block, F.col("_dom") == F.col("_blocked_dom"), "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_dom").alias("n_urls"),
+            F.count("_blocked_dom").alias("n_blocked"),
+        )
+        .select(
+            F.col(id_col),
+            "n_urls",
+            "n_blocked",
+            (F.col("n_blocked") == 0).alias("url_kept"),
+        )
+    )

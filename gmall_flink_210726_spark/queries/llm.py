@@ -728,6 +728,53 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_pixels",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             3 + doc_id % 17 AS w,
+             2 + doc_id % 11 AS h,
+             doc_id % 97 = 0 AS bad
+      FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'png' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE
+             list_sum([(media_id * 37 + 11 * (3 * j)) % 256
+                       for j in range(0, w * h)]) END AS BIGINT) AS sum_r,
+           CAST(CASE WHEN bad THEN 0 ELSE
+             list_sum([(media_id * 37 + 11 * (3 * j + 1)) % 256
+                       for j in range(0, w * h)]) END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN bad THEN 0 ELSE
+             list_sum([(media_id * 37 + 11 * (3 * j + 2)) % 256
+                       for j in range(0, w * h)]) END AS BIGINT) AS sum_b
+    FROM m
+    """,
+    doc="REAL general-codec image decode with zero codec libraries: "
+    "synthesize actual zlib-compressed 8-bit truecolor PNGs (scanline "
+    "filters rotating None/Sub/Up; ids divisible by 97 truncated after "
+    "IHDR — real corrupt blobs), then decode them back — chunk walk + "
+    "CRC check + IDAT inflate + per-scanline UNFILTER (all five spec "
+    "filters) — in an Arrow-batched mapInPandas, emitting per-channel "
+    "RGB pixel sums. The oracle recomputes every sum from the fixture "
+    "LCG without seeing the bytes, so a decoder that skips unfiltering, "
+    "mis-walks chunks, or mishandles the corrupt rows hash-mismatches "
+    "(operators/multimodal.py png section)",
+    tags=("llm", "multimodal"),
+)
+def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.multimodal import (
+        png_pixel_stats,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(load_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)
+
+
+@register(
     "corpus_stats_cube",
     oracle="""
     SELECT COALESCE(lang, '<all>') AS lang,

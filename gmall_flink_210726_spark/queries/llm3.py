@@ -218,3 +218,49 @@ def text_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.sql(f"SELECT * FROM (VALUES {_URL_VALUES}) AS t(doc_id, text)")
     return url_filter(docs, _URL_BLOCKLIST)
+
+
+_URL_BLOCK_VALUES = ", ".join(f"('{d}')" for d in _URL_BLOCKLIST)
+
+
+@register(
+    "text_url_filter_table",
+    oracle=f"""
+    WITH pages AS (SELECT doc_id, text FROM (VALUES {_URL_VALUES}) AS t(doc_id, text)),
+    block AS (SELECT DISTINCT domain FROM (VALUES {_URL_BLOCK_VALUES}) AS b(domain)),
+    d AS (
+      SELECT doc_id,
+             lower(regexp_extract(u.url, '(?i:https?)://([A-Za-z0-9.-]+)', 1)) AS dom
+      FROM pages,
+           unnest(regexp_extract_all(text,
+             '(?i:https?)://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\\s]*)?')) AS u(url)),
+    agg AS (
+      SELECT p.doc_id,
+             COUNT(d.dom) AS n_urls,
+             COUNT(b.domain) AS n_blocked
+      FROM pages p
+      LEFT JOIN d ON p.doc_id = d.doc_id
+      LEFT JOIN block b ON d.dom = b.domain
+      GROUP BY p.doc_id)
+    SELECT doc_id,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_blocked AS BIGINT) AS n_blocked,
+           n_blocked = 0 AS url_kept
+    FROM agg
+    """,
+    doc="URL screening with the blocklist as a TABLE — the deployment "
+    "shape once the list outgrows a plan literal: exploded lowercased "
+    "domains left-join the (deduped, broadcast) blocklist table, then "
+    "re-aggregate per doc. Same output contract and fixture as "
+    "text_url_filter; the corpus side is never shuffled for the join, "
+    "only bare (id, domain) rows re-aggregate (plan-tested)",
+    tags=("llm", "text"),
+)
+def text_url_filter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text import url_filter_table
+
+    docs = spark.sql(f"SELECT * FROM (VALUES {_URL_VALUES}) AS t(doc_id, text)")
+    block = spark.sql(
+        f"SELECT * FROM (VALUES {_URL_BLOCK_VALUES}) AS b(domain)"
+    )
+    return url_filter_table(docs, block)

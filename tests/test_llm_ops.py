@@ -990,3 +990,173 @@ class TestTriangles:
         assert triangle_list(df, max_degree=2).count() == 0
         # cap above the max degree changes nothing
         assert triangle_list(df, max_degree=3).count() == 4
+
+
+class TestPngCodec:
+    """stdlib-zlib PNG encode/decode: inflate + unfilter must exactly
+    invert the encoder for every spec filter, and malformed blobs must
+    degrade to the unknown row, never throw."""
+
+    def test_all_five_filters_roundtrip(self, spark):
+        import numpy as np
+
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _decode_png,
+            _make_png,
+        )
+
+        mid = 12  # not a _PNG_BAD id
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 3]):
+            w, h, px = _decode_png(_make_png(mid, filters=filters))
+            expect = (
+                (mid * 37 + 11 * np.arange(h * w * 3, dtype=np.int64)) % 256
+            ).reshape(h, w, 3)
+            assert (px == expect).all(), f"filters={filters}"
+
+    def test_malformed_blobs_degrade_to_unknown(self, spark):
+        import pandas as pd
+
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _make_png,
+            _png_pixels_batch,
+        )
+
+        good = _make_png(12)
+        flipped_crc = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]
+        cases = {
+            1: None,  # null blob
+            2: b"",  # empty
+            3: good[:33],  # truncated after IHDR (the _PNG_BAD shape)
+            4: flipped_crc,  # corrupt byte → CRC mismatch
+            5: b"\x89PNG\r\n\x1a\njunkjunkjunk",  # sig ok, garbage chunks
+            6: good,  # control: still decodes
+        }
+        out = _png_pixels_batch(
+            pd.DataFrame(
+                {"media_id": list(cases), "content": list(cases.values())}
+            )
+        )
+        by_id = {r.media_id: r for r in out.itertuples()}
+        for mid in (1, 2, 3, 4, 5):
+            assert by_id[mid].format == "unknown", mid
+            assert by_id[mid].n_pixels == 0, mid
+        assert by_id[6].format == "png"
+        assert by_id[6].n_pixels > 0
+
+    def test_query_has_corrupt_and_good_rows(self, spark):
+        from gmall_flink_210726_spark.registry import load_all
+
+        from tests.conftest import SF_SMALL
+
+        df = load_all()["multimodal_png_pixels"].fn(spark, SF_SMALL)
+        rows = {r.media_id: r for r in df.collect()}
+        formats = {r.format for r in rows.values()}
+        assert formats == {"png", "unknown"}  # both branches exercised
+        bad = [m for m, r in rows.items() if r.format == "unknown"]
+        assert all(m % 97 == 0 for m in bad)
+
+
+class TestSkewedGraphs:
+    """Power-law / hub skew (r4 VERDICT #7): the escape hatches the
+    docstrings promise — star contraction's O(log n) round bound and
+    triangle_list's max_degree hub cap — exercised under real skew, at
+    a size where an uncapped hub would previously have produced a
+    degree-squared wedge bucket."""
+
+    def _powerlaw(self, rng, n_spokes):
+        """One hub (node 0) with ``n_spokes`` spokes, a sparse ring among
+        the spokes, a 40-deep chain in a separate component, and two
+        hub-free triangles in a third."""
+        edges = [(0, s) for s in range(1, n_spokes + 1)]
+        edges += [(s, s + 1) for s in range(1, n_spokes, 7)]  # sparse ring bits
+        chain0 = 10_000
+        edges += [(chain0 + i, chain0 + i + 1) for i in range(40)]
+        edges += [(20_000, 20_001), (20_001, 20_002), (20_000, 20_002)]
+        edges += [(20_010, 20_011), (20_011, 20_012), (20_010, 20_012)]
+        rng.shuffle(edges)
+        nodes = sorted({n for e in edges for n in e})
+        return edges, nodes
+
+    def test_star_cc_converges_within_log_bound_on_hub_graph(self, spark):
+        import math
+        import random
+
+        from gmall_flink_210726_spark.operators.dedup import (
+            connected_components_star,
+        )
+
+        edges, node_ids = self._powerlaw(random.Random(7), 300)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+        # O(log n) bound (+1 fixpoint-detection round, +1 slack): if the
+        # hub or the 40-chain needed more rounds, labels come out wrong
+        # and the assertions below fail
+        bound = int(math.ceil(math.log2(len(node_ids)))) + 2
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components_star(
+                pairs, nodes, node_col="id", max_rounds=bound
+            ).collect()
+        }
+        for n in node_ids:
+            if n < 10_000:
+                assert got[n] == 0, n  # hub component labels to its min
+            elif n < 20_000:
+                assert got[n] == 10_000, n  # deep chain fully contracted
+            elif n < 20_010:
+                assert got[n] == 20_000, n
+            else:
+                assert got[n] == 20_010, n
+
+    def test_star_cc_agrees_with_label_prop_under_skew(self, spark):
+        import random
+
+        from gmall_flink_210726_spark.operators.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        edges, node_ids = self._powerlaw(random.Random(11), 120)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+        prop = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, nodes, node_col="id", max_iters=60
+            ).collect()
+        }
+        star = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components_star(
+                pairs, nodes, node_col="id"
+            ).collect()
+        }
+        assert star == prop
+
+    def test_triangle_hub_cap_drops_only_hub_triangles(self, spark):
+        import random
+
+        from gmall_flink_210726_spark.operators.dedup import triangle_list
+
+        edges, _ = self._powerlaw(random.Random(3), 300)
+        # i<j ordering required by triangle_list's ordered enumeration
+        pairs = spark.createDataFrame(
+            sorted({(min(a, b), max(a, b)) for a, b in edges}),
+            "id_a long, id_b long",
+        )
+        uncapped = {
+            (r.id_a, r.id_b, r.id_c) for r in triangle_list(pairs).collect()
+        }
+        # hub triangles exist: (0, s, s+1) for every ring edge
+        hub_tris = {t for t in uncapped if 0 in t}
+        assert len(hub_tris) > 10
+        capped = {
+            (r.id_a, r.id_b, r.id_c)
+            for r in triangle_list(pairs, max_degree=10).collect()
+        }
+        # the cap removes exactly the triangles through the (degree-300)
+        # hub; every hub-free triangle survives — including the two
+        # planted components far from the hub
+        assert capped == uncapped - hub_tris
+        assert (20_000, 20_001, 20_002) in capped
+        assert (20_010, 20_011, 20_012) in capped

@@ -300,3 +300,25 @@ class TestRound5PlanShapes:
         row = df.collect()[0]
         assert row.sink_extend == gnarly
         assert "LocalTableScan" in _plan(df)
+
+    def test_tokenizer_udf_is_arrow_batched(self, spark):
+        """D1's Python path must cross the JVM boundary in Arrow batches
+        (ArrowEvalPython), not row-at-a-time pickled tuples
+        (BatchEvalPython) — r4 VERDICT polish item #3."""
+        plan = _plan(SPECS["d1_tokenizer_udf_topwords"].fn(spark, SF_SMALL))
+        assert "ArrowEvalPython" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_url_blocklist_join_broadcasts_list_not_corpus(self, spark):
+        """The blocklist-as-table screening must broadcast the LIST side
+        (BroadcastHashJoin, no sort-merge): the corpus is never shuffled
+        for the join — the only hash shuffle is the per-doc re-agg of
+        bare (id, domain) rows."""
+        plan = _plan(SPECS["text_url_filter_table"].fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # corpus domain rows never shuffle for the JOIN: the only
+        # corpus-side exchange is the per-doc re-agg on doc_id (the
+        # other hash exchange in the plan is the tiny blocklist dedup)
+        assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+        assert "Exchange hashpartitioning(_dom" not in plan, plan

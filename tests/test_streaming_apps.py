@@ -154,3 +154,144 @@ class TestStreamingDws:
         rows = out.collect()
         assert len(rows) > 0
         assert all(r.sku_name is not None for r in rows)
+
+
+class TestMultiBatchReplay:
+    """Cross-micro-batch watermark eviction (r4 VERDICT #6): the session
+    and sliding window pipelines must produce IDENTICAL final tables
+    whether the events arrive as one micro-batch or one file per
+    trigger — pinning that state survives batch boundaries and the
+    watermark advances/evicts correctly between triggers (the way st7
+    pins dedup replay)."""
+
+    @pytest.fixture(scope="class")
+    def split_events(self, tmp_path_factory):
+        """Events at SF_SMALL split into 3 ts-ordered parquet files
+        (file mtime = batch order, per the FileStreamSource contract)."""
+        import time as _time
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tests.conftest import SF_SMALL
+
+        d = tmp_path_factory.mktemp("replay_events")
+        src = f"{SF_SMALL}/events.parquet"
+        pdf = pq.read_table(src).to_pandas().sort_values("ts")
+        now = _time.time()
+        for i, chunk in enumerate(np.array_split(pdf, 3)):
+            p = str(d / f"{i:02d}_events.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(chunk, preserve_index=False), p
+            )
+            os.utime(p, (now + i, now + i))
+        return str(d)
+
+    def _run(self, spark, stream_df, name):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(600)
+            n_data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return (
+            sorted(map(tuple, spark.table(name).collect())),
+            n_data_batches,
+        )
+
+    def _events(self, spark, path, per_file: bool):
+        from gmall_flink_210726_spark.queries.streamq import (
+            _events_ts_is_timestamp,
+            _read_events_stream,
+        )
+
+        f0 = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".parquet")
+        )[0]
+        opts = {"maxFilesPerTrigger": "1"} if per_file else {}
+        return _read_events_stream(
+            spark, path, _events_ts_is_timestamp(f0), **opts
+        )
+
+    def _session_pipeline(self, ev):
+        return (
+            ev.select(
+                "user_id",
+                F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+            )
+            .withWatermark("event_time", "14 seconds")
+            .groupBy(
+                F.session_window("event_time", "30 minutes").alias("w"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("ev_ct"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+                "ev_ct",
+            )
+        )
+
+    def _sliding_pipeline(self, ev):
+        return (
+            ev.select(
+                F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+                "event_type",
+            )
+            .withWatermark("event_time", "14 seconds")
+            .groupBy(
+                F.window("event_time", "1 day", "6 hours").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("pv_ct"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                "event_type",
+                "pv_ct",
+            )
+        )
+
+    def test_session_window_multi_batch_equals_single(self, spark, split_events):
+        single, nb1 = self._run(
+            spark,
+            self._session_pipeline(self._events(spark, split_events, False)),
+            "replay_sess_single",
+        )
+        split, nb3 = self._run(
+            spark,
+            self._session_pipeline(self._events(spark, split_events, True)),
+            "replay_sess_split",
+        )
+        assert nb3 >= 3 > nb1  # the split run really ran per-file triggers
+        assert single == split
+        assert len(single) > 0  # windows actually closed and emitted
+
+    def test_sliding_window_multi_batch_equals_single(self, spark, split_events):
+        single, nb1 = self._run(
+            spark,
+            self._sliding_pipeline(self._events(spark, split_events, False)),
+            "replay_slide_single",
+        )
+        split, nb3 = self._run(
+            spark,
+            self._sliding_pipeline(self._events(spark, split_events, True)),
+            "replay_slide_split",
+        )
+        assert nb3 >= 3 > nb1
+        assert single == split
+        assert len(single) > 0
