@@ -1,0 +1,227 @@
+"""Text-pipeline operators, wave 4: paragraph-granularity dedup,
+exact substring-span overlap, BPE pair statistics, and CCNet-style
+perplexity bucketing.
+
+Beyond-reference surface (BASELINE.json north star). Public-method
+provenance: paragraph removal follows the RefinedWeb/CCNet "drop a
+duplicated paragraph everywhere but its first occurrence" rule
+(Penedo et al. 2023 §3.2; Wenzek et al. 2020 §2); span overlap is the
+fixed-window approximation of suffix-array substring dedup (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better");
+pair counting is the first merge step of byte-pair encoding (Sennrich
+et al. 2016); perplexity terciles are CCNet's head/middle/tail corpus
+partition (Wenzek et al. 2020 §3).
+
+Scale discipline (same as operators/text.py): every shuffle carries
+8-byte xxhash64 keys or compact aggregates, never document bodies;
+document text is re-read only via its original table join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gmall_flink_210726_spark.operators.text import _words
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (RefinedWeb rule): a
+    paragraph (newline-delimited, keyed on its trimmed body) that
+    occurs more than once in the corpus survives only at its first
+    occurrence — (min doc id, min position) — and is dropped
+    everywhere else. Blank paragraphs are formatting, not content:
+    they are never dedup keys and are always kept.
+
+    Output: (id, n_paras, n_dup_paras, dedup_text) where n_paras
+    counts non-blank paragraphs and dedup_text is the doc with losing
+    paragraphs removed, original order preserved.
+
+    Scale shape: the explode ships (id, pos, xxhash64(para)) — 8-byte
+    keys, no paragraph strings. One groupBy finds each hash's winning
+    (id, pos); one equi-join back flags keepers; one groupBy collects
+    the per-doc kept-position array; one final join against the
+    original docs table re-splits the text JVM-side and filters by
+    position index. Bodies never shuffle — they stay in the docs scan
+    and the single join on the table's own id key."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    paras = F.split(F.col(text_col), "\n")
+    keys = (
+        ensure_parallelism(docs.select(F.col(id_col).alias("id"), text_col))
+        .select("id", F.posexplode(paras).alias("pos", "p"))
+        .where(F.trim("p") != "")
+        .select("id", "pos", F.xxhash64(F.trim("p")).alias("ph"))
+    )
+    winners = keys.groupBy("ph").agg(
+        F.min(F.struct("id", "pos")).alias("win"),
+    )
+    flagged = keys.join(winners, "ph").select(
+        "id",
+        "pos",
+        ((F.col("win.id") == F.col("id")) & (F.col("win.pos") == F.col("pos"))).alias(
+            "keep"
+        ),
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dup_paras"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("keep"), F.col("pos")))
+        ).alias("kept_pos"),
+    )
+    return (
+        docs.join(per_doc, docs[id_col] == per_doc["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0)).alias("n_dup_paras"),
+            F.concat_ws(
+                "\n",
+                F.filter(
+                    paras,
+                    lambda p, i: (F.trim(p) == "")
+                    | F.array_contains(
+                        F.coalesce(
+                            F.col("kept_pos"), F.array().cast("array<int>")
+                        ),
+                        i,
+                    ),
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+
+
+def span_overlap_pairs(
+    docs: DataFrame,
+    window_words: int = 6,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document exact substring-span overlap: the fixed-window
+    approximation of suffix-array substring dedup (Lee et al. 2022).
+    Every sliding ``window_words``-word window is a candidate span; a
+    pair of documents sharing >= 1 distinct span is emitted with the
+    count of distinct shared spans. Output: (doc_a, doc_b,
+    n_shared_spans) with doc_a < doc_b.
+
+    Scale shape: the same single-shuffle co-occurrence equi-join as
+    n-gram Jaccard (operators/dedup.py): per-doc DISTINCT span hashes
+    (8-byte xxhash64, strings never shuffle) joined through a
+    df-capped span table — spans appearing in > ``max_df`` documents
+    are template/boilerplate noise and are excluded before the join,
+    bounding per-key fan-out at max_df^2 (the L2/L35 hub-cap
+    discipline)."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    ws = _words(text_col)
+    n_spans = F.size(ws) - F.lit(window_words - 1)
+    spans = F.when(
+        n_spans >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, window_words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        ensure_parallelism(docs.select(F.col(id_col).alias("id"), text_col))
+        .select("id", F.explode(spans).alias("span"))
+        .select("id", F.xxhash64("span").alias("gh"))
+        .distinct()
+    )
+    eligible = (
+        base.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+        .where((F.col("span_df") > 1) & (F.col("span_df") <= max_df))
+        .select("gh")
+    )
+    pruned = base.join(eligible, "gh")
+    left = pruned.select(F.col("gh"), F.col("id").alias("doc_a"))
+    right = pruned.select(F.col("gh"), F.col("id").alias("doc_b"))
+    return (
+        left.join(right, "gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_spans"))
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus — the statistic
+    behind the first merge decision of byte-pair-encoding tokenizer
+    training (Sennrich et al. 2016 §3.2): for every corpus word
+    occurrence, count each adjacent character pair inside the word.
+    Output: (pair, pair_count).
+
+    Scale shape: two-level aggregation — the corpus collapses to the
+    word-frequency vocabulary first (one token shuffle with map-side
+    combine; output is vocabulary-sized, not corpus-sized), then char
+    pairs explode off the DISTINCT words only, weighted by the word
+    count. The expensive explode runs over ~|V| rows instead of ~|corpus
+    tokens|."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    vocab = (
+        ensure_parallelism(docs.select(text_col))
+        .select(F.explode(_words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    pairs = vocab.where(F.length("w") >= 2).select(
+        "ct",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("ct").cast("long").alias("pair_count")
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style perplexity-tercile corpus partition (Wenzek et al.
+    2020 §3): score each document with the corpus-fit unigram LM
+    (operators/text.py unigram_logprob_score — the KenLM stand-in),
+    then label the best-scoring third 'head', the middle 'middle', the
+    worst 'tail'. Output: (id, avg_logprob, ppl_bucket).
+
+    Scale shape: tercile boundaries are two exact order statistics
+    computed by ONE aggregate over the compact per-doc score frame
+    (percentile(), the linear-interpolation estimator DuckDB matches
+    as quantile_cont), collected as bounded driver scalars (the
+    unigram corpus-size precedent) and applied as plan literals — a
+    map-side comparison per doc, NOT a global ntile window, which
+    would funnel every row through a single window task at 100 TB.
+    The per-doc score frame is checkpointed so the boundary agg and
+    the labeling projection share one materialization. Boundary
+    comparison happens on 6-dp-rounded doubles on both engines, so
+    tie behavior is identical."""
+    from gmall_flink_210726_spark.operators.text import unigram_logprob_score
+
+    scored = (
+        unigram_logprob_score(docs, id_col=id_col, text_col=text_col)
+        .select(F.col(id_col), F.round("avg_logprob", 6).alias("avg_logprob"))
+        .localCheckpoint(eager=True)
+    )
+    t_head, t_mid = scored.agg(
+        F.round(F.expr("percentile(avg_logprob, 2.0/3.0)"), 6),
+        F.round(F.expr("percentile(avg_logprob, 1.0/3.0)"), 6),
+    ).collect()[0]
+    return scored.select(
+        F.col(id_col),
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.lit(t_head), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.lit(t_mid), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         llm2,
         llm3,
+        llm4,
         streamq,
         tpch,
         tpch2,

@@ -322,3 +322,49 @@ class TestRound5PlanShapes:
         # other hash exchange in the plan is the tiny blocklist dedup)
         assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
         assert "Exchange hashpartitioning(_dom" not in plan, plan
+
+
+class TestRound5PlanShapes:
+    def test_span_overlap_no_nested_loop_and_df_cap_prunes(self, spark):
+        """The span co-occurrence must be hash equi-joins on the span
+        hash — never a cartesian/nested-loop — and the left/right join
+        legs must be the df-capped pruned frame, not the raw explode."""
+        plan = _plan(SPECS["text_span_overlap"].fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+
+    def test_paragraph_dedup_shuffles_positions_not_paragraphs(self, spark):
+        """Every exchange in the dedup decision pipeline carries
+        (hash, id, pos) or per-doc aggregates; no exchange partitions
+        on a paragraph string column."""
+        plan = _plan(SPECS["text_paragraph_dedup"].fn(spark, SF_SMALL))
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "p#" not in line.split("hashpartitioning", 1)[1][:60], line
+
+    def test_bpe_pairs_explode_runs_on_vocab_not_corpus(self, spark):
+        """The pair explode must sit ABOVE the word-count aggregate
+        (generate over the agg output), so its input is vocabulary-
+        sized: in the plan text the Generate for the pair transform
+        appears before (above) the first HashAggregate scan chain."""
+        plan = _plan(SPECS["text_bpe_pairs"].fn(spark, SF_SMALL))
+        gen_positions = [
+            i for i, ln in enumerate(plan.splitlines()) if "Generate" in ln
+        ]
+        agg_positions = [
+            i
+            for i, ln in enumerate(plan.splitlines())
+            if "HashAggregate" in ln and "partial_count" in ln
+        ]
+        # two generates: pair transform (above the vocab agg) and the
+        # corpus word explode (below it / deeper in the tree)
+        assert len(gen_positions) == 2, plan
+        assert any(g < min(agg_positions) for g in gen_positions), plan
+        assert any(g > max(agg_positions) for g in gen_positions), plan
+
+    def test_ccnet_buckets_is_map_side_after_checkpoint(self, spark):
+        """Bucket labeling must be a pure projection over the
+        checkpointed score frame — no window exchange, no ntile."""
+        plan = _plan(SPECS["text_ccnet_buckets"].fn(spark, SF_SMALL))
+        assert "Window" not in plan, plan
+        assert "Exchange" not in plan, plan  # scan of checkpointed RDD + project
