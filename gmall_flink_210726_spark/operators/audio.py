@@ -1,0 +1,115 @@
+"""Windowed audio features over REAL WAV bytes.
+
+Beyond-reference surface (BASELINE.json north star): the featurization
+stage a speech/audio training pipeline runs after decode — fixed-size
+frame windows, per-window signal energy, silence/clipping screens.
+This is the audio sibling of ``image_channel_stats``
+(operators/multimodal.py:550): real on-wire RIFF parsing, integer
+math end-to-end so a DuckDB oracle recomputes every value blind from
+the fixture LCG formulas.
+
+Per media file, over non-overlapping windows of ``win`` frames (one
+frame = one int16 sample per channel; a trailing partial window is
+dropped, the hop-size convention of every STFT front end):
+
+- ``n_windows``     — number of full windows
+- ``total_energy``  — sum over all windowed samples of x^2
+- ``max_energy``    — max per-window sum of x^2 (loudest window)
+- ``n_clipped``     — count of windowed samples at int16 rails
+  (|x| >= 32767) — the clipping screen used to drop corrupt-gain audio
+
+Scale design (100 TB of audio): Arrow-batched mapInPandas, blobs
+cross into Python once per batch, numpy reshape does the windowing —
+output is 5 scalar columns per file, the only thing that shuffles.
+Energy of a 16-bit sample fits 2^30; a window of 32 samples 2^35; an
+hour of 48 kHz stereo ~2^58 — int64 is safe by a wide margin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_windows", LongType()),
+        StructField("total_energy", LongType()),
+        StructField("max_energy", LongType()),
+        StructField("n_clipped", LongType()),
+    ]
+)
+
+
+def _energy_batch(pdf: pd.DataFrame, win: int) -> pd.DataFrame:
+    """RIFF chunk walk (the ``_frame_sample_batch`` convention,
+    operators/multimodal.py:426) then vectorized window energies.
+    Non-WAV/corrupt blobs degrade to format='unknown', zeros."""
+    import struct
+
+    import numpy as np
+
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "n_windows": 0,
+            "total_energy": 0,
+            "max_energy": 0,
+            "n_clipped": 0,
+        }
+        try:
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 44:
+                ch = bits = 0
+                data_pos = data_sz = 0
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid, csz = struct.unpack_from("<4sI", b, pos)
+                    if cid == b"fmt ":
+                        _, ch, _, _, _, bits = struct.unpack_from(
+                            "<HHIIHH", b, pos + 8
+                        )
+                    elif cid == b"data":
+                        data_pos, data_sz = pos + 8, csz
+                    pos += 8 + csz + (csz & 1)
+                if ch > 0 and bits == 16 and data_pos and data_pos + data_sz <= len(b):
+                    n_frames = data_sz // (2 * ch)
+                    nw = n_frames // win
+                    row.update(format="wav", n_windows=int(nw))
+                    if nw > 0:
+                        arr = np.frombuffer(
+                            b, "<i2", offset=data_pos, count=nw * win * ch
+                        ).astype(np.int64)
+                        sq = (arr * arr).reshape(nw, win * ch)
+                        energies = sq.sum(axis=1)
+                        row.update(
+                            total_energy=int(energies.sum()),
+                            max_energy=int(energies.max()),
+                            n_clipped=int((np.abs(arr) >= 32767).sum()),
+                        )
+        except (struct.error, ValueError):
+            pass
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in ENERGY_SCHEMA.fields])
+
+
+def audio_window_energy(df: DataFrame, win: int = 16) -> DataFrame:
+    """Windowed audio energy over MEDIA_SCHEMA input (see module doc).
+    Arrow-batched mapInPandas; partition parallelism is decode
+    parallelism."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _energy_batch(pdf, win)
+
+    return df.select("media_id", "content").mapInPandas(gen, ENERGY_SCHEMA)

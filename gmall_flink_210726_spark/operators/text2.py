@@ -225,3 +225,76 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted dataset mixing (the multilingual-pretraining
+    sampling rule, Conneau & Lample 2019 §3.1 / Raffel et al. 2020
+    §3.4.3): resample a corpus so group g's share follows
+    p_g ∝ n_g^alpha instead of n_g — boosting tail languages/sources,
+    damping the head — at an overall kept fraction ≈ target_frac.
+
+    Per-group keep rate: r_g = min(1, target_frac · N · p_g / n_g)
+    with p_g = n_g^alpha / Σ n^alpha. Membership is DETERMINISTIC, not
+    random: doc d is kept iff u(d) < r_g where u(d) = the first 6 hex
+    chars of md5(salt ‖ id) / 16^6 — the ``hash_split`` uniform
+    (operators/text.py:285), so the sample is stable under reruns and
+    appends, and a SQL oracle reproduces the exact membership.
+
+    Output (one row per group): group, n_docs, n_kept, rate (6 dp).
+
+    Scale shape: TWO passes, by design — pass 1 aggregates group
+    counts and is column-pruned to the single group column (a
+    several-hundred-row result at any corpus size); pass 2 broadcasts
+    the rate table back onto the corpus for a map-side filter. No
+    full-width shuffle anywhere; the corpus rows never move."""
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    # the counts frame is tiny (one row per group) — a single-partition
+    # window computing the normalizer is a driver-sized operation
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    pow_a = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    rates = counts.select(
+        "grp",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.sum("n_docs").over(wall).cast("double")
+            * pow_a
+            / F.sum(pow_a).over(wall)
+            / F.col("n_docs").cast("double"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**6))
+    )
+    kept = (
+        docs.select(F.col(group_col).alias("grp"), u.alias("u"))
+        .join(F.broadcast(rates), "grp")
+        .groupBy("grp", "n_docs", "rate")
+        .agg(F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).alias("n_kept"))
+    )
+    return kept.select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.round("rate", 6).alias("rate"),
+    )

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_CENTS = F.round(F.col("value") * 100, 0).cast("long")
+def _cents():
+    # built lazily — a module-level Column would demand an active
+    # SparkContext at import time and break registry.load_all()
+    return F.round(F.col("value") * 100, 0).cast("long")
 
 
 def gap_fill_locf(events: DataFrame, bucket: str = "hour") -> DataFrame:
@@ -41,7 +44,7 @@ def gap_fill_locf(events: DataFrame, bucket: str = "hour") -> DataFrame:
         F.date_trunc(bucket, F.col("ts")).alias("bucket_ts"),
         "ts",
         "event_id",
-        _CENTS.alias("cents"),
+        _cents().alias("cents"),
     )
     w_last = Window.partitionBy("user_id", "bucket_ts").orderBy(
         F.desc("ts"), F.desc("event_id")
@@ -91,7 +94,7 @@ def rolling_zscore(
     expressions over those exact operands, so both engines produce
     bit-identical IEEE results (rounded to 6 dp on output)."""
     base = events.select(
-        "event_id", "user_id", "ts", _CENTS.alias("cents")
+        "event_id", "user_id", "ts", _cents().alias("cents")
     )
     w = (
         Window.partitionBy("user_id")

@@ -44,12 +44,14 @@ def load_all() -> dict[str, QuerySpec]:
     from gmall_flink_210726_spark.queries import (  # noqa: F401
         extras,
         extras2,
+        extras3,
         gmall,
         gmall2,
         llm,
         llm2,
         llm3,
         llm4,
+        llm5,
         streamq,
         tpch,
         tpch2,

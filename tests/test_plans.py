@@ -368,3 +368,30 @@ class TestRound5PlanShapes:
         plan = _plan(SPECS["text_ccnet_buckets"].fn(spark, SF_SMALL))
         assert "Window" not in plan, plan
         assert "Exchange" not in plan, plan  # scan of checkpointed RDD + project
+
+
+class TestWave5PlanShapes:
+    def test_dhash_neardup_shuffles_hashes_not_blobs(self, spark):
+        """Image bytes must never shuffle: every exchange in the
+        near-dup plan carries (id, dhash, band, bv) scalars — no
+        binary content column appears in an Exchange line."""
+        plan = _plan(SPECS["multimodal_dhash_neardup"].fn(spark, SF_SMALL))
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "content#" not in line, line
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_semantic_dedup_no_nested_loop(self, spark):
+        """Within-bucket pairing is the bounded window, never a
+        cartesian/nested-loop join."""
+        plan = _plan(SPECS["dedup_semantic"].fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_temperature_mixture_broadcasts_rates(self, spark):
+        """The per-group rate table joins back to the corpus as a
+        broadcast — the corpus side never sort-merge-shuffles."""
+        plan = _plan(SPECS["llm_temperature_mixture"].fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
