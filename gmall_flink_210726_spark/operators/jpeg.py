@@ -1,0 +1,455 @@
+"""Baseline JPEG decode with stdlib + numpy only — no codec libraries.
+
+Beyond-reference surface (BASELINE.json north star): closes the last
+"general codec honestly stubbed" gap (operators/multimodal.py keeps
+PIL-dependent formats behind a guard). Everything here is from the
+public ITU-T T.81 spec: marker segment parsing (SOI/APPn/DQT/SOF0/
+DHT/SOS/EOI), canonical Huffman table construction from DHT
+bits/values, the byte-stuffed entropy bit stream, DC prediction with
+EXTEND sign decoding, AC run-length/EOB/ZRL decoding through the
+zigzag scan, dequantization, the 8x8 inverse DCT (float64 basis
+matmul), level shift and clipping.
+
+Supported subset (honestly bounded): baseline sequential DCT, 8-bit
+precision, 1 or 3 components with no chroma subsampling (all 1x1
+sampling factors), no progressive mode, no restart intervals.
+Anything else raises ValueError and the Spark operator degrades the
+row to format='unknown' — never throw away the partition for one
+file.
+
+Fixture strategy (the PNG/_make_bmp pattern,
+operators/multimodal.py:151,622): the synthesizer writes REAL
+baseline JPEGs whose 8x8 blocks are DC-only with quantizer step 8, so
+the decoded block is EXACTLY its target constant value — IDCT of a
+DC-only block is F00/8 with zero rounding ambiguity — and a DuckDB
+oracle recomputes per-image pixel sums blind from the LCG block
+values, including right/bottom block cropping for non-multiple-of-8
+dims. The decoder itself is general (it walks DQT/DHT/SOF from the
+bytes and runs the full AC path); the fixture just makes its output
+integer-exact.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# ---------------------------------------------------------------- fixture
+# dims/values shared with the DuckDB oracle in queries/llm5.py — the
+# decoder never sees these formulas, it parses the bytes.
+_JPG_BW = lambda i: 1 + i % 4  # noqa: E731  blocks wide
+_JPG_BH = lambda i: 1 + i % 3  # noqa: E731  blocks high
+_JPG_WPAD = lambda i: i % 5  # noqa: E731  right-edge crop (0..4 cols)
+_JPG_HPAD = lambda i: i % 3  # noqa: E731  bottom-edge crop (0..2 rows)
+_JPG_BAD = lambda i: i % 13 == 0  # noqa: E731  truncated corrupt blob
+_JPG_V = lambda i, b: (i * 37 + 11 * b) % 256  # noqa: E731  block value
+
+# custom (legal) canonical Huffman tables, declared in DHT like any
+# optimizer-written JPEG: DC = twelve 4-bit codes for categories 0-11;
+# AC = eleven 4-bit codes for EOB and (run 0, size 1-10).
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 0, 11, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = [0x00] + list(range(1, 11))  # EOB, then (run 0, size 1-10)
+
+
+def _zigzag_order():
+    """The T.81 zigzag scan, generated (not transcribed): walk the
+    anti-diagonals s = row+col, upward (increasing col) on even s,
+    downward on odd s."""
+    order = []
+    for s in range(15):
+        d = range(max(0, s - 7), min(s, 7) + 1)
+        for col in (reversed(d) if s % 2 else d):
+            order.append((s - col) * 8 + col)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _dht(cls: int, tid: int, bits, vals) -> bytes:
+    payload = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+    return struct.pack(">2sH", b"\xff\xc4", 2 + len(payload)) + payload
+
+
+def _make_jpeg(media_id: int, q_step: int = 8) -> bytes:
+    """Real baseline JPEG: grayscale, DC-only blocks, quantizer step
+    ``q_step`` everywhere. Block (by, bx) decodes to the constant
+    pixel value _JPG_V(id, by*bw + bx) exactly. Ids hitting _JPG_BAD
+    are truncated right after SOF0 — a corrupt blob the decoder must
+    reject, not crash on."""
+    i = int(media_id)
+    bw, bh = _JPG_BW(i), _JPG_BH(i)
+    w, h = 8 * bw - _JPG_WPAD(i), 8 * bh - _JPG_HPAD(i)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += struct.pack(">2sH", b"\xff\xdb", 2 + 65) + bytes([0x00]) + bytes(
+        [q_step] * 64
+    )  # DQT, 8-bit table 0
+    out += struct.pack(
+        ">2sHBHHB", b"\xff\xc0", 11, 8, h, w, 1
+    ) + bytes([1, 0x11, 0])  # SOF0: 1 component, 1x1 sampling, Tq=0
+    if _JPG_BAD(i):
+        return bytes(out[: len(out) // 2])
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _AC_BITS, _AC_VALS)
+    out += struct.pack(">2sH", b"\xff\xda", 8) + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )  # SOS
+    bwr = _BitWriter()
+    prev = 0
+    for b in range(bw * bh):
+        level = _JPG_V(i, b) - 128  # dequantized DC = level * q_step
+        diff = level - prev
+        prev = level
+        cat = abs(diff).bit_length()
+        bwr.write(cat, 4)  # DC canonical code == category value
+        if cat:
+            mag = diff if diff > 0 else diff + (1 << cat) - 1
+            bwr.write(mag, cat)
+        bwr.write(0, 4)  # AC: EOB (canonical code 0 at length 4)
+    out += bwr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def _build_huffman(bits, vals):
+    """Canonical Huffman per T.81 C.2: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over the byte-stuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("marker inside entropy stream")
+                self.pos += 1
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(mag: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a size-bit magnitude to its signed
+    coefficient."""
+    if size == 0:
+        return 0
+    return mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+
+
+_IDCT_BASIS = None
+
+
+def _idct_basis():
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import numpy as np
+
+        x = np.arange(8)
+        u = np.arange(8)
+        c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0)
+        _IDCT_BASIS = (c[:, None] / 2.0) * np.cos(
+            (2 * x[None, :] + 1) * u[:, None] * np.pi / 16.0
+        )
+    return _IDCT_BASIS
+
+
+def _decode_jpeg(b: bytes):
+    """Parse + entropy-decode + dequantize + IDCT a baseline JPEG.
+    Returns (w, h, ndarray[h, w, n_comp] of uint8-range int64) or
+    raises ValueError on anything malformed or outside the supported
+    subset (see module doc)."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("bad SOI")
+    pos = 2
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("no scan data")
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                n = 64 * (2 if pq else 1)
+                raw = seg[off + 1 : off + 1 + n]
+                if len(raw) != n:
+                    raise ValueError("truncated DQT")
+                vals = (
+                    np.frombuffer(raw, ">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(raw, np.uint8).astype(np.int64)
+                )
+                qt[tq] = vals
+                off += 1 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("unsupported precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError("unsupported subsampling")
+                comps.append((cid, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("unsupported SOF mode")
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                cls, tid = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("truncated DHT")
+                huff[(cls, tid)] = _build_huffman(bits, vals)
+                off += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("unsupported restart interval")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cs, tdta = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan.append((cs, tdta >> 4, tdta & 0xF))
+            data_start = pos + 2 + seglen
+            end = b.rfind(b"\xff\xd9")
+            if end < data_start:
+                raise ValueError("missing EOI")
+            return _decode_scan(b[data_start:end], sof, scan, qt, huff)
+        pos += 2 + seglen
+    raise ValueError("no SOS marker")
+
+
+def _decode_scan(data: bytes, sof, scan, qt, huff):
+    import numpy as np
+
+    w, h, comps = sof
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise ValueError("bad dims")
+    byid = {cid: tq for cid, tq in comps}
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = {cs: np.zeros((bh * 8, bw * 8), np.int64) for cs, _, _ in scan}
+    basis = _idct_basis()
+    rdr = _BitReader(data)
+    pred = {cs: 0 for cs, _, _ in scan}
+    for by in range(bh):
+        for bx in range(bw):
+            for cs, td, ta in scan:
+                if byid.get(cs) is None or byid[cs] not in qt:
+                    raise ValueError("missing quant table")
+                dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("missing Huffman table")
+                q = qt[byid[cs]]
+                # coefficients AND the DQT table live in zigzag order
+                # (T.81 B.2.4.1): dequantize in zigzag space, then
+                # scatter to raster via the scan table
+                coef_zz = np.zeros(64, np.int64)
+                size = rdr.read_symbol(dc_tab)
+                pred[cs] += _extend(rdr.read_bits(size), size)
+                coef_zz[0] = pred[cs]
+                k = 1
+                while k < 64:
+                    sym = rdr.read_symbol(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    coef_zz[k] = _extend(rdr.read_bits(sym & 0xF), sym & 0xF)
+                    k += 1
+                blk = np.zeros(64, np.int64)
+                blk[np.asarray(_ZIGZAG)] = coef_zz * q
+                blk = blk.reshape(8, 8)
+                px = basis.T @ blk.astype(np.float64) @ basis
+                planes[cs][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(px) + 128, 0, 255
+                ).astype(np.int64)
+    chans = [planes[cs][:h, :w] for cs, _, _ in scan]
+    if len(chans) == 3:  # YCbCr -> RGB (BT.601)
+        y, cb, cr = (c.astype(np.float64) for c in chans)
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        bl = y + 1.772 * (cb - 128)
+        chans = [
+            np.clip(np.round(c), 0, 255).astype(np.int64) for c in (r, g, bl)
+        ]
+    return w, h, np.stack(chans, axis=-1)
+
+
+# ----------------------------------------------------------- Spark surface
+
+JPEG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL baseline JPEG blobs, one per doc_id
+    (dims deterministic in the id; ids hitting _JPG_BAD are truncated
+    corrupt blobs). Same Arrow-batched plumbing as synthesize_media."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_jpeg(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _JPG_BAD(i) else "jpeg",
+                            "width": 8 * _JPG_BW(i) - _JPG_WPAD(i),
+                            "height": 8 * _JPG_BH(i) - _JPG_HPAD(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _jpeg_pixels_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "width": 0,
+            "height": 0,
+            "n_pixels": 0,
+            "pixel_sum": 0,
+        }
+        try:
+            w, h, px = _decode_jpeg(b)
+            row.update(
+                format="jpeg",
+                width=int(w),
+                height=int(h),
+                n_pixels=int(w) * int(h),
+                pixel_sum=int(px.sum(dtype="int64")),
+            )
+        except (ValueError, struct.error, IndexError):
+            pass
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in JPEG_SCHEMA.fields])
+
+
+def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode over MEDIA_SCHEMA input: Huffman
+    entropy decode + dequant + IDCT with stdlib/numpy alone, emitting
+    per-image pixel sums. Corrupt/unsupported blobs degrade to
+    format='unknown' zeroed rows. Arrow-batched mapInPandas; decode
+    parallelism is partition parallelism."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _jpeg_pixels_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, JPEG_SCHEMA)

@@ -206,3 +206,45 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(
         load_table(spark, sf_dir, "documents"), alpha=0.5, target_frac=0.5
     )
+
+
+@register(
+    "multimodal_jpeg_pixels",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      1 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh,
+                      doc_id % 5 AS wp, doc_id % 3 AS hp,
+                      doc_id % 13 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, 8 * bw - wp AS w, 8 * bh - hp AS h,
+            list_sum([((media_id * 37 + 11 * b) % 256)
+                      * (CASE WHEN b % bw = bw - 1 THEN 8 - wp ELSE 8 END)
+                      * (CASE WHEN b // bw = bh - 1 THEN 8 - hp ELSE 8 END)
+                      for b in range(0, bw * bh)]) AS vsum
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'jpeg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE vsum END AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    doc="REAL baseline JPEG decode with stdlib+numpy alone: marker "
+    "walk, canonical Huffman from DHT, byte-stuffed entropy stream, "
+    "DC prediction + EXTEND, zigzag dequant, 8x8 IDCT, level shift, "
+    "right/bottom crop of partial blocks. DC-only fixture blocks with "
+    "quantizer step 8 make every decoded pixel integer-exact, so the "
+    "oracle recomputes per-image pixel sums blind from the block LCG "
+    "(crop-weighted); truncated corrupt blobs must degrade to "
+    "format='unknown'",
+    tags=("llm", "multimodal"),
+)
+def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.jpeg import (
+        jpeg_pixel_stats,
+        synthesize_jpeg_media,
+    )
+
+    media = synthesize_jpeg_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_pixel_stats(media)

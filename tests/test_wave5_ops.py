@@ -178,3 +178,104 @@ class TestTemperatureMixture:
             for r in temperature_mixture(docs, alpha=0.5, target_frac=0.5).collect()
         }
         assert rows2 == {k: r["n_kept"] for k, r in rows.items()}
+
+
+class TestJpegCodec:
+    def test_dc_only_roundtrip_exact(self, spark):
+        from gmall_flink_210726_spark.operators.jpeg import (
+            jpeg_pixel_stats,
+            synthesize_jpeg_media,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 30)], "doc_id long")
+        rows = {
+            r["media_id"]: r
+            for r in jpeg_pixel_stats(synthesize_jpeg_media(docs)).collect()
+        }
+        from gmall_flink_210726_spark.operators.jpeg import (
+            _JPG_BAD,
+            _JPG_BH,
+            _JPG_BW,
+            _JPG_HPAD,
+            _JPG_V,
+            _JPG_WPAD,
+        )
+
+        for i in range(1, 30):
+            r = rows[i]
+            if _JPG_BAD(i):
+                assert r["format"] == "unknown" and r["pixel_sum"] == 0
+                continue
+            bw, bh = _JPG_BW(i), _JPG_BH(i)
+            w, h = 8 * bw - _JPG_WPAD(i), 8 * bh - _JPG_HPAD(i)
+            exp = sum(
+                _JPG_V(i, by * bw + bx)
+                * (min(8, w - bx * 8)) * (min(8, h - by * 8))
+                for by in range(bh)
+                for bx in range(bw)
+            )
+            assert (r["width"], r["height"], r["pixel_sum"]) == (w, h, exp), i
+
+    def test_ac_coefficient_path(self):
+        """A hand-assembled single-block JPEG with DC=0 and one AC
+        coefficient at zigzag position 1 must decode to the IDCT of
+        that coefficient, computed here from the raw cosine formula —
+        exercises the AC Huffman branch, EXTEND, zigzag placement and
+        dequantization."""
+        import numpy as np
+
+        from gmall_flink_210726_spark.operators.jpeg import (
+            _AC_BITS,
+            _AC_VALS,
+            _BitWriter,
+            _DC_BITS,
+            _DC_VALS,
+            _decode_jpeg,
+            _dht,
+        )
+        import struct
+
+        q = 2
+        out = bytearray(b"\xff\xd8")
+        out += struct.pack(">2sH", b"\xff\xdb", 67) + bytes([0]) + bytes([q] * 64)
+        out += struct.pack(">2sHBHHB", b"\xff\xc0", 11, 8, 8, 8, 1) + bytes(
+            [1, 0x11, 0]
+        )
+        out += _dht(0, 0, _DC_BITS, _DC_VALS)
+        out += _dht(1, 0, _AC_BITS, _AC_VALS)
+        out += struct.pack(">2sH", b"\xff\xda", 8) + bytes([1, 1, 0, 0, 63, 0])
+        wtr = _BitWriter()
+        wtr.write(0, 4)  # DC category 0 (diff 0)
+        # AC: (run 0, size 3) -> canonical code == value index 3; mag 5
+        wtr.write(3, 4)
+        wtr.write(5, 3)
+        wtr.write(0, 4)  # EOB
+        out += wtr.flush() + b"\xff\xd9"
+        w, h, px = _decode_jpeg(bytes(out))
+        # zigzag position 1 = raster (0,1): F(u=1, v=0) horizontally
+        # varying basis; dequantized coefficient = 5 * q
+        xs = np.arange(8)
+        basis_row = (1.0 / np.sqrt(2)) / 2 * np.ones(8)  # u=0 col factor
+        cosx = np.cos((2 * xs + 1) * 1 * np.pi / 16) / 2
+        expected = np.clip(
+            np.round(5 * q * np.outer(basis_row, cosx) * 1.0) + 128, 0, 255
+        )
+        assert (w, h) == (8, 8)
+        assert (px[:, :, 0] == expected.astype(np.int64)).all()
+
+    def test_unsupported_modes_rejected(self):
+        from gmall_flink_210726_spark.operators.jpeg import (
+            _decode_jpeg,
+            _make_jpeg,
+        )
+
+        with_progressive = bytearray(_make_jpeg(1))
+        # flip SOF0 (FFC0) to SOF2 (FFC2, progressive)
+        idx = bytes(with_progressive).find(b"\xff\xc0")
+        with_progressive[idx + 1] = 0xC2
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            _decode_jpeg(bytes(with_progressive))
+        with _pt.raises(ValueError):
+            _decode_jpeg(b"\x89PNG not a jpeg")
