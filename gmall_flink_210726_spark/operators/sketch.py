@@ -1,0 +1,195 @@
+"""Distributed sketches and layout planning for 100 TB pipelines.
+
+hll_distinct: a deterministic HyperLogLog (Flajolet et al. 2007) built
+entirely from JVM Column expressions over md5 — unlike Spark's
+approx_count_distinct (whose HLL++ register layout is
+implementation-internal), every intermediate here is reproducible in
+ANSI SQL, so the DuckDB oracle recomputes the SAME estimate bit-for-bit
+and the correctness gate can hash-compare an *approximate* algorithm
+exactly. At scale the register table is m rows per group — a
+fixed-size, shuffle-once reduction no matter how many input rows.
+
+shard_binpack: deterministic greedy packing of documents into
+fixed-token-budget output shards. The global order is (bucket, md5,
+id); the only full-order structure materialized is the 256-row bucket
+prefix-sum table — per-doc cumulative sums are computed with a window
+partitioned BY BUCKET plus the broadcast bucket offset, so no stage
+ever sorts the whole corpus in one partition (the classic scalable
+prefix-sum decomposition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# alpha_64 from Flajolet et al. 2007 Fig. 3 (m = 64)
+HLL_ALPHA_64 = 0.709
+HLL_M = 64
+
+
+def _h60(key: Column) -> Column:
+    """First 60 bits of md5(key) as a non-negative bigint.
+
+    conv(hex, 16, 10) on 15 hex chars — 60 bits, safely inside int64.
+    """
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+) -> DataFrame:
+    """Deterministic HLL(m=64) distinct-count per group, with the exact
+    count alongside for calibration.
+
+    Register index = low 6 hash bits; rho = leading-zero rank of the
+    remaining 54 bits + 1. Small-range (linear counting) correction
+    applied exactly as published. Both aggregations run off ONE
+    distinct (group, key) reduction — HLL is duplicate-insensitive, so
+    deduping first changes nothing and lets the exact count share the
+    shuffle.
+    """
+    h = _h60(F.col(key_col))
+    # h >> 6 in exact integer arithmetic (h is 60-bit, above double's
+    # 53-bit exact range — float division would corrupt low bits)
+    w = F.shiftrightunsigned(h, 6)
+    rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+
+    deduped = df.select(*group_cols, key_col).distinct()
+    regs = (
+        deduped.select(*group_cols, (h % HLL_M).alias("_reg"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_s_obs"),
+        F.count(F.lit(1)).alias("_n_regs"),
+    )
+    m = F.lit(float(HLL_M))
+    s = F.col("_s_obs") + (m - F.col("_n_regs"))  # absent registers: 2^-0
+    v = m - F.col("_n_regs")  # zero-valued registers
+    e_raw = F.lit(HLL_ALPHA_64) * m * m / s
+    est = F.when((e_raw <= 2.5 * HLL_M) & (v > 0), m * F.log(m / v)).otherwise(e_raw)
+
+    exact = deduped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return per_group.join(exact, group_cols).select(
+        *group_cols,
+        F.round(est, 4).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+def shard_binpack(
+    docs: DataFrame,
+    id_col: str,
+    size_col: Column,
+    target_per_shard: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Assign each doc to an output shard of ~target size units.
+
+    shard_id = floor(exclusive_prefix_sum(size) / target) under the
+    deterministic global order (bucket, md5(id), id). Equivalent to a
+    single ORDER BY md5 window cumsum (what the oracle runs), but the
+    physical plan decomposes it: per-bucket window + 256-row bucket
+    prefix table joined back — the standard distributed prefix sum.
+    """
+    hk = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(hk, 1, 2), 16, 10).cast("int") % n_buckets
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        size_col.cast("long").alias("_sz"),
+        hk.alias("_hk"),
+        bucket.alias("_bkt"),
+    )
+
+    # 256-row bucket totals -> exclusive prefix offsets (tiny global window)
+    totals = base.groupBy("_bkt").agg(F.sum("_sz").alias("_tot"))
+    w_b = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(w_b), F.lit(0)).alias("_off")
+    )
+
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_hk", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cum = base.join(F.broadcast(offsets), "_bkt").select(
+        "_id",
+        "_sz",
+        (
+            F.col("_off") + F.coalesce(F.sum("_sz").over(w_in), F.lit(0))
+        ).alias("_excl"),
+    )
+    return with_cum.select(
+        F.col("_id").alias(id_col),
+        F.col("_sz").alias("n_units"),
+        # exact integer division (SQL `div`), not float floor-divide
+        F.expr(f"_excl div {int(target_per_shard)}").alias("shard_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_h(j: int, key: Column) -> Column:
+    """Row-j counter index: low 8 bits of the 60-bit md5 of 'j:key'."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def cms_estimate(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Count-min frequency estimates for every key in ``counts``.
+
+    Builds the d x w sketch (a FIXED 1024-row table no matter the key
+    cardinality — the whole point at 100 TB: the sketch is the only
+    state that must fit anywhere) from per-key counts, then probes it:
+    estimate(key) = min_j sketch[j][h_j(key)]. The sketch side of the
+    probe join is broadcast (1024 rows). CMS guarantees
+    estimate >= true count (one-sided error).
+    """
+    keyed = counts.select(
+        F.col(key_col).alias("_k"),
+        F.col(count_col).cast("long").alias("_ct"),
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("_j"),
+    )
+    # counter index for this key in row _j (branch on the literal j —
+    # all JVM expressions, no UDF)
+    expr = None
+    for j in range(CMS_DEPTH):
+        h = _cms_h(j, F.col("_k"))
+        expr = h if expr is None else F.when(F.col("_j") == j, h).otherwise(expr)
+    # build: when-chain evaluates the md5 matching each row's j
+    keyed = keyed.withColumn("_ctr", expr)
+
+    sketch = keyed.groupBy("_j", "_ctr").agg(F.sum("_ct").alias("_cell"))
+    probe = keyed.join(F.broadcast(sketch), ["_j", "_ctr"])
+    return (
+        probe.groupBy("_k")
+        .agg(F.min("_cell").alias("cms_est"), F.max("_ct").alias("exact_ct"))
+        .select(F.col("_k").alias(key_col), "exact_ct", "cms_est")
+    )

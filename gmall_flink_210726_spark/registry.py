@@ -45,6 +45,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras,
         extras2,
         extras3,
+        extras4,
         gmall,
         gmall2,
         llm,
@@ -52,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm3,
         llm4,
         llm5,
+        llm6,
         streamq,
         tpch,
         tpch2,
