@@ -1,0 +1,88 @@
+"""Embedding-column transforms beyond similarity search: scalar int8
+quantization (the storage/bandwidth path every 100 TB vector corpus
+needs before ANN serving) and exact per-label centroids (the
+class-prototype computation under semantic dedup / clustering QA).
+
+Determinism contract (the repo-wide oracle rules): per-element doubles
+are rounded BEFORE any cross-row aggregation; cross-row sums run in
+DECIMAL (order-free exact) and only then come back to double. Min/max
+of doubles are order-free already. The quantization affine transform
+is per-row IEEE arithmetic in a fixed operation order, identical in
+Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _long_form(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, dim, x) rows; x cast to double. posexplode keeps the element
+    index — the per-dimension key every downstream agg groups on."""
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+
+
+def quantize_int8_stats(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension scalar quantization to 0..255 with calibration stats.
+
+    q = round((x - min_d) * 255 / (max_d - min_d)) per dimension d —
+    the classic min/max affine codebook. Output is the per-dimension
+    summary (range + exact integer checksums of the quantized values),
+    a fixed-size result (one row per dimension) however many vectors
+    flow through: explode -> per-dim agg -> broadcast codebook join ->
+    per-dim checksum agg, all JVM expressions.
+    """
+    long = _long_form(emb, id_col, vec_col)
+    codebook = long.groupBy("dim").agg(
+        F.min("x").alias("_mn"), F.max("x").alias("_mx")
+    )
+    q = F.when(
+        F.col("_mx") == F.col("_mn"), F.lit(0)
+    ).otherwise(
+        F.round((F.col("x") - F.col("_mn")) * 255 / (F.col("_mx") - F.col("_mn")), 0)
+    ).cast("long")
+    quantized = long.join(F.broadcast(codebook), "dim").select("dim", q.alias("_q"))
+    return quantized.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum("_q").alias("q_sum"),
+        F.sum(F.col("_q") * F.col("_q")).alias("q_sq_sum"),
+    ).join(
+        codebook.select(
+            "dim", F.round("_mn", 6).alias("dim_min"), F.round("_mx", 6).alias("dim_max")
+        ),
+        "dim",
+    )
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact per-(label, dimension) centroid.
+
+    Elements are rounded to 6 dp then summed as DECIMAL(18,6) — an
+    order-free exact reduction (the llm3 unigram-LM precedent) — so
+    the mean is bit-reproducible across engines and partitionings.
+    One explode + one (label, dim) groupBy; output is |labels| x dims
+    rows regardless of corpus size.
+    """
+    long = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    dec = F.round("x", 6).cast("decimal(18,6)")
+    return long.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            (F.sum(dec).cast("double") / F.count(F.lit(1))).cast("double"), 6
+        ).alias("centroid"),
+    )
