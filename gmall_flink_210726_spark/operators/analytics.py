@@ -166,6 +166,51 @@ def fuzzy_match_pairs(
     return (
         a.join(b, "_blk")
         .where(F.col("k1") < F.col("k2"))
+        # length-difference prune BEFORE the DP: lev >= |len1 - len2|,
+        # so pairs outside the band can never match — the cheap O(1)
+        # filter runs first and the quadratic-cost DP only on survivors
+        .where(
+            F.abs(F.length("name1") - F.length("name2")) <= max_dist
+        )
         .select("k1", "k2", "name1", "name2", lev.alias("lev_dist"))
+        .where((F.col("lev_dist") >= 1) & (F.col("lev_dist") <= max_dist))
+    )
+
+
+def fuzzy_match_names(
+    df: DataFrame,
+    name_col: str,
+    block_fn,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Blocked fuzzy matching over DISTINCT names with carry counts.
+
+    The scale-correct shape when names repeat heavily (dimension
+    tables, catalog data): reduce to (name, n_keys) FIRST — the
+    distinct-name table is orders of magnitude smaller than the rows —
+    then run the blocked Levenshtein join on names alone, emitting how
+    many records carry each side instead of the quadratic key-pair
+    expansion (an 80-name-pair result instead of millions of key
+    pairs). Same blocking + length-band pruning as fuzzy_match_pairs.
+    """
+    names = df.groupBy(F.col(name_col).alias("_n")).agg(
+        F.count(F.lit(1)).alias("_ct")
+    )
+    a = names.select(
+        F.col("_n").alias("name1"),
+        F.col("_ct").alias("n1_keys"),
+        block_fn(F.col("_n")).alias("_blk"),
+    )
+    b = names.select(
+        F.col("_n").alias("name2"),
+        F.col("_ct").alias("n2_keys"),
+        block_fn(F.col("_n")).alias("_blk"),
+    )
+    lev = F.levenshtein("name1", "name2")
+    return (
+        a.join(b, "_blk")
+        .where(F.col("name1") < F.col("name2"))
+        .where(F.abs(F.length("name1") - F.length("name2")) <= max_dist)
+        .select("name1", "name2", "n1_keys", "n2_keys", lev.alias("lev_dist"))
         .where((F.col("lev_dist") >= 1) & (F.col("lev_dist") <= max_dist))
     )

@@ -1,0 +1,138 @@
+r"""Text-quality wave 3: corpus bigram LM scoring and linear-model
+(logistic) quality classification — the two remaining score-every-doc
+signals a pretraining pipeline runs (Brown et al. 2020 used an LR
+quality classifier; CCNet/Gopher use n-gram LM perplexity).
+
+Determinism contract (repo-wide): per-token/feature doubles are
+computed in a FIXED operation order identical to the oracle SQL,
+transcendentals (ln/exp) feed a round(_, 6) — cross-engine libm
+divergence is <=1 ulp, ~1e-16 relative, far below the rounding
+boundary — and any cross-row sum of rounded values runs in DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark.operators.text import _words
+
+
+def bigram_logprob_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-derived bigram LM score per document (the KenLM-proxy one
+    order up from unigram_logprob_score): P(w2|w1) = C(w1,w2)/C(w1·),
+    doc score = mean ln P over its bigrams. Docs with <2 tokens have no
+    bigrams and are absent.
+
+    Scale shape mirrors the unigram operator's one-scan discipline: the
+    corpus is exploded ONCE into per-(doc, bigram) occurrence counts
+    (bigrams built JVM-side by zipping the token array with its shift —
+    no window over token positions), eagerly checkpointed; both the
+    global bigram table and the head-word marginal derive from that
+    compact aggregate, and the probability join is a plain equi-join on
+    the bigram key.
+    """
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    ws = _words(text_col)
+    n = F.size(ws)
+    pairs = F.arrays_zip(
+        F.slice(ws, 1, n - 1).alias("w1"), F.slice(ws, 2, n - 1).alias("w2")
+    )
+    bi = (
+        base.where(n >= 2)
+        .select(F.col(id_col).alias("id"), F.explode(pairs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    # ONE physical corpus pass; everything derives from this aggregate
+    doc_bi = (
+        bi.groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    c12 = doc_bi.groupBy("w1", "w2").agg(F.sum("k").alias("ct12"))
+    c1 = c12.groupBy("w1").agg(F.sum("ct12").alias("ct1"))
+    scored = doc_bi.join(c12, ["w1", "w2"]).join(c1, "w1").select(
+        "id",
+        "k",
+        F.round(
+            F.log(F.col("ct12").cast("double") / F.col("ct1").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("lp") * F.col("k").cast("decimal(12,0)")).alias("_slp"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            F.col("_slp").cast("double").alias("sum_logprob"),
+            (F.col("_slp").cast("double") / F.col("n_bigrams"))
+            .cast("double")
+            .alias("avg_logprob"),
+        )
+    )
+
+
+# A small fixed stopword inventory — the classifier feature, not a
+# linguistic resource (the lang_id op owns language heuristics).
+LOGIT_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as",
+)
+
+# Fixed published-style weights: reward stopword density (real prose),
+# penalize very long average tokens (code/IDs), penalize symbol soup.
+LOGIT_W0 = -2.0
+LOGIT_W_STOP = 9.0
+LOGIT_W_WLEN = -0.15
+LOGIT_W_SYM = -4.0
+
+
+def quality_logit_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Logistic-regression quality classifier inference (the GPT-3-style
+    LR filter, Brown et al. 2020 App. A): three JVM-computed features ->
+    fixed-weight linear score -> sigmoid -> keep flag at 0.5.
+
+    Pure map-side Column arithmetic — no shuffle, no UDF; at 100 TB
+    this fuses into the scan's WholeStageCodegen. Empty docs (no
+    tokens) are absent.
+    """
+    ws = _words(text_col)
+    n_words = F.size(ws)
+    # f_stop: stopword token share
+    stops = F.array(*[F.lit(s) for s in LOGIT_STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stops, w)))
+    f_stop = n_stop.cast("double") / n_words.cast("double")
+    # f_wlen: mean token length
+    chars = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    f_wlen = chars.cast("double") / n_words.cast("double")
+    # f_sym: non-alphanumeric, non-space share of raw characters
+    n_sym = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    f_sym = n_sym.cast("double") / F.length(text_col).cast("double")
+
+    z = (
+        F.lit(LOGIT_W0)
+        + F.lit(LOGIT_W_STOP) * f_stop
+        + F.lit(LOGIT_W_WLEN) * f_wlen
+        + F.lit(LOGIT_W_SYM) * f_sym
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.where(n_words > 0).select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(f_stop, 6).alias("f_stop"),
+        F.round(f_wlen, 6).alias("f_wlen"),
+        F.round(f_sym, 6).alias("f_sym"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

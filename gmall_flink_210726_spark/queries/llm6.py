@@ -127,3 +127,81 @@ def q_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH ws AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS w
+                FROM documents),
+    bi AS (SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
+           FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i
+                 FROM ws WHERE len(w) >= 2)),
+    c12 AS (SELECT w1, w2, COUNT(*) AS ct12 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(ct12) AS BIGINT) AS ct1 FROM c12 GROUP BY 1),
+    lp AS (SELECT bi.doc_id,
+             CAST(round(ln(CAST(ct12 AS DOUBLE) / CAST(ct1 AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp
+           FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp) AS DOUBLE) AS sum_logprob,
+           CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+    doc="Corpus-derived bigram LM score per doc (one order above "
+    "text_unigram_logprob; the CCNet/Gopher perplexity-filter proxy): "
+    "P(w2|w1) = C(w1,w2)/C(w1.), mean ln P over the doc's bigrams. "
+    "Bigrams are built JVM-side by zipping the token array with its "
+    "shift (no per-token window); the corpus explodes ONCE into a "
+    "checkpointed (doc, bigram) aggregate from which both count tables "
+    "derive. operators/text3.py:bigram_logprob_score",
+    tags=("llm", "text"),
+)
+def q_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text3 import bigram_logprob_score
+
+    return bigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_logit",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+               FROM documents),
+    f AS (SELECT doc_id,
+            len(ws) AS n_words,
+            CAST(len(list_filter(ws, x -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','it',
+               'that','for','on','with','as'], x))) AS DOUBLE)
+              / CAST(len(ws) AS DOUBLE) AS f_stop,
+            CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+              / CAST(len(ws) AS DOUBLE) AS f_wlen,
+            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) AS f_sym
+          FROM t WHERE len(ws) > 0)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(f_stop, 6) AS f_stop,
+           round(f_wlen, 6) AS f_wlen,
+           round(f_sym, 6) AS f_sym,
+           round(1.0 / (1.0 + exp(-(-2.0 + 9.0 * f_stop + -0.15 * f_wlen
+                                    + -4.0 * f_sym))), 6) AS quality_score,
+           round(1.0 / (1.0 + exp(-(-2.0 + 9.0 * f_stop + -0.15 * f_wlen
+                                    + -4.0 * f_sym))), 6) >= 0.5 AS keep
+    FROM f
+    """,
+    doc="Logistic-regression quality classifier inference (the "
+    "GPT-3-style LR document filter, Brown et al. 2020 App. A): "
+    "stopword share, mean token length, symbol share -> fixed-weight "
+    "linear score -> sigmoid -> keep flag. Pure map-side Column "
+    "arithmetic fused into the scan's WholeStageCodegen — no shuffle, "
+    "no UDF. operators/text3.py:quality_logit_score",
+    tags=("llm", "text"),
+)
+def q_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text3 import quality_logit_score
+
+    return quality_logit_score(load_table(spark, sf_dir, "documents"))

@@ -395,3 +395,33 @@ class TestWave5PlanShapes:
         plan = _plan(SPECS["llm_temperature_mixture"].fn(spark, SF_SMALL))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestWave8PlanShapes:
+    def test_bigram_lm_scans_documents_once(self, spark):
+        """bigram_logprob_score inherits the unigram one-scan contract:
+        the (doc, bigram) aggregate is checkpointed, so the final plan
+        derives both count tables and the join-back from the
+        materialized RDD — no documents re-scan, no second explode."""
+        plan = _plan(SPECS["text_bigram_logprob"].fn(spark, SF_SMALL))
+        assert "documents.parquet" not in plan, plan
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+        assert "Generate explode" not in plan, plan
+
+    def test_quality_logit_no_shuffle_no_udf(self, spark):
+        """The LR classifier is pure map-side Column arithmetic — the
+        plan must be scan -> project/filter with zero exchanges and no
+        Python evaluation."""
+        plan = _plan(SPECS["text_quality_logit"].fn(spark, SF_SMALL))
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan and "Python" not in plan, plan
+
+    def test_cms_sketch_is_broadcast(self, spark):
+        """The 1024-cell sketch side of the probe join must broadcast —
+        the key table never shuffles for the probe."""
+        plan = _plan(SPECS["sketch_cms_topwords"].fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_quantize_codebook_broadcast(self, spark):
+        plan = _plan(SPECS["emb_quantize_int8"].fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, plan

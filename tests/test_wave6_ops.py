@@ -77,6 +77,31 @@ class TestFuzzy:
         # widget block: cold~bold (1), cold~gold (1), bold~gold (1); bolt alone
         assert pairs == {(1, 2), (1, 4), (2, 4)}
 
+    def test_names_variant_carries_counts(self, spark):
+        from gmall_flink_210726_spark.operators.analytics import fuzzy_match_names
+
+        df = spark.createDataFrame(
+            [Row(k=i, name="cold widget") for i in range(3)]
+            + [Row(k=10, name="bold widget")]
+        )
+        out = fuzzy_match_names(
+            df, "name", lambda n: F.regexp_extract(n, r"(\S+)$", 1), max_dist=2
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.name1, r.name2, r.lev_dist) == ("bold widget", "cold widget", 1)
+        assert {r.n1_keys, r.n2_keys} == {1, 3}
+
+    def test_length_band_prunes_before_dp(self, spark):
+        # names differing in length by more than max_dist can never match
+        df = spark.createDataFrame(
+            [Row(k=1, name="ab widget"), Row(k=2, name="abcdefgh widget")]
+        )
+        out = fuzzy_match_pairs(
+            df, "k", "name", F.regexp_extract("name", r"(\S+)$", 1), max_dist=3
+        ).collect()
+        assert out == []
+
 
 class TestHLL:
     def test_estimate_within_published_error(self, spark):
