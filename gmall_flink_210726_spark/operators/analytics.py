@@ -214,3 +214,29 @@ def fuzzy_match_names(
         .select("name1", "name2", "n1_keys", "n2_keys", lev.alias("lev_dist"))
         .where((F.col("lev_dist") >= 1) & (F.col("lev_dist") <= max_dist))
     )
+
+
+def incremental_agg_refresh(
+    base_partial: DataFrame,
+    delta_rows: DataFrame,
+    keys: list[str],
+    partial_aggs,
+    merge_aggs,
+) -> DataFrame:
+    """Incremental materialized-view maintenance for algebraic
+    aggregates: merged = base_partials (+) partial(delta).
+
+    The refresh cost is O(|delta|) + O(|affected keys|), never a
+    re-scan of the historical fact table — the property that makes a
+    100 TB rollup maintainable. Only algebraic aggregates (count, sum,
+    min, max — and things derivable from them like avg) merge
+    losslessly; the caller states both sides of the algebra explicitly
+    (the salted_agg convention, operators/skew.py). The merged result
+    is IDENTICAL to re-aggregating base rows + delta rows from scratch.
+    """
+    delta_partial = delta_rows.groupBy(*keys).agg(*partial_aggs)
+    return (
+        base_partial.unionByName(delta_partial)
+        .groupBy(*keys)
+        .agg(*merge_aggs)
+    )

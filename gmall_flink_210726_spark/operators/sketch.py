@@ -158,6 +158,63 @@ def _cms_h(j: int, key: Column) -> Column:
     )
 
 
+def _cms_keyed(counts: DataFrame, key_col: str, count_col: str) -> DataFrame:
+    """(key, count) -> one row per (key, sketch row j) with the counter
+    index — the shared keying step of build and probe. All JVM
+    expressions (a when-chain over the literal j values), no UDF."""
+    keyed = counts.select(
+        F.col(key_col).alias("_k"),
+        F.col(count_col).cast("long").alias("_ct"),
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("_j"),
+    )
+    expr = None
+    for j in range(CMS_DEPTH):
+        h = _cms_h(j, F.col("_k"))
+        expr = h if expr is None else F.when(F.col("_j") == j, h).otherwise(expr)
+    return keyed.withColumn("_ctr", expr)
+
+
+def cms_cells(counts: DataFrame, key_col: str, count_col: str) -> DataFrame:
+    """Build the d x w sketch cell table (j, ctr, cell) from per-key
+    counts. Cells are ADDITIVE: sketches built from disjoint slices of
+    a stream merge by summing cells — the property the streaming
+    maintenance query (st9) relies on for replay-safe epoch merges."""
+    return (
+        _cms_keyed(counts, key_col, count_col)
+        .groupBy("_j", "_ctr")
+        .agg(F.sum("_ct").alias("_cell"))
+        .select(
+            F.col("_j").alias("j"),
+            F.col("_ctr").alias("ctr"),
+            F.col("_cell").alias("cell"),
+        )
+    )
+
+
+def cms_probe(
+    cells: DataFrame, counts: DataFrame, key_col: str, count_col: str
+) -> DataFrame:
+    """Probe a sketch cell table for every key in ``counts``:
+    estimate(key) = min_j cells[j][h_j(key)]. The cells side broadcasts
+    (<= d*w = 1024 rows); keys never shuffle for the probe."""
+    keyed = _cms_keyed(counts, key_col, count_col)
+    probe = keyed.join(
+        F.broadcast(
+            cells.select(
+                F.col("j").alias("_j"),
+                F.col("ctr").alias("_ctr"),
+                F.col("cell").alias("_cell"),
+            )
+        ),
+        ["_j", "_ctr"],
+    )
+    return (
+        probe.groupBy("_k")
+        .agg(F.min("_cell").alias("cms_est"), F.max("_ct").alias("exact_ct"))
+        .select(F.col("_k").alias(key_col), "exact_ct", "cms_est")
+    )
+
+
 def cms_estimate(
     counts: DataFrame,
     key_col: str,
@@ -172,24 +229,73 @@ def cms_estimate(
     probe join is broadcast (1024 rows). CMS guarantees
     estimate >= true count (one-sided error).
     """
-    keyed = counts.select(
-        F.col(key_col).alias("_k"),
-        F.col(count_col).cast("long").alias("_ct"),
-        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("_j"),
+    return cms_probe(
+        cms_cells(counts, key_col, count_col), counts, key_col, count_col
     )
-    # counter index for this key in row _j (branch on the literal j —
-    # all JVM expressions, no UDF)
-    expr = None
-    for j in range(CMS_DEPTH):
-        h = _cms_h(j, F.col("_k"))
-        expr = h if expr is None else F.when(F.col("_j") == j, h).otherwise(expr)
-    # build: when-chain evaluates the md5 matching each row's j
-    keyed = keyed.withColumn("_ctr", expr)
 
-    sketch = keyed.groupBy("_j", "_ctr").agg(F.sum("_ct").alias("_cell"))
-    probe = keyed.join(F.broadcast(sketch), ["_j", "_ctr"])
+
+def portable_minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col,
+    k: int = 16,
+) -> DataFrame:
+    """k-slot MinHash signature built ONLY from md5 — every slot value
+    is reproducible in ANSI SQL (unlike the crc32/affine production
+    path in operators/dedup.py:minhash_signatures, which trades
+    portability for speed). Slot i of doc d = min over d's shingles of
+    the first-32-hex-bit value of md5('i:shingle'). One explode + one
+    grouped k-column min-agg.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingle_col).alias("s")
+    )
+    slot = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))), 1, 8), 16, 10
+    ).cast("long")
+    return sh.groupBy("id").agg(
+        *[F.min(slot(i)).alias(f"pmh{i}") for i in range(k)]
+    )
+
+
+def minhash_jaccard_calibration(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+) -> DataFrame:
+    """MinHash-estimate vs exact Jaccard for given candidate pairs —
+    the sketch-accuracy calibration query (the HLL/CMS contract,
+    completed for the third classic sketch): estimate = fraction of
+    agreeing signature slots, E[estimate] = J exactly (Broder 1997).
+
+    The signature table is joined twice (both pair sides) — at scale
+    the pairs side is the small one (near-dup pairs are sparse) and
+    broadcasts; signatures never shuffle.
+    """
+    from gmall_flink_210726_spark.operators.dedup import word_shingles
+
+    sig = portable_minhash_signatures(
+        docs, id_col, word_shingles(text_col, 3), k
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"pmh{i}").alias(f"a{i}") for i in range(k)]
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"pmh{i}").alias(f"b{i}") for i in range(k)]
+    )
+    agree = None
+    for i in range(k):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
     return (
-        probe.groupBy("_k")
-        .agg(F.min("_cell").alias("cms_est"), F.max("_ct").alias("exact_ct"))
-        .select(F.col("_k").alias(key_col), "exact_ct", "cms_est")
+        a.join(F.broadcast(pairs), "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard_exact"),
+            (agree.cast("double") / F.lit(float(k))).alias("minhash_est"),
+        )
     )

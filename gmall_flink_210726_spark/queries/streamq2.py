@@ -1,0 +1,99 @@
+r"""Streaming wave 2: bounded-state sketch maintenance under the
+driver's correctness gate.
+
+st9 maintains a count-min sketch over the event stream through a real
+checkpointed foreachBatch pipeline: every micro-batch reduces its rows
+to partial sketch CELLS (j, ctr, cell — at most 1024 rows per epoch,
+the entire point of a sketch at 100 TB: per-epoch state is constant
+regardless of batch volume) and writes them through the
+overwrite-idempotent epoch-partition sink, so a retried epoch replaces
+rather than double-counts its cells. The merged sketch is the SUM of
+cells across epochs — CMS cells are additive, which is exactly what
+makes the replay-safe epoch merge equal the single-pass batch sketch.
+The oracle rebuilds the identical sketch from the batch table (the
+cms_estimate md5 contract, queries/llm6.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+_HASH60 = (
+    "list_sum([(strpos('0123456789abcdef', substr({h}, i, 1)) - 1)"
+    " * (CAST(1 AS BIGINT) << (4 * (15 - i))) for i in range(1, 16)])"
+)
+
+
+@register(
+    "st9_stream_cms_sketch",
+    oracle=f"""
+    WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ct
+                FROM events GROUP BY user_id),
+    kj AS (SELECT user_id, ct, unnest([0, 1, 2, 3]) AS j FROM uc),
+    kh AS (SELECT user_id, ct, j,
+             {_HASH60.format(h="md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))")} % 256
+               AS ctr
+           FROM kj),
+    sk AS (SELECT j, ctr, SUM(ct) AS cell FROM kh GROUP BY 1, 2)
+    SELECT user_id, MAX(ct) AS exact_ct, CAST(MIN(cell) AS BIGINT) AS cms_est
+    FROM kh JOIN sk USING (j, ctr) GROUP BY user_id
+    """,
+    doc="Streaming count-min sketch maintenance (T9 + sketch): each "
+    "micro-batch writes its <=1024 partial cells through the "
+    "idempotent epoch-partition sink (constant per-epoch state however "
+    "large the batch), the merged sketch is the cross-epoch cell sum "
+    "(CMS additivity == replay-safe merge == single-pass batch "
+    "sketch), then per-user frequencies are probed from the durable "
+    "merged cells. The oracle rebuilds the identical md5 sketch from "
+    "the batch table. operators/sketch.py:cms_cells/cms_probe",
+    tags=("streaming", "sketch", "sink"),
+)
+def st9_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.sketch import cms_cells, cms_probe
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import write_foreach_batch
+
+    out = tempfile.mkdtemp(prefix="st9_cells_")
+    ckpt = tempfile.mkdtemp(prefix="st9_ckpt_")
+    ev = _stream_events(spark, sf_dir).select("user_id")
+
+    def _write_cells(batch: DataFrame, epoch: int) -> None:
+        counts = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("ct"))
+        append_stats_exactly_once(
+            cms_cells(counts, "user_id", "ct"), epoch, out
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(ev, _write_cells, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st9 sketch stream did not finish")
+        q.stop()
+        merged = (
+            spark.read.parquet(out)
+            .groupBy("j", "ctr")
+            .agg(F.sum("cell").alias("cell"))
+        )
+        exact = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        result = cms_probe(merged, exact, "user_id", "ct").localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result

@@ -46,6 +46,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras2,
         extras3,
         extras4,
+        extras5,
         gmall,
         gmall2,
         llm,
@@ -55,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm5,
         llm6,
         streamq,
+        streamq2,
         tpch,
         tpch2,
         tpch3,

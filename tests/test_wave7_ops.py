@@ -70,3 +70,81 @@ class TestCentroids:
                for r in label_centroids(emb).collect()}
         assert got == {(1, 0): (2, 2.0), (1, 1): (2, 4.0),
                        (2, 0): (1, 10.0), (2, 1): (1, 0.0)}
+
+
+class TestCMSAdditivity:
+    def test_cells_merge_equals_single_pass(self, spark):
+        """The st9 replay-safe merge property: cells built from disjoint
+        slices and summed == cells built in one pass."""
+        from pyspark.sql import functions as F
+
+        from gmall_flink_210726_spark.operators.sketch import cms_cells
+
+        full = spark.range(400).select(
+            F.concat(F.lit("u"), (F.col("id") % 37)).alias("k"),
+            F.lit(1).alias("ct"),
+        )
+        # split by hash of k (disjoint key slices)
+        left = full.where(F.crc32("k") % 2 == 0)
+        right = full.where(F.crc32("k") % 2 == 1)
+        merged = (
+            cms_cells(left, "k", "ct")
+            .unionByName(cms_cells(right, "k", "ct"))
+            .groupBy("j", "ctr")
+            .agg(F.sum("cell").alias("cell"))
+        )
+        single = cms_cells(full, "k", "ct")
+        got = {(r.j, r.ctr): r.cell for r in merged.collect()}
+        want = {(r.j, r.ctr): r.cell for r in single.collect()}
+        assert got == want
+
+
+class TestMinhashCalibration:
+    def test_identical_docs_estimate_one(self, spark):
+        from pyspark.sql import Row
+        from pyspark.sql import functions as F
+
+        from gmall_flink_210726_spark.operators.sketch import (
+            minhash_jaccard_calibration,
+        )
+
+        txt = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text=txt), Row(doc_id=2, text=txt),
+             Row(doc_id=3, text="one two three four five six seven")]
+        )
+        pairs = spark.createDataFrame(
+            [Row(id_a=1, id_b=2, jaccard=1.0), Row(id_a=1, id_b=3, jaccard=0.0)]
+        )
+        got = {(r.id_a, r.id_b): r.minhash_est
+               for r in minhash_jaccard_calibration(docs, pairs).collect()}
+        assert got[(1, 2)] == 1.0          # identical signatures
+        assert got[(1, 3)] < 0.5           # disjoint shingles
+        # every estimate is an exact multiple of 1/16
+        assert all(abs(v * 16 - round(v * 16)) < 1e-12 for v in got.values())
+
+
+class TestIncrementalRefresh:
+    def test_merge_equals_full_recompute(self, spark):
+        from pyspark.sql import functions as F
+
+        from gmall_flink_210726_spark.operators.analytics import (
+            incremental_agg_refresh,
+        )
+
+        rows = spark.range(1000).select(
+            (F.col("id") % 7).alias("g"), (F.col("id") % 13).alias("v")
+        )
+        partials = [F.count(F.lit(1)).alias("ct"), F.sum("v").alias("vs")]
+        merges = [F.sum("ct").cast("long").alias("ct"),
+                  F.sum("vs").cast("long").alias("vs")]
+        base = rows.where(F.col("id") % 3 != 0).groupBy("g").agg(*partials)
+        delta = rows.where(F.col("id") % 3 == 0)
+        merged = incremental_agg_refresh(base, delta, ["g"], partials, merges)
+        full = rows.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("ct"),
+            F.sum("v").cast("long").alias("vs"),
+        )
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
