@@ -299,3 +299,68 @@ def minhash_jaccard_calibration(
             (agree.cast("double") / F.lit(float(k))).alias("minhash_est"),
         )
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: tuple = (0.5, 0.9, 0.99),
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Histogram-sketch quantile estimation with the exact quantile
+    alongside — the fourth sketch-calibration query (distinct: HLL,
+    frequency: CMS, similarity: MinHash, now rank/quantile).
+
+    A fixed equi-width histogram is the bounded-state structure a
+    100 TB profiler keeps per column: n_buckets cells regardless of
+    rows. Estimate = linear interpolation inside the bucket containing
+    rank p*n. Two passes (min/max+count scalars, then bucket counts) —
+    the only global structure is the n_buckets-row cumulative window.
+    Exact side: Spark percentile() == DuckDB quantile_cont (linear
+    rank interpolation), the w6 contract.
+    """
+    c = F.col(value_col)
+    mn, mx, n = df.agg(F.min(c), F.max(c), F.count(c)).collect()[0]
+    width = (F.lit(mx) - F.lit(mn)) / float(n_buckets)
+    b = F.least(
+        F.floor((c - F.lit(mn)) / width).cast("int"), F.lit(n_buckets - 1)
+    )
+    hist = df.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("ct"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cw = hist.select("b", "ct", F.sum("ct").over(w_cum).alias("cum"))
+
+    spark = df.sparkSession
+    q = spark.createDataFrame([(float(p),) for p in percentiles], "pct double")
+    rank = F.col("pct") * F.lit(n)
+    sel = (
+        q.crossJoin(F.broadcast(cw))
+        .where(((F.col("cum") - F.col("ct")) < rank) & (rank <= F.col("cum")))
+        .select(
+            "pct",
+            F.round(
+                F.lit(mn)
+                + F.col("b") * width
+                + (rank - (F.col("cum") - F.col("ct"))) / F.col("ct") * width,
+                6,
+            ).alias("est_quantile"),
+        )
+    )
+    exacts = df.agg(
+        *[
+            F.round(F.expr(f"percentile({value_col}, {p!r})"), 6).alias(f"e{i}")
+            for i, p in enumerate(percentiles)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("pct"),
+                        F.col(f"e{i}").alias("exact_quantile"),
+                    )
+                    for i, p in enumerate(percentiles)
+                ]
+            )
+        ).alias("x")
+    ).select("x.pct", "x.exact_quantile")
+    return sel.join(exacts, "pct")

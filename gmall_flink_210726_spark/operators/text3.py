@@ -136,3 +136,82 @@ def quality_logit_score(
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs — the bag-of-words sibling
+    of the dense embedding ops (operators/similarity.py) and the
+    weighted upgrade of n-gram Jaccard: candidate pairs come from a
+    token co-occurrence equi-join (never a cross product), weights are
+    tf * ln(N/df), cosine = <w1,w2> / (|w1||w2|).
+
+    Determinism: weights are rounded to 6 dp and become DECIMAL, so
+    dot products and squared norms are exact order-free sums; only the
+    final sqrt/divide runs in IEEE doubles (fixed operation order) and
+    is rounded to 6 dp.
+
+    Scale: tokens with df > max_df are pruned from the vectors
+    entirely (stopword-by-df, the standard IR practice) — that both
+    bounds the join fan-out at max_df^2 per token (the
+    ngram_jaccard_pairs skew guard) and removes the near-useless
+    high-df dimensions. The only driver scalar is the corpus size N.
+    """
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+    n_docs = base.count()
+    tok = base.select(
+        F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("w")
+    )
+    tf = tok.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= max_df
+    )
+    wgt = tf.join(dfreq, "w").select(
+        "id",
+        "w",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("wt"),
+    )
+    norms = wgt.groupBy("id").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("n2")
+    )
+    a = wgt.select(
+        F.col("id").alias("id_a"), "w", F.col("wt").alias("wa")
+    )
+    b = wgt.select(
+        F.col("id").alias("id_b"), "w", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("s12"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("s12").cast("double")
+        / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

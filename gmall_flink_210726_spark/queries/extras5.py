@@ -111,3 +111,145 @@ def q_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_agg_refresh(
         base, delta, ["day", "event_type"], partials, merges
     )
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id AS id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS w
+                 FROM documents),
+    tf AS (SELECT id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+            HAVING COUNT(*) <= 100),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    wg AS (SELECT id, w,
+             CAST(round(CAST(tf AS DOUBLE)
+                        * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS wt
+           FROM tf JOIN dfq USING (w), n),
+    nm AS (SELECT id, SUM(wt * wt) AS n2 FROM wg GROUP BY id),
+    dt AS (SELECT a.id AS id_a, b.id AS id_b, SUM(a.wt * b.wt) AS s12
+           FROM wg a JOIN wg b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(s12 AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                 * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+    FROM dt JOIN nm na ON na.id = dt.id_a JOIN nm nb ON nb.id = dt.id_b
+    WHERE round(CAST(s12 AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+                * sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= 0.3
+    """,
+    doc="Sparse TF-IDF cosine document similarity (cos >= 0.3) — the "
+    "bag-of-words sibling of the dense-embedding threshold join: "
+    "candidates from a token co-occurrence equi-join with the df <= "
+    "100 stopword-prune bounding fan-out (the ngram_jaccard skew "
+    "guard), weights rounded-then-DECIMAL so dot products and norms "
+    "are exact order-free sums. operators/text3.py:tfidf_cosine_pairs",
+    tags=("llm", "text", "similarity"),
+)
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text3 import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "an7_entity_clusters",
+    oracle="""
+    WITH RECURSIVE names AS (SELECT p_name, MIN(p_partkey) AS nid,
+                                    CAST(COUNT(*) AS BIGINT) AS n_keys
+                             FROM part GROUP BY p_name),
+    nb AS (SELECT p_name, nid, n_keys,
+                  regexp_extract(p_name, '(\\S+)$', 1) AS blk
+           FROM names),
+    pr AS (SELECT a.nid AS id_a, b.nid AS id_b FROM nb a JOIN nb b
+           ON a.blk = b.blk AND a.p_name < b.p_name
+           WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+             AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3),
+    e AS (SELECT id_a AS u, id_b AS v FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+    reach AS (SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM e)
+              UNION SELECT e.u, r.lbl FROM e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u, MIN(lbl) AS cluster_id FROM reach GROUP BY u)
+    SELECT nb.p_name, COALESCE(c.cluster_id, nb.nid) AS cluster_id, nb.n_keys
+    FROM nb LEFT JOIN comp c ON c.u = nb.nid
+    """,
+    doc="End-to-end entity resolution: blocked Levenshtein pairs over "
+    "distinct names -> connected components (min-label propagation) -> "
+    "every name mapped to its entity cluster's minimum part key, with "
+    "carry counts. The composition a master-data pipeline runs "
+    "(fuzzy_match_names feeds the SAME clustering operator the "
+    "near-dup corpus uses). operators/analytics.py + operators/dedup.py:"
+    "connected_components",
+    tags=("analytics", "dedup"),
+)
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.analytics import fuzzy_match_names
+    from gmall_flink_210726_spark.operators.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("nid"), F.count(F.lit(1)).alias("n_keys")
+    )
+    pairs = fuzzy_match_names(
+        part, "p_name", lambda n: F.regexp_extract(n, r"(\S+)$", 1), max_dist=3
+    )
+    edges = (
+        pairs.join(
+            names.select(F.col("p_name").alias("name1"), F.col("nid").alias("id_a")),
+            "name1",
+        )
+        .join(
+            names.select(F.col("p_name").alias("name2"), F.col("nid").alias("id_b")),
+            "name2",
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(edges, names.select(F.col("nid").alias("id")))
+    return names.join(cc, names.nid == cc.id).select(
+        "p_name", "cluster_id", "n_keys"
+    )
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle="""
+    WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+                      COUNT(*) AS n
+               FROM orders),
+    h AS (SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 256.0))
+                            AS INTEGER), 255) AS b,
+                 COUNT(*) AS ct
+          FROM orders, s GROUP BY 1),
+    cw AS (SELECT b, ct, SUM(ct) OVER (ORDER BY b) AS cum FROM h),
+    q AS (SELECT unnest([0.5, 0.9, 0.99]) AS pct),
+    sel AS (SELECT q.pct,
+                   round(s.mn + cw.b * ((s.mx - s.mn) / 256.0)
+                         + (q.pct * s.n - (cw.cum - cw.ct)) / cw.ct
+                           * ((s.mx - s.mn) / 256.0), 6) AS est_quantile
+            FROM q, cw, s
+            WHERE (cw.cum - cw.ct) < q.pct * s.n AND q.pct * s.n <= cw.cum),
+    ex AS (SELECT 0.5 AS pct, round(quantile_cont(o_totalprice, 0.5), 6)
+                    AS exact_quantile FROM orders
+           UNION ALL
+           SELECT 0.9, round(quantile_cont(o_totalprice, 0.9), 6) FROM orders
+           UNION ALL
+           SELECT 0.99, round(quantile_cont(o_totalprice, 0.99), 6) FROM orders)
+    SELECT sel.pct, sel.est_quantile, ex.exact_quantile
+    FROM sel JOIN ex ON sel.pct = ex.pct
+    """,
+    doc="Histogram-sketch quantile estimation with exact percentiles "
+    "alongside — the fourth sketch-calibration query (distinct/HLL, "
+    "frequency/CMS, similarity/MinHash, now rank): a fixed 256-bucket "
+    "equi-width histogram (bounded state per column at any scale), "
+    "linear interpolation inside the rank-containing bucket; exact "
+    "side via percentile() == quantile_cont (the w6 contract). "
+    "operators/sketch.py:histogram_quantiles",
+    tags=("sketch", "stats"),
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.sketch import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
