@@ -55,6 +55,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm4,
         llm5,
         llm6,
+        llm7,
         streamq,
         streamq2,
         tpch,

@@ -1,0 +1,80 @@
+"""GIF codec unit tests (pure Python, no Spark): LZW round-trip
+including the KwKwK case and table resets, fixture round-trip vs LCG
+formulas, corrupt-blob degradation, extension-block skipping."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from gmall_flink_210726_spark.operators.gif import (
+    _GIF_BAD,
+    _GIF_H,
+    _GIF_IDX,
+    _GIF_NCOLORS,
+    _GIF_PAL,
+    _GIF_W,
+    _decode_gif,
+    _lzw_decode,
+    _lzw_encode,
+    _make_gif,
+)
+
+
+class TestLZW:
+    def test_round_trip_random(self):
+        rng = random.Random(7)
+        for trial in range(50):
+            n = rng.randrange(1, 300)
+            seq = [rng.randrange(4) for _ in range(n)]
+            assert _lzw_decode(_lzw_encode(seq, 2), 2, n) == seq
+
+    def test_kwkwk_case(self):
+        # aaaa... forces code == next_code on decode immediately
+        seq = [1] * 64
+        assert _lzw_decode(_lzw_encode(seq, 2), 2, 64) == seq
+
+    def test_table_reset_past_4096(self):
+        seq = [(i * 7 + i // 5) % 4 for i in range(20000)]
+        assert _lzw_decode(_lzw_encode(seq, 2), 2, len(seq)) == seq
+
+    def test_truncated_raises(self):
+        enc = _lzw_encode([1, 2, 3, 0, 1, 2] * 10, 2)
+        with pytest.raises(ValueError):
+            _lzw_decode(enc[: len(enc) // 2], 2, 60)
+
+
+class TestGIF:
+    def test_fixture_round_trip(self):
+        for i in (1, 2, 5, 17, 100, 255):
+            assert not _GIF_BAD(i)
+            w, h, pal, idx = _decode_gif(_make_gif(i))
+            assert (w, h) == (_GIF_W(i), _GIF_H(i))
+            assert idx == [_GIF_IDX(i, p) for p in range(w * h)]
+            assert list(pal) == [
+                _GIF_PAL(i, c, ch)
+                for c in range(_GIF_NCOLORS)
+                for ch in range(3)
+            ]
+
+    def test_corrupt_blobs_raise(self):
+        for i in (11, 22, 33, 44):
+            assert _GIF_BAD(i)
+            with pytest.raises(ValueError):
+                _decode_gif(_make_gif(i))
+
+    def test_extension_blocks_skipped(self):
+        # splice a graphic-control extension before the image descriptor
+        blob = bytearray(_make_gif(3))
+        desc_at = blob.index(0x2C, 13)
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        patched = bytes(blob[:desc_at]) + gce + bytes(blob[desc_at:])
+        w, h, _pal, idx = _decode_gif(patched)
+        assert (w, h) == (_GIF_W(3), _GIF_H(3))
+        assert idx == [_GIF_IDX(3, p) for p in range(w * h)]
+
+    def test_not_a_gif(self):
+        with pytest.raises(ValueError):
+            _decode_gif(b"PNG\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00")
