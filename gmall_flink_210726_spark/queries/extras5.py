@@ -3,9 +3,10 @@ the sketch-calibration trio with HLL and CMS) and incremental
 materialized-view maintenance.
 
 Oracle notes:
-- The portable MinHash slot value is the first 32 hash bits of
-  md5('i:shingle') — DuckDB parses the hex via the '0x' cast (the
-  simhash precedent, queries/llm.py); estimate = agreeing-slot
+- The portable MinHash base hash is the first 32 bits of
+  md5(shingle) — DuckDB parses the hex via the '0x' cast (the simhash
+  precedent, queries/llm.py) — permuted per slot by the affine family
+  ((2i+1)*h + 7919*(i+1)) mod 2^31-1; estimate = agreeing-slot
   fraction, an exact multiple of 1/16 (no float tolerance needed).
 - The MV oracle re-aggregates from scratch: algebraic merge of
   base partials + delta partials must be IDENTICAL to the full
@@ -37,11 +38,12 @@ _J = (
     pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_J} AS j
            FROM g a JOIN g b ON a.doc_id < b.doc_id
            WHERE len(list_intersect(a.sh, b.sh)) > 0 AND {_J} >= 0.3),
+    hs AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+           FROM (SELECT doc_id, unnest(sh) AS s FROM g) t),
     sg AS (SELECT doc_id, i,
-             MIN(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 8))
-                      AS BIGINT)) AS mh
-           FROM (SELECT doc_id, unnest(sh) AS s FROM g) t,
-                (SELECT unnest(range(16)) AS i) r
+             MIN(((2 * i + 1) * h + 7919 * (i + 1)) % 2147483647) AS mh
+           FROM hs, (SELECT unnest(range(16)) AS i) r
            GROUP BY doc_id, i),
     agg AS (SELECT pr.id_a, pr.id_b, round(pr.j, 6) AS jaccard_exact,
                    CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
@@ -252,4 +254,119 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return histogram_quantiles(
         load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+@register(
+    "an8_user_journeys",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id)),
+    paths AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+              FROM seq WHERE e3 IS NOT NULL)
+    SELECT path, COUNT(*) AS path_ct
+    FROM paths GROUP BY path
+    ORDER BY path_ct DESC, path ASC LIMIT 10
+    """,
+    doc="User-journey path mining: top 3-step event sequences within "
+    "(user, day) sessions — the product-analytics flow report. One "
+    "window shuffle on the session key (per-key data, never global), "
+    "lead() builds the paths in-plan, deterministic top-10 via the "
+    "(count, path) total order.",
+    tags=("analytics",),
+)
+def q_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    path = F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    return (
+        seq.select(path)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("path_ct"))
+        .orderBy(F.desc("path_ct"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@register(
+    "x17_quality_checks",
+    oracle="""
+    WITH s AS (SELECT COUNT(*) AS n,
+                      COUNT(o_orderkey) AS nn_key,
+                      COUNT(DISTINCT o_orderkey) AS nd_key,
+                      COUNT(CASE WHEN o_totalprice > 0 THEN 1 END) AS n_pos,
+                      COUNT(CASE WHEN o_orderstatus IN ('O','F','P')
+                                 THEN 1 END) AS n_dom,
+                      COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                                  AND o_orderdate < TIMESTAMP '2026-01-01'
+                                 THEN 1 END) AS n_range
+               FROM orders)
+    SELECT col, chk, passed, CAST(observed AS BIGINT) AS observed,
+           CAST(n AS BIGINT) AS n_rows FROM (
+      SELECT 'o_orderkey' AS col, 'complete' AS chk, nn_key = n AS passed,
+             nn_key AS observed, n FROM s
+      UNION ALL
+      SELECT 'o_orderkey', 'unique', nd_key = n, nd_key, n FROM s
+      UNION ALL
+      SELECT 'o_totalprice', 'positive', n_pos = n, n_pos, n FROM s
+      UNION ALL
+      SELECT 'o_orderstatus', 'in_domain', n_dom = n, n_dom, n FROM s
+      UNION ALL
+      SELECT 'o_orderdate', 'in_range', n_range = n, n_range, n FROM s)
+    """,
+    doc="Declarative data-quality checks (the Deequ/Great-Expectations "
+    "primitive, the validation sibling of x11 profiling): completeness, "
+    "uniqueness, positivity, domain membership and range checks as "
+    "parallel aggregate expressions in ONE scan, reshaped to the "
+    "(col, check, passed, observed) long form a quality monitor stores.",
+    tags=("extras", "quality"),
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.count_distinct("o_orderkey").alias("nd_key"),
+        F.count(F.when(F.col("o_totalprice") > 0, 1)).alias("n_pos"),
+        F.count(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("n_dom"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2026-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("n_range"),
+    )
+    # stack to long form in one guaranteed evaluation (the x11 shape)
+    return agg.select(
+        F.expr(
+            "stack(5, "
+            "'o_orderkey', 'complete', nn_key = n, nn_key, "
+            "'o_orderkey', 'unique', nd_key = n, nd_key, "
+            "'o_totalprice', 'positive', n_pos = n, n_pos, "
+            "'o_orderstatus', 'in_domain', n_dom = n, n_dom, "
+            "'o_orderdate', 'in_range', n_range = n, n_range) "
+            "AS (col, chk, passed, observed)"
+        ),
+        F.col("n").alias("n_rows"),
     )

@@ -97,3 +97,87 @@ def st9_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st10_stream_hll_merge",
+    oracle=f"""
+    WITH ded AS (SELECT DISTINCT user_id FROM events),
+    hv AS (SELECT user_id,
+             {_HASH60.format(h="md5(CAST(user_id AS VARCHAR))")} AS h60
+           FROM ded),
+    rg AS (SELECT h60 % 64 AS reg,
+                  CASE WHEN h60 // 64 = 0 THEN 55
+                       ELSE 55 - length(bin(h60 // 64)) END AS rho
+           FROM hv),
+    mx AS (SELECT reg, MAX(rho) AS m FROM rg GROUP BY 1),
+    pg AS (SELECT SUM(power(2.0, -m)) AS s_obs, COUNT(*) AS n_regs FROM mx),
+    ex AS (SELECT COUNT(*) AS exact_distinct FROM ded)
+    SELECT 'all' AS scope,
+           round(CASE WHEN 0.709 * 64 * 64 / (s_obs + (64 - n_regs)) <= 160.0
+                           AND 64 - n_regs > 0
+                      THEN 64.0 * ln(64.0 / (64 - n_regs))
+                      ELSE 0.709 * 64 * 64 / (s_obs + (64 - n_regs)) END, 4)
+             AS hll_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM pg, ex
+    """,
+    doc="Streaming HyperLogLog maintenance — the MAX-merge sketch "
+    "algebra next to st9's SUM-merge CMS: each micro-batch writes its "
+    "<=64-row register partial through the idempotent epoch-partition "
+    "sink; the merged sketch is the cross-epoch per-register MAX, "
+    "which equals the single-pass registers even under epoch retry OR "
+    "overlapping key slices (max is idempotent AND duplicate-"
+    "insensitive — strictly stronger replay safety than additive "
+    "cells). The oracle rebuilds the identical md5 registers from the "
+    "batch table. operators/sketch.py:hll_registers",
+    tags=("streaming", "sketch", "sink"),
+)
+def st10_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import write_foreach_batch
+
+    out = tempfile.mkdtemp(prefix="st10_regs_")
+    ckpt = tempfile.mkdtemp(prefix="st10_ckpt_")
+    ev = _stream_events(spark, sf_dir).select("user_id")
+
+    def _write_regs(batch: DataFrame, epoch: int) -> None:
+        keyed = batch.select("user_id").distinct()
+        append_stats_exactly_once(
+            hll_registers(keyed, [], "user_id"), epoch, out
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(ev, _write_regs, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st10 sketch stream did not finish")
+        q.stop()
+        merged = (
+            spark.read.parquet(out)
+            .groupBy("reg")
+            .agg(F.max("m").alias("m"))
+            .withColumn("scope", F.lit("all"))
+        )
+        est = hll_estimate_from_registers(merged, ["scope"])
+        exact = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.count_distinct("user_id").alias("exact_distinct"))
+            .withColumn("scope", F.lit("all"))
+        )
+        result = est.join(exact, "scope").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
