@@ -167,6 +167,10 @@ def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list:
         if code == eoi:
             break
         if prev is None:
+            # first code after a CLEAR must be a literal root code — a
+            # corrupted stream can present any 12-bit value here
+            if code >= (1 << min_code):
+                raise ValueError("LZW first code not a root")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

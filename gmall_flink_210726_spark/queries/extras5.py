@@ -370,3 +370,82 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").alias("n_rows"),
     )
+
+
+@register(
+    "x18_khop_reachability",
+    oracle="""
+    WITH RECURSIVE ed AS (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    reach AS (
+      SELECT CAST(0 AS INTEGER) AS id, 0 AS d
+      UNION ALL
+      SELECT CAST(ed.dst AS INTEGER), r.d + 1
+      FROM ed JOIN reach r ON ed.src = r.id WHERE r.d < 3)
+    SELECT n.n_nationkey, n.n_name, CAST(MIN(reach.d) AS INTEGER) AS hop
+    FROM reach JOIN nation n ON n.n_nationkey = reach.id
+    GROUP BY 1, 2
+    """,
+    doc="Bounded k-hop reachability (BFS, 3 hops) from nation 0 over "
+    "the distinct supplier->customer trade graph — the neighborhood "
+    "expansion primitive next to PageRank (x15) and connected "
+    "components. Fixed-iteration frontier joins on bare (id, dist) "
+    "pairs; per round one equi-join + one min-groupBy, the "
+    "label-propagation cost model.",
+    tags=("extras", "graph"),
+)
+def q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            supplier["s_nationkey"].alias("src"),
+            customer["c_nationkey"].alias("dst"),
+        )
+        .distinct()
+    )
+    dist = spark.createDataFrame([(0, 0)], "id int, d int")
+    for _ in range(3):
+        step = (
+            dist.join(edges, dist["id"] == edges["src"])
+            .select(F.col("dst").cast("int").alias("id"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(step).groupBy("id").agg(F.min("d").alias("d"))
+        )
+    return dist.join(nation, dist["id"] == nation["n_nationkey"]).select(
+        "n_nationkey", "n_name", F.col("d").cast("int").alias("hop")
+    )
+
+
+@register(
+    "x19_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS grp_ct,
+           COUNT(*) >= 5 AS meets_k
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    doc="k-anonymity audit (k=5) over the (nationkey, mktsegment) "
+    "quasi-identifier: equivalence-class sizes with a pass flag — the "
+    "privacy/governance check a training-data pipeline runs before "
+    "release. One partial+final hash aggregate.",
+    tags=("extras", "quality"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_ct"),
+        (F.count(F.lit(1)) >= 5).alias("meets_k"),
+    )

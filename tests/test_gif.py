@@ -78,3 +78,35 @@ class TestGIF:
     def test_not_a_gif(self):
         with pytest.raises(ValueError):
             _decode_gif(b"PNG\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00")
+
+
+class TestGIFFuzz:
+    def test_random_bytes_never_crash(self):
+        """The decoder's error surface is ValueError ONLY — any other
+        exception would kill the whole Spark task for one bad blob."""
+        rng = random.Random(42)
+        for _ in range(300):
+            n = rng.randrange(0, 200)
+            blob = bytes(rng.randrange(256) for _ in range(n))
+            try:
+                _decode_gif(blob)
+            except ValueError:
+                pass
+
+    def test_bitflip_fuzz_on_valid_gifs(self):
+        """Single-byte corruptions of real GIFs either decode (the
+        flip hit a don't-care byte or payload value) or raise
+        ValueError — never IndexError/struct.error escape."""
+        rng = random.Random(43)
+        for i in (2, 7, 19):
+            blob = bytearray(_make_gif(i))
+            for _ in range(120):
+                pos = rng.randrange(len(blob))
+                old = blob[pos]
+                blob[pos] = rng.randrange(256)
+                try:
+                    _decode_gif(bytes(blob))
+                except ValueError:
+                    pass
+                finally:
+                    blob[pos] = old

@@ -157,3 +157,21 @@ class TestBinpack:
         ]
         assert doc_windows, plan
         assert all("_bkt" in ln for ln in doc_windows), doc_windows
+
+
+class TestBinpackOrderInvariance:
+    def test_input_order_irrelevant(self, spark):
+        """Shard assignment is a pure function of (id, size) — the md5
+        global order makes it independent of input row order AND
+        partitioning (the determinism a re-run/backfill relies on)."""
+        from pyspark.sql import functions as F
+
+        base = spark.range(400).select(
+            F.col("id"), (F.col("id") % 23 + 1).alias("sz")
+        )
+        shuffled = base.orderBy(F.md5(F.concat(F.lit("x"), F.col("id")))).repartition(7)
+        out1 = {(r.id, r.shard_id) for r in
+                shard_binpack(base, "id", F.col("sz"), 64).collect()}
+        out2 = {(r.id, r.shard_id) for r in
+                shard_binpack(shuffled, "id", F.col("sz"), 64).collect()}
+        assert out1 == out2
