@@ -86,3 +86,70 @@ def label_centroids(
             (F.sum(dec).cast("double") / F.count(F.lit(1))).cast("double"), 6
         ).alias("centroid"),
     )
+
+
+def quantized_ann_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """int8-quantized ANN: top-k neighbors by integer dot product over
+    the per-dimension min/max codebook — the search path the
+    quantize_int8_stats codebook exists FOR. Integer scores make the
+    ranking bit-deterministic (no float-tie ambiguity; ties break by
+    neighbor id).
+
+    Scale shape: the 64-entry codebook is collected once (bounded
+    driver scalars) and embedded as literal arrays, so quantization is
+    a pure map-side array transform — the corpus is scanned once, never
+    exploded, never shuffled for the quantize step; the n_queries
+    quantized probes broadcast; the only shuffle is the per-query
+    top-k window over score rows.
+    """
+    from pyspark.sql.window import Window
+
+    long = _long_form(emb, id_col, vec_col)
+    cb = (
+        long.groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    mn_arr = F.array(*[F.lit(float(r.mn)) for r in cb])
+    mx_arr = F.array(*[F.lit(float(r.mx)) for r in cb])
+    q_of = lambda x, i: (  # noqa: E731
+        F.when(mx_arr[i] == mn_arr[i], F.lit(0.0))
+        .otherwise(F.round((x - mn_arr[i]) * 255 / (mx_arr[i] - mn_arr[i]), 0))
+        .cast("long")
+    )
+    quant = emb.select(
+        F.col(id_col).alias("nid"),
+        F.transform(
+            F.transform(vec_col, lambda x: x.cast("double")), q_of
+        ).alias("q"),
+    )
+    probes = (
+        quant.orderBy("nid")
+        .limit(n_queries)
+        .select(F.col("nid").alias("query_id"), F.col("q").alias("qa"))
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        quant.join(F.broadcast(probes))
+        .where(F.col("nid") != F.col("query_id"))
+        .select("query_id", F.col("nid").alias("neighbor_id"), qdot.alias("qdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "qdot")
+    )

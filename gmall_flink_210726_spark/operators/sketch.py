@@ -396,3 +396,58 @@ def histogram_quantiles(
         ).alias("x")
     ).select("x.pct", "x.exact_quantile")
     return sel.join(exacts, "pct")
+
+
+def systematic_weighted_sample(
+    docs: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    step: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay every
+    item's weight on the cumulative line (the shard_binpack order and
+    distributed prefix sum) and select the items whose weight interval
+    [excl, excl+w) crosses a multiple of ``step`` — inclusion
+    probability ~ w/step, EXACT integer arithmetic end-to-end (unlike
+    Efraimidis-Spirakis priorities, whose float pow/ln ordering is not
+    engine-portable). Deterministic, input-order invariant, and
+    growth-stable under the md5 order. One bucket-partitioned window +
+    the 256-row broadcast offset table — no global sort.
+    """
+    hk = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(hk, 1, 2), 16, 10).cast("int") % n_buckets
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        weight_col.cast("long").alias("_w"),
+        hk.alias("_hk"),
+        bucket.alias("_bkt"),
+    )
+    totals = base.groupBy("_bkt").agg(F.sum("_w").alias("_tot"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(w_b), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_hk", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cum = base.join(F.broadcast(offsets), "_bkt").select(
+        "_id",
+        "_w",
+        (F.col("_off") + F.coalesce(F.sum("_w").over(w_in), F.lit(0))).alias(
+            "_excl"
+        ),
+    )
+    crosses = F.expr(f"(_excl + _w) div {int(step)}") - F.expr(
+        f"_excl div {int(step)}"
+    )
+    return (
+        with_cum.where(crosses > 0)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_w").alias("weight"),
+            crosses.cast("long").alias("n_hits"),
+        )
+    )

@@ -60,3 +60,79 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_gif_media(load_table(spark, sf_dir, "documents"))
     return gif_pixel_stats(media)
+
+
+@register(
+    "ann_quantized_topk",
+    oracle="""
+    WITH l AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                      unnest(range(len(embedding))) AS d
+               FROM embeddings),
+    cb AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM l GROUP BY d),
+    qv AS (SELECT vec_id, l.d,
+                  CASE WHEN mx = mn THEN 0
+                       ELSE CAST(round((x - mn) * 255 / (mx - mn), 0) AS BIGINT)
+                  END AS q
+           FROM l JOIN cb USING (d)),
+    probes AS (SELECT * FROM qv WHERE vec_id IN
+                 (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)),
+    dots AS (SELECT p.vec_id AS query_id, qv.vec_id AS neighbor_id,
+                    CAST(SUM(p.q * qv.q) AS BIGINT) AS qdot
+             FROM probes p JOIN qv ON p.d = qv.d AND qv.vec_id != p.vec_id
+             GROUP BY 1, 2),
+    rk AS (SELECT query_id, neighbor_id, qdot,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY qdot DESC, neighbor_id ASC) AS INTEGER) AS rank
+           FROM dots)
+    SELECT query_id, neighbor_id, rank, qdot FROM rk WHERE rank <= 5
+    """,
+    doc="int8-quantized ANN top-k: the search path the "
+    "emb_quantize_int8 codebook exists for — per-dimension min/max "
+    "affine quantization applied MAP-SIDE from a literal 64-entry "
+    "codebook (corpus scanned once, never exploded for the quantize), "
+    "3 broadcast probes, INTEGER dot-product scores so ranking is "
+    "bit-deterministic with id tiebreaks. "
+    "operators/embed.py:quantized_ann_topk",
+    tags=("llm", "similarity", "sketch"),
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.embed import quantized_ann_topk
+
+    return quantized_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sample_systematic_weighted",
+    oracle="""
+    WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                      md5(CAST(doc_id AS VARCHAR)) AS hk
+               FROM documents),
+    c AS (SELECT doc_id, w,
+                 COALESCE(SUM(w) OVER (ORDER BY hk, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS excl
+          FROM t)
+    SELECT doc_id, w AS weight,
+           CAST((excl + w) // 5000 - excl // 5000 AS BIGINT) AS n_hits
+    FROM c WHERE (excl + w) // 5000 - excl // 5000 > 0
+    """,
+    doc="Systematic probability-proportional-to-size sampling: weights "
+    "laid on the md5-ordered cumulative line, select docs whose weight "
+    "interval crosses a multiple of the step — inclusion probability "
+    "~ w/step in EXACT integer arithmetic (Efraimidis-Spirakis "
+    "priority sampling needs float pow/ln ordering, which is not "
+    "engine-portable; this is the deterministic PPS alternative). "
+    "Same distributed prefix-sum plan as shard_binpack: "
+    "bucket-partitioned windows + a 256-row broadcast offset table, no "
+    "global sort. operators/sketch.py:systematic_weighted_sample",
+    tags=("llm", "sketch"),
+)
+def sample_systematic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gmall_flink_210726_spark.operators.sketch import (
+        systematic_weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return systematic_weighted_sample(docs, "doc_id", F.col("n_chars"), step=5000)
