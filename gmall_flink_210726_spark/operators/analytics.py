@@ -240,3 +240,58 @@ def incremental_agg_refresh(
         .groupBy(*keys)
         .agg(*merge_aggs)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Table-diff between two snapshots of the same keyed table:
+    emits one row per key that was ADDED, REMOVED, or CHANGED (any
+    compare column differs, null-safe), with the before/after values.
+    Unchanged keys are absent.
+
+    The reconciliation primitive behind CDC validation, dim-snapshot
+    auditing, and backfill verification. One full-outer equi-join on
+    the key — co-partitioned by the shuffle, no driver state; at scale
+    both sides bucket on the key and the join is exchange-free.
+    """
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols + compare_cols]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols + compare_cols]
+    )
+    cond = None
+    for c in key_cols:
+        eq = o[f"_o_{c}"] == n[f"_n_{c}"]
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+
+    key_is_old = F.col(f"_o_{key_cols[0]}").isNotNull()
+    key_is_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        changed = ne if changed is None else changed | ne
+    verdict = (
+        F.when(~key_is_old, F.lit("added"))
+        .when(~key_is_new, F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    out_key = [
+        F.coalesce(F.col(f"_o_{c}"), F.col(f"_n_{c}")).alias(c)
+        for c in key_cols
+    ]
+    return (
+        joined.withColumn("change", verdict)
+        .where(F.col("change").isNotNull())
+        .select(
+            *out_key,
+            "change",
+            *[F.col(f"_o_{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"_n_{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+    )

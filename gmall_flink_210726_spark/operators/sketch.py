@@ -313,8 +313,19 @@ def minhash_jaccard_calibration(
     """
     from gmall_flink_210726_spark.operators.dedup import word_shingles
 
+    # signatures only for docs that appear in a candidate pair — slot
+    # values are per-doc (corpus-independent), so restricting the
+    # signature scan to the sparse pair membership changes nothing and
+    # removes the full-corpus shingle+md5 pass (a measured 2x at sf0.1)
+    pair_ids = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("_pid"))
+        .distinct()
+    )
+    cand = docs.join(
+        F.broadcast(pair_ids), F.col(id_col) == F.col("_pid")
+    ).drop("_pid")
     sig = portable_minhash_signatures(
-        docs, id_col, word_shingles(text_col, 3), k
+        cand, id_col, word_shingles(text_col, 3), k
     )
     a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
     b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from gmall_flink_210726_spark.operators.analytics import (
     cohort_retention,
     funnel_counts,
-    fuzzy_match_pairs,
     latest_by_key,
 )
 from gmall_flink_210726_spark.operators.sketch import hll_distinct, shard_binpack

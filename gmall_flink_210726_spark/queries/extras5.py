@@ -449,3 +449,53 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("grp_ct"),
         (F.count(F.lit(1)) >= 5).alias("meets_k"),
     )
+
+
+@register(
+    "an9_snapshot_diff",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderstatus AS st,
+                      CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders WHERE o_orderkey % 50 != 0),
+    n AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 23 = 0 THEN 'X'
+                      ELSE o_orderstatus END AS st,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders WHERE o_orderkey % 37 != 0),
+    j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                      WHEN n.o_orderkey IS NULL THEN 'removed'
+                      WHEN o.st IS DISTINCT FROM n.st
+                           OR o.cents IS DISTINCT FROM n.cents
+                      THEN 'changed' END AS change,
+                 o.st AS old_st, n.st AS new_st,
+                 o.cents AS old_cents, n.cents AS new_cents
+          FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+    SELECT * FROM j WHERE change IS NOT NULL
+    """,
+    doc="Snapshot table-diff (CDC validation / backfill reconciliation): "
+    "two keyed snapshots full-outer-joined, every key classified "
+    "added / removed / changed (null-safe compare) with before/after "
+    "values; unchanged keys absent. The fixture derives both snapshots "
+    "deterministically from orders so all three classes are exercised. "
+    "operators/analytics.py:snapshot_diff",
+    tags=("analytics", "cdc"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.analytics import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    old = base.where(F.col("o_orderkey") % 50 != 0)
+    new = orders.where(F.col("o_orderkey") % 37 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 23 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("st"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["st", "cents"])
