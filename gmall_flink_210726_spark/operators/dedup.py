@@ -300,6 +300,7 @@ def connected_components(
     id_b: str = "id_b",
     node_col: str = "id",
     max_iters: int = 25,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph by iterative
     min-label propagation: every node starts labeled with its own id;
@@ -337,6 +338,57 @@ def connected_components(
         ).alias("e")
     ).select("e.u", "e.v")
     edges = sym.persist()
+    # SMALL-GRAPH FAST PATH: near-dup graphs are usually a tiny edge
+    # set over a huge corpus (the corpus never enters the iteration —
+    # only edge-connected nodes do). When the symmetrized edge count is
+    # under the gate (a few MB of driver memory), one union-find on the
+    # driver replaces 2-4 distributed rounds, each of which pays a
+    # join + groupBy + eager checkpoint of fixed scheduling cost. The
+    # result is IDENTICAL (cluster = min member id); graphs above the
+    # gate take the distributed rounds below unchanged — the gate is a
+    # bounded-collect, never a corpus collect.
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = _find(u), _find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        comp_min: dict = {}
+        for x in list(parent):
+            root = _find(x)
+            if root not in comp_min or x < comp_min[root]:
+                comp_min[root] = x
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        u_field = edges.schema["u"]
+        lbl_schema = StructType(
+            [
+                StructField("u", u_field.dataType),
+                StructField("lbl", u_field.dataType),
+            ]
+        )
+        labels = spark.createDataFrame(
+            [(x, comp_min[_find(x)]) for x in parent], lbl_schema
+        )
+        edges.unpersist()
+        all_nodes = nodes.select(F.col(node_col).alias("u")).distinct()
+        return all_nodes.join(labels, "u", "left").select(
+            F.col("u").alias(node_col),
+            F.coalesce("lbl", F.col("u")).alias("cluster_id"),
+        )
     # propagate only over nodes that have at least one edge — isolated
     # nodes can never change label, so they skip the iteration entirely
     # and rejoin as self-labeled singletons at the end. On dedup

@@ -148,3 +148,30 @@ class TestIncrementalRefresh:
         assert sorted(map(tuple, merged.collect())) == sorted(
             map(tuple, full.collect())
         )
+
+
+class TestCCFastPathAgreement:
+    def test_driver_and_distributed_paths_identical(self, spark):
+        """small_graph_edges gates a driver union-find; forcing the
+        distributed rounds (gate=0) must give the identical clustering
+        — otherwise the gate would change results with scale."""
+        import random
+
+        from pyspark.sql import Row
+
+        from gmall_flink_210726_spark.operators.dedup import (
+            connected_components,
+        )
+
+        rng = random.Random(11)
+        edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in edges]
+        )
+        nodes = spark.range(150).select(F.col("id"))
+        fast = {(r.id, r.cluster_id) for r in
+                connected_components(pairs, nodes).collect()}
+        dist = {(r.id, r.cluster_id) for r in
+                connected_components(pairs, nodes, small_graph_edges=0).collect()}
+        assert fast == dist
