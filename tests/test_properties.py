@@ -137,3 +137,99 @@ class TestCJKTokenizer:
         assert tok._tokenize_py("小米手机 价格") == ["小米手机 价格"]
         monkeypatch.undo()
         assert tok._tokenize_py("小米手机 价格") == ["小米手机", "价格"]
+
+
+# ---------------------------------------------------------------- wave 6+
+
+@settings(**SETTLE)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**9),
+                  min_size=1, max_size=60),
+)
+def test_cms_never_underestimates(keys):
+    """CMS one-sided error on arbitrary key multisets: the estimate is
+    >= the true count for EVERY key (Cormode & Muthukrishnan Thm 1)."""
+    from collections import Counter
+
+    from gmall_flink_210726_spark.operators.sketch import cms_estimate
+
+    spark = _get_spark()
+    counts = Counter(keys)
+    wc = spark.createDataFrame(
+        [(str(k), c) for k, c in counts.items()], "k string, ct long"
+    )
+    for r in cms_estimate(wc, "k", "ct").collect():
+        assert r.cms_est >= r.exact_ct
+        assert r.exact_ct == counts[int(r.k)]
+
+
+@settings(**SETTLE)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=500),
+                     min_size=1, max_size=50),
+    step=st.integers(min_value=1, max_value=300),
+)
+def test_systematic_sample_hits_model(weights, step):
+    """PPS sampling vs a pure-Python model of the same cumulative
+    line: identical selected set and hit counts, and total hits ==
+    floor(total/step) crossings."""
+    import hashlib
+
+    from gmall_flink_210726_spark.operators.sketch import (
+        systematic_weighted_sample,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w long"
+    )
+    got = {
+        (r.id, r.n_hits)
+        for r in systematic_weighted_sample(
+            df, "id", F.col("w"), step=step
+        ).collect()
+    }
+    order = sorted(
+        range(len(weights)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    cum, want = 0, set()
+    for i in order:
+        w = weights[i]
+        hits = (cum + w) // step - cum // step
+        if hits > 0:
+            want.add((i, hits))
+        cum += w
+    assert got == want
+
+
+@settings(**SETTLE)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=40,
+    ),
+    split=st.integers(0, 100),
+)
+def test_incremental_refresh_any_split(rows, split):
+    """MV merge == full recompute for EVERY split point of the data —
+    the algebraic-merge identity quantified over arbitrary partitions."""
+    from gmall_flink_210726_spark.operators.analytics import (
+        incremental_agg_refresh,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, "g long, sub long, v long")
+    partials = [F.count(F.lit(1)).alias("ct"), F.sum("v").alias("vs")]
+    merges = [F.sum("ct").cast("long").alias("ct"),
+              F.sum("vs").cast("long").alias("vs")]
+    base = df.where(F.col("v") < split).groupBy("g").agg(*partials)
+    delta = df.where(F.col("v") >= split)
+    merged = incremental_agg_refresh(base, delta, ["g"], partials, merges)
+    full = df.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ct"),
+        F.sum("v").cast("long").alias("vs"),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
