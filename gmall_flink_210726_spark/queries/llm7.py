@@ -136,3 +136,42 @@ def sample_systematic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return systematic_weighted_sample(docs, "doc_id", F.col("n_chars"), step=5000)
+
+
+@register(
+    "multimodal_tiff_pixels",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      2 + doc_id % 11 AS w, 1 + doc_id % 7 AS h,
+                      doc_id % 9 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, w, h,
+            list_sum([list_sum([(media_id * 23 + 5 * p + 11 * ch) % 256
+                                for ch in range(0, 3)])
+                      for p in range(0, w * h)]) AS rsum
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'tiff' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE rsum END AS BIGINT) AS rgb_sum
+    FROM s
+    """,
+    doc="REAL baseline TIFF decode with stdlib alone (sixth codec): "
+    "II/MM byte-order header (odd ids are written big-endian so both "
+    "orders execute on-wire), IFD walk with the TIFF 6.0 4-byte "
+    "inline-value rule, multi-strip assembly (RowsPerStrip=2 in the "
+    "fixture so the strip loop runs), per-image RGB sums; truncated "
+    "blobs degrade to 'unknown'. The oracle recomputes every value "
+    "blind from the LCG formulas. operators/tiff.py:tiff_pixel_stats",
+    tags=("llm", "multimodal"),
+)
+def multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.tiff import (
+        synthesize_tiff_media,
+        tiff_pixel_stats,
+    )
+
+    media = synthesize_tiff_media(load_table(spark, sf_dir, "documents"))
+    return tiff_pixel_stats(media)
