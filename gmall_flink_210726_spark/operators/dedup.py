@@ -544,6 +544,7 @@ def connected_components_star(
     id_b: str = "id_b",
     node_col: str = "id",
     max_rounds: int = 30,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -607,6 +608,51 @@ def connected_components_star(
     edges = pairs.select(
         F.col(id_a).alias("u"), F.col(id_b).alias("v")
     ).persist()  # directed is enough — _star symmetrizes per round
+    # same gated driver fast path as connected_components: on a
+    # small edge set (bounded collect, never the corpus) union-find
+    # replaces the contraction rounds' fixed per-round cost; output
+    # identical, larger graphs take the rounds below unchanged
+    if edges.count() <= small_graph_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r["u"], r["v"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict = {}
+        for x in list(parent):
+            root = _find(x)
+            if root not in comp_min or x < comp_min[root]:
+                comp_min[root] = x
+        spark = pairs.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        u_field = edges.schema["u"]
+        lbl_schema = StructType(
+            [
+                StructField("u", u_field.dataType),
+                StructField("lbl", u_field.dataType),
+            ]
+        )
+        lbl_df = spark.createDataFrame(
+            [(x, comp_min[_find(x)]) for x in parent], lbl_schema
+        )
+        edges.unpersist()
+        all_nodes = nodes.select(F.col(node_col).alias("u")).distinct()
+        return all_nodes.join(lbl_df, "u", "left").select(
+            F.col("u").alias(node_col),
+            F.coalesce("lbl", F.col("u")).alias("cluster_id"),
+        )
     prev_sig = None
     for _ in range(max_rounds):
         # localCheckpoint truncates lineage (plans would otherwise

@@ -824,7 +824,12 @@ class TestStarContraction:
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
         prop = connected_components(pairs, nodes, node_col="id", max_iters=50)
-        star = connected_components_star(pairs, nodes, node_col="id")
+        # force the distributed contraction rounds so the agreement
+        # check still exercises them now that small graphs default to
+        # the driver fast path
+        star = connected_components_star(
+            pairs, nodes, node_col="id", small_graph_edges=0
+        )
         return (
             {r["id"]: r["cluster_id"] for r in prop.collect()},
             {r["id"]: r["cluster_id"] for r in star.collect()},
@@ -1095,7 +1100,8 @@ class TestSkewedGraphs:
         got = {
             r["id"]: r["cluster_id"]
             for r in connected_components_star(
-                pairs, nodes, node_col="id", max_rounds=bound
+                pairs, nodes, node_col="id", max_rounds=bound,
+                small_graph_edges=0,  # force the distributed rounds
             ).collect()
         }
         for n in node_ids:
@@ -1128,7 +1134,7 @@ class TestSkewedGraphs:
         star = {
             r["id"]: r["cluster_id"]
             for r in connected_components_star(
-                pairs, nodes, node_col="id"
+                pairs, nodes, node_col="id", small_graph_edges=0
             ).collect()
         }
         assert star == prop
