@@ -499,3 +499,59 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
     return snapshot_diff(old, new, ["o_orderkey"], ["st", "cents"])
+
+
+@register(
+    "x20_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type,
+                        quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS ad
+            FROM events e JOIN med m ON e.event_type = m.event_type),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           round(MIN(dev.med), 6) AS median_val,
+           round(MIN(mad.mad), 6) AS mad_val,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN round(dev.ad, 6)
+                              > round(3 * 1.4826 * mad.mad, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+    """,
+    doc="Robust outlier screen via median absolute deviation (the "
+    "breakdown-resistant sibling of x14's rolling z-score): per-group "
+    "median, MAD, and the count beyond 3 scaled MADs (1.4826 = "
+    "consistency constant for normal data). Two grouped exact-"
+    "percentile passes + one flag aggregation; both compare sides are "
+    "rounded to 6 dp so the threshold is engine-identical "
+    "(percentile == quantile_cont, the w6 contract).",
+    tags=("extras", "stats", "quality"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    flagged = dev.join(mad, "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.round(F.min("med"), 6).alias("median_val"),
+        F.round(F.min("mad"), 6).alias("mad_val"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.round("ad", 6) > F.round(F.lit(3 * 1.4826) * F.col("mad"), 6),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
