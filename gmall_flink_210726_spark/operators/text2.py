@@ -186,6 +186,22 @@ def bpe_pair_counts(
     )
 
 
+def _tercile_boundaries(scored: DataFrame) -> DataFrame:
+    """One-row frame with the rounded 1/3 and 2/3 order statistics of
+    `avg_logprob`, computed with bounded state: the corpus collapses to
+    a distinct-score count table first (scores are 6-dp-rounded, so its
+    cardinality is value-range-bounded, not corpus-bounded), then
+    Spark's frequency-weighted exact `percentile(value, p, freq)` runs
+    over that compact frame. Factored out so tests can pin the plan
+    shape (percentile must take the `ct` frequency arg, never the raw
+    per-doc column)."""
+    counts = scored.groupBy("avg_logprob").agg(F.count("*").alias("ct"))
+    return counts.agg(
+        F.round(F.expr("percentile(avg_logprob, 2.0/3.0, ct)"), 6),
+        F.round(F.expr("percentile(avg_logprob, 1.0/3.0, ct)"), 6),
+    )
+
+
 def ccnet_buckets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -196,11 +212,16 @@ def ccnet_buckets(
     worst 'tail'. Output: (id, avg_logprob, ppl_bucket).
 
     Scale shape: tercile boundaries are two exact order statistics
-    computed by ONE aggregate over the compact per-doc score frame
-    (percentile(), the linear-interpolation estimator DuckDB matches
-    as quantile_cont), collected as bounded driver scalars (the
-    unigram corpus-size precedent) and applied as plan literals — a
-    map-side comparison per doc, NOT a global ntile window, which
+    computed over the DISTINCT-SCORE count frame, not the per-doc
+    frame: scores are 6-dp-rounded, so groupBy(score)+count collapses
+    the corpus to a bounded-cardinality (value, frequency) table and
+    `percentile(value, p, frequency)` — Spark's frequency-weighted
+    exact percentile, bit-identical to the unweighted form DuckDB
+    matches as quantile_cont — keeps aggregation state at
+    distinct-score size instead of corpus size (the round-5 verdict's
+    one executor-OOM shape at 10^10+ docs). The boundaries are
+    collected as bounded driver scalars and applied as plan literals —
+    a map-side comparison per doc, NOT a global ntile window, which
     would funnel every row through a single window task at 100 TB.
     The per-doc score frame is checkpointed so the boundary agg and
     the labeling projection share one materialization. Boundary
@@ -213,10 +234,7 @@ def ccnet_buckets(
         .select(F.col(id_col), F.round("avg_logprob", 6).alias("avg_logprob"))
         .localCheckpoint(eager=True)
     )
-    t_head, t_mid = scored.agg(
-        F.round(F.expr("percentile(avg_logprob, 2.0/3.0)"), 6),
-        F.round(F.expr("percentile(avg_logprob, 1.0/3.0)"), 6),
-    ).collect()[0]
+    t_head, t_mid = _tercile_boundaries(scored).collect()[0]
     return scored.select(
         F.col(id_col),
         "avg_logprob",

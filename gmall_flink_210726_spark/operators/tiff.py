@@ -128,6 +128,10 @@ def _make_tiff(i: int) -> bytes:
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
 
+# tags the pixel decode actually consults — an unsupported value type
+# on any OTHER tag is skipped, not fatal
+_DECODE_TAGS = frozenset({256, 257, 258, 259, 273, 277, 278, 279, 284})
+
 
 def _read_values(b: bytes, e: str, typ: int, count: int, raw: bytes):
     """IFD entry values — inline when they fit 4 bytes, else at the
@@ -170,7 +174,15 @@ def _decode_tiff(b: bytes):
         raise ValueError("IFD truncated")
     for _ in range(n_entries):
         tag, typ, count = struct.unpack(e + "HHI", b[pos : pos + 8])
-        tags[tag] = _read_values(b, e, typ, count, b[pos + 8 : pos + 12])
+        try:
+            tags[tag] = _read_values(b, e, typ, count, b[pos + 8 : pos + 12])
+        except ValueError:
+            # metadata tags irrelevant to pixel decode (ASCII
+            # Software/DateTime, RATIONAL X/YResolution, ...) must not
+            # abort the whole image; only a decode-relevant tag with an
+            # unreadable type/value is fatal
+            if tag in _DECODE_TAGS:
+                raise
         pos += 12
     for req in (256, 257, 273, 279):
         if req not in tags:

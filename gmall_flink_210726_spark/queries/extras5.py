@@ -227,10 +227,11 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT unnest([0.5, 0.9, 0.99]) AS pct),
     sel AS (SELECT q.pct,
                    round(s.mn + cw.b * ((s.mx - s.mn) / 256.0)
-                         + (q.pct * s.n - (cw.cum - cw.ct)) / cw.ct
+                         + (round(q.pct * s.n, 6) - (cw.cum - cw.ct)) / cw.ct
                            * ((s.mx - s.mn) / 256.0), 6) AS est_quantile
             FROM q, cw, s
-            WHERE (cw.cum - cw.ct) < q.pct * s.n AND q.pct * s.n <= cw.cum),
+            WHERE (cw.cum - cw.ct) < round(q.pct * s.n, 6)
+              AND round(q.pct * s.n, 6) <= cw.cum),
     ex AS (SELECT 0.5 AS pct, round(quantile_cont(o_totalprice, 0.5), 6)
                     AS exact_quantile FROM orders
            UNION ALL
@@ -517,7 +518,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(MIN(mad.mad), 6) AS mad_val,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN round(dev.ad, 6)
-                              > round(3 * 1.4826 * mad.mad, 6)
+                              > round(4.4478 * mad.mad, 6)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev JOIN mad ON dev.event_type = mad.event_type
     GROUP BY dev.event_type
@@ -550,7 +551,11 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
             F.when(
-                F.round("ad", 6) > F.round(F.lit(3 * 1.4826) * F.col("mad"), 6),
+                # pre-evaluated 3*1.4826 literal: DuckDB would compute
+                # 3*1.4826 in exact DECIMAL before the double multiply,
+                # Python in double — same literal on both sides makes
+                # the threshold arithmetic bit-identical
+                F.round("ad", 6) > F.round(F.lit(4.4478) * F.col("mad"), 6),
                 1,
             ).otherwise(0)
         ).cast("long").alias("n_outliers"),
