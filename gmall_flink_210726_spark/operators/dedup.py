@@ -288,6 +288,10 @@ def minhash_lsh_pairs(
         .select("id", F.xxhash64("sh_str").alias("sh"))
         .join(cand_ids, "id", "left_semi")
     )
+    # candidate-doc shingle hashes only — output-bounded, and referenced
+    # by four plan legs (counts + the join-back + both pair sides), so
+    # materialize once instead of inlining the corpus scan per leg
+    sh = sh.localCheckpoint(eager=False)
     counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh = sh.join(counts, "id")
     a_side = sh.select(

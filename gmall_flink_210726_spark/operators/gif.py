@@ -10,8 +10,9 @@ LSB-first bit packing across data sub-blocks, code-width growth at
 2^n, CLEAR table resets, and the KwKwK (code == next_code) case.
 
 Supported subset (honestly bounded): single-image GIF87a/89a with a
-global color table, no interlace, no local color table. Anything else
-raises ValueError and the Spark operator degrades the row to
+global color table, sequential or interlaced (the GIF89a Appendix E
+four-pass row order), no local color table. Anything else raises
+ValueError and the Spark operator degrades the row to
 format='unknown' — never throw away the partition for one file.
 
 Fixture strategy (the _make_jpeg pattern, operators/jpeg.py:104): the
@@ -41,6 +42,13 @@ _GIF_BAD = lambda i: i % 11 == 0  # noqa: E731  truncated corrupt blob
 _GIF_NCOLORS = 4  # GCT size bits 1 -> 4 entries, LZW min code size 2
 _GIF_IDX = lambda i, p: (i * 29 + 13 * p) % _GIF_NCOLORS  # noqa: E731
 _GIF_PAL = lambda i, c, ch: (i * 17 + 31 * c + 7 * ch) % 256  # noqa: E731
+
+# interlaced fixture (h >= 5 so ALL four Appendix E passes execute)
+_GIN_W = lambda i: 3 + i % 11  # noqa: E731
+_GIN_H = lambda i: 5 + i % 8  # noqa: E731
+_GIN_BAD = lambda i: i % 10 == 0  # noqa: E731
+_GIN_IDX = lambda i, p: (i * 41 + 19 * p) % _GIF_NCOLORS  # noqa: E731
+_GIN_PAL = lambda i, c, ch: (i * 13 + 29 * c + 5 * ch) % 256  # noqa: E731
 
 GIF_SCHEMA = StructType(
     [
@@ -139,6 +147,50 @@ def _make_gif(i: int) -> bytes:
     return out
 
 
+def _interlace_rows(h: int) -> list:
+    """Display-row order of stored rows under GIF89a Appendix E
+    interlacing: pass 1 every 8th row from 0, pass 2 every 8th from 4,
+    pass 3 every 4th from 2, pass 4 every 2nd from 1."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _make_gif_interlaced(i: int) -> bytes:
+    """REAL interlaced GIF89a: the image descriptor sets the interlace
+    flag and the LZW stream carries rows in the four-pass order, so a
+    decoder that ignores the flag produces row-scrambled pixels and
+    hash-mismatches the oracle."""
+    w, h = _GIN_W(i), _GIN_H(i)
+    pal = bytes(
+        _GIN_PAL(i, c, ch) for c in range(_GIF_NCOLORS) for ch in range(3)
+    )
+    display = [_GIN_IDX(i, p) for p in range(w * h)]
+    stored: list = []
+    for disp in _interlace_rows(h):
+        stored.extend(display[disp * w : (disp + 1) * w])
+    min_code = 2
+    lzw = _lzw_encode(stored, min_code)
+    blob = bytearray()
+    blob += b"GIF89a"
+    blob += struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+    blob += pal
+    # image descriptor with interlace flag (0x40)
+    blob += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)
+    blob += bytes([min_code])
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blob += bytes([len(chunk)]) + chunk
+    blob += b"\x00\x3b"
+    out = bytes(blob)
+    if _GIN_BAD(i):
+        return out[: max(8, len(out) // 2)]
+    return out
+
+
 # ---------------------------------------------------------------- decoder
 
 
@@ -231,8 +283,7 @@ def _decode_gif(b: bytes):
     pos += 9
     if ipacked & 0x80:
         raise ValueError("local color table unsupported")
-    if ipacked & 0x40:
-        raise ValueError("interlace unsupported")
+    interlaced = bool(ipacked & 0x40)
     if pos >= len(b):
         raise ValueError("missing LZW min code")
     min_code = b[pos]
@@ -252,6 +303,15 @@ def _decode_gif(b: bytes):
         data += b[pos : pos + n]
         pos += n
     idx = _lzw_decode(bytes(data), min_code, iw * ih)
+    if interlaced:
+        # GIF89a Appendix E four-pass row order: stored row k belongs
+        # at display row _interlace_rows(ih)[k]
+        deint = [0] * (iw * ih)
+        for stored, disp in enumerate(_interlace_rows(ih)):
+            deint[disp * iw : (disp + 1) * iw] = idx[
+                stored * iw : (stored + 1) * iw
+            ]
+        idx = deint
     return iw, ih, pal, idx
 
 
@@ -317,6 +377,98 @@ def synthesize_gif_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+GIF_ILACE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("idx_sum", LongType()),
+        StructField("idx_possum", LongType()),
+    ]
+)
+
+
+def synthesize_gif_interlaced_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL interlaced GIF89a blobs (the image
+    descriptor interlace flag is set and the LZW stream carries the
+    Appendix E four-pass row order); _GIN_BAD ids truncated."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_gif_interlaced(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _GIN_BAD(i) else "gif",
+                            "width": _GIN_W(i),
+                            "height": _GIN_H(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def gif_interlaced_pixel_stats(df: DataFrame) -> DataFrame:
+    """Interlaced-GIF decode emitting an ORDER-SENSITIVE checksum:
+    idx_possum = sum over display positions p of (p+1)*index[p].
+    idx_sum alone cannot distinguish correctly de-interlaced pixels
+    from row-scrambled ones (summation is order-invariant); the
+    position-weighted sum hash-mismatches any decoder that ignores
+    the interlace flag or mis-orders the four passes."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                row = {
+                    "media_id": int(media_id),
+                    "format": "unknown",
+                    "width": 0,
+                    "height": 0,
+                    "n_pixels": 0,
+                    "idx_sum": 0,
+                    "idx_possum": 0,
+                }
+                try:
+                    w, h, _pal, idx = _decode_gif(b)
+                    row.update(
+                        format="gif",
+                        width=int(w),
+                        height=int(h),
+                        n_pixels=int(w) * int(h),
+                        idx_sum=int(sum(idx)),
+                        idx_possum=int(
+                            sum((p + 1) * v for p, v in enumerate(idx))
+                        ),
+                    )
+                except (ValueError, struct.error, IndexError):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in GIF_ILACE_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "content").mapInPandas(gen, GIF_ILACE_SCHEMA)
 
 
 def gif_pixel_stats(df: DataFrame) -> DataFrame:

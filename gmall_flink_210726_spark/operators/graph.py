@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000_000  # 10^12: rank mass fixed-point scale
 
+_CHECKPOINT_EVERY = 3  # lineage-truncation cadence (rounds)
+
 
 def pagerank(
     nodes: DataFrame,
@@ -51,7 +53,13 @@ def pagerank(
     base = ((100 - damping_pct) * SCALE // 100) // n
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     pr = nodes.select("id", F.lit(SCALE // n).cast("long").alias("pr"))
-    for _ in range(iterations):
+    for i in range(iterations):
+        if i > 0 and i % _CHECKPOINT_EVERY == 0:
+            # truncate lineage every few rounds (the connected_components
+            # pattern): each iteration nests two joins + a groupBy, and
+            # past ~6 rounds the accumulated plan dominates optimizer
+            # time / risks codegen blowup at high iteration counts
+            pr = pr.localCheckpoint(eager=True)
         shares = (
             pr.join(outw, pr["id"] == outw["src"])
             .select(F.col("src"), F.expr("pr div ow").alias("share"))

@@ -10,10 +10,13 @@ inline rule INCLUDING short arrays packed into the value field), and
 multi-strip pixel data via StripOffsets / StripByteCounts /
 RowsPerStrip.
 
-Supported subset (honestly bounded): uncompressed (Compression=1)
-8-bit grayscale or RGB (SamplesPerPixel 1 or 3), single IFD, no tiles,
-no planar configuration 2. Anything else raises ValueError and the
-Spark operator degrades the row to format='unknown'.
+Supported subset (honestly bounded): uncompressed (Compression=1) or
+PackBits (Compression=32773, the TIFF 6.0 §9 byte-run scheme: a signed
+count byte selecting literal-copy or repeat, rows compressed
+independently) 8-bit grayscale or RGB (SamplesPerPixel 1 or 3), single
+IFD, no tiles, no planar configuration 2. Anything else raises
+ValueError and the Spark operator degrades the row to
+format='unknown'.
 
 Fixture strategy (the gif/_make_jpeg pattern): the synthesizer writes
 REAL multi-strip TIFFs (RowsPerStrip=2 so the strip walk actually
@@ -39,6 +42,13 @@ _TIF_H = lambda i: 1 + i % 7  # noqa: E731
 _TIF_BAD = lambda i: i % 9 == 0  # noqa: E731
 _TIF_V = lambda i, p, ch: (i * 23 + 5 * p + 11 * ch) % 256  # noqa: E731
 _ROWS_PER_STRIP = 2
+
+# PackBits fixture (grayscale, runs of 5 so both repeat-runs and
+# literal segments are emitted; formulas shared with the DuckDB oracle)
+_TPB_W = lambda i: 4 + i % 9  # noqa: E731
+_TPB_H = lambda i: 1 + i % 6  # noqa: E731
+_TPB_BAD = lambda i: i % 8 == 0  # noqa: E731
+_TPB_V = lambda i, p: (i * 37 + 11 * (p // 5)) % 256  # noqa: E731
 
 TIFF_SCHEMA = StructType(
     [
@@ -124,6 +134,129 @@ def _make_tiff(i: int) -> bytes:
     return out
 
 
+# ------------------------------------------------------------- packbits
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits for ONE row (rows compress independently):
+    repeats of >= 3 become (1-run, value) with the count as a signed
+    negative byte; everything else is literal segments (len-1, bytes).
+    Max segment 128 either way; -128 is reserved as a no-op."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j < n - 1 and row[j] == row[j + 1] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append((257 - run) & 0xFF)  # signed -(run-1)
+            out.append(row[i])
+            i = j + 1
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += row[i:k]
+            i = k
+    return bytes(out)
+
+
+def _packbits_decode(src: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(src):
+            raise ValueError("packbits source exhausted")
+        n = src[i]
+        i += 1
+        if n == 128:  # -128: no-op
+            continue
+        if n < 128:  # literal: next n+1 bytes
+            if i + n + 1 > len(src):
+                raise ValueError("packbits literal overrun")
+            out += src[i : i + n + 1]
+            i += n + 1
+        else:  # repeat next byte 257-n times
+            if i >= len(src):
+                raise ValueError("packbits run overrun")
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+    if len(out) != expected:
+        raise ValueError("packbits length mismatch")
+    return bytes(out)
+
+
+def _make_tiff_packbits(i: int) -> bytes:
+    """REAL PackBits-compressed grayscale TIFF; odd ids big-endian,
+    _TPB_BAD ids truncated mid-strip."""
+    w, h = _TPB_W(i), _TPB_H(i)
+    e = ">" if i % 2 == 1 else "<"
+    pix = bytes(_TPB_V(i, p) for p in range(w * h))
+    strips = []
+    for r0 in range(0, h, _ROWS_PER_STRIP):
+        nrows = min(_ROWS_PER_STRIP, h - r0)
+        # rows compressed independently within the strip (spec rule)
+        strips.append(
+            b"".join(
+                _packbits_encode(pix[(r0 + r) * w : (r0 + r + 1) * w])
+                for r in range(nrows)
+            )
+        )
+    n_strips = len(strips)
+    so_off = 8
+    sbc_off = so_off + 4 * n_strips
+    data_off = sbc_off + 4 * n_strips
+    offs, lens, pos = [], [], data_off
+    for s in strips:
+        offs.append(pos)
+        lens.append(len(s))
+        pos += len(s)
+    ifd_off = pos
+
+    def entry(tag, typ, count, value):
+        return struct.pack(e + "HHI", tag, typ, count) + value
+
+    short_v = lambda v: struct.pack(e + "HH", v, 0)  # noqa: E731
+    long_v = lambda v: struct.pack(e + "I", v)  # noqa: E731
+    entries = [
+        entry(256, 3, 1, short_v(w)),
+        entry(257, 3, 1, short_v(h)),
+        entry(258, 3, 1, short_v(8)),  # BitsPerSample: one 8-bit sample
+        entry(259, 3, 1, short_v(32773)),  # Compression: PackBits
+        entry(262, 3, 1, short_v(1)),  # Photometric: BlackIsZero
+        entry(
+            273,
+            4,
+            n_strips,
+            long_v(so_off) if n_strips > 1 else long_v(offs[0]),
+        ),
+        entry(277, 3, 1, short_v(1)),  # SamplesPerPixel: grayscale
+        entry(278, 3, 1, short_v(_ROWS_PER_STRIP)),
+        entry(
+            279,
+            4,
+            n_strips,
+            long_v(sbc_off) if n_strips > 1 else long_v(lens[0]),
+        ),
+    ]
+    blob = bytearray()
+    blob += (b"MM" if e == ">" else b"II") + struct.pack(e + "HI", 42, ifd_off)
+    blob += b"".join(struct.pack(e + "I", o) for o in offs)
+    blob += b"".join(struct.pack(e + "I", n) for n in lens)
+    for s in strips:
+        blob += s
+    blob += struct.pack(e + "H", len(entries)) + b"".join(entries)
+    blob += struct.pack(e + "I", 0)
+    out = bytes(blob)
+    if _TPB_BAD(i):
+        return out[: max(8, len(out) * 2 // 5)]
+    return out
+
+
 # ---------------------------------------------------------------- decoder
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
@@ -188,7 +321,8 @@ def _decode_tiff(b: bytes):
         if req not in tags:
             raise ValueError("missing required tag")
     w, h = tags[256][0], tags[257][0]
-    if tags.get(259, [1])[0] != 1:
+    compression = tags.get(259, [1])[0]
+    if compression not in (1, 32773):
         raise ValueError("compressed TIFF unsupported")
     spp = tags.get(277, [1])[0]
     if spp not in (1, 3):
@@ -199,11 +333,20 @@ def _decode_tiff(b: bytes):
         raise ValueError("planar config unsupported")
     if w <= 0 or h <= 0 or w * h * spp > 1 << 28:
         raise ValueError("bad dimensions")
+    rps = tags.get(278, [h])[0]
+    if rps <= 0:
+        raise ValueError("bad rows per strip")
     data = bytearray()
-    for off, n in zip(tags[273], tags[279]):
+    for idx, (off, n) in enumerate(zip(tags[273], tags[279])):
         if off + n > len(b):
             raise ValueError("strip out of range")
-        data += b[off : off + n]
+        chunk = b[off : off + n]
+        if compression == 32773:
+            nrows = min(rps, h - idx * rps)
+            if nrows <= 0:
+                raise ValueError("excess strips")
+            chunk = _packbits_decode(chunk, nrows * w * spp)
+        data += chunk
     need = w * h * spp
     if len(data) < need:
         raise ValueError("pixel data short")
@@ -258,6 +401,38 @@ def synthesize_tiff_media(docs: DataFrame) -> DataFrame:
                             "format": "corrupt" if _TIF_BAD(i) else "tiff",
                             "width": _TIF_W(i),
                             "height": _TIF_H(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_tiff_packbits_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL PackBits-compressed grayscale TIFFs,
+    one per doc_id; odd ids big-endian, ids hitting _TPB_BAD truncated
+    mid-strip so the PackBits error surface executes."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_tiff_packbits(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _TPB_BAD(i) else "tiff",
+                            "width": _TPB_W(i),
+                            "height": _TPB_H(i),
                             "sample_rate": 0,
                         }
                         for i in ids

@@ -479,45 +479,56 @@ def x10_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s)
     """,
     doc="Table profiling (the Deequ/data-quality primitive): per-column "
-    "row count, non-null count, exact distinct count, min and max — "
-    "computed in ONE aggregation pass over the table (all columns' "
-    "stats as parallel aggregate expressions, partial+final combine), "
-    "then reshaped to the long (col, stat...) form a quality monitor "
-    "stores. Values stringified with fixed formatting on both engines",
+    "row count, non-null count, exact distinct count, min and max, in "
+    "the long (col, stat...) form a quality monitor stores. Shape: one "
+    "SINGLE-distinct aggregation leg per column, unioned — each leg "
+    "column-prunes to exactly its own column (total bytes read = one "
+    "3-column scan) and plans as the two-level HashAggregate distinct "
+    "rewrite. The r4/r5 stack()-over-one-agg shape measured 3-4x "
+    "slower: three count_distincts in one agg force an Expand (3x "
+    "every row) and the string-typed min/max buffers disqualify "
+    "HashAggregate, so the tripled corpus went through a full "
+    "SortAggregate (r5 VERDICT #4 root cause). Values stringified "
+    "with fixed formatting on both engines",
     tags=("extras", "quality"),
 )
 def x11_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    # min/max compute on the NATIVE value then stringify (stringifying
-    # first would make them lexicographic)
-    agg = orders.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("o_custkey").alias("nn_custkey"),
-        F.count_distinct("o_custkey").alias("nd_custkey"),
-        F.min("o_custkey").cast("string").alias("mn_custkey"),
-        F.max("o_custkey").cast("string").alias("mx_custkey"),
-        F.count("o_orderstatus").alias("nn_status"),
-        F.count_distinct("o_orderstatus").alias("nd_status"),
-        F.min("o_orderstatus").cast("string").alias("mn_status"),
-        F.max("o_orderstatus").cast("string").alias("mx_status"),
-        F.count("o_totalprice").alias("nn_price"),
-        F.count_distinct("o_totalprice").alias("nd_price"),
-        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn_price"),
-        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx_price"),
+
+    # each leg first collapses to the per-value count frame (a
+    # HashAggregate: string GROUPING keys are fine, it's string agg
+    # BUFFERS that disqualify hash mode), then folds that compact
+    # frame: n_rows/n_nonnull from the counts, n_distinct = non-null
+    # group count, min/max on the NATIVE group key then stringified
+    # (stringifying first would make them lexicographic)
+    def leg(colname: str, stringify) -> DataFrame:
+        g = orders.groupBy(colname).agg(F.count(F.lit(1)).alias("ct"))
+        return g.agg(
+            F.sum("ct").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col(colname).isNotNull(), F.col("ct")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_nonnull"),
+            F.count(colname).alias("n_distinct"),
+            stringify(F.min(colname)).alias("min_val"),
+            stringify(F.max(colname)).alias("max_val"),
+        ).select(
+            F.lit(colname).alias("col"),
+            "n_rows",
+            "n_nonnull",
+            "n_distinct",
+            "min_val",
+            "max_val",
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_dec = lambda c: c.cast("decimal(18,2)").cast("string")  # noqa: E731
+    return (
+        leg("o_custkey", as_str)
+        .unionAll(leg("o_orderstatus", as_str))
+        .unionAll(leg("o_totalprice", as_dec))
     )
-    # stack() reshapes the single agg row to long form in ONE guaranteed
-    # evaluation — the previous 3-way union-of-selects was only one scan
-    # because ReuseExchange happened to kick in (r4 VERDICT #2)
-    return agg.select(
-        F.expr(
-            "stack(3, "
-            "'o_custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey, "
-            "'o_orderstatus', nn_status, nd_status, mn_status, mx_status, "
-            "'o_totalprice', nn_price, nd_price, mn_price, mx_price) "
-            "AS (col, n_nonnull, n_distinct, min_val, max_val)"
-        ),
-        F.col("n_rows"),
-    ).select("col", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
 
 
 @register(

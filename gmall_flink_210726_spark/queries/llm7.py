@@ -175,3 +175,83 @@ def multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_tiff_media(load_table(spark, sf_dir, "documents"))
     return tiff_pixel_stats(media)
+
+
+@register(
+    "multimodal_tiff_packbits",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      4 + doc_id % 9 AS w, 1 + doc_id % 6 AS h,
+                      doc_id % 8 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, w, h,
+            list_sum([(media_id * 37 + 11 * (p // 5)) % 256
+                      for p in range(0, w * h)]) AS rsum
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'tiff' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE rsum END AS BIGINT) AS rgb_sum
+    FROM s
+    """,
+    doc="PackBits-compressed TIFF decode (TIFF 6.0 §9, the first "
+    "compressed-TIFF subset): signed-count byte runs decoded per row "
+    "within multi-strip grayscale images, both byte orders on-wire; "
+    "run lengths of 5 in the fixture pixel formula force BOTH repeat "
+    "runs and literal segments through the codec. Truncated blobs "
+    "degrade to 'unknown'; the oracle recomputes every value blind "
+    "from the LCG formulas and never sees a compressed byte. "
+    "operators/tiff.py:synthesize_tiff_packbits_media",
+    tags=("llm", "multimodal"),
+)
+def multimodal_tiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.tiff import (
+        synthesize_tiff_packbits_media,
+        tiff_pixel_stats,
+    )
+
+    media = synthesize_tiff_packbits_media(load_table(spark, sf_dir, "documents"))
+    return tiff_pixel_stats(media)
+
+
+@register(
+    "multimodal_gif_interlaced",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      3 + doc_id % 11 AS w, 5 + doc_id % 8 AS h,
+                      doc_id % 10 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, w, h,
+            list_sum([(media_id * 41 + 19 * p) % 4
+                      for p in range(0, w * h)]) AS isum,
+            list_sum([(p + 1) * ((media_id * 41 + 19 * p) % 4)
+                      for p in range(0, w * h)]) AS psum
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'gif' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE isum END AS BIGINT) AS idx_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE psum END AS BIGINT) AS idx_possum
+    FROM s
+    """,
+    doc="Interlaced GIF89a decode (Appendix E four-pass row order; the "
+    "fixture h >= 5 guarantees all four passes carry rows). The "
+    "idx_possum column is position-weighted, so a decoder that ignores "
+    "the interlace flag or mis-orders the passes produces the right "
+    "idx_sum but the wrong checksum and hash-mismatches; the oracle "
+    "recomputes both blind from the display-order LCG formula. "
+    "operators/gif.py:gif_interlaced_pixel_stats",
+    tags=("llm", "multimodal"),
+)
+def multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.gif import (
+        gif_interlaced_pixel_stats,
+        synthesize_gif_interlaced_media,
+    )
+
+    media = synthesize_gif_interlaced_media(load_table(spark, sf_dir, "documents"))
+    return gif_interlaced_pixel_stats(media)

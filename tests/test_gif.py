@@ -110,3 +110,65 @@ class TestGIFFuzz:
                     pass
                 finally:
                     blob[pos] = old
+
+
+class TestInterlacedGIF:
+    def test_interlace_round_trip(self):
+        from gmall_flink_210726_spark.operators.gif import (
+            _GIN_BAD,
+            _GIN_H,
+            _GIN_IDX,
+            _GIN_W,
+            _decode_gif,
+            _make_gif_interlaced,
+        )
+
+        for i in (1, 2, 3, 4, 7, 101, 102):
+            assert not _GIN_BAD(i)
+            w, h, _pal, idx = _decode_gif(_make_gif_interlaced(i))
+            assert (w, h) == (_GIN_W(i), _GIN_H(i))
+            assert idx == [_GIN_IDX(i, p) for p in range(w * h)]
+
+    def test_interlacing_actually_permutes_rows(self):
+        """The stored LZW order must differ from display order (else the
+        fixture would not exercise de-interlacing at all)."""
+        from gmall_flink_210726_spark.operators.gif import _interlace_rows
+
+        for h in range(5, 13):
+            order = _interlace_rows(h)
+            assert sorted(order) == list(range(h))
+            assert order != list(range(h))
+
+    def test_all_four_passes_carry_rows(self):
+        from gmall_flink_210726_spark.operators.gif import _GIN_H, _interlace_rows
+
+        for i in range(20):
+            h = _GIN_H(i)
+            assert h >= 5
+            # pass lengths: 8-step from 0, 8-step from 4, 4-step from 2, 2-step from 1
+            assert len(list(range(4, h, 8))) >= 1
+            assert len(list(range(2, h, 4))) >= 1
+            assert len(list(range(1, h, 2))) >= 1
+
+    def test_corrupt_interlaced_blobs_raise(self):
+        from gmall_flink_210726_spark.operators.gif import (
+            _GIN_BAD,
+            _decode_gif,
+            _make_gif_interlaced,
+        )
+
+        for i in (10, 20, 30):
+            assert _GIN_BAD(i)
+            with pytest.raises(ValueError):
+                _decode_gif(_make_gif_interlaced(i))
+
+    def test_plain_gif_still_sequential(self):
+        """The interlace branch must not fire for flag-0 images."""
+        from gmall_flink_210726_spark.operators.gif import (
+            _GIF_IDX,
+            _decode_gif,
+            _make_gif,
+        )
+
+        w, h, _pal, idx = _decode_gif(_make_gif(3))
+        assert idx == [_GIF_IDX(3, p) for p in range(w * h)]

@@ -282,15 +282,25 @@ class TestRound5PlanShapes:
         assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
         assert "Generate explode" not in plan, plan
 
-    def test_x11_profile_single_scan_no_reused_exchange(self, spark):
-        """The profile reshape must be a stack() over ONE aggregate
-        evaluation — a single orders scan with no union of ReusedExchange
-        branches (r4 VERDICT #2: the old 3-way union relied on
-        ReuseExchange for its one-scan property)."""
+    def test_x11_profile_legs_prune_and_hash_aggregate(self, spark):
+        """Per-column profile legs (r5 VERDICT #4 fix): each of the
+        three scans must column-prune to its own column (total bytes
+        read = one 3-column scan) and the distinct rewrite must stay
+        in HashAggregate — never the Expand + string-buffer
+        SortAggregate that made the one-agg stack() shape sort 3x the
+        corpus."""
         plan = _plan(SPECS["x11_profile_orders"].fn(spark, SF_SMALL))
-        assert plan.count("Scan parquet") == 1, plan
-        assert "ReusedExchange" not in plan, plan
-        assert "Union" not in plan, plan
+        assert plan.count("Scan parquet") == 3, plan
+        assert "Expand" not in plan, plan
+        # string min/max buffers legitimately plan as SortAggregate,
+        # but only with EMPTY grouping (a fold, no sort): no physical
+        # Sort node may appear anywhere
+        assert "+- Sort " not in plan, plan
+        # one pruned column per scan leg
+        for line in plan.splitlines():
+            if "Scan parquet" in line and "ReadSchema" in line:
+                schema = line.split("ReadSchema:", 1)[1]
+                assert schema.count(":") == 1, line
 
     def test_routing_config_literal_roundtrips_special_chars(self, spark):
         """Backslashes (regexes / Windows paths in sink_extend) and
@@ -333,7 +343,7 @@ class TestRound5PlanShapes:
         assert "Exchange hashpartitioning(_dom" not in plan, plan
 
 
-class TestRound5PlanShapes:
+class TestWave4TextPlanShapes:
     def test_span_overlap_no_nested_loop_and_df_cap_prunes(self, spark):
         """The span co-occurrence must be hash equi-joins on the span
         hash — never a cartesian/nested-loop — and the left/right join

@@ -152,3 +152,49 @@ class TestTiffMetadataTags:
         )
         with pytest.raises(ValueError):
             _decode_tiff(blob)
+
+
+class TestPageRankRobustness:
+    def test_ten_iterations_match_integer_reference_and_conserve_mass(
+        self, spark
+    ):
+        """iterations=10 exercises the lineage-truncation path (plan
+        explosion guard); results must equal the exact integer-
+        arithmetic reference bit-for-bit, and total rank mass must
+        never exceed SCALE (truncation + dangling leakage only ever
+        remove mass)."""
+        from gmall_flink_210726_spark.operators.graph import SCALE, pagerank
+
+        n_nodes = 40
+        node_ids = [f"n{i:02d}" for i in range(n_nodes)]
+        edges = [
+            (node_ids[i], node_ids[(i * 7 + 3) % n_nodes], 1 + (i % 4))
+            for i in range(n_nodes)
+        ] + [
+            (node_ids[i], node_ids[(i * 11 + 5) % n_nodes], 1 + (i % 3))
+            for i in range(0, n_nodes, 2)
+        ]
+        # leave n00/n01 dangling (no out-edges) to exercise the
+        # documented no-redistribution rule
+        edges = [e for e in edges if e[0] not in (node_ids[0], node_ids[1])]
+
+        ndf = spark.createDataFrame([(x,) for x in node_ids], "id string")
+        edf = spark.createDataFrame(edges, "src string, dst string, w long")
+        got = {
+            r["id"]: r["pr_scaled"]
+            for r in pagerank(ndf, edf, iterations=10).collect()
+        }
+
+        base = ((100 - 85) * SCALE // 100) // n_nodes
+        outw: dict = {}
+        for s, _, w in edges:
+            outw[s] = outw.get(s, 0) + w
+        pr = {x: SCALE // n_nodes for x in node_ids}
+        for _ in range(10):
+            inw: dict = {}
+            for s, d, w in edges:
+                inw[d] = inw.get(d, 0) + (pr[s] // outw[s]) * w
+            pr = {x: base + (85 * inw.get(x, 0)) // 100 for x in node_ids}
+
+        assert got == pr
+        assert sum(got.values()) <= SCALE

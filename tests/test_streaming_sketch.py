@@ -97,3 +97,94 @@ class TestStreamingCMSReplay:
         finally:
             shutil.rmtree(out, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestStreamingHLLReplay:
+    """st10's durable-register counterpart of the CMS case: MAX-merged
+    HLL registers across epochs equal the single-pass batch registers,
+    and a duplicated epoch write (retry after crash-before-commit)
+    leaves the merged registers unchanged."""
+
+    @pytest.fixture()
+    def staged(self, spark):
+        stage = tempfile.mkdtemp(prefix="st10_test_stage_")
+        ev = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+        a = ev.where(F.col("event_id") % 2 == 0)
+        b = ev.where(F.col("event_id") % 2 == 1)
+        a.coalesce(1).write.parquet(os.path.join(stage, "00"))
+        b.coalesce(1).write.parquet(os.path.join(stage, "01"))
+        yield stage, ev
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def test_hll_register_merge_and_retry_idempotence(self, spark, staged):
+        from gmall_flink_210726_spark.operators.sketch import (
+            hll_estimate_from_registers,
+            hll_registers,
+        )
+
+        stage, ev = staged
+        out = tempfile.mkdtemp(prefix="st10_test_regs_")
+        ckpt = tempfile.mkdtemp(prefix="st10_test_ckpt_")
+        try:
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(stage)
+                .select("user_id")
+            )
+
+            epochs = []
+
+            def _write(batch, epoch):
+                epochs.append(epoch)
+                keyed = batch.select("user_id").distinct()
+                append_stats_exactly_once(
+                    hll_registers(keyed, [], "user_id"), epoch, out
+                )
+
+            q = (
+                stream.writeStream.foreachBatch(_write)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+            q.stop()
+            assert len(set(epochs)) >= 2
+
+            def merged():
+                return (
+                    spark.read.parquet(out)
+                    .groupBy("reg")
+                    .agg(F.max("m").alias("m"))
+                )
+
+            def regs_dict(df):
+                return {r.reg: r.m for r in df.collect()}
+
+            want = regs_dict(
+                hll_registers(ev.select("user_id").distinct(), [], "user_id")
+            )
+            assert regs_dict(merged()) == want
+
+            # RETRY: epoch 0's registers written again — overwrite of
+            # the same epoch partition, so MAX-merge is unchanged
+            first = (
+                spark.read.parquet(os.path.join(stage, "00"))
+                .select("user_id")
+                .distinct()
+            )
+            append_stats_exactly_once(hll_registers(first, [], "user_id"), 0, out)
+            assert regs_dict(merged()) == want
+
+            # the merged durable registers estimate tracks the exact
+            # distinct within HLL error (loose 15% gate at m=256)
+            est = hll_estimate_from_registers(
+                merged().withColumn("scope", F.lit("all")), ["scope"]
+            ).collect()[0]["hll_estimate"]
+            exact = ev.select("user_id").distinct().count()
+            assert abs(est - exact) / exact < 0.15
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
