@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm5,
         llm6,
         llm7,
+        llm8,
         streamq,
         streamq2,
         tpch,

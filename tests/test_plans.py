@@ -468,3 +468,28 @@ class TestRound6PlanShapes:
         assert re.search(r"partial_percentile\(avg_logprob#\d+, 0\.6\d+, ct#\d+L", plan), plan
         # the percentile input is the grouped distinct-score frame
         assert re.search(r"HashAggregate\(keys=\[avg_logprob#\d+\], functions=\[count\(1\)\]", plan), plan
+
+    def test_gram_matrix_no_self_join_one_scan(self, spark):
+        """The Gram matrix must be map-side outer-product generation +
+        one partial-aggregated groupBy — a single embeddings scan, no
+        join of any kind (the oracle's self-join is the semantic spec,
+        not the plan), and exactly one exchange whose payload is the
+        <=d*(d+1)/2 partial sums per partition."""
+        plan = _plan(SPECS["emb_gram_matrix"].fn(spark, SF_SMALL))
+        assert plan.count("Scan parquet") == 1, plan
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") == 1, plan
+        # partial aggregation before the shuffle (map-side combine)
+        assert "HashAggregate" in plan, plan
+
+    def test_dsir_score_join_broadcasts_bucket_lm(self, spark):
+        """The B-row log-ratio frame must broadcast onto the per-doc
+        bucket counts (and the totals scalar onto the B-row frame) —
+        token strings must never appear in any exchange (only the
+        md5-derived bucket int and doc_id shuffle)."""
+        plan = _plan(SPECS["dsir_importance"].fn(spark, SF_SMALL))
+        assert plan.count("BroadcastHashJoin") >= 1, plan
+        assert "SortMergeJoin" not in plan, plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "w#" not in line, line
