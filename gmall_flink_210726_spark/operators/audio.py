@@ -113,3 +113,85 @@ def audio_window_energy(df: DataFrame, win: int = 16) -> DataFrame:
             yield _energy_batch(pdf, win)
 
     return df.select("media_id", "content").mapInPandas(gen, ENERGY_SCHEMA)
+
+
+ZCR_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("n_zero_cross", LongType()),
+        StructField("abs_sum", LongType()),
+    ]
+)
+
+
+def _zcr_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-channel zero-crossing count + total absolute amplitude over
+    ALL frames (no windowing/truncation — unlike the energy pass this
+    uses the full data chunk). A crossing is a flip of the (x >= 0)
+    sign bit between consecutive frames WITHIN a channel — the frame
+    stride must deinterleave correctly or counts mismatch the oracle."""
+    import struct
+
+    import numpy as np
+
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "n_frames": 0,
+            "n_zero_cross": 0,
+            "abs_sum": 0,
+        }
+        try:
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 44:
+                ch = bits = 0
+                data_pos = data_sz = 0
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid, csz = struct.unpack_from("<4sI", b, pos)
+                    if cid == b"fmt ":
+                        _, ch, _, _, _, bits = struct.unpack_from(
+                            "<HHIIHH", b, pos + 8
+                        )
+                    elif cid == b"data":
+                        data_pos, data_sz = pos + 8, csz
+                    pos += 8 + csz + (csz & 1)
+                if ch > 0 and bits == 16 and data_pos and data_pos + data_sz <= len(b):
+                    nf = data_sz // (2 * ch)
+                    row.update(format="wav", n_frames=int(nf))
+                    if nf > 0:
+                        arr = np.frombuffer(
+                            b, "<i2", offset=data_pos, count=nf * ch
+                        ).astype(np.int64).reshape(nf, ch)
+                        nonneg = arr >= 0
+                        row.update(
+                            n_zero_cross=int(
+                                (nonneg[1:] != nonneg[:-1]).sum()
+                            ),
+                            abs_sum=int(np.abs(arr).sum()),
+                        )
+        except (struct.error, ValueError):
+            pass
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in ZCR_SCHEMA.fields])
+
+
+def audio_zero_crossings(df: DataFrame) -> DataFrame:
+    """Zero-crossing rate + absolute-amplitude screen over MEDIA_SCHEMA
+    WAV blobs — the cheap voiced/unvoiced + silence heuristic an audio
+    curation pipeline runs before any model-based filter. Same scale
+    shape as audio_window_energy: Arrow-batched mapInPandas, 5 scalar
+    columns out per file."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _zcr_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, ZCR_SCHEMA)

@@ -792,3 +792,41 @@ def triangle_list(
             F.col("e2.v").alias("id_c"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shingle containment / overlap-coefficient pairs (Broder 1997's
+    containment, symmetrized): C(A,B) = |shingles∩| / min(|A|, |B|)
+    ≥ threshold, emitted as (id_a, id_b, containment, jaccard) with
+    id_a < id_b. Catches SUB-document duplication — a boilerplate page
+    wrapping a copied article scores low Jaccard (the union is big)
+    but containment ~1.0, so a Jaccard-only dedup pass ships the copy.
+
+    Same scale shape as ngram_jaccard_pairs: the pair generation is
+    the shingle-hash co-occurrence equi-join (only docs sharing a
+    shingle meet; 8-byte hashes shuffle, never bodies), with the
+    max_df hot-shingle cap bounding per-shingle fan-out at scale.
+    """
+    sh = _shingle_table(docs, id_col, text_col, n, max_df)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    c = F.col("inter") / F.least("na", "nb")
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return inter.select(
+        "id_a", "id_b", c.alias("containment"), j.alias("jaccard")
+    ).filter(F.col("containment") >= threshold)

@@ -85,3 +85,68 @@ def dsir_importance(
             F.sum(F.col("ct") * F.col("lr")).cast("double").alias("log_weight"),
         )
     )
+
+
+def slice_kl_divergence(
+    docs: DataFrame, slice_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """KL(p_slice || p_corpus) over the unigram distribution, per slice
+    — the mixture diagnostic that tells a pretraining-mix owner which
+    sources' token distributions deviate most from the blend (Xie et
+    al. 2023 DoReMi-style domain analysis runs on exactly this frame).
+
+    No smoothing is needed: every slice token exists in the corpus
+    distribution by construction. The per-(slice, word) log-ratio is
+    computed in double (identical libm on both engines), rounded to
+    6 dp, DECIMAL-weighted by the slice count and summed exactly, then
+    normalized by the slice token count — the repo determinism
+    contract.
+
+    Scale shape: ONE corpus tokenization feeding a (slice, word)
+    count frame (vocab x |slices| rows, localCheckpointed because
+    three plan legs read it); word totals and slice totals are
+    re-aggregations OF that frame, never second corpus scans; the
+    joins are vocab-sized at most, and the output is |slices| rows.
+    """
+    tok = docs.select(
+        F.col(slice_col).alias("slc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+            )
+        ).alias("w"),
+    )
+    sw = (
+        tok.groupBy("slc", "w")
+        .agg(F.count(F.lit(1)).alias("ct_sw"))
+        .localCheckpoint(eager=False)
+    )
+    wtot = sw.groupBy("w").agg(F.sum("ct_sw").alias("ct_w"))
+    stot = sw.groupBy("slc").agg(
+        F.sum("ct_sw").alias("n_s"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    n1 = sw.agg(F.sum("ct_sw").alias("n"))
+    term = (
+        F.round(
+            F.log(
+                (F.col("ct_sw").cast("double") / F.col("n_s"))
+                / (F.col("ct_w").cast("double") / F.col("n"))
+            ),
+            6,
+        ).cast("decimal(18,6)")
+        * F.col("ct_sw")
+    )
+    return (
+        sw.join(wtot, "w")
+        .join(F.broadcast(stot), "slc")
+        .crossJoin(F.broadcast(n1))
+        .groupBy(F.col("slc").alias("slice_key"))
+        .agg(
+            F.first("n_s").cast("long").alias("n_tokens"),
+            F.first("n_vocab").cast("long").alias("n_vocab"),
+            F.round(
+                F.sum(term).cast("double") / F.first("n_s"), 6
+            ).alias("kl_vs_corpus"),
+        )
+    )

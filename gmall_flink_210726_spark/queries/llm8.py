@@ -93,3 +93,125 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.operators.selection import dsir_importance
 
     return dsir_importance(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_audio_zcr",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, 1 + doc_id % 2 AS ch,
+                      32 + doc_id % 64 AS ns
+               FROM documents WHERE doc_id % 2 = 1),
+    s AS (SELECT media_id, ch, ns,
+            [((media_id * 13 + 5 * k) % 65536) - 32768
+             for k in range(0, ns * ch)] AS x
+          FROM m)
+    SELECT media_id, 'wav' AS format,
+           CAST(ns AS BIGINT) AS n_frames,
+           CAST(list_sum(
+             [list_sum([CASE WHEN (x[(f - 1) * ch + c + 1] >= 0)
+                                  <> (x[f * ch + c + 1] >= 0)
+                             THEN 1 ELSE 0 END
+                        for f in range(1, ns)])
+              for c in range(0, ch)]) AS BIGINT) AS n_zero_cross,
+           CAST(list_sum([abs(v) for v in x]) AS BIGINT) AS abs_sum
+    FROM s
+    """,
+    doc="Zero-crossing rate + absolute amplitude from real WAV bytes — "
+    "the voiced/unvoiced + silence screen of an audio curation "
+    "pipeline. Crossings are per-channel (x >= 0) sign flips between "
+    "consecutive frames over the FULL data chunk; the oracle "
+    "recomputes from the interleaved fixture LCG blind, so a decoder "
+    "that miscounts channels or strides through interleaved samples "
+    "mismatches. operators/audio.py:audio_zero_crossings",
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gmall_flink_210726_spark.operators.audio import audio_zero_crossings
+    from gmall_flink_210726_spark.operators.multimodal import synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return audio_zero_crossings(media.filter(F.col("meta.format") == "wav"))
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) >= 3
+               THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in range(1, len(ws) - 1)]
+               ELSE [] END) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(string_split(
+                     regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                     ' '), x -> x <> '') AS ws
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / least(len(a.sh), len(b.sh)) AS containment,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh)
+                - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / least(len(a.sh), len(b.sh)) >= 0.8
+    """,
+    doc="Shingle containment / overlap-coefficient pairs (Broder 1997): "
+    "inter / min(|A|,|B|) >= 0.8 — the SUB-document duplication screen "
+    "Jaccard misses (boilerplate around a copied article has low "
+    "Jaccard, containment ~1). Same co-occurrence-join scale shape as "
+    "dedup_ngram_jaccard, registered with the max_df=100 hot-shingle "
+    "fan-out cap. operators/dedup.py:containment_pairs",
+    tags=("llm", "dedup"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, max_df=100
+    )
+
+
+@register(
+    "slice_kl_divergence",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source AS slc,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    sw AS (SELECT slc, w, COUNT(*) AS ct_sw FROM tok GROUP BY 1, 2),
+    wtot AS (SELECT w, SUM(ct_sw) AS ct_w FROM sw GROUP BY 1),
+    stot AS (SELECT slc, SUM(ct_sw) AS n_s, COUNT(*) AS n_vocab
+             FROM sw GROUP BY 1),
+    n1 AS (SELECT SUM(ct_sw) AS n FROM sw)
+    SELECT slc AS slice_key,
+           CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_vocab) AS BIGINT) AS n_vocab,
+           round(CAST(SUM(CAST(round(
+               ln((CAST(ct_sw AS DOUBLE) / n_s)
+                  / (CAST(ct_w AS DOUBLE) / n)), 6)
+             AS DECIMAL(18,6)) * ct_sw) AS DOUBLE) / MIN(n_s), 6)
+             AS kl_vs_corpus
+    FROM sw JOIN wtot USING (w) JOIN stot USING (slc), n1
+    GROUP BY slc
+    """,
+    doc="Per-source KL(p_slice || p_corpus) over unigrams — the "
+    "pretraining-mix diagnostic (which sources deviate most from the "
+    "blend). One corpus tokenization feeds a (slice, word) count "
+    "frame; word/slice totals re-aggregate THAT frame (no second "
+    "scan); log-ratios rounded then DECIMAL-weighted for order-free "
+    "exact sums; output is |sources| rows. "
+    "operators/selection.py:slice_kl_divergence",
+    tags=("llm", "text", "quality"),
+)
+def q_slice_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.selection import slice_kl_divergence
+
+    return slice_kl_divergence(load_table(spark, sf_dir, "documents"))

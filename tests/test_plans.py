@@ -493,3 +493,23 @@ class TestRound6PlanShapes:
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "w#" not in line, line
+
+    def test_containment_equi_join_no_cross_product(self, spark):
+        """Containment pair generation must be the shingle-hash
+        co-occurrence equi-join (same discipline as jaccard): no
+        cartesian/nested-loop, and the join key is the 8-byte hash."""
+        plan = _plan(SPECS["dedup_containment"].fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "sh#" in plan, plan
+
+    def test_slice_kl_single_corpus_scan(self, spark):
+        """Word totals / slice totals / the grand total must be
+        re-aggregations of the checkpointed (slice, word) count frame —
+        exactly one documents scan feeds the whole query."""
+        df = SPECS["slice_kl_divergence"].fn(spark, SF_SMALL)
+        plan = _plan(df)
+        # the count frame is checkpointed, so the final plan reads the
+        # materialized RDD in every leg and NO parquet scan remains
+        assert plan.count("Scan parquet") == 0, plan
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
