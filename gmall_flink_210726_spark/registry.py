@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras3,
         extras4,
         extras5,
+        extras6,
         gmall,
         gmall2,
         llm,
