@@ -181,3 +181,126 @@ def st10_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st11_stream_left_outer_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(v.user_id) AS BIGINT) AS view_ct
+    FROM events p
+    LEFT JOIN events v
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view'
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - 300000000
+     AND epoch_us(v.ts) <= epoch_us(p.ts)
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="LEFT OUTER watermarked stream-stream interval join — the "
+    "st3 inner-join twin plus the shape it cannot show: null-padded "
+    "rows for match-less purchases emit only when the global watermark "
+    "evicts the buffered left row (Flink's outer interval-join "
+    "semantics, dwm/PaymentWideApp.java:86-96 generalized). A "
+    "two-row far-future sentinel file (one row per filtered side, so "
+    "each side's post-filter watermark node sees it — Catalyst pushes "
+    "the event_type filters below EventTimeWatermark) advances both "
+    "watermarks past every real purchase, flushing all pending "
+    "unmatched state in the trailing no-data micro-batches. Sentinel "
+    "user ids are negative so they can never join a real row, and the "
+    "sentinel purchase itself stays in state (nothing outruns ITS "
+    "timestamp) and never reaches the sink.",
+    tags=("streaming", "join"),
+)
+def st11_stream_left_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmall_flink_210726_spark.queries.streamq import (
+        _events_ts_is_timestamp,
+        _read_events_stream,
+        _run_to_memory,
+    )
+
+    stage = tempfile.mkdtemp(prefix="st11_stream_")
+    try:
+        src = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(src, os.path.join(stage, "00_events.parquet"))
+        ts_is_timestamp = _events_ts_is_timestamp(src)
+        meta = pq.ParquetFile(src).metadata
+        ts_idx = meta.schema.names.index("ts")
+        raw_max = max(
+            meta.row_group(g).column(ts_idx).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        unit = pa.timestamp("us") if ts_is_timestamp else pa.timestamp("ns")
+        day = 86_400_000_000 if ts_is_timestamp else 86_400_000_000_000
+        max_ts = (
+            raw_max
+            if isinstance(raw_max, int)
+            else pa.scalar(raw_max).cast(unit).value
+        )
+        sent_ts = pa.array(
+            [int(max_ts) + day] * 2, unit if ts_is_timestamp else pa.int64()
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1, -2], pa.int64()),
+                    "ts": sent_ts,
+                    "user_id": pa.array([-1, -2], pa.int64()),
+                    "event_type": pa.array(["purchase", "view"]),
+                    "value": pa.array([0.0, 0.0], pa.float64()),
+                    "props": pa.array(['{"k": 1}', '{"k": 1}']),
+                }
+            ),
+            os.path.join(stage, "zz_sentinel.parquet"),
+        )
+        ev = _read_events_stream(
+            spark, f"{stage}/*.parquet", ts_is_timestamp, maxFilesPerTrigger=1
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_uid"),
+                F.col("event_time").alias("p_time"),
+            )
+            .withWatermark("p_time", "0 seconds")
+        )
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_uid"),
+                F.col("event_time").alias("v_time"),
+            )
+            .withWatermark("v_time", "0 seconds")
+        )
+        joined = purchases.join(
+            views,
+            F.expr(
+                "p_uid = v_uid AND "
+                "v_time >= p_time - INTERVAL 300 SECOND AND v_time <= p_time"
+            ),
+            "left_outer",
+        ).select("purchase_id", "v_uid")
+        sink = _run_to_memory(joined, "st11_left_outer")
+        return (
+            spark.table(sink)
+            .filter(F.col("purchase_id") >= 0)
+            .groupBy("purchase_id")
+            .agg(F.count("v_uid").alias("view_ct"))
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
