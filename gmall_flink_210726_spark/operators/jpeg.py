@@ -10,12 +10,15 @@ EXTEND sign decoding, AC run-length/EOB/ZRL decoding through the
 zigzag scan, dequantization, the 8x8 inverse DCT (float64 basis
 matmul), level shift and clipping.
 
-Supported subset (honestly bounded): baseline sequential DCT, 8-bit
-precision, 1 or 3 components with no chroma subsampling (all 1x1
-sampling factors), no progressive mode, no restart intervals.
-Anything else raises ValueError and the Spark operator degrades the
-row to format='unknown' — never throw away the partition for one
-file.
+Supported subset (honestly bounded): baseline sequential DCT (SOF0)
+and progressive DCT (SOF2) with spectral selection and DC successive
+approximation — multi-scan coefficient accumulation with EOBn runs
+per T.81 G.1.2 — 8-bit precision, 1 or 3 components with no chroma
+subsampling (all 1x1 sampling factors), no restart intervals, and no
+AC successive-approximation REFINEMENT scans (Ah>0 on an AC band —
+the one progressive feature rejected). Anything else raises
+ValueError and the Spark operator degrades the row to
+format='unknown' — never throw away the partition for one file.
 
 Fixture strategy (the PNG/_make_bmp pattern,
 operators/multimodal.py:151,622): the synthesizer writes REAL
@@ -224,11 +227,33 @@ def _idct_basis():
     return _IDCT_BASIS
 
 
+def _entropy_end(b: bytes, start: int) -> int:
+    """Index of the marker terminating the entropy segment that starts
+    at ``start``: the first 0xFF not followed by a stuffed 0x00.
+    Restart markers (RSTn) inside entropy data are unsupported (no DRI
+    support) and surface as the terminating marker — the caller then
+    rejects them as an unexpected marker."""
+    pos = start
+    while True:
+        nxt = b.find(b"\xff", pos)
+        if nxt < 0 or nxt + 1 >= len(b):
+            raise ValueError("entropy stream ran past end of file")
+        if b[nxt + 1] != 0x00:
+            return nxt
+        pos = nxt + 2
+
+
 def _decode_jpeg(b: bytes):
-    """Parse + entropy-decode + dequantize + IDCT a baseline JPEG.
-    Returns (w, h, ndarray[h, w, n_comp] of uint8-range int64) or
-    raises ValueError on anything malformed or outside the supported
-    subset (see module doc)."""
+    """Parse + entropy-decode + dequantize + IDCT a JPEG. Handles
+    baseline sequential (SOF0, one full-band scan) and progressive
+    (SOF2, multiple scans) through ONE coefficient-accumulation path:
+    every scan deposits (shifted) coefficients into a per-component
+    store, and reconstruction runs once at EOI — for baseline the
+    store is simply filled by a single Ss=0..Se=63 scan. Returns
+    (w, h, ndarray[h, w, n_comp] of uint8-range int64) or raises
+    ValueError on anything malformed or outside the supported subset
+    (see module doc; AC successive-approximation refinement scans are
+    the one progressive feature rejected)."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -237,12 +262,21 @@ def _decode_jpeg(b: bytes):
     qt: dict[int, object] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
-    while pos + 4 <= len(b):
+    progressive = False
+    coefs: dict[int, object] = {}  # component id -> [bh, bw, 64] zigzag
+    pred: dict[int, int] = {}
+    n_scans = 0
+    scan_order: list[int] = []  # component ids in SOF order
+    while True:
+        if pos + 2 > len(b):
+            raise ValueError("ran past end of file")
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = b[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("no scan data")
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(b):
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", b, pos + 2)
         seg = b[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -262,18 +296,27 @@ def _decode_jpeg(b: bytes):
                 )
                 qt[tq] = vals
                 off += 1 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if sof is not None:
+                raise ValueError("duplicate SOF")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("unsupported precision")
+            if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+                raise ValueError("bad dims")
             comps = []
+            bw, bh = (w + 7) // 8, (h + 7) // 8
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 if hv != 0x11:
                     raise ValueError("unsupported subsampling")
                 comps.append((cid, tq))
+                coefs[cid] = np.zeros((bh, bw, 64), np.int64)
+                pred[cid] = 0
+                scan_order.append(cid)
             sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("unsupported SOF mode")
         elif marker == 0xC4:  # DHT
             off = 0
@@ -291,69 +334,157 @@ def _decode_jpeg(b: bytes):
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF")
+            if not seg:
+                raise ValueError("empty SOS segment")
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated SOS segment")
             scan = []
             for ci in range(ns):
                 cs, tdta = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("non-full-band scan in baseline")
+            if progressive and ss == 0 and se != 0:
+                # T.81 G.1: progressive DC and AC never share a scan
+                raise ValueError("progressive DC scan with AC band")
             data_start = pos + 2 + seglen
-            end = b.rfind(b"\xff\xd9")
-            if end < data_start:
-                raise ValueError("missing EOI")
-            return _decode_scan(b[data_start:end], sof, scan, qt, huff)
+            end = _entropy_end(b, data_start)
+            _decode_scan_into(
+                b[data_start:end], sof, scan, huff, coefs, pred,
+                ss, se, ah, al,
+            )
+            n_scans += 1
+            pos = end
+            continue
         pos += 2 + seglen
-    raise ValueError("no SOS marker")
+    if sof is None or n_scans == 0:
+        raise ValueError("no scan data")
+    return _reconstruct(sof, qt, coefs)
 
 
-def _decode_scan(data: bytes, sof, scan, qt, huff):
+def _decode_scan_into(
+    data: bytes, sof, scan, huff, coefs, pred, ss, se, ah, al
+):
+    """Entropy-decode one scan's (shifted) coefficients into the
+    per-component zigzag stores. Baseline's single scan is the
+    ss=0..se=63, ah=al=0 case; progressive scans deposit their
+    spectral band (T.81 G.1.2): DC first with point transform Al, DC
+    refinement bits for Ah>0, AC first scans with EOB-run (EOBn)
+    codes spanning blocks. AC successive-approximation refinement is
+    the one scan kind rejected (module doc)."""
+    w, h, comps = sof
+    known = {cid for cid, _ in comps}
+    for cs, _, _ in scan:
+        if cs not in known:
+            raise ValueError("scan references unknown component")
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("bad spectral band")
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    rdr = _BitReader(data)
+    if ss == 0:  # DC scan (progressive) or full-band scan (baseline)
+        if ah > 0:  # DC successive-approximation refinement
+            if se != 0:
+                raise ValueError("refinement scan with AC band")
+            for by in range(bh):
+                for bx in range(bw):
+                    for cs, _, _ in scan:
+                        coefs[cs][by, bx, 0] |= rdr.read_bit() << al
+            return
+        tabs = {}
+        for cs, td, ta in scan:
+            dc_tab = huff.get((0, td))
+            ac_tab = huff.get((1, ta)) if se > 0 else None
+            if dc_tab is None or (se > 0 and ac_tab is None):
+                raise ValueError("missing Huffman table")
+            tabs[cs] = (dc_tab, ac_tab)
+        for by in range(bh):
+            for bx in range(bw):
+                for cs, _, _ in scan:
+                    dc_tab, ac_tab = tabs[cs]
+                    size = rdr.read_symbol(dc_tab)
+                    if size > 11:  # T.81 F.1.2.1: 8-bit DC category max
+                        raise ValueError("bad DC category")
+                    pred[cs] += _extend(rdr.read_bits(size), size)
+                    coefs[cs][by, bx, 0] = pred[cs] << al
+                    k = 1
+                    while k <= se:
+                        sym = rdr.read_symbol(ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        coefs[cs][by, bx, k] = _extend(
+                            rdr.read_bits(sym & 0xF), sym & 0xF
+                        )
+                        k += 1
+        return
+    # AC band scan: progressive only, always non-interleaved (T.81)
+    if len(scan) != 1:
+        raise ValueError("interleaved AC scan")
+    if ah > 0:
+        raise ValueError("AC successive-approximation refinement unsupported")
+    cs, _, ta = scan[0]
+    ac_tab = huff.get((1, ta))
+    if ac_tab is None:
+        raise ValueError("missing Huffman table")
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = rdr.read_symbol(ac_tab)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    # EOBn: run of 2^r - 1 + appended-bits MORE blocks
+                    # (current block's band ends here too)
+                    eobrun = (1 << r) - 1 + (rdr.read_bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                coefs[cs][by, bx, k] = _extend(rdr.read_bits(s), s) << al
+                k += 1
+
+
+def _reconstruct(sof, qt, coefs):
+    """Dequantize + IDCT every component's accumulated coefficients
+    (vectorized over all blocks with one einsum per component) and
+    assemble the cropped channel stack."""
     import numpy as np
 
     w, h, comps = sof
-    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
-        raise ValueError("bad dims")
-    byid = {cid: tq for cid, tq in comps}
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = {cs: np.zeros((bh * 8, bw * 8), np.int64) for cs, _, _ in scan}
     basis = _idct_basis()
-    rdr = _BitReader(data)
-    pred = {cs: 0 for cs, _, _ in scan}
-    for by in range(bh):
-        for bx in range(bw):
-            for cs, td, ta in scan:
-                if byid.get(cs) is None or byid[cs] not in qt:
-                    raise ValueError("missing quant table")
-                dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
-                if dc_tab is None or ac_tab is None:
-                    raise ValueError("missing Huffman table")
-                q = qt[byid[cs]]
-                # coefficients AND the DQT table live in zigzag order
-                # (T.81 B.2.4.1): dequantize in zigzag space, then
-                # scatter to raster via the scan table
-                coef_zz = np.zeros(64, np.int64)
-                size = rdr.read_symbol(dc_tab)
-                pred[cs] += _extend(rdr.read_bits(size), size)
-                coef_zz[0] = pred[cs]
-                k = 1
-                while k < 64:
-                    sym = rdr.read_symbol(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    coef_zz[k] = _extend(rdr.read_bits(sym & 0xF), sym & 0xF)
-                    k += 1
-                blk = np.zeros(64, np.int64)
-                blk[np.asarray(_ZIGZAG)] = coef_zz * q
-                blk = blk.reshape(8, 8)
-                px = basis.T @ blk.astype(np.float64) @ basis
-                planes[cs][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(px) + 128, 0, 255
-                ).astype(np.int64)
-    chans = [planes[cs][:h, :w] for cs, _, _ in scan]
+    zz = np.asarray(_ZIGZAG)
+    chans = []
+    for cid, tq in comps:
+        if tq not in qt:
+            raise ValueError("missing quant table")
+        # coefficients AND the DQT table live in zigzag order
+        # (T.81 B.2.4.1): dequantize in zigzag space, then scatter to
+        # raster via the scan table
+        deq = coefs[cid] * qt[tq]  # [bh, bw, 64] zigzag
+        blk = np.zeros((bh, bw, 64), np.int64)
+        blk[..., zz] = deq
+        m = blk.reshape(bh, bw, 8, 8).astype(np.float64)
+        px = np.einsum("ux,bcuv,vy->bcxy", basis, m, basis)
+        px = np.clip(np.round(px) + 128, 0, 255).astype(np.int64)
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        chans.append(plane[:h, :w])
     if len(chans) == 3:  # YCbCr -> RGB (BT.601)
         y, cb, cr = (c.astype(np.float64) for c in chans)
         r = y + 1.402 * (cr - 128)
@@ -453,3 +584,125 @@ def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
             yield _jpeg_pixels_batch(pdf)
 
     return df.select("media_id", "content").mapInPandas(gen, JPEG_SCHEMA)
+
+
+# ------------------------------------------------------- progressive fixture
+# distinct LCG constants from the baseline set, shared with the DuckDB
+# oracle in queries/llm8.py — the decoder never sees these formulas.
+_PJPG_BW = lambda i: 1 + i % 5  # noqa: E731
+_PJPG_BH = lambda i: 1 + i % 4  # noqa: E731
+_PJPG_WPAD = lambda i: i % 4  # noqa: E731
+_PJPG_HPAD = lambda i: i % 3  # noqa: E731
+_PJPG_BAD = lambda i: i % 12 == 0  # noqa: E731
+_PJPG_V = lambda i, b: (i * 43 + 17 * b) % 256  # noqa: E731
+
+# AC table for the progressive scans: eight 4-bit codes — EOB0-EOB4
+# (EOBn runs cover up to 31 blocks), ZRL, and two run/size symbols so
+# hand-built test streams can code real AC coefficients.
+_PAC_BITS = [0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PAC_VALS = [0x00, 0x10, 0x20, 0x30, 0x40, 0xF0, 0x01, 0x03]
+
+
+def _sos(ncomp_specs, ss: int, se: int, ah: int, al: int) -> bytes:
+    ns = len(ncomp_specs)
+    payload = bytes([ns])
+    for cs, td, ta in ncomp_specs:
+        payload += bytes([cs, (td << 4) | ta])
+    payload += bytes([ss, se, (ah << 4) | al])
+    return struct.pack(">2sH", b"\xff\xda", 2 + len(payload)) + payload
+
+
+def _emit_eobrun(bwr: "_BitWriter", n: int) -> None:
+    """One EOBn code for a run of n blocks (n <= 31 in the fixture):
+    r = floor(log2 n), then r appended bits carrying n - 2^r."""
+    r = n.bit_length() - 1
+    bwr.write([0x00, 0x10, 0x20, 0x30, 0x40].index(r << 4), 4)
+    if r:
+        bwr.write(n - (1 << r), r)
+
+
+def _make_progressive_jpeg(media_id: int, q_step: int = 8) -> bytes:
+    """Real PROGRESSIVE (SOF2) JPEG: grayscale, DC-only blocks, four
+    scans — DC first with point transform Al=1, a DC
+    successive-approximation refinement scan carrying each block's low
+    bit, then two spectral-selection AC band scans (1-31, 32-63) whose
+    all-zero bands are coded as multi-block EOBn runs with appended
+    bits. Decoding must accumulate all four scans into the coefficient
+    store to reproduce the exact block constants; ids hitting
+    _PJPG_BAD are truncated right after SOF2."""
+    i = int(media_id)
+    bw, bh = _PJPG_BW(i), _PJPG_BH(i)
+    w, h = 8 * bw - _PJPG_WPAD(i), 8 * bh - _PJPG_HPAD(i)
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">2sH", b"\xff\xdb", 2 + 65) + bytes([0x00]) + bytes(
+        [q_step] * 64
+    )
+    out += struct.pack(
+        ">2sHBHHB", b"\xff\xc2", 11, 8, h, w, 1
+    ) + bytes([1, 0x11, 0])  # SOF2: 1 component, 1x1 sampling, Tq=0
+    if _PJPG_BAD(i):
+        return bytes(out[: len(out) // 2])
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _PAC_BITS, _PAC_VALS)
+    nb = bw * bh
+    levels = [_PJPG_V(i, b) - 128 for b in range(nb)]
+    # scan 1: DC first, point transform Al=1 (sends level >> 1)
+    out += _sos([(1, 0, 0)], 0, 0, 0, 1)
+    bwr = _BitWriter()
+    prev = 0
+    for lv in levels:
+        vt = lv >> 1  # arithmetic shift, negative-safe
+        diff = vt - prev
+        prev = vt
+        cat = abs(diff).bit_length()
+        bwr.write(cat, 4)
+        if cat:
+            mag = diff if diff > 0 else diff + (1 << cat) - 1
+            bwr.write(mag, cat)
+    out += bwr.flush()
+    # scan 2: DC refinement Ah=1 Al=0 — one raw bit per block (low bit)
+    out += _sos([(1, 0, 0)], 0, 0, 1, 0)
+    bwr = _BitWriter()
+    for lv in levels:
+        bwr.write(lv & 1, 1)
+    out += bwr.flush()
+    # scans 3+4: AC bands, all-zero -> one EOBn run spanning all blocks
+    for ss, se in ((1, 31), (32, 63)):
+        out += _sos([(1, 0, 0)], ss, se, 0, 0)
+        bwr = _BitWriter()
+        _emit_eobrun(bwr, nb)
+        out += bwr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL progressive JPEG blobs, one per
+    doc_id (dims deterministic in the id; ids hitting _PJPG_BAD are
+    truncated corrupt blobs)."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_progressive_jpeg(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _PJPG_BAD(i) else "jpeg",
+                            "width": 8 * _PJPG_BW(i) - _PJPG_WPAD(i),
+                            "height": 8 * _PJPG_BH(i) - _PJPG_HPAD(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -215,3 +215,48 @@ def q_slice_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.operators.selection import slice_kl_divergence
 
     return slice_kl_divergence(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_jpeg_progressive",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      1 + doc_id % 5 AS bw, 1 + doc_id % 4 AS bh,
+                      doc_id % 4 AS wp, doc_id % 3 AS hp,
+                      doc_id % 12 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, 8 * bw - wp AS w, 8 * bh - hp AS h,
+            list_sum([((media_id * 43 + 17 * b) % 256)
+                      * (CASE WHEN b % bw = bw - 1 THEN 8 - wp ELSE 8 END)
+                      * (CASE WHEN b // bw = bh - 1 THEN 8 - hp ELSE 8 END)
+                      for b in range(0, bw * bh)]) AS vsum
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'jpeg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE vsum END AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    doc="REAL progressive (SOF2) JPEG decode: four-scan accumulation — "
+    "DC first with point transform Al=1, a DC successive-approximation "
+    "refinement scan carrying each block's low bit, then two "
+    "spectral-selection AC band scans whose all-zero bands are EOBn "
+    "runs with appended bits spanning blocks. A decoder that ignores "
+    "the point transform, drops the refinement bits, or mis-tracks "
+    "EOB runs mismatches; truncated blobs degrade to 'unknown'. The "
+    "oracle recomputes pixel sums blind from the block LCG "
+    "(crop-weighted). operators/jpeg.py:_make_progressive_jpeg",
+    tags=("llm", "multimodal"),
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.jpeg import (
+        jpeg_pixel_stats,
+        synthesize_progressive_jpeg_media,
+    )
+
+    media = synthesize_progressive_jpeg_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return jpeg_pixel_stats(media)

@@ -1,0 +1,234 @@
+"""Progressive-JPEG decoder tests: fixture roundtrip exactness,
+baseline/progressive cross-validation on IDENTICAL coefficients
+(including ZRL and split spectral bands), DC successive-approximation
+with negative coefficients, honest rejection of the unsupported AC
+refinement scan kind, and fuzz (the error surface must be ValueError
+only — anything else kills a Spark task for one bad blob)."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from gmall_flink_210726_spark.operators.jpeg import (
+    _AC_BITS,
+    _AC_VALS,
+    _BitWriter,
+    _DC_BITS,
+    _DC_VALS,
+    _PAC_BITS,
+    _PAC_VALS,
+    _PJPG_BAD,
+    _PJPG_BH,
+    _PJPG_BW,
+    _PJPG_HPAD,
+    _PJPG_V,
+    _PJPG_WPAD,
+    _decode_jpeg,
+    _dht,
+    _make_progressive_jpeg,
+    _sos,
+)
+
+_Q = 8
+
+
+def _headers(sof_marker: bytes, w: int, h: int) -> bytearray:
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">2sH", b"\xff\xdb", 2 + 65) + bytes([0x00]) + bytes(
+        [_Q] * 64
+    )
+    out += struct.pack(
+        ">2sHBHHB", b"\xff" + sof_marker, 11, 8, h, w, 1
+    ) + bytes([1, 0x11, 0])
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _PAC_BITS, _PAC_VALS)
+    return out
+
+
+def _pac(bwr: _BitWriter, sym: int) -> None:
+    bwr.write(_PAC_VALS.index(sym), 4)
+
+
+def _dc(bwr: _BitWriter, diff: int) -> None:
+    cat = abs(diff).bit_length()
+    bwr.write(cat, 4)
+    if cat:
+        bwr.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+
+
+class TestProgressiveFixture:
+    def test_fixture_roundtrip_exact(self):
+        for i in (1, 2, 3, 5, 7, 11, 19, 37, 59):
+            w, h, px = _decode_jpeg(_make_progressive_jpeg(i))
+            bw, bh = _PJPG_BW(i), _PJPG_BH(i)
+            assert (w, h) == (8 * bw - _PJPG_WPAD(i), 8 * bh - _PJPG_HPAD(i))
+            exp = np.zeros((bh * 8, bw * 8), np.int64)
+            for b in range(bw * bh):
+                by, bx = b // bw, b % bw
+                exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _PJPG_V(i, b)
+            assert (px[:, :, 0] == exp[:h, :w]).all()
+
+    def test_corrupt_fixture_rejected(self):
+        assert _PJPG_BAD(12)
+        with pytest.raises(ValueError):
+            _decode_jpeg(_make_progressive_jpeg(12))
+
+
+class TestBaselineProgressiveCrossValidation:
+    """Encode the SAME single-block coefficient set (DC = -7, AC +5 at
+    zigzag 1, AC -5 at zigzag 34 — reached via ZRL) both as one
+    baseline full-band scan and as four progressive scans (DC split by
+    successive approximation, AC split across two spectral bands), and
+    require bit-identical decoded pixels. Catches point-transform,
+    refinement-bit, band-boundary, and ZRL bookkeeping errors without
+    assuming anything about the IDCT."""
+
+    def _baseline(self) -> bytes:
+        out = _headers(b"\xc0", 8, 8)
+        out += _sos([(1, 0, 0)], 0, 63, 0, 0)
+        bwr = _BitWriter()
+        _dc(bwr, -7)
+        _pac(bwr, 0x03)  # run 0, size 3 at k=1
+        bwr.write(5, 3)  # +5
+        _pac(bwr, 0xF0)  # ZRL: k 2 -> 18
+        _pac(bwr, 0xF0)  # ZRL: k 18 -> 34
+        _pac(bwr, 0x03)
+        bwr.write(2, 3)  # -5 (mag = -5 + 7)
+        _pac(bwr, 0x00)  # EOB
+        out += bwr.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def _progressive(self) -> bytes:
+        out = _headers(b"\xc2", 8, 8)
+        # DC first, Al=1: sends -7 >> 1 = -4
+        out += _sos([(1, 0, 0)], 0, 0, 0, 1)
+        bwr = _BitWriter()
+        _dc(bwr, -4)
+        out += bwr.flush()
+        # DC refinement, Ah=1 Al=0: low bit of -7 is 1
+        out += _sos([(1, 0, 0)], 0, 0, 1, 0)
+        bwr = _BitWriter()
+        bwr.write(1, 1)
+        out += bwr.flush()
+        # AC band 1-17: +5 at k=1, then EOB closes the rest of the band
+        out += _sos([(1, 0, 0)], 1, 17, 0, 0)
+        bwr = _BitWriter()
+        _pac(bwr, 0x03)
+        bwr.write(5, 3)
+        _pac(bwr, 0x00)
+        out += bwr.flush()
+        # AC band 18-63: ZRL (k 18 -> 34), -5 at k=34, EOB
+        out += _sos([(1, 0, 0)], 18, 63, 0, 0)
+        bwr = _BitWriter()
+        _pac(bwr, 0xF0)
+        _pac(bwr, 0x03)
+        bwr.write(2, 3)
+        _pac(bwr, 0x00)
+        out += bwr.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def test_identical_pixels(self):
+        wb, hb, pb = _decode_jpeg(self._baseline())
+        wp, hp, pp = _decode_jpeg(self._progressive())
+        assert (wb, hb) == (wp, hp) == (8, 8)
+        assert (pb == pp).all()
+        # the coefficients are real: the image is NOT flat
+        assert len(np.unique(pb)) > 1
+
+    def test_refinement_bit_matters(self):
+        """Dropping the DC refinement scan must change the output —
+        proves the scan carries signal, not padding."""
+        full = self._progressive()
+        # rebuild without scan 2
+        out = _headers(b"\xc2", 8, 8)
+        out += _sos([(1, 0, 0)], 0, 0, 0, 1)
+        bwr = _BitWriter()
+        _dc(bwr, -4)
+        out += bwr.flush()
+        out += _sos([(1, 0, 0)], 1, 17, 0, 0)
+        bwr = _BitWriter()
+        _pac(bwr, 0x03)
+        bwr.write(5, 3)
+        _pac(bwr, 0x00)
+        out += bwr.flush()
+        out += b"\xff\xd9"
+        _, _, ref = _decode_jpeg(full)
+        _, _, cut = _decode_jpeg(bytes(out))
+        assert not (ref == cut).all()
+
+
+class TestProgressiveRejections:
+    def test_ac_successive_refinement_rejected(self):
+        out = _headers(b"\xc2", 8, 8)
+        out += _sos([(1, 0, 0)], 1, 63, 1, 0)  # Ah>0 on an AC band
+        out += b"\x00" + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            _decode_jpeg(bytes(out))
+
+    def test_interleaved_ac_scan_rejected(self):
+        out = bytearray(b"\xff\xd8")
+        out += struct.pack(">2sH", b"\xff\xdb", 2 + 65) + bytes(
+            [0x00]
+        ) + bytes([_Q] * 64)
+        out += struct.pack(
+            ">2sHBHHB", b"\xff\xc2", 14, 8, 8, 8, 2
+        ) + bytes([1, 0x11, 0, 2, 0x11, 0])
+        out += _dht(1, 0, _PAC_BITS, _PAC_VALS)
+        out += _sos([(1, 0, 0), (2, 0, 0)], 1, 63, 0, 0)
+        out += b"\x00" + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            _decode_jpeg(bytes(out))
+
+    def test_dc_scan_with_ac_band_rejected(self):
+        out = _headers(b"\xc2", 8, 8)
+        out += _sos([(1, 0, 0)], 0, 63, 0, 0)
+        out += b"\x00" + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            _decode_jpeg(bytes(out))
+
+    def test_baseline_partial_band_rejected(self):
+        out = _headers(b"\xc0", 8, 8)
+        out += _sos([(1, 0, 0)], 1, 63, 0, 0)
+        out += b"\x00" + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            _decode_jpeg(bytes(out))
+
+
+class TestProgressiveFuzz:
+    def test_truncations_never_crash(self):
+        blob = _make_progressive_jpeg(7)
+        for n in range(len(blob)):
+            try:
+                _decode_jpeg(blob[:n])
+            except ValueError:
+                pass
+
+    def test_bitflip_fuzz(self):
+        rng = random.Random(1234)
+        blob = bytearray(_make_progressive_jpeg(19))
+        for _ in range(400):
+            mut = bytearray(blob)
+            pos = rng.randrange(len(mut))
+            mut[pos] ^= 1 << rng.randrange(8)
+            try:
+                _decode_jpeg(bytes(mut))
+            except ValueError:
+                pass
+
+    def test_random_bytes_never_crash(self):
+        rng = random.Random(99)
+        for _ in range(300):
+            n = rng.randrange(0, 200)
+            blob = b"\xff\xd8" + bytes(
+                rng.randrange(256) for _ in range(n)
+            )
+            try:
+                _decode_jpeg(blob)
+            except ValueError:
+                pass
