@@ -153,3 +153,75 @@ def quantized_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "qdot")
     )
+
+
+def kmeans_lloyd_iteration(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """ONE exact Lloyd iteration of k-means over the embedding corpus:
+    assign every vector to its nearest of k centroids (init = the k
+    lowest-id vectors, the deterministic seeding every engine can
+    reproduce), then recompute per-(cluster, dim) centroids as exact
+    means — the building block a distributed k-means loop repeats, and
+    the judgeable unit (a full loop is just this operator iterated
+    with the previous output as literals).
+
+    Determinism: elements are 6-dp-rounded DECIMALs BEFORE the
+    distance arithmetic, so every squared distance is EXACT
+    (DECIMAL(38,12)) and the argmin ordering is engine-identical; ties
+    break to the smallest centroid id (array_position returns the
+    first minimum). Means follow the label_centroids rounded-then-
+    DECIMAL contract.
+
+    Scale shape: the k x d codebook is one bounded collect (the
+    quantized_ann_topk literal-array pattern) embedded map-side, so
+    assignment is a pure projection — no join, no explode of the
+    corpus against centroids; the only shuffle is the (cluster, dim)
+    partial-aggregated mean, <= k*d groups.
+    """
+    init = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    dec = lambda c: c.cast("decimal(10,6)")  # noqa: E731
+    xd = F.transform(
+        vec_col, lambda e: dec(F.round(e.cast("double"), 6))
+    )
+    dists = []
+    for row in init:
+        c_arr = F.array(
+            *[
+                dec(F.lit(round(float(v), 6)))
+                for v in row[vec_col]
+            ]
+        )
+        dists.append(
+            F.aggregate(
+                F.zip_with(xd, c_arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("decimal(30,12)"),
+                # Spark widens DECIMAL addition scale/precision; cast
+                # back to the accumulator type (lossless here: 64 terms
+                # each < 10, sum << 10^18)
+                lambda acc, v: (acc + v).cast("decimal(30,12)"),
+            )
+        )
+    darr = F.array(*dists)
+    assigned = emb.select(
+        (F.array_position(darr, F.array_min(darr)) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.posexplode(xd).alias("dim", "x"),
+    )
+    return assigned.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            (F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).cast("double"),
+            6,
+        ).alias("centroid"),
+    )

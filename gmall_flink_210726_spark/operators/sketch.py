@@ -478,3 +478,72 @@ def systematic_weighted_sample(
             crosses.cast("long").alias("n_hits"),
         )
     )
+
+
+def bloom_filter_calibration(
+    members: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter membership calibration — the fourth sketch-vs-exact
+    calibration (after HLL, CMS, MinHash): build an m-bit Bloom filter
+    over the member keys with k md5-derived hash functions (the
+    engine-portable _h60 convention, salted per hash index), probe
+    every probe key, and report the observed false-positive count next
+    to the exact membership truth.
+
+    Scale shape: the filter is the DISTINCT set-bit frame — at most
+    m_bits rows regardless of member cardinality — built by one
+    explode(k) + distinct over member keys and BROADCAST to the probe
+    side; probes shuffle only (key, bit) int pairs, and the output is
+    one scalar row. At 100 TB the bitmap is still <= m_bits rows.
+
+    Determinism: bit positions are pure md5 arithmetic, identical in
+    DuckDB; a probe passes iff all k of its bits are set (exact
+    integer logic, no floats anywhere).
+    """
+    ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j")
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j"), F.col("k").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(m_bits)
+    ).alias("bit")
+    mem = members.select(F.col(key_col).alias("k")).distinct()
+    mem = mem.localCheckpoint(eager=False)  # bit-build + exact-truth legs
+    bits = mem.select("k", ks).select(bit).distinct()
+    pr = probes.select(F.col(key_col).alias("k")).distinct()
+    probe_bits = pr.select("k", ks).select("k", bit)
+    hits = (
+        probe_bits.join(
+            F.broadcast(bits.select("bit", F.lit(1).alias("_set"))),
+            "bit",
+            "left",
+        )
+        .groupBy("k")
+        .agg((F.count("_set") == F.lit(k_hashes)).alias("bloom_pass"))
+    )
+    truth = hits.join(
+        mem.select(F.col("k"), F.lit(1).alias("_m")), "k", "left"
+    ).select(
+        "k", "bloom_pass", F.col("_m").isNotNull().alias("is_member")
+    )
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).cast("long").alias("n_members"),
+        F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_pass"),
+        F.sum(
+            (F.col("bloom_pass") & ~F.col("is_member")).cast("long")
+        ).cast("long").alias("n_false_pos"),
+        F.sum(
+            (~F.col("bloom_pass") & F.col("is_member")).cast("long")
+        ).cast("long").alias("n_false_neg"),
+    )

@@ -10,6 +10,7 @@ bit-stable under any partitioning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gmall_flink_210726_spark.registry import register
 from gmall_flink_210726_spark.sources.batch import load_table
@@ -126,8 +127,6 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from gmall_flink_210726_spark.operators.audio import audio_zero_crossings
     from gmall_flink_210726_spark.operators.multimodal import synthesize_media
 
@@ -260,3 +259,107 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return jpeg_pixel_stats(media)
+
+
+@register(
+    "sketch_bloom_calibration",
+    oracle="""
+    WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    pr AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    mb AS (SELECT DISTINCT
+             CAST(('0x' || substring(
+               md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+               1, 15)) AS BIGINT) % 8192 AS bit
+           FROM mem, range(4) AS u(j)),
+    pb AS (SELECT k, j,
+             CAST(('0x' || substring(
+               md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+               1, 15)) AS BIGINT) % 8192 AS bit
+           FROM pr, range(4) AS u(j)),
+    hits AS (SELECT pb.k,
+               COUNT(mb.bit) = 4 AS bloom_pass
+             FROM pb LEFT JOIN mb USING (bit) GROUP BY pb.k),
+    truth AS (SELECT h.k, h.bloom_pass, m.k IS NOT NULL AS is_member
+              FROM hits h LEFT JOIN mem m ON h.k = m.k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_pass
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM truth
+    """,
+    doc="Bloom-filter membership calibration (fourth of the "
+    "sketch-vs-exact family after HLL/CMS/MinHash): 8192-bit filter "
+    "over customers-with-orders, probed with ALL customers (TPC-H "
+    "leaves ~1/3 of customers order-less — a natural negative set), "
+    "k=4 salted md5 bit positions recomputed identically by the "
+    "oracle. n_false_neg must be 0 (Bloom filters never false-"
+    "negative); n_false_pos is the observed FPR numerator. The filter "
+    "is the distinct set-bit frame (<= m rows however many members), "
+    "broadcast to the probe side; only (key, bit) ints shuffle. "
+    "operators/sketch.py:bloom_filter_calibration",
+    tags=("llm", "sketch"),
+)
+def q_bloom_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.sketch import (
+        bloom_filter_calibration,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    return bloom_filter_calibration(orders, customer)
+
+
+@register(
+    "emb_kmeans_iteration",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8),
+    t AS (SELECT e.vec_id, c.cid, e.emb AS emb, c.cemb AS cemb,
+                 unnest(range(len(e.emb))) AS i
+          FROM e, c),
+    d AS (SELECT vec_id, cid,
+            SUM((CAST(round(emb[CAST(i AS INTEGER) + 1], 6) AS DECIMAL(10,6))
+               - CAST(round(cemb[CAST(i AS INTEGER) + 1], 6) AS DECIMAL(10,6)))
+              * (CAST(round(emb[CAST(i AS INTEGER) + 1], 6) AS DECIMAL(10,6))
+               - CAST(round(cemb[CAST(i AS INTEGER) + 1], 6) AS DECIMAL(10,6))))
+              AS dist
+          FROM t GROUP BY 1, 2),
+    a AS (SELECT vec_id, cid
+          FROM (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cid) AS rn
+                FROM d)
+          WHERE rn = 1),
+    l AS (SELECT a.cid, unnest(range(len(e.emb))) AS dim,
+                 unnest(e.emb) AS x
+          FROM a JOIN e USING (vec_id))
+    SELECT CAST(cid AS INTEGER) AS cluster_id, CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(*) AS DOUBLE), 6) AS centroid
+    FROM l GROUP BY 1, 2
+    """,
+    doc="One EXACT Lloyd iteration of k-means (k=8, init = lowest-id "
+    "vectors): nearest-centroid assignment on DECIMAL-exact squared "
+    "distances (6-dp-rounded elements, ties to the smallest centroid "
+    "id), then per-(cluster, dim) exact means. Scale shape: the k x d "
+    "codebook is a bounded collect embedded as map-side literals, so "
+    "assignment is a pure projection fused into the scan — no "
+    "join/explode of the corpus against centroids; the only shuffle "
+    "is the <= k*d-group mean agg. A full k-means loop iterates this "
+    "operator. operators/embed.py:kmeans_lloyd_iteration",
+    tags=("llm", "similarity", "agg"),
+)
+def q_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.embed import kmeans_lloyd_iteration
+
+    return kmeans_lloyd_iteration(load_table(spark, sf_dir, "embeddings"))

@@ -513,3 +513,18 @@ class TestRound6PlanShapes:
         # materialized RDD in every leg and NO parquet scan remains
         assert plan.count("Scan parquet") == 0, plan
         assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+    def test_kmeans_assignment_is_pure_projection(self, spark):
+        """Nearest-centroid assignment must fuse into the scan (the
+        codebook is literals): one parquet scan, NO join of any kind,
+        one exchange (the <= k*d-group mean agg)."""
+        plan = _plan(SPECS["emb_kmeans_iteration"].fn(spark, SF_SMALL))
+        assert plan.count("Scan parquet") == 1, plan
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") == 1, plan
+
+    def test_bloom_bitmap_broadcasts(self, spark):
+        """The m-bit set-bit frame must reach the probe side as a
+        broadcast; the probe side never sort-merge-joins on bit."""
+        plan = _plan(SPECS["sketch_bloom_calibration"].fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan, plan
