@@ -304,3 +304,157 @@ def st11_stream_left_outer_interval_join(
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "st12_stream_bloom_build",
+    oracle="""
+    WITH mem AS (SELECT DISTINCT user_id AS k FROM events),
+    pr AS (SELECT k FROM mem
+           UNION
+           SELECT k + 1000000000 FROM mem),
+    mb AS (SELECT DISTINCT
+             CAST(('0x' || substring(
+               md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+               1, 15)) AS BIGINT) % 8192 AS bit
+           FROM mem, range(4) AS u(j)),
+    pb AS (SELECT k, j,
+             CAST(('0x' || substring(
+               md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+               1, 15)) AS BIGINT) % 8192 AS bit
+           FROM pr, range(4) AS u(j)),
+    hits AS (SELECT pb.k, COUNT(mb.bit) = 4 AS bloom_pass
+             FROM pb LEFT JOIN mb USING (bit) GROUP BY pb.k),
+    truth AS (SELECT h.k, h.bloom_pass, m.k IS NOT NULL AS is_member
+              FROM hits h LEFT JOIN mem m ON h.k = m.k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_pass
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM truth
+    """,
+    doc="Streaming Bloom-filter maintenance — the OR-merge sketch "
+    "algebra completing the st9 (SUM-merge CMS) / st10 (MAX-merge HLL) "
+    "trio: each micro-batch writes its distinct set-bit partial "
+    "(<= 8192 rows however large the batch) through the idempotent "
+    "epoch-partition sink, and the merged filter is the cross-epoch "
+    "DISTINCT of bits — set-union is idempotent and duplicate-"
+    "insensitive, so a replayed epoch changes nothing. Probes are "
+    "every seen user_id (must ALL pass: Bloom never false-negatives) "
+    "plus the same ids shifted by 10^9 (guaranteed non-members — the "
+    "observed-FPR set); the oracle rebuilds the identical filter from "
+    "the batch table. operators/sketch.py:bloom_filter_calibration",
+    tags=("streaming", "sketch", "sink"),
+)
+def st12_stream_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.sketch import (
+        bloom_filter_calibration,
+    )
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import write_foreach_batch
+
+    m_bits, k_hashes = 8192, 4
+    out = tempfile.mkdtemp(prefix="st12_bits_")
+    ckpt = tempfile.mkdtemp(prefix="st12_ckpt_")
+    ev = _stream_events(spark, sf_dir).select("user_id")
+
+    def _write_bits(batch: DataFrame, epoch: int) -> None:
+        ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j")
+        bit = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("j"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(m_bits)
+        ).alias("bit")
+        bits = (
+            batch.select("user_id").distinct().select("user_id", ks)
+            .select(bit)
+            .distinct()
+        )
+        append_stats_exactly_once(bits, epoch, out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(ev, _write_bits, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st12 sketch stream did not finish")
+        q.stop()
+        merged_bits = spark.read.parquet(out).select("bit").distinct()
+        members = (
+            load_table(spark, sf_dir, "events")
+            .select(F.col("user_id").alias("key"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        probes = members.unionByName(
+            members.select((F.col("key") + F.lit(1_000_000_000)).alias("key"))
+        )
+        # reuse the batch calibration operator's probe/truth logic, but
+        # against the STREAM-merged filter: re-derive probe bits and
+        # join the durable bit set
+        ks = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j")
+        bit = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("j"), F.col("k").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(m_bits)
+        ).alias("bit")
+        pr = probes.select(F.col("key").alias("k")).distinct()
+        probe_bits = pr.select("k", ks).select("k", bit)
+        hits = (
+            probe_bits.join(
+                F.broadcast(merged_bits.select("bit", F.lit(1).alias("_set"))),
+                "bit",
+                "left",
+            )
+            .groupBy("k")
+            .agg((F.count("_set") == F.lit(k_hashes)).alias("bloom_pass"))
+        )
+        truth = hits.join(
+            members.select(F.col("key").alias("k"), F.lit(1).alias("_m")),
+            "k",
+            "left",
+        ).select("k", "bloom_pass", F.col("_m").isNotNull().alias("is_member"))
+        result = truth.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("is_member").cast("long")).cast("long").alias("n_members"),
+            F.sum(F.col("bloom_pass").cast("long")).cast("long").alias("n_pass"),
+            F.sum(
+                (F.col("bloom_pass") & ~F.col("is_member")).cast("long")
+            ).cast("long").alias("n_false_pos"),
+            F.sum(
+                (~F.col("bloom_pass") & F.col("is_member")).cast("long")
+            ).cast("long").alias("n_false_neg"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result

@@ -188,3 +188,55 @@ class TestStreamingHLLReplay:
         finally:
             shutil.rmtree(out, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+class TestStreamingBloomReplay:
+    def test_bit_union_replay_and_duplicate_insensitivity(self, spark):
+        """The Bloom bit set is OR-merged: a retried epoch AND an epoch
+        whose keys fully overlap another's both leave the merged filter
+        identical to the single-pass batch filter."""
+        m_bits, k = 512, 4
+        ev = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+        keys = ev.select("user_id").distinct()
+
+        def bits_of(df):
+            ks = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+            bit = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("j"), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(m_bits)
+            ).alias("bit")
+            return df.select("user_id", ks).select(bit).distinct()
+
+        out = tempfile.mkdtemp(prefix="st12_test_bits_")
+        try:
+            half_a = keys.where(F.col("user_id") % 2 == 0)
+            half_b = keys.where(F.col("user_id") % 2 == 1)
+            append_stats_exactly_once(bits_of(half_a), 0, out)
+            append_stats_exactly_once(bits_of(half_b), 1, out)
+            want = {r.bit for r in bits_of(keys).collect()}
+            merged = lambda: {  # noqa: E731
+                r.bit
+                for r in spark.read.parquet(out).select("bit").distinct().collect()
+            }
+            assert merged() == want
+            # retry epoch 0 (same partial twice) — unchanged
+            append_stats_exactly_once(bits_of(half_a), 0, out)
+            assert merged() == want
+            # a THIRD epoch fully overlapping epoch 1 — set-union is
+            # duplicate-insensitive, still unchanged
+            append_stats_exactly_once(bits_of(half_b), 2, out)
+            assert merged() == want
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
