@@ -14,8 +14,9 @@ Supported subset (honestly bounded): baseline sequential DCT (SOF0)
 and progressive DCT (SOF2) with spectral selection and DC successive
 approximation — multi-scan coefficient accumulation with EOBn runs
 per T.81 G.1.2 — 8-bit precision, 1 or 3 components with no chroma
-subsampling (all 1x1 sampling factors), no restart intervals, and no
-AC successive-approximation REFINEMENT scans (Ah>0 on an AC band —
+subsampling (all 1x1 sampling factors), DRI restart intervals with RSTn resync
+(byte-aligned modulo-8 markers, predictor resets), and no AC
+successive-approximation REFINEMENT scans (Ah>0 on an AC band —
 the one progressive feature rejected). Anything else raises
 ValueError and the Spark operator degrades the row to
 format='unknown' — never throw away the partition for one file.
@@ -191,6 +192,19 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def restart(self, m: int) -> None:
+        """Consume a byte-aligned RSTm marker (T.81 E.2.4): discard
+        the padding bits of the current byte and verify the 3-bit
+        modulo-8 sequence number."""
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError("missing or out-of-sequence restart marker")
+        self.pos += 2
+
     def read_symbol(self, table) -> int:
         length, code = 0, 0
         while length < 16:
@@ -229,16 +243,16 @@ def _idct_basis():
 
 def _entropy_end(b: bytes, start: int) -> int:
     """Index of the marker terminating the entropy segment that starts
-    at ``start``: the first 0xFF not followed by a stuffed 0x00.
-    Restart markers (RSTn) inside entropy data are unsupported (no DRI
-    support) and surface as the terminating marker — the caller then
-    rejects them as an unexpected marker."""
+    at ``start``: the first 0xFF followed by neither a stuffed 0x00
+    nor a restart marker (RSTn, 0xD0-0xD7, which live INSIDE the
+    entropy segment when a DRI interval is active)."""
     pos = start
     while True:
         nxt = b.find(b"\xff", pos)
         if nxt < 0 or nxt + 1 >= len(b):
             raise ValueError("entropy stream ran past end of file")
-        if b[nxt + 1] != 0x00:
+        nb = b[nxt + 1]
+        if nb != 0x00 and not (0xD0 <= nb <= 0xD7):
             return nxt
         pos = nxt + 2
 
@@ -265,6 +279,7 @@ def _decode_jpeg(b: bytes):
     progressive = False
     coefs: dict[int, object] = {}  # component id -> [bh, bw, 64] zigzag
     pred: dict[int, int] = {}
+    ri = 0  # restart interval in MCUs (0 = none)
     n_scans = 0
     scan_order: list[int] = []  # component ids in SOF order
     while True:
@@ -323,14 +338,18 @@ def _decode_jpeg(b: bytes):
             while off < len(seg):
                 cls, tid = seg[off] >> 4, seg[off] & 0xF
                 bits = list(seg[off + 1 : off + 17])
+                if len(bits) != 16:
+                    raise ValueError("truncated DHT")
                 nv = sum(bits)
                 vals = list(seg[off + 17 : off + 17 + nv])
                 if len(vals) != nv:
                     raise ValueError("truncated DHT")
                 huff[(cls, tid)] = _build_huffman(bits, vals)
                 off += 17 + nv
-        elif marker == 0xDD:
-            raise ValueError("unsupported restart interval")
+        elif marker == 0xDD:  # DRI
+            if len(seg) != 2:
+                raise ValueError("bad DRI segment")
+            (ri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("SOS before SOF")
@@ -355,7 +374,7 @@ def _decode_jpeg(b: bytes):
             end = _entropy_end(b, data_start)
             _decode_scan_into(
                 b[data_start:end], sof, scan, huff, coefs, pred,
-                ss, se, ah, al,
+                ss, se, ah, al, ri,
             )
             n_scans += 1
             pos = end
@@ -367,7 +386,7 @@ def _decode_jpeg(b: bytes):
 
 
 def _decode_scan_into(
-    data: bytes, sof, scan, huff, coefs, pred, ss, se, ah, al
+    data: bytes, sof, scan, huff, coefs, pred, ss, se, ah, al, ri=0
 ):
     """Entropy-decode one scan's (shifted) coefficients into the
     per-component zigzag stores. Baseline's single scan is the
@@ -375,7 +394,10 @@ def _decode_scan_into(
     spectral band (T.81 G.1.2): DC first with point transform Al, DC
     refinement bits for Ah>0, AC first scans with EOB-run (EOBn)
     codes spanning blocks. AC successive-approximation refinement is
-    the one scan kind rejected (module doc)."""
+    the one scan kind rejected (module doc). With a DRI interval
+    ``ri`` active, a byte-aligned RSTm marker is consumed every ri
+    MCUs, DC predictors reset, and EOB runs never span the boundary
+    (T.81 E.2.4)."""
     w, h, comps = sof
     known = {cid for cid, _ in comps}
     for cs, _, _ in scan:
@@ -391,6 +413,9 @@ def _decode_scan_into(
                 raise ValueError("refinement scan with AC band")
             for by in range(bh):
                 for bx in range(bw):
+                    mcu = by * bw + bx
+                    if ri and mcu and mcu % ri == 0:
+                        rdr.restart(mcu // ri - 1)
                     for cs, _, _ in scan:
                         coefs[cs][by, bx, 0] |= rdr.read_bit() << al
             return
@@ -403,6 +428,11 @@ def _decode_scan_into(
             tabs[cs] = (dc_tab, ac_tab)
         for by in range(bh):
             for bx in range(bw):
+                mcu = by * bw + bx
+                if ri and mcu and mcu % ri == 0:
+                    rdr.restart(mcu // ri - 1)
+                    for cs, _, _ in scan:
+                        pred[cs] = 0
                 for cs, _, _ in scan:
                     dc_tab, ac_tab = tabs[cs]
                     size = rdr.read_symbol(dc_tab)
@@ -438,6 +468,10 @@ def _decode_scan_into(
     eobrun = 0
     for by in range(bh):
         for bx in range(bw):
+            mcu = by * bw + bx
+            if ri and mcu and mcu % ri == 0:
+                rdr.restart(mcu // ri - 1)
+                eobrun = 0  # EOB runs never cross a restart (E.2.4)
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -698,6 +732,91 @@ def synthesize_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
                             "format": "corrupt" if _PJPG_BAD(i) else "jpeg",
                             "width": 8 * _PJPG_BW(i) - _PJPG_WPAD(i),
                             "height": 8 * _PJPG_BH(i) - _PJPG_HPAD(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------- restart-interval fixture
+_RJPG_BW = lambda i: 2 + i % 4  # noqa: E731  2..5 blocks wide
+_RJPG_BH = lambda i: 1 + i % 3  # noqa: E731
+_RJPG_WPAD = lambda i: i % 3  # noqa: E731
+_RJPG_HPAD = lambda i: i % 4  # noqa: E731
+_RJPG_BAD = lambda i: i % 14 == 0  # noqa: E731
+_RJPG_V = lambda i, b: (i * 47 + 23 * b) % 256  # noqa: E731
+
+
+def _make_restart_jpeg(media_id: int, q_step: int = 8, ri: int = 3) -> bytes:
+    """Real baseline JPEG WITH a DRI restart interval: every ``ri``
+    MCUs the entropy stream is byte-aligned (1-padded), an RSTm marker
+    with the modulo-8 sequence number is emitted, and the DC predictor
+    resets — the resumability hook every parallel encoder emits so a
+    100 TB corpus can be entropy-decoded in independent chunks. Ids
+    hitting _RJPG_BAD are truncated corrupt blobs."""
+    i = int(media_id)
+    bw, bh = _RJPG_BW(i), _RJPG_BH(i)
+    w, h = 8 * bw - _RJPG_WPAD(i), 8 * bh - _RJPG_HPAD(i)
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">2sH", b"\xff\xdb", 2 + 65) + bytes([0x00]) + bytes(
+        [q_step] * 64
+    )
+    out += struct.pack(
+        ">2sHBHHB", b"\xff\xc0", 11, 8, h, w, 1
+    ) + bytes([1, 0x11, 0])
+    if _RJPG_BAD(i):
+        return bytes(out[: len(out) // 2])
+    out += struct.pack(">2sHH", b"\xff\xdd", 4, ri)  # DRI
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _AC_BITS, _AC_VALS)
+    out += struct.pack(">2sH", b"\xff\xda", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    nb = bw * bh
+    bwr = _BitWriter()
+    prev = 0
+    for b in range(nb):
+        if ri and b and b % ri == 0:
+            out += bwr.flush()  # byte-align with 1-padding
+            out += bytes([0xFF, 0xD0 + ((b // ri - 1) & 7)])
+            bwr = _BitWriter()
+            prev = 0  # predictor resets at restart (T.81 E.2.4)
+        level = _RJPG_V(i, b) - 128
+        diff = level - prev
+        prev = level
+        cat = abs(diff).bit_length()
+        bwr.write(cat, 4)
+        if cat:
+            mag = diff if diff > 0 else diff + (1 << cat) - 1
+            bwr.write(mag, cat)
+        bwr.write(0, 4)  # EOB
+    out += bwr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_restart_jpeg_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL DRI/RSTn baseline JPEG blobs."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_restart_jpeg(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _RJPG_BAD(i) else "jpeg",
+                            "width": 8 * _RJPG_BW(i) - _RJPG_WPAD(i),
+                            "height": 8 * _RJPG_BH(i) - _RJPG_HPAD(i),
                             "sample_rate": 0,
                         }
                         for i in ids

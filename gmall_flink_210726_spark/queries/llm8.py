@@ -363,3 +363,46 @@ def q_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.operators.embed import kmeans_lloyd_iteration
 
     return kmeans_lloyd_iteration(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "multimodal_jpeg_restart",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      2 + doc_id % 4 AS bw, 1 + doc_id % 3 AS bh,
+                      doc_id % 3 AS wp, doc_id % 4 AS hp,
+                      doc_id % 14 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, 8 * bw - wp AS w, 8 * bh - hp AS h,
+            list_sum([((media_id * 47 + 23 * b) % 256)
+                      * (CASE WHEN b % bw = bw - 1 THEN 8 - wp ELSE 8 END)
+                      * (CASE WHEN b // bw = bh - 1 THEN 8 - hp ELSE 8 END)
+                      for b in range(0, bw * bh)]) AS vsum
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'jpeg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE vsum END AS BIGINT) AS pixel_sum
+    FROM s
+    """,
+    doc="Baseline JPEG decode WITH DRI restart intervals: an RSTm "
+    "marker every 3 MCUs — byte-aligned resynchronization points with "
+    "modulo-8 sequence numbers, DC predictor resets, and EOB runs "
+    "that never cross the boundary (T.81 E.2.4). Restart markers are "
+    "what make huge scans chunk-parallel decodable, so this closes "
+    "the last rejected sequential-JPEG feature. A decoder that "
+    "forgets the predictor reset gets every post-restart block wrong "
+    "and hash-mismatches; the oracle recomputes pixel sums blind from "
+    "a fresh LCG. operators/jpeg.py:_make_restart_jpeg",
+    tags=("llm", "multimodal"),
+)
+def multimodal_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.jpeg import (
+        jpeg_pixel_stats,
+        synthesize_restart_jpeg_media,
+    )
+
+    media = synthesize_restart_jpeg_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_pixel_stats(media)

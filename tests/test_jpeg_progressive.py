@@ -232,3 +232,64 @@ class TestProgressiveFuzz:
                 _decode_jpeg(blob)
             except ValueError:
                 pass
+
+
+class TestRestartIntervals:
+    def test_fixture_roundtrip_exact(self):
+        from gmall_flink_210726_spark.operators.jpeg import (
+            _RJPG_BH,
+            _RJPG_BW,
+            _RJPG_HPAD,
+            _RJPG_V,
+            _RJPG_WPAD,
+            _make_restart_jpeg,
+        )
+
+        for i in (1, 2, 3, 5, 9, 13, 17, 21):
+            w, h, px = _decode_jpeg(_make_restart_jpeg(i))
+            bw, bh = _RJPG_BW(i), _RJPG_BH(i)
+            assert (w, h) == (8 * bw - _RJPG_WPAD(i), 8 * bh - _RJPG_HPAD(i))
+            exp = np.zeros((bh * 8, bw * 8), np.int64)
+            for b in range(bw * bh):
+                exp[
+                    (b // bw) * 8 : (b // bw) * 8 + 8,
+                    (b % bw) * 8 : (b % bw) * 8 + 8,
+                ] = _RJPG_V(i, b)
+            assert (px[:, :, 0] == exp[:h, :w]).all()
+
+    def test_out_of_sequence_restart_rejected(self):
+        """Flipping an RST marker's sequence nibble must fail loudly —
+        a resync to the wrong interval silently corrupts every
+        following block otherwise."""
+        from gmall_flink_210726_spark.operators.jpeg import _make_restart_jpeg
+
+        blob = bytearray(_make_restart_jpeg(2))  # 4x3 blocks, 3 restarts
+        # find the first RST marker (FFD0) in the entropy stream
+        idx = bytes(blob).find(b"\xff\xd0")
+        assert idx > 0
+        blob[idx + 1] = 0xD5  # wrong sequence number
+        with pytest.raises(ValueError):
+            _decode_jpeg(bytes(blob))
+
+    def test_missing_restart_rejected(self):
+        from gmall_flink_210726_spark.operators.jpeg import _make_restart_jpeg
+
+        blob = bytearray(_make_restart_jpeg(2))
+        idx = bytes(blob).find(b"\xff\xd0")
+        del blob[idx : idx + 2]
+        with pytest.raises(ValueError):
+            _decode_jpeg(bytes(blob))
+
+    def test_restart_bitflip_fuzz(self):
+        from gmall_flink_210726_spark.operators.jpeg import _make_restart_jpeg
+
+        rng = random.Random(77)
+        blob = bytearray(_make_restart_jpeg(2))
+        for _ in range(400):
+            mut = bytearray(blob)
+            pos = rng.randrange(len(mut))
+            mut[pos] ^= 1 << rng.randrange(8)
+            try:
+                _decode_jpeg(bytes(mut))
+            except ValueError:
+                pass
