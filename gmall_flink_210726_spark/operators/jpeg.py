@@ -13,8 +13,9 @@ matmul), level shift and clipping.
 Supported subset (honestly bounded): baseline sequential DCT (SOF0)
 and progressive DCT (SOF2) with spectral selection and DC successive
 approximation — multi-scan coefficient accumulation with EOBn runs
-per T.81 G.1.2 — 8-bit precision, 1 or 3 components with no chroma
-subsampling (all 1x1 sampling factors), DRI restart intervals with RSTn resync
+per T.81 G.1.2 — 8-bit precision, 1 or 3 components with sampling factors in
+{1,2} x {1,2} — including 4:2:0 chroma subsampling with MCU-interleaved
+scans and replicate upsampling — DRI restart intervals with RSTn resync
 (byte-aligned modulo-8 markers, predictor resets), and no AC
 successive-approximation REFINEMENT scans (Ah>0 on an AC band —
 the one progressive feature rejected). Anything else raises
@@ -320,17 +321,29 @@ def _decode_jpeg(b: bytes):
                 raise ValueError("unsupported precision")
             if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
                 raise ValueError("bad dims")
-            comps = []
-            bw, bh = (w + 7) // 8, (h + 7) // 8
+            raw_comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError("unsupported subsampling")
-                comps.append((cid, tq))
-                coefs[cid] = np.zeros((bh, bw, 64), np.int64)
+                raw_comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in raw_comps)
+            vmax = max(c[3] for c in raw_comps)
+            mw = (w + 8 * hmax - 1) // (8 * hmax)  # MCU grid
+            mh = (h + 8 * vmax - 1) // (8 * vmax)
+            comps = []
+            for cid, tq, hi, vi in raw_comps:
+                # interleaved data carries FULL MCUs, so allocate the
+                # MCU-padded grid; non-interleaved scans iterate only
+                # the ceil("real") sub-grid (T.81 A.2.4)
+                bwi = (w * hi + 8 * hmax - 1) // (8 * hmax)
+                bhi = (h * vi + 8 * vmax - 1) // (8 * vmax)
+                comps.append((cid, tq, hi, vi, bwi, bhi))
+                coefs[cid] = np.zeros((mh * vi, mw * hi, 64), np.int64)
                 pred[cid] = 0
                 scan_order.append(cid)
-            sof = (w, h, comps)
+            sof = (w, h, comps, hmax, vmax, mw, mh)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("unsupported SOF mode")
         elif marker == 0xC4:  # DHT
@@ -397,27 +410,59 @@ def _decode_scan_into(
     the one scan kind rejected (module doc). With a DRI interval
     ``ri`` active, a byte-aligned RSTm marker is consumed every ri
     MCUs, DC predictors reset, and EOB runs never span the boundary
-    (T.81 E.2.4)."""
-    w, h, comps = sof
-    known = {cid for cid, _ in comps}
+    (T.81 E.2.4).
+
+    Multi-component scans are MCU-interleaved per the components'
+    sampling factors (T.81 A.2.3: each MCU carries vi x hi blocks per
+    component, raster order within the MCU); single-component scans
+    are non-interleaved over that component's REAL block grid
+    (A.2.4)."""
+    w, h, comps, hmax, vmax, mw, mh = sof
+    byid = {c[0]: c for c in comps}
     for cs, _, _ in scan:
-        if cs not in known:
+        if cs not in byid:
             raise ValueError("scan references unknown component")
     if not (0 <= ss <= se <= 63):
         raise ValueError("bad spectral band")
-    bw, bh = (w + 7) // 8, (h + 7) // 8
     rdr = _BitReader(data)
+
+    def units():
+        """Yield per-MCU (or per-block when non-interleaved) lists of
+        (cs, by, bx) coefficient slots, with restart handling."""
+        n = 0
+        if len(scan) > 1:  # MCU-interleaved
+            for my in range(mh):
+                for mx in range(mw):
+                    if ri and n and n % ri == 0:
+                        yield None, n // ri - 1  # restart sentinel
+                    slots = []
+                    for cs, _, _ in scan:
+                        _, _, hi, vi, _, _ = byid[cs]
+                        for r in range(vi):
+                            for c in range(hi):
+                                slots.append((cs, my * vi + r, mx * hi + c))
+                    yield slots, None
+                    n += 1
+        else:
+            cs = scan[0][0]
+            _, _, _, _, bwi, bhi = byid[cs]
+            for by in range(bhi):
+                for bx in range(bwi):
+                    if ri and n and n % ri == 0:
+                        yield None, n // ri - 1
+                    yield [(cs, by, bx)], None
+                    n += 1
+
     if ss == 0:  # DC scan (progressive) or full-band scan (baseline)
         if ah > 0:  # DC successive-approximation refinement
             if se != 0:
                 raise ValueError("refinement scan with AC band")
-            for by in range(bh):
-                for bx in range(bw):
-                    mcu = by * bw + bx
-                    if ri and mcu and mcu % ri == 0:
-                        rdr.restart(mcu // ri - 1)
-                    for cs, _, _ in scan:
-                        coefs[cs][by, bx, 0] |= rdr.read_bit() << al
+            for slots, rst in units():
+                if slots is None:
+                    rdr.restart(rst)
+                    continue
+                for cs, by, bx in slots:
+                    coefs[cs][by, bx, 0] |= rdr.read_bit() << al
             return
         tabs = {}
         for cs, td, ta in scan:
@@ -426,35 +471,34 @@ def _decode_scan_into(
             if dc_tab is None or (se > 0 and ac_tab is None):
                 raise ValueError("missing Huffman table")
             tabs[cs] = (dc_tab, ac_tab)
-        for by in range(bh):
-            for bx in range(bw):
-                mcu = by * bw + bx
-                if ri and mcu and mcu % ri == 0:
-                    rdr.restart(mcu // ri - 1)
-                    for cs, _, _ in scan:
-                        pred[cs] = 0
+        for slots, rst in units():
+            if slots is None:
+                rdr.restart(rst)
                 for cs, _, _ in scan:
-                    dc_tab, ac_tab = tabs[cs]
-                    size = rdr.read_symbol(dc_tab)
-                    if size > 11:  # T.81 F.1.2.1: 8-bit DC category max
-                        raise ValueError("bad DC category")
-                    pred[cs] += _extend(rdr.read_bits(size), size)
-                    coefs[cs][by, bx, 0] = pred[cs] << al
-                    k = 1
-                    while k <= se:
-                        sym = rdr.read_symbol(ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += sym >> 4
-                        if k > se:
-                            raise ValueError("AC index overflow")
-                        coefs[cs][by, bx, k] = _extend(
-                            rdr.read_bits(sym & 0xF), sym & 0xF
-                        )
-                        k += 1
+                    pred[cs] = 0
+                continue
+            for cs, by, bx in slots:
+                dc_tab, ac_tab = tabs[cs]
+                size = rdr.read_symbol(dc_tab)
+                if size > 11:  # T.81 F.1.2.1: 8-bit DC category max
+                    raise ValueError("bad DC category")
+                pred[cs] += _extend(rdr.read_bits(size), size)
+                coefs[cs][by, bx, 0] = pred[cs] << al
+                k = 1
+                while k <= se:
+                    sym = rdr.read_symbol(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > se:
+                        raise ValueError("AC index overflow")
+                    coefs[cs][by, bx, k] = _extend(
+                        rdr.read_bits(sym & 0xF), sym & 0xF
+                    )
+                    k += 1
         return
     # AC band scan: progressive only, always non-interleaved (T.81)
     if len(scan) != 1:
@@ -466,58 +510,67 @@ def _decode_scan_into(
     if ac_tab is None:
         raise ValueError("missing Huffman table")
     eobrun = 0
-    for by in range(bh):
-        for bx in range(bw):
-            mcu = by * bw + bx
-            if ri and mcu and mcu % ri == 0:
-                rdr.restart(mcu // ri - 1)
-                eobrun = 0  # EOB runs never cross a restart (E.2.4)
-            if eobrun > 0:
-                eobrun -= 1
-                continue
-            k = ss
-            while k <= se:
-                sym = rdr.read_symbol(ac_tab)
-                r, s = sym >> 4, sym & 0xF
-                if s == 0:
-                    if r == 15:  # ZRL
-                        k += 16
-                        continue
-                    # EOBn: run of 2^r - 1 + appended-bits MORE blocks
-                    # (current block's band ends here too)
-                    eobrun = (1 << r) - 1 + (rdr.read_bits(r) if r else 0)
-                    break
-                k += r
-                if k > se:
-                    raise ValueError("AC index overflow")
-                coefs[cs][by, bx, k] = _extend(rdr.read_bits(s), s) << al
-                k += 1
+    for slots, rst in units():
+        if slots is None:
+            rdr.restart(rst)
+            eobrun = 0  # EOB runs never cross a restart (E.2.4)
+            continue
+        _, by, bx = slots[0]
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = rdr.read_symbol(ac_tab)
+            r, s2 = sym >> 4, sym & 0xF
+            if s2 == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: run of 2^r - 1 + appended-bits MORE blocks
+                # (current block's band ends here too)
+                eobrun = (1 << r) - 1 + (rdr.read_bits(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            coefs[cs][by, bx, k] = _extend(rdr.read_bits(s2), s2) << al
+            k += 1
 
 
 def _reconstruct(sof, qt, coefs):
     """Dequantize + IDCT every component's accumulated coefficients
-    (vectorized over all blocks with one einsum per component) and
-    assemble the cropped channel stack."""
+    (vectorized over all blocks with one einsum per component),
+    replicate-upsample subsampled components to full resolution, and
+    assemble the cropped channel stack. Rounding convention is
+    floor(x + 0.5) — chosen over banker's rounding because it is the
+    one convention an external exact recomputation (the DuckDB
+    oracles) can reproduce with plain double floor arithmetic."""
     import numpy as np
 
-    w, h, comps = sof
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    w, h, comps = sof[0], sof[1], sof[2]
+    hmax, vmax = sof[3], sof[4]
     basis = _idct_basis()
     zz = np.asarray(_ZIGZAG)
     chans = []
-    for cid, tq in comps:
+    for cid, tq, hi, vi, _, _ in comps:
         if tq not in qt:
             raise ValueError("missing quant table")
         # coefficients AND the DQT table live in zigzag order
         # (T.81 B.2.4.1): dequantize in zigzag space, then scatter to
         # raster via the scan table
+        bhc, bwc = coefs[cid].shape[0], coefs[cid].shape[1]
         deq = coefs[cid] * qt[tq]  # [bh, bw, 64] zigzag
-        blk = np.zeros((bh, bw, 64), np.int64)
+        blk = np.zeros((bhc, bwc, 64), np.int64)
         blk[..., zz] = deq
-        m = blk.reshape(bh, bw, 8, 8).astype(np.float64)
+        m = blk.reshape(bhc, bwc, 8, 8).astype(np.float64)
         px = np.einsum("ux,bcuv,vy->bcxy", basis, m, basis)
-        px = np.clip(np.round(px) + 128, 0, 255).astype(np.int64)
-        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        px = np.clip(np.floor(px + 0.5) + 128, 0, 255).astype(np.int64)
+        plane = px.transpose(0, 2, 1, 3).reshape(bhc * 8, bwc * 8)
+        if hi != hmax or vi != vmax:  # replicate-upsample (JFIF style)
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
         chans.append(plane[:h, :w])
     if len(chans) == 3:  # YCbCr -> RGB (BT.601)
         y, cb, cr = (c.astype(np.float64) for c in chans)
@@ -525,7 +578,8 @@ def _reconstruct(sof, qt, coefs):
         g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
         bl = y + 1.772 * (cb - 128)
         chans = [
-            np.clip(np.round(c), 0, 255).astype(np.int64) for c in (r, g, bl)
+            np.clip(np.floor(c + 0.5), 0, 255).astype(np.int64)
+            for c in (r, g, bl)
         ]
     return w, h, np.stack(chans, axis=-1)
 
@@ -817,6 +871,98 @@ def synthesize_restart_jpeg_media(docs: DataFrame) -> DataFrame:
                             "format": "corrupt" if _RJPG_BAD(i) else "jpeg",
                             "width": 8 * _RJPG_BW(i) - _RJPG_WPAD(i),
                             "height": 8 * _RJPG_BH(i) - _RJPG_HPAD(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------- 4:2:0 chroma fixture
+_J420_MW = lambda i: 1 + i % 3  # noqa: E731  MCU cols
+_J420_MH = lambda i: 1 + i % 2  # noqa: E731  MCU rows
+_J420_WPAD = lambda i: i % 5  # noqa: E731  right crop (0..4 px)
+_J420_HPAD = lambda i: i % 3  # noqa: E731  bottom crop (0..2 px)
+_J420_BAD = lambda i: i % 15 == 0  # noqa: E731
+_J420_Y = lambda i, bx, by, mw: (i * 53 + 29 * (by * 2 * mw + bx)) % 256  # noqa: E731
+_J420_CB = lambda i, m: (i * 19 + 7 * m) % 256  # noqa: E731
+_J420_CR = lambda i, m: (i * 23 + 13 * m) % 256  # noqa: E731
+
+
+def _make_jpeg420(media_id: int, q_step: int = 8) -> bytes:
+    """Real 4:2:0 chroma-subsampled color JPEG: Y at 2x2 sampling,
+    Cb/Cr at 1x1, single interleaved baseline scan whose MCUs carry
+    4 Y blocks (raster order) + Cb + Cr. All blocks DC-only: Y varies
+    per 8x8 block, chroma per MCU, so a decoder that mis-orders the
+    MCU interleave, maps chroma to the wrong 16x16 region, or forgets
+    the per-component DC predictors produces wrong RGB sums. Ids
+    hitting _J420_BAD are truncated corrupt blobs."""
+    i = int(media_id)
+    mw, mh = _J420_MW(i), _J420_MH(i)
+    w, h = 16 * mw - _J420_WPAD(i), 16 * mh - _J420_HPAD(i)
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">2sH", b"\xff\xdb", 2 + 65) + bytes([0x00]) + bytes(
+        [q_step] * 64
+    )
+    out += struct.pack(">2sHBHHB", b"\xff\xc0", 17, 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )  # SOF0: Y 2x2, Cb 1x1, Cr 1x1, all quant table 0
+    if _J420_BAD(i):
+        return bytes(out[: len(out) // 2])
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _AC_BITS, _AC_VALS)
+    out += struct.pack(">2sH", b"\xff\xda", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+    )
+    bwr = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+
+    def emit(cs: int, value: int) -> None:
+        level = value - 128
+        diff = level - pred[cs]
+        pred[cs] = level
+        cat = abs(diff).bit_length()
+        bwr.write(cat, 4)
+        if cat:
+            bwr.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        bwr.write(0, 4)  # EOB
+
+    for my in range(mh):
+        for mx in range(mw):
+            m = my * mw + mx
+            for r in range(2):
+                for c in range(2):
+                    emit(1, _J420_Y(i, mx * 2 + c, my * 2 + r, mw))
+            emit(2, _J420_CB(i, m))
+            emit(3, _J420_CR(i, m))
+    out += bwr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg420_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL 4:2:0 color JPEG blobs."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_jpeg420(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _J420_BAD(i) else "jpeg",
+                            "width": 16 * _J420_MW(i) - _J420_WPAD(i),
+                            "height": 16 * _J420_MH(i) - _J420_HPAD(i),
                             "sample_rate": 0,
                         }
                         for i in ids

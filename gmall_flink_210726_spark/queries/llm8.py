@@ -406,3 +406,70 @@ def multimodal_jpeg_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_restart_jpeg_media(load_table(spark, sf_dir, "documents"))
     return jpeg_pixel_stats(media)
+
+
+@register(
+    "multimodal_jpeg_420",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      1 + doc_id % 3 AS mw, 1 + doc_id % 2 AS mh,
+                      doc_id % 5 AS wp, doc_id % 3 AS hp,
+                      doc_id % 15 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, mw, mh,
+                 16 * mw - wp AS w, 16 * mh - hp AS h FROM m),
+    t AS (SELECT media_id, bad, w, h,
+            list_sum([
+              (LEAST(255, GREATEST(0, CAST(floor(
+                 ((media_id * 53 + 29 * b) % 256)
+                 + CAST(1.402 AS DOUBLE)
+                   * (((media_id * 23 + 13 * ((b // (2 * mw) // 2) * mw
+                        + (b % (2 * mw)) // 2)) % 256) - 128)
+                 + 0.5) AS BIGINT)))
+             + LEAST(255, GREATEST(0, CAST(floor(
+                 ((media_id * 53 + 29 * b) % 256)
+                 - CAST(0.344136 AS DOUBLE)
+                   * (((media_id * 19 + 7 * ((b // (2 * mw) // 2) * mw
+                        + (b % (2 * mw)) // 2)) % 256) - 128)
+                 - CAST(0.714136 AS DOUBLE)
+                   * (((media_id * 23 + 13 * ((b // (2 * mw) // 2) * mw
+                        + (b % (2 * mw)) // 2)) % 256) - 128)
+                 + 0.5) AS BIGINT)))
+             + LEAST(255, GREATEST(0, CAST(floor(
+                 ((media_id * 53 + 29 * b) % 256)
+                 + CAST(1.772 AS DOUBLE)
+                   * (((media_id * 19 + 7 * ((b // (2 * mw) // 2) * mw
+                        + (b % (2 * mw)) // 2)) % 256) - 128)
+                 + 0.5) AS BIGINT))))
+              * LEAST(8, w - (b % (2 * mw)) * 8)
+              * LEAST(8, h - (b // (2 * mw)) * 8)
+              for b in range(0, 4 * mw * mh)]) AS vsum
+          FROM s)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'jpeg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE vsum END AS BIGINT) AS pixel_sum
+    FROM t
+    """,
+    doc="REAL 4:2:0 chroma-subsampled color JPEG decode: Y at 2x2 "
+    "sampling with Cb/Cr at 1x1, MCU-interleaved entropy stream "
+    "(4 Y blocks + Cb + Cr per MCU), per-component DC predictors, "
+    "replicate chroma upsampling, BT.601 YCbCr->RGB with the "
+    "floor(x+0.5) rounding convention the oracle reproduces with "
+    "plain double arithmetic (Y varies per 8x8 block, chroma per "
+    "16x16 MCU, so mis-interleaving or wrong chroma mapping changes "
+    "the RGB sums). The oracle recomputes per-Y-block crop-weighted "
+    "RGB contributions blind from the LCGs — it never sees a byte. "
+    "operators/jpeg.py:_make_jpeg420",
+    tags=("llm", "multimodal"),
+)
+def multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.jpeg import (
+        jpeg_pixel_stats,
+        synthesize_jpeg420_media,
+    )
+
+    media = synthesize_jpeg420_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_pixel_stats(media)

@@ -293,3 +293,74 @@ class TestRestartIntervals:
                 _decode_jpeg(bytes(mut))
             except ValueError:
                 pass
+
+
+class TestChroma420:
+    def test_fixture_roundtrip_against_pure_formulas(self):
+        """Decoded RGB must equal the independent per-pixel recompute
+        (math.floor over doubles — no shared code with the decoder)."""
+        import math
+
+        from gmall_flink_210726_spark.operators.jpeg import (
+            _J420_CB,
+            _J420_CR,
+            _J420_HPAD,
+            _J420_MH,
+            _J420_MW,
+            _J420_WPAD,
+            _J420_Y,
+            _make_jpeg420,
+        )
+
+        for i in (1, 2, 3, 7, 11, 29):
+            w, h, px = _decode_jpeg(_make_jpeg420(i))
+            mw, mh = _J420_MW(i), _J420_MH(i)
+            assert (w, h) == (16 * mw - _J420_WPAD(i), 16 * mh - _J420_HPAD(i))
+            exp = np.zeros((h, w, 3), np.int64)
+            for yy in range(h):
+                for xx in range(w):
+                    m = (yy // 16) * mw + xx // 16
+                    Y = _J420_Y(i, xx // 8, yy // 8, mw)
+                    cb, cr = _J420_CB(i, m), _J420_CR(i, m)
+                    clip = lambda v: min(255, max(0, v))  # noqa: E731
+                    exp[yy, xx] = (
+                        clip(math.floor(Y + 1.402 * (cr - 128) + 0.5)),
+                        clip(
+                            math.floor(
+                                Y
+                                - 0.344136 * (cb - 128)
+                                - 0.714136 * (cr - 128)
+                                + 0.5
+                            )
+                        ),
+                        clip(math.floor(Y + 1.772 * (cb - 128) + 0.5)),
+                    )
+            assert (px == exp).all(), i
+
+    def test_truncation_and_bitflip_fuzz(self):
+        from gmall_flink_210726_spark.operators.jpeg import _make_jpeg420
+
+        blob = bytearray(_make_jpeg420(7))
+        for n in range(0, len(blob), 3):
+            try:
+                _decode_jpeg(bytes(blob[:n]))
+            except ValueError:
+                pass
+        rng = random.Random(55)
+        for _ in range(400):
+            mut = bytearray(blob)
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            try:
+                _decode_jpeg(bytes(mut))
+            except ValueError:
+                pass
+
+    def test_unsupported_sampling_rejected(self):
+        """4x1 (0x41) sampling stays outside the subset."""
+        from gmall_flink_210726_spark.operators.jpeg import _make_jpeg420
+
+        blob = bytearray(_make_jpeg420(7))
+        idx = bytes(blob).find(bytes([1, 0x22, 0]))
+        blob[idx + 1] = 0x41
+        with pytest.raises(ValueError):
+            _decode_jpeg(bytes(blob))
