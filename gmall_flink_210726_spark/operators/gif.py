@@ -194,6 +194,45 @@ def _make_gif_interlaced(i: int) -> bytes:
 # ---------------------------------------------------------------- decoder
 
 
+# animated-GIF fixture (third LCG set)
+_GAN_W = lambda i: 3 + i % 9  # noqa: E731
+_GAN_H = lambda i: 2 + i % 7  # noqa: E731
+_GAN_NF = lambda i: 2 + i % 3  # noqa: E731  2..4 frames
+_GAN_BAD = lambda i: i % 13 == 0  # noqa: E731
+_GAN_IDX = lambda i, f, p: (i * 31 + 23 * f + 11 * p) % _GIF_NCOLORS  # noqa: E731
+_GAN_PAL = lambda i, c, ch: (i * 7 + 19 * c + 3 * ch) % 256  # noqa: E731
+
+
+def _make_gif_animated(i: int) -> bytes:
+    """Real GIF89a ANIMATION: NETSCAPE2.0 looping application
+    extension, then per frame a Graphic Control Extension (delay,
+    disposal=do-not-dispose) followed by a full-canvas image with its
+    own LZW stream. Pixel indices vary per (frame, position) so frame
+    order and per-frame LZW resets are both observable. Ids hitting
+    _GAN_BAD truncate mid-animation (after frame 0's descriptor)."""
+    w, h, nf = _GAN_W(i), _GAN_H(i), _GAN_NF(i)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)  # GCT, 4 colors
+    for c in range(_GIF_NCOLORS):
+        out += bytes(_GAN_PAL(i, c, ch) for ch in range(3))
+    # NETSCAPE looping extension (app extension, walked as sub-blocks)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(nf):
+        out += b"\x21\xf9\x04\x04\x0a\x00\x00\x00"  # GCE: delay 10cs
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        if f == 0 and _GAN_BAD(i):
+            return bytes(out)
+        indices = [_GAN_IDX(i, f, p) for p in range(w * h)]
+        out += bytes([2])
+        lzw = _lzw_encode(indices, 2)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list:
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     width = min_code + 1
@@ -243,9 +282,14 @@ def _lzw_decode(data: bytes, min_code: int, n_expected: int) -> list:
     return out[:n_expected]
 
 
-def _decode_gif(b: bytes):
-    """Returns (w, h, palette bytes, index list). ValueError on
-    anything outside the supported subset or on truncation."""
+def _decode_gif_frames(b: bytes):
+    """General GIF block walk: returns (w, h, palette bytes, frames)
+    where frames is a list of (iw, ih, index list) in stream order —
+    one entry per image descriptor, so GIF89a animations decode every
+    frame (each with its own LZW stream and optional interlacing).
+    Graphic Control / application / comment extensions are walked as
+    sub-block chains. ValueError on anything outside the supported
+    subset or on truncation."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
@@ -257,6 +301,7 @@ def _decode_gif(b: bytes):
     if len(pal) < 3 * n_colors:
         raise ValueError("palette truncated")
     pos += 3 * n_colors
+    frames = []
     while True:
         if pos >= len(b):
             raise ValueError("unexpected end of stream")
@@ -271,47 +316,59 @@ def _decode_gif(b: bytes):
                 pos += 1 + n
                 if n == 0:
                     break
-        elif marker == 0x2C:
-            break
-        elif marker == 0x3B:
-            raise ValueError("trailer before image")
+        elif marker == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                raise ValueError("image descriptor truncated")
+            _l, _t, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", b[pos : pos + 9]
+            )
+            pos += 9
+            if ipacked & 0x80:
+                raise ValueError("local color table unsupported")
+            interlaced = bool(ipacked & 0x40)
+            if pos >= len(b):
+                raise ValueError("missing LZW min code")
+            min_code = b[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError("bad LZW min code size")
+            data = bytearray()
+            while True:
+                if pos >= len(b):
+                    raise ValueError("sub-blocks truncated")
+                n = b[pos]
+                pos += 1
+                if n == 0:
+                    break
+                if pos + n > len(b):
+                    raise ValueError("sub-block truncated")
+                data += b[pos : pos + n]
+                pos += n
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if interlaced:
+                # GIF89a Appendix E four-pass row order: stored row k
+                # belongs at display row _interlace_rows(ih)[k]
+                deint = [0] * (iw * ih)
+                for stored, disp in enumerate(_interlace_rows(ih)):
+                    deint[disp * iw : (disp + 1) * iw] = idx[
+                        stored * iw : (stored + 1) * iw
+                    ]
+                idx = deint
+            frames.append((iw, ih, idx))
+        elif marker == 0x3B:  # trailer
+            if not frames:
+                raise ValueError("trailer before image")
+            return w, h, pal, frames
         else:
             raise ValueError("unknown block")
-    if pos + 9 > len(b):
-        raise ValueError("image descriptor truncated")
-    _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", b[pos : pos + 9])
-    pos += 9
-    if ipacked & 0x80:
-        raise ValueError("local color table unsupported")
-    interlaced = bool(ipacked & 0x40)
-    if pos >= len(b):
-        raise ValueError("missing LZW min code")
-    min_code = b[pos]
-    pos += 1
-    if not 2 <= min_code <= 8:
-        raise ValueError("bad LZW min code size")
-    data = bytearray()
-    while True:
-        if pos >= len(b):
-            raise ValueError("sub-blocks truncated")
-        n = b[pos]
-        pos += 1
-        if n == 0:
-            break
-        if pos + n > len(b):
-            raise ValueError("sub-block truncated")
-        data += b[pos : pos + n]
-        pos += n
-    idx = _lzw_decode(bytes(data), min_code, iw * ih)
-    if interlaced:
-        # GIF89a Appendix E four-pass row order: stored row k belongs
-        # at display row _interlace_rows(ih)[k]
-        deint = [0] * (iw * ih)
-        for stored, disp in enumerate(_interlace_rows(ih)):
-            deint[disp * iw : (disp + 1) * iw] = idx[
-                stored * iw : (stored + 1) * iw
-            ]
-        idx = deint
+
+
+def _decode_gif(b: bytes):
+    """Single-image contract used by the still-image stats operators:
+    (w, h, palette bytes, index list) of the FIRST frame. ValueError
+    on anything outside the supported subset or on truncation."""
+    w, h, pal, frames = _decode_gif_frames(b)
+    iw, ih, idx = frames[0]
     return iw, ih, pal, idx
 
 
@@ -486,3 +543,96 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
             yield _gif_pixels_batch(pdf)
 
     return df.select("media_id", "content").mapInPandas(gen, GIF_SCHEMA)
+
+
+ANIM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("idx_sum", LongType()),
+        StructField("idx_framesum", LongType()),
+    ]
+)
+
+
+def synthesize_gif_animated_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL multi-frame GIF89a animations."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_gif_animated(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _GAN_BAD(i) else "gif",
+                            "width": _GAN_W(i),
+                            "height": _GAN_H(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _gif_animation_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "width": 0,
+            "height": 0,
+            "n_frames": 0,
+            "idx_sum": 0,
+            "idx_framesum": 0,
+        }
+        try:
+            w, h, pal, frames = _decode_gif_frames(b)
+            sums = [sum(idx) for _, _, idx in frames]
+            row.update(
+                format="gif",
+                width=int(frames[0][0]),
+                height=int(frames[0][1]),
+                n_frames=len(frames),
+                idx_sum=int(sum(sums)),
+                # frame-order-weighted: a decoder that permutes or
+                # merges frames matches idx_sum but not this
+                idx_framesum=int(
+                    sum((f + 1) * s for f, s in enumerate(sums))
+                ),
+            )
+        except (ValueError, struct.error, IndexError):
+            pass
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in ANIM_SCHEMA.fields])
+
+
+def gif_animation_stats(df: DataFrame) -> DataFrame:
+    """Per-animation frame count + per-frame index checksums over real
+    multi-frame GIF89a bytes (every frame is its own LZW stream; the
+    frame-weighted checksum pins stream order). Arrow-batched
+    mapInPandas, 7 scalar columns out per file."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gif_animation_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, ANIM_SCHEMA)

@@ -473,3 +473,48 @@ def multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_jpeg420_media(load_table(spark, sf_dir, "documents"))
     return jpeg_pixel_stats(media)
+
+
+@register(
+    "multimodal_gif_animation",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      3 + doc_id % 9 AS w, 2 + doc_id % 7 AS h,
+                      2 + doc_id % 3 AS nf,
+                      doc_id % 13 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, w, h, nf,
+            [list_sum([(media_id * 31 + 23 * f + 11 * p) % 4
+                       for p in range(0, w * h)])
+             for f in range(0, nf)] AS fs
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'gif' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE nf END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN bad THEN 0 ELSE list_sum(fs) END AS BIGINT)
+             AS idx_sum,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(f + 1) * fs[f + 1] for f in range(0, nf)])
+                END AS BIGINT) AS idx_framesum
+    FROM s
+    """,
+    doc="Multi-frame GIF89a ANIMATION decode: NETSCAPE looping app "
+    "extension + per-frame Graphic Control Extensions + one LZW "
+    "stream per frame, walked to the trailer. The frame-order-"
+    "weighted checksum (sum of (f+1) * frame-index-sum) catches frame "
+    "permutation or merged-stream errors that the plain sum cannot; "
+    "truncated-mid-animation blobs degrade to 'unknown'. The oracle "
+    "recomputes both checksums blind from the (frame, position) LCG. "
+    "operators/gif.py:gif_animation_stats",
+    tags=("llm", "multimodal"),
+)
+def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.gif import (
+        gif_animation_stats,
+        synthesize_gif_animated_media,
+    )
+
+    media = synthesize_gif_animated_media(load_table(spark, sf_dir, "documents"))
+    return gif_animation_stats(media)

@@ -172,3 +172,46 @@ class TestInterlacedGIF:
 
         w, h, _pal, idx = _decode_gif(_make_gif(3))
         assert idx == [_GIF_IDX(3, p) for p in range(w * h)]
+
+
+class TestAnimatedGIF:
+    def test_frame_decode_and_order(self):
+        from gmall_flink_210726_spark.operators.gif import (
+            _GAN_IDX,
+            _GAN_NF,
+            _decode_gif_frames,
+            _make_gif_animated,
+        )
+
+        for i in (1, 2, 3, 7, 30):
+            w, h, pal, frames = _decode_gif_frames(_make_gif_animated(i))
+            assert len(frames) == _GAN_NF(i)
+            for f, (iw, ih, idx) in enumerate(frames):
+                assert idx == [_GAN_IDX(i, f, p) for p in range(iw * ih)]
+
+    def test_truncated_animation_rejected(self):
+        from gmall_flink_210726_spark.operators.gif import (
+            _GAN_BAD,
+            _decode_gif_frames,
+            _make_gif_animated,
+        )
+
+        assert _GAN_BAD(13)
+        with pytest.raises(ValueError):
+            _decode_gif_frames(_make_gif_animated(13))
+
+    def test_animation_bitflip_fuzz(self):
+        from gmall_flink_210726_spark.operators.gif import (
+            _decode_gif_frames,
+            _make_gif_animated,
+        )
+
+        rng = random.Random(31)
+        blob = bytearray(_make_gif_animated(30))
+        for _ in range(400):
+            mut = bytearray(blob)
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            try:
+                _decode_gif_frames(bytes(mut))
+            except ValueError:
+                pass
