@@ -79,20 +79,43 @@ def _energy_batch(pdf: pd.DataFrame, win: int) -> pd.DataFrame:
                     elif cid == b"data":
                         data_pos, data_sz = pos + 8, csz
                     pos += 8 + csz + (csz & 1)
-                if ch > 0 and bits == 16 and data_pos and data_pos + data_sz <= len(b):
-                    n_frames = data_sz // (2 * ch)
+                if (
+                    ch > 0
+                    and bits in (8, 16, 24)
+                    and data_pos
+                    and data_pos + data_sz <= len(b)
+                ):
+                    bps = bits // 8
+                    n_frames = data_sz // (bps * ch)
                     nw = n_frames // win
                     row.update(format="wav", n_windows=int(nw))
                     if nw > 0:
-                        arr = np.frombuffer(
-                            b, "<i2", offset=data_pos, count=nw * win * ch
-                        ).astype(np.int64)
+                        ns = nw * win * ch
+                        if bits == 16:
+                            arr = np.frombuffer(
+                                b, "<i2", offset=data_pos, count=ns
+                            ).astype(np.int64)
+                        elif bits == 8:
+                            # WAV 8-bit PCM is UNSIGNED, 128-centered
+                            arr = (
+                                np.frombuffer(
+                                    b, np.uint8, offset=data_pos, count=ns
+                                ).astype(np.int64)
+                                - 128
+                            )
+                        else:  # 24-bit little-endian two's complement
+                            raw = np.frombuffer(
+                                b, np.uint8, offset=data_pos, count=3 * ns
+                            ).astype(np.int64).reshape(ns, 3)
+                            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+                            arr = v - ((v & 0x800000) << 1)
+                        rail = (1 << (bits - 1)) - 1
                         sq = (arr * arr).reshape(nw, win * ch)
                         energies = sq.sum(axis=1)
                         row.update(
                             total_energy=int(energies.sum()),
                             max_energy=int(energies.max()),
-                            n_clipped=int((np.abs(arr) >= 32767).sum()),
+                            n_clipped=int((np.abs(arr) >= rail).sum()),
                         )
         except (struct.error, ValueError):
             pass
@@ -195,3 +218,72 @@ def audio_zero_crossings(df: DataFrame) -> DataFrame:
             yield _zcr_batch(pdf)
 
     return df.select("media_id", "content").mapInPandas(gen, ZCR_SCHEMA)
+
+
+def synthesize_wav_depths(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL WAV blobs cycling bit depth by id:
+    8-bit unsigned (i%3==0), 24-bit two's-complement little-endian
+    (i%3==1), 16-bit (i%3==2). Sample k follows the shared LCG
+    ``(i*13 + 5k) % 2^bits``, centered per depth, so a DuckDB oracle
+    recomputes every energy integer blind with ONE formula
+    parameterized by the modulus."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    import numpy as np
+    import struct
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def make(i: int) -> bytes:
+        bits = {0: 8, 1: 24, 2: 16}[i % 3]
+        ch = 1 + i % 2
+        ns = 32 + i % 48
+        sr = 8000
+        u = (i * 13 + 5 * np.arange(ns * ch, dtype=np.int64)) % (1 << bits)
+        if bits == 8:
+            payload = u.astype(np.uint8).tobytes()
+        elif bits == 16:
+            payload = (u - 32768).astype("<i2").tobytes()
+        else:
+            # sample VALUE is u - 2^23; on-wire is its 24-bit two's
+            # complement, i.e. (u - 2^23) mod 2^24 == u ^ 0x800000
+            v = (u - (1 << 23)) & 0xFFFFFF
+            raw = np.zeros((ns * ch, 3), np.uint8)
+            raw[:, 0] = v & 0xFF
+            raw[:, 1] = (v >> 8) & 0xFF
+            raw[:, 2] = (v >> 16) & 0xFF
+            payload = raw.tobytes()
+        n = len(payload)
+        bps = bits // 8
+        return (
+            struct.pack("<4sI4s", b"RIFF", 36 + n, b"WAVE")
+            + struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, 1, ch, sr,
+                sr * ch * bps, ch * bps, bits,
+            )
+            + struct.pack("<4sI", b"data", n)
+            + payload
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [make(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "wav",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 8000,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -518,3 +518,51 @@ def multimodal_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_gif_animated_media(load_table(spark, sf_dir, "documents"))
     return gif_animation_stats(media)
+
+
+@register(
+    "multimodal_audio_depths",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, 1 + doc_id % 2 AS ch,
+                      32 + doc_id % 48 AS ns,
+                      CASE doc_id % 3 WHEN 0 THEN 256
+                                      WHEN 1 THEN 16777216
+                                      ELSE 65536 END AS md
+               FROM documents),
+    d AS (SELECT media_id, ch, ns, md, md // 2 AS off,
+                 ns // 16 AS nw FROM m),
+    e AS (SELECT media_id, nw, off,
+       [list_sum([CAST(((media_id * 13 + 5 * (wi * 16 * ch + k)) % md)
+                       - off AS BIGINT)
+                  * CAST(((media_id * 13 + 5 * (wi * 16 * ch + k)) % md)
+                         - off AS BIGINT)
+                  for k in range(0, 16 * ch)])
+        for wi in range(0, nw)] AS en,
+       list_sum([CASE WHEN abs(((media_id * 13 + 5 * k) % md) - off)
+                           >= off - 1 THEN 1 ELSE 0 END
+                 for k in range(0, nw * 16 * ch)]) AS ncl
+       FROM d)
+    SELECT media_id, 'wav' AS format, CAST(nw AS BIGINT) AS n_windows,
+           CAST(list_sum(en) AS BIGINT) AS total_energy,
+           CAST(list_max(en) AS BIGINT) AS max_energy,
+           CAST(COALESCE(ncl, 0) AS BIGINT) AS n_clipped
+    FROM e
+    """,
+    doc="Windowed audio energy across WAV BIT DEPTHS: 8-bit unsigned "
+    "(128-centered), 24-bit two's-complement little-endian, and "
+    "16-bit PCM, with depth-scaled clipping rails (2^(bits-1) - 1). "
+    "The fixture cycles depth by id with one shared sample LCG, so "
+    "the oracle recomputes every integer with ONE formula "
+    "parameterized by the modulus — a decoder that mis-assembles "
+    "3-byte samples, forgets 8-bit's unsigned center, or scales the "
+    "rail wrong mismatches. operators/audio.py:synthesize_wav_depths",
+    tags=("llm", "multimodal"),
+)
+def multimodal_audio_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.audio import (
+        audio_window_energy,
+        synthesize_wav_depths,
+    )
+
+    media = synthesize_wav_depths(load_table(spark, sf_dir, "documents"))
+    return audio_window_energy(media, win=16)
