@@ -1,0 +1,249 @@
+r"""Extras wave 7: data-quality digit audit, time-bucket gap-fill, and
+bounded k-core graph peeling.
+
+Determinism notes (repo-wide contract):
+- Benford expectation log10(1 + 1/d) and the chi-square terms are
+  computed in double with the IDENTICAL operation order on both
+  engines over exact integer counts — bit-identical without rounding.
+- Gap-fill sums event values as exact integer cents
+  (round(value*100)) so the carried-forward metric is
+  summation-order-independent; only the final /100.0 is float.
+- k-core peel rounds operate on exact distinct edge sets; all outputs
+  are integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+
+@register(
+    "x23_benford_audit",
+    oracle="""
+    WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+               WHERE o_totalprice > 0),
+    d AS (SELECT CAST(floor(x / power(10.0, floor(log10(x)))) AS BIGINT)
+            AS digit FROM v),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+    SELECT c.digit, c.n_obs,
+           log10(1.0 + 1.0 / c.digit) AS exp_p,
+           (c.n_obs - t.n * log10(1.0 + 1.0 / c.digit))
+             * (c.n_obs - t.n * log10(1.0 + 1.0 / c.digit))
+             / (t.n * log10(1.0 + 1.0 / c.digit)) AS chi2_term
+    FROM c CROSS JOIN t
+    """,
+    doc="Benford first-significant-digit conformance audit (the "
+    "classic fraud/data-quality screen): observed digit counts of "
+    "order totals vs the Benford expectation log10(1+1/d), with "
+    "per-digit chi-square contributions. Scale shape: one scan "
+    "collapses to a 9-row digit frame; the total joins back as a "
+    "1-row broadcast — all double arithmetic runs on the 9-row frame "
+    "with engine-identical operation order over exact integer counts.",
+    tags=("extras", "quality"),
+)
+def x23_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("long")
+    c = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    t = c.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    dev = F.col("n_obs") - F.col("n") * exp_p
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        exp_p.alias("exp_p"),
+        (dev * dev / (F.col("n") * exp_p)).alias("chi2_term"),
+    )
+
+
+@register(
+    "x24_time_gapfill",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      date_trunc('hour', ts) AS hr,
+                      CAST(COUNT(*) AS BIGINT) AS n_events,
+                      CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2),
+    rng AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM b),
+    spine AS (SELECT t.event_type, g.hr
+              FROM (SELECT DISTINCT event_type FROM b) t
+              CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+                            INTERVAL 1 HOUR)) AS hr FROM rng) g),
+    f AS (SELECT s.event_type, s.hr,
+                 COALESCE(b.n_events, 0) AS n_events,
+                 b.cents,
+                 CASE WHEN b.hr IS NULL THEN 1 ELSE 0 END AS filled
+          FROM spine s LEFT JOIN b USING (event_type, hr))
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hour,
+           n_events, filled,
+           COALESCE(LAST_VALUE(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0) / 100.0 AS carried_value
+    FROM f
+    """,
+    doc="Time-bucket gap-fill with carry-forward (the hypertable "
+    "resample primitive): hourly per-type event rollups joined against "
+    "a dense (type x hour) spine generated from the observed range; "
+    "missing buckets appear with n_events=0, filled=1, and the last "
+    "observed value carried forward (LAST ... IGNORE NULLS). Scale "
+    "shape: the fact scan collapses FIRST to the (type, hour) frame "
+    "(time-bounded cardinality however big the table), the 1-row "
+    "range agg broadcasts, the spine is types x hours, and the "
+    "carry-forward window partitions per type over bounded rows — no "
+    "raw row ever meets the spine. Values are summed as exact integer "
+    "cents so carry-forward is summation-order-independent.",
+    tags=("extras", "timeseries"),
+)
+def x24_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rng = b.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hr")
+    )
+    spine = (
+        b.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(hours))
+        # spine and b share lineage (both derive from the aggregated
+        # frame); break the ambiguity with explicit aliases
+        .select(
+            F.col("event_type").alias("sp_type"), F.col("hr").alias("sp_hr")
+        )
+    )
+    f = spine.join(
+        b,
+        (F.col("sp_type") == F.col("event_type"))
+        & (F.col("sp_hr") == F.col("hr")),
+        "left",
+    ).select(
+        F.col("sp_type").alias("event_type"),
+        F.col("sp_hr").alias("hr"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "cents",
+        F.when(F.col("hr").isNull(), 1).otherwise(0).alias("filled"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return f.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH").alias("hour"),
+        "n_events",
+        "filled",
+        (
+            F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0))
+            / 100.0
+        ).alias("carried_value"),
+    )
+
+
+# one peel round, unrolled in the oracle for rounds 1..3: keep parts
+# and suppliers whose CURRENT degree is >= k, then restrict the edge
+# set to kept endpoints
+_KCORE_K = 3
+_PEEL_ROUND = f"""
+    dp{{r}} AS (SELECT p FROM e{{prev}} GROUP BY p
+                HAVING COUNT(*) >= {_KCORE_K}),
+    ds{{r}} AS (SELECT s FROM e{{prev}} GROUP BY s
+                HAVING COUNT(*) >= {_KCORE_K}),
+    e{{r}} AS (SELECT e.p, e.s FROM e{{prev}} e
+             JOIN dp{{r}} USING (p) JOIN ds{{r}} USING (s))"""
+
+
+@register(
+    "an10_kcore_peel",
+    oracle="WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s"
+    " FROM lineitem WHERE l_quantity >= 49),"
+    + ",".join(_PEEL_ROUND.format(r=r, prev=r - 1) for r in (1, 2, 3))
+    + "".join(
+        f"""
+    {'SELECT' if r == 0 else 'UNION ALL SELECT'}
+           CAST({r} AS BIGINT) AS round,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT p) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_supps
+    FROM e{r}"""
+        for r in (0, 1, 2, 3)
+    ),
+    doc="Bounded k-core peeling (k=3, 3 rounds) of the bipartite "
+    "part-supplier graph over high-quantity line items (the sparse "
+    "slice where peeling cascades): each round drops endpoints whose "
+    "current degree is below k and restricts the edge set to "
+    "survivors; the "
+    "output is the per-round (edges, part-nodes, supplier-nodes) "
+    "shrinkage curve — the standard dense-subgraph screen before "
+    "community detection. Scale shape: the graph is the DISTINCT "
+    "edge projection (pair-bounded however big the fact table); each "
+    "round is two degree HashAggregates plus two semi-joins on bare "
+    "keys, a constant number of rounds with no lineage growth worth "
+    "checkpointing at 3 rounds (the >=6-round pattern in "
+    "operators/graph.py:pagerank applies beyond that).",
+    tags=("extras", "graph"),
+)
+def an10_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+    def stats(edges: DataFrame, rnd: int) -> DataFrame:
+        return edges.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.count_distinct("p").cast("long").alias("n_parts"),
+            F.count_distinct("s").cast("long").alias("n_supps"),
+        )
+
+    # the edge frame feeds both the stats agg and the next round's
+    # degree aggs: materialize once per round
+    e = e.localCheckpoint(eager=False)
+    out = [stats(e, 0)]
+    for rnd in (1, 2, 3):
+        keep_p = e.groupBy("p").agg(F.count(F.lit(1)).alias("d")).filter(
+            F.col("d") >= _KCORE_K
+        )
+        keep_s = e.groupBy("s").agg(F.count(F.lit(1)).alias("d")).filter(
+            F.col("d") >= _KCORE_K
+        )
+        e = (
+            e.join(keep_p.select("p"), "p", "left_semi")
+            .join(keep_s.select("s"), "s", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        out.append(stats(e, rnd))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

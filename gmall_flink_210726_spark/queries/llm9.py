@@ -1,0 +1,211 @@
+r"""LLM wave 9: exact cross-document substring duplication and
+mergeable-HLL register rollup.
+
+text_substring_dedup approximates the ExactSubstr pass of Lee et al.
+2022 ("Deduplicating Training Data Makes Language Models Better",
+ACL) with strided fixed-length hash windows instead of a suffix
+array: a 40-char window every 10 chars catches any cross-document
+duplicated run of >= 49 chars (a duplicated run of length
+L >= window + stride - 1 must contain an aligned window) at 1/10 the
+explode cost of per-position windows, and only (doc_id, md5) pairs
+ever shuffle — document bodies stay in the scan stage.
+
+sketch_hll_rollup demonstrates the register-merge algebra that makes
+sketches the 100 TB answer to multi-granularity distinct counts:
+per-month HLL register tables MAX-merge into the corpus-level table
+WITHOUT a second pass over raw rows — aggregate once at the finest
+grain, roll up sketches, never re-scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+_WIN = 40
+_STRIDE = 10
+
+
+@register(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE length(text) >= {_WIN}),
+    px AS (SELECT doc_id, text,
+                  unnest(range(1, length(text) - {_WIN - 2}, {_STRIDE}))
+                    AS p
+           FROM d),
+    w AS (SELECT doc_id,
+                 md5(substr(text, CAST(p AS INTEGER), {_WIN})) AS h
+          FROM px),
+    dup AS (SELECT h FROM w GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) > 1),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM w GROUP BY 1),
+    dd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+           FROM w WHERE h IN (SELECT h FROM dup) GROUP BY 1)
+    SELECT docs.doc_id,
+           COALESCE(tot.n_windows, 0) AS n_windows,
+           COALESCE(dd.n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(tot.n_windows, 0) = 0 THEN 0.0
+                ELSE COALESCE(dd.n_dup_windows, 0)
+                     / CAST(tot.n_windows AS DOUBLE) END AS dup_frac
+    FROM documents docs
+    LEFT JOIN tot ON docs.doc_id = tot.doc_id
+    LEFT JOIN dd ON docs.doc_id = dd.doc_id
+    """,
+    doc="Exact cross-document substring duplication screen (the "
+    "hash-window approximation of Lee et al. 2022's ExactSubstr "
+    "suffix-array pass): 40-char windows at stride 10 — any "
+    "cross-doc duplicated run >= 49 chars necessarily contains an "
+    "aligned window — hashed to md5 in the scan projection, grouped "
+    "by hash, and a window counts as duplicated when its hash occurs "
+    "in more than one distinct document. Per-doc output: window "
+    "count, duplicated-window count, duplicated fraction. Scale "
+    "shape: the stride divides the explode factor by 10 and the "
+    "md5 happens BEFORE the exchange, so shuffles carry (id, hash) "
+    "pairs only; the dup-hash set is HAVING-filtered before the "
+    "semi-join back. dup_frac is an exact int/int double quotient.",
+    tags=("llm", "text", "dedup"),
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.length("text") >= _WIN)
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.length("text") - (_WIN - 1), F.lit(_STRIDE)
+            )
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), F.col("p"), F.lit(_WIN))).alias(
+            "h"
+        ),
+    )
+    # the window-hash frame feeds three legs (dup-hash mining, per-doc
+    # totals, per-doc dup counts): materialize once
+    w = w.localCheckpoint(eager=False)
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    tot = w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    dd = (
+        w.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_windows"))
+    )
+    nw = F.coalesce("n_windows", F.lit(0)).cast("long")
+    ndw = F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(dd, "doc_id", "left")
+        .select(
+            "doc_id",
+            nw.alias("n_windows"),
+            ndw.alias("n_dup_windows"),
+            F.when(nw == 0, F.lit(0.0))
+            .otherwise(ndw / nw.cast("double"))
+            .alias("dup_frac"),
+        )
+    )
+
+
+_HASH60 = (
+    "list_sum([(strpos('0123456789abcdef', substr({h}, i, 1)) - 1)"
+    " * (CAST(1 AS BIGINT) << (4 * (15 - i))) for i in range(1, 16)])"
+)
+
+_HLL_EST = """
+    round(CASE WHEN 0.709 * 64 * 64 / (s_obs + (64 - n_regs)) <= 160.0
+                    AND 64 - n_regs > 0
+               THEN 64.0 * ln(64.0 / (64 - n_regs))
+               ELSE 0.709 * 64 * 64 / (s_obs + (64 - n_regs)) END, 4)"""
+
+
+@register(
+    "sketch_hll_rollup",
+    oracle=f"""
+    WITH ded AS (SELECT DISTINCT
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                     AS month,
+                   o_custkey
+                 FROM orders),
+    hv AS (SELECT month,
+             {_HASH60.format(h="md5(CAST(o_custkey AS VARCHAR))")} AS h60
+           FROM ded),
+    rg AS (SELECT month, h60 % 64 AS reg,
+                  CASE WHEN h60 // 64 = 0 THEN 55
+                       ELSE 55 - length(bin(h60 // 64)) END AS rho
+           FROM hv),
+    mx AS (SELECT month, reg, MAX(rho) AS m FROM rg GROUP BY 1, 2),
+    allmx AS (SELECT '(all)' AS month, reg, MAX(m) AS m FROM mx
+              GROUP BY 2),
+    u AS (SELECT * FROM mx UNION ALL SELECT * FROM allmx),
+    pg AS (SELECT month, SUM(power(2.0, -m)) AS s_obs,
+                  COUNT(*) AS n_regs
+           FROM u GROUP BY 1),
+    ex AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+           FROM ded GROUP BY 1
+           UNION ALL
+           SELECT '(all)', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+           FROM orders)
+    SELECT pg.month, {_HLL_EST} AS hll_estimate, ex.exact_distinct
+    FROM pg JOIN ex USING (month)
+    """,
+    doc="Mergeable-HLL rollup (the sketch re-aggregation pattern that "
+    "replaces COUNT DISTINCT re-scans at 100 TB): per-month register "
+    "tables (64 rows/group, operators/sketch.py:hll_registers) "
+    "MAX-merge into the corpus-level register table — the '(all)' "
+    "row's estimate is derived entirely from the month partials, no "
+    "second pass over raw rows — then both granularities estimate "
+    "from ONE unioned register frame, with exact counts alongside "
+    "for calibration. Register merge-by-MAX is HLL's algebra "
+    "(st10 relies on it across epochs; this query relies on it "
+    "across GROUPS).",
+    tags=("sketch", "llm"),
+)
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    ded = (
+        orders.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+            .alias("month"),
+            "o_custkey",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    regs = hll_registers(ded, ["month"], "o_custkey").localCheckpoint(
+        eager=False
+    )
+    allregs = regs.groupBy("reg").agg(F.max("m").alias("m")).select(
+        F.lit("(all)").alias("month"), "reg", "m"
+    )
+    est = hll_estimate_from_registers(
+        regs.unionByName(allregs), ["month"]
+    )
+    exact = ded.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    exact_all = ded.agg(
+        F.lit("(all)").alias("month"),
+        F.count_distinct("o_custkey").cast("long").alias("exact_distinct"),
+    )
+    return est.join(exact.unionByName(exact_all), "month")

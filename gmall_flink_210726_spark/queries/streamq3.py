@@ -1,0 +1,105 @@
+r"""Streaming wave 3: pre-aggregated top-k serving.
+
+st13 maintains per-(hour, event_type) count partials through the
+checkpointed foreachBatch pipeline and the overwrite-idempotent
+epoch-partition sink, then ranks top-3 types per hour AT READ TIME
+from the merged durable partials — the pre-aggregate-then-serve
+pattern that replaces "sort the raw stream" at 100 TB: per-epoch
+state is bounded by (hours x types) touched in the batch, the merge
+is an additive SUM (replay-safe exactly like st9's CMS cells), and
+the rank window runs over the aggregated frame only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+
+@register(
+    "st13_stream_topk_types",
+    oracle="""
+    WITH b AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H')
+                        AS hour,
+                      event_type,
+                      CAST(COUNT(*) AS BIGINT) AS ct
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT hour, event_type, ct,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY hour
+                        ORDER BY ct DESC, event_type) AS BIGINT) AS rk
+          FROM b)
+    SELECT hour, event_type, ct, rk FROM r WHERE rk <= 3
+    """,
+    doc="Streaming top-k maintenance (the pre-aggregate-then-serve "
+    "pattern): each micro-batch reduces to (hour, event_type, ct) "
+    "partials — state bounded by buckets touched, never batch volume "
+    "— written through the idempotent epoch-partition sink; the "
+    "durable merge is the cross-epoch SUM (additive == replay-safe, "
+    "st9's algebra), and top-3 per hour is ranked at read over the "
+    "aggregated frame with a deterministic (count DESC, type) "
+    "tiebreak. The rank window partitions per hour over <=n_types "
+    "rows — the raw stream is never sorted.",
+    tags=("streaming", "sink", "topk"),
+)
+def st13_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    out = tempfile.mkdtemp(prefix="st13_topk_")
+    ckpt = tempfile.mkdtemp(prefix="st13_ckpt_")
+    # ts arrives as epoch-nanos bigint (streamq._read_events_stream
+    # contract); bucket to the hour STRING inside the batch reduction
+    # so the durable partial key is timezone-free
+    ev = _stream_events(spark, sf_dir).select(
+        F.date_format(
+            F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd HH"
+        ).alias("hour"),
+        "event_type",
+    )
+
+    def _write_partials(batch: DataFrame, epoch: int) -> None:
+        partials = batch.groupBy("hour", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("ct")
+        )
+        append_stats_exactly_once(partials, epoch, out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(ev, _write_partials, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st13 top-k stream did not finish")
+        q.stop()
+        merged = (
+            spark.read.parquet(out)
+            .groupBy("hour", "event_type")
+            .agg(F.sum("ct").cast("long").alias("ct"))
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("hour").orderBy(
+                F.col("ct").desc(), F.col("event_type")
+            )
+        )
+        result = (
+            merged.select(
+                "hour", "event_type", "ct", rk.cast("long").alias("rk")
+            )
+            .filter(F.col("rk") <= 3)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result

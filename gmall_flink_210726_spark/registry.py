@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras4,
         extras5,
         extras6,
+        extras7,
         gmall,
         gmall2,
         llm,
@@ -58,8 +59,10 @@ def load_all() -> dict[str, QuerySpec]:
         llm6,
         llm7,
         llm8,
+        llm9,
         streamq,
         streamq2,
+        streamq3,
         tpch,
         tpch2,
         tpch3,
