@@ -169,12 +169,27 @@ def kmeans_lloyd_iteration(
     the judgeable unit (a full loop is just this operator iterated
     with the previous output as literals).
 
-    Determinism: elements are 6-dp-rounded DECIMALs BEFORE the
-    distance arithmetic, so every squared distance is EXACT
-    (DECIMAL(38,12)) and the argmin ordering is engine-identical; ties
-    break to the smallest centroid id (array_position returns the
-    first minimum). Means follow the label_centroids rounded-then-
-    DECIMAL contract.
+    Determinism: elements are 6-dp-rounded then scaled to EXACT
+    integer micro-units (round(x,6)*1e6 as LONG), so every squared
+    distance is an exact 64-bit integer (max |x| < 1 here; the sum is
+    bounded by d * (2e6)^2 ~ 2.6e14 << 2^63) and the argmin ordering
+    is engine-identical with the DECIMAL form the oracle computes
+    (both are the same exact rational). Ties break to the smallest
+    centroid id via array_min over (dist, id) structs. Means: the
+    per-(cluster, dim) micro-unit sum is an exact long; /1e6 and the
+    decimal-sum-cast-to-double the oracle uses are both the correctly
+    rounded double of the same rational, so the quotient matches
+    bit-for-bit.
+
+    Why integers, one array_min, and the two-step projection: the
+    previous form computed the argmin IN THE SAME projection as the
+    posexplode, and Generate evaluates non-generator expressions once
+    per OUTPUT row — the k x d distance fold ran d times per vector
+    (measured 46 s on 2000x64@sf0.1). Assignment now materializes in
+    a Project BELOW the Generate (the plan pins this), so the fold
+    runs once per vector: 46 s -> ~2 s, bit-identical output. Long
+    micro-unit arithmetic additionally replaces the DECIMAL(30,12)
+    precision-widening fold tree.
 
     Scale shape: the k x d codebook is one bounded collect (the
     quantized_ann_topk literal-array pattern) embedded map-side, so
@@ -188,40 +203,54 @@ def kmeans_lloyd_iteration(
         .select(id_col, vec_col)
         .collect()
     )
-    dec = lambda c: c.cast("decimal(10,6)")  # noqa: E731
-    xd = F.transform(
-        vec_col, lambda e: dec(F.round(e.cast("double"), 6))
+    # exact 6-dp micro-units: round(x, 6) is the engine-shared
+    # contract; *1e6 then round-to-integer is exact (the product is
+    # within 1e-4 of an integer)
+    xl = F.transform(
+        vec_col,
+        lambda e: F.round(F.round(e.cast("double"), 6) * 1e6, 0).cast(
+            "long"
+        ),
     )
-    dists = []
-    for row in init:
-        c_arr = F.array(
-            *[
-                dec(F.lit(round(float(v), 6)))
-                for v in row[vec_col]
-            ]
-        )
-        dists.append(
-            F.aggregate(
-                F.zip_with(xd, c_arr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("decimal(30,12)"),
-                # Spark widens DECIMAL addition scale/precision; cast
-                # back to the accumulator type (lossless here: 64 terms
-                # each < 10, sum << 10^18)
-                lambda acc, v: (acc + v).cast("decimal(30,12)"),
+    cb = F.array(
+        *[
+            F.struct(
+                F.array(
+                    *[
+                        F.lit(int(round(round(float(v), 6) * 1e6)))
+                        for v in row[vec_col]
+                    ]
+                ).alias("c"),
+                F.lit(i).alias("i"),
             )
-        )
-    darr = F.array(*dists)
-    assigned = emb.select(
-        (F.array_position(darr, F.array_min(darr)) - 1)
-        .cast("int")
-        .alias("cluster_id"),
-        F.posexplode(xd).alias("dim", "x"),
+            for i, row in enumerate(init)
+        ]
     )
+    best = F.array_min(
+        F.transform(
+            cb,
+            lambda e: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        xl, e["c"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                e["i"].alias("i"),
+            ),
+        )
+    )
+    # two-step: the argmin must land in a Project BELOW the Generate,
+    # else posexplode re-evaluates the k x d fold per exploded row
+    assigned = emb.select(
+        best["i"].cast("int").alias("cluster_id"), xl.alias("xl")
+    ).select("cluster_id", F.posexplode("xl").alias("dim", "x"))
     return assigned.groupBy("cluster_id", "dim").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(
-            (F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
-             / F.count(F.lit(1))).cast("double"),
+            (F.sum("x").cast("double") / F.lit(1e6))
+            / F.count(F.lit(1)),
             6,
         ).alias("centroid"),
     )

@@ -523,6 +523,27 @@ class TestRound6PlanShapes:
         assert "Join" not in plan, plan
         assert plan.count("Exchange") == 1, plan
 
+    def test_kmeans_argmin_is_below_the_generate(self, spark):
+        """Generate evaluates non-generator expressions once per
+        OUTPUT row: if the k x d argmin fold sits in the same
+        projection as posexplode it runs d times per vector (measured
+        46 s vs 2 s at 2000x64). Pin the fixed shape: the Generate
+        node carries cluster_id as a bare attribute (computed in the
+        Project BELOW), never the array_min(...) expression."""
+        plan = _plan(SPECS["emb_kmeans_iteration"].fn(spark, SF_SMALL))
+        gen_lines = [l for l in plan.splitlines() if "Generate" in l]
+        assert gen_lines, plan
+        for line in gen_lines:
+            assert "array_min" not in line, line
+
+    def test_gram_matrix_emits_batch_partials_not_row_terms(self, spark):
+        """The Gram map side must be the Arrow-batched int64 matmul
+        (one MapInPandas node), not a per-row term explode — the
+        shuffle input is 2080 rows per batch, not per vector."""
+        plan = _plan(SPECS["emb_gram_matrix"].fn(spark, SF_SMALL))
+        assert "MapInPandas" in plan, plan
+        assert "Generate" not in plan, plan
+
     def test_bloom_bitmap_broadcasts(self, spark):
         """The m-bit set-bit frame must reach the probe side as a
         broadcast; the probe side never sort-merge-joins on bit."""
