@@ -372,7 +372,13 @@ def histogram_quantiles(
     rank p*n. Two passes (min/max+count scalars, then bucket counts) —
     the only global structure is the n_buckets-row cumulative window.
     Exact side: Spark percentile() == DuckDB quantile_cont (linear
-    rank interpolation), the w6 contract.
+    rank interpolation), the w6 contract. BOUND: exact percentile()
+    buffers every value of the aggregated column in one aggregation
+    buffer — fine here because the exact column exists only to
+    calibrate the sketch and is what you DROP at 100 TB (the
+    histogram estimate is the production path); never reuse this
+    exact side over a corpus-cardinality frame (see
+    text2.ccnet_buckets for the bounded-state alternative).
     """
     c = F.col(value_col)
     mn, mx, n = df.agg(F.min(c), F.max(c), F.count(c)).collect()[0]

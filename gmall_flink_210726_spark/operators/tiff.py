@@ -257,6 +257,185 @@ def _make_tiff_packbits(i: int) -> bytes:
     return out
 
 
+# ----------------------------------------------------------------- lzw
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW for ONE strip: MSB-first bit packing, 9-bit
+    codes growing to 12, ClearCode=256 / EOI=257, and the TIFF
+    "early change" — the code width bumps when the table reaches
+    2^width - 1 entries (511/1023/2047), one earlier than plain LZW,
+    which is exactly what keeps the one-entry-behind decoder's width
+    in lockstep with the encoder's."""
+    out = bytearray()
+    acc = nbits = 0
+    width, next_code = 9, 258
+    table: dict[bytes, int] = {bytes([b]): b for b in range(256)}
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    put(256)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code >= 4094:  # keep 4094/4095 free: clear + restart
+            put(256)
+            table = {bytes([b]): b for b in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        put(table[w])
+    put(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(src: bytes, expected: int) -> bytes:
+    """Strip-wise TIFF LZW decode (§13): the dictionary runs one entry
+    behind the encoder, so the early-change width bump at 2^width - 1
+    lands on the same code boundary; KwKwK (code == next) resolves to
+    prev + prev[0]; any code beyond next is corrupt."""
+    out = bytearray()
+    acc = nbits = pos = 0
+    width, next_code = 9, 258
+    table: dict[int, bytes] = {b: bytes([b]) for b in range(256)}
+    prev: bytes | None = None
+
+    def get() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(src):
+                raise ValueError("lzw source exhausted")
+            acc = (acc << 8) | src[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        return code
+
+    while len(out) < expected:
+        code = get()
+        if code == 257:  # EOI before enough pixels
+            raise ValueError("lzw stream short")
+        if code == 256:
+            table = {b: bytes([b]) for b in range(256)}
+            next_code, width = 258, 9
+            prev = None
+            continue
+        if prev is None:  # first code after (implicit) clear
+            if code >= 256:
+                raise ValueError("lzw bad first code")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("lzw code out of range")
+        out += entry
+        if prev is not None and next_code < 4094:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # early change, decoder side: the table here runs ONE
+            # entry behind the encoder's, so the width must bump at
+            # 2^w - 2 entries (510/1022/2046) for the next read to
+            # land on the boundary where the encoder (which bumps at
+            # 2^w - 1 after its add) started writing wider codes
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError("lzw length mismatch")
+    return bytes(out)
+
+
+# LZW fixture: big enough strips (16 rows) that the dictionary crosses
+# 511 entries and the 9->10-bit early change actually executes; runs
+# of 3 in the value formula feed both fresh and repeated phrases
+_TLZ_W = lambda i: 16 + i % 17  # noqa: E731
+_TLZ_H = lambda i: 10 + i % 11  # noqa: E731
+_TLZ_BAD = lambda i: i % 12 == 0  # noqa: E731
+_TLZ_V = lambda i, p: (i * 29 + 7 * (p // 3)) % 256  # noqa: E731
+_LZW_ROWS_PER_STRIP = 16
+
+
+def _make_tiff_lzw(i: int) -> bytes:
+    """REAL LZW-compressed grayscale TIFF (Compression=5, one LZW
+    stream per strip); odd ids big-endian, _TLZ_BAD ids truncated
+    mid-strip so the LZW error surface executes."""
+    w, h = _TLZ_W(i), _TLZ_H(i)
+    e = ">" if i % 2 == 1 else "<"
+    pix = bytes(_TLZ_V(i, p) for p in range(w * h))
+    strips = []
+    for r0 in range(0, h, _LZW_ROWS_PER_STRIP):
+        nrows = min(_LZW_ROWS_PER_STRIP, h - r0)
+        strips.append(_lzw_encode(pix[r0 * w : (r0 + nrows) * w]))
+    n_strips = len(strips)
+    so_off = 8
+    sbc_off = so_off + 4 * n_strips
+    data_off = sbc_off + 4 * n_strips
+    offs, lens, pos = [], [], data_off
+    for s in strips:
+        offs.append(pos)
+        lens.append(len(s))
+        pos += len(s)
+    ifd_off = pos
+
+    def entry(tag, typ, count, value):
+        return struct.pack(e + "HHI", tag, typ, count) + value
+
+    short_v = lambda v: struct.pack(e + "HH", v, 0)  # noqa: E731
+    long_v = lambda v: struct.pack(e + "I", v)  # noqa: E731
+    entries = [
+        entry(256, 3, 1, short_v(w)),
+        entry(257, 3, 1, short_v(h)),
+        entry(258, 3, 1, short_v(8)),
+        entry(259, 3, 1, short_v(5)),  # Compression: LZW
+        entry(262, 3, 1, short_v(1)),
+        entry(
+            273,
+            4,
+            n_strips,
+            long_v(so_off) if n_strips > 1 else long_v(offs[0]),
+        ),
+        entry(277, 3, 1, short_v(1)),
+        entry(278, 3, 1, short_v(_LZW_ROWS_PER_STRIP)),
+        entry(
+            279,
+            4,
+            n_strips,
+            long_v(sbc_off) if n_strips > 1 else long_v(lens[0]),
+        ),
+    ]
+    blob = bytearray()
+    blob += (b"MM" if e == ">" else b"II") + struct.pack(e + "HI", 42, ifd_off)
+    blob += b"".join(struct.pack(e + "I", o) for o in offs)
+    blob += b"".join(struct.pack(e + "I", n) for n in lens)
+    for s in strips:
+        blob += s
+    blob += struct.pack(e + "H", len(entries)) + b"".join(entries)
+    blob += struct.pack(e + "I", 0)
+    out = bytes(blob)
+    if _TLZ_BAD(i):
+        return out[: max(8, len(out) * 2 // 5)]
+    return out
+
+
 # ---------------------------------------------------------------- decoder
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
@@ -322,7 +501,7 @@ def _decode_tiff(b: bytes):
             raise ValueError("missing required tag")
     w, h = tags[256][0], tags[257][0]
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError("compressed TIFF unsupported")
     spp = tags.get(277, [1])[0]
     if spp not in (1, 3):
@@ -341,11 +520,14 @@ def _decode_tiff(b: bytes):
         if off + n > len(b):
             raise ValueError("strip out of range")
         chunk = b[off : off + n]
-        if compression == 32773:
+        if compression in (5, 32773):
             nrows = min(rps, h - idx * rps)
             if nrows <= 0:
                 raise ValueError("excess strips")
-            chunk = _packbits_decode(chunk, nrows * w * spp)
+            if compression == 32773:
+                chunk = _packbits_decode(chunk, nrows * w * spp)
+            else:
+                chunk = _lzw_decode(chunk, nrows * w * spp)
         data += chunk
     need = w * h * spp
     if len(data) < need:
@@ -433,6 +615,40 @@ def synthesize_tiff_packbits_media(docs: DataFrame) -> DataFrame:
                             "format": "corrupt" if _TPB_BAD(i) else "tiff",
                             "width": _TPB_W(i),
                             "height": _TPB_H(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_tiff_lzw_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL LZW-compressed grayscale TIFFs, one
+    per doc_id; odd ids big-endian, ids hitting _TLZ_BAD truncated
+    mid-strip so the LZW error surface executes. Strip sizes are
+    chosen so the dictionary crosses 511 entries and the 9->10-bit
+    early-change width bump runs on every healthy image."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_tiff_lzw(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _TLZ_BAD(i) else "tiff",
+                            "width": _TLZ_W(i),
+                            "height": _TLZ_H(i),
                             "sample_rate": 0,
                         }
                         for i in ids

@@ -247,3 +247,139 @@ def an10_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+@register(
+    "x25_seasonal_profile",
+    oracle="""
+    WITH b AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      CAST(COUNT(*) AS BIGINT) AS ct
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, EXTRACT(hour FROM hr) AS hod,
+                 CAST(SUM(ct) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM b GROUP BY 1, 2)
+    SELECT b.event_type, strftime(b.hr, '%Y-%m-%d %H') AS hour,
+           b.ct AS n_events,
+           CAST(s.tot AS DOUBLE) / s.n_days AS seasonal,
+           b.ct - CAST(s.tot AS DOUBLE) / s.n_days AS residual
+    FROM b JOIN s ON b.event_type = s.event_type
+                 AND EXTRACT(hour FROM b.hr) = s.hod
+    """,
+    doc="Hour-of-day seasonal decomposition (the additive profile + "
+    "residual split behind seasonality-aware anomaly detection): per "
+    "(type, hour-of-day) the seasonal component is the mean hourly "
+    "count across observed days, and each bucket's residual is actual "
+    "minus seasonal. Scale shape: the fact scan collapses to the "
+    "(type, hour) frame first; the seasonal profile is a <= types x 24 "
+    "row aggregate joined back broadcast — raw rows never meet the "
+    "profile. Exactness: seasonal = int-sum / int-count, ONE double "
+    "division identical on both engines; the residual subtraction is "
+    "the only other float op, same order both sides.",
+    tags=("extras", "timeseries"),
+)
+def x25_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        .localCheckpoint(eager=False)
+    )
+    s = b.groupBy(
+        F.col("event_type").alias("s_type"),
+        F.hour("hr").alias("hod"),
+    ).agg(
+        F.sum("ct").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    seasonal = F.col("tot").cast("double") / F.col("n_days")
+    return (
+        b.join(
+            F.broadcast(s),
+            (b["event_type"] == F.col("s_type"))
+            & (F.hour(b["hr"]) == F.col("hod")),
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH").alias("hour"),
+            F.col("ct").alias("n_events"),
+            seasonal.alias("seasonal"),
+            (F.col("ct") - seasonal).alias("residual"),
+        )
+    )
+
+
+@register(
+    "x26_group_ols_trend",
+    oracle="""
+    WITH p AS (SELECT o_orderpriority AS prio,
+                      CAST(date_diff('day', DATE '1995-01-01',
+                                     CAST(o_orderdate AS DATE))
+                           AS BIGINT) AS x,
+                      CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+               FROM orders),
+    m AS (SELECT prio,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                 CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+                 CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+          FROM p GROUP BY 1)
+    SELECT prio, CAST(n AS BIGINT) AS n_orders,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_day,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM m
+    """,
+    doc="Per-group OLS trend line (closed form): revenue-vs-time "
+    "slope and intercept per order priority from the five exact "
+    "moments (n, Sx, Sy, Sxx, Sxy) — x centered as days since "
+    "1995-01-01 and y as exact integer cents so every moment is an "
+    "exact integer; the normal-equation cross products run in "
+    "DECIMAL(38,0) (n*Sxy ~ 10^23 at sf0.1 overflows BIGINT) and the "
+    "single double division per coefficient is engine-identical. "
+    "Scale shape: one scan collapsing to 5 moments per group "
+    "(map-side partial agg); the closed form is a projection over "
+    "the <= |groups| frame — the regression never re-scans or "
+    "iterates.",
+    tags=("extras", "analytics"),
+)
+def x26_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).cast(
+        "long"
+    )
+    y = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    m = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        x.alias("x"),
+        y.alias("y"),
+    ).groupBy("prio").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "prio",
+        F.col("n").cast("long").alias("n_orders"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )

@@ -122,6 +122,47 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_tiff_lzw",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      16 + doc_id % 17 AS w, 10 + doc_id % 11 AS h,
+                      doc_id % 12 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, w, h,
+            list_sum([(media_id * 29 + 7 * (p // 3)) % 256
+                      for p in range(0, w * h)]) AS rsum
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'tiff' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE rsum END AS BIGINT) AS rgb_sum
+    FROM s
+    """,
+    doc="LZW-compressed TIFF decode (TIFF 6.0 §13, Compression=5): a "
+    "real variable-width MSB-first LZW decoder — 9->12-bit codes, "
+    "ClearCode/EOI, KwKwK, and the TIFF early change (the decoder's "
+    "width bumps at 2^w - 2 table entries because it runs one entry "
+    "behind the encoder) — run per strip inside multi-strip grayscale "
+    "images on both byte orders. Strips are sized so every healthy "
+    "image crosses the 9->10-bit boundary. Truncated blobs degrade "
+    "to 'unknown'; the oracle recomputes every value blind from the "
+    "LCG pixel formula and never sees a compressed byte. "
+    "operators/tiff.py:_lzw_decode",
+    tags=("llm", "multimodal"),
+)
+def multimodal_tiff_lzw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.tiff import (
+        synthesize_tiff_lzw_media,
+        tiff_pixel_stats,
+    )
+
+    media = synthesize_tiff_lzw_media(load_table(spark, sf_dir, "documents"))
+    return tiff_pixel_stats(media)
+
+
 _HASH60 = (
     "list_sum([(strpos('0123456789abcdef', substr({h}, i, 1)) - 1)"
     " * (CAST(1 AS BIGINT) << (4 * (15 - i))) for i in range(1, 16)])"

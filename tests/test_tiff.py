@@ -48,7 +48,9 @@ class TestTIFF:
             _decode_tiff(b"GIF89a\x00\x00\x00\x00")
 
     def test_compressed_rejected(self):
-        # patch the Compression entry value (tag 259) to 5 (LZW)
+        # patch the Compression entry value (tag 259) to 2 (CCITT 1D,
+        # genuinely unsupported; 5 = LZW and 32773 = PackBits are
+        # real decode paths now)
         blob = bytearray(_make_tiff(2))
         e = "<"
         # scan IFD entries for tag 259 and flip its value
@@ -58,7 +60,7 @@ class TestTIFF:
             pos = ifd_off + 2 + 12 * k
             tag = struct.unpack(e + "H", blob[pos : pos + 2])[0]
             if tag == 259:
-                blob[pos + 8 : pos + 10] = struct.pack(e + "H", 5)
+                blob[pos + 8 : pos + 10] = struct.pack(e + "H", 2)
         with pytest.raises(ValueError):
             _decode_tiff(bytes(blob))
 
@@ -168,4 +170,100 @@ class TestPackBits:
             try:
                 _decode_tiff(bytes(blob))
             except (ValueError, struct.error, IndexError):
+                pass
+
+
+class TestLZW:
+    def test_encoder_decoder_round_trip_property(self):
+        from gmall_flink_210726_spark.operators.tiff import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        rng = random.Random(11)
+        cases = [
+            b"",
+            b"a",
+            b"aaaaaaaa",  # KwKwK chains
+            bytes(rng.randrange(256) for _ in range(5000)),  # 10-bit+
+            bytes((i * 7 // 3) % 256 for i in range(20000)),  # 12-bit
+            bytes(rng.randrange(4) for _ in range(30000)),  # clear+reset
+            b"ababab" * 300,
+        ]
+        for data in cases:
+            assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+    def test_early_change_boundary_exact(self):
+        """The 9->10-bit switch must land exactly where the encoder
+        put it: data engineered so the table crosses 511 entries; a
+        decoder bumping at 2^w - 1 instead of 2^w - 2 desynchronizes
+        and either raises or corrupts — equality pins the boundary."""
+        from gmall_flink_210726_spark.operators.tiff import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        # all-distinct pairs: one table entry per 1-2 input bytes,
+        # so 600 bytes safely crosses the 511-entry boundary
+        data = bytes(range(256)) + bytes(range(255, -1, -1)) + bytes(
+            (i * 3 + 1) % 256 for i in range(600)
+        )
+        assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+    def test_lzw_tiff_round_trip_both_endians(self):
+        from gmall_flink_210726_spark.operators.tiff import (
+            _TLZ_BAD,
+            _TLZ_H,
+            _TLZ_V,
+            _TLZ_W,
+            _make_tiff_lzw,
+        )
+
+        for i in (2, 3, 10, 11, 58, 59):
+            assert not _TLZ_BAD(i)
+            w, h, spp, data = _decode_tiff(_make_tiff_lzw(i))
+            assert (w, h, spp) == (_TLZ_W(i), _TLZ_H(i), 1)
+            assert data == bytes(_TLZ_V(i, p) for p in range(w * h))
+
+    def test_lzw_width_growth_actually_exercised(self):
+        """Every healthy fixture strip must push the dictionary past
+        511 entries (the whole point of the 16-row strips): re-encode
+        the first strip and count table adds."""
+        from gmall_flink_210726_spark.operators.tiff import (
+            _LZW_ROWS_PER_STRIP,
+            _TLZ_V,
+            _TLZ_W,
+            _lzw_encode,
+        )
+
+        i = 59
+        w = _TLZ_W(i)
+        strip = bytes(_TLZ_V(i, p) for p in range(w * _LZW_ROWS_PER_STRIP))
+        # encoded code count ~= table adds; > 253 adds crosses 511
+        enc = _lzw_encode(strip)
+        assert len(enc) * 8 // 9 > 253
+
+    def test_corrupt_lzw_blobs_raise(self):
+        from gmall_flink_210726_spark.operators.tiff import (
+            _TLZ_BAD,
+            _make_tiff_lzw,
+        )
+
+        for i in (12, 24, 36):
+            assert _TLZ_BAD(i)
+            with pytest.raises(ValueError):
+                _decode_tiff(_make_tiff_lzw(i))
+
+    def test_lzw_fuzz_never_hangs_or_segfaults(self):
+        from gmall_flink_210726_spark.operators.tiff import _make_tiff_lzw
+
+        rng = random.Random(5)
+        blob = bytearray(_make_tiff_lzw(3))
+        for _ in range(200):
+            bb = bytearray(blob)
+            for _ in range(rng.randrange(1, 4)):
+                bb[rng.randrange(len(bb))] = rng.randrange(256)
+            try:
+                _decode_tiff(bytes(bb))
+            except (ValueError, struct.error, IndexError, KeyError):
                 pass
