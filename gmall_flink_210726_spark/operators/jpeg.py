@@ -943,6 +943,95 @@ def _make_jpeg420(media_id: int, q_step: int = 8) -> bytes:
     return bytes(out)
 
 
+_J422_MW = lambda i: 1 + i % 3  # noqa: E731  MCU cols (16 px each)
+_J422_MH = lambda i: 1 + i % 3  # noqa: E731  MCU rows (8 px each)
+_J422_WPAD = lambda i: i % 5  # noqa: E731
+_J422_HPAD = lambda i: i % 3  # noqa: E731
+_J422_BAD = lambda i: i % 13 == 0  # noqa: E731
+_J422_Y = lambda i, bx, by, mw: (i * 59 + 31 * (by * 2 * mw + bx)) % 256  # noqa: E731
+_J422_CB = lambda i, m: (i * 17 + 5 * m) % 256  # noqa: E731
+_J422_CR = lambda i, m: (i * 31 + 11 * m) % 256  # noqa: E731
+
+
+def _make_jpeg422(media_id: int, q_step: int = 8) -> bytes:
+    """Real 4:2:2 chroma-subsampled color JPEG: Y at 2x1 sampling
+    (horizontal-only — the broadcast/video-capture convention), Cb/Cr
+    at 1x1; each MCU covers 16x8 pixels and carries 2 Y blocks + Cb +
+    Cr. Chroma varies per MCU and Y per block, so wrong horizontal
+    chroma mapping or a 4:2:0-style vertical repeat changes the sums.
+    Ids hitting _J422_BAD are truncated corrupt blobs."""
+    i = int(media_id)
+    mw, mh = _J422_MW(i), _J422_MH(i)
+    w, h = 16 * mw - _J422_WPAD(i), 8 * mh - _J422_HPAD(i)
+    out = bytearray(b"\xff\xd8")
+    out += struct.pack(">2sH", b"\xff\xdb", 2 + 65) + bytes([0x00]) + bytes(
+        [q_step] * 64
+    )
+    out += struct.pack(">2sHBHHB", b"\xff\xc0", 17, 8, h, w, 3) + bytes(
+        [1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )  # SOF0: Y 2x1, Cb 1x1, Cr 1x1
+    if _J422_BAD(i):
+        return bytes(out[: len(out) // 2])
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _AC_BITS, _AC_VALS)
+    out += struct.pack(">2sH", b"\xff\xda", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+    )
+    bwr = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+
+    def emit(cs: int, value: int) -> None:
+        level = value - 128
+        diff = level - pred[cs]
+        pred[cs] = level
+        cat = abs(diff).bit_length()
+        bwr.write(cat, 4)
+        if cat:
+            bwr.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        bwr.write(0, 4)  # EOB
+
+    for my in range(mh):
+        for mx in range(mw):
+            m = my * mw + mx
+            for c in range(2):
+                emit(1, _J422_Y(i, mx * 2 + c, my, mw))
+            emit(2, _J422_CB(i, m))
+            emit(3, _J422_CR(i, m))
+    out += bwr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg422_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL 4:2:2 color JPEG blobs."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_jpeg422(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _J422_BAD(i) else "jpeg",
+                            "width": 16 * _J422_MW(i) - _J422_WPAD(i),
+                            "height": 8 * _J422_MH(i) - _J422_HPAD(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def synthesize_jpeg420_media(docs: DataFrame) -> DataFrame:
     """MEDIA_SCHEMA table of REAL 4:2:0 color JPEG blobs."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA

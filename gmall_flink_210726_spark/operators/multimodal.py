@@ -657,6 +657,67 @@ def _make_png(media_id: int, filters=None) -> bytes:
     return png
 
 
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+# Adam7 fixture formulas (shared with the DuckDB oracle); w >= 5 and
+# h >= 3 keep several passes non-empty while small ids still produce
+# EMPTY passes (h < 5 skips the y0=4 pass), exercising the skip rule
+_PA7_W = lambda i: 5 + i % 13  # noqa: E731
+_PA7_H = lambda i: 3 + i % 9  # noqa: E731
+_PA7_BAD = lambda i: i % 11 == 0  # noqa: E731
+_PA7_V = lambda i, k: (i * 43 + 13 * k) % 256  # noqa: E731
+
+
+def _make_png_adam7(media_id: int) -> bytes:
+    """REAL Adam7-interlaced 8-bit truecolor PNG: raw raster bytes
+    follow ``(id*43 + 13*k) % 256``; each pass's scanlines are
+    filtered independently with rotating filters ``(pass + row) % 5``
+    — all five spec filters (incl. Average/Paeth) cross the wire.
+    ``_PA7_BAD`` ids are truncated after IHDR."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = _PA7_W(media_id), _PA7_H(media_id)
+    raw = (
+        ((media_id * 43 + 13 * np.arange(h * w * 3, dtype=np.int64)) % 256)
+        .astype(np.uint8)
+        .reshape(h, w, 3)
+    )
+    lines = []
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = raw[y0::dy, x0::dx]  # (hp, wp, 3)
+        hp, wp = sub.shape[0], sub.shape[1]
+        if wp == 0 or hp == 0:
+            continue
+        flat = sub.reshape(hp, wp * 3)
+        prev = np.zeros(wp * 3, np.uint8)
+        for r in range(hp):
+            ft = (p + r) % 5
+            lines.append(bytes([ft]) + _filter_scanline(ft, flat[r], prev))
+            prev = flat[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    if _PA7_BAD(media_id):
+        return png[:33]
+    return png
+
+
 def _unfilter_scanline(ft: int, line, prev):
     """Invert PNG filter ``ft`` for one scanline (bpp=3). None/Up are
     pure vector ops; Sub is a per-channel cumulative sum; Average and
@@ -721,21 +782,48 @@ def _decode_png(b: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if (depth, color, comp, filt) != (8, 2, 0, 0) or interlace not in (0, 1):
         raise ValueError("unsupported PNG variant")
     if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24):
         raise ValueError("bad dims")
     rawz = zlib.decompress(b"".join(idat))
-    stride = 1 + w * 3
-    if len(rawz) != stride * h:
-        raise ValueError("inflate size mismatch")
     px = np.zeros((h, w * 3), np.int64)
-    prev = np.zeros(w * 3, np.int64)
-    for y in range(h):
-        ft = rawz[y * stride]
-        line = np.frombuffer(rawz, np.uint8, count=w * 3, offset=y * stride + 1)
-        prev = _unfilter_scanline(ft, line, prev)
-        px[y] = prev
+    if interlace == 0:
+        stride = 1 + w * 3
+        if len(rawz) != stride * h:
+            raise ValueError("inflate size mismatch")
+        prev = np.zeros(w * 3, np.int64)
+        for y in range(h):
+            ft = rawz[y * stride]
+            line = np.frombuffer(rawz, np.uint8, count=w * 3, offset=y * stride + 1)
+            prev = _unfilter_scanline(ft, line, prev)
+            px[y] = prev
+        return w, h, px.reshape(h, w, 3)
+    # Adam7 (PNG spec §8.2): seven independent sub-images, each with
+    # its own scanlines + filter bytes + fresh prior-line state; pixels
+    # scatter back to (y0 + r*dy, x0 + c*dx). Empty passes (sub-image
+    # width or height 0) contribute NO bytes, not even filter bytes.
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        prev = np.zeros(wp * 3, np.int64)
+        cols = (x0 + np.arange(wp) * dx) * 3
+        for r in range(hp):
+            if off + 1 + wp * 3 > len(rawz):
+                raise ValueError("interlaced data short")
+            ft = rawz[off]
+            line = np.frombuffer(rawz, np.uint8, count=wp * 3, offset=off + 1)
+            off += 1 + wp * 3
+            prev = _unfilter_scanline(ft, line, prev)
+            sub = prev.reshape(wp, 3)
+            y = y0 + r * dy
+            for ch in range(3):
+                px[y, cols + ch] = sub[:, ch]
+    if off != len(rawz):
+        raise ValueError("interlaced size mismatch")
     return w, h, px.reshape(h, w, 3)
 
 
@@ -844,3 +932,101 @@ def png_pixel_stats(df: DataFrame, batch_size: int | None = None) -> DataFrame:
             yield _png_pixels_batch(pdf)
 
     return df.select("media_id", "content").mapInPandas(gen, PNG_SCHEMA)
+
+
+PNG7_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_rgb", LongType()),
+        StructField("pos_sum", LongType()),
+    ]
+)
+
+
+def synthesize_png_adam7_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL Adam7-interlaced PNG blobs, one per
+    doc_id; ids hitting ``_PA7_BAD`` truncated after IHDR."""
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_png_adam7(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _PA7_BAD(i) else "png",
+                            "width": _PA7_W(i),
+                            "height": _PA7_H(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def png_adam7_stats(df: DataFrame) -> DataFrame:
+    """Adam7-interlaced PNG decode to raster stats: total RGB sum plus
+    a POSITION-WEIGHTED byte checksum (sum over raster index k of
+    (k+1) * byte[k]) — pass scatter errors that happen to preserve the
+    multiset of bytes cannot cancel out of the weighted sum (the same
+    guard the interlaced-GIF query uses)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                row = {
+                    "media_id": int(media_id),
+                    "format": "unknown",
+                    "width": 0,
+                    "height": 0,
+                    "n_pixels": 0,
+                    "sum_rgb": 0,
+                    "pos_sum": 0,
+                }
+                try:
+                    w, h, px = _decode_png(b)
+                    raster = px.reshape(-1)
+                    row.update(
+                        format="png",
+                        width=w,
+                        height=h,
+                        n_pixels=w * h,
+                        sum_rgb=int(raster.sum()),
+                        pos_sum=int(
+                            (
+                                (np.arange(raster.size, dtype=np.int64) + 1)
+                                * raster
+                            ).sum()
+                        ),
+                    )
+                except (ValueError, zlib.error, struct.error):
+                    pass
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PNG7_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "content").mapInPandas(gen, PNG7_SCHEMA)

@@ -311,5 +311,9 @@ def dedup_triangle_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.operators.dedup import triangle_list
 
     docs = load_table(spark, sf_dir, "documents")
+    # the pair table feeds three self-join legs (e1/e2/e3); Spark's
+    # ReuseExchange already dedupes the identical pair-mining subtrees
+    # (measured: an explicit localCheckpoint only added first-run
+    # materialization cost), so the plan stays lazy
     pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
     return triangle_list(pairs)

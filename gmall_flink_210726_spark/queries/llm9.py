@@ -123,6 +123,118 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_422",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      1 + doc_id % 3 AS mw, 1 + doc_id % 3 AS mh,
+                      doc_id % 5 AS wp, doc_id % 3 AS hp,
+                      doc_id % 13 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, mw, mh,
+                 16 * mw - wp AS w, 8 * mh - hp AS h FROM m),
+    t AS (SELECT media_id, bad, w, h,
+            list_sum([
+              (LEAST(255, GREATEST(0, CAST(floor(
+                 ((media_id * 59 + 31 * b) % 256)
+                 + CAST(1.402 AS DOUBLE)
+                   * (((media_id * 31 + 11 * ((b // (2 * mw)) * mw
+                        + (b % (2 * mw)) // 2)) % 256) - 128)
+                 + 0.5) AS BIGINT)))
+             + LEAST(255, GREATEST(0, CAST(floor(
+                 ((media_id * 59 + 31 * b) % 256)
+                 - CAST(0.344136 AS DOUBLE)
+                   * (((media_id * 17 + 5 * ((b // (2 * mw)) * mw
+                        + (b % (2 * mw)) // 2)) % 256) - 128)
+                 - CAST(0.714136 AS DOUBLE)
+                   * (((media_id * 31 + 11 * ((b // (2 * mw)) * mw
+                        + (b % (2 * mw)) // 2)) % 256) - 128)
+                 + 0.5) AS BIGINT)))
+             + LEAST(255, GREATEST(0, CAST(floor(
+                 ((media_id * 59 + 31 * b) % 256)
+                 + CAST(1.772 AS DOUBLE)
+                   * (((media_id * 17 + 5 * ((b // (2 * mw)) * mw
+                        + (b % (2 * mw)) // 2)) % 256) - 128)
+                 + 0.5) AS BIGINT))))
+              * LEAST(8, w - (b % (2 * mw)) * 8)
+              * LEAST(8, h - (b // (2 * mw)) * 8)
+              for b in range(0, 2 * mw * mh)]) AS vsum
+          FROM s)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'jpeg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE vsum END AS BIGINT) AS pixel_sum
+    FROM t
+    """,
+    doc="REAL 4:2:2 chroma-subsampled color JPEG decode (horizontal-"
+    "only subsampling, the broadcast/video-capture convention): Y at "
+    "2x1 with Cb/Cr at 1x1, 16x8-pixel MCUs carrying 2 Y blocks + Cb "
+    "+ Cr, per-component DC predictors, horizontal-only replicate "
+    "upsampling — a decoder that applies the 4:2:0 vertical repeat "
+    "or mis-maps chroma columns changes the sums. Same BT.601 "
+    "floor(x+0.5) contract as the 4:2:0 query; the oracle recomputes "
+    "crop-weighted per-block RGB contributions blind from the LCGs. "
+    "operators/jpeg.py:_make_jpeg422",
+    tags=("llm", "multimodal"),
+)
+def multimodal_jpeg_422(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.jpeg import (
+        jpeg_pixel_stats,
+        synthesize_jpeg422_media,
+    )
+
+    media = synthesize_jpeg422_media(load_table(spark, sf_dir, "documents"))
+    return jpeg_pixel_stats(media)
+
+
+@register(
+    "multimodal_png_adam7",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      5 + doc_id % 13 AS w, 3 + doc_id % 9 AS h,
+                      doc_id % 11 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, w, h,
+            list_sum([(media_id * 43 + 13 * k) % 256
+                      for k in range(0, w * h * 3)]) AS rsum,
+            list_sum([(k + 1) * ((media_id * 43 + 13 * k) % 256)
+                      for k in range(0, w * h * 3)]) AS psum
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'png' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE rsum END AS BIGINT) AS sum_rgb,
+           CAST(CASE WHEN bad THEN 0 ELSE psum END AS BIGINT) AS pos_sum
+    FROM s
+    """,
+    doc="Adam7-interlaced PNG decode (PNG spec §8.2): seven "
+    "independent sub-images, each with its own filter bytes and "
+    "fresh prior-line state, unfiltered then scattered back to "
+    "(y0 + r*dy, x0 + c*dx); empty passes contribute no bytes (small "
+    "fixture heights exercise the skip rule) and rotating per-pass "
+    "filters push all five spec filters incl. Average/Paeth through "
+    "the wire. The position-weighted byte checksum makes pass "
+    "mis-scatter detectable even when the byte multiset survives. "
+    "Truncated blobs degrade; the oracle recomputes blind from the "
+    "LCG raster formula. operators/multimodal.py:_make_png_adam7",
+    tags=("llm", "multimodal"),
+)
+def multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.multimodal import (
+        png_adam7_stats,
+        synthesize_png_adam7_media,
+    )
+
+    media = synthesize_png_adam7_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return png_adam7_stats(media)
+
+
+@register(
     "multimodal_tiff_lzw",
     oracle="""
     WITH m AS (SELECT doc_id AS media_id,

@@ -364,3 +364,68 @@ class TestChroma420:
         blob[idx + 1] = 0x41
         with pytest.raises(ValueError):
             _decode_jpeg(bytes(blob))
+
+
+class TestJpeg422:
+    def test_decode_matches_independent_recompute(self):
+        """4:2:2 decoded RGB must equal the per-pixel recompute: Y per
+        8x8 block, chroma per 16x8 MCU (m = (y//8)*mw + x//16) — a
+        4:2:0-style 16x16 chroma region would mismatch on any image
+        with mh > 1."""
+        import math
+
+        from gmall_flink_210726_spark.operators.jpeg import (
+            _J422_CB,
+            _J422_CR,
+            _J422_HPAD,
+            _J422_MH,
+            _J422_MW,
+            _J422_WPAD,
+            _J422_Y,
+            _make_jpeg422,
+        )
+
+        for i in (1, 2, 3, 7, 11, 29):
+            w, h, px = _decode_jpeg(_make_jpeg422(i))
+            mw, mh = _J422_MW(i), _J422_MH(i)
+            assert (w, h) == (16 * mw - _J422_WPAD(i), 8 * mh - _J422_HPAD(i))
+            exp = np.zeros((h, w, 3), np.int64)
+            for yy in range(h):
+                for xx in range(w):
+                    m = (yy // 8) * mw + xx // 16
+                    Y = _J422_Y(i, xx // 8, yy // 8, mw)
+                    cb, cr = _J422_CB(i, m), _J422_CR(i, m)
+                    clip = lambda v: min(255, max(0, v))  # noqa: E731
+                    exp[yy, xx] = (
+                        clip(math.floor(Y + 1.402 * (cr - 128) + 0.5)),
+                        clip(
+                            math.floor(
+                                Y
+                                - 0.344136 * (cb - 128)
+                                - 0.714136 * (cr - 128)
+                                + 0.5
+                            )
+                        ),
+                        clip(math.floor(Y + 1.772 * (cb - 128) + 0.5)),
+                    )
+            assert (px == exp).all(), i
+
+    def test_corrupt_and_fuzz(self):
+        from gmall_flink_210726_spark.operators.jpeg import (
+            _J422_BAD,
+            _make_jpeg422,
+        )
+
+        for i in (13, 26, 39):
+            assert _J422_BAD(i)
+            with pytest.raises(ValueError):
+                _decode_jpeg(_make_jpeg422(i))
+        rng = random.Random(56)
+        blob = bytearray(_make_jpeg422(7))
+        for _ in range(300):
+            mut = bytearray(blob)
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            try:
+                _decode_jpeg(bytes(mut))
+            except ValueError:
+                pass
