@@ -383,3 +383,185 @@ def x26_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_cents_per_day"),
         intercept.alias("intercept_cents"),
     )
+
+
+@register(
+    "an11_market_basket",
+    oracle="""
+    WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM i),
+    ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS ct FROM i GROUP BY 1),
+    pr AS (SELECT a.p AS p_a, b.p AS p_b,
+                  CAST(COUNT(*) AS BIGINT) AS pair_ct
+           FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT pr.p_a, pr.p_b, pr.pair_ct,
+           ca.ct AS ct_a, cb.ct AS ct_b,
+           pr.pair_ct / CAST(n.n_orders AS DOUBLE) AS support,
+           pr.pair_ct / CAST(ca.ct AS DOUBLE) AS conf_a_to_b,
+           pr.pair_ct / CAST(cb.ct AS DOUBLE) AS conf_b_to_a,
+           (pr.pair_ct * n.n_orders)
+             / CAST(ca.ct * cb.ct AS DOUBLE) AS lift
+    FROM pr
+    JOIN ic ca ON ca.p = pr.p_a
+    JOIN ic cb ON cb.p = pr.p_b
+    CROSS JOIN n
+    """,
+    doc="Association rules / market-basket mining (the A-Priori "
+    "2-itemset pass): co-occurring part pairs within orders with "
+    "support, both confidences, and lift, pruned at min pair count 3. "
+    "Scale shape: pair generation is the per-basket self-join on the "
+    "ORDER key — fan-out is bounded by basket size squared (<= 13 "
+    "items/order here; a pathological mega-basket would need the "
+    "max_df-style cap the dedup ops use), never a part x part cross "
+    "product; item counts join back as a broadcast-size dimension and "
+    "the corpus-size scalar is a 1-row cross join. Exactness: every "
+    "ratio is one int/int double division (lift's numerator and "
+    "denominator are exact integer products), engine-identical.",
+    tags=("extras", "analytics"),
+)
+def an11_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    i = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = i.agg(F.count_distinct("o").cast("long").alias("n_orders"))
+    ic = i.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    a = i.select(F.col("o"), F.col("p").alias("p_a"))
+    b = i.select(F.col("o").alias("o2"), F.col("p").alias("p_b"))
+    pr = (
+        a.join(b, (a["o"] == b["o2"]) & (F.col("p_a") < F.col("p_b")))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_ct"))
+        .filter(F.col("pair_ct") >= 3)
+    )
+    out = (
+        pr.join(ic.select(F.col("p").alias("p_a"), F.col("ct").alias("ct_a")), "p_a")
+        .join(ic.select(F.col("p").alias("p_b"), F.col("ct").alias("ct_b")), "p_b")
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "p_a",
+        "p_b",
+        "pair_ct",
+        "ct_a",
+        "ct_b",
+        (F.col("pair_ct") / F.col("n_orders").cast("double")).alias("support"),
+        (F.col("pair_ct") / F.col("ct_a").cast("double")).alias("conf_a_to_b"),
+        (F.col("pair_ct") / F.col("ct_b").cast("double")).alias("conf_b_to_a"),
+        (
+            (F.col("pair_ct") * F.col("n_orders"))
+            / (F.col("ct_a") * F.col("ct_b")).cast("double")
+        ).alias("lift"),
+    )
+
+
+@register(
+    "x27_gini_distributed",
+    oracle="""
+    WITH p AS (SELECT o_orderpriority AS prio,
+                      CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders),
+    r AS (SELECT prio, cents,
+                 ROW_NUMBER() OVER (PARTITION BY prio ORDER BY cents)
+                   AS rn
+          FROM p)
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100.0
+             AS total_value,
+           (2.0 * CAST(CAST(SUM(rn * cents) AS DECIMAL(38,0)) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE)
+                * CAST(CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE))
+             - (CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*)) AS gini
+    FROM r GROUP BY prio
+    """,
+    doc="Exact per-group Gini coefficient (inequality / concentration "
+    "audit): G = 2*Sum(rank_i * x_i) / (n * Sum(x)) - (n+1)/n over "
+    "value-ascending ranks. The oracle states the semantic with one "
+    "window; the Spark plan computes the SAME exact rank WITHOUT a "
+    "single-task per-group sort — the shard_binpack distributed-rank "
+    "decomposition: 256 value-monotone integer buckets per group "
+    "(exact integer bucket arithmetic), per-(group, bucket) counts -> "
+    "a <= 256-row per-group exclusive prefix window (tiny), broadcast "
+    "offsets joined back, within-bucket ROW_NUMBER over ~n/256 rows. "
+    "Tie order inside equal values cannot change Sum(rank*x) (equal "
+    "values occupy a contiguous rank block), so the decomposition is "
+    "deterministic. Rank-product sums run in DECIMAL(38,0) "
+    "(Sum(i*x) ~ 10^20 at sf0.1 overflows bigint); the Gini formula "
+    "is the identical double operation sequence on both engines.",
+    tags=("extras", "analytics"),
+)
+def x27_gini_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)
+    rng = base.groupBy(F.col("prio").alias("r_prio")).agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    # value-monotone integer bucketing: floor((c - lo) * 256 / span)
+    # in exact long arithmetic (range * 256 ~ 1.5e12 << 2^63)
+    b = base.join(
+        F.broadcast(rng), F.col("prio") == F.col("r_prio")
+    ).select(
+        "prio",
+        "cents",
+        F.least(
+            F.floor(
+                (F.col("cents") - F.col("lo"))
+                * 256
+                / (F.col("hi") - F.col("lo") + 1)
+            ),
+            F.lit(255),
+        )
+        .cast("int")
+        .alias("bkt"),
+    )
+    bc = b.groupBy(
+        F.col("prio").alias("o_prio"), F.col("bkt").alias("o_bkt")
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    w_off = (
+        W.partitionBy("o_prio")
+        .orderBy("o_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = bc.select(
+        "o_prio",
+        "o_bkt",
+        F.coalesce(F.sum("ct").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_local = W.partitionBy("prio", "bkt").orderBy("cents")
+    ranked = (
+        b.join(
+            F.broadcast(offs),
+            (F.col("prio") == F.col("o_prio"))
+            & (F.col("bkt") == F.col("o_bkt")),
+        )
+        .select(
+            "prio",
+            "cents",
+            (F.col("off") + F.row_number().over(w_local)).alias("rn"),
+        )
+    )
+    n = F.count(F.lit(1))
+    s_cents = F.sum("cents").cast("decimal(38,0)").cast("double")
+    s_rank = (
+        F.sum(F.col("rn") * F.col("cents")).cast("decimal(38,0)").cast("double")
+    )
+    return ranked.groupBy("prio").agg(
+        n.cast("long").alias("n_orders"),
+        (s_cents / F.lit(100.0)).alias("total_value"),
+        (
+            (F.lit(2.0) * s_rank) / (n.cast("double") * s_cents)
+            - ((n + F.lit(1)).cast("double") / n)
+        ).alias("gini"),
+    )

@@ -261,3 +261,76 @@ class TestStreamTopkReplay:
             assert got == want
         finally:
             shutil.rmtree(out, ignore_errors=True)
+
+
+class TestMarketBasket:
+    def test_rules_match_brute_force(self, spark):
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        li = load_table(spark, SF_SMALL, "lineitem")
+        baskets = {}
+        for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+            baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        import collections
+        import itertools
+
+        pair_ct = collections.Counter()
+        item_ct = collections.Counter()
+        for items in baskets.values():
+            for p in items:
+                item_ct[p] += 1
+            for a, b in itertools.combinations(sorted(items), 2):
+                pair_ct[(a, b)] += 1
+        n = len(baskets)
+        want = {
+            k: ct for k, ct in pair_ct.items() if ct >= 3
+        }
+        rows = SPECS["an11_market_basket"].fn(spark, SF_SMALL).collect()
+        got = {(r.p_a, r.p_b): r for r in rows}
+        assert set(got) == set(want)
+        for (a, b), ct in want.items():
+            r = got[(a, b)]
+            assert r.pair_ct == ct
+            assert r.ct_a == item_ct[a] and r.ct_b == item_ct[b]
+            assert r.support == ct / n
+            assert r.lift == (ct * n) / (item_ct[a] * item_ct[b])
+
+
+class TestGiniDistributed:
+    def test_matches_single_node_exact(self, spark):
+        """The bucket-prefix-sum distributed rank must reproduce the
+        plain sorted-rank Gini exactly (python floats, same op
+        order)."""
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        orders = load_table(spark, SF_SMALL, "orders")
+        vals = {}
+        for r in orders.select("o_orderpriority", "o_totalprice").collect():
+            cents = int(round(float(r.o_totalprice) * 100))
+            vals.setdefault(r.o_orderpriority, []).append(cents)
+        rows = {
+            r.prio: r
+            for r in SPECS["x27_gini_distributed"].fn(spark, SF_SMALL).collect()
+        }
+        assert set(rows) == set(vals)
+        for prio, xs in vals.items():
+            xs.sort()
+            n = len(xs)
+            s = sum(x for x in xs)
+            sr = sum((i + 1) * x for i, x in enumerate(xs))
+            gini = (2.0 * float(sr)) / (float(n) * float(s)) - (
+                float(n + 1) / n
+            )
+            r = rows[prio]
+            assert r.n_orders == n
+            assert abs(r.gini - gini) < 1e-12, prio
+            assert 0.0 <= r.gini < 1.0
+
+    def test_rank_decomposition_plan_shape(self, spark):
+        """Two Window nodes only: the <=256-row bucket-offset prefix
+        and the per-(group, bucket) local rank — never one window
+        sorting a whole group in a single task; offsets broadcast."""
+        df = SPECS["x27_gini_distributed"].fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") == 2, plan
+        assert "BroadcastHashJoin" in plan, plan
