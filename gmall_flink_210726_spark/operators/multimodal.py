@@ -591,16 +591,18 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _filter_scanline(ft: int, cur, prev):
-    """Apply PNG filter ``ft`` (0=None 1=Sub 2=Up 3=Average 4=Paeth,
-    bpp=3) to raw scanline ``cur`` given the raw prior scanline
-    ``prev``; returns the filtered bytes. Encoder-side mirror of
-    ``_unfilter_scanline`` — kept spec-complete so tests can exercise
-    every decode branch with real blobs."""
+def _filter_scanline(ft: int, cur, prev, bpp: int = 3):
+    """Apply PNG filter ``ft`` (0=None 1=Sub 2=Up 3=Average 4=Paeth)
+    to raw scanline ``cur`` given the raw prior scanline ``prev``;
+    ``bpp`` is the filter unit (3 for truecolor, 1 for palette
+    indices — PNG spec §9.2 filters operate on corresponding BYTES
+    ``bpp`` back). Encoder-side mirror of ``_unfilter_scanline`` —
+    kept spec-complete so tests can exercise every decode branch with
+    real blobs."""
     import numpy as np
 
     c = cur.astype(np.int16)
-    left = np.concatenate([np.zeros(3, np.int16), c[:-3]])
+    left = np.concatenate([np.zeros(bpp, np.int16), c[:-bpp]])
     up = prev.astype(np.int16)
     if ft == 0:
         return cur.tobytes()
@@ -611,7 +613,7 @@ def _filter_scanline(ft: int, cur, prev):
     if ft == 3:
         return ((c - (left + up) // 2) % 256).astype(np.uint8).tobytes()
     if ft == 4:
-        ul = np.concatenate([np.zeros(3, np.int16), up[:-3]])
+        ul = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]])
         p = left + up - ul
         pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
         pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
@@ -655,6 +657,89 @@ def _make_png(media_id: int, filters=None) -> bytes:
     if _PNG_BAD(media_id):
         return png[:33]  # signature + IHDR chunk, no pixel data
     return png
+
+
+# palette-PNG fixture formulas (shared with the DuckDB oracle)
+_PPL_W = lambda i: 4 + i % 15  # noqa: E731
+_PPL_H = lambda i: 3 + i % 10  # noqa: E731
+_PPL_P = lambda i: 16 + i % 17  # noqa: E731  palette entries
+_PPL_BAD = lambda i: i % 14 == 0  # noqa: E731
+_PPL_IDX = lambda i, k, P: (i * 53 + 17 * k) % P  # noqa: E731
+_PPL_R = lambda i, j: (i * 7 + 29 * j) % 256  # noqa: E731
+_PPL_G = lambda i, j: (i * 11 + 31 * j) % 256  # noqa: E731
+_PPL_B = lambda i, j: (i * 13 + 37 * j) % 256  # noqa: E731
+
+
+def _make_png_palette(media_id: int) -> bytes:
+    """REAL paletted PNG (color type 3): a PLTE chunk of LCG colors
+    plus a 1-byte-per-pixel index raster filtered with rotating
+    ``y % 5`` filters at bpp=1 (the filter unit changes with the
+    color type — a decoder reusing bpp=3 offsets misdecodes every
+    Sub/Average/Paeth line). ``_PPL_BAD`` ids truncated after IHDR."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    i = int(media_id)
+    w, h, P = _PPL_W(i), _PPL_H(i), _PPL_P(i)
+    idx = (
+        ((i * 53 + 17 * np.arange(h * w, dtype=np.int64)) % P)
+        .astype(np.uint8)
+        .reshape(h, w)
+    )
+    plte = bytes(
+        v
+        for j in range(P)
+        for v in (_PPL_R(i, j), _PPL_G(i, j), _PPL_B(i, j))
+    )
+    lines = []
+    prev = np.zeros(w, np.uint8)
+    for y in range(h):
+        ft = y % 5
+        lines.append(bytes([ft]) + _filter_scanline(ft, idx[y], prev, bpp=1))
+        prev = idx[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    if _PPL_BAD(i):
+        return png[:33]
+    return png
+
+
+def synthesize_png_palette_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL paletted PNG blobs, one per doc_id;
+    ids hitting ``_PPL_BAD`` truncated after IHDR."""
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_png_palette(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "corrupt" if _PPL_BAD(i) else "png",
+                            "width": _PPL_W(i),
+                            "height": _PPL_H(i),
+                            "sample_rate": 0,
+                        }
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
 # Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
@@ -718,8 +803,9 @@ def _make_png_adam7(media_id: int) -> bytes:
     return png
 
 
-def _unfilter_scanline(ft: int, line, prev):
-    """Invert PNG filter ``ft`` for one scanline (bpp=3). None/Up are
+def _unfilter_scanline(ft: int, line, prev, bpp: int = 3):
+    """Invert PNG filter ``ft`` for one scanline (``bpp`` = filter
+    unit: 3 for truecolor, 1 for palette indices). None/Up are
     pure vector ops; Sub is a per-channel cumulative sum; Average and
     Paeth carry a left-pixel dependency, walked pixel-at-a-time (the
     spec-complete slow path — real-world encoders emit them, the
@@ -730,15 +816,15 @@ def _unfilter_scanline(ft: int, line, prev):
     up = prev.astype(np.int64)
     if ft == 0:
         return f % 256
-    if ft == 1:  # raw[x] = filt[x] + raw[x-3]: cumsum per channel
-        return np.cumsum(f.reshape(-1, 3), axis=0).reshape(-1) % 256
+    if ft == 1:  # raw[x] = filt[x] + raw[x-bpp]: cumsum per channel
+        return np.cumsum(f.reshape(-1, bpp), axis=0).reshape(-1) % 256
     if ft == 2:
         return (f + up) % 256
     out = np.zeros_like(f)
     for x in range(len(f)):
-        left = out[x - 3] if x >= 3 else 0
+        left = out[x - bpp] if x >= bpp else 0
         above = up[x]
-        ul = up[x - 3] if x >= 3 else 0
+        ul = up[x - bpp] if x >= bpp else 0
         if ft == 3:
             pred = (left + above) // 2
         elif ft == 4:
@@ -763,7 +849,7 @@ def _decode_png(b: bytes):
 
     if b[:8] != _PNG_SIG:
         raise ValueError("bad signature")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 12 <= len(b):
         ln, ctype = struct.unpack_from(">I4s", b, pos)
         if pos + 12 + ln > len(b):
@@ -774,6 +860,10 @@ def _decode_png(b: bytes):
             raise ValueError("crc mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError("bad PLTE")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -782,11 +872,36 @@ def _decode_png(b: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if (depth, color, comp, filt) != (8, 2, 0, 0) or interlace not in (0, 1):
+    if (
+        depth != 8
+        or color not in (2, 3)
+        or (comp, filt) != (0, 0)
+        or interlace not in (0, 1)
+    ):
         raise ValueError("unsupported PNG variant")
+    if color == 3 and plte is None:
+        raise ValueError("palette image missing PLTE")
+    if color == 3 and interlace != 0:
+        raise ValueError("interlaced palette unsupported")
     if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24):
         raise ValueError("bad dims")
     rawz = zlib.decompress(b"".join(idat))
+    if color == 3:
+        # palette image: 1 byte/pixel index raster, bpp=1 filters,
+        # indices mapped through PLTE after unfiltering
+        stride = 1 + w
+        if len(rawz) != stride * h:
+            raise ValueError("inflate size mismatch")
+        idx = np.zeros((h, w), np.int64)
+        prev = np.zeros(w, np.int64)
+        for y in range(h):
+            ft = rawz[y * stride]
+            line = np.frombuffer(rawz, np.uint8, count=w, offset=y * stride + 1)
+            prev = _unfilter_scanline(ft, line, prev, bpp=1)
+            idx[y] = prev
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
+        return w, h, plte[idx].astype(np.int64)
     px = np.zeros((h, w * 3), np.int64)
     if interlace == 0:
         stride = 1 + w * 3

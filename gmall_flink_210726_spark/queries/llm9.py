@@ -362,3 +362,147 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").cast("long").alias("exact_distinct"),
     )
     return est.join(exact.unionByName(exact_all), "month")
+
+
+@register(
+    "multimodal_png_palette",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      4 + doc_id % 15 AS w, 3 + doc_id % 10 AS h,
+                      16 + doc_id % 17 AS np,
+                      doc_id % 14 = 0 AS bad
+               FROM documents),
+    s AS (SELECT media_id, bad, w, h,
+            list_sum([(media_id * 7
+                       + 29 * ((media_id * 53 + 17 * k) % np)) % 256
+                      for k in range(0, w * h)]) AS sr,
+            list_sum([(media_id * 11
+                       + 31 * ((media_id * 53 + 17 * k) % np)) % 256
+                      for k in range(0, w * h)]) AS sg,
+            list_sum([(media_id * 13
+                       + 37 * ((media_id * 53 + 17 * k) % np)) % 256
+                      for k in range(0, w * h)]) AS sb
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'png' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE sr END AS BIGINT) AS sum_r,
+           CAST(CASE WHEN bad THEN 0 ELSE sg END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN bad THEN 0 ELSE sb END AS BIGINT) AS sum_b
+    FROM s
+    """,
+    doc="Paletted PNG decode (color type 3): PLTE chunk parse + "
+    "1-byte-per-pixel index raster unfiltered at bpp=1 — the filter "
+    "unit CHANGES with the color type (PNG spec 9.2: filters reach "
+    "back bpp bytes), so a decoder reusing the truecolor bpp=3 "
+    "offsets misdecodes every Sub/Average/Paeth line — then indices "
+    "map through the palette with an out-of-range guard. Rotating "
+    "y%5 filters push all five through the bpp=1 path. The oracle "
+    "recomputes channel sums blind through the palette LCGs. "
+    "operators/multimodal.py:_make_png_palette",
+    tags=("llm", "multimodal"),
+)
+def multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.multimodal import (
+        png_pixel_stats,
+        synthesize_png_palette_media,
+    )
+
+    media = synthesize_png_palette_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return png_pixel_stats(media)
+
+
+@register(
+    "text_zipf_fit",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM tok GROUP BY w),
+    rk AS (SELECT w, freq,
+                  CAST(row_number() OVER (ORDER BY freq DESC, w)
+                       AS BIGINT) AS rank
+           FROM tf),
+    top AS (SELECT rank,
+                   CAST(round(ln(CAST(rank AS DOUBLE)), 6)
+                        AS DECIMAL(12,6)) AS lr,
+                   CAST(round(ln(CAST(freq AS DOUBLE)), 6)
+                        AS DECIMAL(12,6)) AS lf
+            FROM rk WHERE rank <= 500),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(lr) AS DOUBLE) AS sx,
+                 CAST(SUM(lf) AS DOUBLE) AS sy,
+                 CAST(SUM(lr * lr) AS DOUBLE) AS sxx,
+                 CAST(SUM(lr * lf) AS DOUBLE) AS sxy
+          FROM top)
+    SELECT n AS n_terms,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+    doc="Zipf rank-frequency power-law fit (the corpus-health "
+    "diagnostic: natural text has slope ~ -1; boilerplate-heavy or "
+    "template corpora deviate): OLS of ln(freq) on ln(rank) over the "
+    "top-500 vocabulary with a deterministic (freq DESC, term) rank. "
+    "Exactness: ln values are 6-dp-rounded DECIMALs (the dsir ln "
+    "contract) so every moment sum is exact and order-free; the two "
+    "coefficient divisions are the only unrounded float ops, "
+    "engine-identical. Scale shape: one tokenization scan collapses "
+    "to the vocabulary frame; the global top-500 rank window runs on "
+    "the vocabulary (bounded), never the corpus; the fit itself is a "
+    "5-scalar projection.",
+    tags=("llm", "text"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("w")
+    )
+    tf = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    rk = tf.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), F.col("w")))
+        .cast("long")
+        .alias("rank"),
+    ).filter(F.col("rank") <= 500)
+    lr = F.round(F.log(F.col("rank").cast("double")), 6).cast(
+        "decimal(12,6)"
+    )
+    lf = F.round(F.log(F.col("freq").cast("double")), 6).cast(
+        "decimal(12,6)"
+    )
+    # the exact DECIMAL moment sums cast to double BEFORE the cross
+    # products: a decimal n*sxy at scale 12 exceeds precision 38 and
+    # Spark silently rounds mid-expression where DuckDB stays exact —
+    # double-from-the-start keeps the operation sequence (and thus
+    # every rounding) engine-identical
+    m = rk.select(lr.alias("lr"), lf.alias("lf")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lr").cast("double").alias("sx"),
+        F.sum("lf").cast("double").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).cast("double").alias("sxx"),
+        F.sum(F.col("lr") * F.col("lf")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n").cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        intercept.alias("intercept"),
+    )

@@ -84,3 +84,78 @@ class TestAdam7:
                 _decode_png(bytes(blob))
             except (ValueError, zlib.error, struct.error):
                 pass
+
+
+class TestPalettePNG:
+    def test_round_trip_vs_palette_lcg(self):
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _PPL_B,
+            _PPL_BAD,
+            _PPL_G,
+            _PPL_H,
+            _PPL_IDX,
+            _PPL_P,
+            _PPL_R,
+            _PPL_W,
+            _make_png_palette,
+        )
+
+        ok = bad = 0
+        for i in range(60):
+            blob = _make_png_palette(i)
+            if _PPL_BAD(i):
+                with pytest.raises((ValueError, zlib.error)):
+                    _decode_png(blob)
+                bad += 1
+                continue
+            w, h, px = _decode_png(blob)
+            assert (w, h) == (_PPL_W(i), _PPL_H(i))
+            P = _PPL_P(i)
+            exp = np.zeros((h, w, 3), np.int64)
+            for k in range(h * w):
+                j = _PPL_IDX(i, k, P)
+                exp[k // w, k % w] = (_PPL_R(i, j), _PPL_G(i, j), _PPL_B(i, j))
+            assert (px == exp).all(), i
+            ok += 1
+        assert ok > 40 and bad > 3
+
+    def test_bpp1_filter_unit_is_load_bearing(self):
+        """A bpp=3 unfilter of a bpp=1-filtered Sub line must differ —
+        proves the parameterization is exercised, not vacuous."""
+        import numpy as np
+
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _filter_scanline,
+            _unfilter_scanline,
+        )
+
+        rng = np.random.RandomState(3)
+        row = rng.randint(0, 256, 24).astype(np.uint8)
+        prev = np.zeros(24, np.uint8)
+        filt = np.frombuffer(
+            _filter_scanline(1, row, prev, bpp=1), np.uint8
+        )
+        good = _unfilter_scanline(1, filt, prev.astype(np.int64), bpp=1)
+        assert (good == row).all()
+        wrong = _unfilter_scanline(1, filt, prev.astype(np.int64), bpp=3)
+        assert not (wrong == row).all()
+
+    def test_out_of_range_index_rejected(self):
+        """Corrupt a palette image so an index exceeds the PLTE size:
+        the decoder must raise, not wrap."""
+        from gmall_flink_210726_spark.operators.multimodal import (
+            _make_png_palette,
+            _png_chunk,
+        )
+
+        blob = _make_png_palette(3)
+        # rebuild with a truncated 2-entry palette; indices go to 15+
+        sig_ihdr = blob[:33]
+        rest = blob[33:]
+        # locate PLTE chunk: length(4) 'PLTE' data crc
+        assert rest[4:8] == b"PLTE"
+        ln = int.from_bytes(rest[:4], "big")
+        after = rest[12 + ln :]
+        small = _png_chunk(b"PLTE", bytes(6))
+        with pytest.raises(ValueError):
+            _decode_png(sig_ihdr + small + after)
