@@ -287,3 +287,164 @@ def synthesize_wav_depths(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+ULAW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("abs_sum", LongType()),
+        StructField("energy", LongType()),
+        StructField("max_abs", LongType()),
+    ]
+)
+
+
+def _ulaw_lut():
+    """G.711 mu-law expansion table (ITU-T G.711, Table 2a/2b; the
+    classic C reference decode): u = ~byte; t = ((u & 0xF) << 3 + BIAS)
+    << seg; sample = sign ? BIAS - t : t - BIAS, BIAS = 0x84 = 132.
+    Peak decoded magnitude is 32124, not 32767 — a PCM-rail assumption
+    here is the classic telephony-decode bug."""
+    import numpy as np
+
+    c = np.arange(256, dtype=np.int64)
+    u = 255 - c  # ~c in 8 bits
+    sign = u >> 7
+    seg = (u >> 4) & 7
+    man = u & 0xF
+    t = ((man << 3) + 132) << seg
+    return np.where(sign == 1, 132 - t, t - 132)
+
+
+def _ulaw_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """RIFF walk accepting ONLY WAVE_FORMAT_MULAW (fmt tag 7, 8-bit);
+    anything else — PCM, truncated, foreign bytes — degrades to
+    format='unknown', zeros."""
+    import struct
+
+    import numpy as np
+
+    lut = _ulaw_lut()
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "n_samples": 0,
+            "abs_sum": 0,
+            "energy": 0,
+            "max_abs": 0,
+        }
+        try:
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 44:
+                tag = ch = bits = 0
+                data_pos = data_sz = 0
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid, csz = struct.unpack_from("<4sI", b, pos)
+                    if cid == b"fmt ":
+                        tag, ch, _, _, _, bits = struct.unpack_from(
+                            "<HHIIHH", b, pos + 8
+                        )
+                    elif cid == b"data":
+                        data_pos, data_sz = pos + 8, csz
+                    pos += 8 + csz + (csz & 1)
+                if (
+                    tag == 7
+                    and ch > 0
+                    and bits == 8
+                    and data_pos
+                    and data_pos + data_sz <= len(b)
+                ):
+                    ns = data_sz  # one byte per sample
+                    row.update(format="ulaw", n_samples=int(ns))
+                    if ns > 0:
+                        raw = np.frombuffer(
+                            b, np.uint8, offset=data_pos, count=ns
+                        )
+                        dec = lut[raw]
+                        ab = np.abs(dec)
+                        row.update(
+                            abs_sum=int(ab.sum()),
+                            energy=int((dec * dec).sum()),
+                            max_abs=int(ab.max()),
+                        )
+        except (struct.error, ValueError):
+            pass
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in ULAW_SCHEMA.fields])
+
+
+def audio_ulaw_stats(df: DataFrame) -> DataFrame:
+    """G.711 mu-law decode + amplitude stats over MEDIA_SCHEMA blobs —
+    the telephony-audio leg of the decode surface (8 kHz call-center /
+    voicemail corpora arrive mu-law-companded, not linear PCM). Same
+    scale shape as audio_window_energy: Arrow-batched mapInPandas,
+    blobs cross into Python once, 6 scalar columns out per file."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _ulaw_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, ULAW_SCHEMA)
+
+
+def synthesize_wav_ulaw(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL mu-law WAV blobs (fmt tag 7, 8-bit):
+    companded byte k is the LCG ``(i*29 + 11k) % 256`` so a DuckDB
+    oracle expands every sample blind through the same G.711 integer
+    formula. Every 13th id is truncated mid-header — the honest
+    corrupt-row stripe that must degrade to 'unknown'."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    import numpy as np
+    import struct
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def make(i: int) -> bytes:
+        ch = 1 + i % 2
+        ns = 24 + i % 40  # samples per channel
+        n = ns * ch
+        payload = (
+            (i * 29 + 11 * np.arange(n, dtype=np.int64)) % 256
+        ).astype(np.uint8).tobytes()
+        sr = 8000
+        blob = (
+            struct.pack("<4sI4s", b"RIFF", 36 + n, b"WAVE")
+            + struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, 7, ch, sr, sr * ch, ch, 8
+            )
+            + struct.pack("<4sI", b"data", n)
+            + payload
+        )
+        return blob[:20] if i % 13 == 0 else blob
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [make(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "wav",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 8000,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -24,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 2^31-1 (Mersenne): classic MinHash universal-hash modulus; fits in a
 # long with 32-bit multipliers without overflow.
@@ -258,22 +259,35 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verify ONLY the candidates, shuffling nothing wider
-    # than 8-byte shingle hashes (the package-wide "bodies never
-    # shuffle" discipline — the previous array_intersect shape shipped
-    # full shingle ARRAYS through the regroup and force-broadcast the
-    # candidate table, which is OUTPUT-sized, not constant-sized: a
-    # boilerplate-heavy 100 TB corpus can emit 10^8+ candidate pairs,
-    # past the 8 GB broadcast ceiling; the r5 verdict's weak item #3).
-    # Shape: (id, xxhash64(shingle)) explode, semi-joined down to
-    # candidate docs, then intersection = per-pair matching-hash count
-    # and union = na + nb - inter from per-doc distinct counts. Every
-    # join is a plain equi-join — AQE picks broadcast only when a side
-    # measures small at runtime.
+    return exact_jaccard_verify(docs, cand, id_col, text_col, n, threshold)
+
+
+def exact_jaccard_verify(
+    docs: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify ONLY the candidate pairs, shuffling nothing
+    wider than 8-byte shingle hashes (the package-wide "bodies never
+    shuffle" discipline — an array_intersect shape would ship full
+    shingle ARRAYS through the regroup and force-broadcast the
+    candidate table, which is OUTPUT-sized, not constant-sized: a
+    boilerplate-heavy 100 TB corpus can emit 10^8+ candidate pairs,
+    past the 8 GB broadcast ceiling; the r5 verdict's weak item #3).
+
+    Shape: (id, xxhash64(shingle)) explode, semi-joined down to
+    candidate docs, then intersection = per-pair matching-hash count
+    and union = na + nb - inter from per-doc distinct counts. Every
+    join is a plain equi-join — AQE picks broadcast only when a side
+    measures small at runtime. Shared by every candidate-generation
+    front end (MinHash-LSH banding, prefix filtering)."""
     from gmall_flink_210726_spark.session import ensure_parallelism
 
     # the candidate table feeds three plan legs (id restriction + both
-    # pair joins); materialize it once so the LSH window subtree is not
+    # pair joins); materialize it once so the generation subtree is not
     # re-executed per leg
     cand = cand.localCheckpoint(eager=False)
     cand_ids = cand.select(
@@ -314,6 +328,61 @@ def minhash_lsh_pairs(
     return inter.select("id_a", "id_b", j.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 3,
+    t_den: int = 5,
+) -> DataFrame:
+    """All-Pairs / PPJoin prefix-filtered exact-Jaccard pairs (Bayardo,
+    Ma & Srikant, WWW 2007; Xiao et al., WWW 2008): J(A,B) ≥ t with
+    t = t_num/t_den, emitted as (id_a, id_b, jaccard), id_a < id_b.
+
+    The prefix-filter principle: fix ANY consistent global token
+    order and sort each doc's token set by it; if J(A,B) ≥ t then the
+    first ``|X| - ceil(t·|X|) + 1`` tokens of A and of B must
+    intersect. So only PREFIX tokens are indexed and self-joined —
+    LOSSLESS for the threshold, no verification recall loss. vs
+    ngram_jaccard_pairs (which indexes EVERY shingle): at t = 0.6 the
+    inverted index shrinks ~2.5×, and under the canonical
+    rarest-first order (ascending document frequency) the tokens
+    REMOVED from prefixes are exactly the high-df hot keys that
+    dominate co-occurrence fan-out — the skew cap falls out of the
+    algorithm instead of a max_df heuristic, with no dropped pairs.
+
+    Scale shape: the df table is vocabulary-cardinality; the per-doc
+    rank window shuffles (id, sh, df) — 24-byte rows — partitioned by
+    doc (bounded per-partition state: one doc's shingles); the prefix
+    self-join carries 8-byte hashes; exact verification is the shared
+    ``exact_jaccard_verify`` candidate-restricted pass. The prefix
+    length uses EXACT integer arithmetic (ceil(t·n) as
+    (t_num·n + t_den − 1) div t_den) — a double-rounded ceil that came
+    out one short would silently drop true pairs.
+    """
+    threshold = t_num / t_den
+    sh = _shingle_table(docs, id_col, text_col, n, None)
+    df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_tab, "sh").withColumn(
+        "_r",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")),
+    )
+    prefix_len = (
+        F.col("n_sh")
+        - F.expr(f"(({t_num} * n_sh) + {t_den - 1}) div {t_den}")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("_r") <= prefix_len).select("id", "sh")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return exact_jaccard_verify(docs, cand, id_col, text_col, n, threshold)
 
 
 def connected_components(

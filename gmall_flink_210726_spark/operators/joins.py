@@ -81,3 +81,53 @@ def broadcast_config_join(
 ) -> DataFrame:
     """J3 — tiny config relation joined map-side (dwd/BaseDBApp.java:75-84)."""
     return data.join(F.broadcast(config), cond, how)
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str = "addr",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    granularity: int = 1 << 18,
+) -> DataFrame:
+    """Point-in-range join (``lo <= point < hi`` over half-open,
+    non-overlapping or overlapping ranges) decomposed into an EQUI-join
+    — the geo-IP / CIDR-block enrichment primitive Spark has no native
+    operator for. A naive theta join (``ON p BETWEEN lo AND hi-1``)
+    plans as BroadcastNestedLoopJoin: every point row is tested against
+    every range — O(P×R) and a driver-killing broadcast once the range
+    table outgrows a dim (real geo-IP tables run 10⁶+ blocks).
+
+    Decomposition: the key space is tiled into fixed ``granularity``
+    chunks; each range explodes into the chunks it covers
+    (``floor(lo/g) .. floor((hi-1)/g)``, ~width/g + 1 rows), each point
+    computes ONE chunk key, and the join becomes a hash equi-join on
+    the chunk id followed by the residual range filter. Both shuffle
+    legs carry bare integers; AQE broadcasts the exploded range side
+    only if it measures small at runtime.
+
+    Picking ``granularity``: fan-out per range is width/g + 1, and
+    ranges sharing a chunk multiply the per-point probe fan-out — set g
+    near the TYPICAL range width so both stay O(1). Degenerate guard:
+    empty ranges (hi <= lo) are dropped, matching the BETWEEN
+    semantics.
+    """
+    g = int(granularity)
+    chunked = ranges.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
+        "_chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / g).cast("long"),
+                F.floor((F.col(hi_col) - 1) / g).cast("long"),
+            )
+        ),
+    )
+    keyed = points.withColumn("_chunk", F.floor(F.col(point_col) / g).cast("long"))
+    return (
+        keyed.join(chunked, "_chunk")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_chunk")
+    )

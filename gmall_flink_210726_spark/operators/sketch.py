@@ -553,3 +553,84 @@ def bloom_filter_calibration(
             (~F.col("bloom_pass") & F.col("is_member")).cast("long")
         ).cast("long").alias("n_false_neg"),
     )
+
+
+def kmv_distinct(
+    tagged: DataFrame,
+    group_col: str = "col_name",
+    value_col: str = "v",
+    k: int = 256,
+    safety: int = 8,
+) -> DataFrame:
+    """KMV / bottom-k ("K Minimum Values", Bar-Yossef et al. 2002; the
+    theta-sketch base) distinct-count estimate per group, calibrated
+    against the exact count: hash every value to a uniform point on
+    [0,1), keep the k smallest DISTINCT hashes, and estimate
+    D ≈ (k-1)/h_(k), the classic unbiased bottom-k estimator. md5 is
+    the hash so a DuckDB oracle recomputes the IDENTICAL estimate —
+    fixed-width lowercase hex compares lexicographically exactly as it
+    compares numerically, so "k smallest hashes" is engine-portable
+    with no numeric conversion until the single k-th value.
+
+    Scale shape (the part worth copying at 100 TB): a naive
+    row_number-over-sort ranks EVERY distinct hash — a full sort of
+    10⁹+ rows per group just to read row k. Instead a first pass takes
+    approx_count_distinct per group (a constant-size HLL++ reduction),
+    and only hashes below ``safety*k/n_approx`` — a few·k survivors in
+    expectation — reach the rank window. The cutoff frame is
+    group-cardinality (a bounded scalar collect is avoided entirely:
+    it joins back by group). HLL++'s ±2-3% error is absorbed by the
+    8× safety factor; groups with fewer than k distinct values fall
+    back to their exact count (the standard KMV small-set rule).
+
+    Output: (group, exact_distinct, kmv_estimate) — exact vs sketch in
+    one frame, the calibration artifact.
+    """
+    hashed = tagged.select(
+        F.col(group_col), F.md5(F.col(value_col).cast("string")).alias("h")
+    ).where(F.col(value_col).isNotNull())
+    # distinct (group, hash): 16-byte rows, map-side partial combine
+    d = hashed.distinct()
+    exact = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    approx = d.groupBy(group_col).agg(
+        F.approx_count_distinct("h").alias("n_approx")
+    )
+    # survivors: h as a fraction of hash space must be under
+    # safety*k/n_approx; compare in the 48-bit integer domain to stay
+    # exact (h48 < cutoff48). n_approx <= safety*k keeps everything.
+    h48 = F.conv(F.substring("h", 1, 12), 16, 10).cast("long")
+    cutoff = F.when(
+        F.col("n_approx") <= F.lit(safety * k), F.lit(1 << 48)
+    ).otherwise(
+        (F.lit(float(safety * k) * (1 << 48)) / F.col("n_approx")).cast("long")
+    )
+    surv = (
+        d.join(approx, group_col)
+        .where(h48 < cutoff)
+        .select(group_col, "h")
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    kth = (
+        surv.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == k)
+        .select(
+            group_col,
+            (
+                F.conv(F.substring("h", 1, 12), 16, 10).cast("long")
+                / F.lit(float(1 << 48))
+            ).alias("_frac"),
+        )
+    )
+    est = F.round(F.lit(float(k - 1)) / F.col("_frac"), 4)
+    return (
+        exact.join(kth, group_col, "left")
+        .select(
+            group_col,
+            "exact_distinct",
+            F.coalesce(est, F.col("exact_distinct").cast("double")).alias(
+                "kmv_estimate"
+            ),
+        )
+    )

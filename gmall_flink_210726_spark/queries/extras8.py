@@ -1,0 +1,180 @@
+r"""Extras wave 8: range-join decomposition and robust winsorized stats.
+
+Determinism notes (repo-wide contract):
+- x28's block breakpoints come from an odd-multiplier hash
+  (k·2654435761 mod 2^32 — a bijection on the 32-bit ring, so
+  breakpoints are distinct and LEAD is unambiguous); all join keys and
+  aggregates are exact integers.
+- x29's percentile thresholds use the nearest-rank definition with
+  PURE INTEGER ceil arithmetic ((p·n + 99) div 100) — a double 0.05·n
+  disagrees between engines when n is a multiple of 20 (binary double
+  vs DuckDB DECIMAL), so no float touches a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+_RING = 4294967296  # 2^32
+
+
+@register(
+    "x28_range_join_blocks",
+    oracle="""
+    WITH bp AS (SELECT p_partkey AS block_id,
+                       (p_partkey * 2654435761) % 4294967296 AS lo
+                FROM part),
+    r AS (SELECT block_id, lo,
+                 COALESCE(LEAD(lo) OVER (ORDER BY lo), 4294967296) AS hi
+          FROM bp),
+    pt AS (SELECT (user_id * 1099087573) % 4294967296 AS addr,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE user_id IS NOT NULL),
+    j AS (SELECT r.block_id, pt.cents
+          FROM pt JOIN r ON pt.addr >= r.lo AND pt.addr < r.hi)
+    SELECT block_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM j GROUP BY block_id
+    """,
+    doc="Point-in-range enrichment (the geo-IP/CIDR-block join): event "
+    "addresses land in half-open hash blocks keyed by part, then "
+    "aggregate per block. The Spark side runs the chunked EQUI-join "
+    "decomposition (operators/joins.py:range_join) — each range "
+    "explodes into fixed-granularity chunks, each point computes one "
+    "chunk key, hash join + residual filter — because the naive theta "
+    "join plans as BroadcastNestedLoopJoin, O(P×R) with a "
+    "driver-killing broadcast once the range table outgrows a dim. "
+    "The oracle runs the BETWEEN join directly: same semantics, "
+    "different physical strategy.",
+    tags=("extras", "join"),
+)
+def x28_range_join_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.joins import range_join
+
+    part = load_table(spark, sf_dir, "part")
+    events = load_table(spark, sf_dir, "events")
+    bp = part.select(
+        F.col("p_partkey").alias("block_id"),
+        ((F.col("p_partkey") * F.lit(2654435761)) % F.lit(_RING)).alias("lo"),
+    )
+    # breakpoints are dim-cardinality (10^6 blocks in a real geo-IP
+    # table), so the single-partition LEAD window is bounded; the
+    # POINTS side never sees a window
+    ranges = bp.withColumn(
+        "hi",
+        F.coalesce(F.lead("lo").over(Window.orderBy("lo")), F.lit(_RING)),
+    )
+    pt = events.where(F.col("user_id").isNotNull()).select(
+        ((F.col("user_id") * F.lit(1099087573)) % F.lit(_RING)).alias("addr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    joined = range_join(pt, ranges, "addr", "lo", "hi", granularity=1 << 18)
+    return joined.groupBy("block_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
+    "x29_winsorized_stats",
+    oracle="""
+    WITH v AS (SELECT c_mktsegment AS segment,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer),
+    g AS (SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM v GROUP BY 1, 2),
+    t AS (SELECT segment, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+    c AS (SELECT g.*, SUM(cnt) OVER (PARTITION BY segment ORDER BY cents
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM g),
+    th AS (SELECT c.segment,
+             MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN cents END) AS lo_thr,
+             MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END) AS hi_thr
+           FROM c JOIN t USING (segment) GROUP BY 1),
+    w AS (SELECT g.segment,
+            SUM(cnt * LEAST(GREATEST(cents, lo_thr), hi_thr)) AS ws,
+            SUM(CASE WHEN cents < lo_thr THEN cnt ELSE 0 END) AS nlo,
+            SUM(CASE WHEN cents > hi_thr THEN cnt ELSE 0 END) AS nhi
+          FROM g JOIN th USING (segment) GROUP BY 1)
+    SELECT w.segment, t.n, th.lo_thr, th.hi_thr,
+           round(CAST(ws AS DOUBLE) / n / 100.0, 6) AS win_mean,
+           CAST(nlo AS BIGINT) AS n_clip_lo,
+           CAST(nhi AS BIGINT) AS n_clip_hi
+    FROM w JOIN th USING (segment) JOIN t USING (segment)
+    """,
+    doc="Winsorized (5%/95%) robust per-segment balance stats — the "
+    "outlier-tolerant mean a metrics pipeline reports instead of the "
+    "raw mean. Thresholds are EXACT nearest-rank percentiles computed "
+    "scale-safely: groupBy(segment, cents) collapses the corpus to "
+    "distinct-value counts (bounded by the value domain), a cumulative "
+    "window over that bounded frame finds the rank thresholds, and "
+    "the clamped re-aggregation is one more pass over the same "
+    "distinct-value frame — no corpus-cardinality percentile() buffer "
+    "(the ccnet r5 lesson), no corpus sort. All rank arithmetic is "
+    "integer; the only double is the final mean.",
+    tags=("extras", "quality"),
+)
+def x29_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    v = customer.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    g = v.groupBy("segment", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    t = g.groupBy("segment").agg(F.sum("cnt").cast("long").alias("n"))
+    cum_w = Window.partitionBy("segment").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = g.withColumn("cum", F.sum("cnt").over(cum_w))
+    th = (
+        c.join(t, "segment")
+        .groupBy("segment")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(5 * n + 99) div 100"), F.col("cents"))
+            ).alias("lo_thr"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(95 * n + 99) div 100"), F.col("cents"))
+            ).alias("hi_thr"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo_thr")), F.col("hi_thr"))
+    w = (
+        g.join(th, "segment")
+        .groupBy("segment")
+        .agg(
+            F.sum(F.col("cnt") * clamped).alias("ws"),
+            F.sum(
+                F.when(F.col("cents") < F.col("lo_thr"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nlo"),
+            F.sum(
+                F.when(F.col("cents") > F.col("hi_thr"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nhi"),
+        )
+    )
+    return (
+        w.join(th, "segment")
+        .join(t, "segment")
+        .select(
+            "segment",
+            "n",
+            "lo_thr",
+            "hi_thr",
+            F.round(F.col("ws").cast("double") / F.col("n") / F.lit(100.0), 6).alias(
+                "win_mean"
+            ),
+            F.col("nlo").cast("long").alias("n_clip_lo"),
+            F.col("nhi").cast("long").alias("n_clip_hi"),
+        )
+    )

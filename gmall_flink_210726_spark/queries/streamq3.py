@@ -103,3 +103,100 @@ def st13_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st14_stream_upsert_materialize",
+    oracle="""
+    WITH r AS (SELECT user_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) AS last_cents,
+                      CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC) AS rk
+               FROM events)
+    SELECT user_id, event_type AS last_type, last_cents, last_ts_us
+    FROM r WHERE rk = 1 AND event_type <> 'error'
+    """,
+    doc="Streaming CDC UPSERT materialization (Flink's upsert-kafka / "
+    "compacted-changelog pattern, the dim-layer sibling of the "
+    "reference's Phoenix upsert sink): every event is an upsert of "
+    "its user's profile row keyed by user_id, 'error' acts as the "
+    "DELETE tombstone, and the materialized table is the per-key "
+    "LATEST row. Each micro-batch reduces to per-key batch-latest "
+    "partials (max_by over ts — state bounded by keys touched, never "
+    "batch volume) written through the idempotent epoch-partition "
+    "sink; the durable merge is the cross-epoch argmax(ts), which is "
+    "IDEMPOTENT (a replayed epoch re-asserts the same maxima), so "
+    "at-least-once replay converges to exactly-once output. "
+    "Tombstones filter at serve time — a key whose latest op is a "
+    "delete is absent, exactly the compacted-topic contract.",
+    tags=("streaming", "sink", "cdc"),
+)
+def st14_stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    out = tempfile.mkdtemp(prefix="st14_upsert_")
+    ckpt = tempfile.mkdtemp(prefix="st14_ckpt_")
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round(F.col("value") * 100).cast("long").alias("last_cents"),
+        F.expr("ts div 1000").cast("long").alias("last_ts_us"),
+    )
+
+    def _write_partials(batch: DataFrame, epoch: int) -> None:
+        latest = (
+            batch.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("last_type", "last_cents", "last_ts_us"),
+                    F.col("last_ts_us"),
+                ).alias("s")
+            )
+            .select("user_id", "s.*")
+        )
+        append_stats_exactly_once(latest, epoch, out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(ev, _write_partials, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st14 upsert stream did not finish")
+        q.stop()
+        result = (
+            upsert_serve(spark.read.parquet(out))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+def upsert_serve(partials: DataFrame) -> DataFrame:
+    """Serve-time merge of per-epoch upsert partials: global
+    argmax(last_ts_us) per key, tombstones ('error') dropped AFTER the
+    argmax — a delete only wins if it is the key's latest op. Factored
+    out so the replay tests drive it directly against duplicated /
+    re-ordered epoch directories."""
+    return (
+        partials.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("last_type", "last_cents", "last_ts_us"),
+                F.col("last_ts_us"),
+            ).alias("s")
+        )
+        .select("user_id", "s.*")
+        .filter(F.col("last_type") != "error")
+    )

@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras5,
         extras6,
         extras7,
+        extras8,
         gmall,
         gmall2,
         llm,
@@ -60,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm7,
         llm8,
         llm9,
+        llm10,
         streamq,
         streamq2,
         streamq3,

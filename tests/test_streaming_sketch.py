@@ -240,3 +240,107 @@ class TestStreamingBloomReplay:
             assert merged() == want
         finally:
             shutil.rmtree(out, ignore_errors=True)
+
+
+class TestUpsertReplay:
+    """st14 upsert materialization: the serve-time argmax merge must be
+    idempotent under epoch RETRY (duplicated partials) and correct
+    under multi-epoch splits where a key's latest op moves epochs."""
+
+    def _partials(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, last_type string, last_cents long, last_ts_us long"
+        )
+
+    def test_argmax_merge_and_tombstone(self, spark):
+        from gmall_flink_210726_spark.queries.streamq3 import upsert_serve
+
+        rows = [
+            (1, "view", 100, 10),
+            (1, "purchase", 250, 20),  # latest for key 1
+            (2, "signup", 0, 5),
+            (2, "error", 0, 9),  # tombstone is latest -> key absent
+            (3, "error", 0, 3),
+            (3, "click", 70, 8),  # delete superseded -> key present
+        ]
+        got = {r.user_id: (r.last_type, r.last_cents) for r in
+               upsert_serve(self._partials(spark, rows)).collect()}
+        assert got == {1: ("purchase", 250), 3: ("click", 70)}
+
+    def test_epoch_retry_is_idempotent(self, spark):
+        """Writing the SAME epoch twice through the idempotent sink (the
+        crash-after-write-before-commit replay) leaves the served table
+        unchanged; a naive append sink would double rows and could not
+        change argmax output either — so also simulate the harsher
+        case: duplicated partials unioned (at-least-once without the
+        sink), which argmax STILL absorbs."""
+        import os
+        import shutil
+        import tempfile
+
+        from gmall_flink_210726_spark.queries.streamq3 import upsert_serve
+
+        out = tempfile.mkdtemp(prefix="st14_test_replay_")
+        try:
+            e0 = self._partials(
+                spark, [(1, "view", 100, 10), (2, "signup", 0, 5)]
+            )
+            e1 = self._partials(
+                spark, [(1, "purchase", 250, 20), (2, "error", 0, 9)]
+            )
+            append_stats_exactly_once(e0, 0, out)
+            append_stats_exactly_once(e1, 1, out)
+            base = sorted(
+                map(tuple, upsert_serve(spark.read.parquet(out)).collect())
+            )
+            # retry epoch 1: overwrite same partition with same rows
+            append_stats_exactly_once(e1, 1, out)
+            retried = sorted(
+                map(tuple, upsert_serve(spark.read.parquet(out)).collect())
+            )
+            assert retried == base
+            # harsher: duplicated partials with no sink dedup
+            dup = upsert_serve(
+                spark.read.parquet(out).unionAll(
+                    e1.withColumn("epoch_id", F.lit(1))
+                )
+            )
+            assert sorted(map(tuple, dup.collect())) == base
+            assert base == [(1, "purchase", 250, 20)]
+            assert os.path.isdir(out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    def test_split_vs_batch_agreement(self, spark):
+        """Per-epoch batch-latest partials merged at serve equal the
+        single-pass batch answer regardless of how events split across
+        epochs (keys straddle the boundary)."""
+        from gmall_flink_210726_spark.queries.streamq3 import upsert_serve
+
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        ev = load_table(spark, SF_SMALL, "events").select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round(F.col("value") * 100).cast("long").alias("last_cents"),
+            F.unix_micros(F.col("ts")).alias("last_ts_us"),
+        )
+        batch = sorted(map(tuple, upsert_serve(ev).collect()))
+
+        def batch_latest(df):
+            return (
+                df.groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("last_type", "last_cents", "last_ts_us"),
+                        F.col("last_ts_us"),
+                    ).alias("s")
+                )
+                .select("user_id", "s.*")
+            )
+
+        parts = [
+            batch_latest(ev.where(F.col("last_ts_us") % 3 == i)) for i in range(3)
+        ]
+        merged = parts[0].unionAll(parts[1]).unionAll(parts[2])
+        assert sorted(map(tuple, upsert_serve(merged).collect())) == batch
