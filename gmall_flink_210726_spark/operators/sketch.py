@@ -634,3 +634,110 @@ def kmv_distinct(
             ),
         )
     )
+
+
+def kmv_overlap(
+    tagged: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "v",
+    k: int = 256,
+    safety: int = 8,
+) -> DataFrame:
+    """KMV set-INTERSECTION estimation between every group pair (Beyer
+    et al., SIGMOD 2007 — the theta-sketch set-operation base),
+    calibrated against the exact intersection: for groups A, B the
+    bottom-k of A∪B is a uniform sample of the union, so
+    |A∩B| ≈ (|U_k ∩ A ∩ B| / K) · D̂(A∪B), with D̂ the standard
+    (K-1)/h_(K) bottom-k estimator (exact when the union is smaller
+    than k).
+
+    The identity that makes this SCALE-cheap: bottomk(A∪B) ⊆
+    bottomk(A) ∪ bottomk(B), and for every hash in it, membership in
+    the FULL set equals membership in that group's bottom-k (h_(K) of
+    the union never exceeds either group's k-th minimum). So after the
+    per-group bottom-k pass (cutoff-gated exactly like kmv_distinct —
+    nothing corpus-sized is ever ranked), every pairwise estimate runs
+    on ≤2k-row frames per pair: group count × k rows total, however
+    many input rows flowed in. The exact side (calibration only) is
+    one hash equi-join.
+
+    Output: (g_a, g_b, exact_inter, union_k, kmv_inter_est).
+    """
+    hashed = tagged.select(
+        F.col(group_col).alias("g"), F.md5(F.col(value_col).cast("string")).alias("h")
+    ).where(F.col(value_col).isNotNull())
+    d = hashed.distinct()
+    # --- per-group bottom-k with the approx cutoff gate (kmv_distinct) ---
+    approx = d.groupBy("g").agg(F.approx_count_distinct("h").alias("n_approx"))
+    h48 = F.conv(F.substring("h", 1, 12), 16, 10).cast("long")
+    cutoff = F.when(
+        F.col("n_approx") <= F.lit(safety * k), F.lit(1 << 48)
+    ).otherwise(
+        (F.lit(float(safety * k) * (1 << 48)) / F.col("n_approx")).cast("long")
+    )
+    surv = d.join(approx, "g").where(h48 < cutoff).select("g", "h")
+    wg = Window.partitionBy("g").orderBy("h")
+    bk = (
+        surv.withColumn("_r", F.row_number().over(wg))
+        .where(F.col("_r") <= k)
+        .select("g", "h")
+    )
+    bk = bk.localCheckpoint(eager=False)  # feeds 4 plan legs
+    # --- group pairs (bounded: #groups is a dim) ---
+    gs = d.select("g").distinct()
+    pairs = (
+        gs.alias("x")
+        .join(gs.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("g_a"), F.col("y.g").alias("g_b"))
+    )
+    # --- union bottom-k per pair over the merged per-group bottom-ks ---
+    ua = pairs.join(bk.withColumnRenamed("g", "g_a"), "g_a")
+    ub = pairs.join(bk.withColumnRenamed("g", "g_b"), "g_b")
+    u = ua.select("g_a", "g_b", "h").unionAll(
+        ub.select("g_a", "g_b", "h")
+    ).distinct()
+    wp = Window.partitionBy("g_a", "g_b").orderBy("h")
+    uk = u.withColumn("_r", F.row_number().over(wp)).where(F.col("_r") <= k)
+    # membership of each union-bottom-k hash in A and in B via the
+    # per-group bottom-k sets (valid by the subset identity above)
+    in_a = bk.select(F.col("g").alias("g_a"), "h", F.lit(1).alias("_ia"))
+    in_b = bk.select(F.col("g").alias("g_b"), "h", F.lit(1).alias("_ib"))
+    marked = (
+        uk.join(in_a, ["g_a", "h"], "left")
+        .join(in_b, ["g_b", "h"], "left")
+    )
+    stats = marked.groupBy("g_a", "g_b").agg(
+        F.max("_r").cast("long").alias("union_k"),
+        F.max(F.when(F.col("_r") == k, F.col("h"))).alias("_kth"),
+        F.sum(
+            F.when(F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("_cnt_ab"),
+    )
+    frac = F.conv(F.substring("_kth", 1, 12), 16, 10).cast("long") / F.lit(
+        float(1 << 48)
+    )
+    est_union = F.when(
+        F.col("union_k") < k, F.col("union_k").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    inter_est = F.round(
+        (F.col("_cnt_ab").cast("double") / F.col("union_k")) * est_union, 4
+    )
+    # --- exact intersection (calibration side): one hash equi-join ---
+    da = d.select(F.col("g").alias("g_a"), "h")
+    db = d.select(F.col("g").alias("g_b"), "h")
+    exact = (
+        da.join(db, "h")
+        .where(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    return (
+        stats.join(exact, ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            F.coalesce("exact_inter", F.lit(0)).cast("long").alias("exact_inter"),
+            "union_k",
+            inter_est.alias("kmv_inter_est"),
+        )
+    )

@@ -178,3 +178,50 @@ def x29_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nhi").cast("long").alias("n_clip_hi"),
         )
     )
+
+
+@register(
+    "an12_markov_transitions",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type AS cur_type,
+                      LEAD(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts) AS next_type
+               FROM events),
+    c AS (SELECT cur_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+          FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT cur_type, CAST(SUM(n_trans) AS BIGINT) AS tot
+          FROM c GROUP BY 1)
+    SELECT c.cur_type, c.next_type, c.n_trans,
+           round(CAST(c.n_trans AS DOUBLE) / t.tot, 6) AS prob
+    FROM c JOIN t USING (cur_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current type), the sequence-"
+    "analytics sibling of an8's journey paths (journeys rank whole "
+    "paths; this estimates the chain itself — feed for next-event "
+    "prediction, anomaly scoring, simulation). Scale shape: the lag "
+    "window partitions BY USER (state bounded by one user's history, "
+    "the t4/t5 discipline), transitions collapse map-side to a "
+    "|types|^2 frame, and the row-normalization joins the 5x5 "
+    "transition counts against per-state totals — everything after "
+    "the window is constant-size.",
+    tags=("extras", "analytics"),
+)
+def an12_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = (
+        ev.select("user_id", F.col("event_type").alias("cur_type"), "ts")
+        .withColumn("next_type", F.lead("cur_type").over(w))
+        .where(F.col("next_type").isNotNull())
+    )
+    c = s.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    t = c.groupBy("cur_type").agg(F.sum("n_trans").cast("long").alias("tot"))
+    return c.join(t, "cur_type").select(
+        "cur_type",
+        "next_type",
+        "n_trans",
+        F.round(F.col("n_trans").cast("double") / F.col("tot"), 6).alias("prob"),
+    )

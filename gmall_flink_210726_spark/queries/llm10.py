@@ -243,3 +243,178 @@ def multimodal_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_bmp_rle_media(load_table(spark, sf_dir, "documents"))
     return bmp_rle_stats(media)
+
+
+_PCA_T = 48  # power iterations; spectrum of random embeddings is
+# nearly flat (l2/l1 ~ 0.93 on the fixture), so convergence needs ~50
+_PCA_S = 1048576  # 2^20 rescale tick
+
+
+def _pca_oracle(T: int = _PCA_T) -> str:
+    """Generate the T-iteration exact-integer power-iteration oracle:
+    the gram CTE feeds a chain of (matvec, maxabs, rescale) CTE
+    triples — HUGEINT arithmetic with truncating integer division,
+    mirrored bit-for-bit by the Spark side's Python ints."""
+    parts = [
+        """lng AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS dim,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings)""",
+        """gr AS (
+      SELECT a.dim AS i, b.dim AS j,
+             round(CAST(SUM(CAST(round(a.x, 6) AS DECIMAL(10,6))
+                            * CAST(round(b.x, 6) AS DECIMAL(10,6))) AS DOUBLE),
+                   6) AS gram
+      FROM lng a JOIN lng b USING (vec_id)
+      WHERE a.dim <= b.dim GROUP BY 1, 2)""",
+        "gi AS (SELECT i, j, CAST(round(gram * 1000000) AS HUGEINT) AS g FROM gr)",
+        "gf AS MATERIALIZED (SELECT i, j, g FROM gi UNION ALL SELECT j, i, g FROM gi WHERE i <> j)",
+        f"v0 AS (SELECT DISTINCT i, CAST({_PCA_S} AS HUGEINT) AS v FROM gf)",
+    ]
+    for t in range(1, T + 1):
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT gf.i, SUM(gf.g * v{t-1}.v) AS v "
+            f"FROM gf JOIN v{t-1} ON gf.j = v{t-1}.i GROUP BY 1)"
+        )
+        parts.append(f"m{t} AS MATERIALIZED (SELECT MAX(abs(v)) AS m FROM w{t})")
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT i, (v * {_PCA_S}) // (SELECT m FROM m{t}) AS v "
+            f"FROM w{t})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(v.i AS INTEGER) AS dim,
+           round(CAST(v.v AS DOUBLE) / {_PCA_S}.0, 6) AS loading,
+           round(CAST(m.m AS DOUBLE) / {_PCA_S}.0 / 1000000.0, 4) AS lambda_est
+    FROM v{T} v, m{T} m"""
+    )
+
+
+@register(
+    "emb_pca_power",
+    oracle=_pca_oracle(),
+    doc="Leading principal component of the embedding corpus by POWER "
+    "ITERATION on the Gram matrix — the PCA/whitening primitive. "
+    "Scale shape (how Spark MLlib's own PCA works): the ONLY "
+    "distributed pass is the d x d Gram reduction "
+    "(operators/linalg.py:gram_matrix — map-side outer-product "
+    "partials, constant-size shuffle regardless of corpus rows); the "
+    "4096-entry matrix is a bounded driver-side collect, and 48 "
+    "matvec iterations run in EXACT integer arithmetic (gram in 1e-6 "
+    "ticks, iterate rescaled to 2^20 ticks by TRUNCATING integer "
+    "division — Python emulates SQL's toward-zero semantics) so both "
+    "engines produce bit-identical loadings with zero float-"
+    "reassociation drift. 48 iterations because the fixture spectrum "
+    "is nearly flat (l2/l1 ~ 0.93); the agreement test pins cosine "
+    "> 0.99 against numpy eigh. Output: per-dim loading in [-1, 1] "
+    "(2^20-tick normalized) + the dominant-eigenvalue estimate.",
+    tags=("llm", "similarity", "linalg"),
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gmall_flink_210726_spark.operators.linalg import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = gram_matrix(emb).collect()  # bounded: d*(d+1)/2 entries
+    G: dict[tuple[int, int], int] = {}
+    d = 0
+    for r in rows:
+        g = int(round(r["gram"] * 1e6))
+        G[(r["dim_i"], r["dim_j"])] = g
+        G[(r["dim_j"], r["dim_i"])] = g
+        d = max(d, r["dim_j"] + 1)
+
+    def matvec(v: list[int]) -> list[int]:
+        return [
+            sum(G.get((i, j), 0) * v[j] for j in range(d)) for i in range(d)
+        ]
+
+    def tdiv(a: int, b: int) -> int:
+        # SQL integer division truncates toward zero; Python floors
+        return -((-a) // b) if a < 0 else a // b
+
+    v = [_PCA_S] * d
+    m = _PCA_S
+    for _ in range(_PCA_T):
+        w = matvec(v)
+        m = max(abs(x) for x in w)
+        v = [tdiv(x * _PCA_S, m) for x in w]
+
+    def r_half_up(q: float, places: str) -> float:
+        # mirror SQL round() (HALF_UP on the double's exact value) —
+        # Python's built-in round is half-even and can differ at ties
+        return float(Decimal(q).quantize(Decimal(places), ROUND_HALF_UP))
+
+    lam = r_half_up(float(m) / float(_PCA_S) / 1e6, "1e-4")
+    out = [
+        (i, r_half_up(float(v[i]) / float(_PCA_S), "1e-6"), lam)
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        out, "dim int, loading double, lambda_est double"
+    )
+
+
+@register(
+    "sketch_kmv_overlap",
+    oracle="""
+    WITH dv AS (SELECT DISTINCT o_orderpriority AS g,
+                       md5(CAST(o_custkey AS VARCHAR)) AS h
+                FROM orders WHERE o_custkey IS NOT NULL),
+    bk AS (SELECT g, h FROM (
+             SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r
+             FROM dv) z WHERE r <= 64),
+    gs AS (SELECT DISTINCT g FROM dv),
+    pr AS (SELECT x.g AS g_a, y.g AS g_b FROM gs x JOIN gs y ON x.g < y.g),
+    u AS (SELECT DISTINCT g_a, g_b, h FROM (
+            SELECT pr.g_a, pr.g_b, bk.h FROM pr JOIN bk ON bk.g = pr.g_a
+            UNION ALL
+            SELECT pr.g_a, pr.g_b, bk.h FROM pr JOIN bk ON bk.g = pr.g_b) z),
+    uk AS (SELECT g_a, g_b, h,
+                  ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY h) AS r
+           FROM u QUALIFY r <= 64),
+    st AS (SELECT uk.g_a, uk.g_b,
+              CAST(MAX(uk.r) AS BIGINT) AS union_k,
+              MAX(CASE WHEN uk.r = 64 THEN uk.h END) AS kth,
+              CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ab
+           FROM uk
+           LEFT JOIN bk a ON a.g = uk.g_a AND a.h = uk.h
+           LEFT JOIN bk b ON b.g = uk.g_b AND b.h = uk.h
+           GROUP BY 1, 2),
+    ex AS (SELECT a.g AS g_a, b.g AS g_b, CAST(COUNT(*) AS BIGINT) AS ei
+           FROM dv a JOIN dv b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2)
+    SELECT st.g_a, st.g_b,
+           CAST(COALESCE(ex.ei, 0) AS BIGINT) AS exact_inter,
+           st.union_k,
+           round((CAST(cnt_ab AS DOUBLE) / union_k) *
+                 CASE WHEN union_k < 64 THEN CAST(union_k AS DOUBLE)
+                      ELSE 63.0 / (CAST(('0x' || substring(kth, 1, 12))
+                                         AS BIGINT) / 281474976710656.0)
+                 END, 4) AS kmv_inter_est
+    FROM st LEFT JOIN ex USING (g_a, g_b)
+    """,
+    doc="KMV set-INTERSECTION estimation between customer sets of every "
+    "order-priority pair (Beyer et al. SIGMOD'07, the theta-sketch set "
+    "operation), calibrated against the exact intersection. The load-"
+    "bearing identity: bottomk(A UNION B) is contained in bottomk(A) "
+    "UNION bottomk(B), and within it full-set membership equals "
+    "bottom-k membership — so after the cutoff-gated per-group "
+    "bottom-k pass, every pairwise estimate runs on <=2k-row frames "
+    "(operators/sketch.py:kmv_overlap); nothing corpus-sized is "
+    "ranked, shuffled, or broadcast. Exact side is one 8-byte hash "
+    "equi-join, present only as the calibration column.",
+    tags=("llm", "sketch"),
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.sketch import kmv_overlap
+
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").cast("string").alias("v"),
+    )
+    return kmv_overlap(tagged, group_col="grp", value_col="v", k=64)

@@ -137,3 +137,78 @@ class TestKMV:
         )
         row = kmv_distinct(tagged, k=256).collect()[0]
         assert row["exact_distinct"] == 2
+
+
+class TestKMVOverlap:
+    def test_small_sets_exact_fallback(self, spark):
+        """Unions under k: the estimator must return the EXACT
+        intersection (union_k < k branch)."""
+        from gmall_flink_210726_spark.operators.sketch import kmv_overlap
+
+        rows = [("a", f"v{i}") for i in range(30)] + [
+            ("b", f"v{i}") for i in range(20, 50)
+        ]
+        out = kmv_overlap(
+            spark.createDataFrame(rows, "grp string, v string"), k=256
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["exact_inter"] == 10
+        assert r["kmv_inter_est"] == 10.0
+
+    def test_sketch_path_within_tolerance(self, spark):
+        """Unions over k: estimate within a loose envelope of truth
+        (k=64 -> ~12% concentration; assert 40%)."""
+        from gmall_flink_210726_spark.operators.sketch import kmv_overlap
+
+        rows = [("a", f"v{i}") for i in range(1500)] + [
+            ("b", f"v{i}") for i in range(1000, 2500)
+        ]
+        r = kmv_overlap(
+            spark.createDataFrame(rows, "grp string, v string"), k=64
+        ).collect()[0]
+        assert r["exact_inter"] == 500
+        assert r["union_k"] == 64
+        assert abs(r["kmv_inter_est"] - 500) / 500 < 0.4
+
+    def test_disjoint_sets(self, spark):
+        from gmall_flink_210726_spark.operators.sketch import kmv_overlap
+
+        rows = [("a", f"x{i}") for i in range(300)] + [
+            ("b", f"y{i}") for i in range(300)
+        ]
+        r = kmv_overlap(
+            spark.createDataFrame(rows, "grp string, v string"), k=64
+        ).collect()[0]
+        assert r["exact_inter"] == 0
+        assert r["kmv_inter_est"] == 0.0
+
+
+class TestPCAPower:
+    def test_direction_matches_numpy(self, spark):
+        """3 exact-integer power iterations must align with numpy's
+        leading eigenvector of the same (rounded) Gram matrix —
+        cosine > 0.99 on the real embeddings table."""
+        import numpy as np
+
+        from gmall_flink_210726_spark.registry import load_all
+
+        out = (
+            load_all()["emb_pca_power"]
+            .fn(spark, SF_SMALL)
+            .orderBy("dim")
+            .collect()
+        )
+        v = np.array([r["loading"] for r in out])
+        emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+        X = np.round(
+            np.array([r["embedding"] for r in emb], dtype=np.float64), 6
+        )
+        G = X.T @ X
+        w, U = np.linalg.eigh(G)
+        top = U[:, -1]
+        cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+        assert cos > 0.99
+        # lambda_est approximates the top eigenvalue in gram units
+        lam = out[0]["lambda_est"]
+        assert abs(lam / w[-1] - 1) < 0.02
