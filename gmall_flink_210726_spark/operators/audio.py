@@ -448,3 +448,197 @@ def synthesize_wav_ulaw(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# IMA ADPCM step-size table (IMA Digital Audio Pack 1992 / Microsoft
+# WAVE_FORMAT_IMA_ADPCM tag 0x11) — 89 entries, public standard
+IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+ADPCM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("abs_sum", LongType()),
+        StructField("energy", LongType()),
+        StructField("final_pred", LongType()),
+        StructField("final_idx", LongType()),
+    ]
+)
+
+
+def _adpcm_decode_block(b: bytes, off: int, nb: int, samples: list[int]) -> int:
+    """One IMA-ADPCM mono block: 4-byte header (int16 predictor, step
+    index, reserved) + nb data bytes, LOW nibble first. The predictor
+    and step index evolve PER SAMPLE — unlike every other codec in
+    this package the state is serial, which is exactly what the
+    list_reduce oracle exercises. Returns the final step index."""
+    pred = int.from_bytes(b[off : off + 2], "little", signed=True)
+    idx = b[off + 2]
+    if idx > 88:
+        raise ValueError("bad step index")
+    samples.append(pred)
+    pos = off + 4
+    for j in range(nb):
+        byte = b[pos + j]
+        for nib in (byte & 0xF, byte >> 4):
+            step = IMA_STEP[idx]
+            mag = nib & 7
+            diff = (step >> 3)
+            if mag & 4:
+                diff += step
+            if mag & 2:
+                diff += step >> 1
+            if mag & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx += -1 if mag < 4 else (mag - 3) * 2
+            idx = max(0, min(88, idx))
+            samples.append(pred)
+    return idx
+
+
+def _adpcm_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """RIFF walk accepting ONLY WAVE_FORMAT_IMA_ADPCM (tag 0x11, 4-bit,
+    MONO); anything else degrades to 'unknown'. Multi-block data decodes
+    block-by-block at block_align stride."""
+    import struct
+
+    out = []
+    for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        row = {
+            "media_id": int(media_id),
+            "format": "unknown",
+            "n_samples": 0,
+            "abs_sum": 0,
+            "energy": 0,
+            "final_pred": 0,
+            "final_idx": 0,
+        }
+        try:
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 44:
+                tag = ch = bits = balign = 0
+                data_pos = data_sz = 0
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid, csz = struct.unpack_from("<4sI", b, pos)
+                    if cid == b"fmt ":
+                        tag, ch, _, _, balign, bits = struct.unpack_from(
+                            "<HHIIHH", b, pos + 8
+                        )
+                    elif cid == b"data":
+                        data_pos, data_sz = pos + 8, csz
+                    pos += 8 + csz + (csz & 1)
+                if (
+                    tag == 0x11
+                    and ch == 1
+                    and bits == 4
+                    and balign >= 5
+                    and data_pos
+                    and data_pos + data_sz <= len(b)
+                    and data_sz % balign == 0
+                ):
+                    samples: list[int] = []
+                    idx = 0
+                    for boff in range(data_pos, data_pos + data_sz, balign):
+                        idx = _adpcm_decode_block(
+                            b, boff, balign - 4, samples
+                        )
+                    row.update(
+                        format="adpcm",
+                        n_samples=len(samples),
+                        abs_sum=int(sum(abs(s) for s in samples)),
+                        energy=int(sum(s * s for s in samples)),
+                        final_pred=int(samples[-1]),
+                        final_idx=int(idx),
+                    )
+        except (struct.error, ValueError, IndexError):
+            pass
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in ADPCM_SCHEMA.fields])
+
+
+def audio_adpcm_stats(df: DataFrame) -> DataFrame:
+    """IMA ADPCM decode + amplitude stats over MEDIA_SCHEMA blobs — the
+    PREDICTIVE-codec leg of the decode surface (4:1-compressed speech;
+    the decoder carries per-sample adaptive state, so any nibble-order,
+    clamp, or step-table error compounds and is caught by the
+    final_pred/final_idx checksums). Arrow-batched mapInPandas."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _adpcm_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, ADPCM_SCHEMA)
+
+
+def synthesize_wav_adpcm(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL single-block IMA-ADPCM WAV blobs:
+    header predictor ((i*37)%4096 - 2048), step index ((i*5)%89), and
+    nibble k = (i*13 + 7k)%16 are all LCG formulas so a DuckDB oracle
+    replays the ENTIRE adaptive decode blind via list_reduce. Every
+    17th id is truncated mid-header -> 'unknown'."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import ensure_parallelism, ship_package
+
+    import struct
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def make(i: int) -> bytes:
+        pred0 = ((i * 37) % 4096) - 2048
+        idx0 = (i * 5) % 89
+        nb = 20 + i % 12
+        nibs = [(i * 13 + 7 * k) % 16 for k in range(2 * nb)]
+        data = struct.pack("<hBB", pred0, idx0, 0) + bytes(
+            nibs[2 * j] | (nibs[2 * j + 1] << 4) for j in range(nb)
+        )
+        balign = 4 + nb
+        spb = 1 + 2 * nb
+        sr = 8000
+        blob = (
+            struct.pack("<4sI4s", b"RIFF", 40 + len(data), b"WAVE")
+            + struct.pack(
+                "<4sIHHIIHHHH",
+                b"fmt ", 20, 0x11, 1, sr,
+                sr * balign // spb, balign, 4, 2, spb,
+            )
+            + struct.pack("<4sI", b"data", len(data))
+            + data
+        )
+        return blob[:30] if i % 17 == 0 else blob
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [make(i) for i in ids],
+                    "meta": [
+                        {
+                            "format": "wav",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 8000,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -269,6 +269,7 @@ def exact_jaccard_verify(
     text_col: str,
     n: int,
     threshold: float,
+    sh_table: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verify ONLY the candidate pairs, shuffling nothing
     wider than 8-byte shingle hashes (the package-wide "bodies never
@@ -293,21 +294,31 @@ def exact_jaccard_verify(
     cand_ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias("id")
     ).distinct()
-    # repartition BEFORE the shingle explode: documents often arrive
-    # as a handful of files, and a projection below the exchange would
-    # evaluate the shingle HOFs single-threaded in the scan stage
-    sh = (
-        ensure_parallelism(docs.select(F.col(id_col).alias("id"), text_col))
-        .select("id", F.explode(word_shingles(text_col, n)).alias("sh_str"))
-        .select("id", F.xxhash64("sh_str").alias("sh"))
-        .join(cand_ids, "id", "left_semi")
-    )
-    # candidate-doc shingle hashes only — output-bounded, and referenced
-    # by four plan legs (counts + the join-back + both pair sides), so
-    # materialize once instead of inlining the corpus scan per leg
-    sh = sh.localCheckpoint(eager=False)
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh = sh.join(counts, "id")
+    if sh_table is not None:
+        # the caller already built the (id, sh, n_sh) table for its
+        # candidate generation — reuse it instead of re-exploding the
+        # corpus (the semi-join drops whole docs, never individual
+        # shingles, so the carried n_sh stays the full per-doc count)
+        sh = sh_table.select("id", "sh", "n_sh").join(
+            cand_ids, "id", "left_semi"
+        ).localCheckpoint(eager=False)
+    else:
+        # repartition BEFORE the shingle explode: documents often arrive
+        # as a handful of files, and a projection below the exchange
+        # would evaluate the shingle HOFs single-threaded in the scan
+        sh = (
+            ensure_parallelism(docs.select(F.col(id_col).alias("id"), text_col))
+            .select("id", F.explode(word_shingles(text_col, n)).alias("sh_str"))
+            .select("id", F.xxhash64("sh_str").alias("sh"))
+            .join(cand_ids, "id", "left_semi")
+        )
+        # candidate-doc shingle hashes only — output-bounded, and
+        # referenced by four plan legs (counts + the join-back + both
+        # pair sides), so materialize once instead of inlining the
+        # corpus scan per leg
+        sh = sh.localCheckpoint(eager=False)
+        counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sh = sh.join(counts, "id")
     a_side = sh.select(
         F.col("id").alias("id_a"), "sh", F.col("n_sh").alias("na")
     )
@@ -364,7 +375,11 @@ def prefix_filter_pairs(
     out one short would silently drop true pairs.
     """
     threshold = t_num / t_den
-    sh = _shingle_table(docs, id_col, text_col, n, None)
+    # one corpus explode feeds BOTH the prefix index and the verify
+    # stage (sh_table passthrough below) — materialize it once
+    sh = _shingle_table(docs, id_col, text_col, n, None).localCheckpoint(
+        eager=False
+    )
     df_tab = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_tab, "sh").withColumn(
         "_r",
@@ -382,7 +397,9 @@ def prefix_filter_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return exact_jaccard_verify(docs, cand, id_col, text_col, n, threshold)
+    return exact_jaccard_verify(
+        docs, cand, id_col, text_col, n, threshold, sh_table=sh
+    )
 
 
 def connected_components(

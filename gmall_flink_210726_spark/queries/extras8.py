@@ -225,3 +225,50 @@ def an12_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         F.round(F.col("n_trans").cast("double") / F.col("tot"), 6).alias("prob"),
     )
+
+
+@register(
+    "x30_salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="Skew-breaking SALTED equi-join: lineitem joins orders on "
+    "(orderkey, salt) after replicating the orders side across 16 "
+    "salts and salting each lineitem row by its line number — "
+    "bit-identical output to the plain join (the oracle IS the plain "
+    "join), but a hot orderkey's fan-in spreads over 16 reducers "
+    "instead of melting one. This is the JOIN sibling of "
+    "skew_salted_agg, for when AQE's skew-split can't apply (the "
+    "join's partitioning feeds a downstream stateful op). Revenue is "
+    "summed as exact per-row cents (round before sum, the repo-wide "
+    "double discipline). operators/skew.py:salted_join",
+    tags=("extras", "join", "skew"),
+)
+def x30_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fact = lineitem.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("cents"),
+    )
+    joined = salted_join(
+        fact,
+        orders.select("o_orderkey", "o_orderpriority"),
+        "o_orderkey",
+        F.col("l_linenumber"),
+        n_salts=16,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

@@ -418,3 +418,92 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("string").alias("v"),
     )
     return kmv_overlap(tagged, group_col="grp", value_col="v", k=64)
+
+
+def _adpcm_oracle(max_steps: int = 62) -> str:
+    """Generate the unrolled IMA-ADPCM oracle: one materialized CTE per
+    decode STEP (all files advance one nibble; finished files pass
+    state through), because the codec's per-sample adaptive state is a
+    serial recurrence no set-oriented SQL aggregate expresses — the
+    same chained-CTE discipline as the PCA oracle. 62 steps covers the
+    fixture's max 2*(20+11) nibbles. DuckDB v1.0.0's list_reduce was
+    tried first and mis-evaluates repeated subexpressions across
+    struct-accumulator fields, so the unroll is also the SAFE form."""
+    from gmall_flink_210726_spark.operators.audio import IMA_STEP
+
+    parts = [
+        "stp AS (SELECT unnest(range(89)) AS si, unnest(["
+        + ",".join(str(s) for s in IMA_STEP)
+        + "]) AS sv)",
+        """s0 AS MATERIALIZED (
+      SELECT doc_id AS media_id, 20 + doc_id % 12 AS nb,
+             doc_id % 17 = 0 AS corrupt,
+             CAST(((doc_id*37) % 4096) - 2048 AS BIGINT) AS pred,
+             CAST((doc_id*5) % 89 AS BIGINT) AS idx,
+             CAST(abs(((doc_id*37) % 4096) - 2048) AS BIGINT) AS sab,
+             CAST((((doc_id*37) % 4096) - 2048)
+                  * (((doc_id*37) % 4096) - 2048) AS BIGINT) AS ssq
+      FROM documents)""",
+    ]
+    for t in range(1, max_steps + 1):
+        parts.append(f"""s{t} AS MATERIALIZED (
+      SELECT media_id, nb, corrupt, predn AS pred, idxn AS idx,
+             sab + CASE WHEN act THEN abs(predn) ELSE 0 END AS sab,
+             ssq + CASE WHEN act THEN predn * predn ELSE 0 END AS ssq
+      FROM (
+        SELECT media_id, nb, corrupt, act,
+          CASE WHEN act THEN LEAST(GREATEST(pred + sgn * (sv // 8
+               + CASE WHEN mag >= 4 THEN sv ELSE 0 END
+               + CASE WHEN mag % 4 >= 2 THEN sv // 2 ELSE 0 END
+               + CASE WHEN mag % 2 = 1 THEN sv // 4 ELSE 0 END),
+               -32768), 32767) ELSE pred END AS predn,
+          CASE WHEN act THEN LEAST(GREATEST(idx
+               + CASE WHEN mag < 4 THEN -1 ELSE (mag - 3) * 2 END, 0), 88)
+               ELSE idx END AS idxn,
+          sab, ssq
+        FROM (
+          SELECT z.*, stp.sv,
+                 ({t} <= 2 * z.nb) AS act,
+                 ((z.media_id * 13 + 7 * ({t} - 1)) % 16) % 8 AS mag,
+                 CASE WHEN ((z.media_id * 13 + 7 * ({t} - 1)) % 16) // 8 = 1
+                      THEN -1 ELSE 1 END AS sgn
+          FROM s{t-1} z JOIN stp ON stp.si = z.idx) y) x)""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT media_id,
+      CASE WHEN corrupt THEN 'unknown' ELSE 'adpcm' END AS format,
+      CAST(CASE WHEN corrupt THEN 0 ELSE 1 + 2*nb END AS BIGINT) AS n_samples,
+      CAST(CASE WHEN corrupt THEN 0 ELSE sab END AS BIGINT) AS abs_sum,
+      CAST(CASE WHEN corrupt THEN 0 ELSE ssq END AS BIGINT) AS energy,
+      CAST(CASE WHEN corrupt THEN 0 ELSE pred END AS BIGINT) AS final_pred,
+      CAST(CASE WHEN corrupt THEN 0 ELSE idx END AS BIGINT) AS final_idx
+    FROM s{max_steps}"""
+    )
+
+
+@register(
+    "multimodal_wav_adpcm",
+    oracle=_adpcm_oracle(),
+    doc="IMA ADPCM WAV decode (WAVE_FORMAT_IMA_ADPCM tag 0x11) — the "
+    "PREDICTIVE-codec leg of the decode surface: 4-bit nibbles drive a "
+    "per-sample adaptive predictor + step-index recurrence (the IMA "
+    "1992 bit-serial difference, clamped int16), so any nibble-order, "
+    "clamp, or step-table error COMPOUNDS through the file; the "
+    "final_pred/final_idx columns pin the end state exactly. The "
+    "fixture writes real single-block mono files from LCG formulas; "
+    "every 17th id truncates mid-header -> 'unknown'. The oracle "
+    "replays the full adaptive decode blind as 62 unrolled per-step "
+    "CTEs (serial state is inexpressible as one SQL aggregate). "
+    "operators/audio.py:audio_adpcm_stats",
+    tags=("llm", "multimodal"),
+)
+def multimodal_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.audio import (
+        audio_adpcm_stats,
+        synthesize_wav_adpcm,
+    )
+
+    media = synthesize_wav_adpcm(load_table(spark, sf_dir, "documents"))
+    return audio_adpcm_stats(media)

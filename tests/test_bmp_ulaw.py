@@ -148,3 +148,106 @@ class TestUlawRobustness:
         assert lut[0x0F] == -16764
         neg = lut[:128]
         assert all(neg[i] <= neg[i + 1] for i in range(127))
+
+
+def _adpcm_blob(i: int = 4) -> bytes:
+    import struct
+
+    pred0 = ((i * 37) % 4096) - 2048
+    idx0 = (i * 5) % 89
+    nb = 20 + i % 12
+    nibs = [(i * 13 + 7 * k) % 16 for k in range(2 * nb)]
+    data = struct.pack("<hBB", pred0, idx0, 0) + bytes(
+        nibs[2 * j] | (nibs[2 * j + 1] << 4) for j in range(nb)
+    )
+    balign = 4 + nb
+    spb = 1 + 2 * nb
+    return (
+        struct.pack("<4sI4s", b"RIFF", 40 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHHHH", b"fmt ", 20, 0x11, 1, 8000,
+            8000 * balign // spb, balign, 4, 2, spb,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+class TestAdpcmRobustness:
+    def test_good_blob_decodes(self):
+        from gmall_flink_210726_spark.operators.audio import _adpcm_batch
+
+        out = _adpcm_batch(
+            pd.DataFrame({"media_id": [4], "content": [_adpcm_blob(4)]})
+        )
+        r = out.iloc[0]
+        assert r["format"] == "adpcm"
+        assert abs(r["final_pred"]) <= 32767 and 0 <= r["final_idx"] <= 88
+
+    def test_multi_block_state_resets(self):
+        """Two concatenated blocks: the second block's header predictor
+        RESTARTS the state (per spec); stats must cover both blocks."""
+        import struct
+
+        from gmall_flink_210726_spark.operators.audio import (
+            _adpcm_batch,
+            _adpcm_decode_block,
+        )
+
+        nb = 6
+        blk = struct.pack("<hBB", 1000, 10, 0) + bytes(range(nb))
+        blk2 = struct.pack("<hBB", -500, 40, 0) + bytes(range(nb))
+        data = blk + blk2
+        balign = 4 + nb
+        spb = 1 + 2 * nb
+        blob = (
+            struct.pack("<4sI4s", b"RIFF", 40 + len(data), b"WAVE")
+            + struct.pack(
+                "<4sIHHIIHHHH", b"fmt ", 20, 0x11, 1, 8000,
+                8000 * balign // spb, balign, 4, 2, spb,
+            )
+            + struct.pack("<4sI", b"data", len(data))
+            + data
+        )
+        out = _adpcm_batch(pd.DataFrame({"media_id": [1], "content": [blob]}))
+        r = out.iloc[0]
+        assert r["format"] == "adpcm"
+        assert r["n_samples"] == 2 * spb
+        # reference: decode both blocks independently
+        s: list[int] = []
+        _adpcm_decode_block(blob, len(blob) - len(data), nb, s)
+        idx = _adpcm_decode_block(blob, len(blob) - len(data) + balign, nb, s)
+        assert r["abs_sum"] == sum(abs(x) for x in s)
+        assert r["final_idx"] == idx
+
+    @pytest.mark.parametrize("cut", [0, 12, 30, 45])
+    def test_truncation_degrades(self, cut):
+        from gmall_flink_210726_spark.operators.audio import _adpcm_batch
+
+        out = _adpcm_batch(
+            pd.DataFrame({"media_id": [4], "content": [_adpcm_blob(4)[:cut]]})
+        )
+        assert out.iloc[0]["format"] == "unknown"
+
+    def test_pcm_and_ulaw_rejected(self):
+        from gmall_flink_210726_spark.operators.audio import _adpcm_batch
+
+        out = _adpcm_batch(
+            pd.DataFrame({"media_id": [3], "content": [_ulaw_blob(3)]})
+        )
+        assert out.iloc[0]["format"] == "unknown"
+
+    def test_bitflips_never_raise(self):
+        from gmall_flink_210726_spark.operators.audio import _adpcm_batch
+
+        base = _adpcm_blob(7)
+        for pos in range(0, len(base), 9):
+            mutated = bytearray(base)
+            mutated[pos] ^= 0xA5
+            out = _adpcm_batch(
+                pd.DataFrame({"media_id": [7], "content": [bytes(mutated)]})
+            )
+            r = out.iloc[0]
+            assert r["format"] in ("adpcm", "unknown")
+            if r["format"] == "adpcm":
+                assert abs(r["final_pred"]) <= 32767
