@@ -272,3 +272,122 @@ def x30_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+@register(
+    "x31_scd2_history",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts) AS prev_type
+               FROM events),
+    ch AS (SELECT user_id, event_type, ts_us
+           FROM s WHERE prev_type IS NULL OR event_type <> prev_type),
+    v AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+                 LEAD(ts_us) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us) AS valid_to_us,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts_us) AS BIGINT) AS version_n
+          FROM ch)
+    SELECT user_id, event_type, valid_from_us,
+           CAST(COALESCE(valid_to_us, 0) AS BIGINT) AS valid_to_us, version_n
+    FROM v
+    """,
+    doc="SCD2 history with RUN COLLAPSE — the missing half of x7's "
+    "interval build: x7 emits one validity interval per CHANGE ROW "
+    "(correct when every row IS a change), but a raw changelog "
+    "re-asserts unchanged values, and true type-2 semantics must "
+    "collapse runs of equal values into ONE version (else as-of joins "
+    "return phantom versions and history tables bloat by the "
+    "re-assert rate). Per user: a lag filter keeps only genuine "
+    "change points, then LEAD chains half-open [valid_from, valid_to) "
+    "intervals with 0 marking the open current version plus a dense "
+    "version_n. Scale shape: both windows partition BY USER (state "
+    "bounded by one user's history), and the change filter runs "
+    "before the interval window so the second pass sees only change "
+    "points.",
+    tags=("extras", "cdc", "analytics"),
+)
+def x31_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    ch = s.where(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(F.lead("ts_us").over(w2), F.lit(0))
+        .cast("long")
+        .alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version_n"),
+    )
+
+
+@register(
+    "x32_bitmap_intersect",
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u
+               FROM events WHERE user_id IS NOT NULL),
+    w AS (SELECT g, u // 32 AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(u % 32 AS INTEGER)) AS bm
+          FROM d GROUP BY 1, 2),
+    p AS (SELECT a.g AS type_a, b.g AS type_b,
+                 CAST(SUM(bit_count(a.bm & b.bm)) AS BIGINT) AS n_inter
+          FROM w a JOIN w b ON a.word = b.word AND a.g < b.g
+          GROUP BY 1, 2),
+    c AS (SELECT g, CAST(SUM(bit_count(bm)) AS BIGINT) AS card
+          FROM w GROUP BY 1)
+    SELECT p.type_a, p.type_b, p.n_inter,
+           ca.card AS card_a, cb.card AS card_b
+    FROM p JOIN c ca ON ca.g = p.type_a JOIN c cb ON cb.g = p.type_b
+    """,
+    doc="Bitmap-index set intersection: per event type, the distinct "
+    "user set packs into 32-bit blocks carried in BIGINT words (DuckDB "
+    "checked-shift forbids bit 63; word = id div 32, one bit_or "
+    "aggregate per word — the roaring/bitmap-index representation), "
+    "and EXACT pairwise audience overlap is then popcount(a AND b) "
+    "summed over co-present words. Scale shape: after the pack, "
+    "cardinality and every set operation run on words (64x fewer rows "
+    "than members, 8-byte keys), the pairwise join is word-aligned "
+    "equi-join — this is the exact-set-ops complement of the KMV "
+    "sketch (sketch_kmv_overlap) for when exactness is required.",
+    tags=("extras", "analytics", "agg"),
+)
+def x32_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.where(F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("g"), F.col("user_id").alias("u"))
+        .distinct()
+    )
+    w = d.select(
+        "g",
+        (F.col("u") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(u % 32 AS INT))").alias("m"),
+    ).groupBy("g", "word").agg(F.bit_or("m").alias("bm"))
+    a, b = w.alias("a"), w.alias("b")
+    p = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("type_a"), F.col("b.g").alias("type_b"))
+        .agg(
+            F.sum(F.bit_count(F.col("a.bm").bitwiseAND(F.col("b.bm"))))
+            .cast("long")
+            .alias("n_inter")
+        )
+    )
+    c = w.groupBy("g").agg(F.sum(F.bit_count("bm")).cast("long").alias("card"))
+    return (
+        p.join(c.select(F.col("g").alias("type_a"), F.col("card").alias("card_a")), "type_a")
+        .join(c.select(F.col("g").alias("type_b"), F.col("card").alias("card_b")), "type_b")
+        .select("type_a", "type_b", "n_inter", "card_a", "card_b")
+    )

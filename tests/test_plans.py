@@ -585,3 +585,24 @@ class TestRound6PlanShapes:
         plan = _plan(SPECS["dedup_prefix_filter_pairs"].fn(spark, SF_SMALL))
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_salted_join_is_hash_equi_join(self, spark):
+        """x30: the salted join must plan as a hash equi-join on
+        (key, salt) — no nested loop, no cartesian."""
+        plan = _plan(SPECS["x30_salted_skew_join"].fn(spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_bitmap_intersect_joins_words(self, spark):
+        """x32: the pairwise intersection joins 8-byte WORD keys — no
+        per-member self-join, no nested loop."""
+        plan = _plan(SPECS["x32_bitmap_intersect"].fn(spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "bit_or" in plan  # the word pack actually aggregates
+
+    def test_adpcm_is_single_mapinpandas_pass(self, spark):
+        """ADPCM: synthesize + decode are two chained Arrow passes; no
+        shuffle between them (pipelined map stages)."""
+        plan = _plan(SPECS["multimodal_wav_adpcm"].fn(spark, SF_SMALL))
+        assert plan.count("Exchange") <= 1  # only the ensure_parallelism round-robin

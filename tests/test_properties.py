@@ -233,3 +233,44 @@ def test_incremental_refresh_any_split(rows, split):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+ranges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # lo
+        st.integers(min_value=0, max_value=60),   # width (0 -> empty)
+    ),
+    min_size=0,
+    max_size=12,
+)
+points_strategy = st.lists(
+    st.integers(min_value=-10, max_value=260), min_size=0, max_size=25
+)
+
+
+@settings(**SETTLE)
+@given(ranges=ranges_strategy, points=points_strategy,
+       gran=st.sampled_from([1, 7, 16, 64]))
+def test_range_join_matches_bruteforce(ranges, points, gran):
+    """range_join == the O(P*R) brute-force BETWEEN model for any
+    ranges (overlapping, empty, adjacent), points (incl. out-of-space),
+    and chunk granularity."""
+    from gmall_flink_210726_spark.operators.joins import range_join
+
+    spark = _get_spark()
+    rdf = spark.createDataFrame(
+        [(i, lo, lo + w) for i, (lo, w) in enumerate(ranges)],
+        "rid long, lo long, hi long",
+    )
+    pdf = spark.createDataFrame([(p,) for p in points], "addr long")
+    got = sorted(
+        (r["addr"], r["rid"])
+        for r in range_join(pdf, rdf, "addr", "lo", "hi", gran).collect()
+    )
+    want = sorted(
+        (p, i)
+        for p in points
+        for i, (lo, w) in enumerate(ranges)
+        if lo <= p < lo + w
+    )
+    assert got == want

@@ -212,3 +212,68 @@ class TestPCAPower:
         # lambda_est approximates the top eigenvalue in gram units
         lam = out[0]["lambda_est"]
         assert abs(lam / w[-1] - 1) < 0.02
+
+
+class TestSaltedJoin:
+    def test_identical_to_plain_join(self, spark):
+        """The salted join is lossless: row-identical output to the
+        unsalted join, any n_salts."""
+        from gmall_flink_210726_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame(
+            [(1, i, i * 10) for i in range(20)] + [(2, 99, 5)],
+            "k long, rid long, v long",
+        )
+        dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+        plain = sorted(map(tuple, fact.join(dim, "k").collect()))
+        for n in (1, 4, 16):
+            salted = sorted(
+                map(
+                    tuple,
+                    salted_join(fact, dim, "k", F.col("rid"), n_salts=n).collect(),
+                )
+            )
+            assert salted == plain
+
+    def test_unmatched_fact_rows_drop(self, spark):
+        from gmall_flink_210726_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame([(7, 1, 1)], "k long, rid long, v long")
+        dim = spark.createDataFrame([(1, "a")], "k long, tag string")
+        assert salted_join(fact, dim, "k", F.col("rid")).count() == 0
+
+
+class TestScd2RunCollapse:
+    def test_consecutive_duplicates_collapse(self, spark):
+        from gmall_flink_210726_spark.registry import load_all
+        import datetime as dt
+
+        # user 1: a a b b a -> versions a, b, a (3 rows, not 5)
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (100 + j, base + dt.timedelta(minutes=j), 1, t, 1.0, "{}")
+            for j, t in enumerate(["a", "a", "b", "b", "a"])
+        ]
+        import tempfile, shutil, os
+
+        d = tempfile.mkdtemp(prefix="scd2_test_")
+        try:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+            out = (
+                load_all()["x31_scd2_history"]
+                .fn(spark, d)
+                .orderBy("version_n")
+                .collect()
+            )
+            assert [r["event_type"] for r in out] == ["a", "b", "a"]
+            assert [r["version_n"] for r in out] == [1, 2, 3]
+            # intervals chain: each valid_to equals the next valid_from
+            assert out[0]["valid_to_us"] == out[1]["valid_from_us"]
+            assert out[1]["valid_to_us"] == out[2]["valid_from_us"]
+            assert out[2]["valid_to_us"] == 0  # open current version
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
