@@ -76,6 +76,20 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     except Exception as exc:
         print(f"bench: warm-up read failed: {exc}", file=sys.stderr)
+    # Warm the Python-worker/Arrow path too: the FIRST mapInPandas in a
+    # session pays worker-pool spawn + Arrow init + package shipping
+    # (~8 s on this box), which otherwise lands on whichever
+    # Python-path query sorts first and misattributes session startup
+    # as that query's cost.
+    try:
+        from gmall_flink_210726_spark.session import ship_package
+
+        ship_package(spark)
+        spark.range(0, 64, 1, default_cpus()).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as exc:
+        print(f"bench: python warm-up failed: {exc}", file=sys.stderr)
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     record_path = os.path.join(repo_dir, "BENCH_LOCAL.json")

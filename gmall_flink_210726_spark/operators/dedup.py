@@ -390,10 +390,23 @@ def prefix_filter_pairs(
         - F.expr(f"(({t_num} * n_sh) + {t_den - 1}) div {t_den}")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("_r") <= prefix_len).select("id", "sh")
+    prefix = ranked.filter(F.col("_r") <= prefix_len).select("id", "sh", "n_sh")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # the PPJoin LENGTH filter, also lossless: J >= t forces
+    # t*|A| <= |B| <= |A|/t (intersection <= min size, union >= max
+    # size), so size-incompatible prefix collisions are dropped before
+    # the distinct/verify — exact integer form, measured ~35% off the
+    # sf0.1 wall time
+    size_ok = (F.col("b.n_sh") * t_den >= F.col("a.n_sh") * t_num) & (
+        F.col("a.n_sh") * t_den >= F.col("b.n_sh") * t_num
+    )
     cand = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & size_ok,
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
