@@ -391,3 +391,132 @@ def x32_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c.select(F.col("g").alias("type_b"), F.col("card").alias("card_b")), "type_b")
         .select("type_a", "type_b", "n_inter", "card_a", "card_b")
     )
+
+
+@register(
+    "an13_rfm_segments",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS ck,
+                      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS m,
+                      CAST(COUNT(*) AS BIGINT) AS f,
+                      MAX(o_orderdate) AS cmax
+               FROM orders GROUP BY 1),
+    gm AS (SELECT MAX(o_orderdate) AS gmax FROM orders),
+    base AS (SELECT ck, m, f,
+                    (epoch_us(gm.gmax) - epoch_us(cmax)) // 86400000000 AS r
+             FROM c, gm),
+    lng AS (SELECT ck, 'r' AS metric, r AS v FROM base
+            UNION ALL SELECT ck, 'f', f FROM base
+            UNION ALL SELECT ck, 'm', m FROM base),
+    g AS (SELECT metric, v, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lng GROUP BY 1, 2),
+    t AS (SELECT metric, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+    cu AS (SELECT g.*, SUM(cnt) OVER (PARTITION BY metric ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+           FROM g),
+    th AS (SELECT cu.metric,
+             MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS t1,
+             MIN(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS t2,
+             MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t3
+           FROM cu JOIN t USING (metric) GROUP BY 1),
+    bk AS (SELECT lng.ck, lng.metric,
+                  1 + CASE WHEN lng.v > th.t1 THEN 1 ELSE 0 END
+                    + CASE WHEN lng.v > th.t2 THEN 1 ELSE 0 END
+                    + CASE WHEN lng.v > th.t3 THEN 1 ELSE 0 END AS q
+           FROM lng JOIN th USING (metric)),
+    pv AS (SELECT ck,
+                  CAST(MAX(CASE WHEN metric = 'r' THEN q END) AS BIGINT) AS r_q,
+                  CAST(MAX(CASE WHEN metric = 'f' THEN q END) AS BIGINT) AS f_q,
+                  CAST(MAX(CASE WHEN metric = 'm' THEN q END) AS BIGINT) AS m_q
+           FROM bk GROUP BY 1)
+    SELECT pv.r_q, pv.f_q, pv.m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(base.m) AS BIGINT) AS sum_m_cents
+    FROM pv JOIN base ON base.ck = pv.ck
+    GROUP BY 1, 2, 3
+    """,
+    doc="RFM (recency / frequency / monetary) customer segmentation — "
+    "the classic marketing-analytics cube: per customer, days since "
+    "last order (exact integer epoch-day arithmetic), order count, "
+    "and lifetime cents; each metric quartiled by EXACT nearest-rank "
+    "thresholds computed scale-safely (the x29 machinery over a "
+    "stacked metric long-form: distinct-value counts -> per-metric "
+    "cumulative window -> 9 boundary values broadcast back; no global "
+    "row_number sort, no corpus-cardinality percentile buffer), then "
+    "customers roll up into the 4x4x4 segment cube. Quartile "
+    "assignment is pure value comparison against the 3 thresholds — "
+    "deterministic and engine-identical under ties.",
+    tags=("extras", "analytics"),
+)
+def an13_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("m"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.max("o_orderdate").alias("cmax"),
+    )
+    gm = orders.agg(F.max("o_orderdate").alias("gmax"))
+    base = c.crossJoin(F.broadcast(gm)).select(
+        "ck",
+        "m",
+        "f",
+        F.expr(
+            "(unix_micros(gmax) - unix_micros(cmax)) div 86400000000"
+        ).alias("r"),
+    )
+    lng = (
+        base.select("ck", F.lit("r").alias("metric"), F.col("r").alias("v"))
+        .unionAll(base.select("ck", F.lit("f"), F.col("f")))
+        .unionAll(base.select("ck", F.lit("m"), F.col("m")))
+    )
+    g = lng.groupBy("metric", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    t = g.groupBy("metric").agg(F.sum("cnt").cast("long").alias("n"))
+    cum_w = Window.partitionBy("metric").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cu = g.withColumn("cum", F.sum("cnt").over(cum_w))
+    th = (
+        cu.join(t, "metric")
+        .groupBy("metric")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({q} * n + 3) div 4"),
+                        F.col("v"),
+                    )
+                ).alias(f"t{q}")
+                for q in (1, 2, 3)
+            ]
+        )
+    )
+    qcol = (
+        F.lit(1)
+        + F.when(F.col("v") > F.col("t1"), 1).otherwise(0)
+        + F.when(F.col("v") > F.col("t2"), 1).otherwise(0)
+        + F.when(F.col("v") > F.col("t3"), 1).otherwise(0)
+    )
+    bk = lng.join(F.broadcast(th), "metric").select(
+        "ck", "metric", qcol.alias("q")
+    )
+    pv = bk.groupBy("ck").agg(
+        *[
+            F.max(F.when(F.col("metric") == mname, F.col("q")))
+            .cast("long")
+            .alias(f"{mname}_q")
+            for mname in ("r", "f", "m")
+        ]
+    )
+    return (
+        pv.join(base, "ck")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m").cast("long").alias("sum_m_cents"),
+        )
+    )

@@ -250,11 +250,10 @@ _PCA_T = 48  # power iterations; spectrum of random embeddings is
 _PCA_S = 1048576  # 2^20 rescale tick
 
 
-def _pca_oracle(T: int = _PCA_T) -> str:
-    """Generate the T-iteration exact-integer power-iteration oracle:
-    the gram CTE feeds a chain of (matvec, maxabs, rescale) CTE
-    triples — HUGEINT arithmetic with truncating integer division,
-    mirrored bit-for-bit by the Spark side's Python ints."""
+def _pca_parts(T: int = _PCA_T) -> list:
+    """CTE chain shared by the PCA oracles: gram -> T (matvec, maxabs,
+    rescale) triples — HUGEINT arithmetic with truncating integer
+    division, mirrored bit-for-bit by the Spark side's Python ints."""
     parts = [
         """lng AS (
       SELECT vec_id, unnest(range(len(embedding))) AS dim,
@@ -281,14 +280,47 @@ def _pca_oracle(T: int = _PCA_T) -> str:
             f"v{t} AS MATERIALIZED (SELECT i, (v * {_PCA_S}) // (SELECT m FROM m{t}) AS v "
             f"FROM w{t})"
         )
+    return parts
+
+
+def _pca_oracle(T: int = _PCA_T) -> str:
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_pca_parts(T))
         + f"""
     SELECT CAST(v.i AS INTEGER) AS dim,
            round(CAST(v.v AS DOUBLE) / {_PCA_S}.0, 6) AS loading,
            round(CAST(m.m AS DOUBLE) / {_PCA_S}.0 / 1000000.0, 4) AS lambda_est
     FROM v{T} v, m{T} m"""
+    )
+
+
+def _pca_project_oracle(T: int = _PCA_T) -> str:
+    """Projection oracle: the shared PCA chain, then every embedding
+    scores against the 6-dp loadings with per-TERM decimal rounding
+    (order-free exact sums — a raw double dot product would differ by
+    join order between engines)."""
+    parts = _pca_parts(T) + [
+        f"""ld AS (SELECT i AS dim,
+               round(CAST(v AS DOUBLE) / {_PCA_S}.0, 6) AS loading
+        FROM v{T})""",
+        """lab AS (SELECT vec_id, label FROM embeddings)""",
+        """sc AS (SELECT lng.vec_id,
+               SUM(CAST(round(round(lng.x, 6) * ld.loading, 9)
+                        AS DECIMAL(18,9))) AS score
+        FROM lng JOIN ld USING (dim) GROUP BY 1)""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT lab.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(sc.score) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+           round(CAST(MIN(sc.score) AS DOUBLE), 6) AS min_score,
+           round(CAST(MAX(sc.score) AS DOUBLE), 6) AS max_score
+    FROM sc JOIN lab USING (vec_id)
+    GROUP BY lab.label"""
     )
 
 
@@ -313,13 +345,31 @@ def _pca_oracle(T: int = _PCA_T) -> str:
     tags=("llm", "similarity", "linalg"),
 )
 def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loadings, lam = _pca_loadings(spark, sf_dir)
+    out = [(i, ld, lam) for i, ld in enumerate(loadings)]
+    return spark.createDataFrame(
+        out, "dim int, loading double, lambda_est double"
+    )
+
+
+def _r_half_up(q: float, places: str) -> float:
+    # mirror SQL round() (HALF_UP on the double's exact value) —
+    # Python's built-in round is half-even and can differ at ties
     from decimal import ROUND_HALF_UP, Decimal
 
+    return float(Decimal(q).quantize(Decimal(places), ROUND_HALF_UP))
+
+
+def _pca_loadings(spark: SparkSession, sf_dir: str) -> tuple:
+    """Driver-side exact-integer power iteration over the distributed
+    Gram reduction (see emb_pca_power doc). Returns (6-dp loadings,
+    4-dp dominant-eigenvalue estimate) — bit-identical to the oracle's
+    HUGEINT chain."""
     from gmall_flink_210726_spark.operators.linalg import gram_matrix
 
     emb = load_table(spark, sf_dir, "embeddings")
     rows = gram_matrix(emb).collect()  # bounded: d*(d+1)/2 entries
-    G: dict[tuple[int, int], int] = {}
+    G: dict = {}
     d = 0
     for r in rows:
         g = int(round(r["gram"] * 1e6))
@@ -327,7 +377,7 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         G[(r["dim_j"], r["dim_i"])] = g
         d = max(d, r["dim_j"] + 1)
 
-    def matvec(v: list[int]) -> list[int]:
+    def matvec(v):
         return [
             sum(G.get((i, j), 0) * v[j] for j in range(d)) for i in range(d)
         ]
@@ -342,19 +392,55 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = matvec(v)
         m = max(abs(x) for x in w)
         v = [tdiv(x * _PCA_S, m) for x in w]
+    lam = _r_half_up(float(m) / float(_PCA_S) / 1e6, "1e-4")
+    return (
+        [_r_half_up(float(x) / float(_PCA_S), "1e-6") for x in v],
+        lam,
+    )
 
-    def r_half_up(q: float, places: str) -> float:
-        # mirror SQL round() (HALF_UP on the double's exact value) —
-        # Python's built-in round is half-even and can differ at ties
-        return float(Decimal(q).quantize(Decimal(places), ROUND_HALF_UP))
 
-    lam = r_half_up(float(m) / float(_PCA_S) / 1e6, "1e-4")
-    out = [
-        (i, r_half_up(float(v[i]) / float(_PCA_S), "1e-6"), lam)
-        for i in range(d)
-    ]
-    return spark.createDataFrame(
-        out, "dim int, loading double, lambda_est double"
+@register(
+    "emb_pca_project",
+    oracle=_pca_project_oracle(),
+    doc="Projection of every embedding onto the learned leading "
+    "principal component, aggregated per label — the USE of L117's "
+    "PCA at scale: the loadings are a 64-double broadcast literal, "
+    "the projection is one map-side pass (explode + 64-row broadcast "
+    "join), and per-TERM 9-dp decimal rounding makes the dot product "
+    "an order-free exact sum, so per-label means/extremes hash-match "
+    "the oracle, which re-derives the identical loadings through the "
+    "shared HUGEINT power-iteration chain. At 100 TB nothing but the "
+    "Gram pass and this one scan touch the corpus.",
+    tags=("llm", "similarity", "linalg"),
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loadings, _ = _pca_loadings(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ld = spark.createDataFrame(
+        list(enumerate(loadings)), "dim int, loading double"
+    )
+    lng = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    term = F.round(F.round("x", 6) * F.col("loading"), 9).cast(
+        "decimal(18,9)"
+    )
+    sc = (
+        lng.join(F.broadcast(ld), "dim")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(term).alias("score"))
+    )
+    return sc.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("score").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_score"),
+        F.round(F.min("score").cast("double"), 6).alias("min_score"),
+        F.round(F.max("score").cast("double"), 6).alias("max_score"),
     )
 
 
