@@ -520,3 +520,161 @@ def an13_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("m").cast("long").alias("sum_m_cents"),
         )
     )
+
+
+_DAILY_CENTS = """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "an14_cusum_changepoint",
+    oracle=f"""
+    WITH d AS ({_DAILY_CENTS}),
+    t AS (SELECT event_type, CAST(SUM(cents) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY 1),
+    c AS (SELECT d.event_type, d.day,
+                 SUM(d.cents) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                    ROWS UNBOUNDED PRECEDING) AS pfx,
+                 ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                    ORDER BY d.day) AS ti
+          FROM d),
+    s AS (SELECT c.event_type, c.day, t.n,
+                 (t.n * c.pfx - c.ti * t.total) AS s_scaled
+          FROM c JOIN t USING (event_type)),
+    mx AS (SELECT event_type, MAX(abs(s_scaled)) AS peak FROM s GROUP BY 1)
+    SELECT s.event_type,
+           CAST(MAX(s.n) AS BIGINT) AS n_days,
+           MIN(s.day) AS peak_day,
+           CAST(MAX(mx.peak) AS BIGINT) AS peak_scaled
+    FROM s JOIN mx ON mx.event_type = s.event_type
+                  AND abs(s.s_scaled) = mx.peak
+    GROUP BY 1
+    """,
+    doc="CUSUM changepoint screen per event-type daily revenue series "
+    "(Page 1954): the peak |cumulative deviation from the series "
+    "mean| and the EARLIEST day attaining it — the standard 'where "
+    "did the level shift' detector a data-quality pipeline runs over "
+    "ingest volumes. Exactness trick: CUSUM_t = prefix_t - t*mean is "
+    "rational, so both engines compare n-SCALED integers "
+    "(n*prefix_t - t*total) — no float ever enters the argmax, ties "
+    "break by earliest day. Scale shape: the window runs over the "
+    "AGGREGATED (type, day) frame (bounded series length), never raw "
+    "events.",
+    tags=("extras", "quality", "timeseries"),
+)
+def an14_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    c = d.withColumn(
+        "pfx", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("ti", F.row_number().over(w))
+    s = c.join(t, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") * F.col("pfx") - F.col("ti") * F.col("total")).alias(
+            "s_scaled"
+        ),
+    )
+    mx = s.groupBy("event_type").agg(F.max(F.abs("s_scaled")).alias("peak"))
+    return (
+        s.join(mx, "event_type")
+        .where(F.abs("s_scaled") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.min("day").alias("peak_day"),
+            F.max("peak").cast("long").alias("peak_scaled"),
+        )
+    )
+
+
+@register(
+    "x33_theil_sen",
+    oracle=f"""
+    WITH d AS ({_DAILY_CENTS}),
+    ix AS (SELECT event_type, cents,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS i
+           FROM d),
+    p AS (SELECT a.event_type,
+                 round(CAST(b.cents - a.cents AS DOUBLE) / (b.i - a.i), 6)
+                   AS slope
+          FROM ix a JOIN ix b
+            ON a.event_type = b.event_type AND a.i < b.i),
+    r AS (SELECT event_type, slope,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY slope) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS np
+          FROM p)
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           slope AS ts_slope_cents_per_day
+    FROM r WHERE rk = (np + 1) // 2
+    """,
+    doc="Theil-Sen robust trend per event-type daily revenue series: "
+    "the median of all pairwise slopes — up to ~29% contamination "
+    "tolerance where x26's OLS slope is dragged by a single spike "
+    "day. Median is the deterministic lower nearest-rank ((np+1) div "
+    "2); slopes are one double division of exact integers rounded to "
+    "6 dp, identical in both engines. Scale shape: the O(n^2) pair "
+    "join runs on the AGGREGATED per-day frame (bounded series "
+    "length per group — 30 days here, ~400 pairs), never on raw "
+    "events; groups parallelize independently.",
+    tags=("extras", "timeseries"),
+)
+def x33_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ix = d.select(
+        "event_type", "cents", F.row_number().over(w).alias("i")
+    )
+    a, b = ix.alias("a"), ix.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.i") < F.col("b.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.i") - F.col("a.i")),
+            6,
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    r = p.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "np", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    return r.where(F.col("rk") == F.expr("(np + 1) div 2")).select(
+        "event_type",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.col("slope").alias("ts_slope_cents_per_day"),
+    )
