@@ -678,3 +678,143 @@ def x33_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").cast("long").alias("n_pairs"),
         F.col("slope").alias("ts_slope_cents_per_day"),
     )
+
+
+@register(
+    "x34_ab_test_ztest",
+    oracle="""
+    WITH u AS (SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
+                        AS day,
+                      user_id % 2 AS variant,
+                      MAX(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS converted
+               FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+    v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(converted) AS BIGINT) AS x
+          FROM u GROUP BY 1),
+    w AS (SELECT
+            MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+            MAX(CASE WHEN variant = 0 THEN x END) AS x_a,
+            MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+            MAX(CASE WHEN variant = 1 THEN x END) AS x_b
+          FROM v)
+    SELECT n_a, x_a, n_b, x_b,
+           round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+           round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+           round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM w
+    """,
+    doc="Two-proportion z-test — the A/B-experiment readout every "
+    "product-analytics warehouse serves: (user, day) sessions split "
+    "into variants by user-id parity, conversion = the session "
+    "contains a purchase, pooled-variance "
+    "z-score. All counts are exact integers from one per-session "
+    "reduction; the single double formula evaluates in the IDENTICAL "
+    "textual operation order in both engines (the repo-wide float "
+    "contract), so even the 6-dp-rounded z hash-matches. Scale "
+    "shape: per-session groupBy (bounded per-key state) collapsing to a "
+    "2-row variant frame; the test statistic is driver-free scalar "
+    "arithmetic on that frame.",
+    tags=("extras", "analytics", "stats"),
+)
+def x34_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day"),
+            (F.col("user_id") % 2).alias("variant"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x_b"),
+    )
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "an15_chi2_independence",
+    oracle="""
+    WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_obs
+               FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(SUM(n_obs) AS BIGINT) AS n_row FROM c GROUP BY 1),
+    k AS (SELECT source, CAST(SUM(n_obs) AS BIGINT) AS n_col FROM c GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+    SELECT c.lang, c.source, c.n_obs,
+           round(CAST(r.n_row AS DOUBLE) * k.n_col / t.n, 6) AS expected,
+           round((c.n_obs - CAST(r.n_row AS DOUBLE) * k.n_col / t.n)
+                 * (c.n_obs - CAST(r.n_row AS DOUBLE) * k.n_col / t.n)
+                 / (CAST(r.n_row AS DOUBLE) * k.n_col / t.n), 6)
+             AS chi2_term
+    FROM c JOIN r USING (lang) JOIN k USING (source) CROSS JOIN t
+    """,
+    doc="Chi-square test of independence on the lang x source "
+    "contingency table — the categorical-drift screen a corpus "
+    "pipeline runs to detect a source whose language mix shifted. "
+    "Observed counts are exact integers from one (lang, source) "
+    "reduction; expected = row*col/total and the per-cell chi-square "
+    "term evaluate in the identical double operation order in both "
+    "engines. Scale shape: the contingency frame is "
+    "|langs| x |sources| rows however large the corpus; marginals "
+    "join back as broadcast dims and the 1-row total as a broadcast "
+    "cross join (the x23 Benford shape).",
+    tags=("extras", "analytics", "stats"),
+)
+def an15_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    r = c.groupBy("lang").agg(F.sum("n_obs").cast("long").alias("n_row"))
+    k = c.groupBy("source").agg(F.sum("n_obs").cast("long").alias("n_col"))
+    t = c.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = F.col("n_row").cast("double") * F.col("n_col") / F.col("n")
+    return (
+        c.join(F.broadcast(r), "lang")
+        .join(F.broadcast(k), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "n_obs",
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6
+            ).alias("chi2_term"),
+        )
+    )
