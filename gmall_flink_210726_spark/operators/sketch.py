@@ -741,3 +741,108 @@ def kmv_overlap(
             inter_est.alias("kmv_inter_est"),
         )
     )
+
+
+def kmv_anotb(
+    tagged: DataFrame,
+    group_col: str = "grp",
+    value_col: str = "v",
+    k: int = 256,
+    safety: int = 8,
+) -> DataFrame:
+    """KMV set-DIFFERENCE estimation |A \\ B| for every ORDERED group
+    pair (the theta-sketch a-not-b operation, Dasgupta et al. 2016
+    "Theta-Sketch Framework"): within bottomk(A∪B) — a uniform sample
+    of the union — count hashes present in A's bottom-k but absent
+    from B's, then scale by the union-cardinality estimate:
+    |A\\B| ≈ (|U_k ∩ A ∩ ¬B| / K) · D̂(A∪B).
+
+    Same scale identity as :func:`kmv_overlap` (bottomk(A∪B) ⊆
+    bottomk(A) ∪ bottomk(B); full-set membership within it equals
+    bottom-k membership — and NON-membership in B is decidable too,
+    because any union hash below h_(K) that belongs to B would appear
+    in B's bottom-k). After the cutoff-gated per-group bottom-k pass,
+    every directed pair runs on ≤2k rows.
+
+    Output: (g_a, g_b, exact_anotb, union_k, kmv_anotb_est) over all
+    ordered pairs g_a != g_b.
+    """
+    hashed = tagged.select(
+        F.col(group_col).alias("g"),
+        F.md5(F.col(value_col).cast("string")).alias("h"),
+    ).where(F.col(value_col).isNotNull())
+    d = hashed.distinct()
+    approx = d.groupBy("g").agg(F.approx_count_distinct("h").alias("n_approx"))
+    h48 = F.conv(F.substring("h", 1, 12), 16, 10).cast("long")
+    cutoff = F.when(
+        F.col("n_approx") <= F.lit(safety * k), F.lit(1 << 48)
+    ).otherwise(
+        (F.lit(float(safety * k) * (1 << 48)) / F.col("n_approx")).cast("long")
+    )
+    surv = d.join(approx, "g").where(h48 < cutoff).select("g", "h")
+    wg = Window.partitionBy("g").orderBy("h")
+    bk = (
+        surv.withColumn("_r", F.row_number().over(wg))
+        .where(F.col("_r") <= k)
+        .select("g", "h")
+    )
+    bk = bk.localCheckpoint(eager=False)  # feeds 4 plan legs
+    gs = d.select("g").distinct()
+    pairs = (
+        gs.alias("x")
+        .join(gs.alias("y"), F.col("x.g") != F.col("y.g"))
+        .select(F.col("x.g").alias("g_a"), F.col("y.g").alias("g_b"))
+    )
+    ua = pairs.join(bk.withColumnRenamed("g", "g_a"), "g_a")
+    ub = pairs.join(bk.withColumnRenamed("g", "g_b"), "g_b")
+    u = ua.select("g_a", "g_b", "h").unionAll(
+        ub.select("g_a", "g_b", "h")
+    ).distinct()
+    wp = Window.partitionBy("g_a", "g_b").orderBy("h")
+    uk = u.withColumn("_r", F.row_number().over(wp)).where(F.col("_r") <= k)
+    in_a = bk.select(F.col("g").alias("g_a"), "h", F.lit(1).alias("_ia"))
+    in_b = bk.select(F.col("g").alias("g_b"), "h", F.lit(1).alias("_ib"))
+    marked = uk.join(in_a, ["g_a", "h"], "left").join(
+        in_b, ["g_b", "h"], "left"
+    )
+    stats = marked.groupBy("g_a", "g_b").agg(
+        F.max("_r").cast("long").alias("union_k"),
+        F.max(F.when(F.col("_r") == k, F.col("h"))).alias("_kth"),
+        F.sum(
+            F.when(
+                F.col("_ia").isNotNull() & F.col("_ib").isNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("_cnt_aonly"),
+    )
+    frac = F.conv(F.substring("_kth", 1, 12), 16, 10).cast("long") / F.lit(
+        float(1 << 48)
+    )
+    est_union = F.when(
+        F.col("union_k") < k, F.col("union_k").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    est = F.round(
+        (F.col("_cnt_aonly").cast("double") / F.col("union_k")) * est_union, 4
+    )
+    # exact |A\B| = |A| - |A∩B| (calibration side)
+    sizes = d.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    da = d.select(F.col("g").alias("g_a"), "h")
+    db = d.select(F.col("g").alias("g_b"), "h")
+    inter = (
+        da.join(db, "h")
+        .where(F.col("g_a") != F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_ei"))
+    )
+    return (
+        stats.join(inter, ["g_a", "g_b"], "left")
+        .join(sizes.withColumnRenamed("g", "g_a"), "g_a")
+        .select(
+            "g_a",
+            "g_b",
+            (F.col("n_a") - F.coalesce("_ei", F.lit(0)))
+            .cast("long")
+            .alias("exact_anotb"),
+            "union_k",
+            est.alias("kmv_anotb_est"),
+        )
+    )

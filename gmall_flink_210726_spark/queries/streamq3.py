@@ -200,3 +200,107 @@ def upsert_serve(partials: DataFrame) -> DataFrame:
         .select("user_id", "s.*")
         .filter(F.col("last_type") != "error")
     )
+
+
+@register(
+    "st15_stream_kmv_merge",
+    oracle="""
+    WITH ded AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+                 FROM events WHERE user_id IS NOT NULL),
+    bk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+           FROM ded QUALIFY r <= 64),
+    kth AS (SELECT MAX(CASE WHEN r = 64 THEN h END) AS kh,
+                   CAST(MAX(r) AS BIGINT) AS k_used
+            FROM bk),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM ded)
+    SELECT 'all' AS scope, k_used, exact_distinct,
+           round(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                 ELSE 63.0 / (CAST(('0x' || substring(kh, 1, 12)) AS BIGINT)
+                              / 281474976710656.0) END, 4) AS kmv_estimate
+    FROM kth, ex
+    """,
+    doc="Streaming KMV (bottom-k) distinct-count maintenance — the "
+    "MIN-merge sketch algebra completing the st9/st10/st12 family "
+    "(SUM-merge CMS, MAX-merge HLL, OR-merge Bloom): each micro-batch "
+    "writes its <=64 smallest distinct md5(user_id) hashes through "
+    "the idempotent epoch-partition sink; the durable merge is "
+    "bottom-k of the union of per-epoch bottom-ks, which equals the "
+    "single-pass sketch under epoch retry AND overlapping key slices "
+    "(set-min is idempotent and duplicate-insensitive). Estimate is "
+    "the classic (k-1)/h_(k); the oracle rebuilds the identical "
+    "sketch from the batch table (md5 hex sorts lexicographically == "
+    "numerically). operators/sketch.py:kmv_distinct is the batch "
+    "sibling.",
+    tags=("streaming", "sketch", "sink"),
+)
+def st15_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    out = tempfile.mkdtemp(prefix="st15_kmv_")
+    ckpt = tempfile.mkdtemp(prefix="st15_ckpt_")
+    ev = _stream_events(spark, sf_dir).select("user_id")
+    k = 64
+
+    def _write_bottomk(batch: DataFrame, epoch: int) -> None:
+        hashed = (
+            batch.where(F.col("user_id").isNotNull())
+            .select(F.md5(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+        )
+        # per-batch bottom-k: a TakeOrdered (sort-limit), never a full
+        # global sort materialization
+        append_stats_exactly_once(hashed.orderBy("h").limit(k), epoch, out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(ev, _write_bottomk, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st15 sketch stream did not finish")
+        q.stop()
+        merged = (
+            spark.read.parquet(out).select("h").distinct().orderBy("h").limit(k)
+        )
+        wr = Window.orderBy("h")
+        kth = (
+            merged.withColumn("r", F.row_number().over(wr))
+            .agg(
+                F.max(F.when(F.col("r") == k, F.col("h"))).alias("kh"),
+                F.max("r").cast("long").alias("k_used"),
+            )
+            .withColumn("scope", F.lit("all"))
+        )
+        frac = F.conv(F.substring("kh", 1, 12), 16, 10).cast("long") / F.lit(
+            float(1 << 48)
+        )
+        est = F.when(
+            F.col("k_used") < k, F.col("k_used").cast("double")
+        ).otherwise(F.lit(float(k - 1)) / frac)
+        exact = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+            .withColumn("scope", F.lit("all"))
+        )
+        result = (
+            kth.join(exact, "scope")
+            .select(
+                "scope",
+                "k_used",
+                "exact_distinct",
+                F.round(est, 4).alias("kmv_estimate"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result

@@ -50,6 +50,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras6,
         extras7,
         extras8,
+        extras9,
         gmall,
         gmall2,
         llm,

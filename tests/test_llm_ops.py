@@ -1166,3 +1166,66 @@ class TestSkewedGraphs:
         assert capped == uncapped - hub_tris
         assert (20_000, 20_001, 20_002) in capped
         assert (20_010, 20_011, 20_012) in capped
+
+
+class TestHilbertLayout:
+    def test_matches_classic_xy2d(self, spark):
+        """The 4-state machine reproduces the textbook rotate-and-
+        reflect xy2d exactly — exhaustive over the full 64x64 grid at
+        bits=6 (the state tables were derived from this algorithm; this
+        pins them)."""
+        from gmall_flink_210726_spark.operators.layout import hilbert_key
+
+        def xy2d(n, x, y):
+            d, s = 0, n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = s - 1 - x, s - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+        )
+        rows = grid.select(
+            "x", "y", hilbert_key("x", "y", 6).alias("h")
+        ).collect()
+        assert all(r.h == xy2d(64, r.x, r.y) for r in rows)
+        # bijective: a permutation of 0..4095 (stable sort key)
+        assert sorted(r.h for r in rows) == list(range(4096))
+
+    def test_adjacency_beats_morton(self, spark):
+        """Hilbert's locality claim, measured: consecutive keys are
+        always Manhattan-adjacent cells (distance exactly 1), while
+        Morton order jumps at power-of-two boundaries."""
+        from gmall_flink_210726_spark.operators.layout import (
+            hilbert_key,
+            zorder_key,
+        )
+
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(32) for y in range(32)], "x long, y long"
+        )
+        rows = grid.select(
+            "x",
+            "y",
+            hilbert_key("x", "y", 5).alias("h"),
+            zorder_key("x", "y", 5).alias("z"),
+        ).collect()
+
+        def max_step(keyed):
+            keyed = sorted(keyed)
+            return max(
+                abs(x2 - x1) + abs(y2 - y1)
+                for (_, x1, y1), (_, x2, y2) in zip(keyed, keyed[1:])
+            )
+
+        h_step = max_step([(r.h, r.x, r.y) for r in rows])
+        z_step = max_step([(r.z, r.x, r.y) for r in rows])
+        assert h_step == 1
+        assert z_step > 1
