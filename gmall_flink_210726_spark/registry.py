@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm8,
         llm9,
         llm10,
+        llm11,
         streamq,
         streamq2,
         streamq3,
