@@ -112,18 +112,23 @@ def range_join(
     near the TYPICAL range width so both stay O(1). Degenerate guard:
     empty ranges (hi <= lo) are dropped, matching the BETWEEN
     semantics.
+
+    Chunk ids use integer ``div``, not float division: float is exact
+    only below 2^53, and a full 64-bit key domain (geo-IPv6 / hash
+    keys) would silently land in the wrong chunk and drop matches.
+    Keys are non-negative here, so ``div`` == floor-division.
     """
     g = int(granularity)
     chunked = ranges.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_chunk",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / g).cast("long"),
-                F.floor((F.col(hi_col) - 1) / g).cast("long"),
+                F.expr(f"{lo_col} div {g}").cast("long"),
+                F.expr(f"({hi_col} - 1) div {g}").cast("long"),
             )
         ),
     )
-    keyed = points.withColumn("_chunk", F.floor(F.col(point_col) / g).cast("long"))
+    keyed = points.withColumn("_chunk", F.expr(f"{point_col} div {g}").cast("long"))
     return (
         keyed.join(chunked, "_chunk")
         .filter(

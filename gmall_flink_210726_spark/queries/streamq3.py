@@ -304,3 +304,114 @@ def st15_stream_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st16_stream_salted_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, CAST(COUNT(*) AS BIGINT) AS view_ct
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - 300000000
+     AND epoch_us(v.ts) <= epoch_us(p.ts)
+    GROUP BY 1
+    """,
+    doc="SALTED streaming interval join (VERDICT r7 #7): st3's "
+    "watermarked stream-stream join is the one stateful shape AQE "
+    "cannot re-plan at runtime — a hot user key pins its entire state "
+    "fan-in to one state-store partition for the life of the query. "
+    "Remedy = L119's salting applied to streaming state: the views "
+    "side replicates each row across 8 salt lanes (explode, no "
+    "shuffle), each purchase computes ONE deterministic lane from "
+    "xxhash64(purchase_id), and the join key becomes (user, salt) — "
+    "every purchase still meets exactly one replica of every "
+    "matching view, so the result is bit-identical to the unsalted "
+    "join (st3 / j1's oracle) while the hot user's state spreads "
+    "over 8 partitions. Cost model: views state x8 vs hot-key "
+    "fan-in /8 — the streaming analog of salted_join's dim "
+    "replication. Join output flows through the checkpointed "
+    "foreachBatch + overwrite-idempotent epoch-partition sink, so "
+    "replayed epochs cannot double-count (tests/test_streaming_salted"
+    ".py pins bit-identity with st3 and epoch-retry idempotence). "
+    "operators/skew.py salted_join, queries/streamq.py st3.",
+    tags=("streaming", "join", "skew"),
+)
+def st16_stream_salted_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    n_salts = 8
+    out = tempfile.mkdtemp(prefix="st16_salted_")
+    ckpt = tempfile.mkdtemp(prefix="st16_ckpt_")
+    ev = _stream_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_uid"),
+            F.col("event_time").alias("p_time"),
+            F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+            .cast("int")
+            .alias("p_salt"),
+        )
+        .withWatermark("p_time", "0 seconds")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_uid"),
+            F.col("event_time").alias("v_time"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(
+                "v_salt"
+            ),
+        )
+        .withWatermark("v_time", "0 seconds")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_uid = v_uid AND p_salt = v_salt AND "
+            "v_time >= p_time - INTERVAL 300 SECOND AND v_time <= p_time"
+        ),
+    ).select("purchase_id")
+
+    def _write_partials(batch: DataFrame, epoch: int) -> None:
+        partials = batch.groupBy("purchase_id").agg(
+            F.count(F.lit(1)).cast("long").alias("view_ct")
+        )
+        append_stats_exactly_once(partials, epoch, out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(joined, _write_partials, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st16 salted interval join did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("purchase_id")
+            .agg(F.sum("view_ct").cast("long").alias("view_ct"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
