@@ -415,3 +415,301 @@ def st16_stream_salted_interval_join(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st17_stream_asof_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           CAST(MAX(epoch_us(v.ts)) AS BIGINT) AS last_view_us
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - 300000000
+     AND epoch_us(v.ts) <= epoch_us(p.ts)
+    GROUP BY 1
+    """,
+    doc="Streaming AS-OF join (w3's batch as-of under the writeStream "
+    "gate): for each purchase, the timestamp of the LAST same-user "
+    "view within the preceding 5 minutes. Spark has no native "
+    "streaming as-of operator; the composition is the watermarked "
+    "stream-stream interval join (bounded state, watermark-evicted "
+    "both sides) emitting candidate (purchase, view-time) pairs "
+    "eagerly, then an argmax reduction per purchase at read — the "
+    "candidate set per purchase is bounded by the 5-minute window, "
+    "so the post-aggregation frame is small however large the "
+    "backlog. The enrichment shape Flink's temporal join serves "
+    "(dwm/OrderWideApp's dim-time semantics, generalized to "
+    "event-vs-event).",
+    tags=("streaming", "join", "asof"),
+)
+def st17_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.queries.streamq import (
+        _run_to_memory,
+        _stream_events,
+    )
+
+    # timestamp_micros, not millis: the as-of output IS the matched
+    # timestamp, so sub-millisecond precision must survive the round
+    # trip (st3 only counts matches and tolerates ms grain)
+    ev = _stream_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_uid"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", "0 seconds")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_uid"),
+            F.col("event_time").alias("v_time"),
+        )
+        .withWatermark("v_time", "0 seconds")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p_uid = v_uid AND "
+            "v_time >= p_time - INTERVAL 300 SECOND AND v_time <= p_time"
+        ),
+    ).select("purchase_id", "v_time")
+    sink = _run_to_memory(joined, "st17_asof_join")
+    return (
+        spark.table(sink)
+        .groupBy("purchase_id")
+        .agg(
+            F.unix_micros(F.max("v_time")).cast("long").alias("last_view_us")
+        )
+    )
+
+
+@register(
+    "st18_stream_histogram_quantiles",
+    oracle="""
+    WITH h AS (SELECT LEAST(CAST(round(value * 100) AS BIGINT) // 200,
+                            249) AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS ct
+               FROM events GROUP BY 1),
+    c AS (SELECT bucket, ct,
+                 CAST(SUM(ct) OVER (ORDER BY bucket) AS BIGINT) AS cum
+          FROM h),
+    n AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn FROM h),
+    q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                ('p99', 99, 100)) AS t(p, num, den)),
+    r AS (SELECT p, (num * nn + den - 1) // den AS rank_at FROM q, n),
+    sel AS (SELECT r.p, MIN(c.bucket) AS bucket
+            FROM r JOIN c ON c.cum >= r.rank_at GROUP BY r.p)
+    SELECT sel.p, CAST(sel.bucket AS BIGINT) AS bucket,
+           CAST(sel.bucket * 200 AS BIGINT) AS bucket_lo_cents,
+           c.cum, n.nn AS n_rows
+    FROM sel JOIN c ON c.bucket = sel.bucket, n
+    """,
+    doc="Streaming quantile maintenance via a FIXED-GRID additive "
+    "histogram (the mergeable-summary pattern: like st9's CMS and "
+    "st10's HLL, the partial is a bounded vector whose merge is SUM, "
+    "so replayed epochs stay idempotent through the epoch-partition "
+    "sink and no raw value is ever re-scanned). Each micro-batch "
+    "reduces to <=250 (bucket, count) rows — cents//200 integer "
+    "bucketing, exact — and read-time serving takes the merged "
+    "histogram, one cumulative window over <=250 rows, and exact "
+    "ceil-rank quantile selection in pure integer arithmetic "
+    "(num*N + den - 1) // den. The streaming complement of "
+    "sketch_histogram_quantiles' batch min/max grid (which a stream "
+    "cannot know in advance - the grid must be declared up front).",
+    tags=("streaming", "sketch", "agg"),
+)
+def st18_stream_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    out = tempfile.mkdtemp(prefix="st18_hist_")
+    ckpt = tempfile.mkdtemp(prefix="st18_ckpt_")
+    ev = _stream_events(spark, sf_dir).select(
+        F.least(
+            F.expr("CAST(round(value * 100) AS BIGINT) div 200"), F.lit(249)
+        ).alias("bucket")
+    )
+
+    def _write_partials(batch: DataFrame, epoch: int) -> None:
+        partials = batch.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("ct")
+        )
+        append_stats_exactly_once(partials, epoch, out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(ev, _write_partials, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st18 histogram stream did not finish")
+        q.stop()
+        h = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(F.sum("ct").cast("long").alias("ct"))
+        )
+        c = h.withColumn(
+            "cum",
+            F.sum("ct").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).cast("long"),
+        )
+        n = h.agg(F.sum("ct").cast("long").alias("nn"))
+        qf = spark.createDataFrame(
+            [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+            "p string, num long, den long",
+        )
+        r = qf.crossJoin(F.broadcast(n)).select(
+            "p",
+            F.expr("(num * nn + den - 1) div den").alias("rank_at"),
+            "nn",
+        )
+        sel = (
+            r.join(c, c["cum"] >= r["rank_at"])
+            .groupBy("p", "nn")
+            .agg(F.min("bucket").alias("bucket"))
+        )
+        result = (
+            sel.join(c, "bucket")
+            .select(
+                "p",
+                F.col("bucket").cast("long").alias("bucket"),
+                (F.col("bucket") * 200).cast("long").alias(
+                    "bucket_lo_cents"
+                ),
+                "cum",
+                F.col("nn").alias("n_rows"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+@register(
+    "st19_stream_ams_f2",
+    oracle="""
+    WITH f AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ct
+               FROM events GROUP BY user_id),
+    est AS (SELECT j,
+                   CAST(SUM(CASE WHEN ascii(substr(md5(
+                          CAST(user_id AS VARCHAR) || '|'
+                          || CAST(j AS VARCHAR)), 1, 1)) % 2 = 0
+                        THEN ct ELSE -ct END) AS BIGINT) AS s
+            FROM f, (SELECT unnest(range(0, 16)) AS j) GROUP BY j),
+    agg AS (SELECT CAST(SUM(s * s) AS BIGINT) AS sum_sq FROM est)
+    SELECT CAST(16 AS BIGINT) AS n_estimators,
+           CAST(agg.sum_sq AS DOUBLE) / 16.0 AS f2_estimate
+    FROM agg
+    """,
+    doc="Streaming AMS F2 maintenance: each micro-batch reduces to 16 "
+    "signed integer partial sums (md5-parity +/-1 signs, identical to "
+    "sketch_ams_f2's batch signs) written through the idempotent "
+    "epoch-partition sink; the durable merge is the cross-epoch SUM — "
+    "the estimator is LINEAR in the data, so additive merge is exact "
+    "and replay-safe (st9's CMS algebra, applied to a moment sketch). "
+    "16 longs of state per epoch regardless of batch volume; F2 is "
+    "served at read by squaring and averaging the merged sums. "
+    "Batch twin: sketch_ams_f2 (exact-oracle calibrated).",
+    tags=("streaming", "sketch", "sink"),
+)
+def st19_stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    out = tempfile.mkdtemp(prefix="st19_ams_")
+    ckpt = tempfile.mkdtemp(prefix="st19_ckpt_")
+    ev = _stream_events(spark, sf_dir).select("user_id")
+
+    def _write_partials(batch: DataFrame, epoch: int) -> None:
+        js = batch.sparkSession.range(16).select(
+            F.col("id").cast("int").alias("j")
+        )
+        signed = batch.crossJoin(F.broadcast(js)).select(
+            "j",
+            F.when(
+                F.ascii(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("user_id").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    )
+                )
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        partials = signed.groupBy("j").agg(
+            F.sum("sign").cast("long").alias("s")
+        )
+        append_stats_exactly_once(partials, epoch, out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(ev, _write_partials, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st19 AMS stream did not finish")
+        q.stop()
+        merged = (
+            spark.read.parquet(out)
+            .groupBy("j")
+            .agg(F.sum("s").cast("long").alias("s"))
+        )
+        result = (
+            merged.agg(
+                F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_sq")
+            )
+            .select(
+                F.lit(16).cast("long").alias("n_estimators"),
+                (F.col("sum_sq").cast("double") / F.lit(16.0)).alias(
+                    "f2_estimate"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras7,
         extras8,
         extras9,
+        extras10,
         gmall,
         gmall2,
         llm,
@@ -64,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm9,
         llm10,
         llm11,
+        llm12,
         streamq,
         streamq2,
         streamq3,
