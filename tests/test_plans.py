@@ -606,3 +606,65 @@ class TestRound6PlanShapes:
         shuffle between them (pipelined map stages)."""
         plan = _plan(SPECS["multimodal_wav_adpcm"].fn(spark, SF_SMALL))
         assert plan.count("Exchange") <= 1  # only the ensure_parallelism round-robin
+
+
+class TestRound8PlanShapes:
+    def test_bm25_single_corpus_scan_and_distributed_topk(self, spark):
+        """BM25's per-doc frame is checkpointed (the naive plan paid 8
+        corpus scans) and top-20 compiles to TakeOrderedAndProject —
+        per-partition heaps, never a single-partition global rank
+        window over the full matched set."""
+        plan = _plan(SPECS["text_bm25_topk"].fn(spark, SF_SMALL))
+        assert plan.count("Scan parquet") == 0  # checkpoint feeds all
+        assert "TakeOrderedAndProject" in plan
+
+    def test_two_hop_join_is_hash_equi_join(self, spark):
+        plan = _plan(SPECS["x43_two_hop_features"].fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_range_join_chunks_use_integer_division(self, spark):
+        """ADVICE r7: float chunk division is exact only below 2^53 —
+        the decomposition must stay integral over the full BIGINT
+        domain."""
+        from gmall_flink_210726_spark.operators.joins import range_join
+
+        pts = spark.range(0, 10).select(F.col("id").alias("addr"))
+        rng = spark.createDataFrame(
+            [(0, 5), (5, 10)], "lo long, hi long"
+        )
+        df = range_join(pts, rng, "addr", "lo", "hi", granularity=4)
+        lp = df._jdf.queryExecution().analyzed().toString()
+        assert "div" in lp.lower()
+        # 2^62-scale keys: float division would mischunk these
+        big = 1 << 62
+        pts2 = spark.createDataFrame(
+            [(big + 1,), (big + 3,)], "addr long"
+        )
+        rng2 = spark.createDataFrame(
+            [(big, big + 2), (big + 2, big + 4)], "lo long, hi long"
+        )
+        got = {
+            (r["addr"], r["lo"])
+            for r in range_join(
+                pts2, rng2, "addr", "lo", "hi", granularity=2
+            ).collect()
+        }
+        assert got == {(big + 1, big), (big + 3, big + 2)}
+
+    def test_anova_moments_aggregate_partially(self, spark):
+        plan = _plan(SPECS["an18_anova_f"].fn(spark, SF_SMALL))
+        assert "partial_sum" in plan or "partial_count" in plan
+
+    def test_attribution_rank_window_is_per_purchase(self, spark):
+        """The argmax window partitions by purchase id — bounded by the
+        10-minute candidate set, never a global sort."""
+        plan = _plan(
+            SPECS["an20_last_touch_attribution"].fn(spark, SF_SMALL)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ams_f2_is_map_side_combinable(self, spark):
+        plan = _plan(SPECS["sketch_ams_f2"].fn(spark, SF_SMALL))
+        assert "partial_sum" in plan
