@@ -646,3 +646,105 @@ def x46_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d2"),
     )
     return scored.filter(F.col("d2") <= 2500000000)
+
+
+@register(
+    "x47_kendall_tau",
+    oracle="""
+    WITH d AS (SELECT o_orderdate AS day,
+                      CAST(COUNT(*) AS BIGINT) AS x,
+                      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS y
+               FROM orders GROUP BY 1),
+    p AS (SELECT CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                               OR (a.x > b.x AND a.y > b.y)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                               OR (a.x > b.x AND a.y < b.y)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS dd
+          FROM d a JOIN d b ON a.day < b.day),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    tx AS (SELECT CAST(SUM(ct * (ct - 1) / 2) AS BIGINT) AS n1
+           FROM (SELECT COUNT(*) AS ct FROM d GROUP BY x)),
+    ty AS (SELECT CAST(SUM(ct * (ct - 1) / 2) AS BIGINT) AS n2
+           FROM (SELECT COUNT(*) AS ct FROM d GROUP BY y))
+    SELECT n.n AS n_days,
+           round(CAST(p.c - p.dd AS DOUBLE)
+                 / sqrt(CAST(n.n * (n.n - 1) / 2 - tx.n1 AS DOUBLE)
+                        * CAST(n.n * (n.n - 1) / 2 - ty.n2 AS DOUBLE)),
+                 6) AS tau_b
+    FROM p, n, tx, ty
+    """,
+    doc="Kendall tau-b between daily order count and daily revenue — "
+    "the pairwise-concordance complement of x36's Spearman (rank "
+    "sums) and x33's Theil-Sen (median slopes). The O(n^2) pair "
+    "enumeration runs ONLY on the aggregated daily frame (|days| "
+    "rows — bounded however large the corpus), concordant/discordant/"
+    "tie counts are exact BIGINTs, and tau_b is one double "
+    "expression with the standard tie correction, rounded 6 dp.",
+    tags=("analytics", "stats", "timeseries"),
+)
+def x47_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = d.select(
+        F.col("day").alias("day_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = d.select(
+        F.col("day").alias("day_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    conc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    )
+    disc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    )
+    p = (
+        a.join(b, F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("dd"),
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tx = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(
+            F.sum(F.expr("ct * (ct - 1) / 2")).cast("long").alias("n1")
+        )
+    )
+    ty = (
+        d.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(
+            F.sum(F.expr("ct * (ct - 1) / 2")).cast("long").alias("n2")
+        )
+    )
+    tau = F.expr("CAST(c - dd AS DOUBLE)") / F.sqrt(
+        F.expr("CAST(n * (n - 1) / 2 - n1 AS DOUBLE)")
+        * F.expr("CAST(n * (n - 1) / 2 - n2 AS DOUBLE)")
+    )
+    return (
+        p.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").alias("n_days"), F.round(tau, 6).alias("tau_b")
+        )
+    )

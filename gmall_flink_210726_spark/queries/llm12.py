@@ -315,3 +315,108 @@ def multimodal_mp3_id3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_id3_media(load_table(spark, sf_dir, "documents"))
     return mp3_id3_tags(media)
+
+
+@register(
+    "multimodal_tar_members",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 10 = 0 AS bad,
+                      3 + doc_id % 6 AS n
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'tar' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_members,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([100 + (media_id * 37 + 53 * j) % 400
+                               for j in range(0, n)]) END AS BIGINT)
+             AS total_payload,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([list_sum(
+                       [(media_id * 11 + 7 * j + 3 * k) % 256
+                        for k in range(0,
+                            100 + (media_id * 37 + 53 * j) % 400)])
+                     for j in range(0, n)]) END AS BIGINT)
+             AS payload_sum,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([1 + (100 + (media_id * 37 + 53 * j) % 400
+                                    + 511) // 512
+                               for j in range(0, n)]) + 2 END AS BIGINT)
+             AS n_blocks,
+           CASE WHEN bad THEN ''
+                ELSE 'doc_' || CAST(media_id AS VARCHAR) || '_0.txt' END
+             AS first_name
+    FROM m
+    """,
+    doc="POSIX ustar shard walk — the WebDataset container pass a "
+    "multimodal loader runs on every tar shard before any sample "
+    "decode: 512-byte header blocks, octal size fields, header "
+    "CHECKSUM validation (sum over the header with the chksum field "
+    "blanked — a real integrity check the oracle never sees), magic/"
+    "typeflag checks, zero-padding verification, two-zero-block EOF. "
+    "The oracle recomputes member counts, exact payload byte extents "
+    "and sums, 512-block counts, and first member names from the id "
+    "formulas blind; every 10th shard is truncated mid-payload and "
+    "must degrade to 'unknown'. operators/tar.py",
+    tags=("llm", "multimodal"),
+)
+def multimodal_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.tar import (
+        synthesize_tar_media,
+        tar_member_stats,
+    )
+
+    media = synthesize_tar_media(load_table(spark, sf_dir, "documents"))
+    return tar_member_stats(media)
+
+
+@register(
+    "multimodal_zip_entries",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 12 = 0 AS bad,
+                      2 + doc_id % 5 AS n
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'zip' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_entries,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([40 + (media_id * 29 + 17 * j) % 200
+                               for j in range(0, n)]) END AS BIGINT)
+             AS total_bytes,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([list_sum(
+                       [(media_id * 23 + 11 * j + 5 * k) % 256
+                        for k in range(0,
+                            40 + (media_id * 29 + 17 * j) % 200)])
+                     for j in range(0, n)]) END AS BIGINT)
+             AS payload_sum,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([46 + length('f_' || CAST(media_id AS
+                     VARCHAR) || '_' || CAST(j AS VARCHAR) || '.bin')
+                               for j in range(0, n)]) END AS BIGINT)
+             AS cd_size,
+           CASE WHEN bad THEN ''
+                ELSE 'f_' || CAST(media_id AS VARCHAR) || '_0.bin' END
+             AS first_name
+    FROM m
+    """,
+    doc="ZIP central-directory walk — tar's structural inverse (the "
+    "authoritative index lives at the END): EOCD back-scan, central "
+    "directory traversal, per-entry cross-check against the local "
+    "file header (signature + name agreement + offset bounds), and a "
+    "REAL CRC-32 verification of every STORED payload via zlib — an "
+    "integrity check the oracle cannot see, which is the point: the "
+    "decoder must EARN the formula-predicted fields by full "
+    "validation. Blobs round-trip through Python's own zipfile in "
+    "the unit tests, proving they are genuine archives. Every 12th "
+    "id loses its EOCD tail and must degrade to 'unknown'. "
+    "operators/zipc.py",
+    tags=("llm", "multimodal"),
+)
+def multimodal_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.zipc import (
+        synthesize_zip_media,
+        zip_entry_stats,
+    )
+
+    media = synthesize_zip_media(load_table(spark, sf_dir, "documents"))
+    return zip_entry_stats(media)
