@@ -420,3 +420,106 @@ def multimodal_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_zip_media(load_table(spark, sf_dir, "documents"))
     return zip_entry_stats(media)
+
+
+@register(
+    "multimodal_zip_deflate",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 14 = 0 AS bad,
+                      2 + doc_id % 4 AS n
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'zip' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_entries,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([200 + (media_id * 41 + 31 * j) % 600
+                               for j in range(0, n)]) END AS BIGINT)
+             AS total_uncompressed,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([list_sum(
+                       [97 + ((media_id * 7 + 13 * j + (k // 5) * 11)
+                              % 7)
+                        for k in range(0,
+                            200 + (media_id * 41 + 31 * j) % 600)])
+                     for j in range(0, n)]) END AS BIGINT)
+             AS payload_sum,
+           CASE WHEN bad THEN ''
+                ELSE 'd_' || CAST(media_id AS VARCHAR) || '_0.txt' END
+             AS first_name
+    FROM m
+    """,
+    doc="HAND-WRITTEN INFLATE (RFC 1951) under the ZIP walk: fixtures "
+    "are compressed by zlib itself (raw deflate), and the decoder "
+    "reverses them from scratch — LSB-first bit reader, stored "
+    "blocks, the fixed Huffman code, full dynamic-Huffman blocks "
+    "(code-length alphabet with 16/17/18 repeats), length/distance "
+    "extra-bit tables, LZ77 back-copy, decompression-bomb guard — "
+    "then proves each payload via size + CRC-32. The oracle "
+    "recomputes entry counts and the exact DECOMPRESSED byte sums "
+    "from stateless run-text formulas it can evaluate blind; the "
+    "compressed bytes in between are opaque to it, which is the "
+    "point — only a correct inflate reproduces the predicted sums. "
+    "Completes the from-scratch codec set: Huffman (JPEG), LZW "
+    "(GIF/TIFF), ADPCM/mu-law (WAV), DEFLATE (ZIP). "
+    "operators/inflate.py",
+    tags=("llm", "multimodal"),
+)
+def multimodal_zip_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.inflate import (
+        synthesize_zip_deflate_media,
+        zip_deflate_stats,
+    )
+
+    media = synthesize_zip_deflate_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return zip_deflate_stats(media)
+
+
+@register(
+    "multimodal_gzip_members",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 13 = 0 AS bad,
+                      1 + doc_id % 4 AS n
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'gzip' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_members,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([150 + (media_id * 43 + 29 * j) % 500
+                               for j in range(0, n)]) END AS BIGINT)
+             AS total_uncompressed,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([list_sum(
+                       [97 + ((media_id * 7 + 13 * j + (k // 5) * 11)
+                              % 7)
+                        for k in range(0,
+                            150 + (media_id * 43 + 29 * j) % 500)])
+                     for j in range(0, n)]) END AS BIGINT)
+             AS payload_sum,
+           CASE WHEN bad THEN ''
+                ELSE 'rec_' || CAST(media_id AS VARCHAR) || '_0' END
+             AS first_name
+    FROM m
+    """,
+    doc="Multi-member gzip walk (RFC 1952) — the WARC/WET convention "
+    "web-scale text corpora actually ship in: one gzip member per "
+    "record, concatenated, so a reader must loop header -> deflate "
+    "body -> CRC-32 + ISIZE trailer until exact end-of-stream. The "
+    "deflate bodies are decoded by the SAME hand-written inflate as "
+    "multimodal_zip_deflate (fixtures compressed by zlib; streams "
+    "also round-trip through stdlib gzip in the unit tests), FNAME "
+    "headers are parsed, and every member's CRC must prove the "
+    "decode. The oracle recomputes member counts and decompressed "
+    "byte sums blind; every 13th stream is truncated mid-trailer. "
+    "operators/inflate.py _walk_gzip",
+    tags=("llm", "multimodal"),
+)
+def multimodal_gzip_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.inflate import (
+        gzip_member_stats,
+        synthesize_gzip_media,
+    )
+
+    media = synthesize_gzip_media(load_table(spark, sf_dir, "documents"))
+    return gzip_member_stats(media)
