@@ -188,3 +188,47 @@ class TestGzipWalk:
 
         assert _walk_gzip(_make_gzip_stream(13)) is None
         assert _walk_gzip(_make_gzip_stream(0)) is None
+
+
+class TestInflateProperties:
+    """Hypothesis: for ANY byte payload and compression level, the
+    hand inflate must invert zlib's raw deflate byte-exactly."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        payload=st.binary(min_size=0, max_size=4096),
+        level=st.integers(min_value=0, max_value=9),
+    )
+    def test_inflate_inverts_zlib(self, payload, level):
+        assert inflate(_deflate(payload, level)) == payload
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        chunks=st.lists(
+            st.binary(min_size=1, max_size=512), min_size=1, max_size=5
+        )
+    )
+    def test_inflate_handles_flush_boundaries(self, chunks):
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        raw = b""
+        for ch in chunks[:-1]:
+            raw += c.compress(ch) + c.flush(zlib.Z_FULL_FLUSH)
+        raw += c.compress(chunks[-1]) + c.flush()
+        assert inflate(raw) == b"".join(chunks)
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        payload=st.binary(min_size=8, max_size=1024),
+        pos=st.integers(min_value=0),
+        mask=st.integers(min_value=1, max_value=255),
+    )
+    def test_corrupted_stream_valueerror_only(self, payload, pos, mask):
+        raw = bytearray(_deflate(payload, 6))
+        raw[pos % len(raw)] ^= mask
+        try:
+            inflate(bytes(raw))  # any result ok; only ValueError may raise
+        except ValueError:
+            pass
