@@ -748,3 +748,79 @@ def x47_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"), F.round(tau, 6).alias("tau_b")
         )
     )
+
+
+@register(
+    "x48_bitmap_semijoin_filter",
+    oracle="""
+    WITH urgent AS (SELECT o_orderkey, o_orderdate FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+    SELECT strftime(u.o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN urgent u ON l.l_orderkey = u.o_orderkey
+    GROUP BY 1
+    """,
+    doc="EXACT bitmap runtime filter (semi-join pushdown): before the "
+    "big lineitem-orders shuffle join, the urgent orderkeys pack into "
+    "a dense 64-bit-word bitmap (keys div 64 -> bit_or of shifted "
+    "bits, ~n/64 longs) that BROADCASTS to the lineitem scan — each "
+    "row probes its word and drops before ever reaching the exchange. "
+    "Unlike a Bloom runtime filter this is exact (zero false "
+    "positives), so the downstream join only re-associates payload "
+    "columns; the result is bit-identical to the plain semi-join the "
+    "oracle runs. The hand-rolled version of Spark's "
+    "InjectRuntimeFilter, usable where AQE cannot see the selectivity "
+    "(tests/test_plans.py pins the filter below the join). At 100 TB "
+    "the bitmap for 10^9 urgent keys is ~2 GB — the dense-domain "
+    "regime; sparse domains switch to the Bloom variant "
+    "(sketch_bloom_calibration's operator).",
+    tags=("extras", "join", "skew"),
+)
+def x48_bitmap_semijoin_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderdate")
+    words = urgent.groupBy(
+        F.expr("o_orderkey div 64").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " CAST(o_orderkey % 64 AS INT))"
+            )
+        ).alias("bits")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.expr("l_orderkey div 64").alias("w"),
+    )
+    filtered = (
+        li.join(F.broadcast(words), "w")
+        .filter(
+            F.expr(
+                "bits & shiftleft(CAST(1 AS BIGINT),"
+                " CAST(l_orderkey % 64 AS INT)) <> 0"
+            )
+        )
+        .select("l_orderkey", "cents")
+    )
+    return (
+        filtered.join(
+            urgent, filtered["l_orderkey"] == urgent["o_orderkey"]
+        )
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

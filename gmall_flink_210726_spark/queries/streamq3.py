@@ -713,3 +713,84 @@ def st19_stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st20_stream_bitmap_distinct",
+    oracle="""
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uv
+    FROM events GROUP BY 1
+    """,
+    doc="Streaming EXACT distinct via bitmap OR-merge — the dense-"
+    "domain answer to st10's approximate HLL: each micro-batch "
+    "reduces to (day, user_id div 64, bit_or(shifted bit)) words — "
+    "state bounded by |users|/64 longs per day regardless of batch "
+    "volume — written through the idempotent epoch-partition sink; "
+    "the durable merge is cross-epoch bit_or (idempotent AND "
+    "commutative: replays and reorders both converge, the strongest "
+    "of the sketch-merge algebras, same trick as x32/x48), and the "
+    "exact per-day UV is served at read as sum(bit_count(word)). "
+    "Dense user domains make this EXACT at HLL-like state cost; "
+    "sparse/unbounded domains fall back to st10. Completes the "
+    "streaming distinct trio: exact-keyed state (st1), approximate "
+    "HLL (st10), exact bitmap (st20).",
+    tags=("streaming", "sketch", "agg"),
+)
+def st20_stream_bitmap_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    out = tempfile.mkdtemp(prefix="st20_bitmap_")
+    ckpt = tempfile.mkdtemp(prefix="st20_ckpt_")
+    ev = _stream_events(spark, sf_dir).select(
+        F.date_format(
+            F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+        ).alias("day"),
+        "user_id",
+    )
+
+    def _write_partials(batch: DataFrame, epoch: int) -> None:
+        words = batch.groupBy(
+            "day", F.expr("user_id div 64").alias("w")
+        ).agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(user_id % 64 AS INT))"
+                )
+            ).alias("bits")
+        )
+        append_stats_exactly_once(words, epoch, out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(ev, _write_partials, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st20 bitmap stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("day", "w")
+            .agg(F.bit_or("bits").alias("bits"))
+            .groupBy("day")
+            .agg(
+                F.sum(F.bit_count("bits")).cast("long").alias("exact_uv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result

@@ -712,3 +712,50 @@ class TestRound8PlanShapes:
         finally:
             for t in (to, tc):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_bitmap_semijoin_filter_prunes_before_main_join(self, spark):
+        """x48: the broadcast bitmap probe (BroadcastHashJoin on the
+        word key + bit test) must sit BELOW the main lineitem-orders
+        join, so filtered rows never reach that join's exchange."""
+        plan = _plan(SPECS["x48_bitmap_semijoin_filter"].fn(spark, SF_SMALL))
+        assert "BroadcastHashJoin" in plan
+        bit_probe = plan.find("shiftleft")
+        assert bit_probe >= 0
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_st20_bitmap_merge_is_replay_idempotent(self, spark, tmp_path):
+        """bit_or partials: writing the same epoch twice through the
+        idempotent sink changes nothing; and even a DUPLICATED epoch id
+        under plain bit_or would — unlike SUM — still converge, the
+        strongest merge algebra."""
+        from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        out = str(tmp_path / "st20_replay")
+        ev = load_table(spark, SF_SMALL, "events").select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        words = ev.groupBy("day", F.expr("user_id div 64").alias("w")).agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(user_id % 64 AS INT))"
+                )
+            ).alias("bits")
+        )
+        append_stats_exactly_once(words, 1, out)
+        append_stats_exactly_once(words, 1, out)  # retried epoch
+        merged = (
+            spark.read.parquet(out)
+            .groupBy("day", "w")
+            .agg(F.bit_or("bits").alias("bits"))
+            .groupBy("day")
+            .agg(F.sum(F.bit_count("bits")).cast("long").alias("uv"))
+        )
+        exact = ev.groupBy("day").agg(
+            F.count_distinct("user_id").cast("long").alias("uv")
+        )
+        assert {tuple(r) for r in merged.collect()} == {
+            tuple(r) for r in exact.collect()
+        }
