@@ -81,7 +81,30 @@ class _Bits:
 
 def _build_huffman(lengths: list[int]) -> dict[tuple[int, int], int]:
     """Canonical Huffman per RFC 1951 §3.2.2: map (nbits, code) ->
-    symbol."""
+    symbol.
+
+    Validates the Kraft inequality while building: a bit-length
+    histogram that oversubscribes the canonical code budget raises
+    immediately (instead of silently producing colliding table entries
+    that decode garbage until a downstream CRC check), and a table
+    with more than one symbol must be a COMPLETE code (the sole
+    RFC-sanctioned incomplete shape is the one-distance-code case,
+    §3.2.7 note)."""
+    counts = [0] * 16
+    for ln in lengths:
+        if ln < 0 or ln > 15:
+            raise ValueError("code length out of range")
+        if ln:
+            counts[ln] += 1
+    left = 1
+    for nbits in range(1, 16):
+        left <<= 1
+        left -= counts[nbits]
+        if left < 0:
+            raise ValueError("oversubscribed Huffman code")
+    nsyms = sum(counts)
+    if nsyms > 1 and left != 0:
+        raise ValueError("incomplete Huffman code")
     table: dict[tuple[int, int], int] = {}
     max_len = max(lengths) if lengths else 0
     code = 0
@@ -104,16 +127,26 @@ def _read_symbol(bits: _Bits, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("bad Huffman code")
 
 
+# RFC 1951 §3.2.6: the fixed distance code is defined over ALL 32
+# five-bit codes (30-31 "will never actually occur" — rejected at the
+# use site), so the table is a complete code under the Kraft check.
 _FIXED_LIT = _build_huffman(
     [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
 )
-_FIXED_DIST = _build_huffman([5] * 30)
+_FIXED_DIST = _build_huffman([5] * 32)
 
 
-def inflate(data: bytes) -> bytes:
-    """RFC 1951 raw-deflate decode; raises ValueError on any grammar
-    violation or output larger than the bomb guard."""
+def _inflate_at(data: bytes, start: int) -> tuple[bytes, int]:
+    """RFC 1951 raw-deflate decode beginning at byte offset ``start``;
+    returns ``(payload, end_pos)`` where ``end_pos`` is the byte-
+    aligned position just past the final block (so gzip-member walks
+    can resume at the trailer). Raises ValueError on any grammar
+    violation or output larger than the bomb guard. This single block
+    loop serves both ``inflate()`` and ``_walk_gzip`` — the decoder
+    exists exactly once (round-9 ADVICE: the inlined gzip copy had
+    drifted)."""
     bits = _Bits(data)
+    bits.pos = start
     out = bytearray()
     while True:
         bfinal = bits.read(1)
@@ -185,7 +218,14 @@ def inflate(data: bytes) -> bytes:
             raise ValueError("output too large")
         if bfinal:
             break
-    return bytes(out)
+    bits.align()
+    return bytes(out), bits.pos
+
+
+def inflate(data: bytes) -> bytes:
+    """RFC 1951 raw-deflate decode; raises ValueError on any grammar
+    violation or output larger than the bomb guard."""
+    return _inflate_at(data, 0)[0]
 
 
 # --------------------------------------------------------------------------
@@ -443,87 +483,15 @@ def _walk_gzip(data: bytes) -> dict | None:
             hpos += 2
         if hpos > end:
             return None
-        # inflate consumes an unknown byte count: track via _Bits
-        bits = _Bits(data)
-        bits.pos = hpos
-        out = bytearray()
+        # the shared block loop returns the byte-aligned end position,
+        # so the member trailer is read exactly where the body stopped
         try:
-            while True:
-                bfinal = bits.read(1)
-                btype = bits.read(2)
-                if btype == 0:
-                    bits.align()
-                    ln, nln = struct.unpack_from("<HH", data, bits.pos)
-                    if ln ^ nln != 0xFFFF:
-                        return None
-                    bits.pos += 4
-                    if bits.pos + ln > end:
-                        return None
-                    out += data[bits.pos : bits.pos + ln]
-                    bits.pos += ln
-                elif btype in (1, 2):
-                    if btype == 1:
-                        lit_t, dist_t = _FIXED_LIT, _FIXED_DIST
-                    else:
-                        hlit = bits.read(5) + 257
-                        hdist = bits.read(5) + 1
-                        hclen = bits.read(4) + 4
-                        clc = [0] * 19
-                        for k in range(hclen):
-                            clc[_CLC_ORDER[k]] = bits.read(3)
-                        clc_t = _build_huffman(clc)
-                        lens: list[int] = []
-                        while len(lens) < hlit + hdist:
-                            sym = _read_symbol(bits, clc_t)
-                            if sym < 16:
-                                lens.append(sym)
-                            elif sym == 16:
-                                if not lens:
-                                    return None
-                                lens += [lens[-1]] * (3 + bits.read(2))
-                            elif sym == 17:
-                                lens += [0] * (3 + bits.read(3))
-                            else:
-                                lens += [0] * (11 + bits.read(7))
-                        if len(lens) != hlit + hdist:
-                            return None
-                        lit_t = _build_huffman(lens[:hlit])
-                        dist_t = _build_huffman(lens[hlit:])
-                    while True:
-                        sym = _read_symbol(bits, lit_t)
-                        if sym < 256:
-                            out.append(sym)
-                        elif sym == 256:
-                            break
-                        elif sym <= 285:
-                            li = sym - 257
-                            length = _LEN_BASE[li] + bits.read(
-                                _LEN_EXTRA[li]
-                            )
-                            dsym = _read_symbol(bits, dist_t)
-                            if dsym > 29:
-                                return None
-                            dist = _DIST_BASE[dsym] + bits.read(
-                                _DIST_EXTRA[dsym]
-                            )
-                            if dist > len(out):
-                                return None
-                            for _ in range(length):
-                                out.append(out[-dist])
-                        else:
-                            return None
-                        if len(out) > _MAX_OUT:
-                            return None
-                else:
-                    return None
-                if bfinal:
-                    break
+            out, tpos = _inflate_at(data, hpos)
         except ValueError:
             return None
-        bits.align()
-        if bits.pos + 8 > end:
+        if tpos + 8 > end:
             return None
-        crc, isize = struct.unpack_from("<II", data, bits.pos)
+        crc, isize = struct.unpack_from("<II", data, tpos)
         if zlib.crc32(out) != crc or len(out) & 0xFFFFFFFF != isize:
             return None
         if n == 0:
@@ -531,7 +499,7 @@ def _walk_gzip(data: bytes) -> dict | None:
         n += 1
         total += len(out)
         psum += sum(out)
-        pos = bits.pos + 8
+        pos = tpos + 8
     if n == 0 or pos != end:
         return None
     return {

@@ -677,11 +677,16 @@ def x46_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Kendall tau-b between daily order count and daily revenue — "
     "the pairwise-concordance complement of x36's Spearman (rank "
-    "sums) and x33's Theil-Sen (median slopes). The O(n^2) pair "
-    "enumeration runs ONLY on the aggregated daily frame (|days| "
-    "rows — bounded however large the corpus), concordant/discordant/"
-    "tie counts are exact BIGINTs, and tau_b is one double "
-    "expression with the standard tie correction, rounded 6 dp.",
+    "sums) and x33's Theil-Sen (median slopes). The day_a < day_b "
+    "theta join plans as BroadcastNestedLoopJoin BY CONSTRUCTION — "
+    "deliberate, not an oversight: its input is the aggregated "
+    "daily frame (|days| rows, ~2.4k at any corpus size; same "
+    "bounded-frame discipline as Theil-Sen), checkpointed so the "
+    "orders scan runs once, and tests/test_plans.py pins that the "
+    "BNLJ's inputs are LocalTableScans of the bounded frame. "
+    "Concordant/discordant/tie counts are exact BIGINTs, and tau_b "
+    "is one double expression with the standard tie correction, "
+    "rounded 6 dp.",
     tags=("analytics", "stats", "timeseries"),
 )
 def x47_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -357,7 +357,10 @@ def st16_stream_salted_interval_join(
         "event_id",
         "user_id",
         "event_type",
-        F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+        # micro-grain event time (ts is epoch-ns): the oracle compares
+        # exact epoch_us bounds, so a ms-grain cast would disagree on a
+        # pair straddling the 0s/300s boundary by <1ms (round-9 ADVICE)
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")

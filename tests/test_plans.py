@@ -759,3 +759,19 @@ class TestRound8PlanShapes:
         assert {tuple(r) for r in merged.collect()} == {
             tuple(r) for r in exact.collect()
         }
+
+
+class TestRound9PlanShapes:
+    def test_kendall_theta_join_input_is_bounded_daily_frame(self, spark):
+        """x47's day_a < day_b theta join is BNLJ BY DESIGN — what must
+        hold is that its inputs are the checkpointed daily aggregate
+        (LocalTableScan / checkpointed RDD scan of |days| rows), never
+        the raw orders parquet: the O(n^2) runs on the bounded frame
+        only."""
+        plan = _plan(SPECS["x47_kendall_tau"].fn(spark, SF_SMALL))
+        # the BNLJ exists (deliberate) ...
+        assert "BroadcastNestedLoopJoin" in plan
+        # ... but no parquet scan feeds it: the checkpoint is the only
+        # source, so orders is scanned zero times in THIS plan
+        assert "Scan parquet" not in plan
+        assert "Scan ExistingRDD" in plan
