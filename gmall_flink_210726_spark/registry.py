@@ -66,6 +66,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm10,
         llm11,
         llm12,
+        llm13,
         streamq,
         streamq2,
         streamq3,
