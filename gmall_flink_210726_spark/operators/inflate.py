@@ -449,13 +449,16 @@ GZIP_SCHEMA = StructType(
 )
 
 
-def _walk_gzip(data: bytes) -> dict | None:
+def iter_gzip_members(data: bytes) -> list[tuple[str, bytes]] | None:
     """Concatenated-member gzip walk: RFC 1952 header (magic, CM=8,
     FLG with optional FNAME), raw-deflate body via the hand inflate,
-    CRC-32 + ISIZE trailer validation per member."""
+    CRC-32 + ISIZE trailer validation per member. Returns the ordered
+    ``(fname, payload)`` list, or ``None`` on any grammar violation —
+    the shared front end for the gzip-stats query AND the WARC record
+    framing on top (one member per WARC record, ISO 28500 Annex C /
+    the CommonCrawl convention)."""
     pos, end = 0, len(data)
-    n = total = psum = 0
-    first_name = ""
+    members: list[tuple[str, bytes]] = []
     while pos < end:
         if pos + 10 > end:
             return None
@@ -494,19 +497,23 @@ def _walk_gzip(data: bytes) -> dict | None:
         crc, isize = struct.unpack_from("<II", data, tpos)
         if zlib.crc32(out) != crc or len(out) & 0xFFFFFFFF != isize:
             return None
-        if n == 0:
-            first_name = name
-        n += 1
-        total += len(out)
-        psum += sum(out)
+        members.append((name, out))
         pos = tpos + 8
-    if n == 0 or pos != end:
+    if not members or pos != end:
+        return None
+    return members
+
+
+def _walk_gzip(data: bytes) -> dict | None:
+    """Aggregate stats over ``iter_gzip_members`` (GZIP_SCHEMA)."""
+    members = iter_gzip_members(data)
+    if members is None:
         return None
     return {
-        "n_members": n,
-        "total_uncompressed": total,
-        "payload_sum": psum,
-        "first_name": first_name,
+        "n_members": len(members),
+        "total_uncompressed": sum(len(p) for _, p in members),
+        "payload_sum": sum(sum(p) for _, p in members),
+        "first_name": members[0][0],
     }
 
 

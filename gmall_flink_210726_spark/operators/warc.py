@@ -1,0 +1,266 @@
+"""WARC record framing (ISO 28500 / WARC 1.0) over the multi-member
+gzip walk — the actual CommonCrawl ingestion contract: a .warc.gz file
+is one gzip member PER RECORD, and each member's decompressed payload
+is exactly one record:
+
+    WARC/1.0<CRLF>
+    WARC-Type: response<CRLF>
+    WARC-Record-ID: <urn:uuid:...><CRLF>
+    WARC-Target-URI: http://...<CRLF>     (when applicable)
+    WARC-Date: ...<CRLF>
+    Content-Length: N<CRLF>
+    <CRLF>
+    <N bytes of content block>
+    <CRLF><CRLF>
+
+The walk enforces the full framing contract, not just the header
+grammar: version line must be exactly ``WARC/1.0``; header fields are
+``Name: value`` lines up to the first empty line (duplicate
+Content-Length rejected); the content block is EXACTLY Content-Length
+bytes; the record terminator is EXACTLY CRLF CRLF; and the member must
+end there — the member->record cross-check that catches a
+desynchronized length field before it silently shifts every later
+byte. WARC-Type and Content-Length are mandatory (ISO 28500 §5);
+responses must carry a WARC-Target-URI.
+
+Corrupt-stripe contract: any framing violation in any member degrades
+the whole stream row to ``format='unknown'`` (a shifted record makes
+everything after it unreliable). Arrow-batched ``mapInPandas``; only
+integer stats and the first URI shuffle.
+
+Gzip layer: ``operators/inflate.py`` iter_gzip_members (hand-written
+RFC 1951/1952 decode, CRC-proven per member).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from gmall_flink_210726_spark.operators.inflate import iter_gzip_members
+
+_CRLF = b"\r\n"
+
+
+def parse_warc_record(payload: bytes) -> dict | None:
+    """One member's payload -> ``{'type','uri','content': bytes}`` or
+    ``None`` on any framing violation (module doc contract)."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        return None
+    head = payload[:sep]
+    lines = head.split(_CRLF)
+    if lines[0] != b"WARC/1.0":
+        return None
+    fields: dict[bytes, bytes] = {}
+    for ln in lines[1:]:
+        colon = ln.find(b":")
+        if colon <= 0:
+            return None
+        key = ln[:colon].strip().lower()
+        if key in fields:
+            return None  # duplicate header field
+        fields[key] = ln[colon + 1 :].strip()
+    rtype = fields.get(b"warc-type")
+    clen_raw = fields.get(b"content-length")
+    if rtype is None or clen_raw is None:
+        return None
+    if not clen_raw.isdigit():
+        return None
+    clen = int(clen_raw)
+    body_start = sep + 4
+    # exact framing: content block, CRLF CRLF, then END of member
+    if body_start + clen + 4 != len(payload):
+        return None
+    if payload[body_start + clen :] != _CRLF + _CRLF:
+        return None
+    uri = fields.get(b"warc-target-uri", b"").decode("latin-1")
+    rtype_s = rtype.decode("latin-1")
+    if rtype_s == "response" and not uri:
+        return None
+    return {
+        "type": rtype_s,
+        "uri": uri,
+        "content": payload[body_start : body_start + clen],
+    }
+
+
+def _walk_warc(data: bytes) -> dict | None:
+    members = iter_gzip_members(data)
+    if members is None:
+        return None
+    n = n_resp = cbytes = psum = 0
+    first_uri = ""
+    for _name, payload in members:
+        rec = parse_warc_record(payload)
+        if rec is None:
+            return None
+        n += 1
+        cbytes += len(rec["content"])
+        psum += sum(rec["content"])
+        if rec["type"] == "response":
+            n_resp += 1
+            if not first_uri:
+                first_uri = rec["uri"]
+    return {
+        "n_records": n,
+        "n_responses": n_resp,
+        "content_bytes": cbytes,
+        "payload_sum": psum,
+        "first_uri": first_uri,
+    }
+
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_responses", LongType()),
+        StructField("content_bytes", LongType()),
+        StructField("payload_sum", LongType()),
+        StructField("first_uri", StringType()),
+    ]
+)
+
+
+def _warc_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_records": 0,
+            "n_responses": 0,
+            "content_bytes": 0,
+            "payload_sum": 0,
+            "first_uri": "",
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = _walk_warc(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="warc", **st)
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA.fields])
+
+
+def warc_record_stats(df: DataFrame) -> DataFrame:
+    """WARC framing walk over MEDIA_SCHEMA blobs (module doc)."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _warc_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, WARC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Fixture synthesis
+# --------------------------------------------------------------------------
+
+
+def make_warc_record(
+    rtype: str, uri: str, content: bytes, declared_len: int | None = None
+) -> bytes:
+    """Render one record; ``declared_len`` overrides the true length
+    (fixture corruption knob)."""
+    clen = len(content) if declared_len is None else declared_len
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rtype.encode("ascii"),
+        b"WARC-Record-ID: <urn:uuid:rec>",
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"Content-Length: " + str(clen).encode("ascii"),
+    ]
+    if uri:
+        head.insert(3, b"WARC-Target-URI: " + uri.encode("ascii"))
+    return _CRLF.join(head) + _CRLF + _CRLF + content + _CRLF + _CRLF
+
+
+def _gzip_member(payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = c.compress(payload) + c.flush()
+    return (
+        b"\x1f\x8b\x08\x00" + b"\x00\x00\x00\x00" + b"\x00\x03"
+        + body
+        + struct.pack("<II", zlib.crc32(payload), len(payload))
+    )
+
+
+def _make_warc_stream(i: int) -> bytes:
+    """``1 + i % 4`` records: record 0 is a warcinfo, the rest are
+    responses at ``http://example.com/{i}/{j}``; content is the
+    stateless run-text formula (oracle-recomputable blind). Every 12th
+    id declares Content-Length one byte long on its LAST record — the
+    gzip layer still proves CRC-clean, so only the WARC framing
+    cross-check catches it."""
+    from gmall_flink_210726_spark.operators.inflate import _run_text
+
+    n = 1 + i % 4
+    parts = []
+    for j in range(n):
+        content = _run_text(i, j, 120 + (i * 47 + 23 * j) % 400)
+        bad = i % 12 == 0 and j == n - 1
+        if j == 0:
+            rec = make_warc_record(
+                "warcinfo",
+                "",
+                content,
+                declared_len=len(content) + 1 if bad else None,
+            )
+        else:
+            rec = make_warc_record(
+                "response",
+                f"http://example.com/{i}/{j}",
+                content,
+                declared_len=len(content) + 1 if bad else None,
+            )
+        parts.append(_gzip_member(rec))
+    return b"".join(parts)
+
+
+def synthesize_warc_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of .warc.gz streams."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_warc_stream(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "warc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -72,3 +72,57 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = synthesize_html_docs(load_table(spark, sf_dir, "documents"))
     return html_extract(pages)
+
+
+@register(
+    "multimodal_warc_records",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 12 = 0 AS bad,
+                      1 + doc_id % 4 AS n
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'warc' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE n - 1 END AS BIGINT)
+             AS n_responses,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([120 + (media_id * 47 + 23 * j) % 400
+                               for j in range(0, n)]) END AS BIGINT)
+             AS content_bytes,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([list_sum(
+                       [97 + ((media_id * 7 + 13 * j + (k // 5) * 11)
+                              % 7)
+                        for k in range(0,
+                            120 + (media_id * 47 + 23 * j) % 400)])
+                     for j in range(0, n)]) END AS BIGINT)
+             AS payload_sum,
+           CASE WHEN bad OR n = 1 THEN ''
+                ELSE 'http://example.com/' || CAST(media_id AS VARCHAR)
+                     || '/1' END AS first_uri
+    FROM m
+    """,
+    doc="WARC 1.0 record framing (ISO 28500) over the multi-member "
+    "gzip walk — the actual CommonCrawl ingestion contract: one gzip "
+    "member per record, each member's payload exactly one record "
+    "(version line, Name:value header fields, mandatory WARC-Type + "
+    "Content-Length, WARC-Target-URI on responses, EXACT Content-"
+    "Length content block, EXACT CRLF CRLF terminator at EXACT member "
+    "end — the member->record cross-check). Gzip bodies decode via "
+    "the hand-written RFC 1951 inflate with per-member CRC proof. "
+    "The oracle recomputes record/response counts, content byte "
+    "extents, run-text payload sums, and first response URI from the "
+    "id formulas blind. Every 12th stream declares Content-Length one "
+    "byte long on its last record — CRC-CLEAN at the gzip layer, so "
+    "only the WARC framing check catches it; the row must degrade. "
+    "operators/warc.py",
+    tags=("llm", "multimodal"),
+)
+def multimodal_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_warc_media,
+        warc_record_stats,
+    )
+
+    media = synthesize_warc_media(load_table(spark, sf_dir, "documents"))
+    return warc_record_stats(media)

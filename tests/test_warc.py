@@ -1,0 +1,111 @@
+"""WARC record framing: grammar, exact-framing cross-check, corrupt
+degrade, round-trip against stdlib gzip (operators/warc.py)."""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+from gmall_flink_210726_spark.operators.warc import (
+    _make_warc_stream,
+    _walk_warc,
+    make_warc_record,
+    parse_warc_record,
+)
+
+
+class TestRecordGrammar:
+    def test_minimal_response(self):
+        rec = make_warc_record("response", "http://x/1", b"hello")
+        r = parse_warc_record(rec)
+        assert r == {"type": "response", "uri": "http://x/1",
+                     "content": b"hello"}
+
+    def test_warcinfo_needs_no_uri(self):
+        r = parse_warc_record(make_warc_record("warcinfo", "", b"abc"))
+        assert r["type"] == "warcinfo" and r["uri"] == ""
+
+    def test_response_without_uri_rejected(self):
+        rec = make_warc_record("response", "", b"x")
+        assert parse_warc_record(rec) is None
+
+    def test_bad_version_line(self):
+        rec = make_warc_record("response", "http://x", b"x")
+        assert parse_warc_record(b"WARC/0.9" + rec[8:]) is None
+
+    def test_wrong_content_length(self):
+        rec = make_warc_record("response", "http://x", b"abcdef",
+                               declared_len=7)
+        assert parse_warc_record(rec) is None
+
+    def test_missing_terminator(self):
+        rec = make_warc_record("response", "http://x", b"abcdef")
+        assert parse_warc_record(rec[:-1]) is None
+
+    def test_trailing_garbage_after_terminator(self):
+        rec = make_warc_record("response", "http://x", b"abcdef")
+        assert parse_warc_record(rec + b"junk") is None
+
+    def test_duplicate_header_rejected(self):
+        rec = make_warc_record("response", "http://x", b"ab")
+        bad = rec.replace(b"WARC-Date:", b"Content-Length: 2\r\nWARC-Date:")
+        assert parse_warc_record(bad) is None
+
+    def test_header_without_colon_rejected(self):
+        rec = make_warc_record("response", "http://x", b"ab")
+        bad = rec.replace(b"WARC-Date: 2024-01-01T00:00:00Z",
+                          b"NoColonHere")
+        assert parse_warc_record(bad) is None
+
+    def test_content_may_contain_crlf_crlf(self):
+        body = b"first\r\n\r\nsecond"
+        r = parse_warc_record(
+            make_warc_record("response", "http://x", body)
+        )
+        assert r["content"] == body
+
+
+class TestStreamWalk:
+    def test_fixture_stream_stats(self):
+        for i in (1, 2, 3, 5, 7):
+            st = _walk_warc(_make_warc_stream(i))
+            n = 1 + i % 4
+            assert st["n_records"] == n
+            assert st["n_responses"] == n - 1
+            want_bytes = sum(120 + (i * 47 + 23 * j) % 400
+                             for j in range(n))
+            assert st["content_bytes"] == want_bytes
+            if n > 1:
+                assert st["first_uri"] == f"http://example.com/{i}/1"
+            else:
+                assert st["first_uri"] == ""
+
+    def test_corrupt_stripe_crc_clean_but_framing_bad(self):
+        # every 12th stream: gzip layer valid, WARC layer must reject
+        from gmall_flink_210726_spark.operators.inflate import (
+            iter_gzip_members,
+        )
+
+        blob = _make_warc_stream(12)
+        assert iter_gzip_members(blob) is not None  # CRC-clean
+        assert _walk_warc(blob) is None
+
+    def test_members_roundtrip_through_stdlib_gzip(self):
+        blob = _make_warc_stream(3)
+        records = []
+        with gzip.GzipFile(fileobj=io.BytesIO(blob)) as f:
+            # stdlib reads concatenated members as one stream
+            data = f.read()
+        assert data.startswith(b"WARC/1.0\r\n")
+        from gmall_flink_210726_spark.operators.inflate import (
+            iter_gzip_members,
+        )
+        members = iter_gzip_members(blob)
+        assert b"".join(p for _, p in members) == data
+        for _, p in members:
+            assert parse_warc_record(p) is not None
+        del records
+
+    def test_truncated_stream_degrades(self):
+        blob = _make_warc_stream(5)
+        assert _walk_warc(blob[:-7]) is None
