@@ -316,3 +316,83 @@ def temperature_mixture(
         F.col("n_kept").cast("long").alias("n_kept"),
         F.round("rate", 6).alias("rate"),
     )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """FULL BPE merge-train loop (Sennrich et al. 2016 §3.1) — the
+    iterative continuation of ``bpe_pair_counts``, which stops at the
+    first merge decision: K rounds of (count adjacent symbol pairs,
+    weighted by word frequency) -> (take the most frequent pair, ties
+    broken lexicographically) -> (greedily merge that pair left-to-
+    right in every vocabulary word). Output: the learned merge table
+    ``(rnk, left_sym, right_sym, merged, pair_count)``.
+
+    Scale shape: the corpus collapses to the word-frequency vocabulary
+    ONCE (the only corpus-sized shuffle), checkpointed; each of the K
+    rounds then runs one vocabulary-sized aggregation (map-side
+    combinable pair counts) plus a 1-row argmax collect — the bounded-
+    scalar exception — and a map-only merge rewrite re-checkpointed to
+    keep lineage flat. No end-of-word marker (documented deviation:
+    fixture words are whitespace tokens, so within-word merges are the
+    whole signal)."""
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    spark = docs.sparkSession
+    vocab = (
+        ensure_parallelism(docs.select(text_col))
+        .select(F.explode(_words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .select(
+            "ct",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple] = []
+    for rnk in range(1, n_merges + 1):
+        top = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "ct",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("ct").cast("long").alias("pc"))
+            .orderBy(F.col("pc").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
+        merges.append((rnk, a, b, a + b, pc))
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        # greedy left-to-right non-overlapping merge: a fresh merge's
+        # concatenated symbol can never equal the pair's left symbol,
+        # so the simple last-element fold IS the greedy scan
+        vocab = vocab.select(
+            "ct",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), "
+                "(acc, s) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{qa}' AND s = '{qb}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array('{qa}{qb}')) "
+                "ELSE concat(acc, array(s)) END)"
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rnk long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )

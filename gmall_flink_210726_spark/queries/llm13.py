@@ -194,3 +194,82 @@ def multimodal_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_mjpeg_media(load_table(spark, sf_dir, "documents"))
     return mjpeg_frame_sample(media)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    r"""Unrolled-K DuckDB replay of the BPE merge-train loop. Every
+    iterative CTE is MATERIALIZED (plain CTEs inline and the chain
+    references each level twice -> exponential re-evaluation). The
+    greedy left-to-right merge is two chained ``replace`` passes over
+    a chr(31)-joined symbol string: one pass misses a match whose
+    leading separator was consumed by its left neighbor's replacement,
+    and after pass one such misses are isolated, so pass two is
+    exactly the greedy fixpoint (overlap only exists for a==b pairs,
+    which pass one already resolves left-to-right)."""
+    sep = "chr(31)"
+    parts = [
+        r"""WITH tok AS MATERIALIZED (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+v0 AS MATERIALIZED (
+  SELECT list_transform(range(1, length(w) + 1),
+                        i -> substring(w, i, 1)) AS syms,
+         CAST(COUNT(*) AS BIGINT) AS ct
+  FROM tok GROUP BY w)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT u.a AS a, u.b AS b, CAST(SUM(ct) AS BIGINT) AS pc
+  FROM (SELECT unnest([{{'a': syms[i], 'b': syms[i+1]}}
+                       for i in range(1, len(syms))]) AS u, ct
+        FROM v{r - 1})
+  GROUP BY u.a, u.b)"""
+        )
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT a, b, a || b AS ab, pc FROM p{r}
+  ORDER BY pc DESC, a, b LIMIT 1)"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT string_split(trim(replace(replace(
+           {sep} || array_to_string(syms, {sep}) || {sep},
+           {sep} || m.a || {sep} || m.b || {sep},
+           {sep} || m.ab || {sep}),
+           {sep} || m.a || {sep} || m.b || {sep},
+           {sep} || m.ab || {sep}), {sep}), {sep}) AS syms,
+         ct
+  FROM v{r - 1}, m{r} m)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnk, a AS left_sym, "
+        f"b AS right_sym, ab AS merged, pc AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(10),
+    doc="FULL BPE merge-train loop (Sennrich et al. 2016 §3.1) — 10 "
+    "rounds of count-pairs -> argmax (ties lexicographic) -> greedy "
+    "left-to-right merge across the vocabulary; completes the "
+    "tokenizer-training story text_bpe_pairs opens (that operator IS "
+    "round 1's counting step). The corpus collapses to the word-"
+    "frequency vocabulary once (the only corpus-sized shuffle, "
+    "checkpointed); each round is one vocabulary-sized map-side-"
+    "combinable aggregation plus a 1-row argmax collect (the bounded-"
+    "scalar exception) and a map-only merge rewrite, re-checkpointed "
+    "so lineage stays flat over the loop. The oracle replays all 10 "
+    "merges as unrolled MATERIALIZED CTEs with a two-pass separator-"
+    "string replace that is provably the same greedy scan. "
+    "operators/text2.py bpe_train",
+    tags=("llm", "text"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text2 import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=10)
