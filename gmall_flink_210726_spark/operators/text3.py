@@ -215,3 +215,136 @@ def tfidf_cosine_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def lang_id_trigram(docs: DataFrame) -> DataFrame:
+    """Character-trigram MLE language ID (the public fastText/
+    TextCat-style approach: Cavnar & Trenkle 1994 profiles, add-one-
+    smoothed per-language trigram likelihoods) — the n-gram upgrade of
+    ``operators/text.py lang_id``, whose four marker words misclassify
+    short documents that happen to miss them. Supervised on the
+    corpus's own ``lang`` labels:
+
+    1. explode char trigrams of the lowercased text once;
+    2. per-(lang, trigram) counts -> DENSE (every observed trigram x
+       every language, zeros materialized) profile with add-one
+       smoothing ``ln((cnt+1) / (tot_lang + V))`` where V is the
+       corpus-wide distinct-trigram count — the dense frame is what
+       makes the per-doc score join exact for unseen trigrams;
+    3. per-term log-probs round to DECIMAL(18,6) THEN sum (order-free
+       exact, the repo determinism rule), argmax per doc with
+       deterministic lang-ascending tie order.
+
+    Returns per-language agreement rows against both the label and the
+    marker-word classifier: ``(lang, n_docs, n_tri_correct,
+    n_marker_correct, n_agree)``.
+
+    Scale shape: one corpus-sized trigram shuffle (map-side combined);
+    the profile is |V| x |langs| (alphabet-bounded, broadcast); doc
+    scoring is one broadcast join + one doc-keyed agg; the report is a
+    |langs|-row frame."""
+    from gmall_flink_210726_spark.operators.text import lang_id
+    from gmall_flink_210726_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(docs.select("doc_id", "lang", "text"))
+    tris = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2), "
+                "i -> substring(lower(text), i, 3))"
+            )
+        ).alias("tri"),
+    )
+    doc_tri = (
+        tris.groupBy("doc_id", "lang", "tri")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint(eager=True)
+    )
+    lang_tri = doc_tri.groupBy("lang", "tri").agg(
+        F.sum("ct").alias("cnt")
+    )
+    lang_tot = lang_tri.groupBy("lang").agg(
+        F.sum("cnt").alias("tot")
+    )
+    distinct_tri = doc_tri.select("tri").distinct()
+    v = distinct_tri.agg(F.count(F.lit(1)).alias("v"))
+    langs = lang_tot.select("lang")
+    dense = (
+        distinct_tri.crossJoin(langs.withColumnRenamed("lang", "plang"))
+        .join(
+            lang_tri.select(
+                F.col("lang").alias("plang"), "tri", "cnt"
+            ),
+            ["plang", "tri"],
+            "left",
+        )
+        .join(F.broadcast(lang_tot.withColumnRenamed("lang", "plang")),
+              "plang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "tri",
+            "plang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                    .cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    scores = (
+        doc_tri.join(F.broadcast(dense), "tri")
+        .groupBy("doc_id", "plang")
+        .agg(
+            F.sum(F.col("ct") * F.col("logp"))
+            .cast("decimal(38,6)")
+            .alias("score")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    pred = (
+        scores.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), F.col("plang")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("pred_tri"))
+    )
+    marker = lang_id(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", F.col("pred_lang").alias("pred_marker")
+    )
+    return (
+        marker.join(pred, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_tri") == F.col("lang"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tri_correct"),
+            F.sum(
+                F.when(F.col("pred_marker") == F.col("lang"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_marker_correct"),
+            F.sum(
+                F.when(F.col("pred_tri") == F.col("pred_marker"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+    )

@@ -273,3 +273,94 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.operators.text2 import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"), n_merges=10)
+
+
+@register(
+    "text_lang_id_trigram",
+    oracle=r"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, lang, lower(text) AS t FROM documents),
+    tri AS MATERIALIZED (
+      SELECT doc_id, lang,
+             unnest([substring(t, i, 3)
+                     for i in range(1, length(t) - 1)]) AS tri
+      FROM base),
+    doc_tri AS MATERIALIZED (
+      SELECT doc_id, lang, tri, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM tri GROUP BY 1, 2, 3),
+    lang_tri AS MATERIALIZED (
+      SELECT lang, tri, CAST(SUM(ct) AS BIGINT) AS cnt
+      FROM doc_tri GROUP BY 1, 2),
+    lang_tot AS MATERIALIZED (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+      FROM lang_tri GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(DISTINCT tri) AS BIGINT) AS v
+           FROM doc_tri),
+    dense AS MATERIALIZED (
+      SELECT d.tri, l.lang AS plang,
+             CAST(round(ln(CAST(COALESCE(lt.cnt, 0) + 1 AS DOUBLE)
+                           / CAST(t.tot + vv.v AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS logp
+      FROM (SELECT DISTINCT tri FROM doc_tri) d
+      CROSS JOIN (SELECT lang FROM lang_tot) l
+      LEFT JOIN lang_tri lt ON lt.tri = d.tri AND lt.lang = l.lang
+      JOIN lang_tot t ON t.lang = l.lang, vv),
+    scores AS MATERIALIZED (
+      SELECT dt.doc_id, de.plang,
+             CAST(SUM(dt.ct * de.logp) AS DECIMAL(38,6)) AS score
+      FROM doc_tri dt JOIN dense de ON dt.tri = de.tri
+      GROUP BY 1, 2),
+    pred AS MATERIALIZED (
+      SELECT doc_id, plang AS pred_tri
+      FROM (SELECT doc_id, plang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, plang) AS rn
+            FROM scores) WHERE rn = 1),
+    marker AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_marker
+      FROM (SELECT doc_id, lang,
+                   len(list_filter(ws, x -> x IN ('the','and','of','is'))) AS s_en,
+                   len(list_filter(ws, x -> x IN ('der','und','das','ist'))) AS s_de,
+                   len(list_filter(ws, x -> x IN ('el','los','que','es'))) AS s_es,
+                   len(list_filter(ws, x -> x IN ('le','les','des','est'))) AS s_fr
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split_regex(lower(text),
+                                                        '\s+'),
+                                     x -> x <> '') AS ws
+                  FROM documents)))
+    SELECT m.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.pred_tri = m.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tri_correct,
+           CAST(SUM(CASE WHEN m.pred_marker = m.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_marker_correct,
+           CAST(SUM(CASE WHEN p.pred_tri = m.pred_marker THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_agree
+    FROM marker m JOIN pred p USING (doc_id)
+    GROUP BY m.lang
+    """,
+    doc="Character-trigram MLE language ID (Cavnar & Trenkle 1994 "
+    "profiles, add-one smoothing, the public fastText-style shape) — "
+    "the round-8-verdict upgrade of text_lang_id's four marker words, "
+    "which misclassify short docs: per-(lang, trigram) counts become "
+    "a DENSE alphabet-bounded profile (zeros materialized so unseen-"
+    "trigram smoothing is exact), per-term log-probs round to "
+    "DECIMAL(18,6) then sum order-free, argmax per doc with lang-"
+    "ascending tie order — no float ever enters the argmax. Output "
+    "is the per-language agreement report against both the corpus "
+    "label and the marker-word classifier. One corpus trigram "
+    "shuffle; the profile broadcasts; the report is |langs| rows. "
+    "operators/text3.py lang_id_trigram",
+    tags=("llm", "text"),
+)
+def text_lang_id_trigram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text3 import lang_id_trigram
+
+    return lang_id_trigram(load_table(spark, sf_dir, "documents"))
