@@ -364,3 +364,54 @@ def text_lang_id_trigram(
     from gmall_flink_210726_spark.operators.text3 import lang_id_trigram
 
     return lang_id_trigram(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_pdf_text",
+    oracle=r"""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 9 = 0 AS bad,
+                      1 + doc_id % 3 AS n,
+                      string_split(text, ' ') AS ws
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'pdf' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 + 2 * n END AS BIGINT)
+             AS n_objects,
+           CAST(CASE WHEN bad THEN 0 ELSE 3 * n END AS BIGINT)
+             AS n_text_ops,
+           CASE WHEN bad THEN ''
+                ELSE array_to_string(
+                  [ 'Doc ' || CAST(media_id AS VARCHAR) || ' page '
+                    || CAST(p AS VARCHAR) || chr(10)
+                    || array_to_string(
+                         [ws[j] for j in range(1, len(ws) + 1)
+                          if (j - 1) % n = p], ' ') || chr(10)
+                    || 'esc ( ) \ done'
+                    for p in range(0, n) ], chr(10))
+           END AS body_text
+    FROM m
+    """,
+    doc="PDF text extraction with REAL FlateDecode (ISO 32000-1): "
+    "header check, startxref -> uncompressed xref table parse, "
+    "offset-exact object cross-check (every xref offset must land on "
+    "its 'N 0 obj' header), trailer /Root -> catalog /Pages -> /Kids "
+    "-> per-page /Contents walk, /Length + /Filter /FlateDecode "
+    "stream slice inflated by the hand-written RFC 1951 decoder, "
+    "then (string) Tj show-text scan with PDF literal escapes and "
+    "balanced nested parens. The oracle reconstructs the EXACT "
+    "extracted text (page headers, word-stride slices of the doc "
+    "text, escape exerciser) from the parquet text column blind. "
+    "Every 9th id's startxref points 3 bytes past the real table — "
+    "the shifted-xref corruption the offset cross-check must catch. "
+    "operators/pdf.py",
+    tags=("llm", "multimodal", "text"),
+)
+def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.pdf import (
+        pdf_text_stats,
+        synthesize_pdf_media,
+    )
+
+    media = synthesize_pdf_media(load_table(spark, sf_dir, "documents"))
+    return pdf_text_stats(media)
