@@ -264,3 +264,161 @@ def synthesize_warc_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# End-to-end CommonCrawl ingest: .warc.gz -> gzip member -> WARC record
+# -> HTML response body -> extracted text. The composition that makes
+# the whole web-corpus front door real in ONE pass: the gzip layer
+# proves CRC, the WARC layer proves framing, the HTML layer walks the
+# tag grammar, and the text that falls out is what the 40+ downstream
+# text operators consume.
+# --------------------------------------------------------------------------
+
+WARC_HTML_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("title", StringType()),
+        StructField("n_blocks", LongType()),
+        StructField("n_words", LongType()),
+        StructField("body_text", StringType()),
+    ]
+)
+
+
+def _walk_warc_html(data: bytes) -> dict | None:
+    """Gzip members -> WARC records -> HTML extraction of every
+    response body. Any layer failing degrades the whole stream (a
+    desynchronized record or swallowed page makes everything after it
+    unreliable)."""
+    from gmall_flink_210726_spark.operators.html import extract_text
+
+    members = iter_gzip_members(data)
+    if members is None:
+        return None
+    n = 0
+    title = ""
+    blocks: list[str] = []
+    for _name, payload in members:
+        rec = parse_warc_record(payload)
+        if rec is None:
+            return None
+        n += 1
+        if rec["type"] != "response":
+            continue
+        res = extract_text(rec["content"].decode("latin-1"))
+        if res is None:
+            return None
+        if not title:
+            title = res["title"]
+        blocks.extend(res["blocks"])
+    body = "\n".join(blocks)
+    return {
+        "n_records": n,
+        "title": title,
+        "n_blocks": len(blocks),
+        "n_words": sum(len(b.split(" ")) for b in blocks),
+        "body_text": body,
+    }
+
+
+def _warc_html_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_records": 0,
+            "title": "",
+            "n_blocks": 0,
+            "n_words": 0,
+            "body_text": "",
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = _walk_warc_html(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="warc", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in WARC_HTML_SCHEMA.fields]
+    )
+
+
+def warc_html_text(df: DataFrame) -> DataFrame:
+    """The full CommonCrawl ingest pass over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _warc_html_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, WARC_HTML_SCHEMA
+    )
+
+
+def _make_warc_html_stream(i: int, text: str) -> bytes:
+    """A warcinfo record plus ONE response whose content IS the HTML
+    fixture page for this document (operators/html.py _make_html) —
+    so corruption can strike either layer independently: every 11th id
+    carries the page's unclosed-script swallow (the HTML stripe),
+    every 12th id lies about Content-Length (the WARC stripe, still
+    CRC-clean at the gzip layer)."""
+    from gmall_flink_210726_spark.operators.html import _make_html
+    from gmall_flink_210726_spark.operators.inflate import _run_text
+
+    info = make_warc_record("warcinfo", "", _run_text(i, 0, 80))
+    page = _make_html(i, text).encode("latin-1")
+    bad_len = i % 12 == 0
+    resp = make_warc_record(
+        "response",
+        f"http://example.com/doc/{i}",
+        page,
+        declared_len=len(page) + 1 if bad_len else None,
+    )
+    return _gzip_member(info) + _gzip_member(resp)
+
+
+def synthesize_warc_html_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of .warc.gz streams whose response bodies
+    are the HTML fixture pages."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id", "text"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_warc_html_stream(int(i), t)
+                        for i, t in zip(ids, pdf["text"])
+                    ],
+                    "meta": [
+                        {
+                            "format": "warc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)

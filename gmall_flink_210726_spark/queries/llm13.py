@@ -415,3 +415,65 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_pdf_media(load_table(spark, sf_dir, "documents"))
     return pdf_text_stats(media)
+
+
+@register(
+    "multimodal_warc_html_text",
+    oracle="""
+    WITH s AS (SELECT doc_id AS media_id,
+                      doc_id % 11 = 0 OR doc_id % 12 = 0 AS bad,
+                      string_split(text, ' ') AS ws,
+                      1 + doc_id % 3 AS nli
+               FROM documents),
+    b AS (SELECT media_id, bad, nli, len(ws) AS nw,
+                 array_to_string(ws[1:len(ws)//2], ' ') AS p1,
+                 array_to_string(ws[len(ws)//2+1:len(ws)], ' ') AS p2
+          FROM s)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'warc' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT) AS n_records,
+           CASE WHEN bad THEN ''
+                ELSE 'Doc ' || CAST(media_id AS VARCHAR) END AS title,
+           CAST(CASE WHEN bad THEN 0 ELSE 4 + nli END AS BIGINT)
+             AS n_blocks,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 2 + nw + 3 * nli + 15 END AS BIGINT) AS n_words,
+           CASE WHEN bad THEN ''
+                ELSE 'Heading ' || CAST(media_id AS VARCHAR) || chr(10)
+                     || p1 || chr(10) || p2 || chr(10)
+                     || array_to_string(
+                          ['item ' || CAST(media_id AS VARCHAR) || ' '
+                           || CAST(j AS VARCHAR)
+                           for j in range(0, nli)], chr(10))
+                     || chr(10)
+                     || 'amp & lt < gt > quote " num A hex B link '
+                     || CAST(media_id AS VARCHAR) || ' end'
+           END AS body_text
+    FROM b
+    """,
+    doc="The FULL CommonCrawl ingest contract in one pass: .warc.gz "
+    "-> hand-inflated CRC-proven gzip members -> WARC 1.0 record "
+    "framing -> HTML tag-grammar extraction of every response body "
+    "-> the text the 40+ downstream text operators consume. Each "
+    "stream is a warcinfo record plus one response whose content IS "
+    "the document's HTML fixture page; the oracle reconstructs the "
+    "exact extracted body, block/word counts, and title blind from "
+    "the parquet text column. Corruption strikes either layer "
+    "independently — every 11th id has the page's unclosed-script "
+    "swallow (HTML layer), every 12th lies about Content-Length "
+    "(WARC layer, CRC-clean below) — and both must degrade. "
+    "operators/warc.py warc_html_text",
+    tags=("llm", "multimodal", "text"),
+)
+def multimodal_warc_html_text(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_warc_html_media,
+        warc_html_text,
+    )
+
+    media = synthesize_warc_html_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return warc_html_text(media)

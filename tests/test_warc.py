@@ -109,3 +109,41 @@ class TestStreamWalk:
     def test_truncated_stream_degrades(self):
         blob = _make_warc_stream(5)
         assert _walk_warc(blob[:-7]) is None
+
+
+class TestWarcHtmlE2E:
+    def test_two_layer_composition(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_warc_html_stream,
+            _walk_warc_html,
+        )
+
+        text = " ".join(f"w{k}" for k in range(12))
+        st = _walk_warc_html(_make_warc_html_stream(1, text))
+        assert st["n_records"] == 2
+        assert st["title"] == "Doc 1"
+        assert st["n_blocks"] == 4 + (1 + 1 % 3)
+        assert st["body_text"].startswith("Heading 1\n")
+
+    def test_html_layer_corruption_degrades(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_warc_html_stream,
+            _walk_warc_html,
+        )
+        from gmall_flink_210726_spark.operators.inflate import (
+            iter_gzip_members,
+        )
+
+        blob = _make_warc_html_stream(11, "a b c d")
+        assert iter_gzip_members(blob) is not None  # gzip layer fine
+        assert _walk_warc_html(blob) is None  # html layer rejects
+
+    def test_warc_layer_corruption_degrades(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_warc_html_stream,
+            _walk_warc_html,
+        )
+
+        assert _walk_warc_html(
+            _make_warc_html_stream(12, "a b c d")
+        ) is None
