@@ -784,3 +784,69 @@ def url_filter_table(
             (F.col("n_blocked") == 0).alias("url_kept"),
         )
     )
+
+
+def canonicalize_url(url) -> "F.Column":
+    """URL canonicalization — the normalization every crawl pipeline
+    runs BEFORE URL-level exact dedup (the C4/RefinedWeb "only fetch a
+    page once" rule needs 'HTTP://Example.COM:80/a?b=2&a=1#x' and
+    'http://example.com/a?a=1&b=2' to collide):
+
+    - scheme and host lowercase (path/query stay case-sensitive);
+    - default ports stripped (:80 for http, :443 for https);
+    - fragment dropped;
+    - query split on '&', ``utm_*`` tracking params dropped, the rest
+      SORTED (param order is transport noise) and rejoined;
+    - one trailing path slash stripped (except the bare '/').
+
+    Pure Column expression — whole-stage-codegen JVM string ops, no
+    UDF, a zero-shuffle map at any scale."""
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    rest = F.regexp_extract(url, r"^[^:]+://(.*)$", 1)
+    defrag = F.substring_index(rest, "#", 1)
+    authority = F.regexp_extract(defrag, r"^([^/?]+)", 1)
+    pathquery = F.substring(
+        defrag, F.length(authority) + 1, F.length(defrag)
+    )
+    host = F.lower(F.substring_index(authority, ":", 1))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.substring_index(pathquery, "?", 1)
+    query = F.when(
+        pathquery.contains("?"),
+        F.substring(
+            pathquery,
+            F.instr(pathquery, "?") + 1,
+            F.length(pathquery),
+        ),
+    ).otherwise(F.lit(""))
+    qnorm = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    pnorm = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        pnorm,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(
+            F.lit("")
+        ),
+    )

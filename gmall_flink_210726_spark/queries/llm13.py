@@ -477,3 +477,80 @@ def multimodal_warc_html_text(
         load_table(spark, sf_dir, "documents")
     )
     return warc_html_text(media)
+
+
+@register(
+    "text_url_canonical_dedup",
+    oracle="""
+    WITH u AS (SELECT doc_id % 12 AS pid, (doc_id // 12) % 4 AS v
+               FROM documents)
+    SELECT 'http://example.com/p/' || CAST(pid AS VARCHAR)
+             || '?a=1&b=2' AS canon,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_raw_forms
+    FROM u GROUP BY pid
+    """,
+    doc="URL canonicalization + exact dedup — the 'fetch each page "
+    "once' rule every crawl pipeline runs before URL-level dedup "
+    "(C4/RefinedWeb): lowercase scheme+host, strip default ports, "
+    "drop fragments, drop utm_* tracking params, SORT the remaining "
+    "query params, strip one trailing path slash — then group by the "
+    "canonical form. Four deliberately-different raw spellings per "
+    "page id (cased host + :80 + fragment / utm noise / param-order "
+    "swap / trailing slash) MUST collide to one canonical row, so "
+    "n_raw_forms proves every rule fired, not just the happy path. "
+    "Pure Column expression (whole-stage codegen, no UDF); the only "
+    "shuffle carries the canonical strings. operators/text.py "
+    "canonicalize_url",
+    tags=("llm", "text", "dedup"),
+)
+def text_url_canonical_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 12).alias("pid"),
+        F.expr("(doc_id div 12) % 4").alias("v"),
+    )
+    raw = (
+        F.when(
+            F.col("v") == 0,
+            F.concat(
+                F.lit("http://example.com/p/"),
+                F.col("pid").cast("string"),
+                F.lit("?b=2&a=1"),
+            ),
+        )
+        .when(
+            F.col("v") == 1,
+            F.concat(
+                F.lit("HTTP://EXAMPLE.COM:80/p/"),
+                F.col("pid").cast("string"),
+                F.lit("?a=1&b=2#frag"),
+            ),
+        )
+        .when(
+            F.col("v") == 2,
+            F.concat(
+                F.lit("http://example.com/p/"),
+                F.col("pid").cast("string"),
+                F.lit("?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://Example.Com/p/"),
+                F.col("pid").cast("string"),
+                F.lit("/?a=1&b=2"),
+            )
+        )
+    )
+    return (
+        docs.select(canonicalize_url(raw).alias("canon"), "v")
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.count_distinct("v").cast("long").alias("n_raw_forms"),
+        )
+    )
