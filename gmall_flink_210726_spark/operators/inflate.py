@@ -228,6 +228,33 @@ def inflate(data: bytes) -> bytes:
     return _inflate_at(data, 0)[0]
 
 
+def zlib_decompress(data: bytes) -> bytes:
+    """RFC 1950 zlib wrapper over the hand inflate — the third member
+    of the DEFLATE container family (raw: ZIP entries; gzip: RFC 1952
+    members; zlib: PNG IDAT / PDF FlateDecode-with-predictors): CMF/FLG
+    validation (CM must be 8, window <= 32 KiB, the 16-bit header must
+    be divisible by 31, preset dictionaries unsupported), the shared
+    ``_inflate_at`` block loop, then an Adler-32 trailer proof over the
+    decompressed output. Strict end-of-stream: trailing bytes after
+    the trailer are a grammar violation."""
+    if len(data) < 6:
+        raise ValueError("short zlib stream")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8 or cmf >> 4 > 7:
+        raise ValueError("bad zlib CM/CINFO")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ValueError("bad zlib header check")
+    if flg & 0x20:
+        raise ValueError("FDICT unsupported")
+    out, pos = _inflate_at(data, 2)
+    if pos + 4 != len(data):
+        raise ValueError("bad zlib trailer framing")
+    (adler,) = struct.unpack_from(">I", data, pos)
+    if zlib.adler32(out) & 0xFFFFFFFF != adler:
+        raise ValueError("adler32 mismatch")
+    return out
+
+
 # --------------------------------------------------------------------------
 # DEFLATE-entry ZIP walk (method 8), reusing zipc's record grammar.
 # --------------------------------------------------------------------------

@@ -837,11 +837,13 @@ def _unfilter_scanline(ft: int, line, prev, bpp: int = 3):
     return out
 
 
-def _decode_png(b: bytes):
+def _decode_png(b: bytes, inflate_fn=None):
     """Parse + inflate + unfilter an 8-bit truecolor PNG; returns
     (w, h, pixel ndarray[h, w, 3]) or raises ValueError on anything
     malformed (bad signature/CRC/dims, truncated chunk, wrong inflate
-    size, unsupported color mode)."""
+    size, unsupported color mode). ``inflate_fn`` swaps the IDAT
+    decompressor (default stdlib zlib; the hand-codec query passes
+    operators/inflate.py zlib_decompress)."""
     import struct
     import zlib
 
@@ -885,7 +887,7 @@ def _decode_png(b: bytes):
         raise ValueError("interlaced palette unsupported")
     if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24):
         raise ValueError("bad dims")
-    rawz = zlib.decompress(b"".join(idat))
+    rawz = (inflate_fn or zlib.decompress)(b"".join(idat))
     if color == 3:
         # palette image: 1 byte/pixel index raster, bpp=1 filters,
         # indices mapped through PLTE after unfiltering
@@ -956,7 +958,7 @@ PNG_SCHEMA = StructType(
 )
 
 
-def _png_pixels_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _png_pixels_batch(pdf: pd.DataFrame, inflate_fn=None) -> pd.DataFrame:
     import struct
     import zlib
 
@@ -974,7 +976,7 @@ def _png_pixels_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "sum_b": 0,
         }
         try:
-            w, h, px = _decode_png(b)
+            w, h, px = _decode_png(b, inflate_fn)
             sums = px.sum(axis=(0, 1))
             row.update(
                 format="png",
@@ -1024,7 +1026,11 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def png_pixel_stats(df: DataFrame, batch_size: int | None = None) -> DataFrame:
+def png_pixel_stats(
+    df: DataFrame,
+    batch_size: int | None = None,
+    inflate_fn=None,
+) -> DataFrame:
     """REAL general-codec image decode over MEDIA_SCHEMA input: inflate
     the IDAT stream with stdlib zlib, undo the per-scanline filters
     (all five spec filters supported), and emit per-channel (RGB) pixel
@@ -1044,7 +1050,7 @@ def png_pixel_stats(df: DataFrame, batch_size: int | None = None) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _png_pixels_batch(pdf)
+            yield _png_pixels_batch(pdf, inflate_fn)
 
     return df.select("media_id", "content").mapInPandas(gen, PNG_SCHEMA)
 

@@ -554,3 +554,53 @@ def text_url_canonical_dedup(
             F.count_distinct("v").cast("long").alias("n_raw_forms"),
         )
     )
+
+
+@register(
+    "multimodal_png_handcodec",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             3 + doc_id % 17 AS w,
+             2 + doc_id % 11 AS h,
+             doc_id % 97 = 0 AS bad
+      FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'png' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE w * h END AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN bad THEN 0 ELSE
+             list_sum([(media_id * 37 + 11 * (3 * j)) % 256
+                       for j in range(0, w * h)]) END AS BIGINT) AS sum_r,
+           CAST(CASE WHEN bad THEN 0 ELSE
+             list_sum([(media_id * 37 + 11 * (3 * j + 1)) % 256
+                       for j in range(0, w * h)]) END AS BIGINT) AS sum_g,
+           CAST(CASE WHEN bad THEN 0 ELSE
+             list_sum([(media_id * 37 + 11 * (3 * j + 2)) % 256
+                       for j in range(0, w * h)]) END AS BIGINT) AS sum_b
+    FROM m
+    """,
+    doc="PNG decoded END-TO-END with zero stdlib codec: the same "
+    "chunk walk + CRC + unfilter pipeline as multimodal_png_pixels, "
+    "but the IDAT stream goes through the hand-written RFC 1950 zlib "
+    "wrapper (CMF/FLG validation, header-mod-31 check, Adler-32 "
+    "trailer proof) over the hand-written RFC 1951 inflate — "
+    "completing the DEFLATE container family (raw: ZIP; gzip: WARC; "
+    "zlib: PNG). Fixtures are compressed by stdlib zlib itself, so "
+    "the hand path is validated against the reference coder on every "
+    "row; the oracle recomputes per-channel sums from the fixture "
+    "LCG blind. operators/inflate.py zlib_decompress",
+    tags=("llm", "multimodal"),
+)
+def multimodal_png_handcodec(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.inflate import zlib_decompress
+    from gmall_flink_210726_spark.operators.multimodal import (
+        png_pixel_stats,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(load_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media, inflate_fn=zlib_decompress)

@@ -232,3 +232,68 @@ class TestInflateProperties:
             inflate(bytes(raw))  # any result ok; only ValueError may raise
         except ValueError:
             pass
+
+
+class TestZlibWrapper:
+    def test_roundtrip_vs_stdlib(self):
+        import zlib
+
+        from gmall_flink_210726_spark.operators.inflate import (
+            zlib_decompress,
+        )
+
+        for n in (0, 1, 5, 300, 5000):
+            payload = bytes((k * 7 + 3) % 251 for k in range(n))
+            blob = zlib.compress(payload, 6)
+            assert zlib_decompress(blob) == payload
+
+    def test_bad_header_check_rejected(self):
+        import pytest
+        import zlib
+
+        from gmall_flink_210726_spark.operators.inflate import (
+            zlib_decompress,
+        )
+
+        blob = bytearray(zlib.compress(b"abcdef"))
+        blob[1] ^= 0x01  # breaks the mod-31 header check
+        with pytest.raises(ValueError):
+            zlib_decompress(bytes(blob))
+
+    def test_fdict_rejected(self):
+        import pytest
+
+        from gmall_flink_210726_spark.operators.inflate import (
+            zlib_decompress,
+        )
+
+        # CMF 0x78, FLG with FDICT bit set, padded to pass mod-31
+        cmf = 0x78
+        flg = 0x20
+        flg |= (31 - (cmf * 256 + flg) % 31) % 31
+        with pytest.raises(ValueError):
+            zlib_decompress(bytes([cmf, flg]) + b"\x00" * 8)
+
+    def test_adler_mismatch_rejected(self):
+        import pytest
+        import zlib
+
+        from gmall_flink_210726_spark.operators.inflate import (
+            zlib_decompress,
+        )
+
+        blob = bytearray(zlib.compress(b"hello world"))
+        blob[-1] ^= 0xFF
+        with pytest.raises(ValueError):
+            zlib_decompress(bytes(blob))
+
+    def test_trailing_garbage_rejected(self):
+        import pytest
+        import zlib
+
+        from gmall_flink_210726_spark.operators.inflate import (
+            zlib_decompress,
+        )
+
+        with pytest.raises(ValueError):
+            zlib_decompress(zlib.compress(b"abc") + b"x")
