@@ -604,3 +604,55 @@ def multimodal_png_handcodec(
 
     media = synthesize_png_media(load_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media, inflate_fn=zlib_decompress)
+
+
+@register(
+    "multimodal_data_uri_images",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 8 = 0 AS bad,
+                      4 + doc_id % 29 AS w, 3 + doc_id % 13 AS h,
+                      60 + doc_id % 50 AS tl
+               FROM documents),
+    d AS (SELECT media_id, bad, w, h, tl,
+                 ((w * 3 + 3) // 4 * 4) * h AS n FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'datauri' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT) AS n_uris,
+           CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS img_w,
+           CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS img_h,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(media_id * 31 + 7 * k) % 256
+                               for k in range(0, n)]) END AS BIGINT)
+             AS img_payload_sum,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([97 + ((media_id * 7 + 13
+                                      + (k // 5) * 11) % 7)
+                               for k in range(0, tl)]) END AS BIGINT)
+             AS txt_sum
+    FROM d
+    """,
+    doc="Inline data-URI extraction with a hand-written STRICT Base64 "
+    "decoder (RFC 4648 §4: alphabet + length + padding-position "
+    "validation AND the canonical-tail zero-bits check lenient "
+    "decoders skip) under the RFC 2397 data-URI grammar — web corpora "
+    "carry images INLINE and a crawler that only follows http(s) URLs "
+    "drops them. Each page embeds the package's standard LCG BMP "
+    "(validated 24-bpp header/extent after decode) and a text/plain "
+    "run-text blob; the oracle recomputes dims, the exact decoded "
+    "payload byte sums, and URI counts blind. Every 8th id has one "
+    "base64 character replaced with '*' — the strict decoder must "
+    "reject it and the row degrades. operators/datauri.py",
+    tags=("llm", "multimodal"),
+)
+def multimodal_data_uri_images(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.datauri import (
+        data_uri_image_stats,
+        synthesize_datauri_pages,
+    )
+
+    pages = synthesize_datauri_pages(
+        load_table(spark, sf_dir, "documents")
+    )
+    return data_uri_image_stats(pages)
