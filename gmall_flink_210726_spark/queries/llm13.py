@@ -656,3 +656,50 @@ def multimodal_data_uri_images(
         load_table(spark, sf_dir, "documents")
     )
     return data_uri_image_stats(pages)
+
+
+@register(
+    "multimodal_parquet_footer",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 7 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT)
+             AS n_row_groups,
+           CAST(CASE WHEN bad THEN 0 ELSE 3 END AS BIGINT) AS n_columns,
+           CASE WHEN bad THEN '' ELSE 'k' END AS first_column,
+           CAST(CASE WHEN bad THEN 0 ELSE (n + g - 1) // g END AS BIGINT)
+             AS max_rg_rows
+    FROM m
+    """,
+    doc="Parquet footer walk with a from-scratch Thrift compact-"
+    "protocol reader — the planning pass a lakehouse engine runs on "
+    "every file footer before scheduling a scan: PAR1 framing both "
+    "ends, bounds-checked footer length, generic compact-protocol "
+    "struct parse (ULEB128 varints, zigzag ints, field-id deltas, "
+    "list/map/binary/nested-struct types; unknown optional fields "
+    "skip cleanly), FileMetaData interpretation (schema leaves, "
+    "num_rows, row groups), and the books-balance cross-check that "
+    "per-row-group row counts SUM to the file-level count. Fixtures "
+    "are REAL parquet files written by pyarrow (the reference coder, "
+    "the zlib-validates-inflate pattern); the oracle recomputes row/"
+    "group/column counts from the write formulas blind. Every 7th id "
+    "has its footer-length word smashed to 0x7FFFFFFF and must "
+    "degrade. operators/parquetmeta.py",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_footer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_footer_stats,
+        synthesize_parquet_media,
+    )
+
+    media = synthesize_parquet_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_footer_stats(media)
