@@ -797,3 +797,94 @@ def st20_stream_bitmap_distinct(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st21_stream_static_enrich",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+    doc="STREAM-STATIC dim enrichment — the single most common "
+    "streaming pattern in the reference (dwm/OrderWideApp joins the "
+    "order stream to six dim tables; J2 is its batch twin): the "
+    "events file-stream inner-joins the STATIC customer->nation dim "
+    "chain ON THE STREAM PLAN (Structured Streaming's stream-static "
+    "join: the static side broadcasts per micro-batch, no state "
+    "store, no watermark needed for inner joins), then per-epoch "
+    "(nation, count, cents) partials flow through the checkpointed "
+    "foreachBatch + overwrite-idempotent epoch sink and merge at "
+    "read. Values sum as exact per-row cents (the repo decimal "
+    "rule). Dim size is bounded, so the broadcast is the same plan "
+    "a 1000-executor cluster wants. queries/streamq.py st3, "
+    "operators/joins.py J2.",
+    tags=("streaming", "join", "enrich"),
+)
+def st21_stream_static_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.queries.streamq import _stream_events
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.sources.batch import load_table
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    out = tempfile.mkdtemp(prefix="st21_enrich_")
+    ckpt = tempfile.mkdtemp(prefix="st21_ckpt_")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    enriched = ev.join(
+        F.broadcast(cust),
+        F.col("c_custkey") == F.col("user_id") + 1,
+    ).join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+
+    def _write_partials(batch: DataFrame, epoch: int) -> None:
+        partials = batch.groupBy("nation").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        append_stats_exactly_once(partials, epoch, out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(enriched, _write_partials, checkpoint_dir=ckpt)
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st21 stream-static enrich did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("nation")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result

@@ -305,3 +305,45 @@ class TestTsProbe:
         p = str(tmp_path / "int.parquet")
         pq.write_table(pa.table({"ts": pa.array([1, 2], pa.int64())}), p)
         assert _events_ts_is_timestamp(p) is False
+
+
+class TestStreamStaticEnrich:
+    def test_st21_agrees_with_batch_join(self, spark):
+        """The stream-static enrichment must equal the same join run
+        as one batch plan (stream-static inner joins are stateless, so
+        the availableNow replay is exactly the batch semantics)."""
+        from gmall_flink_210726_spark.registry import load_all
+        from gmall_flink_210726_spark.sources.batch import load_table
+        from pyspark.sql import functions as F
+        from tests.conftest import SF_SMALL
+
+        got = {
+            tuple(r)
+            for r in load_all()["st21_stream_static_enrich"]
+            .fn(spark, SF_SMALL)
+            .collect()
+        }
+        ev = load_table(spark, SF_SMALL, "events").select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        cust = load_table(spark, SF_SMALL, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        nation = load_table(spark, SF_SMALL, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+        want = {
+            tuple(r)
+            for r in ev.join(
+                cust, F.col("c_custkey") == F.col("user_id") + 1
+            )
+            .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+            .collect()
+        }
+        assert got == want
