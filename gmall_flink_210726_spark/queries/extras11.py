@@ -1,0 +1,129 @@
+"""Analytics extras, wave 11 (round 9): storage-layout scale levers.
+
+x49 is the partition-pruning sibling of x45's bucketing: bucketing
+removes the JOIN shuffle, partitioned layout removes the SCAN itself —
+a month-filtered query over a month-partitioned table must read one
+directory, not all of them. x50 is Z-order (Morton) clustering — the
+multi-dimensional layout lever (Delta OPTIMIZE ZORDER's public core):
+interleaving the bits of two filter columns makes ONE sort order serve
+range filters on BOTH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+
+@register(
+    "x49_partition_pruning",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y') = '1995'
+    GROUP BY 1
+    """,
+    doc="Partition pruning as a first-class layout lever (x45's "
+    "bucketing removes the JOIN shuffle; partitioned layout removes "
+    "the SCAN): orders are written out partitioned by month "
+    "(pay-at-ingest, exactly how a 100 TB fact table is laid down), "
+    "and the year-filtered read must touch ONLY the matching month "
+    "directories — tests/test_plans.py pins PartitionFilters on the "
+    "scan and that partition count collapses from all months to 12. "
+    "Revenue sums as exact per-row cents. The filter is applied on "
+    "the PARTITION COLUMN so pruning happens at planning time, "
+    "before any file is opened.",
+    tags=("analytics", "layout", "scan"),
+)
+def x49_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="x49_part_")
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .write.partitionBy("month")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        result = (
+            spark.read.parquet(out)
+            .where(F.col("month").startswith("1995-"))
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+@register(
+    "x50_zorder_locality",
+    oracle="""
+    WITH g AS (SELECT user_id % 256 AS a, event_id % 256 AS b
+               FROM events),
+    z AS (SELECT a, b,
+                 list_sum([(((a >> k) & 1) << (2*k))
+                           + (((b >> k) & 1) << (2*k + 1))
+                           for k in range(0, 8)]) AS zval
+          FROM g)
+    SELECT CAST(zval // 256 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(a) AS BIGINT) AS a_min,
+           CAST(MAX(a) AS BIGINT) AS a_max,
+           CAST(MIN(b) AS BIGINT) AS b_min,
+           CAST(MAX(b) AS BIGINT) AS b_max
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering — the multi-dimensional layout "
+    "lever behind Delta's OPTIMIZE ZORDER (public technique: bit-"
+    "interleave the filter columns so ONE sort order serves range "
+    "predicates on BOTH): each event's (user_id, event_id) grid "
+    "coords interleave 8+8 bits into a 16-bit z-value, rows group by "
+    "the z-value's top byte (= the layout's file/bucket id), and the "
+    "output carries per-bucket min/max of BOTH dims — every bucket "
+    "spans at most 16 values in each dimension BY CONSTRUCTION "
+    "(the top 8 z-bits pin the top 4 bits of each coord), which is "
+    "exactly the min/max-pruning guarantee a z-ordered table gives "
+    "both filter columns. Pure-Column integer bit algebra, one "
+    "shuffle on the bucket id; tests pin the <=16-span invariant.",
+    tags=("analytics", "layout"),
+)
+def x50_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 256).alias("a"),
+        (F.col("event_id") % 256).alias("b"),
+    )
+    interleave = " + ".join(
+        f"((a div {1 << k}) % 2) * {1 << (2 * k)}"
+        f" + ((b div {1 << k}) % 2) * {1 << (2 * k + 1)}"
+        for k in range(8)
+    )
+    return (
+        ev.withColumn("zval", F.expr(interleave))
+        .groupBy(F.expr("zval div 256").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("a").cast("long").alias("a_min"),
+            F.max("a").cast("long").alias("a_max"),
+            F.min("b").cast("long").alias("b_min"),
+            F.max("b").cast("long").alias("b_max"),
+        )
+    )

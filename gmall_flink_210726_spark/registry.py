@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras8,
         extras9,
         extras10,
+        extras11,
         gmall,
         gmall2,
         llm,

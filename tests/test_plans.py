@@ -775,3 +775,56 @@ class TestRound9PlanShapes:
         # source, so orders is scanned zero times in THIS plan
         assert "Scan parquet" not in plan
         assert "Scan ExistingRDD" in plan
+
+    def test_partition_pruning_reaches_the_scan(self, spark, tmp_path):
+        """x49's claim: a filter on the partition column prunes at
+        planning time — PartitionFilters on the scan, and the pruned
+        read touches strictly fewer files than the full table."""
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        out = str(tmp_path / "orders_by_month")
+        (
+            load_table(spark, SF_SMALL, "orders")
+            .select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                F.col("o_orderkey"),
+            )
+            .write.partitionBy("month")
+            .parquet(out)
+        )
+        pruned = spark.read.parquet(out).where(
+            F.col("month").startswith("1995-")
+        )
+        plan = _plan(pruned)
+        assert "PartitionFilters" in plan
+        assert "StartsWith(month" in plan
+
+        # behavioral proof the pruned plan never OPENS foreign
+        # partitions: smash every file in a 1996 partition directory —
+        # the pruned read must still succeed, the full scan must not
+        import pathlib
+
+        import pytest
+
+        bad_dir = next(
+            p
+            for p in pathlib.Path(out).iterdir()
+            if p.name.startswith("month=1996-")
+        )
+        for f in bad_dir.glob("*.parquet"):
+            f.write_bytes(b"not parquet at all")
+        assert pruned.count() > 0  # pruned: corrupt partition unread
+        with pytest.raises(Exception):
+            spark.read.parquet(out).where(
+                F.col("o_orderkey").isNotNull()
+            ).count()
+
+    def test_zorder_bucket_spans_bounded(self, spark):
+        """x50's locality invariant: every z-bucket spans <= 16 values
+        in BOTH dimensions (top 8 z-bits pin the top 4 bits of each
+        coord) — the min/max-pruning guarantee z-ordering buys."""
+        rows = SPECS["x50_zorder_locality"].fn(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert r["a_max"] - r["a_min"] <= 15
+            assert r["b_max"] - r["b_min"] <= 15
