@@ -256,6 +256,7 @@ def _make_parquet(i: int) -> bytes:
         row_group_size=-(-n // g),
         compression="NONE",
         write_statistics=False,
+        use_dictionary=False,
     )
     blob = bytearray(buf.getvalue())
     if i % 7 == 0:
@@ -294,3 +295,168 @@ def synthesize_parquet_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Column-chunk DATA read — the step past the footer: walk the 'k'
+# column's data pages (PageHeader thrift, v1 DATA_PAGE), decode the
+# definition levels (parquet's RLE/bit-packed hybrid, bit width 1 for
+# a non-nested optional column) and the PLAIN int64 values. The page
+# grammar is what a vectorized reader actually executes per stripe.
+# --------------------------------------------------------------------------
+
+
+def _decode_rle_hybrid(data: bytes, n: int, bit_width: int) -> list[int]:
+    """Parquet RLE/bit-packed hybrid (parquet-format Encodings.md):
+    varint header — LSB 0: RLE run (count = header >> 1, one
+    fixed-width value); LSB 1: bit-packed groups (header >> 1 groups
+    of 8 values, LSB-first within each byte)."""
+    out: list[int] = []
+    r = _Reader(data, 0, len(data))
+    vw = (bit_width + 7) // 8
+    while len(out) < n:
+        header = r.varint()
+        if header & 1 == 0:
+            run = header >> 1
+            raw = r.take(vw)
+            val = int.from_bytes(raw, "little")
+            out.extend([val] * run)
+        else:
+            groups = header >> 1
+            raw = r.take(groups)  # bit_width 1: 8 values per byte
+            if bit_width != 1:
+                raise ValueError("only bit width 1 supported here")
+            for byte in raw:
+                for b in range(8):
+                    out.append((byte >> b) & 1)
+    return out[:n]
+
+
+def read_parquet_column_k(data: bytes) -> dict | None:
+    """Footer -> every row group's 'k' column chunk -> data pages ->
+    def levels + PLAIN int64 values. Cross-checks at every layer:
+    column type INT64, codec UNCOMPRESSED, page type DATA_PAGE with
+    PLAIN encoding, def levels all 1 (no nulls written), per-page
+    value counts summing to the chunk's num_values, and the chunk
+    counts summing to the file num_rows."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    row_groups = meta.get(4)
+    if not isinstance(num_rows, int) or not isinstance(row_groups, list):
+        return None
+    total_vals = ksum = n_pages = 0
+    for rg in row_groups:
+        cols = rg.get(1) if isinstance(rg, dict) else None
+        if not isinstance(cols, list):
+            return None
+        chunk = None
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if (
+                isinstance(cm, dict)
+                and cm.get(3) == [b"k"]  # path_in_schema
+            ):
+                chunk = cm
+                break
+        if chunk is None:
+            return None
+        if chunk.get(1) != 2 or chunk.get(4) != 0:  # INT64, UNCOMPRESSED
+            return None
+        n_vals = chunk.get(5)
+        off = chunk.get(9)
+        if not isinstance(n_vals, int) or not isinstance(off, int):
+            return None
+        got = 0
+        pos = off
+        try:
+            while got < n_vals:
+                r = _Reader(data, pos, len(data))
+                ph = _read_struct(r)
+                if ph.get(1) != 0:  # DATA_PAGE v1 only
+                    return None
+                dph = ph.get(5)
+                if not isinstance(dph, dict) or dph.get(2) != 0:  # PLAIN
+                    return None
+                pn = dph.get(1)
+                psize = ph.get(3)
+                if not isinstance(pn, int) or not isinstance(psize, int):
+                    return None
+                page = data[r.pos : r.pos + psize]
+                if len(page) != psize:
+                    return None
+                (dlen,) = struct.unpack_from("<I", page, 0)
+                levels = _decode_rle_hybrid(page[4 : 4 + dlen], pn, 1)
+                if len(levels) != pn or any(v != 1 for v in levels):
+                    return None  # nulls were never written
+                vals = page[4 + dlen :]
+                if len(vals) != 8 * pn:
+                    return None
+                ksum += sum(
+                    struct.unpack_from(f"<{pn}q", vals, 0)
+                )
+                got += pn
+                n_pages += 1
+                pos = r.pos + psize
+        except ValueError:
+            return None
+        if got != n_vals:
+            return None
+        total_vals += n_vals
+    if total_vals != num_rows:
+        return None  # chunk counts must sum to the file row count
+    return {"n_values": total_vals, "k_sum": ksum, "n_pages": n_pages}
+
+
+PQCOL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_values", LongType()),
+        StructField("k_sum", LongType()),
+        StructField("n_pages", LongType()),
+    ]
+)
+
+
+def _pqcol_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_values": 0,
+            "k_sum": 0,
+            "n_pages": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_parquet_column_k(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="parquet", **st)
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in PQCOL_SCHEMA.fields])
+
+
+def parquet_column_stats(df: DataFrame) -> DataFrame:
+    """Hand-decoded column-chunk read over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pqcol_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, PQCOL_SCHEMA)

@@ -703,3 +703,47 @@ def multimodal_parquet_footer(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_footer_stats(media)
+
+
+@register(
+    "multimodal_parquet_column",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 7 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_values,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(media_id * 7 + 3 * r) % 1000
+                               for r in range(0, n)]) END AS BIGINT)
+             AS k_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_pages
+    FROM m
+    """,
+    doc="Parquet COLUMN-CHUNK data read from scratch — the step past "
+    "multimodal_parquet_footer's planning pass, the per-stripe work a "
+    "vectorized reader actually executes: footer -> each row group's "
+    "'k' ColumnMetaData (type INT64, codec UNCOMPRESSED, path match) "
+    "-> PageHeader thrift per data page (v1 DATA_PAGE, PLAIN "
+    "encoding) -> definition levels via parquet's RLE/bit-packed "
+    "HYBRID decoder (both run forms) -> PLAIN little-endian int64 "
+    "values. Cross-checks at every layer: def levels all 1, per-page "
+    "counts sum to the chunk's num_values, chunk counts sum to the "
+    "file row count. The oracle recomputes the exact column sum from "
+    "the write formulas blind; every 7th id's smashed footer length "
+    "degrades. operators/parquetmeta.py read_parquet_column_k",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_column_stats,
+        synthesize_parquet_media,
+    )
+
+    media = synthesize_parquet_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_column_stats(media)

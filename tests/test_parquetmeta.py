@@ -63,3 +63,52 @@ class TestFooterWalk:
         (flen,) = struct.unpack_from("<I", blob, len(blob) - 8)
         struct.pack_into("<I", blob, len(blob) - 8, flen + 2)
         assert parse_parquet_footer(bytes(blob)) is None
+
+
+class TestColumnChunkRead:
+    def test_values_agree_with_pyarrow(self):
+        import io
+
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            read_parquet_column_k,
+        )
+
+        blob = _make_parquet(5)
+        st = read_parquet_column_k(blob)
+        t = pq.read_table(io.BytesIO(blob))
+        assert st["n_values"] == t.num_rows
+        assert st["k_sum"] == sum(t.column("k").to_pylist())
+
+    def test_rle_hybrid_both_forms(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _decode_rle_hybrid,
+        )
+
+        # RLE run: header 12 (6<<1), value byte 1
+        assert _decode_rle_hybrid(bytes([0x0C, 0x01]), 6, 1) == [1] * 6
+        # bit-packed: header 3 (1 group, LSB set), byte 0b01010101
+        assert _decode_rle_hybrid(bytes([0x03, 0x55]), 8, 1) == [
+            1, 0, 1, 0, 1, 0, 1, 0,
+        ]
+
+    def test_corrupt_footer_degrades_column_read(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            read_parquet_column_k,
+        )
+
+        assert read_parquet_column_k(_make_parquet(7)) is None
+
+    def test_tampered_page_bytes_degrade(self):
+        import struct as _s
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            read_parquet_column_k,
+        )
+
+        blob = bytearray(_make_parquet(1))
+        # the 'k' chunk starts at offset 4; smash the page-size field
+        # region so the page walk runs out of bounds
+        blob[4] = 0xFF
+        assert read_parquet_column_k(bytes(blob)) is None
