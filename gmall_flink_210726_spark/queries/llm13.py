@@ -747,3 +747,47 @@ def multimodal_parquet_column(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_column_stats(media)
+
+
+@register(
+    "text_csv_parse",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 13 = 0 AS bad,
+                      5 + doc_id % 10 AS n
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'csv' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE 4 END AS BIGINT) AS n_fields,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(media_id * 13 + 7 * r) % 1000
+                               for r in range(0, n)]) END AS BIGINT)
+             AS amt_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
+             AS note_newlines,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 * n END AS BIGINT)
+             AS quote_chars
+    FROM m
+    """,
+    doc="RFC 4180 CSV parsing as a real state machine (quoted fields "
+    "with embedded commas, embedded CRLF row breaks inside data, "
+    "doubled-quote escapes, closing-quote-then-junk rejection, "
+    "rectangularity check) — the tabular-ingestion grammar a naive "
+    "split(',') shears three different ways, with every record of "
+    "the fixture exercising all three. The parser agrees with "
+    "stdlib csv.reader on every valid fixture (unit-pinned); the "
+    "oracle recomputes row/field counts, the integer column sum, "
+    "and the embedded-newline/literal-quote counts (provable ONLY "
+    "if quoting was honored) blind. Every 13th id loses its last "
+    "closing quote — unterminated at EOF, must degrade. "
+    "operators/csvp.py",
+    tags=("llm", "text"),
+)
+def text_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.csvp import (
+        csv_parse_stats,
+        synthesize_csv_docs,
+    )
+
+    blobs = synthesize_csv_docs(load_table(spark, sf_dir, "documents"))
+    return csv_parse_stats(blobs)
