@@ -227,7 +227,8 @@ def parquet_footer_stats(df: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _make_parquet(i: int) -> bytes:
+def _make_parquet(i: int, compression: str = "NONE",
+                  bad_stripe: int = 7) -> bytes:
     """``10 + i % 90`` rows, columns (k BIGINT, v DOUBLE, s VARCHAR),
     ``1 + i % 3`` row groups (row_group_size = ceil(n/groups); for
     n >= 10 and groups <= 3 the group count is exact). Every 7th id
@@ -254,12 +255,12 @@ def _make_parquet(i: int) -> bytes:
         table,
         buf,
         row_group_size=-(-n // g),
-        compression="NONE",
+        compression=compression,
         write_statistics=False,
         use_dictionary=False,
     )
     blob = bytearray(buf.getvalue())
-    if i % 7 == 0:
+    if i % bad_stripe == 0:
         struct.pack_into("<I", blob, len(blob) - 8, 0x7FFFFFFF)
     return bytes(blob)
 
@@ -369,7 +370,8 @@ def read_parquet_column_k(data: bytes) -> dict | None:
                 break
         if chunk is None:
             return None
-        if chunk.get(1) != 2 or chunk.get(4) != 0:  # INT64, UNCOMPRESSED
+        codec = chunk.get(4)
+        if chunk.get(1) != 2 or codec not in (0, 1):  # INT64; NONE/SNAPPY
             return None
         n_vals = chunk.get(5)
         off = chunk.get(9)
@@ -388,11 +390,16 @@ def read_parquet_column_k(data: bytes) -> dict | None:
                     return None
                 pn = dph.get(1)
                 psize = ph.get(3)
+                usize = ph.get(2)
                 if not isinstance(pn, int) or not isinstance(psize, int):
                     return None
                 page = data[r.pos : r.pos + psize]
                 if len(page) != psize:
                     return None
+                if codec == 1:  # SNAPPY: hand decompressor, size-proven
+                    page = snappy_decompress(page)
+                    if len(page) != usize:
+                        return None
                 (dlen,) = struct.unpack_from("<I", page, 0)
                 levels = _decode_rle_hybrid(page[4 : 4 + dlen], pn, 1)
                 if len(levels) != pn or any(v != 1 for v in levels):
@@ -460,3 +467,83 @@ def parquet_column_stats(df: DataFrame) -> DataFrame:
             yield _pqcol_batch(pdf)
 
     return df.select("media_id", "content").mapInPandas(gen, PQCOL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Snappy block-format decompressor (the public Google format spec;
+# parquet's default page codec) — hand-written so the engine reads
+# SNAPPY-compressed pages with zero codec library: preamble varint =
+# uncompressed length, then a tag stream of literals and three copy
+# forms (1/2/4-byte offsets) with LZ77 overlapping back-copy.
+# --------------------------------------------------------------------------
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    r = _Reader(data, 0, len(data))
+    want = r.varint()
+    if want > (1 << 26):
+        raise ValueError("snappy: bomb guard")
+    out = bytearray()
+    while r.pos < r.end:
+        tag = r.byte()
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60-63: length in the next 1-4 bytes
+                nb = ln - 59
+                ln = int.from_bytes(r.take(nb), "little")
+            out += r.take(ln + 1)
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 7) + 4
+            off = ((tag & 0xE0) << 3) | r.byte()
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(r.take(2), "little")
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(r.take(4), "little")
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: bad copy offset")
+        for _ in range(ln):  # overlapping copies are the LZ77 point
+            out.append(out[-off])
+    if len(out) != want:
+        raise ValueError("snappy: length mismatch")
+    return bytes(out)
+
+
+def synthesize_parquet_snappy_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of SNAPPY-compressed parquet files (every
+    9th footer-length word smashed)."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_parquet(int(i), "SNAPPY", bad_stripe=9)
+                        for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -791,3 +791,46 @@ def text_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = synthesize_csv_docs(load_table(spark, sf_dir, "documents"))
     return csv_parse_stats(blobs)
+
+
+@register(
+    "multimodal_parquet_snappy",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 9 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_values,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(media_id * 7 + 3 * r) % 1000
+                               for r in range(0, n)]) END AS BIGINT)
+             AS k_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_pages
+    FROM m
+    """,
+    doc="SNAPPY-compressed parquet column read with a HAND-WRITTEN "
+    "snappy block decompressor (the public Google format: preamble "
+    "varint, literal tags with 60-63 length escapes, three copy "
+    "forms with 1/2/4-byte offsets, LZ77 overlapping back-copy, "
+    "decoded-length proof) under the same page walk as "
+    "multimodal_parquet_column — parquet's DEFAULT page codec, so "
+    "this is the read path a real lakehouse file exercises. Pages "
+    "are compressed by pyarrow's reference snappy (validated "
+    "byte-exact in unit tests); the oracle recomputes the exact "
+    "column sums blind. Every 9th id's smashed footer length "
+    "degrades. operators/parquetmeta.py snappy_decompress",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_snappy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_column_stats,
+        synthesize_parquet_snappy_media,
+    )
+
+    media = synthesize_parquet_snappy_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_column_stats(media)

@@ -112,3 +112,67 @@ class TestColumnChunkRead:
         # region so the page walk runs out of bounds
         blob[4] = 0xFF
         assert read_parquet_column_k(bytes(blob)) is None
+
+
+class TestSnappy:
+    def test_roundtrip_vs_pyarrow_codec(self):
+        import pyarrow as pa
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            snappy_decompress,
+        )
+
+        for n in (0, 1, 7, 100, 5000):
+            raw = (
+                bytes((k * 7 + n) % 251 for k in range(n))
+                + b"abcabcabc" * 10
+            )
+            comp = pa.compress(raw, codec="snappy", asbytes=True)
+            assert snappy_decompress(comp) == raw
+
+    def test_overlapping_copy(self):
+        import pyarrow as pa
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            snappy_decompress,
+        )
+
+        raw = b"a" * 1000  # forces offset-1 overlapping copies
+        comp = pa.compress(raw, codec="snappy", asbytes=True)
+        assert snappy_decompress(comp) == raw
+
+    def test_bad_offset_rejected(self):
+        import pytest
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            snappy_decompress,
+        )
+
+        # preamble says 4; copy1 tag with offset 0 past empty output
+        with pytest.raises(ValueError):
+            snappy_decompress(bytes([4, 0b00000001, 0]))
+
+    def test_length_mismatch_rejected(self):
+        import pytest
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            snappy_decompress,
+        )
+
+        with pytest.raises(ValueError):
+            snappy_decompress(bytes([9, 0b00001000, 65, 66, 67]))
+
+    def test_snappy_parquet_column_agrees_with_pyarrow(self):
+        import io
+
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            read_parquet_column_k,
+        )
+
+        blob = _make_parquet(11, "SNAPPY", bad_stripe=9)
+        st = read_parquet_column_k(blob)
+        t = pq.read_table(io.BytesIO(blob))
+        assert st["n_values"] == t.num_rows
+        assert st["k_sum"] == sum(t.column("k").to_pylist())
