@@ -834,3 +834,57 @@ def multimodal_parquet_snappy(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_column_stats(media)
+
+
+@register(
+    "text_utf8_validate",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      doc_id % 10 IN (0, 5, 7) AS bad,
+                      40 + doc_id % 60 AS n
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'utf8' END AS format,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([CASE WHEN (media_id*3 + k) % 4 = 0
+                               THEN 1 ELSE 0 END
+                               for k in range(0, n)]) END AS BIGINT)
+             AS n_ascii,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([CASE WHEN (media_id*3 + k) % 4 = 1
+                               THEN 1 ELSE 0 END
+                               for k in range(0, n)]) END AS BIGINT)
+             AS n_2byte,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([CASE WHEN (media_id*3 + k) % 4 = 2
+                               THEN 1 ELSE 0 END
+                               for k in range(0, n)]) END AS BIGINT)
+             AS n_3byte,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([CASE WHEN (media_id*3 + k) % 4 = 3
+                               THEN 1 ELSE 0 END
+                               for k in range(0, n)]) END AS BIGINT)
+             AS n_4byte
+    FROM m
+    """,
+    doc="Strict UTF-8 validation (RFC 3629) — the byte-level step "
+    "every text pipeline runs FIRST, with the three classic decoder "
+    "bugs each given their own corrupt stripe: overlong encodings "
+    "(C0 AF — the '/'-smuggling security bug), UTF-8-encoded "
+    "surrogates (ED A0 80), and truncated multi-byte tails at EOF. "
+    "The walker enforces the full table semantics (lead-byte ranges, "
+    "continuation shape, per-length code-point minimums, U+10FFFF "
+    "cap) and is pinned against Python's own strict codec on "
+    "fixtures AND a 20k-case byte fuzz. Per-class code-point counts "
+    "prove every sequence was classified; the oracle recomputes them "
+    "from the class-cycle formula blind. operators/utf8.py",
+    tags=("llm", "text"),
+)
+def text_utf8_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.utf8 import (
+        synthesize_utf8_media,
+        utf8_validate_stats,
+    )
+
+    media = synthesize_utf8_media(load_table(spark, sf_dir, "documents"))
+    return utf8_validate_stats(media)
