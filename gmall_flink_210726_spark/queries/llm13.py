@@ -888,3 +888,117 @@ def text_utf8_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_utf8_media(load_table(spark, sf_dir, "documents"))
     return utf8_validate_stats(media)
+
+
+@register(
+    "dedup_levenshtein_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             'title' || lpad(CAST(doc_id % 40 AS VARCHAR), 2, '0')
+               || ' alpha beta gamma' AS base,
+             (doc_id // 40) % 4 AS v,
+             10 + doc_id % 9 AS p
+      FROM documents),
+    titles AS (
+      SELECT doc_id,
+             CASE v
+               WHEN 1 THEN substr(base, 1, p - 1) || 'x'
+                           || substr(base, p + 1, 99)
+               WHEN 2 THEN substr(base, 1, p - 1)
+                           || substr(base, p + 1, 99)
+               WHEN 3 THEN base || ' extra junk'
+               ELSE base END AS title
+      FROM t),
+    blocked AS (SELECT doc_id, title,
+                       substr(title, 1, 8) AS block FROM titles),
+    sized AS (SELECT block FROM blocked GROUP BY block
+              HAVING COUNT(*) <= 4096),
+    pairs AS (
+      SELECT a.block,
+             levenshtein(a.title, b.title) AS d
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.doc_id < b.doc_id
+      JOIN sized s ON s.block = a.block)
+    SELECT block,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN d <= 2 THEN d ELSE 0 END) AS BIGINT)
+             AS dist_sum
+    FROM pairs GROUP BY block
+    """,
+    doc="Edit-distance near-dup pairs with PREFIX BLOCKING — the "
+    "fuzzy-title dedup every catalog/citation pipeline runs, made "
+    "scale-safe the same way as every dedup in the package: "
+    "candidates come ONLY from equi-joining an 8-char title-prefix "
+    "block key (never all-pairs), oversized blocks are capped at "
+    "4096 (the max_df discipline, documented lossy knob), and the "
+    "JVM levenshtein(<=2 threshold) runs per candidate pair — "
+    "verified bit-identical between Spark and DuckDB. Fixture "
+    "titles carry controlled tail mutations (substitution, "
+    "deletion, far-append) so the threshold genuinely "
+    "discriminates; prefix blocking's known blind spot (typos in "
+    "the first 8 chars) is the standard tradeoff, stated here. "
+    "Output is per-block candidate/kept/distance totals.",
+    tags=("llm", "dedup", "text"),
+)
+def dedup_levenshtein_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = F.concat(
+        F.lit("title"),
+        F.lpad((F.col("doc_id") % 40).cast("string"), 2, "0"),
+        F.lit(" alpha beta gamma"),
+    )
+    v = F.expr("(doc_id div 40) % 4")
+    p = (F.lit(10) + F.col("doc_id") % 9).cast("int")
+    title = (
+        F.when(
+            v == 1,
+            F.concat(
+                F.substring(base, F.lit(1), p - 1),
+                F.lit("x"),
+                F.substring(base, p + 1, F.lit(99)),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.substring(base, F.lit(1), p - 1),
+                F.substring(base, p + 1, F.lit(99)),
+            ),
+        )
+        .when(v == 3, F.concat(base, F.lit(" extra junk")))
+        .otherwise(base)
+    )
+    blocked = docs.select(
+        "doc_id",
+        title.alias("title"),
+        F.substring(title, 1, 8).alias("block"),
+    )
+    sized = (
+        blocked.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= 4096)
+        .select("block")
+    )
+    a = blocked.join(sized, "block").select(
+        "block", F.col("doc_id").alias("da"), F.col("title").alias("ta")
+    )
+    b = blocked.select(
+        "block", F.col("doc_id").alias("db"), F.col("title").alias("tb")
+    )
+    pairs = a.join(b, "block").where(F.col("da") < F.col("db")).select(
+        "block", F.levenshtein("ta", "tb").alias("d")
+    )
+    return pairs.groupBy("block").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("d") <= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("d") <= 2, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("dist_sum"),
+    )

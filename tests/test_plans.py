@@ -828,3 +828,11 @@ class TestRound9PlanShapes:
         for r in rows:
             assert r["a_max"] - r["a_min"] <= 15
             assert r["b_max"] - r["b_min"] <= 15
+
+    def test_levenshtein_pairs_block_equi_join(self, spark):
+        """dedup_levenshtein_pairs: candidates come from the block
+        equi-join only — no nested loop, no cartesian."""
+        plan = _plan(SPECS["dedup_levenshtein_pairs"].fn(spark, SF_SMALL))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "levenshtein" in plan  # threshold runs JVM-side
