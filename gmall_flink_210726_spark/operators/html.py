@@ -125,7 +125,14 @@ def extract_text(html: str) -> dict | None:
             closing = tag_body.startswith("/")
             name = _tag_name(tag_body)
             if not closing and name in _RAW_TEXT:
+                # the char after the name must end the tag name —
+                # '</scripts>' is NOT the closer of <script>
                 end = lower.find("</" + name, i)
+                while end >= 0:
+                    after = end + 2 + len(name)
+                    if after >= n or lower[after] in ">/ \t\n\r\f":
+                        break
+                    end = lower.find("</" + name, end + 2)
                 if end < 0:
                     return None  # unterminated raw-text element
                 gt = html.find(">", end)

@@ -308,38 +308,84 @@ def synthesize_parquet_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_rle_hybrid(data: bytes, n: int, bit_width: int) -> list[int]:
-    """Parquet RLE/bit-packed hybrid (parquet-format Encodings.md):
-    varint header — LSB 0: RLE run (count = header >> 1, one
-    fixed-width value); LSB 1: bit-packed groups (header >> 1 groups
-    of 8 values, LSB-first within each byte)."""
+    """Parquet RLE/bit-packed hybrid (parquet-format Encodings.md),
+    general bit width 0-32: varint header — LSB 0: RLE run (count =
+    header >> 1, one fixed-width little-endian value); LSB 1: bit-
+    packed groups (header >> 1 groups of 8 values, each group
+    ``bit_width`` bytes, values packed LSB-first). Bit width 0 is the
+    single-entry-dictionary degenerate: every value is 0, no bytes.
+    A run or group count far past ``n`` is a corruption bomb, not
+    writer padding (padding is < one group), and raises."""
+    if bit_width == 0:
+        return [0] * n
+    if bit_width > 32:
+        raise ValueError("rle: bit width too large")
     out: list[int] = []
     r = _Reader(data, 0, len(data))
     vw = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
     while len(out) < n:
         header = r.varint()
         if header & 1 == 0:
             run = header >> 1
+            if run > n - len(out) + 64:
+                raise ValueError("rle: run overflows value count")
             raw = r.take(vw)
             val = int.from_bytes(raw, "little")
             out.extend([val] * run)
         else:
             groups = header >> 1
-            raw = r.take(groups)  # bit_width 1: 8 values per byte
-            if bit_width != 1:
-                raise ValueError("only bit width 1 supported here")
-            for byte in raw:
-                for b in range(8):
-                    out.append((byte >> b) & 1)
+            if groups * 8 > n - len(out) + 64:
+                raise ValueError("rle: groups overflow value count")
+            raw = r.take(groups * bit_width)
+            for gi in range(groups):
+                word = int.from_bytes(
+                    raw[gi * bit_width : (gi + 1) * bit_width], "little"
+                )
+                for j in range(8):
+                    out.append((word >> (j * bit_width)) & mask)
     return out[:n]
+
+
+def _page_decompress(page: bytes, codec: int, usize: int) -> bytes | None:
+    """Undo the page codec with the repo's own decoders, proving the
+    decoded length against the header's uncompressed_page_size:
+    0 UNCOMPRESSED passthrough, 1 SNAPPY via the hand block
+    decompressor, 2 GZIP via the hand RFC 1952 member walk over the
+    shared ``_inflate_at`` block loop (CRC-32 + ISIZE proven per
+    member). Returns None on any codec-grammar violation."""
+    if codec == 0:
+        return page if len(page) == usize else None
+    if codec == 1:
+        try:
+            out = snappy_decompress(page)
+        except ValueError:
+            return None
+        return out if len(out) == usize else None
+    if codec == 2:
+        from gmall_flink_210726_spark.operators.inflate import (
+            iter_gzip_members,
+        )
+
+        members = iter_gzip_members(page)
+        if members is None:
+            return None
+        out = b"".join(payload for _, payload in members)
+        return out if len(out) == usize else None
+    return None
+
+
+_CODECS = (0, 1, 2)  # UNCOMPRESSED / SNAPPY / GZIP
 
 
 def read_parquet_column_k(data: bytes) -> dict | None:
     """Footer -> every row group's 'k' column chunk -> data pages ->
     def levels + PLAIN int64 values. Cross-checks at every layer:
-    column type INT64, codec UNCOMPRESSED, page type DATA_PAGE with
-    PLAIN encoding, def levels all 1 (no nulls written), per-page
-    value counts summing to the chunk's num_values, and the chunk
-    counts summing to the file num_rows."""
+    column type INT64, codec UNCOMPRESSED/SNAPPY/GZIP (hand
+    decoders, decoded length proven), page type DATA_PAGE with PLAIN
+    encoding, def levels all 1 (no nulls written), per-page value
+    counts summing to the chunk's num_values, and the chunk counts
+    summing to the file num_rows."""
     if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
         return None
     (flen,) = struct.unpack_from("<I", data, len(data) - 8)
@@ -371,7 +417,7 @@ def read_parquet_column_k(data: bytes) -> dict | None:
         if chunk is None:
             return None
         codec = chunk.get(4)
-        if chunk.get(1) != 2 or codec not in (0, 1):  # INT64; NONE/SNAPPY
+        if chunk.get(1) != 2 or codec not in _CODECS:  # INT64 only
             return None
         n_vals = chunk.get(5)
         off = chunk.get(9)
@@ -396,10 +442,9 @@ def read_parquet_column_k(data: bytes) -> dict | None:
                 page = data[r.pos : r.pos + psize]
                 if len(page) != psize:
                     return None
-                if codec == 1:  # SNAPPY: hand decompressor, size-proven
-                    page = snappy_decompress(page)
-                    if len(page) != usize:
-                        return None
+                page = _page_decompress(page, codec, usize)
+                if page is None:
+                    return None
                 (dlen,) = struct.unpack_from("<I", page, 0)
                 levels = _decode_rle_hybrid(page[4 : 4 + dlen], pn, 1)
                 if len(levels) != pn or any(v != 1 for v in levels):
@@ -532,6 +577,336 @@ def synthesize_parquet_snappy_media(docs: DataFrame) -> DataFrame:
                     "media_id": ids,
                     "content": [
                         _make_parquet(int(i), "SNAPPY", bad_stripe=9)
+                        for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# RLE_DICTIONARY + nullable read — the page shape pyarrow/Spark write
+# BY DEFAULT for string columns (dictionary page + RLE/bit-packed
+# index pages, definition levels with a real 0/1 null mix). Without
+# this the from-scratch read path misses most real lakehouse files.
+# --------------------------------------------------------------------------
+
+
+def read_parquet_column_s_dict(data: bytes) -> dict | None:
+    """Footer -> every row group's 's' column chunk -> DICTIONARY
+    page (PLAIN byte-array values, fully consumed) -> data pages
+    (RLE_DICTIONARY / PLAIN_DICTIONARY): definition levels via the
+    RLE/bit-packed hybrid (bit width 1, real nulls), then a 1-byte
+    index bit width and the hybrid-coded dictionary indices (count =
+    the page's NON-NULL total, every index bounds-checked against
+    the dictionary). Cross-checks: column type BYTE_ARRAY, codec in
+    the hand-decoder family, dict-page value list consumes exactly
+    the page, per-page value counts (nulls included) sum to the
+    chunk's num_values, chunk counts sum to the file row count.
+
+    Returns aggregate proof the decode was right: total/null value
+    counts, data-page count, summed per-group dictionary sizes, and
+    byte-value checksums over both the materialized column and the
+    dictionaries themselves."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    row_groups = meta.get(4)
+    if not isinstance(num_rows, int) or not isinstance(row_groups, list):
+        return None
+    n_values = n_nulls = n_pages = dict_size = 0
+    value_bytes_sum = dict_bytes_sum = 0
+    for rg in row_groups:
+        cols = rg.get(1) if isinstance(rg, dict) else None
+        if not isinstance(cols, list):
+            return None
+        chunk = None
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if isinstance(cm, dict) and cm.get(3) == [b"s"]:
+                chunk = cm
+                break
+        if chunk is None:
+            return None
+        codec = chunk.get(4)
+        if chunk.get(1) != 6 or codec not in _CODECS:  # BYTE_ARRAY
+            return None
+        n_vals = chunk.get(5)
+        dict_off = chunk.get(11)  # dictionary_page_offset
+        if not isinstance(n_vals, int) or not isinstance(dict_off, int):
+            return None
+        try:
+            # --- dictionary page ---
+            r = _Reader(data, dict_off, len(data))
+            ph = _read_struct(r)
+            if ph.get(1) != 2:  # DICTIONARY_PAGE
+                return None
+            dph = ph.get(7)
+            # encoding PLAIN (format v2) or PLAIN_DICTIONARY (v1)
+            if not isinstance(dph, dict) or dph.get(2) not in (0, 2):
+                return None
+            nd = dph.get(1)
+            psize, usize = ph.get(3), ph.get(2)
+            if not isinstance(nd, int) or not isinstance(psize, int):
+                return None
+            page = data[r.pos : r.pos + psize]
+            if len(page) != psize:
+                return None
+            page = _page_decompress(page, codec, usize)
+            if page is None:
+                return None
+            dvals: list[bytes] = []
+            pos = 0
+            for _ in range(nd):
+                if pos + 4 > len(page):
+                    return None
+                (ln,) = struct.unpack_from("<I", page, pos)
+                pos += 4
+                if pos + ln > len(page):
+                    return None
+                dvals.append(page[pos : pos + ln])
+                pos += ln
+            if pos != len(page):
+                return None  # the value list must consume the page
+            dsums = [sum(v) for v in dvals]
+            # --- data pages ---
+            got = 0
+            pos = r.pos + psize
+            while got < n_vals:
+                r2 = _Reader(data, pos, len(data))
+                ph2 = _read_struct(r2)
+                if ph2.get(1) != 0:  # DATA_PAGE v1
+                    return None
+                dph2 = ph2.get(5)
+                # RLE_DICTIONARY (v2) or PLAIN_DICTIONARY (v1)
+                if not isinstance(dph2, dict) or dph2.get(2) not in (2, 8):
+                    return None
+                pn = dph2.get(1)
+                psize2, usize2 = ph2.get(3), ph2.get(2)
+                if not isinstance(pn, int) or not isinstance(psize2, int):
+                    return None
+                page2 = data[r2.pos : r2.pos + psize2]
+                if len(page2) != psize2:
+                    return None
+                page2 = _page_decompress(page2, codec, usize2)
+                if page2 is None or len(page2) < 4:
+                    return None
+                (dlen,) = struct.unpack_from("<I", page2, 0)
+                if 4 + dlen > len(page2):
+                    return None
+                levels = _decode_rle_hybrid(page2[4 : 4 + dlen], pn, 1)
+                if len(levels) != pn or any(v not in (0, 1) for v in levels):
+                    return None
+                nn = sum(levels)
+                body = page2[4 + dlen :]
+                if nn:
+                    if not body:
+                        return None
+                    bw = body[0]
+                    idx = _decode_rle_hybrid(body[1:], nn, bw)
+                    if len(idx) != nn or any(
+                        j >= len(dvals) for j in idx
+                    ):
+                        return None
+                    value_bytes_sum += sum(dsums[j] for j in idx)
+                n_nulls += pn - nn
+                got += pn
+                n_pages += 1
+                pos = r2.pos + psize2
+        except ValueError:
+            return None
+        if got != n_vals:
+            return None
+        n_values += n_vals
+        dict_size += nd
+        dict_bytes_sum += sum(dsums)
+    if n_values != num_rows:
+        return None  # chunk counts must sum to the file row count
+    return {
+        "n_values": n_values,
+        "n_nulls": n_nulls,
+        "n_pages": n_pages,
+        "dict_size": dict_size,
+        "value_bytes_sum": value_bytes_sum,
+        "dict_bytes_sum": dict_bytes_sum,
+    }
+
+
+PQDICT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_values", LongType()),
+        StructField("n_nulls", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("dict_size", LongType()),
+        StructField("value_bytes_sum", LongType()),
+        StructField("dict_bytes_sum", LongType()),
+    ]
+)
+
+
+def _pqdict_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_values": 0,
+            "n_nulls": 0,
+            "n_pages": 0,
+            "dict_size": 0,
+            "value_bytes_sum": 0,
+            "dict_bytes_sum": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_parquet_column_s_dict(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="parquet", **st)
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in PQDICT_SCHEMA.fields])
+
+
+def parquet_dict_stats(df: DataFrame) -> DataFrame:
+    """Hand-decoded dictionary-column read over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pqdict_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, PQDICT_SCHEMA)
+
+
+def _make_parquet_dict(i: int, bad_stripe: int = 8) -> bytes:
+    """``10 + i % 90`` rows, ``1 + i % 3`` row groups; column 's' is
+    NULLABLE (every (7r+i)%5==0 row) and dictionary-encoded
+    (use_dictionary, <=9 distinct 'w<digit>' values so the encoder
+    never falls back to PLAIN). Every ``bad_stripe``-th id gets the
+    first dictionary PageHeader overwritten with 0xFF — a thrift
+    type-15 field header the struct walk must reject."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10 + i % 90
+    g = 1 + i % 3
+    m = 4 + i % 6
+    table = pa.table(
+        {
+            "k": pa.array(
+                [(i * 7 + 3 * r) % 1000 for r in range(n)], pa.int64()
+            ),
+            "s": pa.array(
+                [
+                    None
+                    if (7 * r + i) % 5 == 0
+                    else f"w{(i + 3 * r) % m}"
+                    for r in range(n)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        table,
+        buf,
+        row_group_size=-(-n // g),
+        compression="NONE",
+        write_statistics=False,
+        use_dictionary=["s"],
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        off = (
+            pq.ParquetFile(io.BytesIO(bytes(blob)))
+            .metadata.row_group(0)
+            .column(1)
+            .dictionary_page_offset
+        )
+        blob[off : off + 4] = b"\xff\xff\xff\xff"
+    return bytes(blob)
+
+
+def synthesize_parquet_dict_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of dictionary-encoded nullable parquet."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_parquet_dict(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_parquet_gzip_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of GZIP-compressed parquet files (every
+    11th footer-length word smashed)."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_parquet(int(i), "GZIP", bad_stripe=11)
                         for i in ids
                     ],
                     "meta": [

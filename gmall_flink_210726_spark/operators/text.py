@@ -797,7 +797,10 @@ def canonicalize_url(url) -> "F.Column":
     - fragment dropped;
     - query split on '&', ``utm_*`` tracking params dropped, the rest
       SORTED (param order is transport noise) and rejoined;
-    - one trailing path slash stripped (except the bare '/').
+    - one trailing path slash stripped (except the bare '/');
+    - an EMPTY path normalized to '/' (RFC 3986 §6.2.3: for http the
+      empty path is equivalent to '/', so 'http://example.com' and
+      'http://example.com/' must collide).
 
     Pure Column expression — whole-stage-codegen JVM string ops, no
     UDF, a zero-shuffle map at any scale."""
@@ -836,10 +839,14 @@ def canonicalize_url(url) -> "F.Column":
         ),
         "&",
     )
-    pnorm = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, F.lit(1), F.length(path) - 1),
-    ).otherwise(path)
+    pnorm = (
+        F.when(path == "", F.lit("/"))
+        .when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.substring(path, F.lit(1), F.length(path) - 1),
+        )
+        .otherwise(path)
+    )
     return F.concat(
         scheme,
         F.lit("://"),

@@ -376,7 +376,11 @@ def bpe_train(
             break
         a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
         merges.append((rnk, a, b, a + b, pc))
-        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        # escape backslash FIRST (Spark SQL string-literal escape
+        # char), then single quotes — a corpus token containing \
+        # must not corrupt the generated CASE expression
+        qa = a.replace("\\", "\\\\").replace("'", "''")
+        qb = b.replace("\\", "\\\\").replace("'", "''")
         # greedy left-to-right non-overlapping merge: a fresh merge's
         # concatenated symbol can never equal the pair's left symbol,
         # so the simple last-element fold IS the greedy scan
@@ -395,4 +399,73 @@ def bpe_train(
         merges,
         "rnk long, left_sym string, right_sym string, "
         "merged string, pair_count long",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table corpus-wide (Sennrich et al.
+    2016 §3.1, the *encode* direction) — the tokenizer's THROUGHPUT
+    step: after ``bpe_train`` learns K merges once, a training-data
+    pipeline spends its cycles running exactly this over the whole
+    corpus. Each word is split to characters, then the K merges are
+    replayed in learned rank order, each as the same greedy
+    left-to-right non-overlapping scan used during training (the
+    last-element fold is exact because a merged symbol is strictly
+    longer than the pair's left symbol, so it can never re-match).
+
+    Scale shape: the merge table is bounded (K rows, a broadcast-
+    sized scalar), so it compiles into ONE Column expression — K
+    nested ``aggregate()`` folds inside a ``transform`` over the
+    word array. Encoding is therefore a pure JVM-side map with ZERO
+    shuffle at any corpus size: no join against a vocab table, no
+    Python worker, nothing leaves its input partition.
+
+    Output per doc: ``n_words`` (whitespace tokens), ``n_tokens``
+    (BPE symbols after all K merges), ``n_merged_tokens`` (symbols
+    longer than one char, i.e. produced by at least one merge), and
+    ``n_chars`` — recomputed from the SYMBOL lengths, so it doubles
+    as a losslessness proof: it must equal the plain summed word
+    lengths, which is how the oracle derives it."""
+
+    def _q(s: str) -> str:
+        # backslash first (Spark SQL string-escape char), then quotes
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    enc = "transform(sequence(1, length(w0)), i0 -> substring(w0, i0, 1))"
+    for r, (a, b) in enumerate(merges, 1):
+        qa, qb = _q(a), _q(b)
+        enc = (
+            f"aggregate({enc}, cast(array() as array<string>), "
+            f"(acc{r}, s{r}) -> CASE WHEN size(acc{r}) > 0 "
+            f"AND element_at(acc{r}, -1) = '{qa}' AND s{r} = '{qb}' "
+            f"THEN concat(slice(acc{r}, 1, size(acc{r}) - 1), "
+            f"array('{qa}{qb}')) "
+            f"ELSE concat(acc{r}, array(s{r})) END)"
+        )
+    toks = docs.select(
+        F.col(id_col), _words(text_col).alias("ws")
+    ).select(
+        id_col,
+        F.size("ws").cast("long").alias("n_words"),
+        F.expr(f"transform(ws, w0 -> {enc})").alias("toks"),
+    )
+    return toks.select(
+        id_col,
+        "n_words",
+        F.expr(
+            "aggregate(toks, 0L, (accT, tk) -> accT + size(tk))"
+        ).alias("n_tokens"),
+        F.expr(
+            "aggregate(toks, 0L, (accT, tk) -> accT + "
+            "size(filter(tk, sy -> length(sy) > 1)))"
+        ).alias("n_merged_tokens"),
+        F.expr(
+            "aggregate(toks, 0L, (accT, tk) -> accT + "
+            "aggregate(tk, 0L, (accS, sy) -> accS + length(sy)))"
+        ).alias("n_chars"),
     )

@@ -196,24 +196,35 @@ def multimodal_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mjpeg_frame_sample(media)
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
+def _bpe_train_oracle(n_merges: int, carry_word: bool = False) -> str:
     r"""Unrolled-K DuckDB replay of the BPE merge-train loop. Every
-    iterative CTE is MATERIALIZED (plain CTEs inline and the chain
+    chained CTE is MATERIALIZED (plain CTEs inline and the chain
     references each level twice -> exponential re-evaluation). The
-    greedy left-to-right merge is two chained ``replace`` passes over
-    a chr(31)-joined symbol string: one pass misses a match whose
-    leading separator was consumed by its left neighbor's replacement,
-    and after pass one such misses are isolated, so pass two is
-    exactly the greedy fixpoint (overlap only exists for a==b pairs,
-    which pass one already resolves left-to-right)."""
+    greedy left-to-right merge is a RECURSIVE leftmost-occurrence
+    replace over a chr(31)-joined symbol string: each step splices
+    the first ``sep||a||sep||b||sep`` into ``sep||ab||sep`` via
+    strpos/substring (no regex, no multi-replace skips) and recurses
+    until the pattern is gone. Restart-from-the-beginning IS the
+    greedy scan-with-skip: within one round the merged symbol ``ab``
+    can never equal ``a`` or ``b`` (it is strictly longer than both),
+    so a splice never creates a new occurrence at or before its own
+    position — in particular this is exact for a==b runs like
+    'aaaaa' -> [aa,aa,a], where a bulk non-overlapping replace is
+    not (it yields [aa,a,aa]).
+
+    With ``carry_word`` the per-word ``w`` key is threaded through
+    every CTE level (rows are per distinct word already — v0 groups
+    by w — so this changes no cardinality or count), giving the
+    encode oracle the word -> final-symbol-list mapping."""
     sep = "chr(31)"
+    wk = "w, " if carry_word else ""
     parts = [
-        r"""WITH tok AS MATERIALIZED (
+        rf"""WITH RECURSIVE tok AS MATERIALIZED (
   SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
                             x -> x <> '')) AS w
   FROM documents),
 v0 AS MATERIALIZED (
-  SELECT list_transform(range(1, length(w) + 1),
+  SELECT {wk}list_transform(range(1, length(w) + 1),
                         i -> substring(w, i, 1)) AS syms,
          CAST(COUNT(*) AS BIGINT) AS ct
   FROM tok GROUP BY w)"""
@@ -233,15 +244,25 @@ v0 AS MATERIALIZED (
   ORDER BY pc DESC, a, b LIMIT 1)"""
         )
         parts.append(
-            f"""v{r} AS MATERIALIZED (
-  SELECT string_split(trim(replace(replace(
-           {sep} || array_to_string(syms, {sep}) || {sep},
-           {sep} || m.a || {sep} || m.b || {sep},
-           {sep} || m.ab || {sep}),
-           {sep} || m.a || {sep} || m.b || {sep},
-           {sep} || m.ab || {sep}), {sep}), {sep}) AS syms,
-         ct
+            f"""w{r} AS MATERIALIZED (
+  SELECT {wk}{sep} || array_to_string(syms, {sep}) || {sep} AS s, ct,
+         {sep} || m.a || {sep} || m.b || {sep} AS pat,
+         {sep} || m.ab || {sep} AS rep
   FROM v{r - 1}, m{r} m)"""
+        )
+        parts.append(
+            f"""i{r} AS (
+  SELECT {wk}s, ct, pat, rep FROM w{r}
+  UNION ALL
+  SELECT {wk}substring(s, 1, strpos(s, pat) - 1) || rep ||
+           substring(s, strpos(s, pat) + length(pat)),
+         ct, pat, rep
+  FROM i{r} WHERE strpos(s, pat) > 0)"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT {wk}string_split(trim(s, {sep}), {sep}) AS syms, ct
+  FROM i{r} WHERE strpos(s, pat) = 0)"""
         )
     final = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS rnk, a AS left_sym, "
@@ -249,6 +270,43 @@ v0 AS MATERIALIZED (
         for r in range(1, n_merges + 1)
     )
     return ",\n".join(parts) + "\n" + final
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode-direction replay: re-derives the same K merges blind
+    (the full train chain with the word key carried through), then
+    maps every doc word to its final symbol list via the word ->
+    v{K}.syms join and aggregates per-doc counts. ``n_chars`` is
+    summed from the RAW word lengths — the engine sums the SYMBOL
+    lengths, so agreement proves the encode is lossless."""
+    chain = _bpe_train_oracle(n_merges, carry_word=True)
+    # keep the CTE chain, drop the train's final merge-table select
+    chain = chain[: chain.index("\nSELECT CAST(1 AS BIGINT) AS rnk")]
+    return (
+        chain
+        + rf""",
+docw AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+agg AS MATERIALIZED (
+  SELECT d.doc_id,
+         COUNT(*) AS n_words,
+         SUM(len(e.syms)) AS n_tokens,
+         SUM(len(list_filter(e.syms, sy -> length(sy) > 1)))
+           AS n_merged_tokens,
+         SUM(length(d.w)) AS n_chars
+  FROM docw d JOIN v{n_merges} e ON d.w = e.w
+  GROUP BY d.doc_id)
+SELECT doc.doc_id,
+       CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(agg.n_merged_tokens, 0) AS BIGINT)
+         AS n_merged_tokens,
+       CAST(COALESCE(agg.n_chars, 0) AS BIGINT) AS n_chars
+FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id"""
+    )
 
 
 @register(
@@ -264,8 +322,9 @@ v0 AS MATERIALIZED (
     "combinable aggregation plus a 1-row argmax collect (the bounded-"
     "scalar exception) and a map-only merge rewrite, re-checkpointed "
     "so lineage stays flat over the loop. The oracle replays all 10 "
-    "merges as unrolled MATERIALIZED CTEs with a two-pass separator-"
-    "string replace that is provably the same greedy scan. "
+    "merges as unrolled MATERIALIZED CTEs with a recursive leftmost-"
+    "occurrence separator-string replace that is provably the same "
+    "greedy scan (exact even for a==b symbol runs). "
     "operators/text2.py bpe_train",
     tags=("llm", "text"),
 )
@@ -482,23 +541,28 @@ def multimodal_warc_html_text(
 @register(
     "text_url_canonical_dedup",
     oracle="""
-    WITH u AS (SELECT doc_id % 12 AS pid, (doc_id // 12) % 4 AS v
+    WITH u AS (SELECT doc_id % 12 AS pid, (doc_id // 12) % 6 AS v
                FROM documents)
-    SELECT 'http://example.com/p/' || CAST(pid AS VARCHAR)
-             || '?a=1&b=2' AS canon,
+    SELECT CASE WHEN v < 4
+                THEN 'http://example.com/p/' || CAST(pid AS VARCHAR)
+                     || '?a=1&b=2'
+                ELSE 'http://example.com/?a=1&b=2' END AS canon,
            CAST(COUNT(*) AS BIGINT) AS n_dups,
            CAST(COUNT(DISTINCT v) AS BIGINT) AS n_raw_forms
-    FROM u GROUP BY pid
+    FROM u GROUP BY 1
     """,
     doc="URL canonicalization + exact dedup — the 'fetch each page "
     "once' rule every crawl pipeline runs before URL-level dedup "
     "(C4/RefinedWeb): lowercase scheme+host, strip default ports, "
     "drop fragments, drop utm_* tracking params, SORT the remaining "
-    "query params, strip one trailing path slash — then group by the "
+    "query params, strip one trailing path slash, normalize the "
+    "EMPTY path to '/' (RFC 3986 §6.2.3) — then group by the "
     "canonical form. Four deliberately-different raw spellings per "
     "page id (cased host + :80 + fragment / utm noise / param-order "
-    "swap / trailing slash) MUST collide to one canonical row, so "
-    "n_raw_forms proves every rule fired, not just the happy path. "
+    "swap / trailing slash) MUST collide to one canonical row, and "
+    "two root-URL spellings ('http://example.com' with no path vs "
+    "'HTTP://Example.COM:80/?..#z') to one more, so n_raw_forms "
+    "proves every rule fired, not just the happy path. "
     "Pure Column expression (whole-stage codegen, no UDF); the only "
     "shuffle carries the canonical strings. operators/text.py "
     "canonicalize_url",
@@ -511,7 +575,7 @@ def text_url_canonical_dedup(
 
     docs = load_table(spark, sf_dir, "documents").select(
         (F.col("doc_id") % 12).alias("pid"),
-        F.expr("(doc_id div 12) % 4").alias("v"),
+        F.expr("(doc_id div 12) % 6").alias("v"),
     )
     raw = (
         F.when(
@@ -538,13 +602,19 @@ def text_url_canonical_dedup(
                 F.lit("?utm_source=feed&b=2&a=1"),
             ),
         )
-        .otherwise(
+        .when(
+            F.col("v") == 3,
             F.concat(
                 F.lit("http://Example.Com/p/"),
                 F.col("pid").cast("string"),
                 F.lit("/?a=1&b=2"),
-            )
+            ),
         )
+        .when(
+            F.col("v") == 4,
+            F.lit("http://example.com?b=2&a=1"),
+        )
+        .otherwise(F.lit("HTTP://Example.COM:80/?a=1&b=2#z"))
     )
     return (
         docs.select(canonicalize_url(raw).alias("canon"), "v")

@@ -1,0 +1,173 @@
+r"""LLM-pipeline wave 14: the default lakehouse page shapes and the
+tokenizer/ingest throughput steps.
+
+Round-10 brief items (VERDICT r9 "Next round"): RLE_DICTIONARY +
+nullable definition levels — the page shape pyarrow/Spark actually
+write by default for string columns, without which the from-scratch
+parquet read path misses most real files — the GZIP page codec
+(parquet's other ubiquitous codec next to Snappy) wired under the
+same column walk through the hand-written RFC 1952 member decoder,
+the BPE *encode* pass (the corpus-tokenization step a pipeline
+actually spends cycles on after training), the cp1252 charset
+fallback transcode for the non-UTF-8 crawl tail, and WET conversion
+records in the WARC walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+
+@register(
+    "multimodal_parquet_dict",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 8 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g,
+                      4 + doc_id % 6 AS md
+               FROM documents),
+    r AS (SELECT i, bad, n, g, md, (n + g - 1) // g AS rgsz,
+                 unnest(range(0, n)) AS rr
+          FROM m),
+    c AS (SELECT i, bad, n, g, rr // rgsz AS grp,
+                 CASE WHEN (7 * rr + i) % 5 = 0 THEN NULL
+                      ELSE (i + 3 * rr) % md END AS x
+          FROM r),
+    pr AS (SELECT i, bad, n, g,
+                  COUNT(*) - COUNT(x) AS n_nulls,
+                  COALESCE(SUM(167 + x), 0) AS vsum
+           FROM c GROUP BY i, bad, n, g),
+    dg AS (SELECT i, grp, COUNT(DISTINCT x) AS ds,
+                  COALESCE(SUM(DISTINCT 167 + x), 0) AS dsum
+           FROM c GROUP BY i, grp),
+    dd AS (SELECT i, SUM(ds) AS dict_size, SUM(dsum) AS dict_sum
+           FROM dg GROUP BY i)
+    SELECT pr.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_values,
+           CAST(CASE WHEN bad THEN 0 ELSE n_nulls END AS BIGINT)
+             AS n_nulls,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN bad THEN 0 ELSE dict_size END AS BIGINT)
+             AS dict_size,
+           CAST(CASE WHEN bad THEN 0 ELSE vsum END AS BIGINT)
+             AS value_bytes_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE dict_sum END AS BIGINT)
+             AS dict_bytes_sum
+    FROM pr JOIN dd ON pr.i = dd.i
+    """,
+    doc="RLE_DICTIONARY + NULLABLE parquet column read from scratch "
+    "— the page shape pyarrow/Spark write BY DEFAULT for string "
+    "columns, i.e. what a real lakehouse file actually contains: "
+    "DICTIONARY page (PLAIN byte-array values, consumed exactly), "
+    "then data pages whose definition levels carry a real 0/1 null "
+    "mix (RLE/bit-packed hybrid, bit width 1) followed by a 1-byte "
+    "index bit width and hybrid-coded dictionary indices (general "
+    "bit width 0-32, groups of 8 packed LSB-first), every index "
+    "bounds-checked against the dictionary. Cross-checks: per-page "
+    "null-inclusive counts sum to each chunk's num_values, chunks "
+    "sum to the file row count. The oracle recomputes value counts, "
+    "null counts, per-row-group dictionary sizes (distinct non-null "
+    "values per group) and byte-value checksums over both the "
+    "materialized column and the dictionaries blind from the write "
+    "formulas. Every 8th id's first dictionary PageHeader is "
+    "smashed to thrift type-15 bytes and must degrade. Pure map "
+    "over blobs, zero shuffle. operators/parquetmeta.py "
+    "read_parquet_column_s_dict",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_dict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_dict_stats,
+        synthesize_parquet_dict_media,
+    )
+
+    media = synthesize_parquet_dict_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_dict_stats(media)
+
+
+@register(
+    "multimodal_parquet_gzip",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 11 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_values,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(media_id * 7 + 3 * r) % 1000
+                               for r in range(0, n)]) END AS BIGINT)
+             AS k_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_pages
+    FROM m
+    """,
+    doc="GZIP-compressed parquet column read — parquet's other "
+    "ubiquitous page codec next to Snappy — under the same page "
+    "walk as multimodal_parquet_column, decompressed by the HAND-"
+    "WRITTEN RFC 1952 gzip member walk over the shared _inflate_at "
+    "DEFLATE block loop (CRC-32 and ISIZE proven per member, "
+    "decoded length proven against the page header's uncompressed "
+    "size). Pages are compressed by pyarrow's reference zlib, the "
+    "zlib-validates-the-hand-inflate pattern end-to-end. The oracle "
+    "recomputes the exact column sums blind; every 11th id's "
+    "smashed footer length degrades. operators/parquetmeta.py "
+    "_page_decompress, operators/inflate.py iter_gzip_members",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_gzip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_column_stats,
+        synthesize_parquet_gzip_media,
+    )
+
+    media = synthesize_parquet_gzip_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_column_stats(media)
+
+
+def _encode_oracle() -> str:
+    from gmall_flink_210726_spark.queries.llm13 import _bpe_encode_oracle
+
+    return _bpe_encode_oracle(10)
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_encode_oracle(),
+    doc="BPE ENCODE pass — the tokenizer's throughput step: after "
+    "text_bpe_train learns 10 merges, this applies them corpus-wide, "
+    "replaying each merge in learned rank order as the same greedy "
+    "left-to-right scan used during training. The bounded merge "
+    "table (10 rows) compiles into ONE Column expression (10 nested "
+    "aggregate() folds inside a transform over the word array), so "
+    "encoding is a pure JVM-side map with ZERO shuffle at any corpus "
+    "size — no vocab join, no Python worker; this is the plan a "
+    "100 TB tokenization run wants. Output per doc: word count, "
+    "post-merge token count, merged-symbol count, and n_chars "
+    "recomputed from SYMBOL lengths (the oracle sums RAW word "
+    "lengths, so agreement proves losslessness). The oracle "
+    "re-derives the merge table blind via the train chain with the "
+    "word key threaded through, then joins doc words to final "
+    "symbol lists. operators/text2.py bpe_encode",
+    tags=("llm", "text"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.text2 import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mt = bpe_train(docs, n_merges=10).orderBy("rnk").collect()
+    merges = [(r["left_sym"], r["right_sym"]) for r in mt]
+    return bpe_encode(docs, merges)

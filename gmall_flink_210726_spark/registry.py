@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm11,
         llm12,
         llm13,
+        llm14,
         streamq,
         streamq2,
         streamq3,

@@ -79,3 +79,136 @@ class TestBpeTrain:
         )
         rows = bpe_train(docs, n_merges=1).collect()
         assert tuple(rows[0]) == (1, "a", "b", "ab", 1)
+
+    def test_oracle_greedy_equivalence_same_symbol_runs(self, spark):
+        """ADVICE r9 (medium): a bulk non-overlapping replace oracle
+        diverges from greedy on a==b runs ('aaaaa' -> [aa,a,aa] vs
+        greedy [aa,aa,a]). The recursive leftmost-occurrence oracle
+        must match both the engine and the direct Python scan on a
+        corpus built to trigger exactly that case."""
+        import duckdb
+
+        from gmall_flink_210726_spark.operators.text2 import bpe_train
+        from gmall_flink_210726_spark.queries.llm13 import (
+            _bpe_train_oracle,
+        )
+
+        texts = ["aaaaa bb aaaaaa", "aaaaa aaaa ab", "banana bandana"]
+        want = _py_bpe(texts, 4)
+        docs = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            tuple(r)
+            for r in bpe_train(docs, n_merges=4).orderBy("rnk").collect()
+        ]
+        assert got == want
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT unnest(?) AS text", [texts]
+        )
+        oracle = sorted(
+            tuple(r) for r in con.execute(_bpe_train_oracle(4)).fetchall()
+        )
+        assert oracle == want
+
+    def test_backslash_symbol_survives_sql_interpolation(self, spark):
+        """ADVICE r9 (low): a corpus token containing a backslash must
+        not corrupt the generated merge CASE expression."""
+        from gmall_flink_210726_spark.operators.text2 import bpe_train
+
+        texts = [r"a\b a\b a\b", r"c'd c'd"]
+        want = _py_bpe(texts, 3)
+        docs = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            tuple(r)
+            for r in bpe_train(docs, n_merges=3).orderBy("rnk").collect()
+        ]
+        assert got == want
+
+
+def _py_encode(texts, merges):
+    """Direct greedy encode: replay merges in rank order per word."""
+    out = []
+    for did, t in enumerate(texts):
+        n_words = n_tokens = n_merged = n_chars = 0
+        for w in t.lower().split():
+            if not w:
+                continue
+            s = list(w)
+            for a, b in merges:
+                o, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        o.append(a + b)
+                        i += 2
+                    else:
+                        o.append(s[i])
+                        i += 1
+                s = o
+            n_words += 1
+            n_tokens += len(s)
+            n_merged += sum(1 for x in s if len(x) > 1)
+            n_chars += sum(len(x) for x in s)
+        out.append((did, n_words, n_tokens, n_merged, n_chars))
+    return out
+
+
+class TestBpeEncode:
+    def test_matches_python_scan_incl_same_symbol_runs(self, spark):
+        from gmall_flink_210726_spark.operators.text2 import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        texts = ["aaaaa bb aaaaaa banana", "aaaa ab bandana", r"a\b 'q"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        mt = bpe_train(docs, n_merges=4).orderBy("rnk").collect()
+        merges = [(r["left_sym"], r["right_sym"]) for r in mt]
+        got = sorted(
+            tuple(r) for r in bpe_encode(docs, merges).collect()
+        )
+        assert got == _py_encode(texts, merges)
+
+    def test_losslessness_invariant(self, spark):
+        """n_chars recomputed from SYMBOL lengths must equal the raw
+        summed word lengths for every doc — the encode never drops or
+        duplicates a character."""
+        from gmall_flink_210726_spark.operators.text2 import (
+            bpe_encode,
+            bpe_train,
+        )
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        mt = bpe_train(docs, n_merges=6).collect()
+        merges = [(r["left_sym"], r["right_sym"]) for r in mt]
+        enc = bpe_encode(docs, merges)
+        raw = docs.selectExpr(
+            "doc_id",
+            "aggregate(filter(split(lower(text), '\\\\s+'), "
+            "w -> w <> ''), 0L, (a, w) -> a + length(w)) AS want",
+        )
+        bad = (
+            enc.join(raw, "doc_id")
+            .where("n_chars <> want OR n_tokens > n_chars "
+                   "OR n_tokens < n_words")
+            .count()
+        )
+        assert bad == 0
+
+    def test_encode_plan_is_shuffle_free(self, spark):
+        """The encode itself (learned merges applied to docs) must be
+        a pure map: no Exchange, no Python eval in the plan."""
+        from gmall_flink_210726_spark.operators.text2 import bpe_encode
+
+        docs = spark.createDataFrame(
+            [(1, "hello world")], "doc_id long, text string"
+        )
+        plan = bpe_encode(
+            docs, [("l", "l"), ("h", "e")]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEval" not in plan

@@ -98,3 +98,22 @@ class TestFixtureContract:
     def test_corrupt_stripe_degrades(self):
         assert extract_text(_make_html(0, "a b c d")) is None
         assert extract_text(_make_html(22, "a b c d")) is None
+
+
+class TestRawTextCloserBoundary:
+    def test_scripts_tag_does_not_close_script(self):
+        """ADVICE r9 (low): '</scripts>' must NOT end a <script>
+        raw-text swallow — the char after the name has to be '>',
+        whitespace, or '/'."""
+        r = extract_text(
+            "<script>a = 1; // </scripts> not a closer\n"
+            "b = 2;</script><p>ok</p>"
+        )
+        assert r["blocks"] == ["ok"]
+
+    def test_closer_with_whitespace_before_gt(self):
+        r = extract_text("<script>x<y</script ><p>t</p>")
+        assert r["blocks"] == ["t"]
+
+    def test_unterminated_script_still_degrades(self):
+        assert extract_text("<script>never closed <p>x</p>") is None

@@ -176,3 +176,116 @@ class TestSnappy:
         t = pq.read_table(io.BytesIO(blob))
         assert st["n_values"] == t.num_rows
         assert st["k_sum"] == sum(t.column("k").to_pylist())
+
+
+class TestDictionaryRead:
+    def test_values_agree_with_pyarrow(self):
+        import io
+
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_dict,
+            read_parquet_column_s_dict,
+        )
+
+        for i in (1, 2, 3, 13, 50, 99):
+            blob = _make_parquet_dict(i)
+            st = read_parquet_column_s_dict(blob)
+            t = pq.read_table(io.BytesIO(blob))
+            vals = t.column("s").to_pylist()
+            assert st["n_values"] == len(vals)
+            assert st["n_nulls"] == sum(1 for v in vals if v is None)
+            assert st["value_bytes_sum"] == sum(
+                sum(v.encode()) for v in vals if v is not None
+            )
+            md = pq.ParquetFile(io.BytesIO(blob)).metadata
+            assert st["n_pages"] == md.num_row_groups
+
+    def test_general_bit_width_hybrid(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _decode_rle_hybrid,
+        )
+
+        # bw=2, one bit-packed group (header 3): 0b11_10_01_00,
+        # 0b00_01_10_11 -> values 0,1,2,3,3,2,1,0
+        assert _decode_rle_hybrid(bytes([0x03, 0xE4, 0x1B]), 8, 2) == [
+            0, 1, 2, 3, 3, 2, 1, 0,
+        ]
+        # bw=3 RLE run of 5 of value 6
+        assert _decode_rle_hybrid(bytes([0x0A, 0x06]), 5, 3) == [6] * 5
+        # bw=0: single-entry-dictionary degenerate, no bytes at all
+        assert _decode_rle_hybrid(b"", 4, 0) == [0, 0, 0, 0]
+
+    def test_rle_bomb_guard(self):
+        import pytest
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _decode_rle_hybrid,
+        )
+
+        # RLE header claiming 2**20 values for a 4-value column
+        with pytest.raises(ValueError):
+            _decode_rle_hybrid(bytes([0x80, 0x80, 0x80, 0x01, 0x01]), 4, 1)
+
+    def test_smashed_dictionary_degrades(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_dict,
+            read_parquet_column_s_dict,
+        )
+
+        assert read_parquet_column_s_dict(_make_parquet_dict(8)) is None
+
+    def test_out_of_range_index_degrades(self):
+        import io
+        import struct as _s
+
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _Reader,
+            _decode_rle_hybrid,
+            _make_parquet_dict,
+            _read_struct,
+            read_parquet_column_s_dict,
+        )
+
+        blob = bytearray(_make_parquet_dict(1))
+        assert read_parquet_column_s_dict(bytes(blob)) is not None
+        # surgically rewrite the FIRST data page's index stream to an
+        # RLE run of value 255 — far past the dictionary size; the
+        # per-index bounds check must degrade the whole file
+        md = pq.ParquetFile(io.BytesIO(bytes(blob))).metadata
+        off = md.row_group(0).column(1).data_page_offset
+        r = _Reader(bytes(blob), off, len(blob))
+        ph = _read_struct(r)
+        assert ph[1] == 0  # DATA_PAGE
+        pn = ph[5][1]
+        (dlen,) = _s.unpack_from("<I", blob, r.pos)
+        levels = _decode_rle_hybrid(
+            bytes(blob[r.pos + 4 : r.pos + 4 + dlen]), pn, 1
+        )
+        nn = sum(levels)
+        assert 0 < nn < 64
+        body = r.pos + 4 + dlen
+        # keep the bit-width byte, overwrite the hybrid stream with
+        # [RLE header nn<<1][value 0xFF]
+        blob[body + 1] = nn << 1
+        blob[body + 2] = 0xFF
+        assert read_parquet_column_s_dict(bytes(blob)) is None
+
+    def test_gzip_column_agrees_with_pyarrow(self):
+        import io
+
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet,
+            read_parquet_column_k,
+        )
+
+        blob = _make_parquet(5, "GZIP")
+        st = read_parquet_column_k(blob)
+        t = pq.read_table(io.BytesIO(blob))
+        assert st["n_values"] == t.num_rows
+        assert st["k_sum"] == sum(t.column("k").to_pylist())

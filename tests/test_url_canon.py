@@ -55,3 +55,18 @@ class TestCanonRules:
         )
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestEmptyPath:
+    def test_empty_path_normalized_to_slash(self, spark):
+        """ADVICE r9 (low): RFC 3986 §6.2.3 — the empty path is
+        equivalent to '/' for http(s); both spellings must collide."""
+        got = _canon(
+            spark,
+            "http://example.com",
+            "http://example.com/",
+            "HTTP://EXAMPLE.COM:80#frag",
+            "http://example.com?b=2&a=1",
+        )
+        assert got[:3] == ["http://example.com/"] * 3
+        assert got[3] == "http://example.com/?a=1&b=2"
