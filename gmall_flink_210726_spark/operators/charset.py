@@ -1,0 +1,251 @@
+"""Charset fallback transcoding — the C4/CCNet front-door step that
+RECOVERS the non-UTF-8 tail of a web crawl instead of dropping it
+(Raffel et al. 2020 §2.2 keep only clean text; Wenzek et al. 2020 §2
+decode everything first). Real crawls are ~95% UTF-8; the remainder
+is overwhelmingly Windows-1252 mislabeled as latin-1/ISO-8859-1, so
+the standard chain is:
+
+1. strict UTF-8 (RFC 3629, the from-scratch walk in operators/utf8);
+2. on failure, Windows-1252 with the REAL 0x80-0x9F table — the 27
+   printable mappings (smart quotes, em dash, euro, trademark, ...)
+   hand-written from the public code chart; the five bytes the code
+   page leaves UNDEFINED (0x81 0x8D 0x8F 0x90 0x9D) make strict
+   cp1252 fail;
+3. latin-1 (ISO-8859-1) as the never-fails floor: every byte IS its
+   code point.
+
+The decode is per-document and stateless: an Arrow-batched
+``mapInPandas`` map with zero shuffle at any corpus size. Output
+carries the encoding label plus exact transcode proofs — recovered
+code-point count, code-point SUM (any wrong mapping shifts it), and
+the count of 0x80-0x9F bytes recovered through the cp1252 table (the
+bytes a naive latin-1 decode would silently turn into C1 controls).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# Windows-1252 0x80-0x9F -> Unicode, hand-written from the public
+# code chart (https://en.wikipedia.org/wiki/Windows-1252 reproduces
+# the vendor table). None = the code page leaves the byte UNDEFINED.
+_CP1252_HIGH: tuple[int | None, ...] = (
+    0x20AC,  # 0x80 EURO SIGN
+    None,    # 0x81
+    0x201A,  # 0x82 SINGLE LOW-9 QUOTATION MARK
+    0x0192,  # 0x83 LATIN SMALL LETTER F WITH HOOK
+    0x201E,  # 0x84 DOUBLE LOW-9 QUOTATION MARK
+    0x2026,  # 0x85 HORIZONTAL ELLIPSIS
+    0x2020,  # 0x86 DAGGER
+    0x2021,  # 0x87 DOUBLE DAGGER
+    0x02C6,  # 0x88 MODIFIER LETTER CIRCUMFLEX ACCENT
+    0x2030,  # 0x89 PER MILLE SIGN
+    0x0160,  # 0x8A LATIN CAPITAL LETTER S WITH CARON
+    0x2039,  # 0x8B SINGLE LEFT-POINTING ANGLE QUOTATION MARK
+    0x0152,  # 0x8C LATIN CAPITAL LIGATURE OE
+    None,    # 0x8D
+    0x017D,  # 0x8E LATIN CAPITAL LETTER Z WITH CARON
+    None,    # 0x8F
+    None,    # 0x90
+    0x2018,  # 0x91 LEFT SINGLE QUOTATION MARK
+    0x2019,  # 0x92 RIGHT SINGLE QUOTATION MARK
+    0x201C,  # 0x93 LEFT DOUBLE QUOTATION MARK
+    0x201D,  # 0x94 RIGHT DOUBLE QUOTATION MARK
+    0x2022,  # 0x95 BULLET
+    0x2013,  # 0x96 EN DASH
+    0x2014,  # 0x97 EM DASH
+    0x02DC,  # 0x98 SMALL TILDE
+    0x2122,  # 0x99 TRADE MARK SIGN
+    0x0161,  # 0x9A LATIN SMALL LETTER S WITH CARON
+    0x203A,  # 0x9B SINGLE RIGHT-POINTING ANGLE QUOTATION MARK
+    0x0153,  # 0x9C LATIN SMALL LIGATURE OE
+    None,    # 0x9D
+    0x017E,  # 0x9E LATIN SMALL LETTER Z WITH CARON
+    0x0178,  # 0x9F LATIN CAPITAL LETTER Y WITH DIAERESIS
+)
+
+
+def utf8_decode_strict(data: bytes) -> list[int] | None:
+    """Strict RFC 3629 decode to code points, or None. Same table
+    semantics as ``utf8_classify`` (which stays the validation
+    entrypoint); kept as an explicit second walk so each pins the
+    other in tests."""
+    out: list[int] = []
+    i, n = 0, len(data)
+    while i < n:
+        b0 = data[i]
+        if b0 < 0x80:
+            out.append(b0)
+            i += 1
+            continue
+        if 0xC2 <= b0 <= 0xDF:
+            need, lo, hi = 1, 0x80, 0x7FF
+        elif 0xE0 <= b0 <= 0xEF:
+            need, lo, hi = 2, 0x800, 0xFFFF
+        elif 0xF0 <= b0 <= 0xF4:
+            need, lo, hi = 3, 0x10000, 0x10FFFF
+        else:
+            return None
+        if i + need >= n:
+            return None
+        cp = b0 & (0x7F >> (need + 1))
+        for k in range(1, need + 1):
+            bk = data[i + k]
+            if bk & 0xC0 != 0x80:
+                return None
+            cp = (cp << 6) | (bk & 0x3F)
+        if not lo <= cp <= hi or 0xD800 <= cp <= 0xDFFF:
+            return None
+        out.append(cp)
+        i += need + 1
+    return out
+
+
+def cp1252_decode_strict(data: bytes) -> list[int] | None:
+    """Windows-1252 decode, or None if any of the five UNDEFINED
+    bytes (0x81 0x8D 0x8F 0x90 0x9D) appears."""
+    out: list[int] = []
+    for b in data:
+        if 0x80 <= b <= 0x9F:
+            cp = _CP1252_HIGH[b - 0x80]
+            if cp is None:
+                return None
+            out.append(cp)
+        else:
+            out.append(b)  # ASCII + 0xA0-0xFF are identity
+    return out
+
+
+def charset_transcode(data: bytes) -> dict:
+    """UTF-8 -> cp1252 -> latin-1 fallback chain. Never fails (the
+    latin-1 floor maps every byte to itself). Returns the encoding
+    label plus exact transcode proofs: code-point count and SUM, and
+    how many 0x80-0x9F bytes were recovered through the cp1252
+    printable table."""
+    cps = utf8_decode_strict(data)
+    if cps is not None:
+        enc, n_c1 = "utf-8", 0
+    else:
+        cps = cp1252_decode_strict(data)
+        if cps is not None:
+            enc = "cp1252"
+            n_c1 = sum(1 for b in data if 0x80 <= b <= 0x9F)
+        else:
+            enc = "latin-1"
+            cps = list(data)
+            n_c1 = sum(1 for b in data if 0x80 <= b <= 0x9F)
+    return {
+        "encoding": enc,
+        "n_bytes": len(data),
+        "n_cps": len(cps),
+        "cp_sum": sum(cps),
+        "n_c1_recovered": n_c1,
+    }
+
+
+CHARSET_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("encoding", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_cps", LongType()),
+        StructField("cp_sum", LongType()),
+        StructField("n_c1_recovered", LongType()),
+    ]
+)
+
+
+def _charset_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        b = bytes(blob) if blob is not None else b""
+        out.append({"media_id": int(mid), **charset_transcode(b)})
+    return pd.DataFrame(out, columns=[f.name for f in CHARSET_SCHEMA.fields])
+
+
+def charset_transcode_stats(df: DataFrame) -> DataFrame:
+    """Fallback-chain transcode over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _charset_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, CHARSET_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Fixture synthesis — mixed-encoding crawl tail
+# --------------------------------------------------------------------------
+
+# cp1252 stripe alphabet: three printable C1-range bytes (the smart
+# quotes + em dash a Word-authored page actually contains), one high
+# latin-1 byte, two ASCII. Any isolated 0x80-0xBF byte is an orphan
+# continuation in UTF-8, so the stripe can never accidentally
+# validate as UTF-8 once n >= 6.
+_CP_BYTES = (0x93, 0x94, 0x97, 0xE9, 0x41, 0x20)
+
+
+def _make_charset(i: int) -> bytes:
+    """Deterministic per-id stream of ``30 + i % 50`` units.
+
+    - ``i % 4 in (0, 1)``: valid UTF-8, unit k is the class
+      ``1 + (i + k) % 4`` representative (same four code points as
+      the utf8 fixtures);
+    - ``i % 4 == 2``: Windows-1252, unit k is byte
+      ``_CP_BYTES[(i + k) % 6]``;
+    - ``i % 4 == 3``: same cp1252 stream but every 7th unit (k % 7
+      == 3) is the UNDEFINED byte 0x9D -> the strict cp1252 pass
+      must fail and the doc falls through to latin-1."""
+    n = 30 + i % 50
+    v = i % 4
+    if v < 2:
+        reps = ("a", "é", "中", "\U0001f600")
+        return "".join(reps[(i + k) % 4] for k in range(n)).encode("utf-8")
+    out = bytearray()
+    for k in range(n):
+        if v == 3 and k % 7 == 3:
+            out.append(0x9D)
+        else:
+            out.append(_CP_BYTES[(i + k) % 6])
+    return bytes(out)
+
+
+def synthesize_charset_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of mixed-encoding byte streams."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_charset(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "bytes",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

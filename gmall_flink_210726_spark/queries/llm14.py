@@ -171,3 +171,62 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mt = bpe_train(docs, n_merges=10).orderBy("rnk").collect()
     merges = [(r["left_sym"], r["right_sym"]) for r in mt]
     return bpe_encode(docs, merges)
+
+
+@register(
+    "text_charset_fallback",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 4 AS v,
+                      30 + doc_id % 50 AS n
+               FROM documents),
+    u AS (SELECT i, v, n, unnest(range(0, n)) AS k FROM m),
+    c AS (SELECT i, v, k,
+            CASE WHEN v < 2
+                   THEN [97, 233, 20013, 128512][1 + (i + k) % 4]
+                 WHEN v = 2
+                   THEN [8220, 8221, 8212, 233, 65, 32][1 + (i + k) % 6]
+                 WHEN k % 7 = 3 THEN 157
+                 ELSE [147, 148, 151, 233, 65, 32][1 + (i + k) % 6]
+            END AS cp,
+            CASE WHEN v < 2 THEN [1, 2, 3, 4][1 + (i + k) % 4]
+                 ELSE 1 END AS nb,
+            CASE WHEN v < 2 THEN 0
+                 WHEN v = 3 AND k % 7 = 3 THEN 1
+                 WHEN (i + k) % 6 < 3 THEN 1
+                 ELSE 0 END AS c1
+          FROM u)
+    SELECT i AS media_id,
+           CASE WHEN v < 2 THEN 'utf-8'
+                WHEN v = 2 THEN 'cp1252'
+                ELSE 'latin-1' END AS encoding,
+           CAST(SUM(nb) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_cps,
+           CAST(SUM(cp) AS BIGINT) AS cp_sum,
+           CAST(SUM(c1) AS BIGINT) AS n_c1_recovered
+    FROM c GROUP BY i, v
+    """,
+    doc="Charset fallback transcode — the C4/CCNet front-door step "
+    "that RECOVERS the non-UTF-8 crawl tail instead of dropping it: "
+    "strict UTF-8 (the from-scratch RFC 3629 walk) first, then "
+    "Windows-1252 with the real hand-written 0x80-0x9F table (27 "
+    "printable mappings; the five UNDEFINED bytes make strict "
+    "cp1252 fail), then latin-1 as the never-fails floor. Fixture "
+    "stripes: half the ids valid mixed-class UTF-8, a quarter "
+    "Word-style cp1252 (smart quotes / em dash, never accidentally "
+    "valid UTF-8 because isolated 0x80-0xBF bytes are orphan "
+    "continuations), a quarter with the undefined 0x9D injected so "
+    "the chain demonstrably falls through. The oracle recomputes "
+    "encoding labels, byte/code-point counts, code-point SUMS (any "
+    "wrong table entry shifts them) and C1-range recovery counts "
+    "blind from the write formulas. Arrow-batched mapInPandas, "
+    "zero shuffle. operators/charset.py charset_transcode",
+    tags=("llm", "text"),
+)
+def text_charset_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.charset import (
+        charset_transcode_stats,
+        synthesize_charset_media,
+    )
+
+    media = synthesize_charset_media(load_table(spark, sf_dir, "documents"))
+    return charset_transcode_stats(media)
