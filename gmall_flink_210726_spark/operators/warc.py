@@ -422,3 +422,181 @@ def synthesize_warc_html_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WET conversion records (CommonCrawl's *.warc.wet.gz): WARC-Type
+# 'conversion' with a text/plain payload that IS the pre-extracted
+# text. Real pipelines consume CC through either door — raw WARC
+# (HTML extract per response) or WET (passthrough) — so the combined
+# walk accepts BOTH record types in one stream: response bodies go
+# through the tag-grammar extractor, conversion payloads split to
+# their non-empty lines unchanged.
+# --------------------------------------------------------------------------
+
+WARC_TEXT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_responses", LongType()),
+        StructField("n_conversions", LongType()),
+        StructField("title", StringType()),
+        StructField("n_blocks", LongType()),
+        StructField("n_words", LongType()),
+        StructField("body_text", StringType()),
+    ]
+)
+
+
+def _walk_warc_text(data: bytes) -> dict | None:
+    """Gzip members -> WARC records -> text, accepting response
+    (HTML extraction) AND conversion (WET passthrough: non-empty
+    lines become blocks, bytes untouched). Any layer failing degrades
+    the whole stream."""
+    from gmall_flink_210726_spark.operators.html import extract_text
+
+    members = iter_gzip_members(data)
+    if members is None:
+        return None
+    n = n_resp = n_conv = 0
+    title = ""
+    blocks: list[str] = []
+    for _name, payload in members:
+        rec = parse_warc_record(payload)
+        if rec is None:
+            return None
+        n += 1
+        if rec["type"] == "response":
+            res = extract_text(rec["content"].decode("latin-1"))
+            if res is None:
+                return None
+            if not title:
+                title = res["title"]
+            blocks.extend(res["blocks"])
+            n_resp += 1
+        elif rec["type"] == "conversion":
+            text = rec["content"].decode("latin-1")
+            blocks.extend(ln for ln in text.split("\n") if ln != "")
+            n_conv += 1
+    return {
+        "n_records": n,
+        "n_responses": n_resp,
+        "n_conversions": n_conv,
+        "title": title,
+        "n_blocks": len(blocks),
+        "n_words": sum(len(b.split(" ")) for b in blocks),
+        "body_text": "\n".join(blocks),
+    }
+
+
+def _warc_text_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_records": 0,
+            "n_responses": 0,
+            "n_conversions": 0,
+            "title": "",
+            "n_blocks": 0,
+            "n_words": 0,
+            "body_text": "",
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = _walk_warc_text(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="warc", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in WARC_TEXT_SCHEMA.fields]
+    )
+
+
+def warc_text_extract(df: DataFrame) -> DataFrame:
+    """WARC + WET combined ingest pass over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _warc_text_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, WARC_TEXT_SCHEMA
+    )
+
+
+def _make_wet_stream(i: int, text: str) -> bytes:
+    """Mixed-record fixture: a warcinfo, then by ``i % 3`` — 0: one
+    HTML response; 1: one WET conversion (payload = the doc text as
+    two lines with a BLANK line between, proving the empty-line
+    drop); 2: both, response first. Every 13th id declares the LAST
+    record's Content-Length one byte long (WARC layer, CRC-clean
+    below); response-bearing ids keep the HTML fixture's every-11th
+    unclosed-script stripe (HTML layer)."""
+    from gmall_flink_210726_spark.operators.html import _make_html
+    from gmall_flink_210726_spark.operators.inflate import _run_text
+
+    ws = text.split(" ")
+    h = len(ws) // 2
+    conv = (" ".join(ws[:h]) + "\n\n" + " ".join(ws[h:])).encode("latin-1")
+    uri = f"http://example.com/doc/{i}"
+    v = i % 3
+    specs: list[tuple[str, str, bytes]] = [
+        ("warcinfo", "", _run_text(i, 0, 60))
+    ]
+    if v != 1:
+        specs.append(
+            ("response", uri, _make_html(i, text).encode("latin-1"))
+        )
+    if v != 0:
+        specs.append(("conversion", uri, conv))
+    bad_len = i % 13 == 0
+    parts = []
+    for j, (t, u, c) in enumerate(specs):
+        dl = len(c) + 1 if bad_len and j == len(specs) - 1 else None
+        parts.append(_gzip_member(make_warc_record(t, u, c, dl)))
+    return b"".join(parts)
+
+
+def synthesize_wet_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of mixed WARC/WET .gz streams."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id", "text"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_wet_stream(int(i), t)
+                        for i, t in zip(ids, pdf["text"])
+                    ],
+                    "meta": [
+                        {
+                            "format": "warc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)

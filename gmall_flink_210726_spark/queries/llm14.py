@@ -230,3 +230,80 @@ def text_charset_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_charset_media(load_table(spark, sf_dir, "documents"))
     return charset_transcode_stats(media)
+
+
+@register(
+    "multimodal_wet_text",
+    oracle="""
+    WITH s AS (SELECT doc_id AS media_id, doc_id % 3 AS v,
+                      doc_id % 13 = 0 OR
+                      (doc_id % 11 = 0 AND doc_id % 3 <> 1) AS bad,
+                      string_split(text, ' ') AS ws,
+                      1 + doc_id % 3 AS nli
+               FROM documents),
+    b AS (SELECT media_id, v, bad, nli, len(ws) AS nw,
+                 array_to_string(ws[1:len(ws)//2], ' ') AS p1,
+                 array_to_string(ws[len(ws)//2+1:len(ws)], ' ') AS p2
+          FROM s),
+    h AS (SELECT *,
+            'Heading ' || CAST(media_id AS VARCHAR) || chr(10)
+            || p1 || chr(10) || p2 || chr(10)
+            || array_to_string(
+                 ['item ' || CAST(media_id AS VARCHAR) || ' '
+                  || CAST(j AS VARCHAR) for j in range(0, nli)],
+                 chr(10))
+            || chr(10)
+            || 'amp & lt < gt > quote " num A hex B link '
+            || CAST(media_id AS VARCHAR) || ' end' AS hbody,
+            p1 || chr(10) || p2 AS cbody
+          FROM b)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'warc' END AS format,
+           CAST(CASE WHEN bad THEN 0 WHEN v = 2 THEN 3
+                ELSE 2 END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad OR v = 1 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_responses,
+           CAST(CASE WHEN bad OR v = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_conversions,
+           CASE WHEN bad OR v = 1 THEN ''
+                ELSE 'Doc ' || CAST(media_id AS VARCHAR) END AS title,
+           CAST(CASE WHEN bad THEN 0 ELSE
+                  (CASE WHEN v <> 1 THEN 4 + nli ELSE 0 END)
+                + (CASE WHEN v <> 0 THEN 2 ELSE 0 END)
+                END AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN bad THEN 0 ELSE
+                  (CASE WHEN v <> 1 THEN 2 + nw + 3 * nli + 15
+                        ELSE 0 END)
+                + (CASE WHEN v <> 0 THEN nw ELSE 0 END)
+                END AS BIGINT) AS n_words,
+           CASE WHEN bad THEN ''
+                WHEN v = 0 THEN hbody
+                WHEN v = 1 THEN cbody
+                ELSE hbody || chr(10) || cbody END AS body_text
+    FROM h
+    """,
+    doc="WET conversion records in the WARC walk — CommonCrawl's "
+    "OTHER front door (*.warc.wet.gz): WARC-Type 'conversion' with a "
+    "text/plain payload that IS the pre-extracted text. The combined "
+    "walk accepts BOTH record types per stream: response bodies go "
+    "through the HTML tag-grammar extractor, conversion payloads "
+    "pass through as their non-empty lines (a deliberate blank line "
+    "in every fixture payload proves the drop). Mixed-record "
+    "fixture by id: a third response-only, a third conversion-only, "
+    "a third BOTH; the oracle reconstructs the exact combined body "
+    "text, block/word/record-type counts and title blind from the "
+    "parquet text column. Corruption strikes per layer: every 13th "
+    "id lies about the last record's Content-Length (WARC layer, "
+    "CRC-clean below), response-bearing every-11th ids keep the "
+    "unclosed-script swallow (HTML layer). operators/warc.py "
+    "warc_text_extract",
+    tags=("llm", "multimodal", "text"),
+)
+def multimodal_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_wet_media,
+        warc_text_extract,
+    )
+
+    media = synthesize_wet_media(load_table(spark, sf_dir, "documents"))
+    return warc_text_extract(media)

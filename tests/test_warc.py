@@ -147,3 +147,59 @@ class TestWarcHtmlE2E:
         assert _walk_warc_html(
             _make_warc_html_stream(12, "a b c d")
         ) is None
+
+
+class TestWetConversion:
+    def test_conversion_passthrough_and_blank_line_drop(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _gzip_member,
+            _walk_warc_text,
+            make_warc_record,
+        )
+
+        rec = make_warc_record(
+            "conversion", "http://example.com/x", b"line one\n\nline two"
+        )
+        st = _walk_warc_text(_gzip_member(rec))
+        assert st["n_conversions"] == 1 and st["n_responses"] == 0
+        assert st["body_text"] == "line one\nline two"
+        assert st["n_blocks"] == 2 and st["n_words"] == 4
+        assert st["title"] == ""
+
+    def test_mixed_stream_orders_response_then_conversion(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _gzip_member,
+            _walk_warc_text,
+            make_warc_record,
+        )
+
+        html = (
+            b"<html><head><title>T</title></head>"
+            b"<body><p>alpha beta</p></body></html>"
+        )
+        parts = [
+            _gzip_member(make_warc_record("warcinfo", "", b"info")),
+            _gzip_member(
+                make_warc_record("response", "http://e.com/1", html)
+            ),
+            _gzip_member(
+                make_warc_record("conversion", "http://e.com/1", b"gamma")
+            ),
+        ]
+        st = _walk_warc_text(b"".join(parts))
+        assert st["n_records"] == 3
+        assert (st["n_responses"], st["n_conversions"]) == (1, 1)
+        assert st["body_text"] == "alpha beta\ngamma"
+        assert st["title"] == "T"
+
+    def test_bad_length_degrades_whole_stream(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _gzip_member,
+            _walk_warc_text,
+            make_warc_record,
+        )
+
+        rec = make_warc_record(
+            "conversion", "http://e.com", b"text", declared_len=5
+        )
+        assert _walk_warc_text(_gzip_member(rec)) is None
