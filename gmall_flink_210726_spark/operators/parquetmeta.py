@@ -353,7 +353,9 @@ def _page_decompress(page: bytes, codec: int, usize: int) -> bytes | None:
     0 UNCOMPRESSED passthrough, 1 SNAPPY via the hand block
     decompressor, 2 GZIP via the hand RFC 1952 member walk over the
     shared ``_inflate_at`` block loop (CRC-32 + ISIZE proven per
-    member). Returns None on any codec-grammar violation."""
+    member), 6 ZSTD via the from-scratch RFC 8878 frame decoder
+    (FSE + Huffman + sequences). Returns None on any codec-grammar
+    violation."""
     if codec == 0:
         return page if len(page) == usize else None
     if codec == 1:
@@ -372,10 +374,18 @@ def _page_decompress(page: bytes, codec: int, usize: int) -> bytes | None:
             return None
         out = b"".join(payload for _, payload in members)
         return out if len(out) == usize else None
+    if codec == 6:
+        from gmall_flink_210726_spark.operators.zstd import zstd_decompress
+
+        try:
+            out = zstd_decompress(page)
+        except ValueError:
+            return None
+        return out if len(out) == usize else None
     return None
 
 
-_CODECS = (0, 1, 2)  # UNCOMPRESSED / SNAPPY / GZIP
+_CODECS = (0, 1, 2, 6)  # UNCOMPRESSED / SNAPPY / GZIP / ZSTD
 
 
 def read_parquet_column_k(data: bytes) -> dict | None:
@@ -907,6 +917,43 @@ def synthesize_parquet_gzip_media(docs: DataFrame) -> DataFrame:
                     "media_id": ids,
                     "content": [
                         _make_parquet(int(i), "GZIP", bad_stripe=11)
+                        for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_parquet_zstd_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of ZSTD-compressed parquet files (every
+    9th footer-length word smashed)."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_parquet(int(i), "ZSTD", bad_stripe=9)
                         for i in ids
                     ],
                     "meta": [

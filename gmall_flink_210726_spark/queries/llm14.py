@@ -307,3 +307,100 @@ def multimodal_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_wet_media(load_table(spark, sf_dir, "documents"))
     return warc_text_extract(media)
+
+
+@register(
+    "multimodal_zstd_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 9 = 0 AS bad,
+                      1 + doc_id % 3 AS n, doc_id % 5 = 0 AS skip
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'zstd' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN bad THEN 0 ELSE n // 2 END AS BIGINT)
+             AS n_checksummed,
+           CAST(CASE WHEN bad OR NOT skip THEN 0 ELSE 1 END AS BIGINT)
+             AS n_skippable,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([200 + (media_id * 43 + 29 * j) % 600
+                               for j in range(0, n)]) END AS BIGINT)
+             AS decoded_len,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([list_sum(
+                       [97 + ((media_id * 7 + 13 * j + (k // 5) * 11)
+                              % 7)
+                        for k in range(0,
+                            200 + (media_id * 43 + 29 * j) % 600)])
+                     for j in range(0, n)]) END AS BIGINT)
+             AS payload_sum
+    FROM m
+    """,
+    doc="Zstandard frame decode (RFC 8878) FROM SCRATCH — the modern "
+    "CommonCrawl/parquet codec, completing the hand codec family "
+    "next to DEFLATE/gzip/zlib/Snappy: FSE (tANS) table reads + "
+    "state machines, Huffman literals (FSE-compressed weight "
+    "tables, 4-stream split), all four sequence symbol-compression "
+    "modes, repeat offsets, LZ77 execute, and the content checksum "
+    "verified by a from-scratch XXH64. Streams are 1-3 concatenated "
+    "frames at compression levels 1/7/13/19 (different levels "
+    "exercise different entropy modes), odd frames checksummed, "
+    "every 5th id prefixed with a skippable frame. The corrupt "
+    "stripe (every 9th id) force-checksums all frames then flips "
+    "the last frame's middle byte, so degrade is deterministic "
+    "(grammar, size, or checksum — never a silent wrong decode). "
+    "The oracle recomputes frame counts and decoded byte sums blind "
+    "from the stateless run-text formula. Reference encoder "
+    "(pyarrow's bundled zstd) appears ONLY encoder-side. "
+    "operators/zstd.py zstd_decompress",
+    tags=("llm", "multimodal"),
+)
+def multimodal_zstd_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.zstd import (
+        synthesize_zstd_media,
+        zstd_frame_stats,
+    )
+
+    media = synthesize_zstd_media(load_table(spark, sf_dir, "documents"))
+    return zstd_frame_stats(media)
+
+
+@register(
+    "multimodal_parquet_zstd",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 9 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_values,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(media_id * 7 + 3 * r) % 1000
+                               for r in range(0, n)]) END AS BIGINT)
+             AS k_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_pages
+    FROM m
+    """,
+    doc="ZSTD-compressed parquet column read — the page codec modern "
+    "lakehouses default to — under the same page walk as "
+    "multimodal_parquet_column, each page decompressed by the from-"
+    "scratch RFC 8878 frame decoder (FSE + Huffman + sequences, "
+    "decoded length proven against the page header's uncompressed "
+    "size). Pages are compressed by pyarrow's reference encoder; "
+    "the oracle recomputes exact column sums blind; every 9th id's "
+    "smashed footer length degrades. operators/parquetmeta.py "
+    "_page_decompress, operators/zstd.py zstd_decompress",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_zstd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_column_stats,
+        synthesize_parquet_zstd_media,
+    )
+
+    media = synthesize_parquet_zstd_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_column_stats(media)

@@ -1,0 +1,185 @@
+"""Zstandard frame decoder (RFC 8878): round-trip against the
+reference encoder across levels/shapes, XXH64 vectors, corruption
+rejection, parquet ZSTD pages (operators/zstd.py)."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pyarrow as pa
+import pytest
+
+from gmall_flink_210726_spark.operators.zstd import (
+    add_content_checksum,
+    iter_zstd_frames,
+    xxh64,
+    zstd_decompress,
+)
+
+
+def _gen(rng, n, mode):
+    if mode == 0:
+        return bytes(rng.randrange(256) for _ in range(n))
+    if mode == 1:
+        words = [
+            bytes(rng.choice(b"etaoinshrdlu") for _ in range(rng.randrange(2, 9)))
+            for _ in range(20)
+        ]
+        out = bytearray()
+        while len(out) < n:
+            out += rng.choice(words) + b" "
+        return bytes(out[:n])
+    unit = bytes(rng.randrange(256) for _ in range(rng.randrange(3, 40)))
+    return (unit * (n // len(unit) + 1))[:n]
+
+
+class TestRoundTrip:
+    def test_edge_inputs(self):
+        c = pa.Codec("zstd")
+        for d in (b"", b"a", b"ab", bytes(100), bytes(range(256)) * 3,
+                  b"hello hello hello world" * 10):
+            assert zstd_decompress(bytes(c.compress(d))) == d
+
+    @pytest.mark.parametrize("level", [1, 3, 7, 12, 19, 22])
+    def test_levels_and_shapes(self, level):
+        """Different levels steer the encoder through different
+        literal/sequence entropy modes (raw/RLE/Huffman literals,
+        predefined/RLE/FSE/repeat sequence tables, 1/4 streams)."""
+        rng = random.Random(level)
+        c = pa.Codec("zstd", compression_level=level)
+        for mode in range(3):
+            for n in (40, 900, 6000, 70000):
+                d = _gen(rng, n, mode)
+                assert zstd_decompress(bytes(c.compress(d))) == d
+
+    def test_multi_block_large(self):
+        """> 128 KiB forces multiple blocks in one frame (treeless /
+        repeat-table paths across block boundaries)."""
+        rng = random.Random(7)
+        d = _gen(rng, 500_000, 1)
+        c = pa.Codec("zstd", compression_level=19)
+        assert zstd_decompress(bytes(c.compress(d))) == d
+
+    def test_multi_frame_concat_and_skippable(self):
+        c = pa.Codec("zstd")
+        a, b = b"first frame " * 30, b"second " * 50
+        skip = struct.pack("<II", 0x184D2A50, 5) + bytes(5)
+        stream = bytes(c.compress(a)) + skip + bytes(c.compress(b))
+        assert zstd_decompress(stream) == a + b
+        kinds = [
+            (p is None, chk) for p, chk in iter_zstd_frames(stream)
+        ]
+        assert kinds == [(False, False), (True, False), (False, False)]
+
+
+class TestChecksum:
+    def test_xxh64_known_vectors(self):
+        assert xxh64(b"") == 0xEF46DB3751D8E999
+        assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+        assert xxh64(b"abc") == 0x44BC2CF5AD770999
+
+    def test_checksummed_frame_verifies(self):
+        c = pa.Codec("zstd")
+        d = b"payload with checksum " * 20
+        frame = add_content_checksum(bytes(c.compress(d)))
+        assert zstd_decompress(frame) == d
+        assert list(iter_zstd_frames(frame))[0][1] is True
+
+    def test_corrupt_checksummed_frame_always_caught(self):
+        rng = random.Random(3)
+        d = _gen(rng, 4000, 1)
+        frame = add_content_checksum(
+            bytes(pa.Codec("zstd", compression_level=9).compress(d))
+        )
+        for _ in range(120):
+            k = rng.randrange(len(frame))
+            fr = bytearray(frame)
+            fr[k] ^= rng.randrange(1, 256)
+            with pytest.raises(ValueError):
+                zstd_decompress(bytes(fr))
+
+
+class TestRejection:
+    def test_bad_magic(self):
+        with pytest.raises(ValueError):
+            zstd_decompress(b"\x00\x11\x22\x33rest")
+
+    def test_truncations_never_crash(self):
+        c = pa.Codec("zstd", compression_level=5)
+        d = _gen(random.Random(1), 2000, 2)
+        frame = bytes(c.compress(d))
+        for cut in range(len(frame)):
+            try:
+                got = zstd_decompress(frame[:cut])
+            except ValueError:
+                continue
+            # pyarrow writes the content size: a truncated frame can
+            # never satisfy it
+            raise AssertionError(f"truncation at {cut} decoded {len(got)}")
+
+    def test_garbage_never_crashes(self):
+        rng = random.Random(4)
+        for _ in range(300):
+            g = b"\x28\xb5\x2f\xfd" + bytes(
+                rng.randrange(256) for _ in range(rng.randrange(60))
+            )
+            try:
+                zstd_decompress(g)
+            except ValueError:
+                pass
+
+    def test_dictionary_frames_rejected(self):
+        # descriptor with dict-id code 1
+        frame = b"\x28\xb5\x2f\xfd" + bytes([0x21, 0x07]) + b"\x01\x00\x00"
+        with pytest.raises(ValueError):
+            zstd_decompress(frame)
+
+
+class TestPredefinedTables:
+    def test_zero_run_uses_predefined_tables(self):
+        """bytes(100) compresses to 2 raw literals + one sequence
+        under all-predefined FSE tables — the exact shape that pinned
+        the ML default distribution bug during development."""
+        c = pa.Codec("zstd")
+        for n in (50, 100, 1000, 65000):
+            assert zstd_decompress(bytes(c.compress(bytes(n)))) == bytes(n)
+
+
+class TestParquetZstdPages:
+    def test_column_agrees_with_pyarrow(self):
+        import io
+
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet,
+            read_parquet_column_k,
+        )
+
+        for i in (2, 5, 13, 42):
+            blob = _make_parquet(i, "ZSTD", bad_stripe=9)
+            st = read_parquet_column_k(blob)
+            if i % 9 == 0:
+                assert st is None
+                continue
+            t = pq.read_table(io.BytesIO(blob))
+            assert st["n_values"] == t.num_rows
+            assert st["k_sum"] == sum(t.column("k").to_pylist())
+
+
+class TestFixtureContract:
+    def test_corrupt_stripe_deterministic(self):
+        from gmall_flink_210726_spark.operators.zstd import (
+            _make_zstd_stream,
+            zstd_stream_stats_one,
+        )
+
+        for i in range(40):
+            st = zstd_stream_stats_one(_make_zstd_stream(i))
+            assert (st is None) == (i % 9 == 0), i
+            if st is not None:
+                n = 1 + i % 3
+                assert st["n_frames"] == n
+                assert st["n_checksummed"] == n // 2
+                assert st["n_skippable"] == (1 if i % 5 == 0 else 0)
