@@ -969,3 +969,319 @@ def synthesize_parquet_zstd_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Parquet v2 data pages + the delta encodings modern writers default
+# to (parquet-format Encodings.md): DELTA_BINARY_PACKED for integers
+# (zigzag first value + per-block zigzag min_delta + bit-packed
+# miniblock deltas) and DELTA_LENGTH_BYTE_ARRAY for strings (a
+# delta-packed length run, then the concatenated bytes). V2 pages
+# carry their definition-level byte length explicitly in the
+# DataPageHeaderV2 and never compress the level bytes.
+# --------------------------------------------------------------------------
+
+
+def _delta_binary_packed(data: bytes, pos: int) -> tuple[list[int], int]:
+    """Decode one DELTA_BINARY_PACKED run starting at ``pos``.
+    Returns (values, new_pos). Raises ValueError on any grammar
+    violation (bit width > 64, counts that do not close, overruns)."""
+    r = _Reader(data, pos, len(data))
+    block_size = r.varint()
+    n_mini = r.varint()
+    total = r.varint()
+    first = r.zigzag()
+    if (
+        block_size <= 0
+        or n_mini <= 0
+        or block_size % 128
+        or block_size % n_mini
+    ):
+        raise ValueError("delta: bad block geometry")
+    per_mini = block_size // n_mini
+    if per_mini % 32:
+        raise ValueError("delta: miniblock size not a multiple of 32")
+    out = [first]
+    if total == 0:
+        raise ValueError("delta: empty run")  # always >= 1 per spec
+    while len(out) < total:
+        min_delta = r.zigzag()
+        widths = r.take(n_mini)
+        for w in widths:
+            if len(out) >= total:
+                break
+            if w > 64:
+                raise ValueError("delta: bit width too large")
+            take = min(per_mini, total - len(out))
+            if w == 0:
+                vals = [0] * take
+            else:
+                raw = r.take(per_mini * w // 8)
+                word = int.from_bytes(raw, "little")
+                mask = (1 << w) - 1
+                vals = [
+                    (word >> (j * w)) & mask for j in range(take)
+                ]
+            prev = out[-1]
+            for d in vals:
+                prev += min_delta + d
+                out.append(prev)
+    return out[:total], r.pos
+
+
+def read_parquet_columns_v2(data: bytes) -> dict | None:
+    """Footer -> column chunks 'k' (INT64, DELTA_BINARY_PACKED) and
+    's' (BYTE_ARRAY, DELTA_LENGTH_BYTE_ARRAY) -> DATA_PAGE_V2 pages.
+    Cross-checks: per-page num_values (nulls included) sum to each
+    chunk's num_values, chunks sum to the file row count, the V2
+    header's definition-levels byte length frames exactly, the
+    delta runs' own total_value_count matches the page, and the
+    string section's concatenated bytes are consumed exactly."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    row_groups = meta.get(4)
+    if not isinstance(num_rows, int) or not isinstance(row_groups, list):
+        return None
+    n_values = n_pages = 0
+    k_sum = s_bytes_sum = 0
+    for rg in row_groups:
+        cols = rg.get(1) if isinstance(rg, dict) else None
+        if not isinstance(cols, list):
+            return None
+        chunks: dict[bytes, dict] = {}
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if isinstance(cm, dict) and cm.get(3) in ([b"k"], [b"s"]):
+                chunks[cm[3][0]] = cm
+        if set(chunks) != {b"k", b"s"}:
+            return None
+        rg_rows = rg.get(3)
+        if not isinstance(rg_rows, int):
+            return None
+        for name, want_type, want_enc in (
+            (b"k", 2, 5),   # INT64, DELTA_BINARY_PACKED
+            (b"s", 6, 6),   # BYTE_ARRAY, DELTA_LENGTH_BYTE_ARRAY
+        ):
+            chunk = chunks[name]
+            codec = chunk.get(4)
+            if chunk.get(1) != want_type or codec not in _CODECS:
+                return None
+            n_vals = chunk.get(5)
+            off = chunk.get(9)
+            if not isinstance(n_vals, int) or not isinstance(off, int):
+                return None
+            try:
+                got = 0
+                pos = off
+                while got < n_vals:
+                    r = _Reader(data, pos, len(data))
+                    ph = _read_struct(r)
+                    if ph.get(1) != 3:  # DATA_PAGE_V2
+                        return None
+                    dph = ph.get(8)
+                    if not isinstance(dph, dict) or dph.get(4) != want_enc:
+                        return None
+                    pn = dph.get(1)
+                    nnull = dph.get(2)
+                    dlen = dph.get(5)
+                    rlen = dph.get(6)
+                    psize, usize = ph.get(3), ph.get(2)
+                    if (
+                        not isinstance(pn, int)
+                        or not isinstance(psize, int)
+                        or not isinstance(dlen, int)
+                        or rlen != 0
+                        or nnull != 0  # fixture columns are dense
+                    ):
+                        return None
+                    page = data[r.pos : r.pos + psize]
+                    if len(page) != psize:
+                        return None
+                    # v2: level bytes are NEVER compressed; the data
+                    # section is, unless is_compressed (field 7) = false
+                    levels = page[:dlen]
+                    if dlen:
+                        lv = _decode_rle_hybrid(levels, pn, 1)
+                        if len(lv) != pn or any(v != 1 for v in lv):
+                            return None
+                    body = page[dlen:]
+                    if dph.get(7, True):
+                        body = _page_decompress(
+                            body, codec, usize - dlen
+                        )
+                        if body is None:
+                            return None
+                    vals, used = _delta_binary_packed(body, 0)
+                    if len(vals) != pn:
+                        return None
+                    if name == b"k":
+                        if used != len(body):
+                            return None
+                        k_sum += sum(vals)
+                    else:
+                        if any(v < 0 for v in vals):
+                            return None
+                        if used + sum(vals) != len(body):
+                            return None  # bytes must be consumed exactly
+                        s_bytes_sum += sum(body[used:])
+                        n_pages += 0  # counted on the k walk only
+                    if name == b"k":
+                        n_pages += 1
+                    got += pn
+                    pos = r.pos + psize
+                if got != n_vals:
+                    return None
+                if name == b"k":
+                    if n_vals != rg_rows:
+                        return None
+                    n_values += n_vals
+            except ValueError:
+                return None
+    if n_values != num_rows:
+        return None
+    return {
+        "n_values": n_values,
+        "n_pages": n_pages,
+        "k_sum": k_sum,
+        "s_bytes_sum": s_bytes_sum,
+    }
+
+
+def _make_parquet_v2(i: int, bad_stripe: int = 10) -> bytes:
+    """``10 + i % 90`` rows, ``1 + i % 3`` row groups, format-v2 data
+    pages: column 'k' INT64 DELTA_BINARY_PACKED with NEGATIVE values
+    (zigzag + negative min_delta both exercise), column 's'
+    DELTA_LENGTH_BYTE_ARRAY. Page codec rotates NONE/SNAPPY/GZIP/ZSTD
+    by id — all four hand decoders under the v2 page shape. Every
+    ``bad_stripe``-th id gets its first 'k' data PageHeader smashed."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10 + i % 90
+    g = 1 + i % 3
+    table = pa.table(
+        {
+            "k": pa.array(
+                [(i * 7 + 3 * r) % 1000 - 400 for r in range(n)],
+                pa.int64(),
+            ),
+            "s": pa.array([f"word{(i + 2 * r) % 9}" for r in range(n)]),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        table,
+        buf,
+        version="2.6",
+        data_page_version="2.0",
+        use_dictionary=False,
+        column_encoding={
+            "k": "DELTA_BINARY_PACKED",
+            "s": "DELTA_LENGTH_BYTE_ARRAY",
+        },
+        compression=("NONE", "SNAPPY", "GZIP", "ZSTD")[i % 4],
+        write_statistics=False,
+        row_group_size=-(-n // g),
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        off = (
+            pq.ParquetFile(io.BytesIO(bytes(blob)))
+            .metadata.row_group(0)
+            .column(0)
+            .data_page_offset
+        )
+        blob[off : off + 4] = b"\xff\xff\xff\xff"
+    return bytes(blob)
+
+
+PQV2_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_values", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("k_sum", LongType()),
+        StructField("s_bytes_sum", LongType()),
+    ]
+)
+
+
+def _pqv2_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_values": 0,
+            "n_pages": 0,
+            "k_sum": 0,
+            "s_bytes_sum": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_parquet_columns_v2(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="parquet", **st)
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in PQV2_SCHEMA.fields])
+
+
+def parquet_v2_stats(df: DataFrame) -> DataFrame:
+    """Hand-decoded v2-page delta-encoded read over MEDIA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pqv2_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, PQV2_SCHEMA)
+
+
+def synthesize_parquet_v2_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of format-v2 delta-encoded parquet files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_parquet_v2(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

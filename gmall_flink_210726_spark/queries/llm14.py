@@ -404,3 +404,54 @@ def multimodal_parquet_zstd(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_column_stats(media)
+
+
+@register(
+    "multimodal_parquet_v2_delta",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 10 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_values,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(media_id * 7 + 3 * r) % 1000 - 400
+                               for r in range(0, n)]) END AS BIGINT)
+             AS k_sum,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 492 * n + list_sum([(media_id + 2 * r) % 9
+                                         for r in range(0, n)])
+                END AS BIGINT) AS s_bytes_sum
+    FROM m
+    """,
+    doc="Parquet FORMAT-V2 data pages + the delta encodings modern "
+    "writers default to, from scratch: DataPageHeaderV2 (explicit "
+    "definition-level byte length, levels never compressed, "
+    "is_compressed flag), DELTA_BINARY_PACKED int64 (zigzag first "
+    "value, per-block zigzag min_delta, bit-packed miniblocks — "
+    "NEGATIVE values in the fixture exercise both sign paths) and "
+    "DELTA_LENGTH_BYTE_ARRAY strings (delta-packed length run, "
+    "concatenated bytes consumed exactly). The page codec rotates "
+    "NONE/SNAPPY/GZIP/ZSTD by id, so all four hand decoders run "
+    "under the v2 page shape in one query. Cross-checks: per-page "
+    "counts sum to chunk counts sum to file rows, the delta run's "
+    "own total matches the page, the byte section length closes. "
+    "The oracle recomputes both column checksums blind; every 10th "
+    "id's smashed first PageHeader degrades. "
+    "operators/parquetmeta.py read_parquet_columns_v2",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_v2_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_v2_stats,
+        synthesize_parquet_v2_media,
+    )
+
+    media = synthesize_parquet_v2_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_v2_stats(media)

@@ -289,3 +289,87 @@ class TestDictionaryRead:
         t = pq.read_table(io.BytesIO(blob))
         assert st["n_values"] == t.num_rows
         assert st["k_sum"] == sum(t.column("k").to_pylist())
+
+
+class TestV2DeltaRead:
+    def test_values_agree_with_pyarrow(self):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            read_parquet_columns_v2,
+        )
+
+        for n, g, comp in (
+            (100, 1, "NONE"), (57, 2, "SNAPPY"),
+            (230, 3, "GZIP"), (1000, 2, "ZSTD"),
+        ):
+            t = pa.table(
+                {
+                    "k": pa.array(
+                        [(n * 7 + 3 * r) % 1000 - 400 for r in range(n)],
+                        pa.int64(),
+                    ),
+                    "s": pa.array([f"word{r % 9}" for r in range(n)]),
+                }
+            )
+            buf = io.BytesIO()
+            pq.write_table(
+                t, buf, version="2.6", data_page_version="2.0",
+                use_dictionary=False,
+                column_encoding={
+                    "k": "DELTA_BINARY_PACKED",
+                    "s": "DELTA_LENGTH_BYTE_ARRAY",
+                },
+                compression=comp, write_statistics=False,
+                row_group_size=-(-n // g),
+            )
+            st = read_parquet_columns_v2(buf.getvalue())
+            tt = pq.read_table(io.BytesIO(buf.getvalue()))
+            assert st["n_values"] == tt.num_rows
+            assert st["k_sum"] == sum(tt.column("k").to_pylist())
+            assert st["s_bytes_sum"] == sum(
+                sum(v.encode()) for v in tt.column("s").to_pylist()
+            )
+
+    def test_delta_binary_packed_grammar(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _delta_binary_packed,
+        )
+
+        # hand-built run: block 128, 4 miniblocks, 3 values, first=5,
+        # one block: min_delta=-2, widths [2,0,0,0], deltas 3,1 -> 
+        # values 5, 5-2+3=6, 6-2+1=5
+        import struct as _s
+
+        def vi(x):  # unsigned varint
+            out = b""
+            while True:
+                b = x & 0x7F
+                x >>= 7
+                out += bytes([b | (0x80 if x else 0)])
+                if not x:
+                    return out
+
+        def zz(x):
+            return vi((x << 1) ^ (x >> 63) if x >= 0 else ((-x) << 1) - 1)
+
+        blob = (
+            vi(128) + vi(4) + vi(3) + zz(5)
+            + zz(-2) + bytes([2, 0, 0, 0])
+            + int.to_bytes(0b01_11, 8, "little")  # 32 2-bit lanes, first two: 3,1
+        )
+        vals, used = _delta_binary_packed(blob, 0)
+        assert vals == [5, 6, 5]
+        assert used == len(blob)
+
+    def test_corrupt_stripe_and_smashed_header_degrade(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_v2,
+            read_parquet_columns_v2,
+        )
+
+        assert read_parquet_columns_v2(_make_parquet_v2(10)) is None
+        assert read_parquet_columns_v2(b"PAR1junkPAR1") is None
