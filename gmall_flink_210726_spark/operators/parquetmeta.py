@@ -1285,3 +1285,514 @@ def synthesize_parquet_v2_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# The remaining v2 encodings: BYTE_STREAM_SPLIT for floating point
+# (k-th bytes of all values grouped into k streams — a pure
+# transposition that makes FP bytes compressible) and
+# DELTA_BYTE_ARRAY for strings (front coding: delta-packed PREFIX
+# lengths, then a DELTA_LENGTH_BYTE_ARRAY suffix section; value i =
+# value[i-1][:prefix_len[i]] + suffix[i]).
+# --------------------------------------------------------------------------
+
+
+def _delta_byte_array(body: bytes) -> list[bytes]:
+    """DELTA_BYTE_ARRAY decode; consumes ``body`` exactly."""
+    prefixes, pos = _delta_binary_packed(body, 0)
+    suffix_lens, pos = _delta_binary_packed(body, pos)
+    if len(prefixes) != len(suffix_lens):
+        raise ValueError("dba: prefix/suffix count mismatch")
+    out: list[bytes] = []
+    for plen, slen in zip(prefixes, suffix_lens):
+        if plen < 0 or slen < 0 or pos + slen > len(body):
+            raise ValueError("dba: bad lengths")
+        if plen > (len(out[-1]) if out else 0):
+            raise ValueError("dba: prefix longer than previous value")
+        prev = out[-1][:plen] if plen else b""
+        out.append(prev + body[pos : pos + slen])
+        pos += slen
+    if pos != len(body):
+        raise ValueError("dba: body not consumed exactly")
+    return out
+
+
+def read_parquet_columns_bss_dba(data: bytes) -> dict | None:
+    """Footer -> column chunks 'v' (DOUBLE, BYTE_STREAM_SPLIT) and
+    's' (BYTE_ARRAY, DELTA_BYTE_ARRAY) over DATA_PAGE_V2 pages.
+    Proofs: quarter-sums of the reconstructed doubles (the fixture
+    writes exact quarter values, so 4*v is integer-exact) and the
+    byte-value checksum of the front-decoded strings."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    row_groups = meta.get(4)
+    if not isinstance(num_rows, int) or not isinstance(row_groups, list):
+        return None
+    n_values = n_pages = 0
+    v_q_sum = s_bytes_sum = 0
+    for rg in row_groups:
+        cols = rg.get(1) if isinstance(rg, dict) else None
+        if not isinstance(cols, list):
+            return None
+        chunks: dict[bytes, dict] = {}
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if isinstance(cm, dict) and cm.get(3) in ([b"v"], [b"s"]):
+                chunks[cm[3][0]] = cm
+        if set(chunks) != {b"v", b"s"}:
+            return None
+        for name, want_type, want_enc in (
+            (b"v", 5, 9),   # DOUBLE, BYTE_STREAM_SPLIT
+            (b"s", 6, 7),   # BYTE_ARRAY, DELTA_BYTE_ARRAY
+        ):
+            chunk = chunks[name]
+            codec = chunk.get(4)
+            if chunk.get(1) != want_type or codec not in _CODECS:
+                return None
+            n_vals = chunk.get(5)
+            off = chunk.get(9)
+            if not isinstance(n_vals, int) or not isinstance(off, int):
+                return None
+            try:
+                got = 0
+                pos = off
+                while got < n_vals:
+                    r = _Reader(data, pos, len(data))
+                    ph = _read_struct(r)
+                    if ph.get(1) != 3:  # DATA_PAGE_V2
+                        return None
+                    dph = ph.get(8)
+                    if not isinstance(dph, dict) or dph.get(4) != want_enc:
+                        return None
+                    pn, nnull = dph.get(1), dph.get(2)
+                    dlen, rlen = dph.get(5), dph.get(6)
+                    psize, usize = ph.get(3), ph.get(2)
+                    if (
+                        not isinstance(pn, int)
+                        or not isinstance(psize, int)
+                        or not isinstance(dlen, int)
+                        or rlen != 0
+                        or nnull != 0
+                    ):
+                        return None
+                    page = data[r.pos : r.pos + psize]
+                    if len(page) != psize:
+                        return None
+                    if dlen:
+                        lv = _decode_rle_hybrid(page[:dlen], pn, 1)
+                        if len(lv) != pn or any(v != 1 for v in lv):
+                            return None
+                    body = page[dlen:]
+                    if dph.get(7, True):
+                        body = _page_decompress(body, codec, usize - dlen)
+                        if body is None:
+                            return None
+                    if name == b"v":
+                        if len(body) != 8 * pn:
+                            return None
+                        for k in range(pn):
+                            # transpose back: byte j of value k sits
+                            # at stream j, position k
+                            word = bytes(
+                                body[j * pn + k] for j in range(8)
+                            )
+                            (val,) = struct.unpack("<d", word)
+                            q = val * 4.0
+                            if q != int(q):
+                                return None  # fixture contract broken
+                            v_q_sum += int(q)
+                        n_pages += 1
+                    else:
+                        vals = _delta_byte_array(body)
+                        if len(vals) != pn:
+                            return None
+                        s_bytes_sum += sum(sum(v) for v in vals)
+                    got += pn
+                    pos = r.pos + psize
+                if got != n_vals:
+                    return None
+                if name == b"v":
+                    n_values += n_vals
+            except ValueError:
+                return None
+    if n_values != num_rows:
+        return None
+    return {
+        "n_values": n_values,
+        "n_pages": n_pages,
+        "v_q_sum": v_q_sum,
+        "s_bytes_sum": s_bytes_sum,
+    }
+
+
+def _make_parquet_bss(i: int, bad_stripe: int = 11) -> bytes:
+    """``10 + i % 90`` rows, ``1 + i % 3`` row groups, v2 pages:
+    column 'v' DOUBLE in exact quarters (so 4*v is integer — the
+    reconstruction proof stays in integer space), BYTE_STREAM_SPLIT;
+    column 's' front-codable strings, DELTA_BYTE_ARRAY. Codec
+    rotates by id. Every ``bad_stripe``-th id gets the first 'v'
+    PageHeader smashed."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10 + i % 90
+    g = 1 + i % 3
+    table = pa.table(
+        {
+            "v": pa.array(
+                [((i * 7 + 3 * r) % 1000 - 300) / 4 for r in range(n)],
+                pa.float64(),
+            ),
+            "s": pa.array(
+                [f"pre_{i % 5}_{(i + 3 * r) % 9}" for r in range(n)]
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        table,
+        buf,
+        version="2.6",
+        data_page_version="2.0",
+        use_dictionary=False,
+        column_encoding={
+            "v": "BYTE_STREAM_SPLIT",
+            "s": "DELTA_BYTE_ARRAY",
+        },
+        compression=("NONE", "SNAPPY", "GZIP", "ZSTD")[i % 4],
+        write_statistics=False,
+        row_group_size=-(-n // g),
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        off = (
+            pq.ParquetFile(io.BytesIO(bytes(blob)))
+            .metadata.row_group(0)
+            .column(0)
+            .data_page_offset
+        )
+        blob[off : off + 4] = b"\xff\xff\xff\xff"
+    return bytes(blob)
+
+
+PQBSS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_values", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("v_q_sum", LongType()),
+        StructField("s_bytes_sum", LongType()),
+    ]
+)
+
+
+def parquet_bss_stats(df: DataFrame) -> DataFrame:
+    """Hand-decoded BYTE_STREAM_SPLIT + DELTA_BYTE_ARRAY read."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in PQBSS_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                row = {
+                    "media_id": mid,
+                    "format": "unknown",
+                    "n_values": 0,
+                    "n_pages": 0,
+                    "v_q_sum": 0,
+                    "s_bytes_sum": 0,
+                }
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_parquet_columns_bss_dba(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="parquet", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(gen, PQBSS_SCHEMA)
+
+
+def synthesize_parquet_bss_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of BYTE_STREAM_SPLIT/DELTA_BYTE_ARRAY
+    parquet files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_parquet_bss(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Statistics-based row-group skipping — the Iceberg/Delta "data
+# skipping" planning trick: a scan with a range predicate reads the
+# footer's per-chunk min/max statistics and never opens a row group
+# whose [min, max] cannot intersect the predicate. For groups that
+# ARE read, the decoded values' true min/max are cross-checked
+# against the stats — lying statistics on a read group degrade the
+# file (for skipped groups trust is inherent to the technique; that
+# asymmetry is the documented contract of every stats-pruning
+# engine).
+# --------------------------------------------------------------------------
+
+
+def parquet_stats_skip(
+    data: bytes, lo: int, hi: int
+) -> dict | None:
+    """Footer stats walk + predicate ``lo <= k <= hi`` with
+    row-group skipping; reads only unskippable groups' pages
+    (PLAIN int64 v1 pages, required column)."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    row_groups = meta.get(4)
+    if not isinstance(num_rows, int) or not isinstance(row_groups, list):
+        return None
+    n_groups = len(row_groups)
+    n_skipped = n_match = match_sum = n_rows_seen = 0
+    for rg in row_groups:
+        cols = rg.get(1) if isinstance(rg, dict) else None
+        if not isinstance(cols, list):
+            return None
+        chunk = None
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if isinstance(cm, dict) and cm.get(3) == [b"k"]:
+                chunk = cm
+                break
+        if chunk is None or chunk.get(1) != 2 or chunk.get(4) != 0:
+            return None  # INT64, UNCOMPRESSED only here
+        n_vals = chunk.get(5)
+        off = chunk.get(9)
+        stats = chunk.get(12)
+        if not isinstance(n_vals, int) or not isinstance(off, int):
+            return None
+        n_rows_seen += n_vals
+        smin = smax = None
+        if isinstance(stats, dict):
+            raw_max, raw_min = stats.get(5), stats.get(6)
+            if isinstance(raw_min, bytes) and len(raw_min) == 8:
+                smin = int.from_bytes(raw_min, "little", signed=True)
+            if isinstance(raw_max, bytes) and len(raw_max) == 8:
+                smax = int.from_bytes(raw_max, "little", signed=True)
+        if smin is not None and smax is not None and (
+            smax < lo or smin > hi
+        ):
+            n_skipped += 1  # planning-time elimination: pages untouched
+            continue
+        # read the group's pages
+        try:
+            got = 0
+            pos = off
+            vmin = vmax = None
+            while got < n_vals:
+                r = _Reader(data, pos, len(data))
+                ph = _read_struct(r)
+                if ph.get(1) != 0:
+                    return None
+                dph = ph.get(5)
+                if not isinstance(dph, dict) or dph.get(2) != 0:
+                    return None
+                pn = dph.get(1)
+                psize = ph.get(3)
+                if not isinstance(pn, int) or not isinstance(psize, int):
+                    return None
+                page = data[r.pos : r.pos + psize]
+                if len(page) != psize:
+                    return None
+                (dlen,) = struct.unpack_from("<I", page, 0)
+                levels = _decode_rle_hybrid(page[4 : 4 + dlen], pn, 1)
+                if len(levels) != pn or any(v != 1 for v in levels):
+                    return None
+                body = page[4 + dlen :]
+                if len(body) != 8 * pn:
+                    return None
+                for k in range(pn):
+                    (val,) = struct.unpack_from("<q", body, 8 * k)
+                    vmin = val if vmin is None or val < vmin else vmin
+                    vmax = val if vmax is None or val > vmax else vmax
+                    if lo <= val <= hi:
+                        n_match += 1
+                        match_sum += val
+                got += pn
+                pos = r.pos + psize
+            if got != n_vals:
+                return None
+            # stats truthfulness cross-check on READ groups
+            if smin is not None and vmin is not None and smin != vmin:
+                return None
+            if smax is not None and vmax is not None and smax != vmax:
+                return None
+        except ValueError:
+            return None
+    if n_rows_seen != num_rows:
+        return None
+    return {
+        "n_groups": n_groups,
+        "n_skipped": n_skipped,
+        "n_match": n_match,
+        "match_sum": match_sum,
+    }
+
+
+def _make_parquet_stats(i: int, bad_stripe: int = 12) -> bytes:
+    """``20 + i % 60`` rows of ``k = (i % 12) * 40 + r`` (a KNOWN
+    contiguous range per file), ``1 + i % 4`` row groups, v1 PLAIN
+    pages WITH statistics. Against the [300, 449] predicate this
+    geometry yields all three planner outcomes: ~half the files
+    fully skipped, a quarter fully read, and ~20%% MIXED (some
+    groups skipped, some read — the case that actually proves
+    per-group pruning). Every ``bad_stripe``-th id's footer length
+    is smashed."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 20 + i % 60
+    g = 1 + i % 4
+    base = (i % 12) * 40
+    table = pa.table(
+        {"k": pa.array([base + r for r in range(n)], pa.int64())}
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        table,
+        buf,
+        row_group_size=-(-n // g),
+        compression="NONE",
+        write_statistics=True,
+        use_dictionary=False,
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        struct.pack_into("<I", blob, len(blob) - 8, 0x7FFFFFFF)
+    return bytes(blob)
+
+
+PQSKIP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_groups", LongType()),
+        StructField("n_skipped", LongType()),
+        StructField("n_match", LongType()),
+        StructField("match_sum", LongType()),
+    ]
+)
+
+
+def parquet_skip_stats(df: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Stats-pruned range scan over MEDIA_SCHEMA parquet blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in PQSKIP_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                row = {
+                    "media_id": mid,
+                    "format": "unknown",
+                    "n_groups": 0,
+                    "n_skipped": 0,
+                    "n_match": 0,
+                    "match_sum": 0,
+                }
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = parquet_stats_skip(b, lo, hi)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="parquet", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(gen, PQSKIP_SCHEMA)
+
+
+def synthesize_parquet_stats_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of statistics-bearing parquet files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_parquet_stats(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -455,3 +455,123 @@ def multimodal_parquet_v2_delta(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_v2_stats(media)
+
+
+@register(
+    "multimodal_parquet_bss_dba",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 11 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_values,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(media_id * 7 + 3 * r) % 1000 - 300
+                               for r in range(0, n)]) END AS BIGINT)
+             AS v_q_sum,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 613 * n + n * (media_id % 5)
+                     + list_sum([(media_id + 3 * r) % 9
+                                 for r in range(0, n)])
+                END AS BIGINT) AS s_bytes_sum
+    FROM m
+    """,
+    doc="The remaining parquet v2 encodings from scratch: "
+    "BYTE_STREAM_SPLIT doubles (the k-th bytes of all values grouped "
+    "into k streams — transposed back and reconstructed as exact "
+    "IEEE quarters, so the proof sum stays in integer space) and "
+    "DELTA_BYTE_ARRAY strings (front coding: delta-packed PREFIX "
+    "lengths + a DELTA_LENGTH_BYTE_ARRAY suffix section, each value "
+    "spliced from its predecessor; prefix-longer-than-previous and "
+    "non-exact body consumption degrade). Codec rotates NONE/SNAPPY/"
+    "GZIP/ZSTD by id. The oracle recomputes quarter-sums and string "
+    "byte checksums blind; every 11th id's smashed first PageHeader "
+    "degrades. operators/parquetmeta.py read_parquet_columns_bss_dba",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_bss_dba(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_bss_stats,
+        synthesize_parquet_bss_media,
+    )
+
+    media = synthesize_parquet_bss_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_bss_stats(media)
+
+
+@register(
+    "multimodal_parquet_stats_skip",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 12 = 0 AS bad,
+                      20 + doc_id % 60 AS n, 1 + doc_id % 4 AS g,
+                      (doc_id % 12) * 40 AS base
+               FROM documents),
+    gdef AS (SELECT i, bad, n, g, base, (n + g - 1) // g AS sz,
+                    unnest(range(0, g)) AS j
+             FROM m),
+    grp AS (SELECT i, bad, g, base, j * sz AS lo_r,
+                   CASE WHEN (j + 1) * sz < n THEN (j + 1) * sz - 1
+                        ELSE n - 1 END AS hi_r
+            FROM gdef),
+    gag AS (SELECT i, bad, g,
+                   CASE WHEN base + hi_r < 300 OR base + lo_r > 449
+                        THEN 1 ELSE 0 END AS skipped,
+                   GREATEST(lo_r, 300 - base) AS mlo,
+                   LEAST(hi_r, 449 - base) AS mhi, base
+            FROM grp),
+    agg AS (SELECT i, bad, g AS n_groups,
+                   SUM(skipped) AS n_skipped,
+                   SUM(CASE WHEN skipped = 0 AND mhi >= mlo
+                            THEN mhi - mlo + 1 ELSE 0 END) AS n_match,
+                   SUM(CASE WHEN skipped = 0 AND mhi >= mlo
+                            THEN (mhi - mlo + 1) * base
+                                 + (mhi * (mhi + 1)
+                                    - (mlo - 1) * mlo) // 2
+                            ELSE 0 END) AS match_sum
+            FROM gag GROUP BY i, bad, g)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n_groups END AS BIGINT)
+             AS n_groups,
+           CAST(CASE WHEN bad THEN 0 ELSE n_skipped END AS BIGINT)
+             AS n_skipped,
+           CAST(CASE WHEN bad THEN 0 ELSE n_match END AS BIGINT)
+             AS n_match,
+           CAST(CASE WHEN bad THEN 0 ELSE match_sum END AS BIGINT)
+             AS match_sum
+    FROM agg
+    """,
+    doc="Statistics-based row-group SKIPPING — the Iceberg/Delta "
+    "data-skipping planning trick, hand-decoded: a range scan "
+    "(300 <= k <= 449) reads each chunk's min/max statistics from "
+    "the footer (Statistics thrift struct, signed 8-byte LE) and "
+    "never opens a row group whose [min, max] cannot intersect the "
+    "predicate; groups that ARE read get their true min/max cross-"
+    "checked against the claimed stats (lying stats on a read group "
+    "degrade the file — skipped groups trust stats, the documented "
+    "contract of every pruning engine). Fixture geometry yields all "
+    "three planner outcomes: ~half the files fully skipped, a "
+    "quarter fully read, ~20% MIXED (per-group pruning proven). The "
+    "oracle recomputes skip decisions and matching sums blind from "
+    "the write formulas via arithmetic series. "
+    "operators/parquetmeta.py parquet_stats_skip",
+    tags=("llm", "multimodal", "scan"),
+)
+def multimodal_parquet_stats_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_skip_stats,
+        synthesize_parquet_stats_media,
+    )
+
+    media = synthesize_parquet_stats_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_skip_stats(media, 300, 449)

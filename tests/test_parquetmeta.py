@@ -373,3 +373,128 @@ class TestV2DeltaRead:
 
         assert read_parquet_columns_v2(_make_parquet_v2(10)) is None
         assert read_parquet_columns_v2(b"PAR1junkPAR1") is None
+
+
+class TestBssDba:
+    def test_front_coding_exactness(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_bss,
+            read_parquet_columns_bss_dba,
+        )
+
+        import io
+
+        import pyarrow.parquet as pq
+
+        for i in (1, 2, 3, 4, 50):
+            blob = _make_parquet_bss(i)
+            st = read_parquet_columns_bss_dba(blob)
+            t = pq.read_table(io.BytesIO(blob))
+            assert st["n_values"] == t.num_rows
+            assert st["v_q_sum"] == sum(
+                round(v * 4) for v in t.column("v").to_pylist()
+            )
+            assert st["s_bytes_sum"] == sum(
+                sum(v.encode()) for v in t.column("s").to_pylist()
+            )
+
+    def test_corrupt_stripe_degrades(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_bss,
+            read_parquet_columns_bss_dba,
+        )
+
+        assert read_parquet_columns_bss_dba(_make_parquet_bss(11)) is None
+
+    def test_prefix_longer_than_previous_rejected(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _delta_byte_array,
+        )
+
+        import pytest
+
+        # prefixes [0, 9] but first value only 2 bytes long
+        def vi(x):
+            out = b""
+            while True:
+                b = x & 0x7F
+                x >>= 7
+                out += bytes([b | (0x80 if x else 0)])
+                if not x:
+                    return out
+
+        def zz(x):
+            return vi(x << 1 if x >= 0 else ((-x) << 1) - 1)
+
+        def run(first, deltas_w0_count):
+            return vi(128) + vi(4) + vi(deltas_w0_count) + zz(first) + (
+                (zz(0) + bytes([0, 0, 0, 0])) if deltas_w0_count > 1 else b""
+            )
+
+        body = run(9, 2) + run(2, 2) + b"abcd"  # prefixes 9,9 suffix 2,2
+        with pytest.raises(ValueError):
+            _delta_byte_array(body)
+
+
+class TestStatsSkip:
+    def test_skip_decisions_and_sums(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_stats,
+            parquet_stats_skip,
+        )
+
+        LO, HI = 300, 449
+        mixed = 0
+        for i in range(60):
+            st = parquet_stats_skip(_make_parquet_stats(i), LO, HI)
+            if i % 12 == 0:
+                assert st is None
+                continue
+            n = 20 + i % 60
+            g = 1 + i % 4
+            base = (i % 12) * 40
+            sz = -(-n // g)
+            ns = nm = ms = 0
+            for j in range(g):
+                lo_r, hi_r = j * sz, min(n, (j + 1) * sz) - 1
+                if base + hi_r < LO or base + lo_r > HI:
+                    ns += 1
+                else:
+                    for r in range(lo_r, hi_r + 1):
+                        if LO <= base + r <= HI:
+                            nm += 1
+                            ms += base + r
+            assert st == {
+                "n_groups": g,
+                "n_skipped": ns,
+                "n_match": nm,
+                "match_sum": ms,
+            }, i
+            if 0 < ns < g:
+                mixed += 1
+        assert mixed >= 5  # per-group (not per-file) pruning proven
+
+    def test_lying_stats_on_read_group_degrade(self):
+        """Tamper the min_value stat of a group the predicate READS:
+        the decoded true min must contradict it and degrade the
+        file. (Skipped groups trust stats — the documented pruning
+        contract.)"""
+        import io
+
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_stats,
+            parquet_stats_skip,
+        )
+
+        i = 7  # base 280, n 27, g 4, sz 7: groups 0-1 skip, 2-3 read
+        blob = bytearray(_make_parquet_stats(i))
+        assert parquet_stats_skip(bytes(blob), 300, 449) is not None
+        # group 2 (rows 294-300) IS read: shift ITS min_value stat
+        read_group_min = (i % 12) * 40 + 2 * 7
+        raw = read_group_min.to_bytes(8, "little", signed=True)
+        off = bytes(blob).rindex(raw)
+        blob[off] ^= 0x01
+        st = parquet_stats_skip(bytes(blob), 300, 449)
+        assert st is None
