@@ -249,3 +249,168 @@ def synthesize_charset_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# UTF-16 (RFC 2781): the other legacy-web encoding worth recovering.
+# Real crawl tails contain BOM-tagged UTF-16 (Windows tooling export,
+# sitemaps, some CJK pages); a front door that only knows UTF-8 and
+# single-byte code pages misclassifies all of it.
+# --------------------------------------------------------------------------
+
+
+def utf16_decode_strict(data: bytes) -> tuple[list[int], str] | None:
+    """BOM-sniffed strict UTF-16 decode (RFC 2781 §4.3): requires a
+    BOM (FF FE little / FE FF big — the unmarked-stream default is a
+    heuristic, not a decode), even byte length, correctly paired
+    surrogates (a high surrogate must be followed by a low one,
+    lone surrogates reject), and no code point above U+10FFFF (holds
+    by construction). Returns (code points, 'utf-16le'|'utf-16be')
+    or None."""
+    if len(data) < 2 or len(data) % 2:
+        return None
+    if data[:2] == b"\xff\xfe":
+        order = "little"
+        label = "utf-16le"
+    elif data[:2] == b"\xfe\xff":
+        order = "big"
+        label = "utf-16be"
+    else:
+        return None
+    units = [
+        int.from_bytes(data[i : i + 2], order)
+        for i in range(2, len(data), 2)
+    ]
+    out: list[int] = []
+    i = 0
+    while i < len(units):
+        u = units[i]
+        if 0xD800 <= u <= 0xDBFF:  # high surrogate
+            if i + 1 >= len(units):
+                return None  # truncated pair
+            v = units[i + 1]
+            if not 0xDC00 <= v <= 0xDFFF:
+                return None  # unpaired high surrogate
+            out.append(0x10000 + ((u - 0xD800) << 10) + (v - 0xDC00))
+            i += 2
+            continue
+        if 0xDC00 <= u <= 0xDFFF:
+            return None  # lone low surrogate
+        out.append(u)
+        i += 1
+    return out, label
+
+
+def charset_transcode_web(data: bytes) -> dict:
+    """The full web-tail chain: BOM-tagged UTF-16 first (a BOM is an
+    explicit declaration, so it outranks content sniffing), then
+    strict UTF-8, then cp1252, then the latin-1 floor."""
+    u16 = utf16_decode_strict(data)
+    if u16 is not None:
+        cps, label = u16
+        return {
+            "encoding": label,
+            "n_bytes": len(data),
+            "n_cps": len(cps),
+            "cp_sum": sum(cps),
+            "n_c1_recovered": 0,
+        }
+    return charset_transcode(data)
+
+
+def charset_web_stats(df: DataFrame) -> DataFrame:
+    """Web-tail fallback chain over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in CHARSET_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                out.append(
+                    {"media_id": int(mid), **charset_transcode_web(b)}
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, CHARSET_SCHEMA
+    )
+
+
+def _make_charset_web(i: int) -> bytes:
+    """Six stripes by ``i % 6``: 0 utf-16le with an astral pair per
+    4th unit, 1 utf-16be, 2 valid UTF-8, 3 cp1252, 4 latin-1
+    (undefined 0x9D), 5 CORRUPT utf-16 (BOM then an odd byte count
+    -> falls through the whole chain to latin-1, including the BOM
+    bytes themselves). ``25 + i % 40`` units."""
+    n = 25 + i % 40
+    v = i % 6
+    if v in (0, 1):
+        cps = [
+            0x10400 + (i + k) % 16 if (i + k) % 4 == 0
+            else 0x41 + (i + 3 * k) % 26
+            for k in range(n)
+        ]
+        units: list[int] = []
+        for c in cps:
+            if c >= 0x10000:
+                c -= 0x10000
+                units += [0xD800 + (c >> 10), 0xDC00 + (c & 0x3FF)]
+            else:
+                units.append(c)
+        order = "little" if v == 0 else "big"
+        bom = b"\xff\xfe" if v == 0 else b"\xfe\xff"
+        return bom + b"".join(u.to_bytes(2, order) for u in units)
+    if v == 2:
+        reps = ("a", "é", "中", "\U0001f600")
+        return "".join(reps[(i + k) % 4] for k in range(n)).encode("utf-8")
+    if v == 3:
+        return bytes(_CP_BYTES[(i + k) % 6] for k in range(n))
+    if v == 4:
+        return bytes(
+            0x9D if k % 7 == 3 else _CP_BYTES[(i + k) % 6]
+            for k in range(n)
+        )
+    # v == 5: BOM followed by an ODD number of bytes -> not UTF-16;
+    # the ASCII tail keeps it out of UTF-8 (0xFF lead) and cp1252
+    # keeps failing on 0x90
+    return b"\xff\xfe" + bytes(
+        0x90 if k % 9 == 2 else 0x61 + (i + k) % 13
+        for k in range(n * 2 + 1)
+    )
+
+
+def synthesize_charset_web_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of six-stripe web-tail byte streams."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_charset_web(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "bytes",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -575,3 +575,133 @@ def multimodal_parquet_stats_skip(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_skip_stats(media, 300, 449)
+
+
+@register(
+    "text_charset_web",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 6 AS v,
+                      25 + doc_id % 40 AS n
+               FROM documents),
+    u AS (SELECT i, v, n, unnest(range(0, n)) AS k FROM m
+          WHERE v < 5),
+    c AS (SELECT i, v, k,
+            CASE WHEN v < 2 THEN
+                   CASE WHEN (i + k) % 4 = 0
+                        THEN 66560 + (i + k) % 16
+                        ELSE 65 + (i + 3 * k) % 26 END
+                 WHEN v = 2
+                   THEN [97, 233, 20013, 128512][1 + (i + k) % 4]
+                 WHEN v = 3
+                   THEN [8220, 8221, 8212, 233, 65, 32][1 + (i + k) % 6]
+                 WHEN k % 7 = 3 THEN 157
+                 ELSE [147, 148, 151, 233, 65, 32][1 + (i + k) % 6]
+            END AS cp,
+            CASE WHEN v < 2 THEN
+                   CASE WHEN (i + k) % 4 = 0 THEN 4 ELSE 2 END
+                 WHEN v = 2 THEN [1, 2, 3, 4][1 + (i + k) % 4]
+                 ELSE 1 END AS nb,
+            CASE WHEN v < 3 THEN 0
+                 WHEN v = 4 AND k % 7 = 3 THEN 1
+                 WHEN (i + k) % 6 < 3 THEN 1
+                 ELSE 0 END AS c1
+          FROM u),
+    agg5 AS (SELECT i, v, n FROM m WHERE v = 5),
+    t5 AS (SELECT i, unnest(range(0, 2 * n + 1)) AS k, n FROM agg5),
+    c5 AS (SELECT i,
+                  CASE WHEN k % 9 = 2 THEN 144
+                       ELSE 97 + (i + k) % 13 END AS cp,
+                  CASE WHEN k % 9 = 2 THEN 1 ELSE 0 END AS c1
+           FROM t5),
+    lo AS (SELECT i,
+                  CASE WHEN v < 2 THEN 'utf-16' ||
+                         CASE WHEN v = 0 THEN 'le' ELSE 'be' END
+                       WHEN v = 2 THEN 'utf-8'
+                       WHEN v = 3 THEN 'cp1252'
+                       ELSE 'latin-1' END AS encoding,
+                  CAST(CASE WHEN v < 2 THEN 2 ELSE 0 END
+                       + SUM(nb) AS BIGINT) AS n_bytes,
+                  CAST(COUNT(*) AS BIGINT) AS n_cps,
+                  CAST(SUM(cp) AS BIGINT) AS cp_sum,
+                  CAST(SUM(c1) AS BIGINT) AS n_c1_recovered
+           FROM c JOIN m USING (i, v) GROUP BY i, v),
+    hi AS (SELECT c5.i, 'latin-1' AS encoding,
+                  CAST(COUNT(*) + 2 AS BIGINT) AS n_bytes,
+                  CAST(COUNT(*) + 2 AS BIGINT) AS n_cps,
+                  CAST(SUM(cp) + 255 + 254 AS BIGINT) AS cp_sum,
+                  CAST(SUM(c1) AS BIGINT) AS n_c1_recovered
+           FROM c5 GROUP BY c5.i)
+    SELECT i AS media_id, encoding, n_bytes, n_cps, cp_sum,
+           n_c1_recovered
+    FROM lo
+    UNION ALL
+    SELECT i AS media_id, encoding, n_bytes, n_cps, cp_sum,
+           n_c1_recovered
+    FROM hi
+    """,
+    doc="The FULL web-tail charset chain: BOM-tagged UTF-16 first "
+    "(a BOM is an explicit declaration, so it outranks content "
+    "sniffing; RFC 2781 strict — surrogates must pair, lone or "
+    "truncated pairs reject), then strict UTF-8, then Windows-1252, "
+    "then the latin-1 floor. Six fixture stripes: UTF-16LE and "
+    "UTF-16BE with an astral (surrogate-pair) code point every 4th "
+    "unit, valid UTF-8, cp1252, latin-1 via the undefined 0x9D, and "
+    "a CORRUPT UTF-16 stream (BOM + odd byte count) that must fall "
+    "through the entire chain to latin-1 with the BOM bytes "
+    "recovered as code points. The oracle recomputes encoding "
+    "labels, byte/code-point counts and code-point sums blind. "
+    "operators/charset.py charset_transcode_web",
+    tags=("llm", "text"),
+)
+def text_charset_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.charset import (
+        charset_web_stats,
+        synthesize_charset_web_media,
+    )
+
+    media = synthesize_charset_web_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return charset_web_stats(media)
+
+
+@register(
+    "crawl_robots_frontier",
+    oracle="""
+    WITH u AS (SELECT doc_id AS i, doc_id % 10 AS host,
+                      doc_id % 6 AS v
+               FROM documents),
+    a AS (SELECT i, host,
+                 CASE WHEN host % 3 = 0 THEN
+                        CASE WHEN v = 4 THEN 0 ELSE 1 END
+                      WHEN v IN (1, 3) THEN 0
+                      ELSE 1 END AS allowed
+          FROM u)
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(allowed) AS BIGINT) AS n_allowed,
+           CAST(SUM(allowed * i) AS BIGINT) AS allowed_id_sum
+    FROM a GROUP BY host ORDER BY host
+    """,
+    doc="robots.txt crawl governance (RFC 9309, the Robots Exclusion "
+    "Protocol) — the allow/deny join a compliant corpus pipeline "
+    "runs over its URL frontier BEFORE fetching: hand-written group "
+    "parser (consecutive User-agent lines, unknown fields ignored), "
+    "longest-UA-token group selection with '*' only as fallback and "
+    "NO rule merging, longest-pattern rule matching with allow "
+    "winning ties, '*' wildcards and '$' end anchors via a leftmost-"
+    "greedy segment scan. Fixture: 10 per-host robots files (total "
+    "ban for another bot, directory ban + longer allow carve-out + "
+    "wildcard-suffix ban for '*', and a bot-specific group on every "
+    "3rd host that REPLACES the '*' rules — allowing paths '*' "
+    "bans, the classic REP gotcha). The tiny robots side is parsed "
+    "once per worker (broadcast pattern); URLs never shuffle until "
+    "the per-host aggregate. Canonical REP matcher examples pinned "
+    "in tests. operators/robots.py robots_allowed",
+    tags=("llm", "text", "scan"),
+)
+def crawl_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.robots import (
+        robots_frontier_stats,
+    )
+
+    return robots_frontier_stats(load_table(spark, sf_dir, "documents"))

@@ -111,3 +111,66 @@ class TestFallbackChain:
         r = charset_transcode(b"plain")
         assert r["encoding"] == "utf-8"
         assert r["n_c1_recovered"] == 0
+
+
+class TestUtf16:
+    def test_fuzz_vs_python_codecs(self):
+        from gmall_flink_210726_spark.operators.charset import (
+            utf16_decode_strict,
+        )
+
+        rng = random.Random(2781)
+        for _ in range(3000):
+            b = bytes(rng.randrange(256) for _ in range(rng.randrange(24)))
+            got = utf16_decode_strict(b)
+            want = None
+            if len(b) >= 2 and len(b) % 2 == 0:
+                enc = {b"\xff\xfe": "utf-16-le", b"\xfe\xff": "utf-16-be"}.get(b[:2])
+                if enc:
+                    try:
+                        want = (
+                            [ord(c) for c in b[2:].decode(enc, "strict")],
+                            enc.replace("-16-", "-16"),
+                        )
+                    except UnicodeDecodeError:
+                        want = None
+            assert got == want, b.hex()
+
+    def test_surrogate_edges(self):
+        from gmall_flink_210726_spark.operators.charset import (
+            utf16_decode_strict,
+        )
+
+        # paired astral U+10437 little-endian
+        ok = utf16_decode_strict(b"\xff\xfe\x01\xd8\x37\xdc")
+        assert ok == ([0x10437], "utf-16le")
+        # lone high surrogate at EOF
+        assert utf16_decode_strict(b"\xff\xfe\x01\xd8") is None
+        # high followed by non-low
+        assert utf16_decode_strict(b"\xff\xfe\x01\xd8\x41\x00") is None
+        # lone low surrogate
+        assert utf16_decode_strict(b"\xff\xfe\x00\xdc") is None
+        # no BOM -> not handled by the strict decoder
+        assert utf16_decode_strict(b"\x41\x00\x42\x00") is None
+        # odd byte count
+        assert utf16_decode_strict(b"\xff\xfe\x41") is None
+
+    def test_web_chain_order(self):
+        from gmall_flink_210726_spark.operators.charset import (
+            charset_transcode_web,
+        )
+
+        # BOM outranks: these bytes are ALSO cp1252-decodable
+        r = charset_transcode_web(b"\xff\xfe\x41\x00")
+        assert r["encoding"] == "utf-16le" and r["cp_sum"] == 0x41
+        # plain ASCII stays utf-8
+        assert charset_transcode_web(b"hi")["encoding"] == "utf-8"
+        # BOM + odd length is not UTF-16; 0xFF/0xFE are defined in
+        # cp1252 (y-umlaut / thorn), so the chain settles there
+        r = charset_transcode_web(b"\xff\xfe\x41")
+        assert r["encoding"] == "cp1252"
+        assert r["cp_sum"] == 0xFF + 0xFE + 0x41
+        # ... and an undefined byte after the BOM reaches the floor
+        r = charset_transcode_web(b"\xff\xfe\x41\x90\x41")
+        assert r["encoding"] == "latin-1"
+        assert r["cp_sum"] == 0xFF + 0xFE + 0x41 + 0x90 + 0x41
