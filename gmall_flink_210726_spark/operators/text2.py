@@ -418,12 +418,17 @@ def bpe_encode(
     last-element fold is exact because a merged symbol is strictly
     longer than the pair's left symbol, so it can never re-match).
 
-    Scale shape: the merge table is bounded (K rows, a broadcast-
-    sized scalar), so it compiles into ONE Column expression — K
-    nested ``aggregate()`` folds inside a ``transform`` over the
-    word array. Encoding is therefore a pure JVM-side map with ZERO
-    shuffle at any corpus size: no join against a vocab table, no
-    Python worker, nothing leaves its input partition.
+    Scale shape — encode the VOCABULARY, not the corpus: the K
+    nested greedy folds are higher-order functions (Catalyst
+    evaluates them interpreted, never codegen), so running them per
+    word OCCURRENCE pays the expensive scan once per token; a
+    zipfian corpus repeats the same words endlessly. Instead the
+    corpus collapses to distinct words (the same move bpe_train
+    opens with), the fold expression runs once per DISTINCT word,
+    and per-word results join back to the exploded (doc, word)
+    pairs before the per-doc aggregation. At sf0.1 this is ~10x
+    less fold work; at 100 TB it is the difference between
+    tokenizing the vocabulary and re-tokenizing the corpus.
 
     Output per doc: ``n_words`` (whitespace tokens), ``n_tokens``
     (BPE symbols after all K merges), ``n_merged_tokens`` (symbols
@@ -447,25 +452,47 @@ def bpe_encode(
             f"array('{qa}{qb}')) "
             f"ELSE concat(acc{r}, array(s{r})) END)"
         )
-    toks = docs.select(
-        F.col(id_col), _words(text_col).alias("ws")
-    ).select(
-        id_col,
-        F.size("ws").cast("long").alias("n_words"),
-        F.expr(f"transform(ws, w0 -> {enc})").alias("toks"),
+    pairs = docs.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("w0")
     )
-    return toks.select(
-        id_col,
-        "n_words",
-        F.expr(
-            "aggregate(toks, 0L, (accT, tk) -> accT + size(tk))"
-        ).alias("n_tokens"),
-        F.expr(
-            "aggregate(toks, 0L, (accT, tk) -> accT + "
-            "size(filter(tk, sy -> length(sy) > 1)))"
-        ).alias("n_merged_tokens"),
-        F.expr(
-            "aggregate(toks, 0L, (accT, tk) -> accT + "
-            "aggregate(tk, 0L, (accS, sy) -> accS + length(sy)))"
-        ).alias("n_chars"),
+    per_word = (
+        pairs.select("w0")
+        .distinct()
+        .select(
+            "w0",
+            F.expr(enc).alias("tk"),
+        )
+        .select(
+            "w0",
+            F.size("tk").cast("long").alias("w_tokens"),
+            F.expr("size(filter(tk, sy -> length(sy) > 1))")
+            .cast("long")
+            .alias("w_merged"),
+            F.length("w0").cast("long").alias("w_chars_raw"),
+            F.expr("aggregate(tk, 0L, (accS, sy) -> accS + length(sy))")
+            .alias("w_chars"),
+        )
+    )
+    agg = (
+        pairs.join(per_word, "w0")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_tokens").cast("long").alias("n_tokens"),
+            F.sum("w_merged").cast("long").alias("n_merged_tokens"),
+            F.sum("w_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_merged_tokens", F.lit(0)).alias(
+                "n_merged_tokens"
+            ),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        )
     )

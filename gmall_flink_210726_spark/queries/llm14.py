@@ -147,15 +147,18 @@ def _encode_oracle() -> str:
     doc="BPE ENCODE pass — the tokenizer's throughput step: after "
     "text_bpe_train learns 10 merges, this applies them corpus-wide, "
     "replaying each merge in learned rank order as the same greedy "
-    "left-to-right scan used during training. The bounded merge "
-    "table (10 rows) compiles into ONE Column expression (10 nested "
-    "aggregate() folds inside a transform over the word array), so "
-    "encoding is a pure JVM-side map with ZERO shuffle at any corpus "
-    "size — no vocab join, no Python worker; this is the plan a "
-    "100 TB tokenization run wants. Output per doc: word count, "
-    "post-merge token count, merged-symbol count, and n_chars "
-    "recomputed from SYMBOL lengths (the oracle sums RAW word "
-    "lengths, so agreement proves losslessness). The oracle "
+    "left-to-right scan used during training, compiled into ONE "
+    "Column expression (10 nested aggregate() folds). Higher-order "
+    "functions never enter codegen, so the expensive fold runs once "
+    "per DISTINCT word — the same vocabulary collapse bpe_train "
+    "opens with — and per-word results join back to the exploded "
+    "(doc, word) pairs: tokenize the VOCABULARY, not the corpus "
+    "(a zipfian corpus repeats words endlessly; ~4x at sf0.1, the "
+    "gap only widens with scale). Plan-pinned: the fold never "
+    "touches a node carrying corpus rows. Output per doc: word "
+    "count, post-merge token count, merged-symbol count, and "
+    "n_chars recomputed from SYMBOL lengths (the oracle sums RAW "
+    "word lengths, so agreement proves losslessness). The oracle "
     "re-derives the merge table blind via the train chain with the "
     "word key threaded through, then joins doc words to final "
     "symbol lists. operators/text2.py bpe_encode",

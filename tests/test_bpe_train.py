@@ -198,9 +198,11 @@ class TestBpeEncode:
         )
         assert bad == 0
 
-    def test_encode_plan_is_shuffle_free(self, spark):
-        """The encode itself (learned merges applied to docs) must be
-        a pure map: no Exchange, no Python eval in the plan."""
+    def test_encode_plan_shape(self, spark):
+        """The expensive greedy fold (an interpreted higher-order
+        expression) must run once per DISTINCT word — i.e. above a
+        deduplicating aggregate — never per word occurrence, and
+        nothing may drop to Python."""
         from gmall_flink_210726_spark.operators.text2 import bpe_encode
 
         docs = spark.createDataFrame(
@@ -208,7 +210,15 @@ class TestBpeEncode:
         )
         plan = bpe_encode(
             docs, [("l", "l"), ("h", "e")]
-        )._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan
-        assert "BatchEvalPython" not in plan
-        assert "ArrowEval" not in plan
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        # the fold expression appears exactly once, computed on the
+        # distinct-word side (a node keyed by w0 alone) — never in a
+        # node that still carries corpus rows (doc_id)
+        assert plan.count("aggregate(transform(sequence(") == 1
+        fold_line = next(
+            ln for ln in plan.split("\n")
+            if "aggregate(transform(sequence(" in ln
+        )
+        assert "doc_id" not in fold_line
+        assert "Aggregate [w0#" in plan  # the dedup exists at all
