@@ -114,10 +114,16 @@ def wordpiece_encode(
 ) -> DataFrame:
     """Per-doc WordPiece stats under ``vocab``: word count, piece
     count, continuation-piece count (= pieces - words when nothing
-    is UNK), unk count."""
+    is UNK), unk count.
+
+    Same scale shape as ``bpe_encode``: the greedy segmenter runs
+    once per DISTINCT word (an Arrow-batched map over the word
+    vocabulary with the piece set closed over), per-word results
+    join back to the exploded (doc, word) pairs, and only the
+    per-doc aggregation shuffles corpus-sized data."""
     import pandas as pd
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from gmall_flink_210726_spark.session import (
         ensure_parallelism,
@@ -126,43 +132,61 @@ def wordpiece_encode(
 
     ship_package(docs.sparkSession)
     vset = set(vocab)
-    schema = StructType(
+    wschema = StructType(
         [
-            StructField("doc_id", LongType()),
-            StructField("n_words", LongType()),
-            StructField("n_pieces", LongType()),
-            StructField("n_cont_pieces", LongType()),
-            StructField("n_unk", LongType()),
+            StructField("w", StringType()),
+            StructField("w_pieces", LongType()),
+            StructField("w_cont", LongType()),
+            StructField("w_unk", LongType()),
         ]
     )
-    exploded = ensure_parallelism(
-        docs.select(F.col(id_col), _words(text_col).alias("ws"))
+    pairs = ensure_parallelism(
+        docs.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
     )
 
     def gen(batches):
         for pdf in batches:
             out = []
-            for did, ws in zip(pdf["doc_id"], pdf["ws"]):
-                nw = np = nc = nu = 0
-                for w in ws:
-                    nw += 1
-                    pieces = wordpiece_segment(w, vset)
-                    if pieces is None:
-                        nu += 1
-                        continue
-                    np += len(pieces)
-                    nc += sum(1 for p in pieces if p.startswith("##"))
-                out.append(
-                    {
-                        "doc_id": int(did),
-                        "n_words": nw,
-                        "n_pieces": np,
-                        "n_cont_pieces": nc,
-                        "n_unk": nu,
-                    }
-                )
+            for w in pdf["w"]:
+                pieces = wordpiece_segment(w, vset)
+                if pieces is None:
+                    out.append(
+                        {"w": w, "w_pieces": 0, "w_cont": 0, "w_unk": 1}
+                    )
+                else:
+                    out.append(
+                        {
+                            "w": w,
+                            "w_pieces": len(pieces),
+                            "w_cont": sum(
+                                1 for p in pieces if p.startswith("##")
+                            ),
+                            "w_unk": 0,
+                        }
+                    )
             yield pd.DataFrame(
-                out, columns=[f.name for f in schema.fields]
+                out, columns=[f.name for f in wschema.fields]
             )
 
-    return exploded.mapInPandas(gen, schema)
+    per_word = pairs.select("w").distinct().mapInPandas(gen, wschema)
+    agg = (
+        pairs.join(per_word, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_pieces").cast("long").alias("n_pieces"),
+            F.sum("w_cont").cast("long").alias("n_cont_pieces"),
+            F.sum("w_unk").cast("long").alias("n_unk"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+            F.coalesce("n_cont_pieces", F.lit(0)).alias("n_cont_pieces"),
+            F.coalesce("n_unk", F.lit(0)).alias("n_unk"),
+        )
+    )

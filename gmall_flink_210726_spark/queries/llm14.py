@@ -708,3 +708,104 @@ def crawl_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return robots_frontier_stats(load_table(spark, sf_dir, "documents"))
+
+
+_WP_ORACLE = r"""
+WITH RECURSIVE tok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+words AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tok GROUP BY w),
+cand AS MATERIALIZED (
+  SELECT u.piece AS piece, u.plen AS plen, ct
+  FROM (SELECT ct,
+               unnest(flatten(
+                 [[{'piece': CASE WHEN p = 0 THEN substring(w, 1, m)
+                        ELSE '##' || substring(w, p + 1, m) END,
+                    'plen': m}
+                   for m in range(1, least(4, length(w) - p) + 1)]
+                  for p in range(0, length(w))])) AS u
+        FROM words)),
+weighted AS MATERIALIZED (
+  SELECT piece, plen, CAST(SUM(ct) AS BIGINT) AS weight
+  FROM cand GROUP BY 1, 2),
+vocab AS MATERIALIZED (
+  SELECT piece FROM weighted WHERE plen = 1
+  UNION
+  SELECT piece FROM (
+    SELECT piece,
+           ROW_NUMBER() OVER (
+             PARTITION BY (piece LIKE '##%'), plen
+             ORDER BY weight DESC, piece) AS rk
+    FROM weighted WHERE plen > 1)
+  WHERE rk <= 30),
+seg AS (
+  SELECT w, 0 AS pos, 0 AS np FROM words
+  UNION ALL
+  SELECT s.w,
+         s.pos + CASE WHEN v4.piece IS NOT NULL THEN 4
+                      WHEN v3.piece IS NOT NULL THEN 3
+                      WHEN v2.piece IS NOT NULL THEN 2
+                      ELSE 1 END,
+         s.np + 1
+  FROM seg s
+  LEFT JOIN vocab v4
+    ON s.pos + 4 <= length(s.w)
+   AND v4.piece = CASE WHEN s.pos = 0 THEN substring(s.w, 1, 4)
+                       ELSE '##' || substring(s.w, s.pos + 1, 4) END
+  LEFT JOIN vocab v3
+    ON s.pos + 3 <= length(s.w)
+   AND v3.piece = CASE WHEN s.pos = 0 THEN substring(s.w, 1, 3)
+                       ELSE '##' || substring(s.w, s.pos + 1, 3) END
+  LEFT JOIN vocab v2
+    ON s.pos + 2 <= length(s.w)
+   AND v2.piece = CASE WHEN s.pos = 0 THEN substring(s.w, 1, 2)
+                       ELSE '##' || substring(s.w, s.pos + 1, 2) END
+  WHERE s.pos < length(s.w)),
+wseg AS MATERIALIZED (
+  SELECT w, np FROM seg WHERE pos = length(w)),
+agg AS MATERIALIZED (
+  SELECT t.doc_id, COUNT(*) AS n_words, SUM(ws.np) AS n_pieces,
+         SUM(ws.np - 1) AS n_cont
+  FROM tok t JOIN wseg ws ON t.w = ws.w GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(agg.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(agg.n_cont, 0) AS BIGINT) AS n_cont_pieces,
+       CAST(0 AS BIGINT) AS n_unk
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+@register(
+    "text_wordpiece_encode",
+    oracle=_WP_ORACLE,
+    doc="WordPiece tokenization (Wu et al. 2016; the BERT tokenizer) "
+    "— greedy LONGEST-match-first against a fixed vocabulary with "
+    "'##' continuation marking, completing the tokenizer family "
+    "next to bpe_train/bpe_encode. The vocabulary is induced "
+    "deterministically in-query: every single character per role "
+    "(start / continuation — guaranteeing no [UNK], the same reason "
+    "real pipelines add byte fallback) plus the top-30 most corpus-"
+    "frequent multi-char pieces per (kind, length<=4), ties broken "
+    "by piece text. Scale shape mirrors bpe_encode: the segmenter "
+    "runs once per DISTINCT word (Arrow-batched over the word "
+    "vocabulary, piece set closed over) and joins back to the "
+    "(doc, word) pairs. The oracle replays BOTH the vocabulary "
+    "induction (nested substring comprehension + windowed top-K) "
+    "and the greedy scan (a recursive CTE stepping longest-first "
+    "4/3/2/1 via vocab joins) blind. n_cont_pieces = n_pieces - "
+    "n_words doubles as a segmentation-count invariant. "
+    "operators/wordpiece.py wordpiece_segment",
+    tags=("llm", "text"),
+)
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.wordpiece import (
+        induce_vocab,
+        wordpiece_encode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_encode(docs, induce_vocab(docs))
