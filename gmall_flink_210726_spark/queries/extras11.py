@@ -131,3 +131,76 @@ def x50_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").cast("long").alias("b_max"),
         )
     )
+
+
+@register(
+    "x51_dynamic_partition_pruning",
+    oracle="""
+    WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    d AS (SELECT printf('1995-%02d', m) AS month, m % 3 AS season
+          FROM (SELECT unnest(range(1, 7)) AS m))
+    SELECT CAST(season AS BIGINT) AS season,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM f JOIN d USING (month) GROUP BY season
+    """,
+    doc="DYNAMIC partition pruning — the join-driven sibling of "
+    "x49's static pruning, and a Catalyst feature a 100 TB star "
+    "join lives on: the fact table is laid down partitioned by "
+    "month (same pay-once ingest as x49), then joined to a SMALL "
+    "filtered dimension (six 1995 months with a season attribute). "
+    "No literal month predicate exists on the fact side, so static "
+    "pruning cannot fire; instead Catalyst injects a dynamicpruning "
+    "subquery into the scan's PartitionFilters, reusing the dim's "
+    "broadcast to skip every non-matching month directory at run "
+    "time. tests/test_plans.py pins the dynamicpruningexpression on "
+    "the scan. Bench note: like x49, most of the wall time is the "
+    "deliberate in-query partitioned ingest. The oracle replays the "
+    "join blind. Spark: DPP (SPARK-11150) over partitionBy parquet.",
+    tags=("analytics", "layout", "scan"),
+)
+def x51_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="x51_dpp_")
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .write.partitionBy("month")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        dim = (
+            spark.range(1, 13)
+            .where(F.col("id") <= 6)  # the selective dim predicate
+            .select(
+                F.format_string(
+                    "1995-%02d", F.col("id").cast("int")
+                ).alias("month"),
+                (F.col("id") % 3).cast("long").alias("season"),
+            )
+        )
+        result = (
+            spark.read.parquet(out)
+            .join(dim, "month")
+            .groupBy("season")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -836,3 +836,54 @@ class TestRound9PlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "levenshtein" in plan  # threshold runs JVM-side
+
+
+class TestRound10PlanShapes:
+    def test_dynamic_pruning_reaches_the_scan(self, spark, tmp_path):
+        """x51's claim: with NO literal month predicate on the fact
+        side, the dim join still prunes partitions — Catalyst must
+        inject a dynamicpruningexpression into the scan's
+        PartitionFilters (DPP, reusing the dim broadcast)."""
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        out = str(tmp_path / "orders_by_month_dpp")
+        (
+            load_table(spark, SF_SMALL, "orders")
+            .select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                F.col("o_orderkey"),
+            )
+            .write.partitionBy("month")
+            .parquet(out)
+        )
+        dim = (
+            spark.range(1, 13)
+            .where(F.col("id") <= 6)
+            .select(
+                F.format_string(
+                    "1995-%02d", F.col("id").cast("int")
+                ).alias("month")
+            )
+        )
+        q = spark.read.parquet(out).join(dim, "month")
+        plan = _plan(q)
+        assert "dynamicpruningexpression" in plan
+        assert "PartitionFilters" in plan
+
+    def test_bpe_encode_runs_fold_on_distinct_words(self, spark):
+        """text_bpe_encode: the interpreted greedy fold must sit on
+        the distinct-word side, never in a node carrying doc ids."""
+        plan = (
+            SPECS["text_bpe_encode"]
+            .fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("aggregate(transform(sequence(") == 1
+        fold_line = next(
+            ln
+            for ln in plan.split("\n")
+            if "aggregate(transform(sequence(" in ln
+        )
+        assert "doc_id" not in fold_line
