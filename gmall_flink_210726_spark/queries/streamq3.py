@@ -888,3 +888,134 @@ def st21_stream_static_enrich(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st22_stream_warc_ingest",
+    oracle="""
+    WITH s AS (SELECT doc_id AS i, doc_id % 3 AS v,
+                      doc_id % 13 = 0 OR
+                      (doc_id % 11 = 0 AND doc_id % 3 <> 1) AS bad,
+                      len(string_split(text, ' ')) AS nw,
+                      1 + doc_id % 3 AS nli
+               FROM documents)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_streams,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 WHEN v = 2 THEN 3
+                    ELSE 2 END) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN bad OR v = 1 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_responses,
+           CAST(SUM(CASE WHEN bad OR v = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_conversions,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE
+                  (CASE WHEN v <> 1 THEN 4 + nli ELSE 0 END)
+                + (CASE WHEN v <> 0 THEN 2 ELSE 0 END)
+                END) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE
+                  (CASE WHEN v <> 1 THEN 2 + nw + 3 * nli + 15
+                        ELSE 0 END)
+                + (CASE WHEN v <> 0 THEN nw ELSE 0 END)
+                END) AS BIGINT) AS n_words
+    FROM s GROUP BY 1
+    """,
+    doc="STREAMING CommonCrawl ingest — the WARC/WET decode running "
+    "as a STRUCTURED STREAMING operator, not a batch afterthought: "
+    "mixed WARC/WET .gz streams arrive as a parquet file stream "
+    "(maxFilesPerTrigger paces multiple micro-batches), the full "
+    "hand-decode chain (gzip CRC walk -> WARC framing -> HTML "
+    "extraction / WET passthrough) runs via Arrow-batched "
+    "mapInPandas ON THE STREAM PLAN, and per-epoch per-bucket "
+    "partials flow through the checkpointed foreachBatch + "
+    "overwrite-idempotent epoch sink. Decode state is per-blob, so "
+    "the operator needs no state store and scales exactly like its "
+    "batch twin (multimodal_wet_text, whose per-layer corruption "
+    "stripes carry over). The oracle recomputes per-bucket record/ "
+    "block/word totals blind from the parquet text column. "
+    "operators/warc.py warc_text_extract",
+    tags=("streaming", "llm", "multimodal"),
+)
+def st22_stream_warc_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_wet_media,
+        warc_text_extract,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.sources.batch import load_table
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st22_src_")
+    out = tempfile.mkdtemp(prefix="st22_out_")
+    ckpt = tempfile.mkdtemp(prefix="st22_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_wet_media(load_table(spark, sf_dir, "documents"))
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        decoded = warc_text_extract(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_streams"),
+                F.sum(
+                    (F.col("format") == "warc").cast("long")
+                ).cast("long").alias("n_ok"),
+                F.sum("n_records").cast("long").alias("n_records"),
+                F.sum("n_responses").cast("long").alias("n_responses"),
+                F.sum("n_conversions").cast("long").alias(
+                    "n_conversions"
+                ),
+                F.sum("n_blocks").cast("long").alias("n_blocks"),
+                F.sum("n_words").cast("long").alias("n_words"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st22 warc ingest stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_streams").cast("long").alias("n_streams"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_records").cast("long").alias("n_records"),
+                F.sum("n_responses").cast("long").alias("n_responses"),
+                F.sum("n_conversions").cast("long").alias(
+                    "n_conversions"
+                ),
+                F.sum("n_blocks").cast("long").alias("n_blocks"),
+                F.sum("n_words").cast("long").alias("n_words"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
