@@ -382,10 +382,22 @@ def _page_decompress(page: bytes, codec: int, usize: int) -> bytes | None:
         except ValueError:
             return None
         return out if len(out) == usize else None
+    if codec == 7:  # LZ4_RAW: one plain LZ4 block per page
+        from gmall_flink_210726_spark.operators.lz4 import (
+            lz4_block_decompress,
+        )
+
+        try:
+            out = lz4_block_decompress(page, usize)
+        except ValueError:
+            return None
+        return out if len(out) == usize else None
     return None
 
 
-_CODECS = (0, 1, 2, 6)  # UNCOMPRESSED / SNAPPY / GZIP / ZSTD
+# UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4_RAW — every parquet
+# codec in practical use, all hand-decoded
+_CODECS = (0, 1, 2, 6, 7)
 
 
 def read_parquet_column_k(data: bytes) -> dict | None:
@@ -1783,6 +1795,43 @@ def synthesize_parquet_stats_media(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": ids,
                     "content": [_make_parquet_stats(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_parquet_lz4_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of LZ4_RAW-compressed parquet files (every
+    13th footer-length word smashed)."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_parquet(int(i), "LZ4", bad_stripe=13)
+                        for i in ids
+                    ],
                     "meta": [
                         {
                             "format": "parquet",

@@ -809,3 +809,96 @@ def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wordpiece_encode(docs, induce_vocab(docs))
+
+
+@register(
+    "multimodal_lz4_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 9 = 0 AS bad,
+                      1 + doc_id % 3 AS n, doc_id % 5 = 0 AS skip
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'lz4' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN bad THEN 0 ELSE n // 2 END AS BIGINT)
+             AS n_checksummed,
+           CAST(CASE WHEN bad OR NOT skip THEN 0 ELSE 1 END AS BIGINT)
+             AS n_skippable,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([220 + (media_id * 41 + 31 * j) % 700
+                               for j in range(0, n)]) END AS BIGINT)
+             AS decoded_len,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([list_sum(
+                       [97 + ((media_id * 7 + 13 * j + (k // 5) * 11)
+                              % 7)
+                        for k in range(0,
+                            220 + (media_id * 41 + 31 * j) % 700)])
+                     for j in range(0, n)]) END AS BIGINT)
+             AS payload_sum
+    FROM m
+    """,
+    doc="LZ4 frame decode from scratch (block + frame formats): "
+    "token/literal/offset sequence walk with linked-block history "
+    "windows (the reference encoder writes LINKED frames — matches "
+    "reach into previous blocks), frame descriptor whose HC byte is "
+    "(XXH32(descriptor)>>8)&0xFF — verified on every reference-"
+    "written frame, so the hand XXH32 is cross-checked against the "
+    "real encoder — stored-block flag, skippable frames, multi-"
+    "frame concat, and content checksums (added frame-surgically in "
+    "the fixture since the reference writes none). Every 9th id "
+    "force-checksums then flips the last frame's middle byte — "
+    "degrade is deterministic. The oracle recomputes frame counts "
+    "and decoded byte sums blind. operators/lz4.py "
+    "lz4_frame_decompress",
+    tags=("llm", "multimodal"),
+)
+def multimodal_lz4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.lz4 import (
+        lz4_frame_stats,
+        synthesize_lz4_media,
+    )
+
+    media = synthesize_lz4_media(load_table(spark, sf_dir, "documents"))
+    return lz4_frame_stats(media)
+
+
+@register(
+    "multimodal_parquet_lz4",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 13 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
+               FROM documents)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_values,
+           CAST(CASE WHEN bad THEN 0
+                ELSE list_sum([(media_id * 7 + 3 * r) % 1000
+                               for r in range(0, n)]) END AS BIGINT)
+             AS k_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_pages
+    FROM m
+    """,
+    doc="LZ4_RAW-compressed parquet column read (thrift codec 7, one "
+    "plain LZ4 block per page) under the same page walk as "
+    "multimodal_parquet_column — with this the page walk hand-"
+    "decodes EVERY parquet codec in practical use: UNCOMPRESSED, "
+    "SNAPPY, GZIP, ZSTD, LZ4_RAW. Decoded length proven against the "
+    "page header; the oracle recomputes exact column sums blind; "
+    "every 13th id's smashed footer length degrades. "
+    "operators/parquetmeta.py _page_decompress, operators/lz4.py "
+    "lz4_block_decompress",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_lz4(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_column_stats,
+        synthesize_parquet_lz4_media,
+    )
+
+    media = synthesize_parquet_lz4_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_column_stats(media)
