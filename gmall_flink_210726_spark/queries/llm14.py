@@ -902,3 +902,44 @@ def multimodal_parquet_lz4(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_column_stats(media)
+
+
+@register(
+    "text_blocklist_ac",
+    oracle="""
+    WITH p AS (SELECT unnest(['he','she','his','hers','in','ing',
+                              'ion','on','er','ers','the','then',
+                              'at','ate','rat','an','and']) AS pattern),
+    d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    c AS (SELECT doc_id, pattern,
+            CAST(COALESCE(list_sum(
+              [CASE WHEN substring(t, i, length(pattern)) = pattern
+                    THEN 1 ELSE 0 END
+               for i in range(1, length(t) - length(pattern) + 2)]),
+              0) AS BIGINT) AS n_hits
+          FROM d CROSS JOIN p)
+    SELECT doc_id, pattern, n_hits FROM c WHERE n_hits > 0
+    """,
+    doc="Aho-Corasick multi-pattern blocklist scan (Aho & Corasick "
+    "1975) — the phrase-screening pass every production corpus "
+    "filter runs (bad-word lists, PII triggers, benchmark-"
+    "contamination strings): ONE pass over each document matches "
+    "the whole pattern set, instead of one pass per phrase. Classic "
+    "construction from scratch: goto trie, BFS failure links, "
+    "output-link merging so OVERLAPPING and nested occurrences all "
+    "count — the blocklist deliberately contains the textbook "
+    "he/she/his/hers family plus nested in/ing/ion/on and er/ers "
+    "chains, so finding 'hers' must also report 'he' and 'ers'. "
+    "The oracle recomputes every per-(doc, pattern) overlapping "
+    "count position-by-position. The bounded pattern set builds "
+    "once per worker; Arrow-batched mapInPandas, zero shuffle "
+    "before the bounded (doc x pattern) output. "
+    "operators/ahocorasick.py ac_build/ac_count",
+    tags=("llm", "text"),
+)
+def text_blocklist_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.ahocorasick import (
+        blocklist_scan,
+    )
+
+    return blocklist_scan(load_table(spark, sf_dir, "documents"))
