@@ -943,3 +943,51 @@ def text_blocklist_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return blocklist_scan(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_idn_punycode",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 8 = 0 AS bad,
+                      3 + doc_id % 6 AS n
+               FROM documents)
+    SELECT i AS doc_id,
+           CASE WHEN bad THEN 'invalid' ELSE 'ok' END AS status,
+           CAST(CASE WHEN bad THEN 0 ELSE 3 END AS BIGINT) AS n_labels,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_idn_labels,
+           CAST(CASE WHEN bad THEN 0 ELSE 8 + n END AS BIGINT)
+             AS n_cps,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 100 + 48 + i % 10
+                     + 103 + 48 + i % 10
+                     + list_sum([945 + (i + k) % 24
+                                 for k in range(0, n)])
+                     + 448 END AS BIGINT) AS cp_sum
+    FROM m
+    """,
+    doc="Punycode / IDNA decode (RFC 3492) — internationalized "
+    "domains in the crawl front door: a URL dedup that treats "
+    "xn--nxasmq6b and its Unicode form as different hosts fetches "
+    "the same site twice, and homograph analysis needs the decoded "
+    "code points. The RFC's generalized-variable-length-integer "
+    "decode, bias adaptation and insertion reconstruction are "
+    "implemented from scratch (the RFC's own sample vectors and a "
+    "2000-case fuzz against the stdlib reference codec are pinned "
+    "in tests); strictness rejects invalid digits, overflow, "
+    "truncation, and xn-- labels that decode to pure ASCII (a "
+    "spoofing vector). Fixture hosts carry a formula-derived Greek "
+    "label encoded by the stdlib codec (encoder side only); every "
+    "8th id has an invalid '!' digit injected and must reject. The "
+    "oracle recomputes label/code-point counts and code-point sums "
+    "blind. operators/punycode.py punycode_decode",
+    tags=("llm", "text"),
+)
+def text_idn_punycode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.punycode import (
+        idn_decode_stats,
+        synthesize_idn_hosts,
+    )
+
+    hosts = synthesize_idn_hosts(load_table(spark, sf_dir, "documents"))
+    return idn_decode_stats(hosts)
