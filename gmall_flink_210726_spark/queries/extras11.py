@@ -204,3 +204,72 @@ def x51_dynamic_partition_pruning(
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "x52_runtime_bloom_join",
+    oracle="""
+    SELECT CAST(l.l_quantity AS BIGINT) AS qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY 1
+    """,
+    doc="RUNTIME bloom-filter join pushdown (SPARK-32268) — the "
+    "shuffle-join sibling of x51's DPP, and the third Catalyst "
+    "runtime-filtering lever after static pruning (x49) and DPP "
+    "(x51): when the probe side is too big to broadcast, Spark "
+    "builds a bloom filter from the SELECTIVE build side "
+    "(bloom_filter_agg over xxhash64 of the join key) and pushes a "
+    "might_contain() predicate into the probe scan, discarding "
+    "non-joining lineitem rows BEFORE the shuffle instead of after "
+    "it — at 100 TB that is the difference between shuffling the "
+    "fact table and shuffling the matches. Broadcast is disabled "
+    "and the application-side threshold lowered for the demo "
+    "(restored after); tests/test_plans.py pins might_contain + "
+    "bloom_filter_agg in the optimized plan. The oracle replays the "
+    "join blind; revenue sums as exact per-row cents.",
+    tags=("analytics", "join", "scan"),
+)
+def x52_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1",
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("qty")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -887,3 +887,42 @@ class TestRound10PlanShapes:
             if "aggregate(transform(sequence(" in ln
         )
         assert "doc_id" not in fold_line
+
+    def test_runtime_bloom_filter_reaches_probe_side(self, spark):
+        """x52's claim: with broadcast off, the selective build side
+        injects bloom_filter_agg + a might_contain predicate on the
+        probe scan — rows drop BEFORE the shuffle."""
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        saved = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "1",
+            )
+            li = load_table(spark, SF_SMALL, "lineitem").select(
+                "l_orderkey"
+            )
+            o = (
+                load_table(spark, SF_SMALL, "orders")
+                .where(F.col("o_totalprice") > 400000)
+                .select("o_orderkey")
+            )
+            q = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            plan = (
+                q._jdf.queryExecution().optimizedPlan().toString()
+            )
+            assert "might_contain" in plan
+            assert "bloom_filter_agg" in plan
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
