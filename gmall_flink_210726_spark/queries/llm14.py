@@ -991,3 +991,50 @@ def text_idn_punycode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hosts = synthesize_idn_hosts(load_table(spark, sf_dir, "documents"))
     return idn_decode_stats(hosts)
+
+
+@register(
+    "crawl_sitemap_parse",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 7 = 0 AS bad,
+                      doc_id % 2 = 0 AS isurl,
+                      length(CAST(doc_id AS VARCHAR)) AS li,
+                      1 + doc_id % 5 AS nu, 1 + doc_id % 3 AS ns
+               FROM documents)
+    SELECT i AS doc_id,
+           CASE WHEN bad THEN 'invalid'
+                WHEN isurl THEN 'urlset'
+                ELSE 'sitemapindex' END AS kind,
+           CAST(CASE WHEN bad THEN 0
+                WHEN isurl THEN nu ELSE ns END AS BIGINT) AS n_entries,
+           CAST(CASE WHEN bad THEN 0
+                WHEN isurl THEN nu * (32 + li)
+                ELSE ns * (29 + li) END AS BIGINT) AS loc_len_sum,
+           CAST(CASE WHEN bad OR NOT isurl THEN 0
+                ELSE list_sum([(i + j) % 10 for j in range(0, nu)])
+                END AS BIGINT) AS pri_x10_sum
+    FROM m
+    """,
+    doc="Sitemap XML parsing (sitemaps.org protocol 0.9) — the "
+    "fourth leg of the crawl-governance front door next to "
+    "robots.txt, URL canonicalization and IDN decode: a from-"
+    "scratch strict XML subset (declaration/comments, properly "
+    "nested tags with mismatch rejection, attribute tolerance, the "
+    "five predefined entities plus decimal/hex character "
+    "references) interpreted as urlset -> per-url loc/priority and "
+    "sitemapindex -> child sitemap locs (a real crawler walks "
+    "both). Fixture locs carry an ENTITY-ENCODED query string, so "
+    "loc_len_sum proves the decode (the oracle counts DECODED "
+    "characters blind); every 7th id closes the root with the "
+    "wrong tag and must reject — a truncated or mangled sitemap "
+    "never half-parses. operators/sitemap.py parse_sitemap",
+    tags=("llm", "text", "scan"),
+)
+def crawl_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.sitemap import (
+        sitemap_stats,
+        synthesize_sitemaps,
+    )
+
+    xml = synthesize_sitemaps(load_table(spark, sf_dir, "documents"))
+    return sitemap_stats(xml)
