@@ -273,3 +273,68 @@ def x52_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@register(
+    "x53_small_file_compaction",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1
+    """,
+    doc="Small-file COMPACTION — the lakehouse maintenance op "
+    "(Delta OPTIMIZE / Iceberg rewrite_data_files) that every "
+    "streaming ingest eventually owes: a micro-batch writer lands "
+    "the orders table as 64 tiny files (the small-file problem: at "
+    "100 TB that is millions of files, and scan planning + footer "
+    "reads dominate), then compaction rewrites them into 4 "
+    "scan-sized files using coalesce — which MERGES input splits "
+    "WITHOUT a shuffle, the property that makes compaction cheap: "
+    "rows never repartition, they just concatenate. The query "
+    "aggregates from the COMPACTED copy, so the oracle (plain "
+    "orders scan) doubles as a row-preservation proof across the "
+    "rewrite; tests pin the 64 -> 4 file collapse and the "
+    "shuffle-free rewrite plan. Bench note: the wall time IS the "
+    "double write (pay-once maintenance), like x49/x51.",
+    tags=("analytics", "layout", "scan"),
+)
+def x53_small_file_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    small = tempfile.mkdtemp(prefix="x53_small_")
+    big = tempfile.mkdtemp(prefix="x53_big_")
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.col("o_orderpriority").alias("priority"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .repartition(64)  # the streaming writer's tiny files
+            .write.mode("overwrite")
+            .parquet(small)
+        )
+        # compaction: merge splits, never shuffle rows
+        spark.read.parquet(small).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(big)
+        result = (
+            spark.read.parquet(big)
+            .groupBy("priority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("revenue_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(small, ignore_errors=True)
+        shutil.rmtree(big, ignore_errors=True)
+    return result

@@ -926,3 +926,34 @@ class TestRound10PlanShapes:
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
+
+    def test_compaction_collapses_files_without_shuffle(
+        self, spark, tmp_path
+    ):
+        """x53's claims: 64 small files become 4, and the rewrite
+        plan carries NO Exchange (coalesce merges splits in place)."""
+        import pathlib
+
+        from gmall_flink_210726_spark.sources.batch import load_table
+
+        small = str(tmp_path / "small")
+        big = str(tmp_path / "big")
+        (
+            load_table(spark, SF_SMALL, "orders")
+            .select("o_orderkey")
+            .repartition(64)
+            .write.parquet(small)
+        )
+        n_small = len(list(pathlib.Path(small).glob("*.parquet")))
+        assert n_small == 64
+        compacted = spark.read.parquet(small).coalesce(4)
+        plan = _plan(compacted)
+        assert "Exchange" not in plan
+        assert "Coalesce" in plan
+        compacted.write.parquet(big)
+        n_big = len(list(pathlib.Path(big).glob("*.parquet")))
+        assert n_big == 4
+        assert (
+            spark.read.parquet(big).count()
+            == spark.read.parquet(small).count()
+        )
