@@ -125,3 +125,52 @@ class TestParquetLz4Pages:
             t = pq.read_table(io.BytesIO(blob))
             assert st["n_values"] == t.num_rows
             assert st["k_sum"] == sum(t.column("k").to_pylist())
+
+
+class TestCliInterop:
+    """Frames from the reference CLI (skipped if absent) — exercises
+    the block-checksum and content-checksum paths a library encoder
+    does not write, plus block-independent mode."""
+
+    CLI = "/root/miniconda/bin/lz4"
+
+    def _cli(self, data: bytes, *flags: str) -> bytes:
+        import os
+        import subprocess
+        import tempfile
+
+        if not os.path.exists(self.CLI):
+            pytest.skip("lz4 CLI not available")
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            subprocess.run(
+                [self.CLI, "-q", "-f", *flags, path, path + ".lz4"],
+                check=True,
+            )
+            return open(path + ".lz4", "rb").read()
+        finally:
+            for p in (path, path + ".lz4"):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+    def test_block_checksums_verify(self):
+        rng = random.Random(11)
+        d = bytes(rng.choice(b"lz4 block checksum ") for _ in range(200_000))
+        frame = self._cli(d, "-9", "-B4", "-BX")
+        assert lz4_frame_decompress(frame) == d
+        # smash a payload byte inside the first block: the BLOCK
+        # checksum (not just content size) must catch it
+        fr = bytearray(frame)
+        fr[40] ^= 0x55
+        with pytest.raises(ValueError):
+            lz4_frame_decompress(bytes(fr))
+
+    def test_content_checksum_and_independence(self):
+        rng = random.Random(12)
+        d = bytes(rng.choice(b"abcdef \n") for _ in range(300_000))
+        frame = self._cli(d, "-1", "-B4", "-BI", "--content-size")
+        assert lz4_frame_decompress(frame) == d

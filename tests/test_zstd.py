@@ -183,3 +183,52 @@ class TestFixtureContract:
                 assert st["n_frames"] == n
                 assert st["n_checksummed"] == n // 2
                 assert st["n_skippable"] == (1 if i % 5 == 0 else 0)
+
+
+class TestCliInterop:
+    """Frames from the reference CLI (skipped if absent): checksummed
+    and non-single-segment (window-descriptor) frames the library
+    encoder does not produce."""
+
+    CLI = "/root/miniconda/bin/zstd"
+
+    def _cli(self, data: bytes, *flags: str) -> bytes:
+        import os
+        import subprocess
+        import tempfile
+
+        if not os.path.exists(self.CLI):
+            pytest.skip("zstd CLI not available")
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            f.write(data)
+            path = f.name
+        try:
+            subprocess.run(
+                [self.CLI, "-q", "-f", *flags, path, "-o", path + ".zst"],
+                check=True,
+            )
+            return open(path + ".zst", "rb").read()
+        finally:
+            for p in (path, path + ".zst"):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+    def test_checksummed_cli_frame(self):
+        rng = random.Random(21)
+        d = bytes(rng.choice(b"zstd cli checksum ") for _ in range(150_000))
+        frame = self._cli(d, "-5", "-C")
+        assert zstd_decompress(frame) == d
+        fr = bytearray(frame)
+        fr[len(fr) // 2] ^= 0x55
+        with pytest.raises(ValueError):
+            zstd_decompress(bytes(fr))
+
+    def test_window_descriptor_frame(self):
+        """--no-content-size frames are NOT single-segment: the
+        window-descriptor header path must parse."""
+        rng = random.Random(22)
+        d = bytes(rng.choice(b"abcdef \n") for _ in range(80_000))
+        frame = self._cli(d, "-3", "--no-content-size")
+        assert zstd_decompress(frame) == d
