@@ -600,3 +600,175 @@ def synthesize_wet_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# .warc.zst — the MODERN CommonCrawl container (CC distributes its
+# newer crawls zstd-compressed): one zstd frame per record, mirroring
+# the one-gzip-member-per-record convention, decoded by the from-
+# scratch RFC 8878 decoder instead of the RFC 1952 walk. Same record
+# grammar, same per-layer degrade contract — the whole web-corpus
+# front door now runs end-to-end on either codec family.
+# --------------------------------------------------------------------------
+
+
+def _walk_warc_zstd_text(data: bytes) -> dict | None:
+    """zstd frames -> WARC records -> text (response bodies through
+    the HTML extractor, conversion payloads passing through)."""
+    from gmall_flink_210726_spark.operators.html import extract_text
+    from gmall_flink_210726_spark.operators.zstd import iter_zstd_frames
+
+    n = n_resp = n_conv = 0
+    title = ""
+    blocks: list[str] = []
+    try:
+        frames = list(iter_zstd_frames(data))
+    except ValueError:
+        return None
+    for payload, _checked in frames:
+        if payload is None:
+            continue  # skippable frame (CC uses them for dictionaries)
+        rec = parse_warc_record(payload)
+        if rec is None:
+            return None
+        n += 1
+        if rec["type"] == "response":
+            res = extract_text(rec["content"].decode("latin-1"))
+            if res is None:
+                return None
+            if not title:
+                title = res["title"]
+            blocks.extend(res["blocks"])
+            n_resp += 1
+        elif rec["type"] == "conversion":
+            text = rec["content"].decode("latin-1")
+            blocks.extend(ln for ln in text.split("\n") if ln != "")
+            n_conv += 1
+    return {
+        "n_records": n,
+        "n_responses": n_resp,
+        "n_conversions": n_conv,
+        "title": title,
+        "n_blocks": len(blocks),
+        "n_words": sum(len(b.split(" ")) for b in blocks),
+        "body_text": "\n".join(blocks),
+    }
+
+
+def warc_zstd_text_extract(df: DataFrame) -> DataFrame:
+    """.warc.zst ingest pass over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                row = {
+                    "media_id": mid,
+                    "format": "unknown",
+                    "n_records": 0,
+                    "n_responses": 0,
+                    "n_conversions": 0,
+                    "title": "",
+                    "n_blocks": 0,
+                    "n_words": 0,
+                    "body_text": "",
+                }
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = _walk_warc_zstd_text(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="warc", **st)
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WARC_TEXT_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, WARC_TEXT_SCHEMA
+    )
+
+
+def _make_warc_zstd_stream(i: int, text: str) -> bytes:
+    """Same mixed-record layout as ``_make_wet_stream`` (warcinfo +
+    response/conversion by ``i % 3``) but each record rides its own
+    ZSTD frame (reference-encoder compressed, level rotating with
+    id); every 5th id prefixes a skippable frame (CC's dictionary
+    slot). Corruption stripes mirror the gzip twin: every 13th id
+    lies about the LAST record's Content-Length (the zstd layer
+    still decodes — only WARC framing catches it), response-bearing
+    every-11th ids keep the unclosed-script HTML stripe."""
+    import struct as _s
+
+    import pyarrow as pa
+
+    from gmall_flink_210726_spark.operators.html import _make_html
+    from gmall_flink_210726_spark.operators.inflate import _run_text
+
+    codec = pa.Codec("zstd", compression_level=1 + 6 * (i % 4))
+    ws = text.split(" ")
+    h = len(ws) // 2
+    conv = (" ".join(ws[:h]) + "\n\n" + " ".join(ws[h:])).encode("latin-1")
+    uri = f"http://example.com/doc/{i}"
+    v = i % 3
+    specs: list[tuple[str, str, bytes]] = [
+        ("warcinfo", "", _run_text(i, 0, 60))
+    ]
+    if v != 1:
+        specs.append(
+            ("response", uri, _make_html(i, text).encode("latin-1"))
+        )
+    if v != 0:
+        specs.append(("conversion", uri, conv))
+    bad_len = i % 13 == 0
+    parts = []
+    if i % 5 == 0:
+        pad = bytes(4 + i % 8)
+        parts.append(_s.pack("<II", 0x184D2A50, len(pad)) + pad)
+    for j, (t, u, c) in enumerate(specs):
+        dl = len(c) + 1 if bad_len and j == len(specs) - 1 else None
+        parts.append(
+            bytes(codec.compress(make_warc_record(t, u, c, dl)))
+        )
+    return b"".join(parts)
+
+
+def synthesize_warc_zstd_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of .warc.zst streams."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id", "text"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_warc_zstd_stream(int(i), t)
+                        for i, t in zip(ids, pdf["text"])
+                    ],
+                    "meta": [
+                        {
+                            "format": "warc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)

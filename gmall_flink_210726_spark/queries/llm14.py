@@ -1038,3 +1038,82 @@ def crawl_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     xml = synthesize_sitemaps(load_table(spark, sf_dir, "documents"))
     return sitemap_stats(xml)
+
+
+@register(
+    "multimodal_warc_zstd",
+    oracle="""
+    WITH s AS (SELECT doc_id AS media_id, doc_id % 3 AS v,
+                      doc_id % 13 = 0 OR
+                      (doc_id % 11 = 0 AND doc_id % 3 <> 1) AS bad,
+                      string_split(text, ' ') AS ws,
+                      1 + doc_id % 3 AS nli
+               FROM documents),
+    b AS (SELECT media_id, v, bad, nli, len(ws) AS nw,
+                 array_to_string(ws[1:len(ws)//2], ' ') AS p1,
+                 array_to_string(ws[len(ws)//2+1:len(ws)], ' ') AS p2
+          FROM s),
+    h AS (SELECT *,
+            'Heading ' || CAST(media_id AS VARCHAR) || chr(10)
+            || p1 || chr(10) || p2 || chr(10)
+            || array_to_string(
+                 ['item ' || CAST(media_id AS VARCHAR) || ' '
+                  || CAST(j AS VARCHAR) for j in range(0, nli)],
+                 chr(10))
+            || chr(10)
+            || 'amp & lt < gt > quote " num A hex B link '
+            || CAST(media_id AS VARCHAR) || ' end' AS hbody,
+            p1 || chr(10) || p2 AS cbody
+          FROM b)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'warc' END AS format,
+           CAST(CASE WHEN bad THEN 0 WHEN v = 2 THEN 3
+                ELSE 2 END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad OR v = 1 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_responses,
+           CAST(CASE WHEN bad OR v = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_conversions,
+           CASE WHEN bad OR v = 1 THEN ''
+                ELSE 'Doc ' || CAST(media_id AS VARCHAR) END AS title,
+           CAST(CASE WHEN bad THEN 0 ELSE
+                  (CASE WHEN v <> 1 THEN 4 + nli ELSE 0 END)
+                + (CASE WHEN v <> 0 THEN 2 ELSE 0 END)
+                END AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN bad THEN 0 ELSE
+                  (CASE WHEN v <> 1 THEN 2 + nw + 3 * nli + 15
+                        ELSE 0 END)
+                + (CASE WHEN v <> 0 THEN nw ELSE 0 END)
+                END AS BIGINT) AS n_words,
+           CASE WHEN bad THEN ''
+                WHEN v = 0 THEN hbody
+                WHEN v = 1 THEN cbody
+                ELSE hbody || chr(10) || cbody END AS body_text
+    FROM h
+    """,
+    doc=".warc.zst ingest — the MODERN CommonCrawl container (newer "
+    "CC crawls ship zstd-compressed): one zstd frame per record, "
+    "mirroring the one-gzip-member-per-record convention, so the "
+    "web-corpus front door now runs END-TO-END on either codec "
+    "family — the from-scratch RFC 8878 decoder (FSE + Huffman + "
+    "sequences) feeds the same WARC framing, HTML extraction and "
+    "WET passthrough as the gzip twin (multimodal_wet_text), with "
+    "identical record mix, skippable-frame dictionary slots on "
+    "every 5th id (CC's convention), rotating compression levels, "
+    "and the same per-layer corruption stripes: every 13th id lies "
+    "about Content-Length (zstd still decodes cleanly — only WARC "
+    "framing catches it), response-bearing every-11th ids keep the "
+    "unclosed-script swallow. The oracle reconstructs the exact "
+    "combined body text blind. operators/warc.py "
+    "warc_zstd_text_extract, operators/zstd.py iter_zstd_frames",
+    tags=("llm", "multimodal", "text"),
+)
+def multimodal_warc_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_warc_zstd_media,
+        warc_zstd_text_extract,
+    )
+
+    media = synthesize_warc_zstd_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return warc_zstd_text_extract(media)

@@ -203,3 +203,51 @@ class TestWetConversion:
             "conversion", "http://e.com", b"text", declared_len=5
         )
         assert _walk_warc_text(_gzip_member(rec)) is None
+
+
+class TestWarcZstd:
+    def test_zstd_container_matches_gzip_twin_semantics(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_warc_zstd_stream,
+            _make_wet_stream,
+            _walk_warc_text,
+            _walk_warc_zstd_text,
+        )
+
+        txt = "alpha beta gamma delta epsilon zeta eta theta iota"
+        for i in range(1, 30):
+            zs = _walk_warc_zstd_text(_make_warc_zstd_stream(i, txt))
+            gz = _walk_warc_text(_make_wet_stream(i, txt))
+            assert (zs is None) == (gz is None), i
+            if zs is not None:
+                assert zs == gz, i  # identical record mix + bodies
+
+    def test_skippable_dictionary_slot_is_ignored(self):
+        import struct
+
+        import pyarrow as pa
+
+        from gmall_flink_210726_spark.operators.warc import (
+            _walk_warc_zstd_text,
+            make_warc_record,
+        )
+
+        c = pa.Codec("zstd")
+        skip = struct.pack("<II", 0x184D2A50, 6) + bytes(6)
+        rec = make_warc_record("conversion", "http://e.com", b"line")
+        st = _walk_warc_zstd_text(skip + bytes(c.compress(rec)))
+        assert st["n_records"] == 1 and st["body_text"] == "line"
+
+    def test_bad_length_in_zstd_record_degrades(self):
+        import pyarrow as pa
+
+        from gmall_flink_210726_spark.operators.warc import (
+            _walk_warc_zstd_text,
+            make_warc_record,
+        )
+
+        c = pa.Codec("zstd")
+        rec = make_warc_record(
+            "conversion", "http://e.com", b"text", declared_len=5
+        )
+        assert _walk_warc_zstd_text(bytes(c.compress(rec))) is None
