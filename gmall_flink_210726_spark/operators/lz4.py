@@ -89,7 +89,9 @@ def lz4_block_decompress(
             h0 = hist - (offset - len(out))
             out += history[h0 : h0 + take]
             ml -= take
-            offset = len(out) if ml and offset > len(out) else offset
+            # if ml remains, take == offset - len(out)-before-copy, so the
+            # copy advanced len(out) to exactly `offset`: distance is correct
+            assert not ml or offset == len(out)
         if ml:
             start = len(out) - offset
             if offset >= ml:

@@ -57,8 +57,9 @@ def parse_robots(text: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
             open_agents = False
             if agents:  # rules before any user-agent line are ignored
                 rules.append((field == "allow", value))
-        else:
-            open_agents = False  # crawl-delay etc: ignored, group stays
+        # crawl-delay / sitemap / unknown fields: RFC 9309 §2.2.4 — other
+        # records MUST NOT change parsing; in particular a User-agent line
+        # after one still accumulates into the open group.
     if agents:
         groups.append((agents, rules))
     return groups
@@ -106,20 +107,31 @@ def select_group(
     groups: list[tuple[list[str], list[tuple[bool, str]]]], agent: str
 ) -> list[tuple[bool, str]] | None:
     """Longest user-agent-token prefix match; '*' only as fallback.
-    Returns the chosen group's rules (NOT merged with '*')."""
+    RFC 9309 §2.2.1: when more than one group matches the crawler at
+    the winning specificity, their rules MUST be combined (in file
+    order). Specific groups are never merged with the '*' group."""
     agent = agent.lower()
     best_len = -1
-    best: list[tuple[bool, str]] | None = None
-    star: list[tuple[bool, str]] | None = None
-    for agents, rules in groups:
+    for agents, _ in groups:
         for tok in agents:
-            if tok == "*":
-                if star is None:
-                    star = rules
-            elif agent.startswith(tok) and len(tok) > best_len:
+            if tok != "*" and agent.startswith(tok) and len(tok) > best_len:
                 best_len = len(tok)
-                best = rules
-    return best if best is not None else star
+    merged: list[tuple[bool, str]] = []
+    found = False
+    if best_len >= 0:
+        for agents, rules in groups:
+            if any(
+                tok != "*" and len(tok) == best_len and agent.startswith(tok)
+                for tok in agents
+            ):
+                merged.extend(rules)
+                found = True
+    else:
+        for agents, rules in groups:
+            if "*" in agents:
+                merged.extend(rules)
+                found = True
+    return merged if found else None
 
 
 def robots_allowed(

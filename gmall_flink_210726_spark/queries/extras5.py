@@ -60,6 +60,11 @@ _J = (
     "md5-portable so the oracle rebuilds the identical 16-slot "
     "signatures; pairs broadcast against the signature table (near-dup "
     "pairs are sparse at any scale), signatures never shuffle. "
+    "Bench note: this is the registry's slowest entry (~7.5 s idle at "
+    "sf0.1) because the calibration CONTRACT needs exact Jaccard on "
+    "the verify side — two pair-membership-pushed shingle scans "
+    "(operators/sketch.py pair-membership semi-join) — not because the "
+    "sketch path is slow; the estimate side is one banded groupBy. "
     "operators/sketch.py:minhash_jaccard_calibration",
     tags=("sketch", "llm", "dedup"),
 )

@@ -236,11 +236,13 @@ def x36_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers; U is carried doubled (u1_2x = R1_2x - n1(n1+1)) so it "
     "stays integral through .5 average ranks; the normal "
     "approximation includes the exact-integer tie correction "
-    "sum(t^3 - t) over per-value tie counts. Scale shape: one global "
-    "rank window over value cents (the pooled-rank semantics is "
-    "inherently total-order; at 100 TB this becomes a range-"
-    "partitioned sort with per-partition offset fixup, same contract),"
-    " tie counts collapse map-side, output is one row.",
+    "sum(t^3 - t) over per-value tie counts. Scale shape: the "
+    "rank-sum depends only on per-value counts, so events collapse "
+    "map-side to the DISTINCT-value frame (same discipline as x38's "
+    "ECDF): each variant-0 row at value v has doubled average rank "
+    "2*cum_before(v) + ct(v) + 1, so R1_2x = sum c1*(2*cum - ct + 1) "
+    "over one bounded cumulative window on |distinct cents| rows — "
+    "no raw-row total order anywhere; output is one row.",
     tags=("extras", "analytics", "stats"),
 )
 def x37_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,35 +251,36 @@ def x37_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("long").alias("variant"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    r = e.select(
-        "variant",
-        (
-            2 * F.rank().over(Window.orderBy("cents"))
-            + F.count(F.lit(1)).over(Window.partitionBy("cents")).cast("long")
-            - 1
-        ).alias("r2"),
-    )
-    g = r.agg(
+    # collapse to the distinct-value frame: rank-sum needs only counts
+    c = e.groupBy("cents").agg(
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
         .cast("long")
-        .alias("n1"),
+        .alias("c1"),
         F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
         .cast("long")
-        .alias("n2"),
-        F.sum(F.when(F.col("variant") == 0, F.col("r2")).otherwise(0))
+        .alias("c2"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = c.select(
+        "c1",
+        (F.col("c1") + F.col("c2")).alias("ct"),
+        F.sum(F.col("c1") + F.col("c2")).over(wcum).cast("long").alias("cum"),
+    )
+    # doubled average rank of every row at value v: 2*cum_before + ct + 1
+    g = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(
+            F.col("c1")
+            * (2 * F.col("cum") - F.col("ct") + F.lit(1))
+        )
         .cast("long")
         .alias("r1_2x"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("long")
+        .alias("t3t"),
     )
-    t = (
-        e.groupBy("cents")
-        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
-        .agg(
-            F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc"))
-            .cast("long")
-            .alias("t3t")
-        )
-    )
-    u = g.crossJoin(F.broadcast(t)).select(
+    u = g.select(
         "n1",
         "n2",
         (F.col("n1") + F.col("n2")).alias("n"),

@@ -104,3 +104,52 @@ class TestFixtureContract:
         assert robots_allowed(g1, "gmallbot", "/private/pub1/y")
         assert not robots_allowed(g1, "gmallbot", "/data/9.zip")
         assert robots_allowed(g1, "gmallbot", "/tmp/7")
+
+
+class TestRfc9309Advice:
+    """Round-11 ADVICE fixes: §2.2.4 unknown fields don't affect
+    parsing, and §2.2.1 same-agent groups merge their rules."""
+
+    def test_unknown_field_does_not_break_agent_accumulation(self):
+        g = parse_robots(
+            "User-agent: a\n"
+            "Crawl-delay: 5\n"
+            "User-agent: b\n"
+            "Disallow: /x/\n"
+        )
+        # both agents share ONE group (crawl-delay is transparent)
+        assert len(g) == 1
+        assert g[0][0] == ["a", "b"]
+        assert not robots_allowed(g, "a", "/x/1")
+        assert not robots_allowed(g, "b", "/x/1")
+
+    def test_sitemap_between_groups_is_transparent(self):
+        g = parse_robots(
+            "User-agent: a\nDisallow: /p/\n"
+            "Sitemap: https://e.test/s.xml\n"
+            "User-agent: b\nDisallow: /q/\n"
+        )
+        assert len(g) == 2
+        assert not robots_allowed(g, "b", "/q/1")
+        assert robots_allowed(g, "b", "/p/1")
+
+    def test_same_agent_groups_merge_rules(self):
+        g = parse_robots(
+            "User-agent: mybot\nDisallow: /a/\n"
+            "User-agent: other\nDisallow: /\n"
+            "User-agent: mybot\nDisallow: /b/\n"
+        )
+        rules = select_group(g, "mybot")
+        assert rules == [(False, "/a/"), (False, "/b/")]
+        assert not robots_allowed(g, "mybot", "/a/1")
+        assert not robots_allowed(g, "mybot", "/b/1")
+        assert robots_allowed(g, "mybot", "/c/1")
+
+    def test_star_groups_merge_on_fallback(self):
+        g = parse_robots(
+            "User-agent: *\nDisallow: /a/\n"
+            "User-agent: *\nDisallow: /b/\n"
+        )
+        assert not robots_allowed(g, "anybot", "/a/1")
+        assert not robots_allowed(g, "anybot", "/b/1")
+        assert robots_allowed(g, "anybot", "/c/1")
