@@ -1845,3 +1845,490 @@ def synthesize_parquet_lz4_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Nested (LIST) columns: repetition levels + Dremel record assembly
+# --------------------------------------------------------------------------
+
+
+def _schema_leaf_levels(
+    schema: list,
+) -> dict[tuple[bytes, ...], tuple[int, int, int]] | None:
+    """Pre-order walk of the flattened SchemaElement list ->
+    ``{path: (max_def, max_rep, physical_type)}`` per leaf.
+
+    Dremel levels (Melnik et al., VLDB 2010 §4.1): walking root->leaf,
+    every OPTIONAL or REPEATED ancestor (incl. the leaf) bumps the
+    max definition level; every REPEATED ancestor bumps the max
+    repetition level. SchemaElement fields: 1=type, 3=repetition_type
+    (0 REQUIRED / 1 OPTIONAL / 2 REPEATED), 4=name, 5=num_children."""
+    if not schema or not isinstance(schema[0], dict):
+        return None
+    out: dict[tuple[bytes, ...], tuple[int, int, int]] = {}
+    idx = 1
+
+    def walk(path: tuple[bytes, ...], dl: int, rl: int) -> bool:
+        nonlocal idx
+        if idx >= len(schema):
+            return False
+        el = schema[idx]
+        idx += 1
+        if not isinstance(el, dict):
+            return False
+        rep = el.get(3, 0)
+        if rep in (1, 2):
+            dl += 1
+        if rep == 2:
+            rl += 1
+        name = el.get(4)
+        if not isinstance(name, bytes):
+            return False
+        p = path + (name,)
+        nch = el.get(5) or 0
+        if nch == 0:
+            out[p] = (dl, rl, el.get(1, -1))
+            return True
+        return all(walk(p, dl, rl) for _ in range(nch))
+
+    nroot = schema[0].get(5) or 0
+    for _ in range(nroot):
+        if not walk((), 0, 0):
+            return None
+    if idx != len(schema):
+        return None  # the flattened tree must consume the list exactly
+    return out
+
+
+def _assemble_list_records(
+    reps: list[int],
+    defs: list[int],
+    vals: list,
+    max_def: int,
+) -> list[list | None] | None:
+    """Dremel record assembly for ONE repeated level over an optional
+    list of optional elements (max_rep == 1, the parquet LIST shape):
+
+    - rep 0 opens a new record; rep 1 appends to the open list;
+    - def 0 -> the list itself is NULL (one level entry, no value);
+    - def max_def-2 -> present but EMPTY list;
+    - def max_def-1 -> a NULL element slot;
+    - def max_def   -> a present element (consumes the next value).
+
+    Returns None on any grammar violation (a rep-1 entry with no open
+    list, an element-level def on an empty/null marker, leftover
+    values) — level streams must be internally consistent."""
+    records: list[list | None] = []
+    vi = 0
+    for rp, df in zip(reps, defs):
+        if df > max_def or df < 0:
+            return None
+        if rp == 0:
+            if df == 0:
+                records.append(None)
+            elif df == max_def - 2:
+                records.append([])
+            elif df >= max_def - 1:
+                cur: list = []
+                if df == max_def:
+                    if vi >= len(vals):
+                        return None
+                    cur.append(vals[vi])
+                    vi += 1
+                else:
+                    cur.append(None)
+                records.append(cur)
+            else:
+                return None
+        else:  # rep == 1: continuation of the open record's list
+            if not records or not isinstance(records[-1], list):
+                return None
+            if df == max_def:
+                if vi >= len(vals):
+                    return None
+                records[-1].append(vals[vi])
+                vi += 1
+            elif df == max_def - 1:
+                records[-1].append(None)
+            else:
+                return None  # a list/null marker cannot continue a record
+    if vi != len(vals):
+        return None  # every decoded value must be placed exactly once
+    return records
+
+
+def _read_list_chunk(
+    data: bytes, chunk: dict, max_def: int, ptype: int
+) -> tuple[list[int], list[int], list, int] | None:
+    """Walk one LIST leaf column chunk's v1 data pages: 4-byte-length-
+    prefixed RLE repetition levels (bit width = bits(max_rep=1)),
+    same-framed definition levels (bit width = bits(max_def)), PLAIN
+    values for exactly the def==max_def entries. Returns the pooled
+    (reps, defs, values, n_pages) for record assembly; None on any
+    grammar violation, including a smashed level stream."""
+    codec = chunk.get(4)
+    if chunk.get(1) != ptype or codec not in _CODECS:
+        return None
+    n_vals, off = chunk.get(5), chunk.get(9)
+    if not isinstance(n_vals, int) or not isinstance(off, int):
+        return None
+    def_bits = max_def.bit_length()
+    reps: list[int] = []
+    defs: list[int] = []
+    vals: list = []
+    got = n_pages = 0
+    pos = off
+    while got < n_vals:
+        r = _Reader(data, pos, len(data))
+        ph = _read_struct(r)
+        if ph.get(1) != 0:  # DATA_PAGE v1
+            return None
+        dph = ph.get(5)
+        # values PLAIN; def (field 3) + rep (field 4) levels RLE
+        if (
+            not isinstance(dph, dict)
+            or dph.get(2) != 0
+            or dph.get(3) != 3
+            or dph.get(4) != 3
+        ):
+            return None
+        pn, psize, usize = dph.get(1), ph.get(3), ph.get(2)
+        if not isinstance(pn, int) or not isinstance(psize, int):
+            return None
+        page = data[r.pos : r.pos + psize]
+        if len(page) != psize:
+            return None
+        page = _page_decompress(page, codec, usize)
+        if page is None or len(page) < 4:
+            return None
+        (rlen,) = struct.unpack_from("<I", page, 0)
+        if 4 + rlen + 4 > len(page):
+            return None  # smashed repetition-level stream
+        preps = _decode_rle_hybrid(page[4 : 4 + rlen], pn, 1)
+        (dlen,) = struct.unpack_from("<I", page, 4 + rlen)
+        body_at = 4 + rlen + 4 + dlen
+        if body_at > len(page):
+            return None  # smashed definition-level stream
+        pdefs = _decode_rle_hybrid(
+            page[4 + rlen + 4 : body_at], pn, def_bits
+        )
+        if len(preps) != pn or len(pdefs) != pn:
+            return None
+        npresent = sum(1 for d in pdefs if d == max_def)
+        body = page[body_at:]
+        if ptype == 2:  # INT64
+            if len(body) != 8 * npresent:
+                return None
+            vals.extend(struct.unpack_from(f"<{npresent}q", body, 0))
+        else:  # BYTE_ARRAY
+            bpos = 0
+            for _ in range(npresent):
+                if bpos + 4 > len(body):
+                    return None
+                (ln,) = struct.unpack_from("<I", body, bpos)
+                bpos += 4
+                if bpos + ln > len(body):
+                    return None
+                vals.append(body[bpos : bpos + ln])
+                bpos += ln
+            if bpos != len(body):
+                return None  # values must consume the page exactly
+        reps.extend(preps)
+        defs.extend(pdefs)
+        got += pn
+        n_pages += 1
+        pos = r.pos + psize
+    if got != n_vals:
+        return None  # per-page counts must sum to the chunk num_values
+    return reps, defs, vals, n_pages
+
+
+def read_parquet_nested(data: bytes) -> dict | None:
+    """Nested-column parquet read from scratch: repetition levels +
+    Dremel record assembly over the standard 3-level LIST shape —
+    ``optional group (LIST) { repeated group list { optional leaf } }``
+    — i.e. this repo's own ``embeddings.embedding`` column shape and
+    the dominant layout of real lakehouse array columns.
+
+    Per column (``arr`` list<int64>, ``tags`` list<string>): the
+    schema walk derives (max_def=3, max_rep=1) from the repetition
+    types (never hardcoded), every v1 data page yields its two
+    4-byte-length-prefixed RLE/bit-packed level streams plus PLAIN
+    values, and `_assemble_list_records` rebuilds the records.
+    Cross-checks at every layer: per-page level counts == the page
+    num_values, values consumed exactly, per-page counts sum to the
+    chunk num_values, per-row-group ASSEMBLED RECORD counts (rep==0
+    entries) equal the row group's num_rows for BOTH columns, and
+    row-group rows sum to the file num_rows. Any smashed level
+    stream degrades to None.
+
+    Returns checksums the oracle recomputes blind: record/page
+    counts, element sum + null/empty-list breakdown for the int
+    list, and element count / byte-length sum / null-list counts
+    for the string list."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    schema = meta.get(2)
+    row_groups = meta.get(4)
+    if (
+        not isinstance(num_rows, int)
+        or not isinstance(schema, list)
+        or not isinstance(row_groups, list)
+    ):
+        return None
+    leaves = _schema_leaf_levels(schema)
+    if leaves is None:
+        return None
+    arr_path = next(
+        (p for p in leaves if p and p[0] == b"arr"), None
+    )
+    tag_path = next(
+        (p for p in leaves if p and p[0] == b"tags"), None
+    )
+    if arr_path is None or tag_path is None:
+        return None
+    arr_def, arr_rep, arr_type = leaves[arr_path]
+    tag_def, tag_rep, tag_type = leaves[tag_path]
+    # the 3-level LIST contract this reader implements
+    if (arr_def, arr_rep, arr_type) != (3, 1, 2):
+        return None
+    if (tag_def, tag_rep, tag_type) != (3, 1, 6):
+        return None
+    out = {
+        "n_records": 0,
+        "n_pages": 0,
+        "arr_sum": 0,
+        "arr_elems": 0,
+        "arr_null_elems": 0,
+        "arr_null_lists": 0,
+        "arr_empty_lists": 0,
+        "tag_count": 0,
+        "tag_len_sum": 0,
+        "tag_null_lists": 0,
+        "tag_empty_lists": 0,
+    }
+    total = 0
+    for rg in row_groups:
+        if not isinstance(rg, dict) or not isinstance(rg.get(3), int):
+            return None
+        rg_rows = rg[3]
+        cols = rg.get(1)
+        if not isinstance(cols, list):
+            return None
+        chunks: dict[bytes, dict] = {}
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if isinstance(cm, dict) and isinstance(cm.get(3), list):
+                path = cm[3]
+                if path:
+                    chunks[path[0]] = cm
+        if b"arr" not in chunks or b"tags" not in chunks:
+            return None
+        try:
+            got_a = _read_list_chunk(data, chunks[b"arr"], 3, 2)
+            got_t = _read_list_chunk(data, chunks[b"tags"], 3, 6)
+        except ValueError:
+            return None
+        if got_a is None or got_t is None:
+            return None
+        reps_a, defs_a, vals_a, pages_a = got_a
+        reps_t, defs_t, vals_t, pages_t = got_t
+        recs_a = _assemble_list_records(reps_a, defs_a, vals_a, 3)
+        recs_t = _assemble_list_records(reps_t, defs_t, vals_t, 3)
+        if recs_a is None or recs_t is None:
+            return None
+        # both columns must assemble to exactly the row group's rows
+        if len(recs_a) != rg_rows or len(recs_t) != rg_rows:
+            return None
+        out["n_records"] += rg_rows
+        out["n_pages"] += pages_a + pages_t
+        for rec in recs_a:
+            if rec is None:
+                out["arr_null_lists"] += 1
+            elif not rec:
+                out["arr_empty_lists"] += 1
+            else:
+                for v in rec:
+                    if v is None:
+                        out["arr_null_elems"] += 1
+                    else:
+                        out["arr_elems"] += 1
+                        out["arr_sum"] += v
+        for rec in recs_t:
+            if rec is None:
+                out["tag_null_lists"] += 1
+            elif not rec:
+                out["tag_empty_lists"] += 1
+            else:
+                for v in rec:
+                    if v is not None:
+                        out["tag_count"] += 1
+                        out["tag_len_sum"] += len(v)
+        total += rg_rows
+    if total != num_rows:
+        return None  # row-group rows must sum to the file row count
+    return out
+
+
+PQNEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("arr_sum", LongType()),
+        StructField("arr_elems", LongType()),
+        StructField("arr_null_elems", LongType()),
+        StructField("arr_null_lists", LongType()),
+        StructField("arr_empty_lists", LongType()),
+        StructField("tag_count", LongType()),
+        StructField("tag_len_sum", LongType()),
+        StructField("tag_null_lists", LongType()),
+        StructField("tag_empty_lists", LongType()),
+    ]
+)
+
+
+def _pqnest_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    zero = {f.name: 0 for f in PQNEST_SCHEMA.fields if f.name != "format"}
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = dict(zero, media_id=int(mid), format="unknown")
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_parquet_nested(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="parquet", **st)
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in PQNEST_SCHEMA.fields])
+
+
+def parquet_nested_stats(df: DataFrame) -> DataFrame:
+    """Hand-decoded nested (LIST) column read over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pqnest_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, PQNEST_SCHEMA)
+
+
+def _make_parquet_nested(i: int, bad_stripe: int = 13) -> bytes:
+    """``10 + i % 90`` records, ``1 + i % 3`` row groups; column
+    ``arr`` is a NULLABLE list<int64> (null when (i+5r)%7==0, empty
+    when ==1, else 1+(i+r)%4 elements with every (i+r+3j)%11==0
+    element null) and ``tags`` a nullable list<string> (null when
+    (i+2r)%5==0, else r%3 elements 'tag<(i+4r+j)%100>' with every
+    (i+r+j)%13==0 element null). Every ``bad_stripe``-th id gets the
+    first ``arr`` data page's repetition-level LENGTH WORD smashed to
+    0xFFFFFFFF — a level stream the reader must reject."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10 + i % 90
+    g = 1 + i % 3
+    arr: list = []
+    tags: list = []
+    for r in range(n):
+        m7 = (i + 5 * r) % 7
+        if m7 == 0:
+            arr.append(None)
+        elif m7 == 1:
+            arr.append([])
+        else:
+            arr.append(
+                [
+                    None
+                    if (i + r + 3 * j) % 11 == 0
+                    else (i + 3 * r + 17 * j) % 1000
+                    for j in range(1 + (i + r) % 4)
+                ]
+            )
+        if (i + 2 * r) % 5 == 0:
+            tags.append(None)
+        else:
+            tags.append(
+                [
+                    None
+                    if (i + r + j) % 13 == 0
+                    else f"tag{(i + 4 * r + j) % 100}"
+                    for j in range(r % 3)
+                ]
+            )
+    table = pa.table(
+        {
+            "arr": pa.array(arr, pa.list_(pa.int64())),
+            "tags": pa.array(tags, pa.list_(pa.string())),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        table,
+        buf,
+        row_group_size=-(-n // g),
+        compression="NONE",
+        write_statistics=False,
+        use_dictionary=False,
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        off = (
+            pq.ParquetFile(io.BytesIO(bytes(blob)))
+            .metadata.row_group(0)
+            .column(0)
+            .data_page_offset
+        )
+        # skip the thrift PageHeader, then smash the rep-level length
+        r = _Reader(bytes(blob), off, len(blob))
+        _read_struct(r)
+        blob[r.pos : r.pos + 4] = b"\xff\xff\xff\xff"
+    return bytes(blob)
+
+
+def synthesize_parquet_nested_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of nested (two LIST columns) parquet."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_parquet_nested(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -1,0 +1,128 @@
+r"""LLM-pipeline wave 15: the nested lakehouse read path and the
+remaining ingest-format walks.
+
+Round-11 brief items (VERDICT r10 "Next round"): parquet NESTED
+columns — repetition levels + Dremel record assembly over the
+standard 3-level LIST shape, the one remaining structural gap
+between the hand reader and real lakehouse files (every real schema
+has arrays; this repo's own ``embeddings.embedding`` is one) — the
+Avro object-container walk (the Kafka-ecosystem ingest format the
+gmall reference's topics would carry in production), WAT metadata
+records completing the CommonCrawl WARC/WET/WAT trio, the WebDataset
+tar→JPEG loader composition, and hand-written Unicode NFC
+normalization for the text front door.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+
+@register(
+    "multimodal_parquet_nested",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 13 = 0 AS bad,
+                      10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
+               FROM documents),
+    r AS (SELECT i, n, unnest(range(0, n)) AS rr FROM m),
+    ar AS (SELECT i, rr, (i + 5 * rr) % 7 AS m7,
+                  1 + (i + rr) % 4 AS nel
+           FROM r),
+    ae AS (SELECT i,
+                  CASE WHEN (i + rr + 3 * j) % 11 = 0 THEN NULL
+                       ELSE (i + 3 * rr + 17 * j) % 1000 END AS v
+           FROM (SELECT i, rr, unnest(range(0, nel)) AS j
+                 FROM ar WHERE m7 >= 2)),
+    aagg AS (SELECT i, COUNT(v) AS arr_elems,
+                    COUNT(*) - COUNT(v) AS arr_null_elems,
+                    COALESCE(SUM(v), 0) AS arr_sum
+             FROM ae GROUP BY i),
+    alists AS (SELECT i,
+                      SUM(CASE WHEN m7 = 0 THEN 1 ELSE 0 END)
+                        AS arr_null_lists,
+                      SUM(CASE WHEN m7 = 1 THEN 1 ELSE 0 END)
+                        AS arr_empty_lists
+               FROM ar GROUP BY i),
+    tr AS (SELECT i, rr, (i + 2 * rr) % 5 AS m5, rr % 3 AS tl FROM r),
+    te AS (SELECT i,
+                  CASE WHEN (i + rr + j) % 13 = 0 THEN NULL
+                       ELSE 'tag' || CAST((i + 4 * rr + j) % 100
+                                          AS VARCHAR) END AS s
+           FROM (SELECT i, rr, unnest(range(0, tl)) AS j
+                 FROM tr WHERE m5 <> 0)),
+    tagg AS (SELECT i, COUNT(s) AS tag_count,
+                    COALESCE(SUM(length(s)), 0) AS tag_len_sum
+             FROM te GROUP BY i),
+    tlists AS (SELECT i,
+                      SUM(CASE WHEN m5 = 0 THEN 1 ELSE 0 END)
+                        AS tag_null_lists,
+                      SUM(CASE WHEN m5 <> 0 AND tl = 0 THEN 1 ELSE 0 END)
+                        AS tag_empty_lists
+               FROM tr GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 * g END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(aagg.arr_sum, 0) END
+                AS BIGINT) AS arr_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(aagg.arr_elems, 0) END
+                AS BIGINT) AS arr_elems,
+           CAST(CASE WHEN bad THEN 0
+                ELSE COALESCE(aagg.arr_null_elems, 0) END AS BIGINT)
+             AS arr_null_elems,
+           CAST(CASE WHEN bad THEN 0 ELSE alists.arr_null_lists END
+                AS BIGINT) AS arr_null_lists,
+           CAST(CASE WHEN bad THEN 0 ELSE alists.arr_empty_lists END
+                AS BIGINT) AS arr_empty_lists,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(tagg.tag_count, 0) END
+                AS BIGINT) AS tag_count,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(tagg.tag_len_sum, 0) END
+                AS BIGINT) AS tag_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE tlists.tag_null_lists END
+                AS BIGINT) AS tag_null_lists,
+           CAST(CASE WHEN bad THEN 0 ELSE tlists.tag_empty_lists END
+                AS BIGINT) AS tag_empty_lists
+    FROM m
+    JOIN alists ON alists.i = m.i
+    JOIN tlists ON tlists.i = m.i
+    LEFT JOIN aagg ON aagg.i = m.i
+    LEFT JOIN tagg ON tagg.i = m.i
+    """,
+    doc="Parquet NESTED columns from scratch: repetition levels + "
+    "Dremel record assembly (Melnik et al., VLDB 2010) over the "
+    "standard 3-level LIST shape — optional group (LIST) { repeated "
+    "group list { optional leaf } } — the layout of this repo's own "
+    "embeddings.embedding column and of real lakehouse array "
+    "schemas. Fixture files (REAL pyarrow writes) carry a nullable "
+    "list<int64> with empty lists and null elements plus a nullable "
+    "list<string>; the schema walk derives (max_def=3, max_rep=1) "
+    "from the repetition types, each v1 page yields two 4-byte-"
+    "length-prefixed RLE level streams + PLAIN values, and record "
+    "assembly rebuilds the lists (rep 0 opens a record; def 0 null "
+    "list / 1 empty list / 2 null element / 3 value). Cross-checks: "
+    "per-page level counts, exact value consumption, page counts "
+    "sum to chunk num_values, ASSEMBLED record counts equal each "
+    "row group's num_rows for BOTH columns, groups sum to the file "
+    "rows. Every 13th id's first rep-level length word is smashed "
+    "to 0xFFFFFFFF and must degrade. The oracle recomputes element "
+    "sums, null/empty-list and null-element breakdowns, and string "
+    "byte lengths blind from the write formulas. Pure map over "
+    "blobs, zero shuffle. operators/parquetmeta.py "
+    "read_parquet_nested",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_nested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_nested_stats,
+        synthesize_parquet_nested_media,
+    )
+
+    media = synthesize_parquet_nested_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_nested_stats(media)

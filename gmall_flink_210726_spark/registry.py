@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm12,
         llm13,
         llm14,
+        llm15,
         streamq,
         streamq2,
         streamq3,
