@@ -126,3 +126,74 @@ def multimodal_parquet_nested(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_nested_stats(media)
+
+
+@register(
+    "multimodal_avro_container",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 9 = 0 AS bad,
+                      8 + doc_id % 40 AS n, 1 + doc_id % 3 AS g
+               FROM documents),
+    r AS (SELECT i, unnest(range(0, n)) AS rr FROM m),
+    base AS (SELECT i,
+                    SUM((5 * i + 3 * rr) % 1000) AS id_sum,
+                    SUM(CASE WHEN (i + rr) % 4 = 0 THEN 0 ELSE 1 END)
+                      AS name_count,
+                    SUM(CASE WHEN (i + rr) % 4 = 0 THEN 0
+                        ELSE 1 + length(CAST((i + 2 * rr) % 50
+                                             AS VARCHAR)) END)
+                      AS name_len_sum,
+                    SUM(rr % 4) AS vals_count
+             FROM r GROUP BY i),
+    v AS (SELECT i, COALESCE(SUM((i + 7 * rr + k) % 100), 0) AS vals_sum
+          FROM (SELECT i, rr, unnest(range(0, rr % 4)) AS k FROM r)
+          GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'avro' END AS format,
+           CASE WHEN bad THEN ''
+                WHEN m.i % 3 = 0 THEN 'null'
+                WHEN m.i % 3 = 1 THEN 'deflate'
+                ELSE 'snappy' END AS codec,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN bad THEN 0 ELSE base.id_sum END AS BIGINT)
+             AS id_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE base.name_count END AS BIGINT)
+             AS name_count,
+           CAST(CASE WHEN bad THEN 0 ELSE base.name_len_sum END AS BIGINT)
+             AS name_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE base.vals_count END AS BIGINT)
+             AS vals_count,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(v.vals_sum, 0) END
+                AS BIGINT) AS vals_sum
+    FROM m JOIN base ON base.i = m.i LEFT JOIN v ON v.i = m.i
+    """,
+    doc="Avro object-container walk from scratch (Apache Avro 1.11 "
+    "spec) — the Kafka-ecosystem ingest format the gmall reference's "
+    "topics would carry in production: Obj magic, block-framed file "
+    "metadata map (avro.schema JSON + avro.codec), 16-byte sync "
+    "marker, then sync-framed data blocks (zigzag-long count + byte "
+    "size). A SCHEMA-DRIVEN decoder materializes records (long "
+    "zigzag varints, union-indexed nullable string, block-framed "
+    "long array) and all three spec codecs are hand-walked: null, "
+    "deflate (raw DEFLATE via the repo's hand inflate), snappy "
+    "(hand block decoder + the codec's big-endian CRC-32 of the "
+    "uncompressed data, checked). Cross-checks: each block decodes "
+    "EXACTLY its declared record count and consumes its payload "
+    "exactly; every block's trailing sync must equal the header's "
+    "(every 9th id has one sync byte flipped and must degrade). "
+    "The oracle recomputes id/value sums and name byte lengths "
+    "blind from the write formulas. Pure map over blobs, zero "
+    "shuffle. operators/avro.py read_avro_container",
+    tags=("llm", "multimodal"),
+)
+def multimodal_avro_container(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.avro import (
+        avro_container_stats,
+        synthesize_avro_media,
+    )
+
+    media = synthesize_avro_media(load_table(spark, sf_dir, "documents"))
+    return avro_container_stats(media)
