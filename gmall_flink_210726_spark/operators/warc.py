@@ -772,3 +772,214 @@ def synthesize_warc_zstd_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# WAT metadata records — the THIRD CommonCrawl file type (*.warc.wat.gz),
+# completing the WARC (raw responses) / WET (pre-extracted text) / WAT
+# (per-page metadata) trio a real CC pipeline consumes. A WAT record is
+# WARC-Type 'metadata' whose payload is a JSON Envelope; the link graph
+# lives at Envelope -> Payload-Metadata -> HTTP-Response-Metadata ->
+# HTML-Metadata -> Links (a list of {"path", "url"} objects). The
+# combined walk counts every record type in one stream and extracts the
+# link list from each envelope; a malformed envelope (or a missing
+# Envelope key) degrades the stream like any other layer violation.
+# --------------------------------------------------------------------------
+
+WAT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_warcinfo", LongType()),
+        StructField("n_responses", LongType()),
+        StructField("n_conversions", LongType()),
+        StructField("n_metadata", LongType()),
+        StructField("n_links", LongType()),
+        StructField("link_len_sum", LongType()),
+    ]
+)
+
+
+def _wat_links(envelope: bytes) -> list[str] | None:
+    """Parse one WAT JSON envelope -> the Links url list; None on
+    malformed JSON or a grammar hole anywhere along the path."""
+    import json
+
+    try:
+        doc = json.loads(envelope.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    env = doc.get("Envelope") if isinstance(doc, dict) else None
+    if not isinstance(env, dict):
+        return None
+    pm = env.get("Payload-Metadata")
+    if not isinstance(pm, dict):
+        return None
+    hr = pm.get("HTTP-Response-Metadata")
+    if not isinstance(hr, dict):
+        return None
+    hm = hr.get("HTML-Metadata")
+    if not isinstance(hm, dict):
+        return None
+    links = hm.get("Links", [])
+    if not isinstance(links, list):
+        return None
+    out = []
+    for ln in links:
+        if not isinstance(ln, dict) or not isinstance(ln.get("url"), str):
+            return None
+        out.append(ln["url"])
+    return out
+
+
+def _walk_warc_wat(data: bytes) -> dict | None:
+    """Gzip members -> WARC records over all FOUR types (warcinfo /
+    response / conversion / metadata); metadata payloads are WAT
+    JSON envelopes whose Links lists are extracted and summed."""
+    members = iter_gzip_members(data)
+    if members is None:
+        return None
+    counts = {"warcinfo": 0, "response": 0, "conversion": 0, "metadata": 0}
+    n = n_links = link_len_sum = 0
+    for _name, payload in members:
+        rec = parse_warc_record(payload)
+        if rec is None:
+            return None
+        n += 1
+        rtype = rec["type"]
+        if rtype in counts:
+            counts[rtype] += 1
+        if rtype == "metadata":
+            links = _wat_links(rec["content"])
+            if links is None:
+                return None
+            n_links += len(links)
+            link_len_sum += sum(len(u) for u in links)
+    return {
+        "n_records": n,
+        "n_warcinfo": counts["warcinfo"],
+        "n_responses": counts["response"],
+        "n_conversions": counts["conversion"],
+        "n_metadata": counts["metadata"],
+        "n_links": n_links,
+        "link_len_sum": link_len_sum,
+    }
+
+
+def _wat_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = {
+            "media_id": int(mid),
+            "format": "unknown",
+            "n_records": 0,
+            "n_warcinfo": 0,
+            "n_responses": 0,
+            "n_conversions": 0,
+            "n_metadata": 0,
+            "n_links": 0,
+            "link_len_sum": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = _walk_warc_wat(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="warc", **st)
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in WAT_SCHEMA.fields])
+
+
+def warc_wat_stats(df: DataFrame) -> DataFrame:
+    """WARC/WET/WAT trio ingest pass over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _wat_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, WAT_SCHEMA)
+
+
+def _make_wat_stream(i: int) -> bytes:
+    """Mixed WARC/WET/WAT fixture: a warcinfo, a response (i%3 != 1),
+    a conversion (i%3 != 0), and ALWAYS one metadata record whose
+    payload is a WAT JSON envelope with ``1 + i % 5`` links at
+    ``http://h<(i+j)%7>.test/p<(3i+j)%50>``. Every 10th id truncates
+    the envelope's last byte (malformed JSON) and must degrade."""
+    import json as _json
+
+    from gmall_flink_210726_spark.operators.inflate import _run_text
+
+    v = i % 3
+    uri = f"http://example.com/doc/{i}"
+    specs: list[tuple[str, str, bytes]] = [
+        ("warcinfo", "", _run_text(i, 0, 60))
+    ]
+    if v != 1:
+        specs.append(("response", uri, _run_text(i, 1, 100)))
+    if v != 0:
+        specs.append(("conversion", uri, _run_text(i, 2, 80)))
+    links = [
+        {
+            "path": "A@/href",
+            "url": f"http://h{(i + j) % 7}.test/p{(3 * i + j) % 50}",
+        }
+        for j in range(1 + i % 5)
+    ]
+    envelope = _json.dumps(
+        {
+            "Envelope": {
+                "WARC-Header-Metadata": {"WARC-Type": "response"},
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {"Links": links}
+                    }
+                },
+            }
+        },
+        sort_keys=True,
+    ).encode("utf-8")
+    if i % 10 == 0:
+        envelope = envelope[:-1]  # malformed JSON: degrade stripe
+    specs.append(("metadata", uri, envelope))
+    return b"".join(
+        _gzip_member(make_warc_record(t, u, c)) for t, u, c in specs
+    )
+
+
+def synthesize_wat_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of mixed WARC/WET/WAT .gz streams."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_wat_stream(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "warc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

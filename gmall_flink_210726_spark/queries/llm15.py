@@ -197,3 +197,56 @@ def multimodal_avro_container(
 
     media = synthesize_avro_media(load_table(spark, sf_dir, "documents"))
     return avro_container_stats(media)
+
+
+@register(
+    "multimodal_wat_links",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 10 = 0 AS bad,
+                      doc_id % 3 AS v, 1 + doc_id % 5 AS nl
+               FROM documents),
+    l AS (SELECT i, 16 + length(CAST((3 * i + j) % 50 AS VARCHAR))
+                   AS ulen
+          FROM (SELECT i, nl, unnest(range(0, nl)) AS j FROM m)),
+    ls AS (SELECT i, CAST(SUM(ulen) AS BIGINT) AS lls FROM l GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'warc' END AS format,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 2 + CASE WHEN v <> 1 THEN 1 ELSE 0 END
+                       + CASE WHEN v <> 0 THEN 1 ELSE 0 END
+                END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS n_warcinfo,
+           CAST(CASE WHEN bad OR v = 1 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_responses,
+           CAST(CASE WHEN bad OR v = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS n_conversions,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS n_metadata,
+           CAST(CASE WHEN bad THEN 0 ELSE nl END AS BIGINT) AS n_links,
+           CAST(CASE WHEN bad THEN 0 ELSE ls.lls END AS BIGINT)
+             AS link_len_sum
+    FROM m JOIN ls ON ls.i = m.i
+    """,
+    doc="WAT metadata records — the THIRD CommonCrawl file type, "
+    "completing the WARC/WET/WAT trio a real CC pipeline consumes: "
+    "WARC-Type 'metadata' records whose payload is a JSON Envelope; "
+    "the link graph is extracted from Envelope -> Payload-Metadata "
+    "-> HTTP-Response-Metadata -> HTML-Metadata -> Links. The mixed "
+    "fixture stream carries a warcinfo + response (two thirds of "
+    "ids) + conversion (two thirds) + ALWAYS one WAT envelope with "
+    "1 + i%5 links; the walk counts every record type and sums link "
+    "URL byte lengths, and the oracle recomputes all of it blind "
+    "from the write formulas (url length = 16 + digits of "
+    "(3i+j)%50). Every 10th id truncates the envelope's last byte "
+    "(malformed JSON) and must degrade; any missing key along the "
+    "envelope path degrades too. Pure map over blobs, zero shuffle. "
+    "operators/warc.py _walk_warc_wat",
+    tags=("llm", "multimodal"),
+)
+def multimodal_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_wat_media,
+        warc_wat_stats,
+    )
+
+    media = synthesize_wat_media(load_table(spark, sf_dir, "documents"))
+    return warc_wat_stats(media)

@@ -251,3 +251,75 @@ class TestWarcZstd:
             "conversion", "http://e.com", b"text", declared_len=5
         )
         assert _walk_warc_zstd_text(bytes(c.compress(rec))) is None
+
+
+class TestWatEnvelope:
+    """WAT metadata records (round 11): the JSON envelope walk and
+    its degrade contract."""
+
+    def test_links_extracted(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_wat_stream,
+            _walk_warc_wat,
+        )
+
+        got = _walk_warc_wat(_make_wat_stream(7))
+        assert got is not None
+        assert got["n_metadata"] == 1
+        assert got["n_links"] == 1 + 7 % 5
+        assert got["n_warcinfo"] == 1
+
+    def test_malformed_json_degrades(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_wat_stream,
+            _walk_warc_wat,
+        )
+
+        assert _walk_warc_wat(_make_wat_stream(10)) is None
+
+    def test_missing_envelope_path_degrades(self):
+        import json
+
+        from gmall_flink_210726_spark.operators.warc import (
+            _gzip_member,
+            _wat_links,
+            _walk_warc_wat,
+            make_warc_record,
+        )
+
+        assert _wat_links(b"{}") is None
+        assert _wat_links(b'{"Envelope": {}}') is None
+        assert _wat_links(b'{"Envelope": null}') is None
+        # a Links entry without a url string is a grammar hole
+        bad = json.dumps(
+            {
+                "Envelope": {
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {"Links": [{"path": "x"}]}
+                        }
+                    }
+                }
+            }
+        ).encode()
+        assert _wat_links(bad) is None
+        blob = _gzip_member(
+            make_warc_record("metadata", "http://e.test/x", bad)
+        )
+        assert _walk_warc_wat(blob) is None
+
+    def test_empty_links_list_ok(self):
+        import json
+
+        from gmall_flink_210726_spark.operators.warc import _wat_links
+
+        ok = json.dumps(
+            {
+                "Envelope": {
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {"HTML-Metadata": {}}
+                    }
+                }
+            }
+        ).encode()
+        assert _wat_links(ok) == []
