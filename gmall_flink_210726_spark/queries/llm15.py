@@ -250,3 +250,81 @@ def multimodal_wat_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_wat_media(load_table(spark, sf_dir, "documents"))
     return warc_wat_stats(media)
+
+
+_WDS_ORACLE_BODY = """
+    WITH m AS (SELECT doc_id AS i, doc_id % 17 = 0 AS shard_bad,
+                      2 + doc_id % 3 AS ns
+               FROM documents),
+    s AS (SELECT i, shard_bad, ns, 4 * i + s AS sid
+          FROM (SELECT i, shard_bad, ns, unnest(range(0, ns)) AS s
+                FROM m)),
+    d AS (SELECT i, shard_bad, ns, sid, sid % 13 = 0 AS sbad,
+                 1 + sid % 4 AS bw, 1 + sid % 3 AS bh,
+                 sid % 5 AS wp, sid % 3 AS hp
+          FROM s),
+    p AS (SELECT i, shard_bad, ns, sbad,
+                 (8 * bw - wp) * (8 * bh - hp) AS npx,
+                 list_sum([((sid * 37 + 11 * b) % 256)
+                           * (CASE WHEN b % bw = bw - 1
+                                   THEN 8 - wp ELSE 8 END)
+                           * (CASE WHEN b // bw = bh - 1
+                                   THEN 8 - hp ELSE 8 END)
+                           for b in range(0, bw * bh)]) AS psum,
+                 sid % 10 AS cls
+          FROM d),
+    agg AS (SELECT i, shard_bad, ns,
+                   SUM(CASE WHEN sbad THEN 1 ELSE 0 END) AS n_bad,
+                   SUM(CASE WHEN sbad THEN 0 ELSE npx END) AS n_pixels,
+                   SUM(CASE WHEN sbad THEN 0 ELSE psum END) AS pixel_sum,
+                   SUM(CASE WHEN sbad THEN 0 ELSE cls END) AS cls_sum
+            FROM p GROUP BY 1, 2, 3)
+"""
+
+
+@register(
+    "multimodal_webdataset",
+    oracle=_WDS_ORACLE_BODY
+    + """
+    SELECT i AS media_id,
+           CASE WHEN shard_bad THEN 'unknown'
+                ELSE 'webdataset' END AS format,
+           CAST(CASE WHEN shard_bad THEN 0 ELSE ns END AS BIGINT)
+             AS n_samples,
+           CAST(CASE WHEN shard_bad THEN 0 ELSE ns - n_bad END AS BIGINT)
+             AS n_ok,
+           CAST(CASE WHEN shard_bad THEN 0 ELSE n_bad END AS BIGINT)
+             AS n_bad,
+           CAST(CASE WHEN shard_bad THEN 0 ELSE n_pixels END AS BIGINT)
+             AS n_pixels,
+           CAST(CASE WHEN shard_bad THEN 0 ELSE pixel_sum END AS BIGINT)
+             AS pixel_sum,
+           CAST(CASE WHEN shard_bad THEN 0 ELSE cls_sum END AS BIGINT)
+             AS cls_sum
+    FROM agg
+    """,
+    doc="WebDataset loader pass END-TO-END: tar shards of real "
+    "baseline JPEGs -> member walk (checksummed ustar headers) -> "
+    "consecutive-key sample grouping (<key>.jpg + <key>.cls) -> "
+    "per-sample from-scratch JPEG decode (Huffman + dequant + IDCT) "
+    "-> per-shard pixel checksums — the composition a multimodal "
+    "training pipeline actually runs per shard, as ONE operator "
+    "(composes operators/tar.py with operators/jpeg.py). Two-layer "
+    "degrade contract: every 17th id's smashed shard header "
+    "degrades the whole row; the JPEG fixture's every-13th-sid "
+    "truncation stripe marks just that SAMPLE bad and the rest of "
+    "the shard still loads (a loader drops samples, not shards). "
+    "The oracle recomputes per-shard sample counts, crop-weighted "
+    "pixel sums and label sums blind from the write formulas. Pure "
+    "map over shards, zero shuffle of payload bytes. "
+    "operators/wds.py _walk_wds",
+    tags=("llm", "multimodal"),
+)
+def multimodal_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.wds import (
+        synthesize_wds_media,
+        wds_sample_stats,
+    )
+
+    media = synthesize_wds_media(load_table(spark, sf_dir, "documents"))
+    return wds_sample_stats(media)

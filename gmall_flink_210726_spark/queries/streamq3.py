@@ -1030,3 +1030,138 @@ def st22_stream_warc_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st23_stream_webdataset",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 17 = 0 AS shard_bad,
+                      2 + doc_id % 3 AS ns
+               FROM documents),
+    s AS (SELECT i, shard_bad, ns, 4 * i + s AS sid
+          FROM (SELECT i, shard_bad, ns, unnest(range(0, ns)) AS s
+                FROM m)),
+    d AS (SELECT i, shard_bad, ns, sid, sid % 13 = 0 AS sbad,
+                 1 + sid % 4 AS bw, 1 + sid % 3 AS bh,
+                 sid % 5 AS wp, sid % 3 AS hp
+          FROM s),
+    p AS (SELECT i, shard_bad, ns, sbad,
+                 (8 * bw - wp) * (8 * bh - hp) AS npx,
+                 list_sum([((sid * 37 + 11 * b) % 256)
+                           * (CASE WHEN b % bw = bw - 1
+                                   THEN 8 - wp ELSE 8 END)
+                           * (CASE WHEN b // bw = bh - 1
+                                   THEN 8 - hp ELSE 8 END)
+                           for b in range(0, bw * bh)]) AS psum
+          FROM d),
+    agg AS (SELECT i, shard_bad, ns,
+                   SUM(CASE WHEN sbad THEN 1 ELSE 0 END) AS n_bad,
+                   SUM(CASE WHEN sbad THEN 0 ELSE npx END) AS n_pixels,
+                   SUM(CASE WHEN sbad THEN 0 ELSE psum END) AS pixel_sum
+            FROM p GROUP BY 1, 2, 3)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(CASE WHEN shard_bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_loaded,
+           CAST(SUM(CASE WHEN shard_bad THEN 0 ELSE ns - n_bad END)
+                AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN shard_bad THEN 0 ELSE n_bad END)
+                AS BIGINT) AS n_bad,
+           CAST(SUM(CASE WHEN shard_bad THEN 0 ELSE n_pixels END)
+                AS BIGINT) AS n_pixels,
+           CAST(SUM(CASE WHEN shard_bad THEN 0 ELSE pixel_sum END)
+                AS BIGINT) AS pixel_sum
+    FROM agg GROUP BY 1
+    """,
+    doc="STREAMING WebDataset ingest — the tar-shard + JPEG-decode "
+    "loader pass (multimodal_webdataset) running as a STRUCTURED "
+    "STREAMING operator: shards arrive as a parquet file stream "
+    "(32 source files, 16 per trigger: two micro-batches whose "
+    "splits land on every core), the full member-walk -> sample "
+    "grouping -> from-scratch JPEG decode chain runs via Arrow-"
+    "batched mapInPandas ON THE STREAM PLAN, and per-epoch "
+    "per-bucket partials flow through the checkpointed foreachBatch "
+    "+ overwrite-idempotent epoch sink. Decode state is per-shard, "
+    "so no state store is needed and the operator scales exactly "
+    "like its batch twin (whose two-layer shard/sample degrade "
+    "stripes carry over). The oracle recomputes per-bucket shard/"
+    "sample/pixel totals blind from the write formulas. "
+    "operators/wds.py wds_sample_stats",
+    tags=("streaming", "llm", "multimodal"),
+)
+def st23_stream_webdataset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.wds import (
+        synthesize_wds_media,
+        wds_sample_stats,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st23_src_")
+    out = tempfile.mkdtemp(prefix="st23_out_")
+    ckpt = tempfile.mkdtemp(prefix="st23_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_wds_media(load_table(spark, sf_dir, "documents"))
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = wds_sample_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_shards"),
+                F.sum(
+                    (F.col("format") == "webdataset").cast("long")
+                ).cast("long").alias("n_loaded"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_bad").cast("long").alias("n_bad"),
+                F.sum("n_pixels").cast("long").alias("n_pixels"),
+                F.sum("pixel_sum").cast("long").alias("pixel_sum"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st23 webdataset stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_shards").cast("long").alias("n_shards"),
+                F.sum("n_loaded").cast("long").alias("n_loaded"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_bad").cast("long").alias("n_bad"),
+                F.sum("n_pixels").cast("long").alias("n_pixels"),
+                F.sum("pixel_sum").cast("long").alias("pixel_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
