@@ -328,3 +328,56 @@ def multimodal_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_wds_media(load_table(spark, sf_dir, "documents"))
     return wds_sample_stats(media)
+
+
+@register(
+    "text_nfc_normalize",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 11 = 0 AS bad,
+                      5 + doc_id % 20 AS k
+               FROM documents),
+    u AS (SELECT i, 97 + (i + j) % 26 AS filler,
+                 CASE (i + 3 * j) % 12
+                      WHEN 0 THEN 224 WHEN 1 THEN 225 WHEN 2 THEN 233
+                      WHEN 3 THEN 232 WHEN 4 THEN 237 WHEN 5 THEN 244
+                      WHEN 6 THEN 252 WHEN 7 THEN 241 WHEN 8 THEN 231
+                      WHEN 9 THEN 193 WHEN 10 THEN 353 ELSE 380
+                 END AS comp
+          FROM (SELECT i, k, unnest(range(0, k)) AS j FROM m)),
+    agg AS (SELECT i, SUM(filler + comp) AS unit_sum FROM u GROUP BY i)
+    SELECT m.i AS doc_id,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS normalized,
+           CAST(CASE WHEN bad THEN 0 ELSE k + 1 END AS BIGINT)
+             AS n_composed,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 * k + 2 END AS BIGINT)
+             AS out_len,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.unit_sum + 1031 END
+                AS BIGINT) AS cp_sum
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="Hand-written Unicode NFC normalization (UAX #15) over a "
+    "bounded in-code table — the C4/CCNet front-door step between "
+    "charset transcode and tokenization: the full 161-entry "
+    "canonical decomposition table for Latin-1 Supplement + Latin "
+    "Extended-A, canonical reordering by combining class (stable "
+    "sort of nonzero-ccc runs), and the UAX #15 composition "
+    "algorithm with last-starter tracking and blocking. Two-sided "
+    "degrade: out-of-table codepoints AND non-blocked pairs full "
+    "Unicode composes OUTSIDE the covered ranges (the exhaustive "
+    "_UNSAFE set) both return un-normalizable — the operator never "
+    "emits a normalization unicodedata would disagree with "
+    "(fuzz-pinned over 50k covered-alphabet strings in tests). The "
+    "fixture builds per-doc NFD strings (filler + decomposed pair "
+    "units, plus one multi-mark reorder unit a+cedilla+grave whose "
+    "ccc-202 mark must NOT block the ccc-230 grave composing to "
+    "a-grave); every 11th id appends an out-of-table mark (U+0359) "
+    "and must degrade. The oracle recomputes composed codepoint "
+    "sums blind from its own independent pair->composed CASE "
+    "mapping. Arrow-batched mapInPandas, zero shuffle. "
+    "operators/nfc.py nfc_normalize",
+    tags=("llm", "text"),
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.nfc import nfc_normalize_stats
+
+    return nfc_normalize_stats(load_table(spark, sf_dir, "documents"))
