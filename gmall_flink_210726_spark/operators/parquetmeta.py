@@ -1905,19 +1905,22 @@ def _assemble_list_records(
     defs: list[int],
     vals: list,
     max_def: int,
+    leaf_optional: bool = True,
 ) -> list[list | None] | None:
-    """Dremel record assembly for ONE repeated level over an optional
-    list of optional elements (max_rep == 1, the parquet LIST shape):
+    """Dremel record assembly for ONE repeated level (max_rep == 1,
+    the parquet LIST/MAP shape), over an optional collection whose
+    leaf is OPTIONAL (lists, map values) or REQUIRED (map keys):
 
     - rep 0 opens a new record; rep 1 appends to the open list;
-    - def 0 -> the list itself is NULL (one level entry, no value);
-    - def max_def-2 -> present but EMPTY list;
-    - def max_def-1 -> a NULL element slot;
+    - def 0 -> the collection itself is NULL (no value);
+    - def max_def - (2 if leaf_optional else 1) -> present but EMPTY;
+    - def max_def-1 (optional leaf only) -> a NULL element slot;
     - def max_def   -> a present element (consumes the next value).
 
     Returns None on any grammar violation (a rep-1 entry with no open
     list, an element-level def on an empty/null marker, leftover
     values) — level streams must be internally consistent."""
+    empty_def = max_def - 2 if leaf_optional else max_def - 1
     records: list[list | None] = []
     vi = 0
     for rp, df in zip(reps, defs):
@@ -1926,9 +1929,9 @@ def _assemble_list_records(
         if rp == 0:
             if df == 0:
                 records.append(None)
-            elif df == max_def - 2:
+            elif df == empty_def:
                 records.append([])
-            elif df >= max_def - 1:
+            elif df == max_def or (leaf_optional and df == max_def - 1):
                 cur: list = []
                 if df == max_def:
                     if vi >= len(vals):
@@ -1948,7 +1951,7 @@ def _assemble_list_records(
                     return None
                 records[-1].append(vals[vi])
                 vi += 1
-            elif df == max_def - 1:
+            elif leaf_optional and df == max_def - 1:
                 records[-1].append(None)
             else:
                 return None  # a list/null marker cannot continue a record
@@ -2233,9 +2236,13 @@ def _make_parquet_nested(i: int, bad_stripe: int = 13) -> bytes:
     when ==1, else 1+(i+r)%4 elements with every (i+r+3j)%11==0
     element null) and ``tags`` a nullable list<string> (null when
     (i+2r)%5==0, else r%3 elements 'tag<(i+4r+j)%100>' with every
-    (i+r+j)%13==0 element null). Every ``bad_stripe``-th id gets the
-    first ``arr`` data page's repetition-level LENGTH WORD smashed to
-    0xFFFFFFFF — a level stream the reader must reject."""
+    (i+r+j)%13==0 element null). The page codec rotates through all
+    five hand-decoded families by ``i % 5`` (NONE / SNAPPY / GZIP /
+    ZSTD / LZ4_RAW). Every ``bad_stripe``-th id gets the first
+    ``arr`` data page's leading body word smashed to 0xFFFFFFFF —
+    the repetition-level length prefix on uncompressed pages, a
+    codec-grammar bomb on compressed ones; the reader must reject
+    either way."""
     import io
 
     import pyarrow as pa
@@ -2282,7 +2289,7 @@ def _make_parquet_nested(i: int, bad_stripe: int = 13) -> bytes:
         table,
         buf,
         row_group_size=-(-n // g),
-        compression="NONE",
+        compression=("NONE", "SNAPPY", "GZIP", "ZSTD", "LZ4")[i % 5],
         write_statistics=False,
         use_dictionary=False,
     )
@@ -2294,7 +2301,9 @@ def _make_parquet_nested(i: int, bad_stripe: int = 13) -> bytes:
             .column(0)
             .data_page_offset
         )
-        # skip the thrift PageHeader, then smash the rep-level length
+        # skip the thrift PageHeader, then smash the first body word
+        # (the rep-level length on NONE pages, codec grammar on the
+        # compressed ones)
         r = _Reader(bytes(blob), off, len(blob))
         _read_struct(r)
         blob[r.pos : r.pos + 4] = b"\xff\xff\xff\xff"
@@ -2319,6 +2328,275 @@ def synthesize_parquet_nested_media(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": ids,
                     "content": [_make_parquet_nested(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Nested MAP columns: two leaf streams sharing one repetition structure
+# --------------------------------------------------------------------------
+
+
+def read_parquet_map(data: bytes) -> dict | None:
+    """Nested MAP column read from scratch over the standard 3-level
+    shape — ``optional group (MAP) { repeated group key_value {
+    required key; optional value } }`` — the OTHER dominant nested
+    layout of real lakehouse schemas beside LIST.
+
+    A map is TWO leaf columns sharing one repetition structure: the
+    REQUIRED ``key`` leaf (max_def=2: 0 null map / 1 empty / 2 key)
+    and the OPTIONAL ``value`` leaf (max_def=3: 0 null map / 1 empty
+    / 2 null value / 3 value), both derived from the schema walk.
+    Each chunk is page-walked and Dremel-assembled independently,
+    then ZIPPED with the structural cross-check unique to maps: both
+    leaves must agree record-by-record on null/empty/entry-count —
+    a key stream and value stream that disagree is a corrupt file,
+    not a shorter map. Page/chunk/row-group count books must balance
+    exactly as in the LIST reader; a smashed page degrades.
+
+    Returns checksums the oracle recomputes blind: record/page/
+    entry counts, null/empty-map breakdown, key byte-length sum,
+    null-value count and value sum."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    schema = meta.get(2)
+    row_groups = meta.get(4)
+    if (
+        not isinstance(num_rows, int)
+        or not isinstance(schema, list)
+        or not isinstance(row_groups, list)
+    ):
+        return None
+    leaves = _schema_leaf_levels(schema)
+    if leaves is None:
+        return None
+    key_path = next(
+        (p for p in leaves if p and p[0] == b"m" and p[-1] == b"key"),
+        None,
+    )
+    val_path = next(
+        (p for p in leaves if p and p[0] == b"m" and p[-1] == b"value"),
+        None,
+    )
+    if key_path is None or val_path is None:
+        return None
+    if leaves[key_path] != (2, 1, 6):  # required BYTE_ARRAY key
+        return None
+    if leaves[val_path] != (3, 1, 2):  # optional INT64 value
+        return None
+    out = {
+        "n_records": 0,
+        "n_pages": 0,
+        "n_null_maps": 0,
+        "n_empty_maps": 0,
+        "n_entries": 0,
+        "key_len_sum": 0,
+        "n_null_vals": 0,
+        "val_sum": 0,
+    }
+    total = 0
+    for rg in row_groups:
+        if not isinstance(rg, dict) or not isinstance(rg.get(3), int):
+            return None
+        rg_rows = rg[3]
+        cols = rg.get(1)
+        if not isinstance(cols, list):
+            return None
+        chunks: dict[bytes, dict] = {}
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if isinstance(cm, dict) and isinstance(cm.get(3), list):
+                path = cm[3]
+                if path:
+                    chunks[path[-1]] = cm
+        if b"key" not in chunks or b"value" not in chunks:
+            return None
+        try:
+            got_k = _read_list_chunk(data, chunks[b"key"], 2, 6)
+            got_v = _read_list_chunk(data, chunks[b"value"], 3, 2)
+        except ValueError:
+            return None
+        if got_k is None or got_v is None:
+            return None
+        reps_k, defs_k, vals_k, pages_k = got_k
+        reps_v, defs_v, vals_v, pages_v = got_v
+        recs_k = _assemble_list_records(
+            reps_k, defs_k, vals_k, 2, leaf_optional=False
+        )
+        recs_v = _assemble_list_records(reps_v, defs_v, vals_v, 3)
+        if recs_k is None or recs_v is None:
+            return None
+        if len(recs_k) != rg_rows or len(recs_v) != rg_rows:
+            return None
+        # the zip cross-check: both leaves must tell the SAME story
+        for ks, vs in zip(recs_k, recs_v):
+            if (ks is None) != (vs is None):
+                return None
+            if ks is None:
+                out["n_null_maps"] += 1
+                continue
+            if len(ks) != len(vs):
+                return None
+            if not ks:
+                out["n_empty_maps"] += 1
+                continue
+            for k, v in zip(ks, vs):
+                if k is None:
+                    return None  # a map key is REQUIRED
+                out["n_entries"] += 1
+                out["key_len_sum"] += len(k)
+                if v is None:
+                    out["n_null_vals"] += 1
+                else:
+                    out["val_sum"] += v
+        out["n_records"] += rg_rows
+        out["n_pages"] += pages_k + pages_v
+        total += rg_rows
+    if total != num_rows:
+        return None
+    return out
+
+
+PQMAP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("n_null_maps", LongType()),
+        StructField("n_empty_maps", LongType()),
+        StructField("n_entries", LongType()),
+        StructField("key_len_sum", LongType()),
+        StructField("n_null_vals", LongType()),
+        StructField("val_sum", LongType()),
+    ]
+)
+
+
+def _pqmap_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    zero = {f.name: 0 for f in PQMAP_SCHEMA.fields if f.name != "format"}
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = dict(zero, media_id=int(mid), format="unknown")
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_parquet_map(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="parquet", **st)
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in PQMAP_SCHEMA.fields])
+
+
+def parquet_map_stats(df: DataFrame) -> DataFrame:
+    """Hand-decoded nested MAP column read over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pqmap_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, PQMAP_SCHEMA)
+
+
+def _make_parquet_map(i: int, bad_stripe: int = 14) -> bytes:
+    """``8 + i % 50`` records, ``1 + i % 3`` row groups; column ``m``
+    is a nullable map<string, int64> (null when (i+3r)%6==0, else
+    r%3 entries: key 'k<(i+r+j)%9>' — consecutive j keeps keys
+    distinct — value null when (i+2r+j)%7==0 else (i+5r+11j)%500).
+    Codec rotates NONE/SNAPPY/ZSTD by id. Every ``bad_stripe``-th id
+    smashes the VALUE chunk's first page body word — the key stream
+    still parses, so only the zip/record cross-checks catch it."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 8 + i % 50
+    g = 1 + i % 3
+    rows: list = []
+    for r in range(n):
+        if (i + 3 * r) % 6 == 0:
+            rows.append(None)
+        else:
+            rows.append(
+                [
+                    (
+                        f"k{(i + r + j) % 9}",
+                        None
+                        if (i + 2 * r + j) % 7 == 0
+                        else (i + 5 * r + 11 * j) % 500,
+                    )
+                    for j in range(r % 3)
+                ]
+            )
+    table = pa.table(
+        {"m": pa.array(rows, pa.map_(pa.string(), pa.int64()))}
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        table,
+        buf,
+        row_group_size=-(-n // g),
+        compression=("NONE", "SNAPPY", "ZSTD")[i % 3],
+        write_statistics=False,
+        use_dictionary=False,
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        off = (
+            pq.ParquetFile(io.BytesIO(bytes(blob)))
+            .metadata.row_group(0)
+            .column(1)  # the value chunk
+            .data_page_offset
+        )
+        r = _Reader(bytes(blob), off, len(blob))
+        _read_struct(r)
+        blob[r.pos : r.pos + 4] = b"\xff\xff\xff\xff"
+    return bytes(blob)
+
+
+def synthesize_parquet_map_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of nested MAP-column parquet."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_parquet_map(int(i)) for i in ids],
                     "meta": [
                         {
                             "format": "parquet",

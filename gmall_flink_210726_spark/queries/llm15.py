@@ -106,8 +106,11 @@ from gmall_flink_210726_spark.sources.batch import load_table
     "per-page level counts, exact value consumption, page counts "
     "sum to chunk num_values, ASSEMBLED record counts equal each "
     "row group's num_rows for BOTH columns, groups sum to the file "
-    "rows. Every 13th id's first rep-level length word is smashed "
-    "to 0xFFFFFFFF and must degrade. The oracle recomputes element "
+    "rows. The page codec rotates through all five hand-decoded "
+    "families (NONE/SNAPPY/GZIP/ZSTD/LZ4_RAW) by id. Every 13th "
+    "id's first data-page body word is smashed to 0xFFFFFFFF (the "
+    "rep-level length prefix on plain pages, a codec-grammar bomb "
+    "on compressed ones) and must degrade. The oracle recomputes element "
     "sums, null/empty-list and null-element breakdowns, and string "
     "byte lengths blind from the write formulas. Pure map over "
     "blobs, zero shuffle. operators/parquetmeta.py "
@@ -381,3 +384,73 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.operators.nfc import nfc_normalize_stats
 
     return nfc_normalize_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_parquet_map",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 14 = 0 AS bad,
+                      8 + doc_id % 50 AS n, 1 + doc_id % 3 AS g
+               FROM documents),
+    r AS (SELECT i, rr, (i + 3 * rr) % 6 = 0 AS mnull, rr % 3 AS t
+          FROM (SELECT i, n, unnest(range(0, n)) AS rr FROM m)),
+    e AS (SELECT i, CASE WHEN (i + 2 * rr + j) % 7 = 0 THEN NULL
+                         ELSE (i + 5 * rr + 11 * j) % 500 END AS v
+          FROM (SELECT i, rr, unnest(range(0, t)) AS j
+                FROM r WHERE NOT mnull)),
+    ag AS (SELECT i, COUNT(*) AS n_entries,
+                  COUNT(*) - COUNT(v) AS n_null_vals,
+                  COALESCE(SUM(v), 0) AS val_sum
+           FROM e GROUP BY i),
+    lm AS (SELECT i,
+                  SUM(CASE WHEN mnull THEN 1 ELSE 0 END) AS n_null_maps,
+                  SUM(CASE WHEN NOT mnull AND t = 0 THEN 1 ELSE 0 END)
+                    AS n_empty_maps
+           FROM r GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 * g END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN bad THEN 0 ELSE lm.n_null_maps END AS BIGINT)
+             AS n_null_maps,
+           CAST(CASE WHEN bad THEN 0 ELSE lm.n_empty_maps END AS BIGINT)
+             AS n_empty_maps,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(ag.n_entries, 0) END
+                AS BIGINT) AS n_entries,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 2 * COALESCE(ag.n_entries, 0) END AS BIGINT)
+             AS key_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(ag.n_null_vals, 0) END
+                AS BIGINT) AS n_null_vals,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(ag.val_sum, 0) END
+                AS BIGINT) AS val_sum
+    FROM m JOIN lm ON lm.i = m.i LEFT JOIN ag ON ag.i = m.i
+    """,
+    doc="Parquet nested MAP columns from scratch — the OTHER "
+    "dominant nested layout beside LIST: optional group (MAP) { "
+    "repeated group key_value { required key; optional value } }. "
+    "A map is TWO leaf streams sharing one repetition structure "
+    "(REQUIRED key at max_def=2, OPTIONAL value at max_def=3, both "
+    "derived from the schema walk, exercising the required-leaf "
+    "Dremel branch the LIST reader never hits); each is page-walked "
+    "and assembled independently, then ZIPPED with the map-specific "
+    "cross-check: both leaves must agree record-by-record on "
+    "null/empty/entry-count — a key stream and value stream that "
+    "disagree is a corrupt file. Codec rotates NONE/SNAPPY/ZSTD. "
+    "Every 14th id smashes the VALUE chunk's first page body word: "
+    "the key stream still parses, so only the zip cross-check "
+    "catches it. The oracle recomputes entry counts, key byte "
+    "lengths, null-value counts and value sums blind. Pure map over "
+    "blobs, zero shuffle. operators/parquetmeta.py read_parquet_map",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_map_stats,
+        synthesize_parquet_map_media,
+    )
+
+    media = synthesize_parquet_map_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_map_stats(media)

@@ -155,3 +155,62 @@ class TestNestedRoundTrip:
             b2[off + delta] ^= 0x5A
             got = read_parquet_nested(bytes(b2))
             assert got is None or isinstance(got, dict)
+
+
+class TestMapRead:
+    def test_agrees_with_pyarrow_reader(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_map,
+            read_parquet_map,
+        )
+
+        for i in (1, 2, 3, 5, 29):
+            blob = _make_parquet_map(i)
+            got = read_parquet_map(blob)
+            t = pq.read_table(io.BytesIO(blob))
+            maps = t.column("m").to_pylist()
+            assert got["n_records"] == len(maps)
+            assert got["n_null_maps"] == sum(
+                1 for x in maps if x is None
+            )
+            assert got["n_empty_maps"] == sum(
+                1 for x in maps if x == []
+            )
+            entries = [kv for x in maps if x for kv in x]
+            assert got["n_entries"] == len(entries)
+            assert got["key_len_sum"] == sum(len(k) for k, _ in entries)
+            assert got["n_null_vals"] == sum(
+                1 for _, v in entries if v is None
+            )
+            assert got["val_sum"] == sum(
+                v for _, v in entries if v is not None
+            )
+
+    def test_smashed_value_chunk_degrades(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_map,
+            read_parquet_map,
+        )
+
+        assert read_parquet_map(_make_parquet_map(0)) is None
+        assert read_parquet_map(_make_parquet_map(14)) is None
+
+    def test_required_leaf_assembly_branch(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _assemble_list_records,
+        )
+
+        # required leaf, max_def=2: def 0 null / 1 empty / 2 value
+        recs = _assemble_list_records(
+            [0, 0, 0, 1], [0, 1, 2, 2], [b"a", b"b"], 2,
+            leaf_optional=False,
+        )
+        assert recs == [None, [], [b"a", b"b"]]
+        # a null-element def (max_def-1) on a required leaf is EMPTY,
+        # so it cannot continue an open record
+        assert (
+            _assemble_list_records(
+                [0, 1], [2, 1], [b"a"], 2, leaf_optional=False
+            )
+            is None
+        )
