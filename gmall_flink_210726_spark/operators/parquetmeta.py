@@ -1963,12 +1963,17 @@ def _assemble_list_records(
 def _read_list_chunk(
     data: bytes, chunk: dict, max_def: int, ptype: int
 ) -> tuple[list[int], list[int], list, int] | None:
-    """Walk one LIST leaf column chunk's v1 data pages: 4-byte-length-
-    prefixed RLE repetition levels (bit width = bits(max_rep=1)),
-    same-framed definition levels (bit width = bits(max_def)), PLAIN
-    values for exactly the def==max_def entries. Returns the pooled
-    (reps, defs, values, n_pages) for record assembly; None on any
-    grammar violation, including a smashed level stream."""
+    """Walk one LIST leaf column chunk's data pages, BOTH page
+    formats: v1 (whole page compressed; 4-byte-length-prefixed RLE
+    repetition levels, then definition levels, then values) and v2
+    (rep/def level byte lengths in the header, levels ALWAYS
+    uncompressed and OUTSIDE the codec, is_compressed applying to
+    the values alone, plus v2's own per-page books: the rep==0 count
+    must equal the header's num_rows). Level bit widths derive from
+    max_rep/max_def; values are PLAIN for exactly the def==max_def
+    entries. Returns the pooled (reps, defs, values, n_pages) for
+    record assembly; None on any grammar violation, including a
+    smashed level stream."""
     codec = chunk.get(4)
     if chunk.get(1) != ptype or codec not in _CODECS:
         return None
@@ -1984,41 +1989,79 @@ def _read_list_chunk(
     while got < n_vals:
         r = _Reader(data, pos, len(data))
         ph = _read_struct(r)
-        if ph.get(1) != 0:  # DATA_PAGE v1
+        ptype_page = ph.get(1)
+        psize, usize = ph.get(3), ph.get(2)
+        if not isinstance(psize, int):
             return None
-        dph = ph.get(5)
-        # values PLAIN; def (field 3) + rep (field 4) levels RLE
-        if (
-            not isinstance(dph, dict)
-            or dph.get(2) != 0
-            or dph.get(3) != 3
-            or dph.get(4) != 3
-        ):
+        raw = data[r.pos : r.pos + psize]
+        if len(raw) != psize:
             return None
-        pn, psize, usize = dph.get(1), ph.get(3), ph.get(2)
-        if not isinstance(pn, int) or not isinstance(psize, int):
+        if ptype_page == 0:  # DATA_PAGE v1: whole page compressed
+            dph = ph.get(5)
+            # values PLAIN; def (field 3) + rep (field 4) levels RLE
+            if (
+                not isinstance(dph, dict)
+                or dph.get(2) != 0
+                or dph.get(3) != 3
+                or dph.get(4) != 3
+            ):
+                return None
+            pn = dph.get(1)
+            if not isinstance(pn, int):
+                return None
+            page = _page_decompress(raw, codec, usize)
+            if page is None or len(page) < 4:
+                return None
+            (rlen,) = struct.unpack_from("<I", page, 0)
+            if 4 + rlen + 4 > len(page):
+                return None  # smashed repetition-level stream
+            preps = _decode_rle_hybrid(page[4 : 4 + rlen], pn, 1)
+            (dlen,) = struct.unpack_from("<I", page, 4 + rlen)
+            body_at = 4 + rlen + 4 + dlen
+            if body_at > len(page):
+                return None  # smashed definition-level stream
+            pdefs = _decode_rle_hybrid(
+                page[4 + rlen + 4 : body_at], pn, def_bits
+            )
+            body = page[body_at:]
+        elif ptype_page == 3:  # DATA_PAGE_V2: levels OUTSIDE the codec
+            dph = ph.get(8)
+            if not isinstance(dph, dict) or dph.get(4) != 0:  # PLAIN
+                return None
+            pn = dph.get(1)
+            n_rows_hdr = dph.get(3)
+            dll = dph.get(5)
+            rll = dph.get(6)
+            if (
+                not isinstance(pn, int)
+                or not isinstance(dll, int)
+                or not isinstance(rll, int)
+                or rll + dll > len(raw)
+            ):
+                return None
+            preps = _decode_rle_hybrid(raw[:rll], pn, 1)
+            pdefs = _decode_rle_hybrid(raw[rll : rll + dll], pn, def_bits)
+            # v2's own books: rep==0 entries must equal its num_rows
+            if isinstance(n_rows_hdr, int) and (
+                sum(1 for x in preps if x == 0) != n_rows_hdr
+            ):
+                return None
+            vbody = raw[rll + dll :]
+            if dph.get(7, True):  # is_compressed applies to values only
+                body = _page_decompress(
+                    vbody, codec, usize - rll - dll
+                )
+                if body is None:
+                    return None
+            else:  # raw values regardless of the chunk codec
+                body = vbody
+                if len(body) != usize - rll - dll:
+                    return None
+        else:
             return None
-        page = data[r.pos : r.pos + psize]
-        if len(page) != psize:
-            return None
-        page = _page_decompress(page, codec, usize)
-        if page is None or len(page) < 4:
-            return None
-        (rlen,) = struct.unpack_from("<I", page, 0)
-        if 4 + rlen + 4 > len(page):
-            return None  # smashed repetition-level stream
-        preps = _decode_rle_hybrid(page[4 : 4 + rlen], pn, 1)
-        (dlen,) = struct.unpack_from("<I", page, 4 + rlen)
-        body_at = 4 + rlen + 4 + dlen
-        if body_at > len(page):
-            return None  # smashed definition-level stream
-        pdefs = _decode_rle_hybrid(
-            page[4 + rlen + 4 : body_at], pn, def_bits
-        )
         if len(preps) != pn or len(pdefs) != pn:
             return None
         npresent = sum(1 for d in pdefs if d == max_def)
-        body = page[body_at:]
         if ptype == 2:  # INT64
             if len(body) != 8 * npresent:
                 return None
@@ -2230,7 +2273,9 @@ def parquet_nested_stats(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(gen, PQNEST_SCHEMA)
 
 
-def _make_parquet_nested(i: int, bad_stripe: int = 13) -> bytes:
+def _make_parquet_nested(
+    i: int, bad_stripe: int = 13, page_version: str = "1.0"
+) -> bytes:
     """``10 + i % 90`` records, ``1 + i % 3`` row groups; column
     ``arr`` is a NULLABLE list<int64> (null when (i+5r)%7==0, empty
     when ==1, else 1+(i+r)%4 elements with every (i+r+3j)%11==0
@@ -2292,6 +2337,7 @@ def _make_parquet_nested(i: int, bad_stripe: int = 13) -> bytes:
         compression=("NONE", "SNAPPY", "GZIP", "ZSTD", "LZ4")[i % 5],
         write_statistics=False,
         use_dictionary=False,
+        data_page_version=page_version,
     )
     blob = bytearray(buf.getvalue())
     if i % bad_stripe == 0:
@@ -2302,8 +2348,9 @@ def _make_parquet_nested(i: int, bad_stripe: int = 13) -> bytes:
             .data_page_offset
         )
         # skip the thrift PageHeader, then smash the first body word
-        # (the rep-level length on NONE pages, codec grammar on the
-        # compressed ones)
+        # (v1: the rep-level length prefix on NONE pages, codec
+        # grammar on compressed ones; v2: the raw rep-level RLE
+        # stream itself, breaking the rep==0/num_rows books)
         r = _Reader(bytes(blob), off, len(blob))
         _read_struct(r)
         blob[r.pos : r.pos + 4] = b"\xff\xff\xff\xff"
@@ -2597,6 +2644,42 @@ def synthesize_parquet_map_media(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": ids,
                     "content": [_make_parquet_map(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthesize_parquet_nested_v2_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of nested parquet with DATA_PAGE_V2 pages."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_parquet_nested(int(i), page_version="2.0")
+                        for i in ids
+                    ],
                     "meta": [
                         {
                             "format": "parquet",

@@ -454,3 +454,45 @@ def multimodal_parquet_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return parquet_map_stats(media)
+
+
+@register(
+    "multimodal_parquet_nested_v2",
+    # identical write formulas, so the v1 query's oracle applies
+    # verbatim: the page FORMAT differs, the content does not
+    oracle=None,  # set right below to the v1 oracle text
+    doc="Parquet nested LIST columns over DATA_PAGE_V2 pages — the "
+    "v2 page format's defining difference exercised on the NESTED "
+    "path: repetition/definition level byte lengths live in the "
+    "page header, the level streams are ALWAYS uncompressed and "
+    "sit OUTSIDE the codec, is_compressed applies to the values "
+    "alone, and v2 carries its own per-page books (the walk checks "
+    "rep==0 count == the header's num_rows — a cross-check v1 "
+    "cannot offer). Same fixture formulas, codec rotation and "
+    "smashed-stripe contract as multimodal_parquet_nested (the "
+    "smash lands on the raw rep-level RLE stream itself here), so "
+    "the same blind oracle applies verbatim; v1/v2 agreement is "
+    "additionally unit-pinned. operators/parquetmeta.py "
+    "_read_list_chunk",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_nested_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_nested_stats,
+        synthesize_parquet_nested_v2_media,
+    )
+
+    media = synthesize_parquet_nested_v2_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_nested_stats(media)
+
+
+# the v2 twin shares the v1 oracle verbatim (same write formulas)
+from gmall_flink_210726_spark.registry import QUERIES as _Q  # noqa: E402
+
+_Q["multimodal_parquet_nested_v2"].oracle = _Q[
+    "multimodal_parquet_nested"
+].oracle

@@ -214,3 +214,34 @@ class TestMapRead:
             )
             is None
         )
+
+
+class TestDataPageV2:
+    def test_v1_v2_agree(self):
+        """Same content through both page formats must produce
+        identical stats (including codec rotation)."""
+        for i in (1, 2, 3, 4, 5, 29, 77):
+            a = read_parquet_nested(_make_parquet_nested(i))
+            b = read_parquet_nested(
+                _make_parquet_nested(i, page_version="2.0")
+            )
+            assert a is not None and a == b, i
+
+    def test_v2_smashed_levels_degrade(self):
+        assert (
+            read_parquet_nested(
+                _make_parquet_nested(13, page_version="2.0")
+            )
+            is None
+        )
+
+    def test_v2_num_rows_books(self):
+        """v2 pages carry num_rows; the walk pins rep==0 count to it
+        (flip the header's num_rows -> degrade is not directly
+        reachable from outside, so pin via the pyarrow metadata)."""
+        import io
+
+        blob = _make_parquet_nested(4, page_version="2.0")
+        md = pq.ParquetFile(io.BytesIO(blob)).metadata
+        got = read_parquet_nested(blob)
+        assert got is not None and got["n_records"] == md.num_rows
