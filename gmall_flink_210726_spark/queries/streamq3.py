@@ -1165,3 +1165,125 @@ def st23_stream_webdataset(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st24_stream_avro_ingest",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 9 = 0 AS bad,
+                      8 + doc_id % 40 AS n, 1 + doc_id % 3 AS g
+               FROM documents),
+    r AS (SELECT i, unnest(range(0, n)) AS rr FROM m),
+    base AS (SELECT i, SUM((5 * i + 3 * rr) % 1000) AS id_sum,
+                    SUM(rr % 4) AS vals_count
+             FROM r GROUP BY i),
+    v AS (SELECT i, COALESCE(SUM((i + 7 * rr + k) % 100), 0) AS vals_sum
+          FROM (SELECT i, rr, unnest(range(0, rr % 4)) AS k FROM r)
+          GROUP BY i)
+    SELECT CAST(m.i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE n END) AS BIGINT)
+             AS n_records,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE g END) AS BIGINT)
+             AS n_blocks,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE base.id_sum END) AS BIGINT)
+             AS id_sum,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE COALESCE(v.vals_sum, 0)
+                    END) AS BIGINT) AS vals_sum
+    FROM m JOIN base ON base.i = m.i LEFT JOIN v ON v.i = m.i
+    GROUP BY 1
+    """,
+    doc="STREAMING Avro ingest — the object-container walk "
+    "(multimodal_avro_container: schema-driven decode, all three "
+    "spec codecs, sync/CRC cross-checks) running as a STRUCTURED "
+    "STREAMING operator: containers arrive as a parquet file stream "
+    "(32 source files, 16 per trigger: two micro-batches whose "
+    "splits land on every core), the decode runs via Arrow-batched "
+    "mapInPandas ON THE STREAM PLAN, and per-epoch per-bucket "
+    "partials flow through the checkpointed foreachBatch + "
+    "overwrite-idempotent epoch sink — the exact landing pass a "
+    "Kafka->Avro->lakehouse pipeline runs per micro-batch. Decode "
+    "state is per-blob: no state store, scales like the batch twin "
+    "(whose every-9th-id flipped-sync degrade stripe carries over). "
+    "The oracle recomputes per-bucket record/block/value totals "
+    "blind from the write formulas. operators/avro.py "
+    "avro_container_stats",
+    tags=("streaming", "llm", "multimodal"),
+)
+def st24_stream_avro_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.avro import (
+        avro_container_stats,
+        synthesize_avro_media,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st24_src_")
+    out = tempfile.mkdtemp(prefix="st24_out_")
+    ckpt = tempfile.mkdtemp(prefix="st24_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_avro_media(load_table(spark, sf_dir, "documents"))
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = avro_container_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(
+                    (F.col("format") == "avro").cast("long")
+                ).cast("long").alias("n_ok"),
+                F.sum("n_records").cast("long").alias("n_records"),
+                F.sum("n_blocks").cast("long").alias("n_blocks"),
+                F.sum("id_sum").cast("long").alias("id_sum"),
+                F.sum("vals_sum").cast("long").alias("vals_sum"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st24 avro ingest stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_files").cast("long").alias("n_files"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_records").cast("long").alias("n_records"),
+                F.sum("n_blocks").cast("long").alias("n_blocks"),
+                F.sum("id_sum").cast("long").alias("id_sum"),
+                F.sum("vals_sum").cast("long").alias("vals_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
