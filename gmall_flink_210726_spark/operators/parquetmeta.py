@@ -1961,7 +1961,7 @@ def _assemble_list_records(
 
 
 def _read_list_chunk(
-    data: bytes, chunk: dict, max_def: int, ptype: int
+    data: bytes, chunk: dict, max_def: int, ptype: int, max_rep: int = 1
 ) -> tuple[list[int], list[int], list, int] | None:
     """Walk one LIST leaf column chunk's data pages, BOTH page
     formats: v1 (whole page compressed; 4-byte-length-prefixed RLE
@@ -1981,6 +1981,7 @@ def _read_list_chunk(
     if not isinstance(n_vals, int) or not isinstance(off, int):
         return None
     def_bits = max_def.bit_length()
+    rep_bits = max_rep.bit_length()
     reps: list[int] = []
     defs: list[int] = []
     vals: list = []
@@ -2015,7 +2016,7 @@ def _read_list_chunk(
             (rlen,) = struct.unpack_from("<I", page, 0)
             if 4 + rlen + 4 > len(page):
                 return None  # smashed repetition-level stream
-            preps = _decode_rle_hybrid(page[4 : 4 + rlen], pn, 1)
+            preps = _decode_rle_hybrid(page[4 : 4 + rlen], pn, rep_bits)
             (dlen,) = struct.unpack_from("<I", page, 4 + rlen)
             body_at = 4 + rlen + 4 + dlen
             if body_at > len(page):
@@ -2039,7 +2040,7 @@ def _read_list_chunk(
                 or rll + dll > len(raw)
             ):
                 return None
-            preps = _decode_rle_hybrid(raw[:rll], pn, 1)
+            preps = _decode_rle_hybrid(raw[:rll], pn, rep_bits)
             pdefs = _decode_rle_hybrid(raw[rll : rll + dll], pn, def_bits)
             # v2's own books: rep==0 entries must equal its num_rows
             if isinstance(n_rows_hdr, int) and (
@@ -2680,6 +2681,408 @@ def synthesize_parquet_nested_v2_media(docs: DataFrame) -> DataFrame:
                         _make_parquet_nested(int(i), page_version="2.0")
                         for i in ids
                     ],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# General Dremel: arbitrary nesting depth (list<list<...>>, max_rep >= 2)
+# --------------------------------------------------------------------------
+
+
+def _schema_leaf_chains(
+    schema: list,
+) -> dict[tuple[bytes, ...], tuple[list[tuple[str, int]], int]] | None:
+    """Pre-order walk -> per leaf ``(chain, physical_type)`` where
+    chain is the root->leaf list of LEVEL-BEARING nodes as
+    ``('opt'|'rep'|'req', def_level)`` (required GROUPS add no level
+    and are omitted; the leaf is always included, a required leaf
+    carrying the def level of its deepest level-bearing ancestor).
+    This is the full Dremel structure the (max_def, max_rep) summary
+    of `_schema_leaf_levels` collapses."""
+    if not schema or not isinstance(schema[0], dict):
+        return None
+    out: dict = {}
+    idx = 1
+
+    def walk(
+        path: tuple[bytes, ...], dl: int, chain: list[tuple[str, int]]
+    ) -> bool:
+        nonlocal idx
+        if idx >= len(schema):
+            return False
+        el = schema[idx]
+        idx += 1
+        if not isinstance(el, dict):
+            return False
+        rep = el.get(3, 0)
+        link: list[tuple[str, int]] = []
+        if rep == 1:
+            dl += 1
+            link = [("opt", dl)]
+        elif rep == 2:
+            dl += 1
+            link = [("rep", dl)]
+        name = el.get(4)
+        if not isinstance(name, bytes):
+            return False
+        p = path + (name,)
+        nch = el.get(5) or 0
+        if nch == 0:
+            leaf_link = link if link else [("req", dl)]
+            out[p] = (chain + leaf_link, el.get(1, -1))
+            return True
+        return all(walk(p, dl, chain + link) for _ in range(nch))
+
+    nroot = schema[0].get(5) or 0
+    for _ in range(nroot):
+        if not walk((), 0, []):
+            return None
+    if idx != len(schema):
+        return None
+    return out
+
+
+def _assemble_records_deep(
+    reps: list[int],
+    defs: list[int],
+    vals: list,
+    chain: list[tuple[str, int]],
+) -> list | None:
+    """FULL Dremel record assembly (Melnik et al. §4.2) over the
+    parquet collection-chain grammar: zero or more (optional group,
+    repeated group) pairs, then a leaf ('opt' nullable or 'req').
+    Handles ANY nesting depth — the entry's repetition level selects
+    which already-open list continues, the definition level selects
+    how deep new structure is defined (an 'opt' node undefined at d
+    places None, a 'rep' node undefined leaves the just-created list
+    empty, a defined leaf consumes one value). Subsumes the depth-1
+    special case of `_assemble_list_records` (agreement is
+    unit-pinned)."""
+    rep_levels = [dl for k, dl in chain if k == "rep"]
+    rep_pos = [j for j, (k, _) in enumerate(chain) if k == "rep"]
+    max_rep = len(rep_levels)
+    records: list = []
+    stack: list[list] = []  # stack[j] = open list at rep depth j+1
+    vi = 0
+    for r, d in zip(reps, defs):
+        if r < 0 or r > max_rep:
+            return None
+        if r == 0:
+            records.append(None)
+
+            def put(v, _recs=records):
+                _recs[-1] = v
+
+            stack = []
+            ci = 0
+        else:
+            if len(stack) < r:
+                return None  # continuation of a list never opened
+            del stack[r:]
+            if d < rep_levels[r - 1]:
+                return None  # a continuation must be defined here
+            put = stack[r - 1].append
+            ci = rep_pos[r - 1] + 1
+        while True:
+            kind, dl = chain[ci]
+            is_leaf = ci == len(chain) - 1
+            if kind == "opt":
+                if d < dl:
+                    put(None)
+                    break
+                if is_leaf:
+                    if vi >= len(vals):
+                        return None
+                    put(vals[vi])
+                    vi += 1
+                    break
+                nxt_kind, nxt_dl = chain[ci + 1]
+                if nxt_kind != "rep":
+                    return None  # not a collection chain
+                lst: list = []
+                put(lst)
+                if d < nxt_dl:
+                    break  # defined but EMPTY collection
+                stack.append(lst)
+                put = lst.append
+                ci += 2
+            elif kind == "req" and is_leaf:
+                if vi >= len(vals):
+                    return None
+                put(vals[vi])
+                vi += 1
+                break
+            else:
+                return None  # grammar this assembler does not claim
+    if vi != len(vals):
+        return None
+    return records
+
+
+def read_parquet_deep(data: bytes) -> dict | None:
+    """Arbitrary-depth nested read: ``list<list<int64>>`` (max_rep=2,
+    max_def=5) through the FULL Dremel assembler — the shape the
+    3-level special case cannot express, proving the reader handles
+    real deeply-nested lakehouse schemas (feature tensors, token
+    span trees) rather than just the depth-1 LIST layout.
+
+    The chain (opt,1)(rep,2)(opt,3)(rep,4)(opt,5) is DERIVED from
+    the schema walk (`_schema_leaf_chains`), never assumed; levels
+    decode at their true bit widths (rep 2 bits, def 3 bits); record
+    assembly is `_assemble_records_deep`. Books: per-page counts sum
+    to the chunk, assembled records equal each row group's num_rows,
+    groups sum to the file. Returns nested-structure checksums the
+    oracle recomputes blind at every depth: outer/inner null+empty
+    breakdowns, element count/null count/sum."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    schema = meta.get(2)
+    row_groups = meta.get(4)
+    if (
+        not isinstance(num_rows, int)
+        or not isinstance(schema, list)
+        or not isinstance(row_groups, list)
+    ):
+        return None
+    chains = _schema_leaf_chains(schema)
+    if chains is None:
+        return None
+    path = next((p for p in chains if p and p[0] == b"arr2"), None)
+    if path is None:
+        return None
+    chain, ptype = chains[path]
+    if ptype != 2:  # INT64 leaf
+        return None
+    rep_levels = [dl for k, dl in chain if k == "rep"]
+    max_rep = len(rep_levels)
+    max_def = chain[-1][1]
+    if max_rep != 2 or max_def != 5:  # the list<list<int64>> contract
+        return None
+    out = {
+        "n_records": 0,
+        "n_pages": 0,
+        "outer_null": 0,
+        "outer_empty": 0,
+        "inner_lists": 0,
+        "inner_null": 0,
+        "inner_empty": 0,
+        "n_elems": 0,
+        "n_null_elems": 0,
+        "elem_sum": 0,
+    }
+    total = 0
+    for rg in row_groups:
+        if not isinstance(rg, dict) or not isinstance(rg.get(3), int):
+            return None
+        rg_rows = rg[3]
+        cols = rg.get(1)
+        if not isinstance(cols, list):
+            return None
+        chunk = None
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if (
+                isinstance(cm, dict)
+                and isinstance(cm.get(3), list)
+                and cm[3]
+                and cm[3][0] == b"arr2"
+            ):
+                chunk = cm
+                break
+        if chunk is None:
+            return None
+        try:
+            got = _read_list_chunk(data, chunk, max_def, 2, max_rep)
+        except ValueError:
+            return None
+        if got is None:
+            return None
+        reps, defs, vals, pages = got
+        recs = _assemble_records_deep(reps, defs, vals, chain)
+        if recs is None or len(recs) != rg_rows:
+            return None
+        out["n_records"] += rg_rows
+        out["n_pages"] += pages
+        for rec in recs:
+            if rec is None:
+                out["outer_null"] += 1
+            elif not rec:
+                out["outer_empty"] += 1
+            else:
+                for inner in rec:
+                    if inner is None:
+                        out["inner_null"] += 1
+                        continue
+                    out["inner_lists"] += 1
+                    if not inner:
+                        out["inner_empty"] += 1
+                        continue
+                    for v in inner:
+                        if v is None:
+                            out["n_null_elems"] += 1
+                        else:
+                            out["n_elems"] += 1
+                            out["elem_sum"] += v
+        total += rg_rows
+    if total != num_rows:
+        return None
+    return out
+
+
+PQDEEP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("outer_null", LongType()),
+        StructField("outer_empty", LongType()),
+        StructField("inner_lists", LongType()),
+        StructField("inner_null", LongType()),
+        StructField("inner_empty", LongType()),
+        StructField("n_elems", LongType()),
+        StructField("n_null_elems", LongType()),
+        StructField("elem_sum", LongType()),
+    ]
+)
+
+
+def _pqdeep_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    zero = {f.name: 0 for f in PQDEEP_SCHEMA.fields if f.name != "format"}
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = dict(zero, media_id=int(mid), format="unknown")
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_parquet_deep(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="parquet", **st)
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in PQDEEP_SCHEMA.fields])
+
+
+def parquet_deep_stats(df: DataFrame) -> DataFrame:
+    """Depth-2 nested (list<list<int64>>) read over MEDIA_SCHEMA."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pqdeep_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, PQDEEP_SCHEMA)
+
+
+def _make_parquet_deep(i: int, bad_stripe: int = 16) -> bytes:
+    """``8 + i % 40`` records, ``1 + i % 3`` row groups; ``arr2`` is
+    a doubly-nested nullable list<list<int64>>: outer null when
+    (i+2r)%6==0, outer empty when ==1, else 1+(i+r)%3 inner lists;
+    inner null when (i+r+2j)%5==0, empty when ==1, else 1+(i+j)%3
+    elements, each null when (i+r+j+k)%9==0 else (i+4r+7j+13k)%300.
+    Codec rotates NONE/SNAPPY/ZSTD; page version rotates v1/v2 by
+    i%2. Every ``bad_stripe``-th id smashes the first data page's
+    leading body word."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 8 + i % 40
+    g = 1 + i % 3
+    rows: list = []
+    for r in range(n):
+        m6 = (i + 2 * r) % 6
+        if m6 == 0:
+            rows.append(None)
+        elif m6 == 1:
+            rows.append([])
+        else:
+            outer = []
+            for j in range(1 + (i + r) % 3):
+                m5 = (i + r + 2 * j) % 5
+                if m5 == 0:
+                    outer.append(None)
+                elif m5 == 1:
+                    outer.append([])
+                else:
+                    outer.append(
+                        [
+                            None
+                            if (i + r + j + k) % 9 == 0
+                            else (i + 4 * r + 7 * j + 13 * k) % 300
+                            for k in range(1 + (i + j) % 3)
+                        ]
+                    )
+            rows.append(outer)
+    table = pa.table(
+        {"arr2": pa.array(rows, pa.list_(pa.list_(pa.int64())))}
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        table,
+        buf,
+        row_group_size=-(-n // g),
+        compression=("NONE", "SNAPPY", "ZSTD")[i % 3],
+        write_statistics=False,
+        use_dictionary=False,
+        data_page_version=("1.0", "2.0")[i % 2],
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        off = (
+            pq.ParquetFile(io.BytesIO(bytes(blob)))
+            .metadata.row_group(0)
+            .column(0)
+            .data_page_offset
+        )
+        r = _Reader(bytes(blob), off, len(blob))
+        _read_struct(r)
+        blob[r.pos : r.pos + 4] = b"\xff\xff\xff\xff"
+    return bytes(blob)
+
+
+def synthesize_parquet_deep_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of doubly-nested list<list<int64>> parquet."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_parquet_deep(int(i)) for i in ids],
                     "meta": [
                         {
                             "format": "parquet",

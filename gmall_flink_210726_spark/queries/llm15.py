@@ -496,3 +496,90 @@ from gmall_flink_210726_spark.registry import QUERIES as _Q  # noqa: E402
 _Q["multimodal_parquet_nested_v2"].oracle = _Q[
     "multimodal_parquet_nested"
 ].oracle
+
+
+@register(
+    "multimodal_parquet_deep",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 16 = 0 AS bad,
+                      8 + doc_id % 40 AS n, 1 + doc_id % 3 AS g
+               FROM documents),
+    r AS (SELECT i, rr, (i + 2 * rr) % 6 AS m6, 1 + (i + rr) % 3 AS ol
+          FROM (SELECT i, n, unnest(range(0, n)) AS rr FROM m)),
+    outa AS (SELECT i,
+                    SUM(CASE WHEN m6 = 0 THEN 1 ELSE 0 END) AS outer_null,
+                    SUM(CASE WHEN m6 = 1 THEN 1 ELSE 0 END) AS outer_empty
+             FROM r GROUP BY i),
+    inr AS (SELECT i, rr, j, (i + rr + 2 * j) % 5 AS m5,
+                   1 + (i + j) % 3 AS il
+            FROM (SELECT i, rr, ol, unnest(range(0, ol)) AS j
+                  FROM r WHERE m6 >= 2)),
+    ina AS (SELECT i,
+                   SUM(CASE WHEN m5 <> 0 THEN 1 ELSE 0 END) AS inner_lists,
+                   SUM(CASE WHEN m5 = 0 THEN 1 ELSE 0 END) AS inner_null,
+                   SUM(CASE WHEN m5 = 1 THEN 1 ELSE 0 END) AS inner_empty
+            FROM inr GROUP BY i),
+    el AS (SELECT i, CASE WHEN (i + rr + j + k) % 9 = 0 THEN NULL
+                          ELSE (i + 4 * rr + 7 * j + 13 * k) % 300
+                     END AS v
+           FROM (SELECT i, rr, j, unnest(range(0, il)) AS k
+                 FROM inr WHERE m5 >= 2)),
+    ea AS (SELECT i, COUNT(v) AS n_elems,
+                  COUNT(*) - COUNT(v) AS n_null_elems,
+                  COALESCE(SUM(v), 0) AS elem_sum
+           FROM el GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN bad THEN 0 ELSE outa.outer_null END AS BIGINT)
+             AS outer_null,
+           CAST(CASE WHEN bad THEN 0 ELSE outa.outer_empty END AS BIGINT)
+             AS outer_empty,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(ina.inner_lists, 0)
+                END AS BIGINT) AS inner_lists,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(ina.inner_null, 0)
+                END AS BIGINT) AS inner_null,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(ina.inner_empty, 0)
+                END AS BIGINT) AS inner_empty,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(ea.n_elems, 0) END
+                AS BIGINT) AS n_elems,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(ea.n_null_elems, 0)
+                END AS BIGINT) AS n_null_elems,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(ea.elem_sum, 0) END
+                AS BIGINT) AS elem_sum
+    FROM m
+    JOIN outa ON outa.i = m.i
+    LEFT JOIN ina ON ina.i = m.i
+    LEFT JOIN ea ON ea.i = m.i
+    """,
+    doc="FULL Dremel record assembly at arbitrary nesting depth: "
+    "list<list<int64>> (max_rep=2, max_def=5) — the shape the "
+    "3-level special case cannot express (feature tensors, token "
+    "span trees). The collection chain (opt,1)(rep,2)(opt,3)(rep,4)"
+    "(opt,5) is DERIVED from the schema walk per leaf "
+    "(_schema_leaf_chains); levels decode at their true bit widths "
+    "(rep 2 bits, def 3 bits); _assemble_records_deep implements "
+    "the general algorithm — the entry's repetition level selects "
+    "which open list continues, the definition level selects how "
+    "deep new structure is defined — and is unit-pinned to agree "
+    "with the depth-1 assembler on 2000 random streams. Fixture "
+    "rotates page version v1/v2 AND codec NONE/SNAPPY/ZSTD; nulls "
+    "and empties exist at BOTH nesting depths; every 16th id "
+    "smashes the first page body word and must degrade. The oracle "
+    "triple-unnests the write formulas blind. Pure map over blobs, "
+    "zero shuffle. operators/parquetmeta.py read_parquet_deep",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_deep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_deep_stats,
+        synthesize_parquet_deep_media,
+    )
+
+    media = synthesize_parquet_deep_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_deep_stats(media)

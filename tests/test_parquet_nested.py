@@ -245,3 +245,107 @@ class TestDataPageV2:
         md = pq.ParquetFile(io.BytesIO(blob)).metadata
         got = read_parquet_nested(blob)
         assert got is not None and got["n_records"] == md.num_rows
+
+
+class TestGeneralDremel:
+    CHAIN2 = [("opt", 1), ("rep", 2), ("opt", 3), ("rep", 4), ("opt", 5)]
+
+    def test_depth2_observed_pyarrow_streams(self):
+        """The exact level streams pyarrow writes for
+        [None, [], [[1,2],None,[]], [[None,3]]]."""
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _assemble_records_deep,
+        )
+
+        got = _assemble_records_deep(
+            [0, 0, 0, 2, 1, 1, 0, 2],
+            [0, 1, 5, 5, 2, 3, 4, 5],
+            [1, 2, 3],
+            self.CHAIN2,
+        )
+        assert got == [None, [], [[1, 2], None, []], [[None, 3]]]
+
+    def test_depth1_agreement_fuzz(self):
+        """The general assembler must agree with the depth-1 special
+        case on random valid streams (list and map chains)."""
+        import random
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _assemble_records_deep,
+        )
+
+        rng = random.Random(7)
+        chain1 = [("opt", 1), ("rep", 2), ("opt", 3)]
+        for _ in range(2000):
+            reps, defs, vals = [], [], []
+            for _ in range(rng.randint(1, 6)):
+                kind = rng.randint(0, 3)
+                if kind == 0:
+                    reps.append(0)
+                    defs.append(0)
+                elif kind == 1:
+                    reps.append(0)
+                    defs.append(1)
+                else:
+                    for j in range(rng.randint(1, 4)):
+                        reps.append(0 if j == 0 else 1)
+                        if rng.random() < 0.3:
+                            defs.append(2)
+                        else:
+                            defs.append(3)
+                            vals.append(rng.randint(0, 99))
+            a = _assemble_list_records(reps, defs, list(vals), 3)
+            b = _assemble_records_deep(reps, defs, list(vals), chain1)
+            assert a == b
+
+    def test_grammar_violations(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _assemble_records_deep,
+        )
+
+        # rep 2 continues the leaf list a def-5 first entry opened
+        assert _assemble_records_deep(
+            [0, 2], [5, 5], [1, 2], self.CHAIN2
+        ) == [[[1, 2]]]
+        # rep 2 with no record at all
+        assert (
+            _assemble_records_deep([2], [5], [1], self.CHAIN2) is None
+        )
+        # continuation below its own definition level
+        assert (
+            _assemble_records_deep([0, 1], [5, 1], [1], self.CHAIN2)
+            is None
+        )
+        # leftover values
+        assert (
+            _assemble_records_deep([0], [0], [1], self.CHAIN2) is None
+        )
+
+    def test_deep_reader_agrees_with_pyarrow(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_deep,
+            read_parquet_deep,
+        )
+
+        for i in (1, 2, 3, 4, 5, 29):
+            blob = _make_parquet_deep(i)
+            got = read_parquet_deep(blob)
+            t = pq.read_table(io.BytesIO(blob))
+            rows = t.column("arr2").to_pylist()
+            assert got["n_records"] == len(rows)
+            assert got["outer_null"] == sum(1 for x in rows if x is None)
+            inner = [y for x in rows if x for y in x]
+            assert got["inner_null"] == sum(1 for y in inner if y is None)
+            flat = [v for y in inner if y for v in y]
+            assert got["elem_sum"] == sum(
+                v for v in flat if v is not None
+            )
+
+    def test_deep_degrade_stripes(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_deep,
+            read_parquet_deep,
+        )
+
+        assert read_parquet_deep(_make_parquet_deep(0)) is None
+        assert read_parquet_deep(_make_parquet_deep(16)) is None
