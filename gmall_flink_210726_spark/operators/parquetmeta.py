@@ -2013,16 +2013,23 @@ def _read_list_chunk(
             page = _page_decompress(raw, codec, usize)
             if page is None or len(page) < 4:
                 return None
-            (rlen,) = struct.unpack_from("<I", page, 0)
-            if 4 + rlen + 4 > len(page):
-                return None  # smashed repetition-level stream
-            preps = _decode_rle_hybrid(page[4 : 4 + rlen], pn, rep_bits)
-            (dlen,) = struct.unpack_from("<I", page, 4 + rlen)
-            body_at = 4 + rlen + 4 + dlen
+            if max_rep > 0:
+                (rlen,) = struct.unpack_from("<I", page, 0)
+                if 4 + rlen + 4 > len(page):
+                    return None  # smashed repetition-level stream
+                preps = _decode_rle_hybrid(
+                    page[4 : 4 + rlen], pn, rep_bits
+                )
+                at = 4 + rlen
+            else:  # max_rep == 0: the rep section is NOT WRITTEN
+                preps = [0] * pn
+                at = 0
+            (dlen,) = struct.unpack_from("<I", page, at)
+            body_at = at + 4 + dlen
             if body_at > len(page):
                 return None  # smashed definition-level stream
             pdefs = _decode_rle_hybrid(
-                page[4 + rlen + 4 : body_at], pn, def_bits
+                page[at + 4 : body_at], pn, def_bits
             )
             body = page[body_at:]
         elif ptype_page == 3:  # DATA_PAGE_V2: levels OUTSIDE the codec
@@ -3083,6 +3090,267 @@ def synthesize_parquet_deep_media(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": ids,
                     "content": [_make_parquet_deep(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# STRUCT columns: definition levels without repetition
+# --------------------------------------------------------------------------
+
+
+def read_parquet_struct(data: bytes) -> dict | None:
+    """Nested STRUCT column read — the non-repeated nesting shape:
+    ``optional group s { optional int64 a; optional binary b }``.
+    Each field is its own leaf chunk carrying DEFINITION levels only
+    (max_rep=0, so pages have NO repetition section — the spec's
+    conditional layout, exercised here): def 0 = the struct itself
+    is null, 1 = the field is null, 2 = value. Both leaves must
+    agree row-by-row on WHICH rows are struct-null — a def-0 in one
+    leaf and not the other is a corrupt file (the struct analog of
+    the MAP zip cross-check). Chains derive from `_schema_leaf_chains`
+    ((opt,1)(opt,2) per leaf, validated)."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    schema = meta.get(2)
+    row_groups = meta.get(4)
+    if (
+        not isinstance(num_rows, int)
+        or not isinstance(schema, list)
+        or not isinstance(row_groups, list)
+    ):
+        return None
+    chains = _schema_leaf_chains(schema)
+    if chains is None:
+        return None
+    a_path = next(
+        (p for p in chains if p == (b"s", b"a")), None
+    )
+    b_path = next(
+        (p for p in chains if p == (b"s", b"b")), None
+    )
+    if a_path is None or b_path is None:
+        return None
+    expect = [("opt", 1), ("opt", 2)]
+    if chains[a_path] != (expect, 2) or chains[b_path] != (expect, 6):
+        return None
+    out = {
+        "n_records": 0,
+        "n_pages": 0,
+        "n_null_structs": 0,
+        "a_nulls": 0,
+        "a_sum": 0,
+        "b_nulls": 0,
+        "b_len_sum": 0,
+    }
+    total = 0
+    for rg in row_groups:
+        if not isinstance(rg, dict) or not isinstance(rg.get(3), int):
+            return None
+        rg_rows = rg[3]
+        cols = rg.get(1)
+        if not isinstance(cols, list):
+            return None
+        chunks: dict[bytes, dict] = {}
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if isinstance(cm, dict) and isinstance(cm.get(3), list):
+                path = cm[3]
+                if len(path) == 2 and path[0] == b"s":
+                    chunks[path[1]] = cm
+        if b"a" not in chunks or b"b" not in chunks:
+            return None
+        try:
+            got_a = _read_list_chunk(data, chunks[b"a"], 2, 2, max_rep=0)
+            got_b = _read_list_chunk(data, chunks[b"b"], 2, 6, max_rep=0)
+        except ValueError:
+            return None
+        if got_a is None or got_b is None:
+            return None
+        _, defs_a, vals_a, pages_a = got_a
+        _, defs_b, vals_b, pages_b = got_b
+        # no repetition: one level entry per ROW, exactly
+        if len(defs_a) != rg_rows or len(defs_b) != rg_rows:
+            return None
+        ai = bi = 0
+        for da, db in zip(defs_a, defs_b):
+            if (da == 0) != (db == 0):
+                return None  # leaves disagree on struct nullity
+            if da == 0:
+                out["n_null_structs"] += 1
+                continue
+            if da == 1:
+                out["a_nulls"] += 1
+            else:
+                if ai >= len(vals_a):
+                    return None
+                out["a_sum"] += vals_a[ai]
+                ai += 1
+            if db == 1:
+                out["b_nulls"] += 1
+            else:
+                if bi >= len(vals_b):
+                    return None
+                out["b_len_sum"] += len(vals_b[bi])
+                bi += 1
+        if ai != len(vals_a) or bi != len(vals_b):
+            return None
+        out["n_records"] += rg_rows
+        out["n_pages"] += pages_a + pages_b
+        total += rg_rows
+    if total != num_rows:
+        return None
+    return out
+
+
+PQSTRUCT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_pages", LongType()),
+        StructField("n_null_structs", LongType()),
+        StructField("a_nulls", LongType()),
+        StructField("a_sum", LongType()),
+        StructField("b_nulls", LongType()),
+        StructField("b_len_sum", LongType()),
+    ]
+)
+
+
+def _pqstruct_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    zero = {
+        f.name: 0 for f in PQSTRUCT_SCHEMA.fields if f.name != "format"
+    }
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = dict(zero, media_id=int(mid), format="unknown")
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_parquet_struct(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="parquet", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in PQSTRUCT_SCHEMA.fields]
+    )
+
+
+def parquet_struct_stats(df: DataFrame) -> DataFrame:
+    """Hand-decoded STRUCT column read over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pqstruct_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, PQSTRUCT_SCHEMA
+    )
+
+
+def _make_parquet_struct(i: int, bad_stripe: int = 15) -> bytes:
+    """``9 + i % 60`` records, ``1 + i % 3`` row groups; column ``s``
+    is a nullable struct<a int64, b string>: struct null when
+    (i+4r)%7==0; a null when (i+r)%5==0 else (i+6r)%700; b null when
+    (i+3r)%4==0 else 'v<(i+2r)%30>'. Codec rotates NONE/SNAPPY/GZIP.
+    Every ``bad_stripe``-th id smashes field b's first page body
+    word — field a still parses, so the nullity-agreement
+    cross-check (or the level stream itself) must catch it."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 9 + i % 60
+    g = 1 + i % 3
+    rows: list = []
+    for r in range(n):
+        if (i + 4 * r) % 7 == 0:
+            rows.append(None)
+        else:
+            rows.append(
+                {
+                    "a": None if (i + r) % 5 == 0 else (i + 6 * r) % 700,
+                    "b": None
+                    if (i + 3 * r) % 4 == 0
+                    else f"v{(i + 2 * r) % 30}",
+                }
+            )
+    table = pa.table(
+        {
+            "s": pa.array(
+                rows, pa.struct([("a", pa.int64()), ("b", pa.string())])
+            )
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        table,
+        buf,
+        row_group_size=-(-n // g),
+        compression=("NONE", "SNAPPY", "GZIP")[i % 3],
+        write_statistics=False,
+        use_dictionary=False,
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        off = (
+            pq.ParquetFile(io.BytesIO(bytes(blob)))
+            .metadata.row_group(0)
+            .column(1)  # field b
+            .data_page_offset
+        )
+        r = _Reader(bytes(blob), off, len(blob))
+        _read_struct(r)
+        blob[r.pos : r.pos + 4] = b"\xff\xff\xff\xff"
+    return bytes(blob)
+
+
+def synthesize_parquet_struct_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of STRUCT-column parquet."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_parquet_struct(int(i)) for i in ids
+                    ],
                     "meta": [
                         {
                             "format": "parquet",

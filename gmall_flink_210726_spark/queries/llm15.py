@@ -583,3 +583,70 @@ def multimodal_parquet_deep(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_deep_stats(media)
+
+
+@register(
+    "multimodal_parquet_struct",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 15 = 0 AS bad,
+                      9 + doc_id % 60 AS n, 1 + doc_id % 3 AS g
+               FROM documents),
+    r AS (SELECT i, rr, (i + 4 * rr) % 7 = 0 AS snull
+          FROM (SELECT i, n, unnest(range(0, n)) AS rr FROM m)),
+    f AS (SELECT i,
+                 SUM(CASE WHEN snull THEN 1 ELSE 0 END) AS n_null_structs,
+                 SUM(CASE WHEN NOT snull AND (i + rr) % 5 = 0
+                          THEN 1 ELSE 0 END) AS a_nulls,
+                 SUM(CASE WHEN NOT snull AND (i + rr) % 5 <> 0
+                          THEN (i + 6 * rr) % 700 ELSE 0 END) AS a_sum,
+                 SUM(CASE WHEN NOT snull AND (i + 3 * rr) % 4 = 0
+                          THEN 1 ELSE 0 END) AS b_nulls,
+                 SUM(CASE WHEN NOT snull AND (i + 3 * rr) % 4 <> 0
+                          THEN 1 + length(CAST((i + 2 * rr) % 30
+                                               AS VARCHAR))
+                          ELSE 0 END) AS b_len_sum
+          FROM r GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 * g END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN bad THEN 0 ELSE f.n_null_structs END AS BIGINT)
+             AS n_null_structs,
+           CAST(CASE WHEN bad THEN 0 ELSE f.a_nulls END AS BIGINT)
+             AS a_nulls,
+           CAST(CASE WHEN bad THEN 0 ELSE f.a_sum END AS BIGINT)
+             AS a_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE f.b_nulls END AS BIGINT)
+             AS b_nulls,
+           CAST(CASE WHEN bad THEN 0 ELSE f.b_len_sum END AS BIGINT)
+             AS b_len_sum
+    FROM m JOIN f ON f.i = m.i
+    """,
+    doc="Parquet STRUCT columns — the non-repeated nesting shape "
+    "completing the matrix (LIST, MAP, list<list>, now STRUCT): "
+    "optional group s { optional int64 a; optional binary b }. Each "
+    "field is a leaf chunk carrying DEFINITION levels only; max_rep "
+    "is 0 so pages omit the repetition section entirely (the spec's "
+    "conditional layout, now exercised in _read_list_chunk): def 0 "
+    "struct null / 1 field null / 2 value. The struct cross-check: "
+    "both leaves must agree row-by-row on WHICH rows are "
+    "struct-null; the fixture smashes field b's chunk only (every "
+    "15th id), so field a still parses and the agreement check (or "
+    "the level grammar) must catch it. Codec rotates "
+    "NONE/SNAPPY/GZIP. The oracle recomputes per-field null counts, "
+    "value sums and string byte lengths blind. Pure map over blobs, "
+    "zero shuffle. operators/parquetmeta.py read_parquet_struct",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_struct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_struct_stats,
+        synthesize_parquet_struct_media,
+    )
+
+    media = synthesize_parquet_struct_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_struct_stats(media)

@@ -349,3 +349,37 @@ class TestGeneralDremel:
 
         assert read_parquet_deep(_make_parquet_deep(0)) is None
         assert read_parquet_deep(_make_parquet_deep(16)) is None
+
+
+class TestStructRead:
+    def test_agrees_with_pyarrow(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_struct,
+            read_parquet_struct,
+        )
+
+        for i in (1, 2, 3, 4, 5, 29):
+            blob = _make_parquet_struct(i)
+            got = read_parquet_struct(blob)
+            t = pq.read_table(io.BytesIO(blob))
+            rows = t.column("s").to_pylist()
+            assert got["n_records"] == len(rows)
+            assert got["n_null_structs"] == sum(
+                1 for x in rows if x is None
+            )
+            present = [x for x in rows if x is not None]
+            assert got["a_sum"] == sum(
+                x["a"] for x in present if x["a"] is not None
+            )
+            assert got["b_len_sum"] == sum(
+                len(x["b"]) for x in present if x["b"] is not None
+            )
+
+    def test_smashed_field_degrades(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _make_parquet_struct,
+            read_parquet_struct,
+        )
+
+        assert read_parquet_struct(_make_parquet_struct(0)) is None
+        assert read_parquet_struct(_make_parquet_struct(15)) is None
