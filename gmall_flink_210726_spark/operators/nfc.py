@@ -40,7 +40,12 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # canonical decompositions, U+00C0..U+017F (UnicodeData.txt, field 5)
 _DECOMP: dict[int, tuple[int, int]] = {
@@ -313,3 +318,96 @@ def nfc_normalize_stats(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, NFC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Composed front door: raw bytes -> charset chain -> NFC, one pass
+# --------------------------------------------------------------------------
+
+
+def _make_front_door_bytes(i: int) -> bytes:
+    """Raw crawl-shaped bytes: even ids are UTF-8 of the NFD fixture
+    text (decomposed marks, 2-byte sequences; every 22nd id carries
+    the out-of-table mark); odd ids are cp1252/latin-1 single-byte
+    text already COMPOSED (pairs 0-9 only — their composed points
+    fit one byte), which the strict UTF-8 decode must reject."""
+    if i % 2 == 0:
+        return _make_nfd_text(i).encode("utf-8")
+    parts = []
+    for j in range(5 + i % 20):
+        b, m = _PAIRS[(i + 3 * j) % 10]
+        parts.append(chr(97 + (i + j) % 26) + chr(_COMP[(b, m)]))
+    return "".join(parts).encode("latin-1")
+
+
+def text_front_door_stats(docs: DataFrame) -> DataFrame:
+    """The composed text FRONT DOOR as one operator: raw bytes ->
+    strict-UTF-8 / cp1252 / latin-1 fallback chain (operators/
+    charset.py) -> hand NFC (this module) -> per-doc proofs. The
+    composition a crawl pipeline actually runs before tokenization;
+    both layers keep their own degrade contracts (the chain never
+    fails, NFC refuses out-of-table sequences)."""
+    from gmall_flink_210726_spark.operators.charset import (
+        cp1252_decode_strict,
+        utf8_decode_strict,
+    )
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("encoding", StringType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_cps", LongType()),
+            StructField("normalized", LongType()),
+            StructField("n_composed", LongType()),
+            StructField("out_len", LongType()),
+            StructField("out_cp_sum", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                i = int(i)
+                data = _make_front_door_bytes(i)
+                cps = utf8_decode_strict(data)
+                enc = "utf-8"
+                if cps is None:
+                    cps = cp1252_decode_strict(data)
+                    enc = "cp1252"
+                    if cps is None:
+                        cps = list(data)
+                        enc = "latin-1"
+                got = nfc_normalize("".join(map(chr, cps)))
+                row = {
+                    "doc_id": i,
+                    "encoding": enc,
+                    "n_bytes": len(data),
+                    "n_cps": len(cps),
+                    "normalized": 0,
+                    "n_composed": 0,
+                    "out_len": 0,
+                    "out_cp_sum": 0,
+                }
+                if got is not None:
+                    text, composed = got
+                    row.update(
+                        normalized=1,
+                        n_composed=composed,
+                        out_len=len(text),
+                        out_cp_sum=sum(ord(c) for c in text),
+                    )
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema)

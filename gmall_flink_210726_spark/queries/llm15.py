@@ -650,3 +650,71 @@ def multimodal_parquet_struct(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_struct_stats(media)
+
+
+@register(
+    "text_front_door",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 2 = 0 AS even,
+                      doc_id % 2 = 0 AND doc_id % 11 = 0 AS bad,
+                      5 + doc_id % 20 AS k
+               FROM documents),
+    u AS (SELECT i, even, 97 + (i + j) % 26 AS filler,
+                 CASE (i + 3 * j) % 12
+                      WHEN 0 THEN 224 WHEN 1 THEN 225 WHEN 2 THEN 233
+                      WHEN 3 THEN 232 WHEN 4 THEN 237 WHEN 5 THEN 244
+                      WHEN 6 THEN 252 WHEN 7 THEN 241 WHEN 8 THEN 231
+                      WHEN 9 THEN 193 WHEN 10 THEN 353 ELSE 380
+                 END AS comp12,
+                 CASE (i + 3 * j) % 10
+                      WHEN 0 THEN 224 WHEN 1 THEN 225 WHEN 2 THEN 233
+                      WHEN 3 THEN 232 WHEN 4 THEN 237 WHEN 5 THEN 244
+                      WHEN 6 THEN 252 WHEN 7 THEN 241 WHEN 8 THEN 231
+                      ELSE 193
+                 END AS comp10
+          FROM (SELECT i, even, k, unnest(range(0, k)) AS j FROM m)),
+    agg AS (SELECT i,
+                   SUM(filler + CASE WHEN even THEN comp12
+                                     ELSE comp10 END) AS unit_sum
+            FROM u GROUP BY i)
+    SELECT m.i AS doc_id,
+           CASE WHEN even THEN 'utf-8' ELSE 'cp1252' END AS encoding,
+           CAST(CASE WHEN NOT even THEN 2 * k
+                     WHEN bad THEN 4 * k + 8 ELSE 4 * k + 5 END
+                AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN NOT even THEN 2 * k
+                     WHEN bad THEN 3 * k + 5 ELSE 3 * k + 3 END
+                AS BIGINT) AS n_cps,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS normalized,
+           CAST(CASE WHEN bad THEN 0 WHEN even THEN k + 1 ELSE k END
+                AS BIGINT) AS n_composed,
+           CAST(CASE WHEN bad THEN 0 WHEN even THEN 2 * k + 2
+                     ELSE 2 * k END AS BIGINT) AS out_len,
+           CAST(CASE WHEN bad THEN 0
+                     WHEN even THEN agg.unit_sum + 1031
+                     ELSE agg.unit_sum END AS BIGINT) AS out_cp_sum
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="The composed text FRONT DOOR as one operator — raw crawl "
+    "bytes -> strict-UTF-8/cp1252/latin-1 fallback chain -> hand "
+    "NFC -> per-doc proofs, the pipeline a crawl corpus runs before "
+    "tokenization, composing operators/charset.py with "
+    "operators/nfc.py (the text-side sibling of the WebDataset "
+    "composition). Even ids are UTF-8-encoded DECOMPOSED text (the "
+    "chain detects utf-8, NFC composes k+1 units; every 22nd id "
+    "carries the out-of-table U+0359 and the NFC layer must refuse "
+    "while the charset layer still succeeds — per-layer degrade "
+    "independence); odd ids are single-byte cp1252 text already "
+    "composed (strict UTF-8 must reject it, and NFC is a fixed "
+    "point that still reports k decompose-recompose round-trips). "
+    "The oracle recomputes byte/codepoint/composition counts and "
+    "output codepoint sums blind from the write formulas. "
+    "operators/nfc.py text_front_door_stats",
+    tags=("llm", "text"),
+)
+def text_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.nfc import (
+        text_front_door_stats,
+    )
+
+    return text_front_door_stats(load_table(spark, sf_dir, "documents"))

@@ -123,3 +123,34 @@ class TestFuzzAgreement:
                 assert got[0] == ref, repr(s)
         # the degrade path must not swallow the test
         assert degrades < 10000
+
+
+class TestFrontDoorComposition:
+    def test_routes_and_layer_independence(self):
+        from gmall_flink_210726_spark.operators.charset import (
+            cp1252_decode_strict,
+            utf8_decode_strict,
+        )
+        from gmall_flink_210726_spark.operators.nfc import (
+            _make_front_door_bytes,
+        )
+
+        # even: valid UTF-8 of decomposed text
+        data = _make_front_door_bytes(2)
+        cps = utf8_decode_strict(data)
+        assert cps is not None
+        got = nfc_normalize("".join(map(chr, cps)))
+        assert got is not None and got[1] == (5 + 2 % 20) + 1
+        # odd: strict UTF-8 must reject, cp1252 must accept
+        data = _make_front_door_bytes(3)
+        assert utf8_decode_strict(data) is None
+        cps = cp1252_decode_strict(data)
+        assert cps is not None
+        got = nfc_normalize("".join(map(chr, cps)))
+        # already-composed: fixed point with k recompositions
+        assert got is not None and got[1] == 5 + 3 % 20
+        # every 22nd id: charset layer succeeds, NFC layer refuses
+        data = _make_front_door_bytes(22)
+        cps = utf8_decode_strict(data)
+        assert cps is not None
+        assert nfc_normalize("".join(map(chr, cps))) is None
