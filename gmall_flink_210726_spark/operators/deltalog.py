@@ -1,0 +1,300 @@
+"""Delta-log snapshot resolution — the TABLE-FORMAT metadata layer
+above the file formats: a lakehouse reader does not scan a directory,
+it replays the transaction log (the public Delta Lake protocol,
+delta.io/PROTOCOL.md) to learn WHICH files are live at a version.
+
+Implemented from the protocol:
+
+- the ``_delta_log`` is a sequence of versioned commit files
+  (``00000000000000000000.json`` ...), each a newline-delimited list
+  of JSON ACTIONS; versions must be contiguous from 0 (a gap means
+  an incomplete log -> degrade);
+- actions: ``protocol`` (minReaderVersion beyond what this reader
+  supports degrades — the protocol's own forward-compat rule),
+  ``metaData`` (schema + partition columns), ``add`` (path, size,
+  partitionValues, stats with numRecords) and ``remove`` (path);
+- SNAPSHOT = ordered replay, LAST action per path wins: a re-add
+  after a remove resurrects the file, a remove drops it;
+- cross-checks: an ``add`` for a path already live with different
+  size, a ``remove`` for a never-added path, malformed JSON, or a
+  missing protocol/metaData in commit 0 all degrade.
+
+The log ships as one tar blob per table (composing the ustar walk),
+the natural unit for a metadata scan: at 100 TB the DATA files never
+move — only these few-KB logs are read, which is the entire point of
+the table-format layer. Arrow-batched ``mapInPandas``, zero shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from gmall_flink_210726_spark.operators.tar import _BLOCK, _make_header
+from gmall_flink_210726_spark.operators.wds import _iter_tar_members
+
+_MAX_READER_VERSION = 1
+
+DELTA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_commits", LongType()),
+        StructField("n_adds", LongType()),
+        StructField("n_removes", LongType()),
+        StructField("live_files", LongType()),
+        StructField("live_bytes", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("n_partitions", LongType()),
+    ]
+)
+
+
+def replay_delta_log(data: bytes) -> dict | None:
+    """Tar of commit files -> snapshot state; None on any protocol
+    violation (module docstring contract)."""
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    commits: dict[int, bytes] = {}
+    for name, payload in members:
+        if not name.endswith(".json") or len(name) != 25:
+            return None
+        try:
+            v = int(name[:20])
+        except ValueError:
+            return None
+        if v in commits:
+            return None
+        commits[v] = payload
+    n = len(commits)
+    if n == 0 or sorted(commits) != list(range(n)):
+        return None  # versions must be contiguous from 0
+    live: dict[str, tuple[int, int, str]] = {}  # path -> (size, rows, pv)
+    n_adds = n_removes = 0
+    saw_protocol = saw_meta = False
+    for v in range(n):
+        for line in commits[v].split(b"\n"):
+            if not line.strip():
+                continue
+            try:
+                action = json.loads(line.decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+            if not isinstance(action, dict):
+                return None
+            if "protocol" in action:
+                p = action["protocol"]
+                if (
+                    not isinstance(p, dict)
+                    or not isinstance(p.get("minReaderVersion"), int)
+                ):
+                    return None
+                if p["minReaderVersion"] > _MAX_READER_VERSION:
+                    return None  # forward-compat: refuse, never guess
+                saw_protocol = True
+            elif "metaData" in action:
+                md = action["metaData"]
+                if not isinstance(md, dict) or "id" not in md:
+                    return None
+                saw_meta = True
+            elif "add" in action:
+                a = action["add"]
+                if (
+                    not isinstance(a, dict)
+                    or not isinstance(a.get("path"), str)
+                    or not isinstance(a.get("size"), int)
+                ):
+                    return None
+                path = a["path"]
+                stats = a.get("stats")
+                try:
+                    rows = int(json.loads(stats)["numRecords"])
+                except (TypeError, ValueError, KeyError):
+                    return None
+                pv = json.dumps(
+                    a.get("partitionValues", {}), sort_keys=True
+                )
+                if path in live and live[path][0] != a["size"]:
+                    return None  # re-add must agree with the live entry
+                live[path] = (a["size"], rows, pv)
+                n_adds += 1
+            elif "remove" in action:
+                r = action["remove"]
+                if not isinstance(r, dict) or not isinstance(
+                    r.get("path"), str
+                ):
+                    return None
+                if r["path"] not in live:
+                    return None  # removing a never-live file
+                del live[r["path"]]
+                n_removes += 1
+            elif "commitInfo" in action:
+                pass  # informational
+            else:
+                return None  # unknown action kind
+        if v == 0 and not (saw_protocol and saw_meta):
+            return None  # commit 0 must establish the table
+    return {
+        "n_commits": n,
+        "n_adds": n_adds,
+        "n_removes": n_removes,
+        "live_files": len(live),
+        "live_bytes": sum(s for s, _, _ in live.values()),
+        "live_rows": sum(r for _, r, _ in live.values()),
+        "n_partitions": len({pv for _, _, pv in live.values()}),
+    }
+
+
+def _delta_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    zero = {f.name: 0 for f in DELTA_SCHEMA.fields if f.name != "format"}
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = dict(zero, media_id=int(mid), format="unknown")
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = replay_delta_log(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="delta", **st)
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in DELTA_SCHEMA.fields])
+
+
+def delta_snapshot_stats(df: DataFrame) -> DataFrame:
+    """Delta-log replay over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _delta_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, DELTA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Fixture: a deterministic multi-commit log per doc
+# --------------------------------------------------------------------------
+
+
+def _commit_lines(i: int, v: int) -> list[bytes]:
+    """Commit ``v`` of table ``i``: commit 0 carries protocol +
+    metaData + ``2 + i % 3`` adds; later commits add one file and —
+    when (i + v) % 2 == 0 — remove the previous commit's file."""
+    lines: list[bytes] = []
+    if v == 0:
+        lines.append(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            ).encode()
+        )
+        lines.append(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": f"tbl-{i}",
+                        "partitionColumns": ["p"],
+                        "format": {"provider": "parquet"},
+                    }
+                }
+            ).encode()
+        )
+        ks = range(2 + i % 3)
+    else:
+        ks = range(100 * v, 100 * v + 1)
+    for k in ks:
+        rows = 10 + (i + 3 * k) % 90
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": f"part-{v:05d}-{k}.parquet",
+                        "partitionValues": {"p": str(k % 2)},
+                        "size": 1000 + (7 * i + 11 * k) % 5000,
+                        "modificationTime": 1700000000000 + v,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": rows}),
+                    }
+                }
+            ).encode()
+        )
+    if v > 0 and (i + v) % 2 == 0:
+        prev_k = 100 * (v - 1) if v > 1 else (i % (2 + i % 3))
+        prev_v = v - 1
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": f"part-{prev_v:05d}-{prev_k}.parquet",
+                        "deletionTimestamp": 1700000000000 + v,
+                        "dataChange": True,
+                    }
+                }
+            ).encode()
+        )
+    lines.append(
+        json.dumps(
+            {"commitInfo": {"operation": "WRITE", "clusterId": "c"}}
+        ).encode()
+    )
+    return lines
+
+
+def _make_delta_log(i: int, bad_stripe: int = 12) -> bytes:
+    """``2 + i % 4`` commits as a tar of versioned JSON files. Every
+    ``bad_stripe``-th id truncates the LAST commit's final byte mid-
+    JSON-line — the replay must reject the whole log."""
+    n_commits = 2 + i % 4
+    parts = []
+    for v in range(n_commits):
+        payload = b"\n".join(_commit_lines(i, v)) + b"\n"
+        if i % bad_stripe == 0 and v == n_commits - 1:
+            payload = payload[:-3]  # mid-line truncation
+        name = f"{v:020d}.json"
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    parts.append(b"\x00" * (2 * _BLOCK))
+    return b"".join(parts)
+
+
+def synthesize_delta_log_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of Delta transaction logs (tar blobs)."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_delta_log(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "delta",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -718,3 +718,78 @@ def text_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return text_front_door_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lakehouse_delta_snapshot",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 12 = 0 AS bad,
+                      2 + doc_id % 4 AS c, 2 + doc_id % 3 AS a
+               FROM documents),
+    f0 AS (SELECT i, k % 2 AS p,
+                  (i + 1) % 2 = 0 AND k = i % a AS removed,
+                  1000 + (7 * i + 11 * k) % 5000 AS sz,
+                  10 + (i + 3 * k) % 90 AS rws
+           FROM (SELECT i, a, unnest(range(0, a)) AS k FROM m)),
+    fv AS (SELECT i, 0 AS p,
+                  v + 1 <= c - 1 AND (i + v + 1) % 2 = 0 AS removed,
+                  1000 + (7 * i + 11 * (100 * v)) % 5000 AS sz,
+                  10 + (i + 3 * (100 * v)) % 90 AS rws
+           FROM (SELECT i, c, unnest(range(1, c)) AS v FROM m)),
+    allf AS (SELECT * FROM f0 UNION ALL SELECT * FROM fv),
+    liv AS (SELECT i, COUNT(*) AS live_files, SUM(sz) AS live_bytes,
+                   SUM(rws) AS live_rows,
+                   COUNT(DISTINCT p) AS n_partitions
+            FROM allf WHERE NOT removed GROUP BY i),
+    tot AS (SELECT i, COUNT(*) AS n_adds,
+                   SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS n_removes
+            FROM allf GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE c END AS BIGINT) AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE tot.n_adds END AS BIGINT)
+             AS n_adds,
+           CAST(CASE WHEN bad THEN 0 ELSE tot.n_removes END AS BIGINT)
+             AS n_removes,
+           CAST(CASE WHEN bad THEN 0 ELSE liv.live_files END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE liv.live_bytes END AS BIGINT)
+             AS live_bytes,
+           CAST(CASE WHEN bad THEN 0 ELSE liv.live_rows END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE liv.n_partitions END AS BIGINT)
+             AS n_partitions
+    FROM m JOIN liv ON liv.i = m.i JOIN tot ON tot.i = m.i
+    """,
+    doc="Delta-log SNAPSHOT RESOLUTION — the table-format metadata "
+    "layer above the file formats (delta.io PROTOCOL.md): a "
+    "lakehouse reader replays the versioned newline-JSON commit "
+    "files (contiguous from 0, checked) and the snapshot is the "
+    "ordered replay where the LAST action per path wins — adds "
+    "accumulate, removes drop, a re-add resurrects. Protocol "
+    "checks: minReaderVersion beyond this reader degrades (the "
+    "spec's own forward-compat rule), commit 0 must establish "
+    "protocol+metaData, a remove of a never-live path or a re-add "
+    "with a different size is a corrupt log, and malformed JSON "
+    "anywhere rejects the table (every 12th id truncates the last "
+    "commit mid-line). numRecords come from the adds' embedded "
+    "stats JSON. Output: live file/byte/row/partition totals the "
+    "oracle recomputes blind by replaying the same add/remove "
+    "formulas relationally. The logs ship as tar blobs (composing "
+    "the ustar walk); at 100 TB only these few-KB logs are read — "
+    "which is the entire point of the table-format layer. "
+    "operators/deltalog.py replay_delta_log",
+    tags=("llm", "multimodal", "lakehouse"),
+)
+def lakehouse_delta_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltalog import (
+        delta_snapshot_stats,
+        synthesize_delta_log_media,
+    )
+
+    media = synthesize_delta_log_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_snapshot_stats(media)

@@ -1,0 +1,106 @@
+"""Delta-log replay: protocol rules, last-wins semantics, degrade
+contract (operators/deltalog.py)."""
+
+from __future__ import annotations
+
+import json
+
+from gmall_flink_210726_spark.operators.deltalog import (
+    _make_delta_log,
+    replay_delta_log,
+)
+from gmall_flink_210726_spark.operators.tar import _BLOCK, _make_header
+
+
+def _log(*commits: list[dict]) -> bytes:
+    parts = []
+    for v, actions in enumerate(commits):
+        payload = (
+            b"\n".join(json.dumps(a).encode() for a in actions) + b"\n"
+        )
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(f"{v:020d}.json", len(payload))
+            + payload
+            + b"\x00" * pad
+        )
+    parts.append(b"\x00" * (2 * _BLOCK))
+    return b"".join(parts)
+
+
+_P = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+_M = {"metaData": {"id": "t", "partitionColumns": ["p"]}}
+
+
+def _add(path: str, size: int = 100, rows: int = 5, p: str = "0"):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": {"p": p},
+            "size": size,
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": rows}),
+        }
+    }
+
+
+def _rm(path: str):
+    return {"remove": {"path": path, "deletionTimestamp": 1,
+                       "dataChange": True}}
+
+
+class TestReplay:
+    def test_add_remove_readd_last_wins(self):
+        got = replay_delta_log(
+            _log(
+                [_P, _M, _add("a", 100, 5)],
+                [_rm("a")],
+                [_add("a", 100, 5), _add("b", 7, 2, p="1")],
+            )
+        )
+        assert got is not None
+        assert got["live_files"] == 2
+        assert got["live_rows"] == 7
+        assert got["n_partitions"] == 2
+        assert got["n_adds"] == 3 and got["n_removes"] == 1
+
+    def test_future_reader_version_degrades(self):
+        p2 = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+        assert replay_delta_log(_log([p2, _M, _add("a")])) is None
+
+    def test_commit0_must_establish_table(self):
+        assert replay_delta_log(_log([_add("a")])) is None
+        assert replay_delta_log(_log([_P, _add("a")])) is None
+
+    def test_version_gap_degrades(self):
+        blob = _log([_P, _M, _add("a")], [_add("b")])
+        # rename commit 1 -> commit 2 (gap)
+        blob = blob.replace(b"00000000000000000001.json",
+                            b"00000000000000000002.json")
+        assert replay_delta_log(blob) is None
+
+    def test_remove_of_never_live_path_degrades(self):
+        assert (
+            replay_delta_log(_log([_P, _M, _add("a")], [_rm("zz")]))
+            is None
+        )
+
+    def test_readd_with_different_size_degrades(self):
+        assert (
+            replay_delta_log(
+                _log([_P, _M, _add("a", 100)], [_add("a", 999)])
+            )
+            is None
+        )
+
+    def test_missing_stats_degrades(self):
+        a = _add("a")
+        del a["add"]["stats"]
+        assert replay_delta_log(_log([_P, _M, a])) is None
+
+    def test_fixture_stripes(self):
+        assert replay_delta_log(_make_delta_log(0)) is None
+        assert replay_delta_log(_make_delta_log(12)) is None
+        got = replay_delta_log(_make_delta_log(3))
+        assert got is not None and got["n_commits"] == 2 + 3 % 4
