@@ -414,3 +414,92 @@ def synthesize_avro_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Generic encoder (fixture side): the inverse of _decode_value for the
+# types the repo's Avro fixtures use — lets other operators (e.g. the
+# Iceberg metadata walk) synthesize real containers from any schema.
+# --------------------------------------------------------------------------
+
+
+def _enc_datum(schema, v) -> bytes:
+    if isinstance(schema, list):  # union: pick the branch by nullness
+        for idx, br in enumerate(schema):
+            if (br == "null") == (v is None):
+                return _zz_enc(idx) + (
+                    b"" if v is None else _enc_datum(br, v)
+                )
+        raise ValueError("avro encode: no union branch fits")
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            return b"".join(
+                _enc_datum(f["type"], v[f["name"]])
+                for f in schema["fields"]
+            )
+        if t == "array":
+            out = b""
+            if v:
+                out += _zz_enc(len(v))
+                out += b"".join(
+                    _enc_datum(schema["items"], x) for x in v
+                )
+            return out + _zz_enc(0)
+        if t == "map":
+            out = b""
+            if v:
+                out += _zz_enc(len(v))
+                for k, x in v.items():
+                    kb = k.encode("utf-8")
+                    out += _zz_enc(len(kb)) + kb
+                    out += _enc_datum(schema["values"], x)
+            return out + _zz_enc(0)
+        schema = t
+    if schema == "null":
+        return b""
+    if schema == "boolean":
+        return b"\x01" if v else b"\x00"
+    if schema in ("int", "long"):
+        return _zz_enc(int(v))
+    if schema == "double":
+        return struct.pack("<d", float(v))
+    if schema == "string":
+        b = v.encode("utf-8")
+        return _zz_enc(len(b)) + b
+    if schema == "bytes":
+        return _zz_enc(len(v)) + v
+    raise ValueError(f"avro encode: unsupported {schema!r}")
+
+
+def make_avro_container(
+    schema: dict,
+    records: list,
+    codec: str = "null",
+    sync: bytes = b"\x00" * 16,
+    per_block: int = 1000,
+) -> bytes:
+    """Render a complete object-container file for any schema the
+    generic encoder covers (round-trip-pinned against the reader)."""
+    schema_json = json.dumps(schema).encode()
+    out = bytearray(_MAGIC)
+    out += _zz_enc(2)
+    for k, v in (
+        (b"avro.schema", schema_json),
+        (b"avro.codec", codec.encode()),
+    ):
+        out += _zz_enc(len(k)) + k + _zz_enc(len(v)) + v
+    out += _zz_enc(0)
+    out += sync
+    for b0 in range(0, len(records), per_block):
+        recs = records[b0 : b0 + per_block]
+        payload = b"".join(_enc_datum(schema, r) for r in recs)
+        if codec == "deflate":
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = c.compress(payload) + c.flush()
+        elif codec == "snappy":
+            crc = struct.pack(">I", zlib.crc32(payload))
+            payload = _snappy_literal(payload) + crc
+        out += _zz_enc(len(recs)) + _zz_enc(len(payload)) + payload
+        out += sync
+    return bytes(out)

@@ -793,3 +793,75 @@ def lakehouse_delta_snapshot(
         load_table(spark, sf_dir, "documents")
     )
     return delta_snapshot_stats(media)
+
+
+@register(
+    "lakehouse_iceberg_snapshot",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 13 = 0 AS bad,
+                      1 + doc_id % 3 AS nm
+               FROM documents),
+    mf AS (SELECT i, mm, 2 + (i + mm) % 3 AS ne
+           FROM (SELECT i, nm, unnest(range(0, nm)) AS mm FROM m)),
+    e AS (SELECT i, mm, ee, (i + mm + ee) % 5 AS s5,
+                 10 + (i + 7 * mm + 3 * ee) % 90 AS rws,
+                 500 + (11 * i + 13 * mm + 17 * ee) % 4000 AS sz
+          FROM (SELECT i, mm, ne, unnest(range(0, ne)) AS ee FROM mf)),
+    ag AS (SELECT i,
+                  SUM(CASE WHEN s5 IN (1, 2) THEN 1 ELSE 0 END)
+                    AS n_added,
+                  SUM(CASE WHEN s5 >= 3 THEN 1 ELSE 0 END) AS n_existing,
+                  SUM(CASE WHEN s5 = 0 THEN 1 ELSE 0 END) AS n_deleted,
+                  SUM(CASE WHEN s5 <> 0 THEN 1 ELSE 0 END) AS live_files,
+                  SUM(CASE WHEN s5 <> 0 THEN rws ELSE 0 END) AS live_rows,
+                  SUM(CASE WHEN s5 <> 0 THEN sz ELSE 0 END) AS live_bytes
+           FROM e GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nm END AS BIGINT)
+             AS n_manifests,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.n_added END AS BIGINT)
+             AS n_added,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.n_existing END AS BIGINT)
+             AS n_existing,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.n_deleted END AS BIGINT)
+             AS n_deleted,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.live_files END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.live_rows END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.live_bytes END AS BIGINT)
+             AS live_bytes
+    FROM m JOIN ag ON ag.i = m.i
+    """,
+    doc="Iceberg SNAPSHOT WALK — the second table-format metadata "
+    "layer, composed from the repo's own Avro machinery (manifest "
+    "lists and manifests ARE Avro object containers, read by the "
+    "same schema-driven decoder as the Kafka ingest path): "
+    "metadata.json -> current-snapshot-id -> manifest list -> "
+    "manifests -> live data-file totals (status 0 EXISTING / 1 "
+    "ADDED live, 2 DELETED excluded). The fixture plants a DECOY "
+    "older snapshot whose manifest list covers only manifest 0 — "
+    "following the snapshot log instead of current-snapshot-id "
+    "gives wrong totals whenever the table has >1 manifest. "
+    "Cross-checks at every hop: manifest_length must equal the "
+    "referenced member's actual bytes (every 13th id lies by one "
+    "byte and must degrade), the list's per-status counts must "
+    "equal what each manifest contains, and Avro-layer violations "
+    "degrade inside the container reader. The oracle recomputes "
+    "per-status counts and live row/byte totals blind. "
+    "operators/iceberg.py read_iceberg_snapshot",
+    tags=("llm", "multimodal", "lakehouse"),
+)
+def lakehouse_iceberg_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg import (
+        iceberg_snapshot_stats,
+        synthesize_iceberg_media,
+    )
+
+    media = synthesize_iceberg_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_snapshot_stats(media)

@@ -1,0 +1,143 @@
+"""Iceberg metadata-chain walk + the generic Avro encoder it rides on
+(operators/iceberg.py, operators/avro.py make_avro_container)."""
+
+from __future__ import annotations
+
+import json
+
+from gmall_flink_210726_spark.operators.avro import (
+    make_avro_container,
+    read_avro_container,
+)
+from gmall_flink_210726_spark.operators.iceberg import (
+    MANIFEST_SCHEMA,
+    MLIST_SCHEMA,
+    _make_iceberg_table,
+    read_iceberg_snapshot,
+)
+
+
+class TestGenericAvroWriter:
+    def test_roundtrip_all_codecs(self):
+        recs = [
+            {
+                "status": s,
+                "snapshot_id": None if s == 0 else 7,
+                "data_file": {
+                    "file_path": f"p{s}",
+                    "file_format": "PARQUET",
+                    "record_count": 10 * s,
+                    "file_size_in_bytes": 100 + s,
+                },
+            }
+            for s in (0, 1, 2)
+        ]
+        for codec in ("null", "deflate", "snappy"):
+            blob = make_avro_container(
+                MANIFEST_SCHEMA, recs, codec=codec
+            )
+            got = read_avro_container(blob)
+            assert got is not None and got[0] == recs, codec
+
+    def test_multi_block(self):
+        recs = [
+            {
+                "manifest_path": f"m{k}",
+                "manifest_length": k,
+                "partition_spec_id": 0,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+            }
+            for k in range(7)
+        ]
+        blob = make_avro_container(MLIST_SCHEMA, recs, per_block=3)
+        got = read_avro_container(blob)
+        assert got is not None and got[0] == recs and got[2] == 3
+
+
+class TestSnapshotWalk:
+    def test_decoy_snapshot_not_followed(self):
+        """i=2 has 3 manifests; the decoy old snapshot covers one.
+        Correct totals prove current-snapshot-id was followed."""
+        got = read_iceberg_snapshot(_make_iceberg_table(2))
+        assert got is not None and got["n_manifests"] == 3
+
+    def test_length_lie_degrades(self):
+        assert read_iceberg_snapshot(_make_iceberg_table(0)) is None
+        assert read_iceberg_snapshot(_make_iceberg_table(13)) is None
+
+    def test_count_lie_degrades(self):
+        """Hand-build a table whose manifest list misstates
+        added_files_count."""
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "file_path": "d",
+                    "file_format": "PARQUET",
+                    "record_count": 5,
+                    "file_size_in_bytes": 50,
+                },
+            }
+        ]
+        man = make_avro_container(MANIFEST_SCHEMA, entries)
+        mlist = make_avro_container(
+            MLIST_SCHEMA,
+            [
+                {
+                    "manifest_path": "manifest-0.avro",
+                    "manifest_length": len(man),
+                    "partition_spec_id": 0,
+                    "added_files_count": 2,  # the lie
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                }
+            ],
+        )
+        meta = json.dumps(
+            {
+                "format-version": 2,
+                "table-uuid": "u",
+                "current-snapshot-id": 1,
+                "snapshots": [
+                    {"snapshot-id": 1, "manifest-list": "snap.avro"}
+                ],
+            }
+        ).encode()
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+
+        parts = []
+        for name, payload in (
+            ("manifest-0.avro", man),
+            ("snap.avro", mlist),
+            ("v1.metadata.json", meta),
+        ):
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        blob = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+        assert read_iceberg_snapshot(blob) is None
+
+    def test_missing_manifest_and_wrong_format_version(self):
+        blob = _make_iceberg_table(2)
+        # drop the metadata's current snapshot by renaming its list
+        assert (
+            read_iceberg_snapshot(
+                blob.replace(b"snap-current.avro", b"snap-missing.avro", 1)
+            )
+            is None
+        )
+        assert (
+            read_iceberg_snapshot(
+                blob.replace(b'"format-version": 2', b'"format-version": 9')
+            )
+            is None
+        )
