@@ -1,0 +1,555 @@
+"""ORC file walk — the OTHER major columnar lakehouse format
+(Apache ORC specification v1, public), read from scratch on top of
+the repo's own codec decoders:
+
+- file framing: leading ``ORC`` magic; the LAST byte is the
+  postscript length; the POSTSCRIPT is protobuf (footerLength,
+  compression kind, compressionBlockSize, trailing ``magic`` field
+  that must equal ``ORC``);
+- a generic hand **protobuf** walk (varint field headers
+  ``(field_num << 3) | wire_type``, varint / length-delimited /
+  fixed32 / fixed64 wire types) — the third wire format beside
+  Thrift compact (parquet) and Avro binary, all three now decoded
+  in-repo;
+- FOOTER: stripe list (offset, index/data/footer lengths, rows),
+  the type tree (root struct + one LONG child, validated), file row
+  count, and per-column statistics (IntegerStatistics min/max/sum,
+  zigzag varints);
+- COMPRESSED STREAM framing: when compression != NONE every
+  metadata section and stream body is chunked with 3-byte
+  little-endian headers ``(length << 1) | isOriginal``; chunk
+  payloads route through the repo's hand inflate (ZLIB = raw
+  DEFLATE), snappy, LZ4 block and zstd decoders;
+- **RLEv2** signed integer decoding, ALL FOUR sub-encodings:
+  SHORT_REPEAT (byte-width value repeated 3-10 times),
+  DIRECT (5-bit width code table, big-endian bit-packed zigzag),
+  DELTA (zigzag base + signed delta base + optional packed
+  magnitudes, fixed-delta width-0 form), and PATCHED_BASE
+  (sign-magnitude base, unsigned packed values, patch list packed
+  at closestFixedBits(gap_width + patch_width) with the 255-gap
+  continuation rule);
+- cross-checks: stripe rows sum to the file rows, each stripe's
+  DATA stream decodes exactly its row count, and the decoded
+  min/max/sum must equal the footer's IntegerStatistics — the
+  writer's books checked against an independent decode.
+
+Fixtures are REAL pyarrow.orc writes; the fixture value formulas
+are chosen so the C++ writer emits every sub-encoding across ids
+(pinned in tests). Arrow-batched ``mapInPandas``, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_COMP_NAMES = {0: "none", 1: "zlib", 2: "snappy", 4: "lz4", 5: "zstd"}
+
+
+def _pb_fields(data: bytes) -> dict[int, list]:
+    """Generic protobuf message walk -> {field_num: [values]}."""
+    out: dict[int, list] = {}
+    pos = 0
+    n = len(data)
+
+    def varint() -> int:
+        nonlocal pos
+        v = shift = 0
+        while True:
+            if pos >= n:
+                raise ValueError("pb: truncated varint")
+            b = data[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+            if shift > 70:
+                raise ValueError("pb: varint too long")
+
+    while pos < n:
+        hdr = varint()
+        fn, wt = hdr >> 3, hdr & 7
+        if wt == 0:
+            v: object = varint()
+        elif wt == 2:
+            ln = varint()
+            if pos + ln > n:
+                raise ValueError("pb: truncated bytes field")
+            v = data[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            v = data[pos : pos + 4]
+            pos += 4
+        elif wt == 1:
+            v = data[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"pb: wire type {wt}")
+        if pos > n:
+            raise ValueError("pb: truncated fixed field")
+        out.setdefault(fn, []).append(v)
+    return out
+
+
+def _zz(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _decode_width(code: int) -> int:
+    if code <= 23:
+        return code + 1
+    return {24: 26, 25: 28, 26: 30, 27: 32, 28: 40, 29: 48,
+            30: 56, 31: 64}[code]
+
+
+def _closest_fixed_bits(n: int) -> int:
+    if n <= 24:
+        return max(n, 1)
+    for c in (26, 28, 30, 32, 40, 48, 56, 64):
+        if n <= c:
+            return c
+    raise ValueError("fixed bits > 64")
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("rle: bit stream exhausted")
+            v = (v << 1) | (
+                (self.data[self.pos] >> (7 - self.bit)) & 1
+            )
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _svarint(data: bytes, pos: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("rle: truncated varint")
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _zz(v), pos
+        shift += 7
+
+
+def rle_v2_signed(data: bytes, n: int) -> tuple[list[int], int]:
+    """ORC RLEv2 signed decode -> (values, sub-encoding bitmask);
+    raises ValueError on any grammar violation or count mismatch."""
+    out: list[int] = []
+    pos = 0
+    enc_mask = 0
+    while len(out) < n:
+        if pos >= len(data):
+            raise ValueError("rle: out of input")
+        h = data[pos]
+        enc = h >> 6
+        enc_mask |= 1 << enc
+        if enc == 0:  # SHORT_REPEAT
+            w = ((h >> 3) & 7) + 1
+            cnt = (h & 7) + 3
+            if pos + 1 + w > len(data):
+                raise ValueError("rle: truncated short repeat")
+            out.extend(
+                [_zz(int.from_bytes(data[pos + 1 : pos + 1 + w], "big"))]
+                * cnt
+            )
+            pos += 1 + w
+        elif enc == 1:  # DIRECT
+            width = _decode_width((h >> 1) & 0x1F)
+            if pos + 1 >= len(data):
+                raise ValueError("rle: truncated direct header")
+            ln = ((h & 1) << 8 | data[pos + 1]) + 1
+            bits = _BitReader(data, pos + 2)
+            out.extend(_zz(bits.take(width)) for _ in range(ln))
+            bits.align()
+            pos = bits.pos
+        elif enc == 3:  # DELTA
+            wcode = (h >> 1) & 0x1F
+            width = 0 if wcode == 0 else _decode_width(wcode)
+            if pos + 1 >= len(data):
+                raise ValueError("rle: truncated delta header")
+            ln = ((h & 1) << 8 | data[pos + 1]) + 1
+            p = pos + 2
+            base, p = _svarint(data, p)
+            dbase, p = _svarint(data, p)
+            vals = [base]
+            if ln > 1:
+                vals.append(base + dbase)
+            if width:
+                bits = _BitReader(data, p)
+                sign = 1 if dbase >= 0 else -1
+                for _ in range(ln - 2):
+                    vals.append(vals[-1] + sign * bits.take(width))
+                bits.align()
+                p = bits.pos
+            else:
+                for _ in range(ln - 2):
+                    vals.append(vals[-1] + dbase)
+            out.extend(vals)
+            pos = p
+        else:  # PATCHED_BASE
+            width = _decode_width((h >> 1) & 0x1F)
+            if pos + 3 >= len(data):
+                raise ValueError("rle: truncated patched header")
+            ln = ((h & 1) << 8 | data[pos + 1]) + 1
+            b3, b4 = data[pos + 2], data[pos + 3]
+            bw = ((b3 >> 5) & 7) + 1
+            pwidth = _decode_width(b3 & 0x1F)
+            pgw = ((b4 >> 5) & 7) + 1
+            pll = b4 & 0x1F
+            p = pos + 4
+            if p + bw > len(data):
+                raise ValueError("rle: truncated patched base")
+            base = int.from_bytes(data[p : p + bw], "big")
+            msb = 1 << (bw * 8 - 1)
+            if base & msb:
+                base = -(base & (msb - 1))
+            p += bw
+            bits = _BitReader(data, p)
+            vals = [bits.take(width) for _ in range(ln)]
+            bits.align()
+            bits2 = _BitReader(data, bits.pos)
+            ew = _closest_fixed_bits(pgw + pwidth)
+            pmask = (1 << pwidth) - 1
+            gap_pos = 0
+            for _ in range(pll):
+                entry = bits2.take(ew)
+                gap_pos += entry >> pwidth
+                patch = entry & pmask
+                if patch:
+                    if gap_pos >= ln:
+                        raise ValueError("rle: patch past run")
+                    vals[gap_pos] |= patch << width
+            bits2.align()
+            out.extend(base + v for v in vals)
+            pos = bits2.pos
+    if len(out) != n:
+        raise ValueError("rle: run overshoots value count")
+    return out, enc_mask
+
+
+def _unframe(data: bytes, comp: int, max_out: int = 1 << 26) -> bytes:
+    """Undo ORC compressed-stream chunk framing through the repo's
+    hand decoders; passthrough for NONE."""
+    if comp == 0:
+        return data
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if pos + 3 > len(data):
+            raise ValueError("orc: truncated chunk header")
+        hdr = int.from_bytes(data[pos : pos + 3], "little")
+        pos += 3
+        ln = hdr >> 1
+        if pos + ln > len(data):
+            raise ValueError("orc: truncated chunk")
+        chunk = data[pos : pos + ln]
+        pos += ln
+        if hdr & 1:  # isOriginal: stored uncompressed
+            out += chunk
+        elif comp == 1:
+            from gmall_flink_210726_spark.operators.inflate import inflate
+
+            out += inflate(chunk)
+        elif comp == 2:
+            from gmall_flink_210726_spark.operators.parquetmeta import (
+                snappy_decompress,
+            )
+
+            out += snappy_decompress(chunk)
+        elif comp == 4:
+            from gmall_flink_210726_spark.operators.lz4 import (
+                lz4_block_decompress,
+            )
+
+            out += lz4_block_decompress(chunk, max_out)
+        elif comp == 5:
+            from gmall_flink_210726_spark.operators.zstd import (
+                zstd_decompress,
+            )
+
+            out += zstd_decompress(chunk)
+        else:
+            raise ValueError(f"orc: compression kind {comp}")
+        if len(out) > max_out:
+            raise ValueError("orc: stream too large")
+    return bytes(out)
+
+
+def read_orc_int_column(data: bytes) -> dict | None:
+    """Full ORC read of a one-LONG-column file (module docstring);
+    None on any framing/grammar/books violation."""
+    if len(data) < 16 or data[:3] != b"ORC":
+        return None
+    try:
+        ps_len = data[-1]
+        if ps_len <= 0 or 1 + ps_len > len(data):
+            return None
+        ps = _pb_fields(data[-1 - ps_len : -1])
+        if ps.get(8000) != [b"ORC"]:
+            return None  # postscript magic
+        flen = ps.get(1, [None])[0]
+        comp = ps.get(2, [0])[0]
+        if not isinstance(flen, int) or comp not in _COMP_NAMES:
+            return None
+        foot_at = len(data) - 1 - ps_len - flen
+        if foot_at < 3:
+            return None
+        footer = _pb_fields(
+            _unframe(data[foot_at : foot_at + flen], comp)
+        )
+        num_rows = footer.get(6, [None])[0]
+        stripes = footer.get(3, [])
+        types = footer.get(4, [])
+        stats = footer.get(7, [])
+        if not isinstance(num_rows, int) or not stripes:
+            return None
+        # type tree: root struct (kind 12) with exactly one LONG child
+        if len(types) != 2:
+            return None
+        t0, t1 = _pb_fields(types[0]), _pb_fields(types[1])
+        if t0.get(1, [None])[0] != 12 or t1.get(1, [0])[0] != 4:
+            return None
+        vals: list[int] = []
+        n_stripes = 0
+        enc_mask = 0
+        for s in stripes:
+            st = _pb_fields(s)
+            try:
+                off, ilen, dlen, sflen, rows = (
+                    st[k][0] for k in (1, 2, 3, 4, 5)
+                )
+            except KeyError:
+                return None
+            if off + ilen + dlen + sflen > len(data):
+                return None
+            sf = _pb_fields(
+                _unframe(
+                    data[off + ilen + dlen : off + ilen + dlen + sflen],
+                    comp,
+                )
+            )
+            encs = [_pb_fields(e) if e else {} for e in sf.get(2, [])]
+            if (
+                len(encs) != 2
+                or encs[1].get(1, [None])[0] != 2  # DIRECT_V2
+            ):
+                return None
+            pos = off
+            got_stream = False
+            for sb in sf.get(1, []):
+                sd = _pb_fields(sb)
+                kind = sd.get(1, [0])[0]
+                col = sd.get(2, [0])[0]
+                ln = sd.get(3, [0])[0]
+                if kind == 1 and col == 1:
+                    body = _unframe(data[pos : pos + ln], comp)
+                    sv, em = rle_v2_signed(body, rows)
+                    vals.extend(sv)
+                    enc_mask |= em
+                    got_stream = True
+                pos += ln
+            if not got_stream:
+                return None
+            n_stripes += 1
+        if len(vals) != num_rows:
+            return None  # stripe rows must sum to the file rows
+        # stats cross-check: decoded min/max/sum vs IntegerStatistics
+        if len(stats) != 2:
+            return None
+        cs = _pb_fields(stats[1])
+        ist_raw = cs.get(2, [None])[0]
+        if not isinstance(ist_raw, bytes):
+            return None
+        ist = _pb_fields(ist_raw)
+        smin = _zz(ist.get(1, [0])[0])
+        smax = _zz(ist.get(2, [0])[0])
+        ssum = _zz(ist.get(3, [0])[0])
+        if (
+            cs.get(1, [None])[0] != num_rows
+            or smin != min(vals)
+            or smax != max(vals)
+            or ssum != sum(vals)
+        ):
+            return None  # the writer's books vs our independent decode
+        return {
+            "n_rows": num_rows,
+            "n_stripes": n_stripes,
+            "k_sum": ssum,
+            "k_min": smin,
+            "k_max": smax,
+            "compression": _COMP_NAMES[comp],
+            "enc_mask": enc_mask,
+        }
+    except (ValueError, IndexError, TypeError):
+        return None
+
+
+ORC_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("compression", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("k_sum", LongType()),
+        StructField("k_min", LongType()),
+        StructField("k_max", LongType()),
+    ]
+)
+
+
+def _orc_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = {
+            "media_id": int(mid),
+            "format": "unknown",
+            "compression": "",
+            "n_rows": 0,
+            "k_sum": 0,
+            "k_min": 0,
+            "k_max": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_orc_int_column(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(
+                format="orc",
+                compression=st["compression"],
+                n_rows=st["n_rows"],
+                k_sum=st["k_sum"],
+                k_min=st["k_min"],
+                k_max=st["k_max"],
+            )
+        out.append(row)
+    return pd.DataFrame(out, columns=[f.name for f in ORC_SCHEMA.fields])
+
+
+def orc_column_stats(df: DataFrame) -> DataFrame:
+    """Hand-decoded ORC column read over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _orc_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, ORC_SCHEMA)
+
+
+def _orc_values(i: int, n: int) -> list[int]:
+    """Per-mode value formulas chosen so the C++ writer emits every
+    RLEv2 sub-encoding across ids (tests pin the coverage): mode 0
+    7-long constant runs (SHORT_REPEAT + DIRECT), 1 arithmetic
+    (DELTA), 2 bounded mix shifted negative (DIRECT), 3 small values
+    with 2^40 outliers every 50th row (PATCHED_BASE)."""
+    mode = i % 4
+    if mode == 0:
+        return [(i + r // 7) % 50 for r in range(n)]
+    if mode == 1:
+        return [3 * r + i for r in range(n)]
+    if mode == 2:
+        return [(7 * i + 3 * r) % 1000 - 500 for r in range(n)]
+    return [
+        ((i + r) % 64) + ((1 << 40) if r % 50 == 0 else 0)
+        for r in range(n)
+    ]
+
+
+def _make_orc(i: int, bad_stripe: int = 17) -> bytes:
+    """REAL pyarrow.orc file: one int64 column, ``2000 + (i%5)*500``
+    rows, 4 KiB stripes (several per file), compression rotating
+    uncompressed/zlib/snappy/zstd/lz4 by id. Every ``bad_stripe``-th
+    id flips a byte inside the first stripe's data region — caught
+    by codec grammar on compressed ids or by the stats-vs-decode
+    cross-check on uncompressed ones."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc_mod
+
+    n = 2000 + (i % 5) * 500
+    comp = ("uncompressed", "zlib", "snappy", "zstd", "lz4")[i % 5]
+    buf = io.BytesIO()
+    orc_mod.write_table(
+        pa.table({"k": pa.array(_orc_values(i, n), pa.int64())}),
+        buf,
+        compression=comp,
+        stripe_size=4096,
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        # locate the first stripe's DATA region through the module's
+        # own postscript/footer walk and flip a byte inside it
+        data = bytes(blob)
+        ps_len = data[-1]
+        ps = _pb_fields(data[-1 - ps_len : -1])
+        flen, ck = ps[1][0], ps.get(2, [0])[0]
+        foot = _pb_fields(
+            _unframe(data[len(data) - 1 - ps_len - flen : -1 - ps_len], ck)
+        )
+        st = _pb_fields(foot[3][0])
+        blob[st[1][0] + st[2][0] + 11] ^= 0x55
+    return bytes(blob)
+
+
+def synthesize_orc_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of real ORC files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_orc(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "orc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -865,3 +865,73 @@ def lakehouse_iceberg_snapshot(
         load_table(spark, sf_dir, "documents")
     )
     return iceberg_snapshot_stats(media)
+
+
+@register(
+    "multimodal_orc_column",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 17 = 0 AS bad,
+                      2000 + (doc_id % 5) * 500 AS n, doc_id % 4 AS mode
+               FROM documents),
+    v AS (SELECT i,
+                 CASE mode
+                      WHEN 0 THEN (i + rr // 7) % 50
+                      WHEN 1 THEN 3 * rr + i
+                      WHEN 2 THEN (7 * i + 3 * rr) % 1000 - 500
+                      ELSE ((i + rr) % 64)
+                           + CASE WHEN rr % 50 = 0
+                                  THEN 1099511627776 ELSE 0 END
+                 END AS val
+          FROM (SELECT i, mode, n, unnest(range(0, n)) AS rr FROM m)),
+    ag AS (SELECT i, CAST(SUM(val) AS BIGINT) AS k_sum,
+                  CAST(MIN(val) AS BIGINT) AS k_min,
+                  CAST(MAX(val) AS BIGINT) AS k_max
+           FROM v GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'orc' END AS format,
+           CASE WHEN bad THEN ''
+                WHEN m.i % 5 = 0 THEN 'none'
+                WHEN m.i % 5 = 1 THEN 'zlib'
+                WHEN m.i % 5 = 2 THEN 'snappy'
+                WHEN m.i % 5 = 3 THEN 'zstd'
+                ELSE 'lz4' END AS compression,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.k_sum END AS BIGINT)
+             AS k_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.k_min END AS BIGINT)
+             AS k_min,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.k_max END AS BIGINT)
+             AS k_max
+    FROM m JOIN ag ON ag.i = m.i
+    """,
+    doc="ORC column read FROM SCRATCH — the other major columnar "
+    "lakehouse format, completing the format matrix next to parquet: "
+    "postscript (trailing length byte + protobuf with its own ORC "
+    "magic field), a generic hand PROTOBUF walk (the third wire "
+    "format in-repo beside Thrift compact and Avro binary), footer "
+    "stripe list + type tree + IntegerStatistics, ORC compressed-"
+    "stream chunk framing ((len<<1)|isOriginal, chunks through the "
+    "repo's hand inflate/snappy/LZ4/zstd decoders), and RLEv2 "
+    "signed integers with ALL FOUR sub-encodings (SHORT_REPEAT, "
+    "DIRECT, DELTA incl. the fixed-delta width-0 form, PATCHED_BASE "
+    "with sign-magnitude base and closestFixedBits patch packing) — "
+    "fixture value modes make the real C++ writer emit every one, "
+    "pinned in tests. Cross-checks: stripe rows sum to file rows, "
+    "every stripe decodes exactly its count, and the decoded "
+    "min/max/sum must equal the footer's statistics (writer books "
+    "vs independent decode). Compression rotates all five kinds; "
+    "every 17th id flips a byte inside the first stripe's data "
+    "region and must degrade (codec grammar on compressed ids, the "
+    "stats cross-check on uncompressed). The oracle recomputes "
+    "sums/extrema blind from the mode formulas. Pure map over "
+    "blobs, zero shuffle. operators/orc.py read_orc_int_column",
+    tags=("llm", "multimodal", "lakehouse"),
+)
+def multimodal_orc_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.orc import (
+        orc_column_stats,
+        synthesize_orc_media,
+    )
+
+    media = synthesize_orc_media(load_table(spark, sf_dir, "documents"))
+    return orc_column_stats(media)
