@@ -157,9 +157,34 @@ def _svarint(data: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def _uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("rle: truncated varint")
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
 def rle_v2_signed(data: bytes, n: int) -> tuple[list[int], int]:
-    """ORC RLEv2 signed decode -> (values, sub-encoding bitmask);
-    raises ValueError on any grammar violation or count mismatch."""
+    """ORC RLEv2 signed decode -> (values, sub-encoding bitmask)."""
+    return _rle_v2(data, n, signed=True)
+
+
+def rle_v2_unsigned(data: bytes, n: int) -> tuple[list[int], int]:
+    """Unsigned variant (LENGTH / dictionary-index streams): no
+    zigzag on SHORT_REPEAT/DIRECT values, the DELTA base is a plain
+    unsigned varint (the delta base stays a signed zigzag varint)."""
+    return _rle_v2(data, n, signed=False)
+
+
+def _rle_v2(data: bytes, n: int, signed: bool) -> tuple[list[int], int]:
+    """Shared RLEv2 walk; raises ValueError on any grammar violation
+    or count mismatch."""
     out: list[int] = []
     pos = 0
     enc_mask = 0
@@ -174,10 +199,8 @@ def rle_v2_signed(data: bytes, n: int) -> tuple[list[int], int]:
             cnt = (h & 7) + 3
             if pos + 1 + w > len(data):
                 raise ValueError("rle: truncated short repeat")
-            out.extend(
-                [_zz(int.from_bytes(data[pos + 1 : pos + 1 + w], "big"))]
-                * cnt
-            )
+            v = int.from_bytes(data[pos + 1 : pos + 1 + w], "big")
+            out.extend([_zz(v) if signed else v] * cnt)
             pos += 1 + w
         elif enc == 1:  # DIRECT
             width = _decode_width((h >> 1) & 0x1F)
@@ -185,7 +208,10 @@ def rle_v2_signed(data: bytes, n: int) -> tuple[list[int], int]:
                 raise ValueError("rle: truncated direct header")
             ln = ((h & 1) << 8 | data[pos + 1]) + 1
             bits = _BitReader(data, pos + 2)
-            out.extend(_zz(bits.take(width)) for _ in range(ln))
+            if signed:
+                out.extend(_zz(bits.take(width)) for _ in range(ln))
+            else:
+                out.extend(bits.take(width) for _ in range(ln))
             bits.align()
             pos = bits.pos
         elif enc == 3:  # DELTA
@@ -195,7 +221,10 @@ def rle_v2_signed(data: bytes, n: int) -> tuple[list[int], int]:
                 raise ValueError("rle: truncated delta header")
             ln = ((h & 1) << 8 | data[pos + 1]) + 1
             p = pos + 2
-            base, p = _svarint(data, p)
+            if signed:
+                base, p = _svarint(data, p)
+            else:
+                base, p = _uvarint(data, p)
             dbase, p = _svarint(data, p)
             vals = [base]
             if ln > 1:
@@ -540,6 +569,335 @@ def synthesize_orc_media(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": ids,
                     "content": [_make_orc(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "orc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Nullable STRING columns: PRESENT byte-RLE + DIRECT_V2 / DICTIONARY_V2
+# --------------------------------------------------------------------------
+
+
+def _byte_rle(data: bytes) -> bytes:
+    """ORC byte RLE (the 'Byte Run Length Encoding' the PRESENT
+    stream rides on): control 0..127 = run of control+3 copies of
+    the next byte; 128..255 = literal of 256-control bytes."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        c = data[pos]
+        pos += 1
+        if c < 128:
+            if pos >= len(data):
+                raise ValueError("byte rle: truncated run")
+            out += bytes([data[pos]]) * (c + 3)
+            pos += 1
+        else:
+            ln = 256 - c
+            if pos + ln > len(data):
+                raise ValueError("byte rle: truncated literal")
+            out += data[pos : pos + ln]
+            pos += ln
+    return bytes(out)
+
+
+def _present_bits(data: bytes, n: int) -> list[bool]:
+    """PRESENT stream -> per-row booleans: byte RLE, then bits
+    MSB-first; trailing pad bits must be within the last byte."""
+    raw = _byte_rle(data)
+    if len(raw) * 8 < n or (len(raw) - 1) * 8 >= n:
+        raise ValueError("present: length mismatch")
+    return [
+        bool((raw[k >> 3] >> (7 - (k & 7))) & 1) for k in range(n)
+    ]
+
+
+def read_orc_string_column(data: bytes) -> dict | None:
+    """Nullable STRING column read, both row encodings the spec
+    defines for strings: DIRECT_V2 (DATA = concatenated bytes,
+    LENGTH = unsigned RLEv2 per value) and DICTIONARY_V2 (DATA =
+    unsigned RLEv2 dictionary indices, DICTIONARY_DATA + LENGTH
+    describing the sorted dictionary), with the PRESENT stream
+    (byte-RLE bit-packing) mapping values onto rows. Cross-checks:
+    dictionary indices bounds-checked against the encoding's
+    dictionarySize, per-stripe value counts, and the decoded
+    non-null count / min / max / total length against the footer's
+    StringStatistics + hasNull flag."""
+    if len(data) < 16 or data[:3] != b"ORC":
+        return None
+    try:
+        ps_len = data[-1]
+        if ps_len <= 0 or 1 + ps_len > len(data):
+            return None
+        ps = _pb_fields(data[-1 - ps_len : -1])
+        if ps.get(8000) != [b"ORC"]:
+            return None
+        flen = ps.get(1, [None])[0]
+        comp = ps.get(2, [0])[0]
+        if not isinstance(flen, int) or comp not in _COMP_NAMES:
+            return None
+        foot_at = len(data) - 1 - ps_len - flen
+        if foot_at < 3:
+            return None
+        footer = _pb_fields(
+            _unframe(data[foot_at : foot_at + flen], comp)
+        )
+        num_rows = footer.get(6, [None])[0]
+        stripes = footer.get(3, [])
+        types = footer.get(4, [])
+        stats = footer.get(7, [])
+        if not isinstance(num_rows, int) or not stripes:
+            return None
+        if len(types) != 2:
+            return None
+        t0, t1 = _pb_fields(types[0]), _pb_fields(types[1])
+        if t0.get(1, [None])[0] != 12 or t1.get(1, [0])[0] != 7:
+            return None  # root struct + STRING child
+        strs: list[bytes] = []
+        n_nulls = 0
+        total_rows = 0
+        used_dictionary = used_direct = False
+        for s in stripes:
+            st = _pb_fields(s)
+            try:
+                off, ilen, dlen, sflen, rows = (
+                    st[k][0] for k in (1, 2, 3, 4, 5)
+                )
+            except KeyError:
+                return None
+            if off + ilen + dlen + sflen > len(data):
+                return None
+            sf = _pb_fields(
+                _unframe(
+                    data[off + ilen + dlen : off + ilen + dlen + sflen],
+                    comp,
+                )
+            )
+            encs = [_pb_fields(e) if e else {} for e in sf.get(2, [])]
+            if len(encs) != 2:
+                return None
+            enc_kind = encs[1].get(1, [None])[0]
+            dict_size = encs[1].get(2, [0])[0]
+            streams: dict[int, bytes] = {}
+            pos = off
+            for sb in sf.get(1, []):
+                sd = _pb_fields(sb)
+                kind = sd.get(1, [0])[0]
+                col = sd.get(2, [0])[0]
+                ln = sd.get(3, [0])[0]
+                if col == 1 and kind in (0, 1, 2, 3):
+                    streams[kind] = _unframe(data[pos : pos + ln], comp)
+                pos += ln
+            if 0 in streams:
+                present = _present_bits(streams[0], rows)
+            else:
+                present = [True] * rows
+            nn = sum(present)
+            n_nulls += rows - nn
+            if enc_kind == 2:  # DIRECT_V2
+                used_direct = True
+                lengths, _ = rle_v2_unsigned(streams.get(2, b""), nn)
+                body = streams.get(1, b"")
+                if sum(lengths) != len(body):
+                    return None  # lengths must consume DATA exactly
+                at = 0
+                for ln2 in lengths:
+                    strs.append(body[at : at + ln2])
+                    at += ln2
+            elif enc_kind == 3:  # DICTIONARY_V2
+                used_dictionary = True
+                dlen2, _ = rle_v2_unsigned(
+                    streams.get(2, b""), dict_size
+                )
+                dbody = streams.get(3, b"")
+                if sum(dlen2) != len(dbody):
+                    return None
+                dvals = []
+                at = 0
+                for ln2 in dlen2:
+                    dvals.append(dbody[at : at + ln2])
+                    at += ln2
+                idx, _ = rle_v2_unsigned(streams.get(1, b""), nn)
+                if any(j >= dict_size or j < 0 for j in idx):
+                    return None  # index past the dictionary
+                strs.extend(dvals[j] for j in idx)
+            else:
+                return None
+            total_rows += rows
+        if total_rows != num_rows:
+            return None
+        # stats cross-check: StringStatistics min/max/sum + hasNull
+        if len(stats) != 2:
+            return None
+        cs = _pb_fields(stats[1])
+        if cs.get(1, [None])[0] != len(strs):
+            return None
+        has_null = cs.get(10, [0])[0]
+        if bool(has_null) != (n_nulls > 0):
+            return None
+        ss_raw = cs.get(4, [None])[0]
+        if not isinstance(ss_raw, bytes):
+            return None
+        ss = _pb_fields(ss_raw)
+        tot_len = sum(len(b) for b in strs)
+        if strs:
+            if (
+                ss.get(1, [None])[0] != min(strs)
+                or ss.get(2, [None])[0] != max(strs)
+                or _zz(ss.get(3, [0])[0]) != tot_len
+            ):
+                return None
+        return {
+            "n_rows": num_rows,
+            "n_nulls": n_nulls,
+            "n_strs": len(strs),
+            "str_len_sum": tot_len,
+            "min_s": min(strs).decode("utf-8", "replace") if strs else "",
+            "max_s": max(strs).decode("utf-8", "replace") if strs else "",
+            "used_dictionary": used_dictionary,
+            "used_direct": used_direct,
+        }
+    except (ValueError, IndexError, TypeError):
+        return None
+
+
+ORCSTR_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("n_nulls", LongType()),
+        StructField("n_strs", LongType()),
+        StructField("str_len_sum", LongType()),
+        StructField("min_s", StringType()),
+        StructField("max_s", StringType()),
+    ]
+)
+
+
+def _orcstr_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = {
+            "media_id": int(mid),
+            "format": "unknown",
+            "n_rows": 0,
+            "n_nulls": 0,
+            "n_strs": 0,
+            "str_len_sum": 0,
+            "min_s": "",
+            "max_s": "",
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_orc_string_column(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(
+                format="orc",
+                n_rows=st["n_rows"],
+                n_nulls=st["n_nulls"],
+                n_strs=st["n_strs"],
+                str_len_sum=st["str_len_sum"],
+                min_s=st["min_s"],
+                max_s=st["max_s"],
+            )
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in ORCSTR_SCHEMA.fields]
+    )
+
+
+def orc_string_stats(df: DataFrame) -> DataFrame:
+    """Hand-decoded nullable ORC string read over MEDIA_SCHEMA."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _orcstr_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ORCSTR_SCHEMA
+    )
+
+
+def _make_orc_str(i: int, bad_stripe: int = 19) -> bytes:
+    """REAL pyarrow.orc file: one nullable string column, ``1500 +
+    (i%4)*400`` rows, null when (i+r)%6==0, else 'w<(i+3r)%m>' with
+    m = 5 + i % 6 distinct values; row encoding alternates by id
+    (odd ids set dictionary_key_size_threshold so the writer emits
+    DICTIONARY_V2, even ids stay DIRECT_V2), compression rotates all
+    five kinds. Every ``bad_stripe``-th id flips a byte inside the
+    first stripe's data region."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc_mod
+
+    n = 1500 + (i % 4) * 400
+    m = 5 + i % 6
+    vals = [
+        None if (i + r) % 6 == 0 else f"w{(i + 3 * r) % m}"
+        for r in range(n)
+    ]
+    comp = ("uncompressed", "zlib", "snappy", "zstd", "lz4")[i % 5]
+    buf = io.BytesIO()
+    orc_mod.write_table(
+        pa.table({"s": pa.array(vals, pa.string())}),
+        buf,
+        compression=comp,
+        stripe_size=4096,
+        dictionary_key_size_threshold=0.9 if i % 2 else 0.0,
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        data = bytes(blob)
+        ps_len = data[-1]
+        ps = _pb_fields(data[-1 - ps_len : -1])
+        flen, ck = ps[1][0], ps.get(2, [0])[0]
+        foot = _pb_fields(
+            _unframe(data[len(data) - 1 - ps_len - flen : -1 - ps_len], ck)
+        )
+        st = _pb_fields(foot[3][0])
+        # XOR 0xFF: a popcount-changing flip — the PRESENT bitmap's
+        # bytes carry 6-7 set bits here, so the non-null count always
+        # moves and the books break (0x55 can be popcount-neutral)
+        blob[st[1][0] + st[2][0] + 11] ^= 0xFF
+    return bytes(blob)
+
+
+def synthesize_orc_str_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of real ORC string-column files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_orc_str(int(i)) for i in ids],
                     "meta": [
                         {
                             "format": "orc",

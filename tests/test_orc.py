@@ -129,3 +129,61 @@ class TestFileWalk:
         assert read_orc_int_column(blob[: len(blob) // 2]) is None
         assert read_orc_int_column(b"XRC" + blob[3:]) is None
         assert read_orc_int_column(b"") is None
+
+
+class TestStringColumn:
+    def test_direct_and_dictionary_roundtrip(self):
+        from gmall_flink_210726_spark.operators.orc import (
+            _make_orc_str,
+            read_orc_string_column,
+        )
+
+        saw = set()
+        for i in (2, 3, 4, 5, 6, 7):
+            got = read_orc_string_column(_make_orc_str(i))
+            assert got is not None, i
+            n = 1500 + (i % 4) * 400
+            m = 5 + i % 6
+            vals = [
+                None if (i + r) % 6 == 0 else f"w{(i + 3 * r) % m}"
+                for r in range(n)
+            ]
+            nn = [v for v in vals if v is not None]
+            assert got["n_nulls"] == n - len(nn)
+            assert got["str_len_sum"] == sum(len(v) for v in nn)
+            assert got["min_s"] == min(nn) and got["max_s"] == max(nn)
+            saw.add(
+                "dict" if got["used_dictionary"] else "direct"
+            )
+        assert saw == {"dict", "direct"}
+
+    def test_byte_rle_forms(self):
+        from gmall_flink_210726_spark.operators.orc import _byte_rle
+
+        # run: control 2 -> 5 copies; literal: control 0xFE -> 2 bytes
+        assert _byte_rle(b"\x02\xaa\xfe\x01\x02") == b"\xaa" * 5 + b"\x01\x02"
+        try:
+            _byte_rle(b"\x05")
+            raise AssertionError("truncated run accepted")
+        except ValueError:
+            pass
+
+    def test_present_flip_degrades(self):
+        from gmall_flink_210726_spark.operators.orc import (
+            _make_orc_str,
+            read_orc_string_column,
+        )
+
+        for i in (0, 19, 38, 57, 76):
+            assert read_orc_string_column(_make_orc_str(i)) is None, i
+
+    def test_unsigned_vs_signed_rle(self):
+        from gmall_flink_210726_spark.operators.orc import (
+            rle_v2_signed,
+            rle_v2_unsigned,
+        )
+
+        # SHORT_REPEAT of value byte 0x04, count 3: unsigned 4, signed 2
+        blob = b"\x00\x04"
+        assert rle_v2_unsigned(blob, 3)[0] == [4, 4, 4]
+        assert rle_v2_signed(blob, 3)[0] == [2, 2, 2]
