@@ -1287,3 +1287,118 @@ def st24_stream_avro_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st25_stream_orc_ingest",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 17 = 0 AS bad,
+                      2000 + (doc_id % 5) * 500 AS n, doc_id % 4 AS mode
+               FROM documents),
+    v AS (SELECT i,
+                 CASE mode
+                      WHEN 0 THEN (i + rr // 7) % 50
+                      WHEN 1 THEN 3 * rr + i
+                      WHEN 2 THEN (7 * i + 3 * rr) % 1000 - 500
+                      ELSE ((i + rr) % 64)
+                           + CASE WHEN rr % 50 = 0
+                                  THEN 1099511627776 ELSE 0 END
+                 END AS val
+          FROM (SELECT i, mode, n, unnest(range(0, n)) AS rr FROM m)),
+    ag AS (SELECT i, CAST(SUM(val) AS BIGINT) AS k_sum FROM v GROUP BY i)
+    SELECT CAST(m.i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE n END) AS BIGINT)
+             AS n_rows,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE ag.k_sum END) AS BIGINT)
+             AS k_sum
+    FROM m JOIN ag ON ag.i = m.i GROUP BY 1
+    """,
+    doc="STREAMING ORC ingest — the from-scratch ORC read "
+    "(multimodal_orc_column: protobuf walk, compressed-stream "
+    "framing, RLEv2 all four sub-encodings, stats-vs-decode books) "
+    "running as a STRUCTURED STREAMING operator: files arrive as a "
+    "parquet file stream (32 source files, 16 per trigger), the "
+    "decode runs via Arrow-batched mapInPandas ON THE STREAM PLAN, "
+    "per-epoch per-bucket partials flow through the checkpointed "
+    "foreachBatch + overwrite-idempotent epoch sink — the landing "
+    "pass of an ORC-lake backfill. Per-blob decode state: no state "
+    "store, scales like the batch twin (whose every-17th-id flipped "
+    "data byte carries over). The oracle recomputes per-bucket "
+    "row/sum totals blind from the mode formulas. operators/orc.py "
+    "orc_column_stats",
+    tags=("streaming", "llm", "multimodal", "lakehouse"),
+)
+def st25_stream_orc_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.orc import (
+        orc_column_stats,
+        synthesize_orc_media,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st25_src_")
+    out = tempfile.mkdtemp(prefix="st25_out_")
+    ckpt = tempfile.mkdtemp(prefix="st25_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_orc_media(load_table(spark, sf_dir, "documents"))
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = orc_column_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(
+                    (F.col("format") == "orc").cast("long")
+                ).cast("long").alias("n_ok"),
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("k_sum").cast("long").alias("k_sum"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st25 orc ingest stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_files").cast("long").alias("n_files"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("k_sum").cast("long").alias("k_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
