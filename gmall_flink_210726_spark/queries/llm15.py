@@ -777,7 +777,10 @@ def text_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle recomputes blind by replaying the same add/remove "
     "formulas relationally. The logs ship as tar blobs (composing "
     "the ustar walk); at 100 TB only these few-KB logs are read — "
-    "which is the entire point of the table-format layer. "
+    "which is the entire point of the table-format layer. Bench "
+    "note: ~90% of this query's sf0.1 wall time is the in-query "
+    "fixture INGEST (synthesizing 5k tar'd multi-commit logs); the "
+    "replay itself is a few-KB-per-table metadata pass. "
     "operators/deltalog.py replay_delta_log",
     tags=("llm", "multimodal", "lakehouse"),
 )
