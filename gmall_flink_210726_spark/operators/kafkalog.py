@@ -1,0 +1,411 @@
+"""Kafka log-segment RecordBatch decode (message format v2, the
+public Apache Kafka protocol / KIP-98) — the BYTES the gmall
+reference's topics actually store. The container has no broker
+(SURVEY §2.1's S1 caveat), but the broker's on-disk segment format
+is just bytes, and THIS is the part of the Kafka wire path that is
+data, not networking: every tiered-storage / lakehouse-offload
+pipeline reads exactly these record batches from segment files
+(cf. the reference's topic plumbing at gmall-realtime/src/main/java/
+com/guohaoyu/util/MyKafkaUtil.java:21-48 — the payloads those
+producers emit land in this format).
+
+Implemented from the spec:
+
+- a SEGMENT is a concatenation of RecordBatch v2 frames:
+  baseOffset(i64 BE) batchLength(i32) partitionLeaderEpoch(i32)
+  magic(=2) crc(u32 BE) attributes(i16) lastOffsetDelta(i32)
+  baseTimestamp(i64) maxTimestamp(i64) producerId(i64)
+  producerEpoch(i16) baseSequence(i32) recordCount(i32) records;
+- the CRC is **CRC32C** (Castagnoli, reflected poly 0x82F63B78 —
+  implemented from scratch, pinned on the RFC 3720 check vector)
+  over everything AFTER the crc field — a single flipped byte in
+  the records region must degrade;
+- attributes bits 0-2 select the records-block compression: none /
+  gzip / lz4 FRAME / zstd, routed through the repo's hand RFC 1952,
+  RFC 8878 and LZ4-frame decoders (Kafka's snappy uses the
+  Java-ecosystem xerial framing and is out of scope, documented);
+- RECORDS are varint-framed with ZIGZAG varints: length, attributes,
+  timestampDelta, offsetDelta, key (-1 = null), value, headers;
+  each record's length field must equal its actual byte size,
+  recordCount must equal the decoded count, offsetDeltas must be
+  exactly 0..count-1, and lastOffsetDelta must agree.
+
+Fixture batches are hand-encoded (the encoder mirrors the producer
+side; compression via pyarrow's reference codecs); values carry a
+numeric payload the reader parses back out, so the oracle proves
+CONTENT decode, not just framing. Arrow-batched ``mapInPandas``,
+zero shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# CRC32C (Castagnoli), reflected polynomial 0x82F63B78, from scratch
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _zz_dec(data: bytes, pos: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("kafka: truncated varint")
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (v >> 1) ^ -(v & 1), pos
+        shift += 7
+
+
+def _zz_enc(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+_COMP_NAMES = {0: "none", 1: "gzip", 3: "lz4", 4: "zstd"}
+
+
+def _records_decompress(body: bytes, codec: int) -> bytes | None:
+    if codec == 0:
+        return body
+    try:
+        if codec == 1:
+            from gmall_flink_210726_spark.operators.inflate import (
+                iter_gzip_members,
+            )
+
+            members = iter_gzip_members(body)
+            if members is None:
+                return None
+            return b"".join(p for _, p in members)
+        if codec == 3:
+            from gmall_flink_210726_spark.operators.lz4 import (
+                lz4_frame_decompress,
+            )
+
+            return lz4_frame_decompress(body)
+        if codec == 4:
+            from gmall_flink_210726_spark.operators.zstd import (
+                zstd_decompress,
+            )
+
+            return zstd_decompress(body)
+    except ValueError:
+        return None
+    return None
+
+
+def read_kafka_segment(data: bytes) -> dict | None:
+    """Segment walk -> aggregate proof of record-level decode; None
+    on any framing/CRC/books violation (module docstring)."""
+    pos = 0
+    out = {
+        "n_batches": 0,
+        "n_records": 0,
+        "n_null_keys": 0,
+        "key_len_sum": 0,
+        "value_len_sum": 0,
+        "payload_sum": 0,
+        "ts_delta_sum": 0,
+        "max_offset": -1,
+    }
+    if not data:
+        return None
+    try:
+        while pos < len(data):
+            if pos + 12 > len(data):
+                return None
+            base_off, blen = struct.unpack_from(">qi", data, pos)
+            batch_end = pos + 12 + blen
+            if blen <= 49 or batch_end > len(data):
+                return None
+            (_ple, magic) = struct.unpack_from(">ib", data, pos + 12)
+            if magic != 2:
+                return None
+            (crc,) = struct.unpack_from(">I", data, pos + 17)
+            if crc32c(data[pos + 21 : batch_end]) != crc:
+                return None  # CRC32C over everything after the field
+            (attrs, last_od) = struct.unpack_from(">hi", data, pos + 21)
+            (base_ts, _max_ts, _pid) = struct.unpack_from(
+                ">qqq", data, pos + 27
+            )
+            (_pepoch, _bseq, rcount) = struct.unpack_from(
+                ">hii", data, pos + 51
+            )
+            codec = attrs & 7
+            if codec not in _COMP_NAMES:
+                return None
+            body = _records_decompress(
+                data[pos + 61 : batch_end], codec
+            )
+            if body is None:
+                return None
+            rp = 0
+            for k in range(rcount):
+                rlen, rp = _zz_dec(body, rp)
+                rec_end = rp + rlen
+                if rlen < 0 or rec_end > len(body):
+                    return None
+                if rp >= len(body):
+                    return None
+                rp += 1  # record attributes (int8, always 0 today)
+                ts_delta, rp = _zz_dec(body, rp)
+                off_delta, rp = _zz_dec(body, rp)
+                if off_delta != k:
+                    return None  # offsets must be dense from the base
+                klen, rp = _zz_dec(body, rp)
+                if klen < 0:
+                    out["n_null_keys"] += 1
+                else:
+                    if rp + klen > len(body):
+                        return None
+                    out["key_len_sum"] += klen
+                    rp += klen
+                vlen, rp = _zz_dec(body, rp)
+                if vlen < 0:
+                    return None  # fixture values are never null
+                if rp + vlen > len(body):
+                    return None
+                value = body[rp : rp + vlen]
+                rp += vlen
+                # content proof: the numeric payload after the tag
+                if not value[:1] == b"v" or not value[1:].isdigit():
+                    return None
+                out["payload_sum"] += int(value[1:])
+                out["value_len_sum"] += vlen
+                nhdr, rp = _zz_dec(body, rp)
+                if nhdr < 0:
+                    return None
+                for _ in range(nhdr):
+                    hk, rp = _zz_dec(body, rp)
+                    if hk < 0 or rp + hk > len(body):
+                        return None
+                    rp += hk
+                    hv, rp = _zz_dec(body, rp)
+                    if hv < 0 or rp + hv > len(body):
+                        return None
+                    rp += hv
+                if rp != rec_end:
+                    return None  # length field must match the bytes
+                out["ts_delta_sum"] += ts_delta
+            if rp != len(body):
+                return None  # records must consume the block exactly
+            if last_od != rcount - 1:
+                return None  # the batch header's own books
+            out["n_batches"] += 1
+            out["n_records"] += rcount
+            out["max_offset"] = base_off + last_od
+            pos = batch_end
+    except (ValueError, struct.error):
+        return None
+    return out
+
+
+KAFKA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("compression", StringType()),
+        StructField("n_batches", LongType()),
+        StructField("n_records", LongType()),
+        StructField("n_null_keys", LongType()),
+        StructField("key_len_sum", LongType()),
+        StructField("value_len_sum", LongType()),
+        StructField("payload_sum", LongType()),
+        StructField("ts_delta_sum", LongType()),
+        StructField("max_offset", LongType()),
+    ]
+)
+
+
+def _kafka_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        i = int(mid)
+        row = {
+            "media_id": i,
+            "format": "unknown",
+            "compression": "",
+            "n_batches": 0,
+            "n_records": 0,
+            "n_null_keys": 0,
+            "key_len_sum": 0,
+            "value_len_sum": 0,
+            "payload_sum": 0,
+            "ts_delta_sum": 0,
+            "max_offset": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_kafka_segment(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(
+                format="kafka",
+                compression=("none", "gzip", "lz4", "zstd")[i % 4],
+                **st,
+            )
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in KAFKA_SCHEMA.fields]
+    )
+
+
+def kafka_segment_stats(df: DataFrame) -> DataFrame:
+    """Kafka RecordBatch v2 segment walk over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _kafka_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, KAFKA_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixture: hand-encoded batches, compression via reference codecs
+# --------------------------------------------------------------------------
+
+
+def _enc_record(i: int, b: int, r: int) -> bytes:
+    body = bytearray(b"\x00")  # record attributes
+    body += _zz_enc(r)  # timestampDelta
+    body += _zz_enc(r)  # offsetDelta
+    if (i + b + r) % 3 == 0:
+        body += _zz_enc(-1)  # null key
+    else:
+        k = f"k{(i + r) % 10}".encode()
+        body += _zz_enc(len(k)) + k
+    v = f"v{(7 * i + 5 * b + r) % 100}".encode()
+    body += _zz_enc(len(v)) + v
+    if (i + r) % 2 == 0:
+        hk, hv = b"h", f"x{r}".encode()
+        body += _zz_enc(1)
+        body += _zz_enc(len(hk)) + hk + _zz_enc(len(hv)) + hv
+    else:
+        body += _zz_enc(0)
+    return _zz_enc(len(body)) + bytes(body)
+
+
+def _make_kafka_segment(i: int, bad_stripe: int = 11) -> bytes:
+    """``1 + i % 3`` batches of ``2 + (i+b) % 4`` records each,
+    compression by id (none/gzip/lz4-frame/zstd via the reference
+    pyarrow codecs). Every ``bad_stripe``-th id XORs one byte inside
+    the FIRST batch's records region — CRC32C must catch it."""
+    codec = i % 4
+    base_off = 0
+    parts = []
+    first_records_at = -1
+    for b in range(1 + i % 3):
+        rcount = 2 + (i + b) % 4
+        records = b"".join(_enc_record(i, b, r) for r in range(rcount))
+        if codec == 1:
+            import pyarrow as pa
+
+            records = bytes(pa.Codec("gzip").compress(records))
+        elif codec == 2:
+            import pyarrow as pa
+
+            records = bytes(pa.Codec("lz4").compress(records))
+        elif codec == 3:
+            import pyarrow as pa
+
+            records = bytes(pa.Codec("zstd").compress(records))
+        attrs = {0: 0, 1: 1, 2: 3, 3: 4}[codec]
+        mid = struct.pack(
+            ">hiqqqhii",
+            attrs,
+            rcount - 1,  # lastOffsetDelta
+            1700000000000 + b,  # baseTimestamp
+            1700000000000 + b + rcount,  # maxTimestamp
+            -1,  # producerId
+            -1,  # producerEpoch
+            -1,  # baseSequence
+            rcount,
+        ) + records
+        crc = crc32c(mid)
+        head = struct.pack(
+            ">qiibI",
+            base_off,
+            4 + 1 + 4 + len(mid),  # batchLength: after the field
+            0,  # partitionLeaderEpoch
+            2,  # magic
+            crc,
+        )
+        if first_records_at < 0:
+            first_records_at = (
+                sum(len(p) for p in parts) + len(head) + 40
+            )
+        parts.append(head + mid)
+        base_off += rcount
+    blob = bytearray(b"".join(parts))
+    if i % bad_stripe == 0:
+        blob[first_records_at + 3] ^= 0x55
+    return bytes(blob)
+
+
+def synthesize_kafka_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of Kafka log-segment byte streams."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_kafka_segment(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "kafka",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -1002,3 +1002,80 @@ def multimodal_orc_strings(
         load_table(spark, sf_dir, "documents")
     )
     return orc_string_stats(media)
+
+
+@register(
+    "multimodal_kafka_segment",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 11 = 0 AS bad,
+                      1 + doc_id % 3 AS nb
+               FROM documents),
+    b AS (SELECT i, bb, 2 + (i + bb) % 4 AS rc
+          FROM (SELECT i, nb, unnest(range(0, nb)) AS bb FROM m)),
+    r AS (SELECT i, bb, rr, (7 * i + 5 * bb + rr) % 100 AS pay
+          FROM (SELECT i, bb, rc, unnest(range(0, rc)) AS rr FROM b)),
+    ag AS (SELECT i, COUNT(*) AS n_records,
+                  SUM(CASE WHEN (i + bb + rr) % 3 = 0 THEN 1 ELSE 0 END)
+                    AS n_null_keys,
+                  SUM(CASE WHEN (i + bb + rr) % 3 = 0 THEN 0 ELSE 2 END)
+                    AS key_len_sum,
+                  SUM(1 + length(CAST(pay AS VARCHAR))) AS value_len_sum,
+                  SUM(pay) AS payload_sum,
+                  SUM(rr) AS ts_delta_sum
+           FROM r GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'kafka' END AS format,
+           CASE WHEN bad THEN ''
+                WHEN m.i % 4 = 0 THEN 'none'
+                WHEN m.i % 4 = 1 THEN 'gzip'
+                WHEN m.i % 4 = 2 THEN 'lz4'
+                ELSE 'zstd' END AS compression,
+           CAST(CASE WHEN bad THEN 0 ELSE nb END AS BIGINT) AS n_batches,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.n_records END AS BIGINT)
+             AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.n_null_keys END AS BIGINT)
+             AS n_null_keys,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.key_len_sum END AS BIGINT)
+             AS key_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.value_len_sum END AS BIGINT)
+             AS value_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.payload_sum END AS BIGINT)
+             AS payload_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.ts_delta_sum END AS BIGINT)
+             AS ts_delta_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.n_records - 1 END AS BIGINT)
+             AS max_offset
+    FROM m JOIN ag ON ag.i = m.i
+    """,
+    doc="Kafka log-segment RecordBatch decode (message format v2, "
+    "KIP-98) — the bytes the gmall reference's topics actually "
+    "store, and the data half of the Kafka wire path the container "
+    "cannot socket to: a segment is concatenated RecordBatch v2 "
+    "frames whose CRC32C (Castagnoli, from-scratch table, pinned on "
+    "the RFC 3720 vector) covers everything after the crc field; "
+    "attributes select the records-block compression (none / gzip / "
+    "lz4 FRAME / zstd through the repo's hand decoders; Kafka's "
+    "snappy is Java-ecosystem xerial framing, documented out of "
+    "scope); records are zigzag-varint framed (length must equal "
+    "the actual bytes, offsetDeltas dense 0..n-1, lastOffsetDelta "
+    "agreeing, headers walked, null keys counted). Values carry a "
+    "numeric payload the reader parses back out, so the oracle "
+    "proves CONTENT decode, not just framing. Every 11th id XORs "
+    "one byte inside the first batch's records region — CRC32C "
+    "must catch it (validated on every stripe id through the sf0.1 "
+    "range). Pure map over segments, zero shuffle. "
+    "operators/kafkalog.py read_kafka_segment",
+    tags=("llm", "multimodal", "kafka"),
+)
+def multimodal_kafka_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        kafka_segment_stats,
+        synthesize_kafka_media,
+    )
+
+    media = synthesize_kafka_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return kafka_segment_stats(media)

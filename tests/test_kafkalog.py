@@ -1,0 +1,72 @@
+"""Kafka RecordBatch v2 decode: CRC32C vectors, varint record
+grammar, codec rotation, books (operators/kafkalog.py)."""
+
+from __future__ import annotations
+
+import struct
+
+from gmall_flink_210726_spark.operators.kafkalog import (
+    _make_kafka_segment,
+    _zz_dec,
+    _zz_enc,
+    crc32c,
+    read_kafka_segment,
+)
+
+
+class TestCrc32c:
+    def test_rfc3720_vectors(self):
+        assert crc32c(b"") == 0
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA  # RFC 3720 all-zeros
+
+    def test_flip_sensitivity(self):
+        a = crc32c(b"hello kafka segment")
+        b = crc32c(b"hellp kafka segment")
+        assert a != b
+
+
+class TestVarints:
+    def test_zigzag_roundtrip(self):
+        for v in (0, -1, 1, 63, -64, 300, -301, 2**40, -(2**40)):
+            got, pos = _zz_dec(_zz_enc(v), 0)
+            assert got == v and pos == len(_zz_enc(v))
+
+
+class TestSegmentWalk:
+    def test_all_codecs(self):
+        for i in (1, 2, 3, 4):  # gzip lz4 zstd none
+            got = read_kafka_segment(_make_kafka_segment(i))
+            assert got is not None, i
+            assert got["n_batches"] == 1 + i % 3
+
+    def test_crc_catches_record_flip(self):
+        for i in (0, 11, 22, 33):
+            assert read_kafka_segment(_make_kafka_segment(i)) is None, i
+
+    def test_header_books(self):
+        """Patching lastOffsetDelta re-CRCs cleanly but must fail
+        the header-vs-records agreement check."""
+        blob = bytearray(_make_kafka_segment(4))  # none codec
+        # attrs(2) at 21; lastOffsetDelta(4) at 23
+        (lod,) = struct.unpack_from(">i", blob, 23)
+        struct.pack_into(">i", blob, 23, lod + 1)
+        # recompute the CRC so only the BOOKS disagree
+        (blen,) = struct.unpack_from(">i", blob, 8)
+        end = 12 + blen
+        struct.pack_into(">I", blob, 17, crc32c(bytes(blob[21:end])))
+        assert read_kafka_segment(bytes(blob)) is None
+
+    def test_truncation_and_magic(self):
+        blob = _make_kafka_segment(1)
+        assert read_kafka_segment(blob[: len(blob) - 4]) is None
+        assert read_kafka_segment(b"") is None
+        b2 = bytearray(_make_kafka_segment(4))
+        b2[16] = 1  # magic v1
+        assert read_kafka_segment(bytes(b2)) is None
+
+    def test_multi_batch_offsets_accumulate(self):
+        i = 2  # 3 batches
+        got = read_kafka_segment(_make_kafka_segment(i))
+        assert got is not None
+        assert got["max_offset"] == got["n_records"] - 1
