@@ -503,3 +503,344 @@ def make_avro_container(
         out += _zz_enc(len(recs)) + _zz_enc(len(payload)) + payload
         out += sync
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Schema resolution (spec 'Schema Resolution'): reader vs writer schema
+# --------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _type_name(schema) -> str:
+    if isinstance(schema, dict):
+        return schema.get("type", "")
+    if isinstance(schema, str):
+        return schema
+    return "union"
+
+
+def _json_default(schema, dv):
+    """Interpret a reader field's JSON default per its type (for a
+    union, the default applies to the FIRST branch, per spec)."""
+    if isinstance(schema, list):
+        return _json_default(schema[0], dv)
+    t = _type_name(schema)
+    if t == "null":
+        return None
+    if t in ("int", "long"):
+        return int(dv)
+    if t in ("float", "double"):
+        return float(dv)
+    if t == "string":
+        return str(dv)
+    if t == "bytes":
+        return str(dv).encode("latin-1")
+    if t == "boolean":
+        return bool(dv)
+    if t == "array":
+        return [_json_default(schema["items"], x) for x in dv]
+    raise ValueError(f"avro: unsupported default for {t}")
+
+
+def _decode_resolved(r: _Reader, wsch, rsch):
+    """Decode per the WRITER schema, shaped per the READER schema
+    (Avro spec 'Schema Resolution'): record fields matched by NAME
+    (extra writer fields decoded and discarded, missing reader
+    fields filled from their defaults — no default is an error),
+    primitive promotions (int>long>float>double, string<->bytes),
+    unions resolved branch-wise. Raises ValueError on any mismatch."""
+    if isinstance(wsch, list):  # writer union: pick the branch first
+        idx = r.zigzag()
+        if idx < 0 or idx >= len(wsch):
+            raise ValueError("avro: union branch out of range")
+        return _decode_resolved(r, wsch[idx], rsch)
+    if isinstance(rsch, list):  # reader union: first matching branch
+        wname = _type_name(wsch)
+        for br in rsch:
+            bn = _type_name(br)
+            if bn == wname or (wname, bn) in _PROMOTIONS:
+                return _decode_resolved(r, wsch, br)
+        raise ValueError("avro: no reader union branch matches")
+    wt, rt = _type_name(wsch), _type_name(rsch)
+    if wt == "record" and rt == "record":
+        rfields = {f["name"]: f for f in rsch["fields"]}
+        out = {}
+        seen = set()
+        for wf in wsch["fields"]:
+            name = wf["name"]
+            if name in rfields:
+                out[name] = _decode_resolved(
+                    r, wf["type"], rfields[name]["type"]
+                )
+                seen.add(name)
+            else:  # extra writer field: consume and discard
+                _decode_value(r, wf["type"])
+        for rf in rsch["fields"]:
+            if rf["name"] not in seen:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"avro: field {rf['name']} missing with no default"
+                    )
+                out[rf["name"]] = _json_default(
+                    rf["type"], rf["default"]
+                )
+        return out
+    if wt == "array" and rt == "array":
+        out = []
+        while True:
+            c = r.zigzag()
+            if c == 0:
+                return out
+            if c < 0:
+                r.zigzag()
+                c = -c
+            out.extend(
+                _decode_resolved(r, wsch["items"], rsch["items"])
+                for _ in range(c)
+            )
+    if wt == "map" and rt == "map":
+        m = {}
+        while True:
+            c = r.zigzag()
+            if c == 0:
+                return m
+            if c < 0:
+                r.zigzag()
+                c = -c
+            for _ in range(c):
+                k = _bytes(r).decode("utf-8")
+                m[k] = _decode_resolved(
+                    r, wsch["values"], rsch["values"]
+                )
+    if wt == rt:
+        return _decode_value(r, wsch)
+    if (wt, rt) in _PROMOTIONS:
+        v = _decode_value(r, wsch)
+        if rt in ("float", "double"):
+            return float(v)
+        if rt == "long":
+            return int(v)
+        if rt == "bytes":
+            return v.encode("utf-8")
+        if rt == "string":
+            return v.decode("utf-8")
+    raise ValueError(f"avro: cannot resolve writer {wt} as reader {rt}")
+
+
+def read_avro_resolved(
+    data: bytes, reader_schema: dict
+) -> tuple[list, str, int] | None:
+    """Container walk decoding every record against ``reader_schema``
+    (schema evolution: the reader's view of old data); None on any
+    container violation or unresolvable schema pair."""
+    if len(data) < 4 or data[:4] != _MAGIC:
+        return None
+    r = _Reader(data, 4, len(data))
+    try:
+        meta = _read_meta_map(r)
+        sync = r.take(16)
+        wschema = json.loads(meta[b"avro.schema"].decode("utf-8"))
+        codec = meta.get(b"avro.codec", b"null").decode("ascii")
+        if codec not in ("null", "deflate", "snappy"):
+            return None
+        records: list = []
+        n_blocks = 0
+        while r.pos < r.end:
+            count = r.zigzag()
+            size = r.zigzag()
+            if count <= 0 or size < 0:
+                return None
+            payload = r.take(size)
+            if r.take(16) != sync:
+                return None
+            if codec == "deflate":
+                from gmall_flink_210726_spark.operators.inflate import (
+                    inflate,
+                )
+
+                payload = inflate(payload)
+            elif codec == "snappy":
+                if len(payload) < 4:
+                    return None
+                (crc,) = struct.unpack(">I", payload[-4:])
+                payload = snappy_decompress(payload[:-4])
+                if zlib.crc32(payload) != crc:
+                    return None
+            br = _Reader(payload, 0, len(payload))
+            for _ in range(count):
+                records.append(
+                    _decode_resolved(br, wschema, reader_schema)
+                )
+            if br.pos != br.end:
+                return None
+            n_blocks += 1
+    except (ValueError, KeyError, UnicodeDecodeError):
+        return None
+    return records, codec, n_blocks
+
+
+# --------------------------------------------------------------------------
+# Evolution fixture: v1-writer containers read through a v2 reader
+# --------------------------------------------------------------------------
+
+READER_V2 = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "qty", "type": "long"},  # promoted from writer int
+        {"name": "name", "type": ["null", "string"]},  # NO default
+        {"name": "score", "type": "long", "default": 7},
+    ],
+}
+
+
+def _writer_schema_v1(with_name: bool) -> dict:
+    fields = [
+        {"name": "id", "type": "long"},
+        {"name": "qty", "type": "int"},
+    ]
+    if with_name:
+        fields.append({"name": "name", "type": ["null", "string"]})
+    fields.append(
+        {"name": "vals", "type": {"type": "array", "items": "long"}}
+    )
+    return {"type": "record", "name": "Event", "fields": fields}
+
+
+def _make_avro_v1(i: int, bad_stripe: int = 10) -> bytes:
+    """v1-writer container: id long, qty INT (the reader promotes it
+    to long), name nullable string, vals array (the reader DROPS it
+    — the skip path must still consume the bytes exactly). Every
+    ``bad_stripe``-th id's writer omits ``name`` — a perfectly valid
+    container on its own that the v2 READER must refuse (its name
+    field has no default)."""
+    with_name = i % bad_stripe != 0
+    n = 6 + i % 30
+    recs = []
+    for r in range(n):
+        rec = {
+            "id": (5 * i + 3 * r) % 1000,
+            "qty": (i + 2 * r) % 50,
+            "vals": [(i + r + k) % 30 for k in range(r % 3)],
+        }
+        if with_name:
+            rec["name"] = (
+                None if (i + r) % 4 == 0 else f"n{(i + 2 * r) % 50}"
+            )
+        recs.append(rec)
+    return make_avro_container(
+        _writer_schema_v1(with_name),
+        recs,
+        codec=("null", "deflate", "snappy")[i % 3],
+        sync=bytes((i * 37 + 11 * k) % 256 for k in range(16)),
+        per_block=max(1, n // (1 + i % 3)),
+    )
+
+
+AVRO_EVO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("id_sum", LongType()),
+        StructField("qty_sum", LongType()),
+        StructField("name_count", LongType()),
+        StructField("name_len_sum", LongType()),
+        StructField("score_sum", LongType()),
+    ]
+)
+
+
+def _avro_evo_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = {
+            "media_id": int(mid),
+            "format": "unknown",
+            "n_records": 0,
+            "id_sum": 0,
+            "qty_sum": 0,
+            "name_count": 0,
+            "name_len_sum": 0,
+            "score_sum": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            got = read_avro_resolved(b, READER_V2)
+        except Exception:
+            got = None
+        if got is not None:
+            records, _, _ = got
+            row.update(
+                format="avro",
+                n_records=len(records),
+                id_sum=sum(rec["id"] for rec in records),
+                qty_sum=sum(rec["qty"] for rec in records),
+                name_count=sum(
+                    1 for rec in records if rec["name"] is not None
+                ),
+                name_len_sum=sum(
+                    len(rec["name"])
+                    for rec in records
+                    if rec["name"] is not None
+                ),
+                score_sum=sum(rec["score"] for rec in records),
+            )
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in AVRO_EVO_SCHEMA.fields]
+    )
+
+
+def avro_evolution_stats(df: DataFrame) -> DataFrame:
+    """Reader-schema (v2) decode of v1-writer containers."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _avro_evo_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, AVRO_EVO_SCHEMA
+    )
+
+
+def synthesize_avro_v1_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of v1-writer Avro containers."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_avro_v1(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "avro",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

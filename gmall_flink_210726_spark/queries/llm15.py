@@ -1079,3 +1079,68 @@ def multimodal_kafka_segment(
         load_table(spark, sf_dir, "documents")
     )
     return kafka_segment_stats(media)
+
+
+@register(
+    "multimodal_avro_evolution",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 10 = 0 AS bad,
+                      6 + doc_id % 30 AS n
+               FROM documents),
+    r AS (SELECT i, rr,
+                 (5 * i + 3 * rr) % 1000 AS idv,
+                 (i + 2 * rr) % 50 AS qty,
+                 (i + rr) % 4 = 0 AS name_null,
+                 1 + length(CAST((i + 2 * rr) % 50 AS VARCHAR)) AS nlen
+          FROM (SELECT i, n, unnest(range(0, n)) AS rr FROM m)),
+    ag AS (SELECT i, COUNT(*) AS n_records, SUM(idv) AS id_sum,
+                  SUM(qty) AS qty_sum,
+                  SUM(CASE WHEN name_null THEN 0 ELSE 1 END)
+                    AS name_count,
+                  SUM(CASE WHEN name_null THEN 0 ELSE nlen END)
+                    AS name_len_sum
+           FROM r GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'avro' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.id_sum END AS BIGINT)
+             AS id_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.qty_sum END AS BIGINT)
+             AS qty_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.name_count END AS BIGINT)
+             AS name_count,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.name_len_sum END AS BIGINT)
+             AS name_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE 7 * n END AS BIGINT)
+             AS score_sum
+    FROM m JOIN ag ON ag.i = m.i
+    """,
+    doc="Avro SCHEMA RESOLUTION (the spec's 'Schema Resolution' "
+    "section — the feature Avro exists for): v1-WRITER containers "
+    "decoded through a v2 READER schema. Every resolution rule the "
+    "evolution path needs runs per record: fields matched by NAME, "
+    "the writer's 'vals' array DROPPED (its bytes still consumed "
+    "exactly — the skip path), the writer's INT 'qty' PROMOTED to "
+    "the reader's long, and the reader's new 'score' field filled "
+    "from its JSON DEFAULT (score_sum = 7n proves defaults applied "
+    "to every record). The degrade stripe is semantic, not byte "
+    "corruption: every 10th id's writer schema omits 'name', a "
+    "perfectly valid container on its own that THIS reader must "
+    "refuse (its name field has no default) — the spec's resolution "
+    "error, exercised for real. Codec rotates null/deflate/snappy. "
+    "The oracle recomputes id/qty/name/score sums blind. "
+    "operators/avro.py read_avro_resolved",
+    tags=("llm", "multimodal", "kafka"),
+)
+def multimodal_avro_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.avro import (
+        avro_evolution_stats,
+        synthesize_avro_v1_media,
+    )
+
+    media = synthesize_avro_v1_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return avro_evolution_stats(media)

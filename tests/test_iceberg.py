@@ -141,3 +141,75 @@ class TestSnapshotWalk:
             )
             is None
         )
+
+
+class TestSchemaResolution:
+    """Avro spec 'Schema Resolution' (round 11): name matching,
+    skip, promotion, defaults, and the no-default error."""
+
+    def test_rules_per_record(self):
+        from gmall_flink_210726_spark.operators.avro import (
+            READER_V2,
+            _make_avro_v1,
+            read_avro_resolved,
+        )
+
+        got = read_avro_resolved(_make_avro_v1(3), READER_V2)
+        assert got is not None
+        rec = got[0][0]
+        assert set(rec) == {"id", "qty", "name", "score"}
+        assert rec["score"] == 7  # default applied
+        assert "vals" not in rec  # writer-only field dropped
+
+    def test_missing_field_without_default_degrades(self):
+        from gmall_flink_210726_spark.operators.avro import (
+            READER_V2,
+            _make_avro_v1,
+            read_avro_resolved,
+        )
+
+        # the stripe container is VALID under its own writer schema...
+        from gmall_flink_210726_spark.operators.avro import (
+            read_avro_container,
+        )
+
+        blob = _make_avro_v1(10)
+        assert read_avro_container(blob) is not None
+        # ...but the v2 reader must refuse it
+        assert read_avro_resolved(blob, READER_V2) is None
+
+    def test_promotions(self):
+        from gmall_flink_210726_spark.operators.avro import (
+            _decode_resolved,
+            _zz_enc,
+        )
+        from gmall_flink_210726_spark.operators.parquetmeta import _Reader
+
+        def rdr(b):
+            return _Reader(b, 0, len(b))
+
+        assert _decode_resolved(rdr(_zz_enc(9)), "int", "long") == 9
+        assert _decode_resolved(rdr(_zz_enc(9)), "int", "double") == 9.0
+        body = _zz_enc(2) + b"ab"
+        assert _decode_resolved(rdr(body), "string", "bytes") == b"ab"
+        # the reverse demotion must fail
+        try:
+            _decode_resolved(rdr(_zz_enc(9)), "long", "int")
+            raise AssertionError("demotion accepted")
+        except ValueError:
+            pass
+
+    def test_reader_union_branch_matching(self):
+        from gmall_flink_210726_spark.operators.avro import (
+            _decode_resolved,
+            _zz_enc,
+        )
+        from gmall_flink_210726_spark.operators.parquetmeta import _Reader
+
+        # writer long resolved into reader ["null","long"]
+        got = _decode_resolved(
+            _Reader(_zz_enc(5), 0, len(_zz_enc(5))),
+            "long",
+            ["null", "long"],
+        )
+        assert got == 5
