@@ -55,12 +55,11 @@ DELTA_SCHEMA = StructType(
 )
 
 
-def replay_delta_log(data: bytes) -> dict | None:
-    """Tar of commit files -> snapshot state; None on any protocol
-    violation (module docstring contract)."""
-    members = _iter_tar_members(data)
-    if members is None:
-        return None
+def _collect_commits(
+    members: list[tuple[str, bytes]],
+) -> dict[int, bytes] | None:
+    """Versioned ``<20 digits>.json`` members -> {version: payload};
+    None on a malformed name, duplicate, or version gap."""
     commits: dict[int, bytes] = {}
     for name, payload in members:
         if not name.endswith(".json") or len(name) != 25:
@@ -75,6 +74,15 @@ def replay_delta_log(data: bytes) -> dict | None:
     n = len(commits)
     if n == 0 or sorted(commits) != list(range(n)):
         return None  # versions must be contiguous from 0
+    return commits
+
+
+def _replay_state(
+    commits: dict[int, bytes],
+) -> tuple[dict[str, tuple[int, int, str]], int, int] | None:
+    """Ordered replay -> (live path map, n_adds, n_removes); None on
+    any protocol violation (module docstring contract)."""
+    n = len(commits)
     live: dict[str, tuple[int, int, str]] = {}  # path -> (size, rows, pv)
     n_adds = n_removes = 0
     saw_protocol = saw_meta = False
@@ -140,8 +148,24 @@ def replay_delta_log(data: bytes) -> dict | None:
                 return None  # unknown action kind
         if v == 0 and not (saw_protocol and saw_meta):
             return None  # commit 0 must establish the table
+    return live, n_adds, n_removes
+
+
+def replay_delta_log(data: bytes) -> dict | None:
+    """Tar of commit files -> snapshot state; None on any protocol
+    violation (module docstring contract)."""
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    commits = _collect_commits(members)
+    if commits is None:
+        return None
+    state = _replay_state(commits)
+    if state is None:
+        return None
+    live, n_adds, n_removes = state
     return {
-        "n_commits": n,
+        "n_commits": len(commits),
         "n_adds": n_adds,
         "n_removes": n_removes,
         "live_files": len(live),
@@ -285,6 +309,237 @@ def synthesize_delta_log_media(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": ids,
                     "content": [_make_delta_log(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "delta",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# FULL TABLE SCAN: log replay + hand parquet reads of the live files
+# --------------------------------------------------------------------------
+
+
+def scan_delta_table(data: bytes) -> dict | None:
+    """A complete Delta TABLE SCAN from raw bytes with zero library
+    code — the end-to-end composition a lakehouse reader actually
+    is: the tar carries the ``_delta_log`` commits AND the part
+    files; the log replays to the live set, and every live file's
+    ``k`` column is then read by the from-scratch parquet column
+    walk (footer Thrift, pages, levels). The trust chain is
+    CHECKED, not assumed: each live file's actual byte size must
+    equal its add action's ``size``, and its actually-decoded row
+    count must equal the add's ``stats.numRecords`` — a log that
+    lies about its data degrades the whole table."""
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    commit_members = []
+    parts: dict[str, bytes] = {}
+    for name, payload in members:
+        if name.startswith("_delta_log/"):
+            commit_members.append((name[len("_delta_log/") :], payload))
+        else:
+            parts[name] = payload
+    commits = _collect_commits(commit_members)
+    if commits is None:
+        return None
+    state = _replay_state(commits)
+    if state is None:
+        return None
+    live, n_adds, n_removes = state
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    live_rows = k_sum = 0
+    for path, (size, rows, _pv) in live.items():
+        blob = parts.get(path)
+        if blob is None or len(blob) != size:
+            return None  # the add's size must tell the truth
+        col = read_parquet_column_k(blob)
+        if col is None:
+            return None
+        if col["n_values"] != rows:
+            return None  # stats.numRecords vs the ACTUAL decode
+        live_rows += col["n_values"]
+        k_sum += col["k_sum"]
+    return {
+        "n_commits": len(commits),
+        "live_files": len(live),
+        "live_rows": live_rows,
+        "k_sum": k_sum,
+    }
+
+
+DELTA_SCAN_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_commits", LongType()),
+        StructField("live_files", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("k_sum", LongType()),
+    ]
+)
+
+
+def _delta_scan_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    zero = {
+        f.name: 0 for f in DELTA_SCAN_SCHEMA.fields if f.name != "format"
+    }
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = dict(zero, media_id=int(mid), format="unknown")
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = scan_delta_table(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="delta", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in DELTA_SCAN_SCHEMA.fields]
+    )
+
+
+def delta_scan_stats(df: DataFrame) -> DataFrame:
+    """Full Delta table scan over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _delta_scan_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, DELTA_SCAN_SCHEMA
+    )
+
+
+def _scan_seed(i: int, v: int, k: int) -> int:
+    return (17 * i + 31 * v + 7 * k) % 4000 + 1
+
+
+def _make_delta_table(i: int, bad_stripe: int = 13) -> bytes:
+    """A COMPLETE Delta table as one tar: ``2 + i % 3`` commits under
+    ``_delta_log/`` plus the REAL parquet part files their adds
+    reference (written by pyarrow with per-file seeds; sizes and
+    numRecords in the adds are the files' true values). Commit 0
+    adds two files; each later commit adds one and — when (i+v)%2==0
+    — removes the previous commit's file. Every ``bad_stripe``-th
+    id's LAST add (a file no remove ever targets, so always live)
+    overstates stats.numRecords by one: the log is structurally
+    valid, every file parses, and only the stats-vs-actual-decode
+    trust check can catch the lie."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        _make_parquet,
+    )
+
+    n_commits = 2 + i % 3
+    members: list[tuple[str, bytes]] = []
+    log_parts: list[bytes] = []
+    for v in range(n_commits):
+        lines: list[bytes] = []
+        if v == 0:
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2,
+                        }
+                    }
+                ).encode()
+            )
+            lines.append(
+                json.dumps(
+                    {"metaData": {"id": f"tbl-{i}", "format": {}}}
+                ).encode()
+            )
+            ks = (0, 1)
+        else:
+            ks = (0,)
+        for k in ks:
+            s = _scan_seed(i, v, k)
+            blob = _make_parquet(s, "NONE", bad_stripe=s + 1)
+            path = f"part-{v:05d}-{k}.parquet"
+            members.append((path, blob))
+            rows = 10 + s % 90
+            # the lie goes on the LAST commit's add — a file no
+            # remove ever targets, so it is always in the live set
+            if v == n_commits - 1 and k == 0 and i % bad_stripe == 0:
+                rows += 1  # only the actual decode catches this
+            lines.append(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": path,
+                            "partitionValues": {},
+                            "size": len(blob),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                            "stats": json.dumps({"numRecords": rows}),
+                        }
+                    }
+                ).encode()
+            )
+        if v > 0 and (i + v) % 2 == 0:
+            prev = f"part-{v - 1:05d}-0.parquet"
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": prev,
+                            "deletionTimestamp": 1,
+                            "dataChange": True,
+                        }
+                    }
+                ).encode()
+            )
+        log_parts.append(b"\n".join(lines) + b"\n")
+    for v, payload in enumerate(log_parts):
+        members.append((f"_delta_log/{v:020d}.json", payload))
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_delta_table_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of complete Delta tables (log + parts)."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_delta_table(int(i)) for i in ids
+                    ],
                     "meta": [
                         {
                             "format": "delta",

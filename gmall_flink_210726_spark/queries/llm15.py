@@ -1144,3 +1144,69 @@ def multimodal_avro_evolution(
         load_table(spark, sf_dir, "documents")
     )
     return avro_evolution_stats(media)
+
+
+@register(
+    "lakehouse_delta_scan",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, doc_id % 13 = 0 AS bad,
+                      2 + doc_id % 3 AS c
+               FROM documents),
+    f AS (SELECT i, c, vv, kk,
+                 (17 * i + 31 * vv + 7 * kk) % 4000 + 1 AS s
+          FROM (SELECT i, c, unnest(range(0, c)) AS vv FROM m),
+               (SELECT unnest([0, 1]) AS kk)
+          WHERE kk = 0 OR vv = 0),
+    liv AS (SELECT i, s
+            FROM f
+            WHERE NOT (kk = 0 AND vv < c - 1 AND (i + vv + 1) % 2 = 0)),
+    rows_per AS (SELECT i, s, 10 + s % 90 AS nrows FROM liv),
+    ks AS (SELECT i, SUM((s * 7 + 3 * rr) % 1000) AS kpart
+           FROM (SELECT i, s, nrows, unnest(range(0, nrows)) AS rr
+                 FROM rows_per)
+           GROUP BY i),
+    ag AS (SELECT rp.i, COUNT(*) AS live_files,
+                  SUM(rp.nrows) AS live_rows
+           FROM rows_per rp GROUP BY rp.i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE c END AS BIGINT) AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.live_files END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.live_rows END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE ks.kpart END AS BIGINT)
+             AS k_sum
+    FROM m JOIN ag ON ag.i = m.i JOIN ks ON ks.i = m.i
+    """,
+    doc="A complete Delta TABLE SCAN from raw bytes with zero "
+    "library code — the end-to-end composition a lakehouse reader "
+    "IS: the tar carries the _delta_log commits AND the real "
+    "pyarrow-written parquet part files their adds reference; the "
+    "log replays to the live set (the L214 machinery) and every "
+    "live file's k column is then read by the from-scratch parquet "
+    "column walk (footer Thrift, pages, levels). The trust chain "
+    "is CHECKED, not assumed: each live file's actual bytes must "
+    "equal its add's size, and its ACTUALLY-DECODED row count must "
+    "equal the add's stats.numRecords. The degrade stripe is the "
+    "sharpest in the repo: every 13th id's LAST add (a file no "
+    "remove ever targets) overstates numRecords by ONE — the log "
+    "is structurally valid, every parquet file parses clean, and "
+    "only the stats-vs-actual-decode check can catch it (validated "
+    "on every stripe id through the sf0.1 range; a lie on a "
+    "REMOVED file is correctly invisible, which the first fixture "
+    "draft proved by accident). The oracle replays the same "
+    "add/remove formulas and re-derives per-file k sums blind. "
+    "operators/deltalog.py scan_delta_table",
+    tags=("llm", "multimodal", "lakehouse"),
+)
+def lakehouse_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltalog import (
+        delta_scan_stats,
+        synthesize_delta_table_media,
+    )
+
+    media = synthesize_delta_table_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_scan_stats(media)

@@ -104,3 +104,92 @@ class TestReplay:
         assert replay_delta_log(_make_delta_log(12)) is None
         got = replay_delta_log(_make_delta_log(3))
         assert got is not None and got["n_commits"] == 2 + 3 % 4
+
+
+class TestFullTableScan:
+    """Round-11 composition: log replay + hand parquet reads."""
+
+    def test_scan_matches_file_contents(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_table,
+            _scan_seed,
+            scan_delta_table,
+        )
+
+        i = 3
+        got = scan_delta_table(_make_delta_table(i))
+        assert got is not None
+        # C=2: files (0,0),(0,1),(1,0); (i+1)%2=0 removes (0,0)
+        live = [(0, 1), (1, 0)]
+        exp_rows = sum(
+            10 + _scan_seed(i, v, k) % 90 for v, k in live
+        )
+        assert got["live_rows"] == exp_rows
+        assert got["live_files"] == 2
+
+    def test_numrecords_lie_degrades(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_table,
+            scan_delta_table,
+        )
+
+        for i in (0, 13, 26, 39):
+            assert scan_delta_table(_make_delta_table(i)) is None, i
+
+    def test_size_lie_degrades(self):
+        """Truncate one live part file: the add's size disagrees."""
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_table,
+            scan_delta_table,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+        from gmall_flink_210726_spark.operators.wds import (
+            _iter_tar_members,
+        )
+
+        blob = _make_delta_table(3)
+        members = _iter_tar_members(blob)
+        rebuilt = []
+        for name, payload in members:
+            if name == "part-00001-0.parquet":
+                payload = payload[:-8]  # truncate a live file
+            pad = (-len(payload)) % _BLOCK
+            rebuilt.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        assert (
+            scan_delta_table(
+                b"".join(rebuilt) + b"\x00" * (2 * _BLOCK)
+            )
+            is None
+        )
+
+    def test_missing_part_file_degrades(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_table,
+            scan_delta_table,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+        from gmall_flink_210726_spark.operators.wds import (
+            _iter_tar_members,
+        )
+
+        blob = _make_delta_table(3)
+        members = [
+            (n, p)
+            for n, p in _iter_tar_members(blob)
+            if n != "part-00001-0.parquet"
+        ]
+        rebuilt = b"".join(
+            _make_header(n, len(p)) + p + b"\x00" * ((-len(p)) % _BLOCK)
+            for n, p in members
+        ) + b"\x00" * (2 * _BLOCK)
+        assert scan_delta_table(rebuilt) is None
