@@ -77,9 +77,18 @@ class _Reader:
         return b
 
 
-def _read_value(r: _Reader, ctype: int):
-    if ctype in (1, 2):  # BOOL true/false encoded in the field header
-        return ctype == 1
+def _read_value(r: _Reader, ctype: int, container: bool = False):
+    if ctype in (1, 2):  # BOOL
+        if container:
+            # Inside LIST/SET/MAP a bool element is a standalone byte
+            # (0x01 true / 0x02 false) — only STRUCT fields fold the
+            # value into the field-header type nibble. ColumnIndex's
+            # list<bool> null_pages is the shape that exercises this.
+            b = r.byte()
+            if b not in (1, 2):
+                raise ValueError("thrift: bad bool element")
+            return b == 1
+        return ctype == 1  # true/false encoded in the field header
     if ctype == 3:  # BYTE
         return r.byte()
     if ctype in (4, 5, 6):  # I16 / I32 / I64
@@ -94,14 +103,16 @@ def _read_value(r: _Reader, ctype: int):
         etype = head & 0x0F
         if size == 15:
             size = r.varint()
-        return [_read_value(r, etype) for _ in range(size)]
+        return [_read_value(r, etype, container=True) for _ in range(size)]
     if ctype == 11:  # MAP
         size = r.varint()
         if size == 0:
             return {}
         kv = r.byte()
         return {
-            _read_value(r, kv >> 4): _read_value(r, kv & 0x0F)
+            _read_value(r, kv >> 4, container=True): _read_value(
+                r, kv & 0x0F, container=True
+            )
             for _ in range(size)
         }
     if ctype == 12:  # STRUCT

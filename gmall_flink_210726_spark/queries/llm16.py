@@ -1,0 +1,96 @@
+r"""LLM-pipeline wave 16: lakehouse read-path depth — page-level
+predicate skipping, merge-on-read delete layers, and the corpus
+ingest formats a 100 TB training pipeline actually consumes.
+
+Round-11 continuation (the r10 brief itself shipped in the first
+half of the round): parquet PAGE INDEX reads (ColumnIndex /
+OffsetIndex, the skipping layer below L192's row-group stats),
+then the delete-layer composition (roaring bitmaps / position
+deletes) and the bz2-compressed dump front door.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+
+@register(
+    "multimodal_parquet_page_index",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 11 = 0 AS bad,
+                      64 + 16 * (doc_id % 5) AS n,
+                      (3 * doc_id) % 600 AS lo
+               FROM documents),
+    pg AS (SELECT i, j // 16 AS p, (i + 7 * j) % 997 AS v
+           FROM (SELECT i, n, unnest(range(0, n)) AS j FROM m)),
+    ps AS (SELECT i, p, MIN(v) AS pmin, MAX(v) AS pmax
+           FROM pg GROUP BY i, p),
+    sel AS (SELECT ps.i, COUNT(*) AS nsel
+            FROM ps JOIN m ON m.i = ps.i
+            WHERE ps.pmax >= m.lo AND ps.pmin <= m.lo + 250
+            GROUP BY ps.i),
+    mt AS (SELECT pg.i, COUNT(*) AS mc, SUM(pg.v) AS ms
+           FROM pg JOIN m ON m.i = pg.i
+           WHERE pg.v BETWEEN m.lo AND m.lo + 250
+           GROUP BY pg.i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE (m.n + 47) // 48 END
+                AS BIGINT) AS n_row_groups,
+           CAST(CASE WHEN bad THEN 0 ELSE m.n // 16 END AS BIGINT)
+             AS n_pages,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(sel.nsel, 0) END
+                AS BIGINT) AS n_pages_read,
+           CAST(CASE WHEN bad THEN 0 ELSE 16 * COALESCE(sel.nsel, 0)
+                END AS BIGINT) AS rows_read,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(mt.mc, 0) END
+                AS BIGINT) AS match_count,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(mt.ms, 0) END
+                AS BIGINT) AS match_sum
+    FROM m
+    LEFT JOIN sel ON sel.i = m.i
+    LEFT JOIN mt ON mt.i = m.i
+    """,
+    doc="Parquet PAGE INDEX scan (parquet-format PageIndex.md): the "
+    "ColumnChunk's out-of-band ColumnIndex (per-page null_pages "
+    "list<bool> — the compact protocol's standalone bool-element "
+    "encoding, a shape no other struct in the repo exercises — plus "
+    "8-byte-LE min/max binaries and null_counts) and OffsetIndex "
+    "(PageLocation offset / compressed_page_size / first_row_index) "
+    "walked from the footer, then a range predicate opens ONLY the "
+    "pages whose claimed [min,max] can intersect — page-level "
+    "skipping, the layer below L192's row-group stats and the "
+    "difference between a 1 MB page and a 128 MB row group at "
+    "100 TB. Fixtures are REAL pyarrow write_page_index=True files "
+    "with geometry pinned to 16-row pages / 48-row groups by "
+    "write_batch_size, codec rotating NONE/SNAPPY/GZIP/ZSTD through "
+    "the hand decoders. The trust chain is CHECKED: every opened "
+    "page's decoded min/max must equal the index's claim (every "
+    "11th id inflates one raw value byte under a forced full-range "
+    "predicate — only the read catches the lying index), "
+    "first_row_index must start at 0 and strictly increase, header "
+    "num_values must equal the OffsetIndex row span, and "
+    "compressed_page_size must cover header+body exactly; every "
+    "13th id's ColumnIndex first byte is smashed and must degrade. "
+    "~48%% of pages are skipped under the rotating predicate. The "
+    "oracle recomputes per-page min/max selection and match sums "
+    "blind from the write formulas. Pure map over blobs, zero "
+    "shuffle. operators/pageindex.py read_parquet_page_index",
+    tags=("llm", "multimodal"),
+)
+def multimodal_parquet_page_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.pageindex import (
+        parquet_page_index_stats,
+        synthesize_parquet_pageindex_media,
+    )
+
+    media = synthesize_parquet_pageindex_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_page_index_stats(media)

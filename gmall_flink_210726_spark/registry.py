@@ -70,6 +70,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm13,
         llm14,
         llm15,
+        llm16,
         streamq,
         streamq2,
         streamq3,
