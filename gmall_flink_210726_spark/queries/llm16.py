@@ -94,3 +94,75 @@ def multimodal_parquet_page_index(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_page_index_stats(media)
+
+
+@register(
+    "text_wikipedia_dump",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      1 + doc_id % 4 AS np
+               FROM documents),
+    pg AS (SELECT i, p, 10 * i + p AS pid,
+                  (7 * i + p) % 100 AS tnum,
+                  1 + (i + p) % 3 AS r
+           FROM (SELECT i, np, unnest(range(0, np)) AS p FROM m)),
+    agg AS (SELECT i,
+                   SUM(pid) AS ids,
+                   SUM(1 + length(CAST(tnum AS VARCHAR))) AS tls,
+                   SUM(11 * r + 16) AS pls
+            FROM pg GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'wikidump' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 + m.i % 2 END AS BIGINT)
+             AS n_streams,
+           CAST(CASE WHEN bad THEN 0 ELSE m.np END AS BIGINT)
+             AS n_pages,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.ids END AS BIGINT)
+             AS id_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.tls END AS BIGINT)
+             AS title_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.pls END AS BIGINT)
+             AS plain_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 * m.np END AS BIGINT)
+             AS link_count,
+           CAST(CASE WHEN bad THEN 0 ELSE m.np END AS BIGINT)
+             AS template_count,
+           CAST(CASE WHEN bad THEN 0 ELSE m.np END AS BIGINT)
+             AS ref_count
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="Wikipedia-style multistream dump ingest — the classic LLM "
+    "corpus front door (*-pages-articles-multistream.xml.bz2): a "
+    "concatenation of byte-aligned bzip2 streams (stream 0 the site "
+    "header, each later stream a seekable batch of <page> elements) "
+    "decoded by a complete FROM-SCRATCH bzip2 implementation "
+    "(operators/bzip2.py: bit-aligned blocks, two-level used-byte "
+    "map, 2-6 delta-coded Huffman tables with unary MTF'd selectors "
+    "switching every 50 symbols, RUNA/RUNB bijective-base-2 zero "
+    "runs, MTF, inverse BWT at origPtr, RLE1, bzip2's MSB-first "
+    "CRC-32 per block plus the rotate-left-folded stream CRC — "
+    "fuzz-pinned against stdlib bz2 across levels 1-9 in tests). "
+    "The payload is MediaWiki XML walked by the strict XML subset "
+    "parser, and each revision's wikitext is stripped to plain "
+    "prose (nesting-aware {{template}} removal, <ref> bodies, "
+    "[[target|label]] links, ==heading== and ''emphasis'' runs; "
+    "unbalanced markup degrades). Every 13th id flips a mid-blob "
+    "byte (grammar or CRC catches it); every 9th flips a byte "
+    "inside the first block's STORED CRC field — the structure "
+    "decodes fine and only the CRC check catches it. The oracle "
+    "recomputes page ids, title lengths and exact post-strip plain "
+    "lengths blind from the write formulas. Pure map over blobs, "
+    "zero shuffle. operators/wikidump.py read_wiki_dump",
+    tags=("llm", "text"),
+)
+def text_wikipedia_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.wikidump import (
+        synthesize_wiki_dump_media,
+        wiki_dump_stats,
+    )
+
+    media = synthesize_wiki_dump_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return wiki_dump_stats(media)
