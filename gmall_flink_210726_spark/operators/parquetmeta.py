@@ -411,9 +411,14 @@ def _page_decompress(page: bytes, codec: int, usize: int) -> bytes | None:
 _CODECS = (0, 1, 2, 6, 7)
 
 
-def read_parquet_column_k(data: bytes) -> dict | None:
+def read_parquet_column_k(
+    data: bytes, collect_values: bool = False
+) -> dict | None:
     """Footer -> every row group's 'k' column chunk -> data pages ->
-    def levels + PLAIN int64 values. Cross-checks at every layer:
+    def levels + PLAIN int64 values. With ``collect_values`` the
+    decoded values ride along under a "values" key (the
+    deletion-vector scan needs per-row values to subtract deleted
+    positions). Cross-checks at every layer:
     column type INT64, codec UNCOMPRESSED/SNAPPY/GZIP (hand
     decoders, decoded length proven), page type DATA_PAGE with PLAIN
     encoding, def levels all 1 (no nulls written), per-page value
@@ -434,6 +439,7 @@ def read_parquet_column_k(data: bytes) -> dict | None:
     if not isinstance(num_rows, int) or not isinstance(row_groups, list):
         return None
     total_vals = ksum = n_pages = 0
+    collected: list[int] = []
     for rg in row_groups:
         cols = rg.get(1) if isinstance(rg, dict) else None
         if not isinstance(cols, list):
@@ -485,9 +491,10 @@ def read_parquet_column_k(data: bytes) -> dict | None:
                 vals = page[4 + dlen :]
                 if len(vals) != 8 * pn:
                     return None
-                ksum += sum(
-                    struct.unpack_from(f"<{pn}q", vals, 0)
-                )
+                decoded = struct.unpack_from(f"<{pn}q", vals, 0)
+                ksum += sum(decoded)
+                if collect_values:
+                    collected.extend(decoded)
                 got += pn
                 n_pages += 1
                 pos = r.pos + psize
@@ -498,7 +505,10 @@ def read_parquet_column_k(data: bytes) -> dict | None:
         total_vals += n_vals
     if total_vals != num_rows:
         return None  # chunk counts must sum to the file row count
-    return {"n_values": total_vals, "k_sum": ksum, "n_pages": n_pages}
+    out = {"n_values": total_vals, "k_sum": ksum, "n_pages": n_pages}
+    if collect_values:
+        out["values"] = collected
+    return out
 
 
 PQCOL_SCHEMA = StructType(

@@ -166,3 +166,85 @@ def text_wikipedia_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return wiki_dump_stats(media)
+
+
+@register(
+    "lakehouse_delta_dv_scan",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      2 + doc_id % 3 AS nf
+               FROM documents),
+    fj AS (SELECT i, nf, f, 40 + ((i + f) % 3) * 20 AS R
+           FROM (SELECT i, nf, unnest(range(0, nf)) AS f FROM m)),
+    rj AS (SELECT i, nf, f, R, j,
+                  (13 * i + 29 * f + 11 * j) % 3000 AS k,
+                  NOT (f = nf - 1 AND i % 2 = 0)
+                    AND ((j >= 5 AND j < 7 + (i + f) % 6)
+                         OR j % 7 = (i + f) % 7) AS del
+           FROM (SELECT i, nf, f, R, unnest(range(0, R)) AS j
+                 FROM fj)),
+    agg AS (SELECT i,
+                   SUM(CASE WHEN del THEN 1 ELSE 0 END) AS deleted,
+                   SUM(CASE WHEN del THEN 0 ELSE 1 END) AS live,
+                   SUM(CASE WHEN del THEN 0 ELSE k END) AS ks
+            FROM rj GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 3 END AS BIGINT) AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE m.nf END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0
+                ELSE m.nf - CASE WHEN m.i % 2 = 0 THEN 1 ELSE 0 END
+                END AS BIGINT) AS dv_count,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.deleted END AS BIGINT)
+             AS deleted_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.live END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.ks END AS BIGINT)
+             AS k_sum
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="Delta Lake DELETION VECTORS — merge-on-read row-level "
+    "deletes (delta.io PROTOCOL.md): add actions carry "
+    "deletionVector descriptors whose payload is Delta's "
+    "RoaringBitmapArray (magic 1681511377 + int64 count + portable "
+    "32-bit roaring bitmaps with array/bitmap/RUN containers per "
+    "RoaringFormatSpec, operators/roaring.py) resolved from either "
+    "a shared deletion-vector FILE ('u': RFC 1924 base85 UUID with "
+    "optional random prefix, 1-byte format version, per-DV "
+    "<int32-BE size><data><int32-BE CRC-32> at descriptor offsets "
+    "— many DVs packed per file like real writers) or INLINE "
+    "('i': the whole DV base85 in the descriptor). The protocol "
+    "gate is enforced (reader version 3 + deletionVectors in "
+    "readerFeatures; unknown features refuse). Commit 2 re-adds "
+    "file 0 with a LARGER DV — the second-DELETE upgrade path the "
+    "last-wins replay must honor; the scan then hand-decodes every "
+    "live parquet file and subtracts deleted positions from both "
+    "the row count and the column aggregate. At 100 TB this is "
+    "what makes row-level DELETE affordable: a kilobyte bitmap "
+    "instead of a 128 MB file rewrite. Trust chain checked: "
+    "add.size vs bytes, stats.numRecords vs actual decode "
+    "(PHYSICAL rows — DVs never change stats), DV CRC (every 13th "
+    "id flips a byte inside the FINAL DV's bitmap — a flip in the "
+    "superseded partial DV would be invisible, so the stripe "
+    "targets what the scan actually reads), decoded cardinality vs "
+    "the descriptor's claim (every 9th id lies by one), and every "
+    "position inside its file. The oracle recomputes the deleted "
+    "sets (run + scatter) and surviving aggregates blind from the "
+    "write formulas. Pure map over blobs, zero shuffle. "
+    "operators/deltadv.py scan_delta_table_mor",
+    tags=("llm", "lakehouse"),
+)
+def lakehouse_delta_dv_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltadv import (
+        delta_dv_scan_stats,
+        synthesize_delta_dv_media,
+    )
+
+    media = synthesize_delta_dv_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_dv_scan_stats(media)
