@@ -357,3 +357,573 @@ def synthesize_iceberg_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# v2 POSITION DELETES — merge-on-read
+# --------------------------------------------------------------------------
+
+# Iceberg v2 (spec "Row-level deletes"): manifests are typed by a
+# ``content`` field (0 data / 1 deletes), and delete manifests list
+# POSITION DELETE FILES — parquet files with columns ``file_path``
+# (the data file whose rows die) and ``pos`` (0-based row ordinal) —
+# that the scan subtracts without rewriting data. The same
+# merge-on-read idea as Delta's deletion vectors, expressed as a
+# sorted (file_path, pos) table instead of a bitmap.
+
+MLIST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},  # 0 data / 1 deletes
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+    ],
+}
+
+MANIFEST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    # 0 data / 1 position deletes / 2 equality deletes
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _read_pos_delete_parquet(
+    data: bytes,
+) -> list[tuple[str, int]] | None:
+    """Hand-read a position-delete parquet file: PLAIN BYTE_ARRAY
+    ``file_path`` + PLAIN INT64 ``pos``, both nullable-written with
+    all-1 def levels. Returns row-aligned (path, pos) pairs; the
+    spec requires them sorted by (file_path, pos) and we CHECK it."""
+    import struct as _struct
+
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        _decode_rle_hybrid,
+        _page_decompress,
+        _read_struct,
+        _Reader,
+    )
+
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = _struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    num_rows = meta.get(3)
+    row_groups = meta.get(4)
+    if not isinstance(num_rows, int) or not isinstance(row_groups, list):
+        return None
+    paths: list[str] = []
+    poss: list[int] = []
+    for rg in row_groups:
+        cols = rg.get(1) if isinstance(rg, dict) else None
+        if not isinstance(cols, list):
+            return None
+        for cc in cols:
+            cm = cc.get(3) if isinstance(cc, dict) else None
+            if not isinstance(cm, dict):
+                return None
+            name = cm.get(3)
+            ctype = cm.get(1)
+            codec = cm.get(4)
+            n_vals = cm.get(5)
+            off = cm.get(9)
+            if codec != 0 or not isinstance(off, int):
+                return None
+            want_str = name == [b"file_path"] and ctype == 6
+            want_i64 = name == [b"pos"] and ctype == 2
+            if not (want_str or want_i64):
+                return None
+            got = 0
+            pos = off
+            try:
+                while got < n_vals:
+                    r = _Reader(data, pos, len(data))
+                    ph = _read_struct(r)
+                    if ph.get(1) != 0:
+                        return None
+                    dph = ph.get(5)
+                    if not isinstance(dph, dict) or dph.get(2) != 0:
+                        return None
+                    pn = dph.get(1)
+                    psize = ph.get(3)
+                    page = _page_decompress(
+                        data[r.pos : r.pos + psize], 0, ph.get(2)
+                    )
+                    if page is None:
+                        return None
+                    (dlen,) = _struct.unpack_from("<I", page, 0)
+                    levels = _decode_rle_hybrid(
+                        page[4 : 4 + dlen], pn, 1
+                    )
+                    if len(levels) != pn or any(
+                        v != 1 for v in levels
+                    ):
+                        return None
+                    body = page[4 + dlen :]
+                    if want_i64:
+                        if len(body) != 8 * pn:
+                            return None
+                        poss.extend(
+                            _struct.unpack(f"<{pn}q", body)
+                        )
+                    else:
+                        bp = 0
+                        for _ in range(pn):
+                            if bp + 4 > len(body):
+                                return None
+                            (sl,) = _struct.unpack_from(
+                                "<I", body, bp
+                            )
+                            bp += 4
+                            if bp + sl > len(body):
+                                return None
+                            paths.append(
+                                body[bp : bp + sl].decode("utf-8")
+                            )
+                            bp += sl
+                        if bp != len(body):
+                            return None
+                    got += pn
+                    pos = r.pos + psize
+            except (ValueError, UnicodeDecodeError):
+                return None
+            if got != n_vals:
+                return None
+    if len(paths) != len(poss) or len(paths) != num_rows:
+        return None
+    pairs = list(zip(paths, poss))
+    if pairs != sorted(pairs):
+        return None  # the spec requires (file_path, pos) order
+    return pairs
+
+
+def read_iceberg_mor(data: bytes) -> dict | None:
+    """Iceberg v2 merge-on-read scan: metadata.json -> CURRENT
+    snapshot -> manifest list (content-typed) -> data manifests
+    (live parquet files, hand-decoded) + delete manifests (position
+    delete files, hand-decoded) -> live totals with deleted
+    positions subtracted. Cross-checks: manifest_length truth,
+    per-status counts, content flags consistent between manifest
+    list and entries, delete record_count vs the actual decode,
+    every deleted path referencing a live data file, every position
+    inside its file, and data record_count vs the actual decode."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    cur = meta.get("current-snapshot-id")
+    snaps = meta.get("snapshots")
+    if not isinstance(cur, int) or not isinstance(snaps, list):
+        return None
+    snap = next(
+        (
+            s
+            for s in snaps
+            if isinstance(s, dict) and s.get("snapshot-id") == cur
+        ),
+        None,
+    )
+    if snap is None or not isinstance(snap.get("manifest-list"), str):
+        return None
+    mlist_blob = files.get(snap["manifest-list"])
+    if mlist_blob is None:
+        return None
+    got = read_avro_container(mlist_blob)
+    if got is None:
+        return None
+    mlist, _, _ = got
+    data_files: dict[str, dict] = {}
+    delete_pairs: list[tuple[str, int]] = []
+    n_data_manifests = n_delete_manifests = n_delete_files = 0
+    for mf in mlist:
+        try:
+            path = mf["manifest_path"]
+            declared = mf["manifest_length"]
+            content = mf["content"]
+        except (TypeError, KeyError):
+            return None
+        blob = files.get(path)
+        if blob is None or len(blob) != declared:
+            return None
+        g2 = read_avro_container(blob)
+        if g2 is None:
+            return None
+        entries, _, _ = g2
+        counts = {0: 0, 1: 0, 2: 0}
+        for ent in entries:
+            try:
+                status = ent["status"]
+                df = ent["data_file"]
+                fcontent = df["content"]
+                fpath = df["file_path"]
+                rows = df["record_count"]
+                size = df["file_size_in_bytes"]
+            except (TypeError, KeyError):
+                return None
+            if status not in counts:
+                return None
+            counts[status] += 1
+            if status == 2:
+                continue  # DELETED entries are not live
+            blob2 = files.get(fpath)
+            if blob2 is None or len(blob2) != size:
+                return None
+            if content == 0:
+                if fcontent != 0:
+                    return None  # a data manifest must list data
+                data_files[fpath] = {"rows": rows, "blob": blob2}
+            elif content == 1:
+                if fcontent != 1:  # position deletes only
+                    return None
+                pairs = _read_pos_delete_parquet(blob2)
+                if pairs is None or len(pairs) != rows:
+                    return None  # record_count must tell the truth
+                delete_pairs.extend(pairs)
+                n_delete_files += 1
+            else:
+                return None
+        if (
+            counts[1] != mf.get("added_files_count")
+            or counts[0] != mf.get("existing_files_count")
+            or counts[2] != mf.get("deleted_files_count")
+        ):
+            return None
+        if content == 0:
+            n_data_manifests += 1
+        else:
+            n_delete_manifests += 1
+    deleted_by: dict[str, set[int]] = {}
+    for fpath, pos in delete_pairs:
+        info = data_files.get(fpath)
+        if info is None:
+            return None  # a delete against no live data file
+        if not 0 <= pos < info["rows"]:
+            return None
+        deleted_by.setdefault(fpath, set()).add(pos)
+    live_rows = k_sum = deleted_rows = 0
+    for fpath, info in data_files.items():
+        col = read_parquet_column_k(info["blob"], collect_values=True)
+        if col is None or col["n_values"] != info["rows"]:
+            return None
+        dels = deleted_by.get(fpath, ())
+        deleted_rows += len(dels)
+        live_rows += info["rows"] - len(dels)
+        k_sum += col["k_sum"] - sum(col["values"][p] for p in dels)
+    return {
+        "n_data_manifests": n_data_manifests,
+        "n_delete_manifests": n_delete_manifests,
+        "data_files": len(data_files),
+        "delete_files": n_delete_files,
+        "deleted_rows": deleted_rows,
+        "live_rows": live_rows,
+        "k_sum": k_sum,
+    }
+
+
+ICEBERG_MOR_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_data_manifests", LongType()),
+        StructField("n_delete_manifests", LongType()),
+        StructField("data_files", LongType()),
+        StructField("delete_files", LongType()),
+        StructField("deleted_rows", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("k_sum", LongType()),
+    ]
+)
+
+
+def _iceberg_mor_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    zero = {
+        f.name: 0
+        for f in ICEBERG_MOR_SCHEMA.fields
+        if f.name != "format"
+    }
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = dict(zero, media_id=int(mid), format="unknown")
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_iceberg_mor(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="iceberg", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in ICEBERG_MOR_SCHEMA.fields]
+    )
+
+
+def iceberg_mor_stats(df: DataFrame) -> DataFrame:
+    """Iceberg v2 merge-on-read scan over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _iceberg_mor_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ICEBERG_MOR_SCHEMA
+    )
+
+
+# ---------------------------------------------------------- MOR fixture
+
+
+def _mor_rows(i: int, f: int) -> int:
+    return 30 + ((i + f) % 4) * 15
+
+
+def _mor_k(i: int, f: int, j: int) -> int:
+    return (11 * i + 17 * f + 7 * j) % 2500
+
+
+def _mor_deleted(i: int, f: int, rows: int) -> list[int]:
+    if (i + f) % 3 == 0:
+        return []  # this file is untouched by the delete file
+    scatter = {j for j in range(rows) if j % 5 == (i + f) % 5}
+    run = set(range(3, 3 + (i + f) % 4))
+    return sorted(scatter | run)
+
+
+def _mor_parquet(cols: dict) -> bytes:
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(cols),
+        buf,
+        compression="NONE",
+        use_dictionary=False,
+        write_statistics=False,
+        version="1.0",
+    )
+    return buf.getvalue()
+
+
+def _make_iceberg_mor_table(
+    i: int, bad_stripe: int = 13, lie_stripe: int = 9
+) -> bytes:
+    """``2 + i % 2`` real parquet data files + ONE position-delete
+    parquet file covering every file with deletes (sorted by
+    (file_path, pos) as the spec requires), chained through
+    content-typed v2 manifests. A DECOY pre-delete snapshot (data
+    manifest only) proves the walk follows current-snapshot-id.
+    Every ``bad_stripe``-th id truncates the delete file by one byte
+    (manifest file_size_in_bytes + parquet framing both break);
+    every ``lie_stripe``-th id overstates the delete manifest's
+    record_count by one — only the actual decode catches it."""
+    import pyarrow as pa
+
+    nf = 2 + i % 2
+    codec = ("null", "deflate")[i % 2]
+    sync = bytes((i * 31 + 7 * k) % 256 for k in range(16))
+    members: list[tuple[str, bytes]] = []
+    data_entries = []
+    all_pairs: list[tuple[str, int]] = []
+    for f in range(nf):
+        rows = _mor_rows(i, f)
+        path = f"data/part-{f:05d}.parquet"
+        blob = _mor_parquet(
+            {
+                "k": pa.array(
+                    [_mor_k(i, f, j) for j in range(rows)],
+                    pa.int64(),
+                )
+            }
+        )
+        members.append((path, blob))
+        data_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": rows,
+                    "file_size_in_bytes": len(blob),
+                },
+            }
+        )
+        all_pairs.extend(
+            (path, p) for p in _mor_deleted(i, f, rows)
+        )
+    all_pairs.sort()
+    del_blob = _mor_parquet(
+        {
+            "file_path": pa.array(
+                [p for p, _ in all_pairs], pa.string()
+            ),
+            "pos": pa.array([p for _, p in all_pairs], pa.int64()),
+        }
+    )
+    if i % bad_stripe == 0:
+        del_blob = del_blob[:-1]  # framing + size cross-check break
+    members.append(("data/deletes-00000.parquet", del_blob))
+    del_count = len(all_pairs)
+    if i % lie_stripe == 0 and i % bad_stripe != 0:
+        del_count += 1  # only the actual decode catches this
+    delete_entries = [
+        {
+            "status": 1,
+            "snapshot_id": None,
+            "data_file": {
+                "content": 1,
+                "file_path": "data/deletes-00000.parquet",
+                "file_format": "PARQUET",
+                "record_count": del_count,
+                "file_size_in_bytes": len(del_blob),
+            },
+        }
+    ]
+    man_data = make_avro_container(
+        MANIFEST_SCHEMA_V2, data_entries, codec=codec, sync=sync
+    )
+    man_del = make_avro_container(
+        MANIFEST_SCHEMA_V2, delete_entries, codec=codec, sync=sync
+    )
+    members.append(("manifest-data.avro", man_data))
+    members.append(("manifest-del.avro", man_del))
+
+    def _mf(name: str, blob: bytes, content: int, n: int) -> dict:
+        return {
+            "manifest_path": name,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": content,
+            "added_files_count": n,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+        }
+
+    mlist_cur = [
+        _mf("manifest-data.avro", man_data, 0, nf),
+        _mf("manifest-del.avro", man_del, 1, 1),
+    ]
+    members.append(
+        (
+            "snap-current.avro",
+            make_avro_container(
+                MLIST_SCHEMA_V2, mlist_cur, codec=codec, sync=sync
+            ),
+        )
+    )
+    # decoy: the PRE-DELETE snapshot (data manifest only)
+    members.append(
+        (
+            "snap-old.avro",
+            make_avro_container(
+                MLIST_SCHEMA_V2, mlist_cur[:1], codec=codec, sync=sync
+            ),
+        )
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"0000-{i}",
+        "current-snapshot-id": 2000 + i,
+        "snapshots": [
+            {"snapshot-id": 1000 + i, "manifest-list": "snap-old.avro"},
+            {
+                "snapshot-id": 2000 + i,
+                "manifest-list": "snap-current.avro",
+            },
+        ],
+    }
+    members.append(
+        (f"v{2 + i % 3}.metadata.json", json.dumps(meta).encode())
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    parts.append(b"\x00" * (2 * _BLOCK))
+    return b"".join(parts)
+
+
+def synthesize_iceberg_mor_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of Iceberg v2 merge-on-read tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_mor_table(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -248,3 +248,79 @@ def lakehouse_delta_dv_scan(
         load_table(spark, sf_dir, "documents")
     )
     return delta_dv_scan_stats(media)
+
+
+@register(
+    "lakehouse_iceberg_mor",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      2 + doc_id % 2 AS nf
+               FROM documents),
+    fj AS (SELECT i, nf, f, 30 + ((i + f) % 4) * 15 AS R
+           FROM (SELECT i, nf, unnest(range(0, nf)) AS f FROM m)),
+    rj AS (SELECT i, f, j,
+                  (11 * i + 17 * f + 7 * j) % 2500 AS k,
+                  (i + f) % 3 <> 0
+                    AND (j % 5 = (i + f) % 5
+                         OR (j >= 3 AND j < 3 + (i + f) % 4)) AS del
+           FROM (SELECT i, f, R, unnest(range(0, R)) AS j FROM fj)),
+    agg AS (SELECT i,
+                   SUM(CASE WHEN del THEN 1 ELSE 0 END) AS deleted,
+                   SUM(CASE WHEN del THEN 0 ELSE 1 END) AS live,
+                   SUM(CASE WHEN del THEN 0 ELSE k END) AS ks
+            FROM rj GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_data_manifests,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_delete_manifests,
+           CAST(CASE WHEN bad THEN 0 ELSE m.nf END AS BIGINT)
+             AS data_files,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS delete_files,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.deleted END AS BIGINT)
+             AS deleted_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.live END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.ks END AS BIGINT)
+             AS k_sum
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="Iceberg v2 POSITION DELETES — merge-on-read, the second "
+    "table format's row-level delete layer (apache/iceberg spec "
+    "'Row-level deletes'): the manifest list types its manifests by "
+    "content (0 data / 1 deletes), delete manifests list position-"
+    "delete PARQUET files (file_path + pos columns, sorted by "
+    "(file_path, pos) — CHECKED), and the scan subtracts those "
+    "positions from the hand-decoded data files. Composes three "
+    "from-scratch layers: the schema-driven Avro reader (manifest "
+    "chain), the hand parquet column walk (data files), and a "
+    "dedicated PLAIN BYTE_ARRAY+INT64 two-column parquet read for "
+    "the delete files. A DECOY pre-delete snapshot proves the walk "
+    "follows current-snapshot-id rather than grabbing any manifest "
+    "list. Trust chain: manifest_length truth, per-status counts, "
+    "content flags consistent between list and entries, "
+    "file_size_in_bytes vs actual bytes, delete record_count vs the "
+    "actual decode (every 9th id lies by one), every deleted path "
+    "referencing a live data file and every position inside it, "
+    "data record_count vs actual decode; every 13th id truncates "
+    "the delete file by one byte. The oracle recomputes the deleted "
+    "sets (scatter + run) and surviving aggregates blind. Pure map "
+    "over blobs, zero shuffle. operators/iceberg.py "
+    "read_iceberg_mor",
+    tags=("llm", "lakehouse"),
+)
+def lakehouse_iceberg_mor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg import (
+        iceberg_mor_stats,
+        synthesize_iceberg_mor_media,
+    )
+
+    media = synthesize_iceberg_mor_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_mor_stats(media)

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from gmall_flink_210726_spark.operators.avro import (
     make_avro_container,
     read_avro_container,
@@ -213,3 +215,73 @@ class TestSchemaResolution:
             ["null", "long"],
         )
         assert got == 5
+
+
+# ----------------------------------------------------- v2 merge-on-read
+
+from gmall_flink_210726_spark.operators.iceberg import (  # noqa: E402
+    _make_iceberg_mor_table,
+    _mor_deleted,
+    _mor_k,
+    _mor_rows,
+    _read_pos_delete_parquet,
+    read_iceberg_mor,
+)
+
+
+@pytest.mark.parametrize("i", [1, 2, 3, 4, 5, 7, 8, 16, 29, 58, 101])
+def test_mor_scan_matches_formula(i):
+    st = read_iceberg_mor(_make_iceberg_mor_table(i))
+    nf = 2 + i % 2
+    deleted = live = ks = 0
+    for f in range(nf):
+        rows = _mor_rows(i, f)
+        dels = set(_mor_deleted(i, f, rows))
+        deleted += len(dels)
+        live += rows - len(dels)
+        ks += sum(_mor_k(i, f, j) for j in range(rows) if j not in dels)
+    assert st == {
+        "n_data_manifests": 1,
+        "n_delete_manifests": 1,
+        "data_files": nf,
+        "delete_files": 1,
+        "deleted_rows": deleted,
+        "live_rows": live,
+        "k_sum": ks,
+    }
+
+
+def test_mor_degrade_stripes():
+    # 13-stripe: delete file truncated; 9-stripe: record_count lie
+    for i in (13, 26, 9, 18, 0):
+        assert read_iceberg_mor(_make_iceberg_mor_table(i)) is None
+
+
+def test_pos_delete_reader_requires_sort_order():
+    import pyarrow as pa
+
+    from gmall_flink_210726_spark.operators.iceberg import _mor_parquet
+
+    good = _mor_parquet(
+        {
+            "file_path": pa.array(["a", "a", "b"], pa.string()),
+            "pos": pa.array([1, 5, 0], pa.int64()),
+        }
+    )
+    assert _read_pos_delete_parquet(good) == [("a", 1), ("a", 5), ("b", 0)]
+    bad = _mor_parquet(
+        {
+            "file_path": pa.array(["b", "a"], pa.string()),
+            "pos": pa.array([0, 1], pa.int64()),
+        }
+    )
+    assert _read_pos_delete_parquet(bad) is None
+
+
+def test_mor_dangling_delete_refuses():
+    # a delete row naming a file the snapshot does not contain
+    blob = _make_iceberg_mor_table(2)
+    patched = blob.replace(b"data/part-00000", b"data/part-99990", 1)
+    # (first occurrence lives in the delete file's path column or a
+    # manifest; either way the chain must refuse, not guess)
+    assert read_iceberg_mor(patched) is None
