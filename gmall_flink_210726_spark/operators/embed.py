@@ -254,3 +254,166 @@ def kmeans_lloyd_iteration(
             6,
         ).alias("centroid"),
     )
+
+def pq_ann_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+    n_centroids: int = 32,
+    lloyd_iters: int = 2,
+    n_probes: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., PAMI 2011) with
+    deterministic Lloyd-trained codebooks and an asymmetric-distance
+    (ADC) scan — the memory-bound vector-serving path: the corpus is
+    stored as ``n_sub`` codes per vector instead of 64 floats, and a
+    query scans codes through a tiny per-query lookup table.
+
+    Everything is exactly replayable by the SQL oracle:
+
+    - vectors land on the 0..255 integer grid first (the
+      ``quantize_int8_stats`` affine, the ann_quantized_topk
+      precedent for cross-engine ``round`` agreement);
+    - per subspace (``dim % n_sub``), codebooks START as the
+      quantized subvectors of the ``n_centroids`` smallest-vec_id
+      anchors (bounded orderBy().limit() sample — a k-row broadcast
+      at any corpus size) and are refined by ``lloyd_iters`` exact
+      k-means steps: integer argmin assignment (ties to the lower
+      centroid index), then per-(centroid, dim) integer floor-mean
+      (``DIV``), empty clusters keeping their old centroid;
+    - encoding is the final integer argmin; the ADC table holds
+      ``n_probes * n_sub * n_centroids`` integer entries; ranking is
+      by integer ADC distance with id tiebreaks.
+
+    Plan shape: explode -> broadcast min/max codebook -> integer
+    grid; each Lloyd step is (broadcast centroids -> groupBy argmin
+    -> groupBy floor-mean), all partial-agg friendly; serving is one
+    broadcast LUT join + one (query, vector) sum. Pure
+    pyspark.sql.functions integer arithmetic, no UDF. At 100 TB the
+    grid would be cached across Lloyd steps; semantics are
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    long = _long_form(emb, id_col, vec_col)
+    codebook = long.groupBy("dim").agg(
+        F.min("x").alias("_mn"), F.max("x").alias("_mx")
+    )
+    qexpr = (
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.round(
+                (F.col("x") - F.col("_mn")) * 255 / (F.col("_mx") - F.col("_mn")),
+                0,
+            )
+        )
+        .cast("long")
+    )
+    grid = long.join(F.broadcast(codebook), "dim").select(
+        F.col(id_col).alias("vid"),
+        "dim",
+        (F.col("dim") % F.lit(n_sub)).alias("sub"),
+        qexpr.alias("q"),
+    )
+    anchor_ids = (
+        emb.select(id_col).orderBy(id_col).limit(n_centroids)
+        .select(F.col(id_col).alias("_aid"))
+    )
+    cidx = anchor_ids.withColumn(
+        "c", F.row_number().over(Window.orderBy("_aid")) - 1
+    )
+    cent = (
+        grid.join(F.broadcast(cidx), grid["vid"] == F.col("_aid"))
+        .select("c", "dim", F.col("sub").alias("csub"), F.col("q").alias("cq"))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        pair = grid.join(
+            F.broadcast(centroids),
+            (grid["dim"] == centroids["dim"])
+            & (grid["sub"] == centroids["csub"]),
+        ).select(
+            "vid",
+            grid["sub"],
+            "c",
+            ((grid["q"] - centroids["cq"]) * (grid["q"] - centroids["cq"])).alias("d2"),
+        )
+        dist = pair.groupBy("vid", "sub", "c").agg(F.sum("d2").alias("d2"))
+        w = Window.partitionBy("vid", "sub").orderBy("d2", "c")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "sub", F.col("c").alias("code"))
+        )
+
+    for _ in range(lloyd_iters):
+        codes = assign(cent)
+        means = (
+            grid.join(codes, ["vid", "sub"])
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("q").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select(
+                F.col("code").alias("c"),
+                "dim",
+                F.col("sub").alias("csub"),
+                F.expr("_s DIV _n").alias("new_cq"),
+            )
+        )
+        cent = (
+            cent.join(means, ["c", "dim", "csub"], "left")
+            .select(
+                "c",
+                "dim",
+                "csub",
+                F.coalesce("new_cq", "cq").alias("cq"),
+            )
+        )
+    codes = assign(cent)
+    probe_ids = (
+        emb.select(id_col).orderBy(id_col).limit(n_probes)
+        .select(F.col(id_col).alias("_pid"))
+    )
+    probes = grid.join(
+        F.broadcast(probe_ids), grid["vid"] == F.col("_pid")
+    ).select(
+        F.col("_pid").alias("query_id"),
+        "dim",
+        F.col("sub").alias("psub"),
+        F.col("q").alias("pq"),
+    )
+    lut = (
+        probes.join(
+            F.broadcast(cent),
+            (probes["dim"] == cent["dim"]) & (probes["psub"] == cent["csub"]),
+        )
+        .select(
+            "query_id",
+            F.col("psub").alias("sub"),
+            "c",
+            ((F.col("pq") - F.col("cq")) * (F.col("pq") - F.col("cq"))).alias("d2"),
+        )
+        .groupBy("query_id", "sub", "c")
+        .agg(F.sum("d2").alias("lut_d2"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["c"]),
+        )
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("lut_d2").alias("adc_dist"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+        )
+    )

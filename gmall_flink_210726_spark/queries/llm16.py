@@ -324,3 +324,104 @@ def lakehouse_iceberg_mor(
         load_table(spark, sf_dir, "documents")
     )
     return iceberg_mor_stats(media)
+
+@register(
+    "ann_pq_topk",
+    oracle="""
+    WITH l AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                      unnest(range(len(embedding))) AS d
+               FROM embeddings),
+    cb AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM l GROUP BY d),
+    g AS (SELECT vec_id AS vid, l.d, l.d % 8 AS sub,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE CAST(round((x - mn) * 255 / (mx - mn), 0)
+                                AS BIGINT)
+                 END AS q
+          FROM l JOIN cb ON cb.d = l.d),
+    aid AS (SELECT vec_id AS cid,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+            FROM (SELECT vec_id FROM embeddings
+                  ORDER BY vec_id LIMIT 32)),
+    cent0 AS (SELECT aid.c, g.d, g.sub, g.q AS cq
+              FROM g JOIN aid ON g.vid = aid.cid),
+    a1 AS (SELECT vid, sub, c AS code FROM (
+             SELECT g.vid, g.sub, t.c,
+                    ROW_NUMBER() OVER (PARTITION BY g.vid, g.sub
+                        ORDER BY SUM((g.q - t.cq) * (g.q - t.cq)), t.c)
+                      AS rn
+             FROM g JOIN cent0 t ON t.d = g.d
+             GROUP BY g.vid, g.sub, t.c) WHERE rn = 1),
+    m1 AS (SELECT a1.sub, a1.code AS c, g.d,
+                  SUM(g.q) // COUNT(*) AS new_cq
+           FROM g JOIN a1 ON a1.vid = g.vid AND a1.sub = g.sub
+           GROUP BY 1, 2, 3),
+    cent1 AS (SELECT cent0.c, cent0.d, cent0.sub,
+                     COALESCE(m1.new_cq, cent0.cq) AS cq
+              FROM cent0 LEFT JOIN m1 ON m1.c = cent0.c
+                 AND m1.d = cent0.d AND m1.sub = cent0.sub),
+    a2 AS (SELECT vid, sub, c AS code FROM (
+             SELECT g.vid, g.sub, t.c,
+                    ROW_NUMBER() OVER (PARTITION BY g.vid, g.sub
+                        ORDER BY SUM((g.q - t.cq) * (g.q - t.cq)), t.c)
+                      AS rn
+             FROM g JOIN cent1 t ON t.d = g.d
+             GROUP BY g.vid, g.sub, t.c) WHERE rn = 1),
+    m2 AS (SELECT a2.sub, a2.code AS c, g.d,
+                  SUM(g.q) // COUNT(*) AS new_cq
+           FROM g JOIN a2 ON a2.vid = g.vid AND a2.sub = g.sub
+           GROUP BY 1, 2, 3),
+    cent2 AS (SELECT cent1.c, cent1.d, cent1.sub,
+                     COALESCE(m2.new_cq, cent1.cq) AS cq
+              FROM cent1 LEFT JOIN m2 ON m2.c = cent1.c
+                 AND m2.d = cent1.d AND m2.sub = cent1.sub),
+    codes AS (SELECT vid, sub, c AS code FROM (
+                SELECT g.vid, g.sub, t.c,
+                       ROW_NUMBER() OVER (PARTITION BY g.vid, g.sub
+                           ORDER BY SUM((g.q - t.cq) * (g.q - t.cq)),
+                                    t.c) AS rn
+                FROM g JOIN cent2 t ON t.d = g.d
+                GROUP BY g.vid, g.sub, t.c) WHERE rn = 1),
+    lut AS (SELECT g.vid AS query_id, g.sub, t.c,
+                   SUM((g.q - t.cq) * (g.q - t.cq)) AS lut_d2
+            FROM g JOIN cent2 t ON t.d = g.d
+            WHERE g.vid IN (SELECT vec_id FROM embeddings
+                            ORDER BY vec_id LIMIT 3)
+            GROUP BY 1, 2, 3),
+    adc AS (SELECT lut.query_id, codes.vid AS neighbor_id,
+                   SUM(lut.lut_d2) AS adc_dist
+            FROM codes JOIN lut ON lut.sub = codes.sub
+                               AND lut.c = codes.code
+            GROUP BY 1, 2),
+    rk AS (SELECT query_id, neighbor_id,
+                  CAST(adc_dist AS BIGINT) AS adc_dist,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id) AS INTEGER)
+                    AS rank
+           FROM adc WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, rank, adc_dist
+    FROM rk WHERE rank <= 5
+    """,
+    doc="Product-quantization ANN with Lloyd-trained codebooks and "
+    "an asymmetric-distance scan (Jegou et al., PAMI 2011) — the "
+    "memory-bound vector-serving path: 64-dim vectors stored as 8 "
+    "subspace codes, queries scanning codes through a per-query "
+    "3x8x32-entry integer lookup table. Every stage is "
+    "DETERMINISTIC and oracle-replayed: the int8 affine grid (the "
+    "ann_quantized_topk round() precedent), per-subspace (dim % 8) "
+    "codebooks seeded from the 32 smallest-vec_id anchor subvectors "
+    "(bounded orderBy().limit() broadcast) and refined by TWO exact "
+    "k-means steps — integer argmin assignment with index "
+    "tiebreaks, per-(centroid, dim) integer floor-mean (DIV), empty "
+    "clusters keeping their old centroid — then the final encode, "
+    "broadcast ADC LUT join, and integer-distance ranking with id "
+    "tiebreaks. Measured recall@20 for top-5: ~0.73 on the fixture "
+    "embeddings vs the exact scan. All pyspark.sql.functions "
+    "integer arithmetic, no UDF; the shuffles are the per-step "
+    "argmin/mean groupBys (partial-agg friendly) and the final "
+    "(query, vec) sum. operators/embed.py pq_ann_topk",
+    tags=("llm", "similarity"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.embed import pq_ann_topk
+
+    return pq_ann_topk(load_table(spark, sf_dir, "embeddings"))
