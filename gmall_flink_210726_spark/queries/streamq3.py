@@ -1516,3 +1516,129 @@ def st26_stream_kafka_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st27_stream_wiki_ingest",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      1 + doc_id % 4 AS np
+               FROM documents),
+    pg AS (SELECT i, p, 10 * i + p AS pid, 1 + (i + p) % 3 AS r
+           FROM (SELECT i, np, unnest(range(0, np)) AS p FROM m)),
+    agg AS (SELECT i, SUM(pid) AS ids, SUM(11 * r + 16) AS pls
+            FROM pg GROUP BY i)
+    SELECT CAST(m.i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_dumps,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE m.np END) AS BIGINT)
+             AS n_pages,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE agg.ids END) AS BIGINT)
+             AS id_sum,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE agg.pls END) AS BIGINT)
+             AS plain_len_sum,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 2 * m.np END)
+                AS BIGINT) AS link_count
+    FROM m JOIN agg ON agg.i = m.i GROUP BY 1
+    """,
+    doc="STREAMING Wikipedia-dump ingest — the bzip2 multistream -> "
+    "MediaWiki XML -> wikitext-strip chain (text_wikipedia_dump's "
+    "batch twin) running as a Structured Streaming operator: dump "
+    "blobs arrive as a parquet file stream (maxFilesPerTrigger "
+    "paces two micro-batches across all cores), the full hand "
+    "decode runs via Arrow-batched mapInPandas ON THE STREAM PLAN, "
+    "and per-epoch per-bucket partials flow through the "
+    "checkpointed foreachBatch + overwrite-idempotent epoch sink. "
+    "Decode state is per-blob, so no state store; the corruption "
+    "stripes (mid-blob flip, stored-CRC flip) carry over from the "
+    "batch twin and land in n_ok. The oracle recomputes per-bucket "
+    "page/id/plain-length totals blind from the write formulas. "
+    "operators/wikidump.py wiki_dump_stats",
+    tags=("streaming", "llm", "text"),
+)
+def st27_stream_wiki_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.wikidump import (
+        synthesize_wiki_dump_media,
+        wiki_dump_stats,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.sources.batch import load_table
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st27_src_")
+    out = tempfile.mkdtemp(prefix="st27_out_")
+    ckpt = tempfile.mkdtemp(prefix="st27_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_wiki_dump_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .option("compression", "none")  # blobs are already bz2
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = wiki_dump_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_dumps"),
+                F.sum(
+                    (F.col("format") == "wikidump").cast("long")
+                ).cast("long").alias("n_ok"),
+                F.sum("n_pages").cast("long").alias("n_pages"),
+                F.sum("id_sum").cast("long").alias("id_sum"),
+                F.sum("plain_len_sum").cast("long").alias(
+                    "plain_len_sum"
+                ),
+                F.sum("link_count").cast("long").alias("link_count"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st27 wiki ingest stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_dumps").cast("long").alias("n_dumps"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_pages").cast("long").alias("n_pages"),
+                F.sum("id_sum").cast("long").alias("id_sum"),
+                F.sum("plain_len_sum").cast("long").alias(
+                    "plain_len_sum"
+                ),
+                F.sum("link_count").cast("long").alias("link_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
