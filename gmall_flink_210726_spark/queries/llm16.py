@@ -425,3 +425,68 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_210726_spark.operators.embed import pq_ann_topk
 
     return pq_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "multimodal_xz_archive",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      300 + (doc_id % 7) * 60 AS n
+               FROM documents),
+    w AS (SELECT i, (3 * i + t) % 50 AS v
+          FROM (SELECT i, n, unnest(range(0, n)) AS t FROM m)),
+    agg AS (SELECT i,
+                   SUM(2 + length(CAST(v AS VARCHAR))) AS plen,
+                   SUM(v) AS vsum
+            FROM w GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'xz' END AS format,
+           CASE WHEN bad THEN ''
+                WHEN m.i % 4 = 0 THEN 'none'
+                WHEN m.i % 4 = 1 THEN 'crc32'
+                WHEN m.i % 4 = 2 THEN 'crc64'
+                ELSE 'sha256' END AS check_kind,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 + m.i % 2 END AS BIGINT)
+             AS n_streams,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.plen END AS BIGINT)
+             AS payload_len,
+           CAST(CASE WHEN bad THEN 0 ELSE m.n END AS BIGINT)
+             AS n_words,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.vsum END AS BIGINT)
+             AS word_sum
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="XZ / LZMA2 decode from scratch — the remaining general-"
+    "purpose compression family next to the hand gzip/zstd/LZ4/"
+    "bzip2/snappy decoders: the LZMA 11-bit-probability binary "
+    "range coder (bound split, 5-bit adaptation, liblzma's "
+    "rc_is_finished final-state check so even the flush bytes no "
+    "decision consults cannot be tampered with), the 12-state "
+    "literal/match/rep machine with (lc,lp,pb) contexts and "
+    "matched-literal decoding, choice/choice2 length trees, "
+    "pos-slot + reverse spec-pos + direct-bits + ALIGN distance "
+    "model; LZMA2 control-byte chunking (exact unpacked/packed "
+    "consumption, reset modes, props); and the full XZ container — "
+    "header/block/index/footer CRC-32s, per-block content check "
+    "(None / CRC-32 / hand CRC-64 ECMA-182 / hand SHA-256 per FIPS "
+    "180-4, both fuzz-pinned), index records vs ACTUAL decode, "
+    "footer backward-size, multi-stream concatenation with null "
+    "padding. Fixtures are REAL stdlib-lzma writes (check rotating "
+    "by id); payloads are parseable 'w<num>' words so the oracle "
+    "proves content decode. Every 13th id flips a mid-blob byte; "
+    "every 9th flips a byte INSIDE the stored CRC-64 field — all "
+    "frames parse and only the content check catches it. Pure map "
+    "over blobs, zero shuffle. operators/xz.py read_xz_archive",
+    tags=("llm", "multimodal"),
+)
+def multimodal_xz_archive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.xz import (
+        synthesize_xz_media,
+        xz_archive_stats,
+    )
+
+    media = synthesize_xz_media(load_table(spark, sf_dir, "documents"))
+    return xz_archive_stats(media)

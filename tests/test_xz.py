@@ -1,0 +1,122 @@
+"""XZ / LZMA2 / LZMA from scratch, pinned against stdlib ``lzma``,
+plus the hand CRC-64 and SHA-256 it checks with. No Spark."""
+
+from __future__ import annotations
+
+import hashlib
+import lzma
+import os
+import random
+
+import pytest
+
+from gmall_flink_210726_spark.operators.xz import (
+    _make_xz_archive,
+    _XZ_CHECKS,
+    crc64_xz,
+    read_xz_archive,
+    sha256_hand,
+    xz_decompress_multistream,
+    xz_decompress_stream,
+)
+
+# ---------------------------------------------------------- checksums
+
+
+def test_crc64_check_vector():
+    # the classic CRC check string under ECMA-182 (the xz CRC-64)
+    assert crc64_xz(b"123456789") == 0x995DC9BBDF1939FA
+    assert crc64_xz(b"") == 0
+
+
+def test_sha256_against_hashlib():
+    rng = random.Random(5)
+    for n in (0, 1, 55, 56, 57, 63, 64, 65, 119, 1000):
+        d = bytes(rng.randrange(256) for _ in range(n))
+        assert sha256_hand(d) == hashlib.sha256(d).digest()
+
+
+# --------------------------------------------------------- decode core
+
+_CHECKS = [
+    lzma.CHECK_NONE,
+    lzma.CHECK_CRC32,
+    lzma.CHECK_CRC64,
+    lzma.CHECK_SHA256,
+]
+
+
+@pytest.mark.parametrize("check", _CHECKS)
+@pytest.mark.parametrize("preset", [0, 1, 6, 9])
+def test_roundtrip_against_stdlib(check, preset):
+    rng = random.Random(preset * 31 + check)
+    for kind in range(5):
+        n = rng.randrange(1, 40000)
+        data = {
+            0: os.urandom(n),
+            1: (b"hello world " * (n // 12 + 1))[:n],
+            2: b"a" * n,  # rep-match heavy
+            3: bytes(rng.choice(b"abcd") for _ in range(n)),
+            4: (b"x" + os.urandom(20)) * (n // 21 + 1),
+        }[kind]
+        comp = lzma.compress(data, format=lzma.FORMAT_XZ, check=check, preset=preset)
+        blocks, _ckname, end = xz_decompress_stream(comp, 0)
+        assert b"".join(blocks) == data
+        assert end == len(comp)
+
+
+def test_multistream_with_padding():
+    parts = [b"alpha" * 500, b"beta" * 123, os.urandom(3000)]
+    blob = b"".join(
+        lzma.compress(p, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64)
+        + b"\x00" * 4
+        for p in parts
+    )
+    got = xz_decompress_multistream(blob)
+    assert got is not None
+    assert got[0] == b"".join(parts) and got[1] == 3 and got[2] == "crc64"
+
+
+def test_every_byte_flip_detected():
+    orig = b"the quick brown fox jumps over the lazy dog " * 30
+    comp = lzma.compress(
+        orig, format=lzma.FORMAT_XZ, check=lzma.CHECK_CRC64, preset=1
+    )
+    for pos in range(len(comp)):
+        bad = bytearray(comp)
+        bad[pos] ^= 0xFF
+        got = xz_decompress_multistream(bytes(bad))
+        # the rc_is_finished final-state check closes the classic
+        # blind spot: flush bytes no decision consults
+        assert got is None or got[0] != orig, pos
+
+
+def test_truncation_and_garbage():
+    comp = lzma.compress(b"data" * 200, format=lzma.FORMAT_XZ)
+    assert xz_decompress_multistream(comp[: len(comp) // 2]) is None
+    assert xz_decompress_multistream(b"\xfd7zXZ\x00" + b"\x01" * 20) is None
+    assert xz_decompress_multistream(b"") is None
+
+
+# ------------------------------------------------------------ fixtures
+
+
+@pytest.mark.parametrize("i", [1, 2, 3, 5, 7, 16, 29, 58, 101])
+def test_archive_walk_matches_formula(i):
+    st = read_xz_archive(_make_xz_archive(i))
+    n = 300 + (i % 7) * 60
+    vals = [(3 * i + t) % 50 for t in range(n)]
+    assert st == {
+        "n_streams": 1 + i % 2,
+        "check": _XZ_CHECKS[i % 4],
+        "payload_len": sum(2 + len(str(v)) for v in vals),
+        "n_words": n,
+        "word_sum": sum(vals),
+    }
+
+
+def test_archive_degrade_stripes():
+    for i in (13, 26, 0):  # mid-blob flip
+        assert read_xz_archive(_make_xz_archive(i)) is None
+    for i in (9, 18, 27):  # stored-check-field flip: only the content
+        assert read_xz_archive(_make_xz_archive(i)) is None
