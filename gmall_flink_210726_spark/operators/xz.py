@@ -253,7 +253,28 @@ def lzma_decode_chunk(
     so far + this chunk's output). Must produce exactly ``unpacked``
     bytes and consume exactly ``packed`` bytes."""
     rc = _RC(data, pos, pos + packed)
-    end_len = len(window) + unpacked
+    if _lzma_run(rc, st, window, len(window) + unpacked, False):
+        raise ValueError("lzma: end marker inside sized chunk")
+    if rc.pos != pos + packed:
+        raise ValueError("lzma: chunk did not consume its bytes")
+    if not rc.finished():
+        # liblzma's rc_is_finished: the encoder's flush leaves the
+        # code register at exactly 0 — anything else means the tail
+        # bytes (which no decision ever consults) were tampered with
+        raise ValueError("lzma: range coder not in final state")
+
+
+def _lzma_run(
+    rc: _RC,
+    st: _LzmaState,
+    window: bytearray,
+    end_len: int,
+    allow_marker: bool,
+) -> bool:
+    """The LZMA symbol loop, shared by LZMA2's sized chunks and the
+    legacy .lzma end-marker mode. Returns True when it stopped on
+    the END MARKER (distance 2^32-1), False when ``end_len`` was
+    reached."""
     pb_mask = (1 << st.pb) - 1
     lp_mask = (1 << st.lp) - 1
     lit_lc = 8 - st.lc
@@ -339,6 +360,8 @@ def lzma_decode_chunk(
                     st.rep0 += rc.direct(nd - 4) << 4
                     st.rep0 += rc.tree_rev(st.align, 4)
             if st.rep0 == 0xFFFFFFFF:
+                if allow_marker:
+                    return True
                 raise ValueError("lzma: end marker inside sized chunk")
             st.state = 7 if st.state < 7 else 10
         if st.rep0 + 1 > len(window):
@@ -347,13 +370,38 @@ def lzma_decode_chunk(
             raise ValueError("lzma: match overruns chunk size")
         for _ in range(length):
             window.append(window[-st.rep0 - 1])
-    if rc.pos != pos + packed:
-        raise ValueError("lzma: chunk did not consume its bytes")
+    return False
+
+
+def lzma_alone_decompress(data: bytes) -> bytes:
+    """The legacy ``.lzma`` (LZMA_ALONE) container: 1 props byte
+    (lc + 9*(lp + 5*pb)), 4-byte LE dict size, 8-byte LE
+    uncompressed size (all-FF = unknown, terminated by the END
+    MARKER — the distance-2^32-1 path LZMA2's sized chunks forbid),
+    then one raw LZMA stream. Both the marker and the range coder's
+    final state are required, and every input byte must be
+    consumed."""
+    if len(data) < 18:
+        raise ValueError("lzma-alone: truncated header")
+    props = data[0]
+    if props > (4 * 5 + 4) * 9 + 8:
+        raise ValueError("lzma-alone: bad props byte")
+    lc = props % 9
+    lp = (props // 9) % 5
+    pb = props // 45
+    size = struct.unpack_from("<Q", data, 5)[0]
+    if size != 0xFFFFFFFFFFFFFFFF:
+        raise ValueError("lzma-alone: only marker-terminated streams")
+    st = _LzmaState(lc, lp, pb)
+    rc = _RC(data, 13, len(data))
+    window = bytearray()
+    if not _lzma_run(rc, st, window, 1 << 62, True):
+        raise ValueError("lzma-alone: stream ended without marker")
+    if rc.pos != len(data):
+        raise ValueError("lzma-alone: trailing bytes after marker")
     if not rc.finished():
-        # liblzma's rc_is_finished: the encoder's flush leaves the
-        # code register at exactly 0 — anything else means the tail
-        # bytes (which no decision ever consults) were tampered with
-        raise ValueError("lzma: range coder not in final state")
+        raise ValueError("lzma-alone: range coder not in final state")
+    return bytes(window)
 
 
 def lzma2_decompress(
@@ -780,6 +828,158 @@ def synthesize_xz_media(docs):
                     "meta": [
                         {
                             "format": "xz",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ----------------------------------------------------- legacy .lzma query
+
+_ALONE_COMBOS = ((3, 0, 2), (0, 2, 1), (4, 0, 0), (1, 1, 2))
+
+
+def read_lzma_alone(data: bytes) -> dict | None:
+    """Legacy .lzma walk -> parsed-back word payload (same content-
+    proving contract as read_xz_archive)."""
+    try:
+        plain = lzma_alone_decompress(data)
+        text = plain.decode("ascii")
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not text or not text.endswith(" "):
+        return None
+    word_sum = 0
+    words = text[:-1].split(" ")
+    for w in words:
+        if len(w) < 2 or w[0] != "w" or not w[1:].isdigit():
+            return None
+        word_sum += int(w[1:])
+    return {
+        "lc": data[0] % 9,
+        "lp": (data[0] // 9) % 5,
+        "pb": data[0] // 45,
+        "payload_len": len(plain),
+        "n_words": len(words),
+        "word_sum": word_sum,
+    }
+
+
+def _make_lzma_alone(
+    i: int, bad_stripe: int = 13, lie_stripe: int = 9
+) -> bytes:
+    """(lc, lp, pb) rotating through four combos (exercising every
+    literal-context shape), marker-terminated as stdlib writes them.
+    The format has NO checksum, so the stripes are framing-exact:
+    every ``bad_stripe``-th id is truncated by one byte (marker
+    unreachable / coder runs dry), every ``lie_stripe``-th id gains
+    one trailing byte (the exact-consumption check objects)."""
+    import lzma as _lzma
+
+    n = 250 + (i % 5) * 50
+    lc, lp, pb = _ALONE_COMBOS[i % 4]
+    payload = "".join(f"w{(7 * i + 3 * t) % 40} " for t in range(n))
+    blob = _lzma.compress(
+        payload.encode("ascii"),
+        format=_lzma.FORMAT_ALONE,
+        filters=[
+            {
+                "id": _lzma.FILTER_LZMA1,
+                "preset": 2,
+                "lc": lc,
+                "lp": lp,
+                "pb": pb,
+            }
+        ],
+    )
+    if i % bad_stripe == 0:
+        return blob[:-1]
+    if i % lie_stripe == 0:
+        return blob + b"\x00"
+    return blob
+
+
+def lzma_alone_stats(df):
+    """Legacy .lzma walk over MEDIA_SCHEMA blobs."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from gmall_flink_210726_spark.session import ship_package
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("format", StringType()),
+            StructField("lc", LongType()),
+            StructField("lp", LongType()),
+            StructField("pb", LongType()),
+            StructField("payload_len", LongType()),
+            StructField("n_words", LongType()),
+            StructField("word_sum", LongType()),
+        ]
+    )
+    ship_package(df.sparkSession)
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        zero = {
+            f.name: 0 for f in schema.fields if f.name != "format"
+        }
+        for mid, blob in zip(pdf["media_id"], pdf["content"]):
+            row = dict(zero, media_id=int(mid), format="unknown")
+            b = bytes(blob) if blob is not None else b""
+            try:
+                st = read_lzma_alone(b)
+            except Exception:
+                st = None
+            if st is not None:
+                row.update(format="lzma", **st)
+            out.append(row)
+        return pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(gen, schema)
+
+
+def synthesize_lzma_alone_media(docs):
+    """MEDIA_SCHEMA table of legacy .lzma blobs."""
+    import pandas as pd
+
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_lzma_alone(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "lzma",
                             "width": 0,
                             "height": 0,
                             "sample_rate": 0,

@@ -490,3 +490,65 @@ def multimodal_xz_archive(
 
     media = synthesize_xz_media(load_table(spark, sf_dir, "documents"))
     return xz_archive_stats(media)
+
+
+@register(
+    "multimodal_lzma_alone",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      250 + (doc_id % 5) * 50 AS n
+               FROM documents),
+    w AS (SELECT i, (7 * i + 3 * t) % 40 AS v
+          FROM (SELECT i, n, unnest(range(0, n)) AS t FROM m)),
+    agg AS (SELECT i,
+                   SUM(2 + length(CAST(v AS VARCHAR))) AS plen,
+                   SUM(v) AS vsum
+            FROM w GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'lzma' END AS format,
+           CAST(CASE WHEN bad THEN 0
+                WHEN m.i % 4 = 0 THEN 3 WHEN m.i % 4 = 1 THEN 0
+                WHEN m.i % 4 = 2 THEN 4 ELSE 1 END AS BIGINT) AS lc,
+           CAST(CASE WHEN bad THEN 0
+                WHEN m.i % 4 = 0 THEN 0 WHEN m.i % 4 = 1 THEN 2
+                WHEN m.i % 4 = 2 THEN 0 ELSE 1 END AS BIGINT) AS lp,
+           CAST(CASE WHEN bad THEN 0
+                WHEN m.i % 4 = 0 THEN 2 WHEN m.i % 4 = 1 THEN 1
+                WHEN m.i % 4 = 2 THEN 0 ELSE 2 END AS BIGINT) AS pb,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.plen END AS BIGINT)
+             AS payload_len,
+           CAST(CASE WHEN bad THEN 0 ELSE m.n END AS BIGINT)
+             AS n_words,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.vsum END AS BIGINT)
+             AS word_sum
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="Legacy .lzma (LZMA_ALONE) decode — the second container over "
+    "the hand LZMA core, exercising the paths XZ/LZMA2 never takes: "
+    "END-MARKER termination (the distance-2^32-1 branch sized "
+    "chunks forbid) and the props byte's full (lc, lp, pb) space "
+    "(fixtures rotate four combos including lc=0/lp=2 and lc=4, so "
+    "every literal-context shape decodes). The format has NO "
+    "checksum, so the degrade stripes are framing-exact: every 13th "
+    "id truncated by one byte (marker unreachable / coder runs "
+    "dry), every 9th with one trailing byte (the exact-consumption "
+    "check objects); the dict-size field is metadata that cannot "
+    "affect a marker-terminated decode and is documented as such in "
+    "the byte-flip test. Payloads are parseable 'w<num>' words so "
+    "the oracle proves content decode blind. Pure map over blobs, "
+    "zero shuffle. operators/xz.py read_lzma_alone",
+    tags=("llm", "multimodal"),
+)
+def multimodal_lzma_alone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.xz import (
+        lzma_alone_stats,
+        synthesize_lzma_alone_media,
+    )
+
+    media = synthesize_lzma_alone_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return lzma_alone_stats(media)

@@ -120,3 +120,77 @@ def test_archive_degrade_stripes():
         assert read_xz_archive(_make_xz_archive(i)) is None
     for i in (9, 18, 27):  # stored-check-field flip: only the content
         assert read_xz_archive(_make_xz_archive(i)) is None
+
+
+# -------------------------------------------------------- legacy .lzma
+
+from gmall_flink_210726_spark.operators.xz import (  # noqa: E402
+    _ALONE_COMBOS,
+    _make_lzma_alone,
+    lzma_alone_decompress,
+    read_lzma_alone,
+)
+
+
+@pytest.mark.parametrize("combo", _ALONE_COMBOS)
+def test_alone_roundtrip_all_literal_contexts(combo):
+    lc, lp, pb = combo
+    rng = random.Random(lc * 31 + lp * 7 + pb)
+    for kind in range(4):
+        n = rng.randrange(1, 30000)
+        data = {
+            0: os.urandom(n),
+            1: (b"hello world " * (n // 12 + 1))[:n],
+            2: b"a" * n,
+            3: bytes(rng.choice(b"abcd") for _ in range(n)),
+        }[kind]
+        comp = lzma.compress(
+            data,
+            format=lzma.FORMAT_ALONE,
+            filters=[
+                {
+                    "id": lzma.FILTER_LZMA1,
+                    "preset": 2,
+                    "lc": lc,
+                    "lp": lp,
+                    "pb": pb,
+                }
+            ],
+        )
+        assert lzma_alone_decompress(comp) == data
+
+
+def test_alone_flips_outside_dict_size_detected():
+    orig = b"flip sweep payload " * 40
+    comp = lzma.compress(orig, format=lzma.FORMAT_ALONE)
+    for pos in range(len(comp)):
+        bad = bytearray(comp)
+        bad[pos] ^= 0xFF
+        try:
+            same = lzma_alone_decompress(bytes(bad)) == orig
+        except ValueError:
+            continue
+        # bytes 1..4 are the dict-size field: pure metadata that
+        # cannot affect a marker-terminated decode
+        assert not same or 1 <= pos <= 4, pos
+
+
+@pytest.mark.parametrize("i", [1, 2, 3, 5, 7, 16, 29, 58])
+def test_alone_fixture_matches_formula(i):
+    st = read_lzma_alone(_make_lzma_alone(i))
+    n = 250 + (i % 5) * 50
+    vals = [(7 * i + 3 * t) % 40 for t in range(n)]
+    lc, lp, pb = _ALONE_COMBOS[i % 4]
+    assert st == {
+        "lc": lc,
+        "lp": lp,
+        "pb": pb,
+        "payload_len": sum(2 + len(str(v)) for v in vals),
+        "n_words": n,
+        "word_sum": sum(vals),
+    }
+
+
+def test_alone_degrade_stripes():
+    for i in (13, 26, 0, 9, 18):
+        assert read_lzma_alone(_make_lzma_alone(i)) is None
