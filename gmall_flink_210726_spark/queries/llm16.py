@@ -552,3 +552,86 @@ def multimodal_lzma_alone(
         load_table(spark, sf_dir, "documents")
     )
     return lzma_alone_stats(media)
+
+
+@register(
+    "multimodal_cbor_records",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      2 + doc_id % 4 AS nr
+               FROM documents),
+    r AS (SELECT i, j, (i + j) % 50 AS negmag, (i + j) % 3 AS fl,
+                 (i + j) % 4 AS hv, 1 + (i + j) % 3 AS nt,
+                 5 + (i + j) % 9 AS bl
+          FROM (SELECT i, nr, unnest(range(0, nr)) AS j FROM m)),
+    tl AS (SELECT i, j,
+                  SUM(1 + length(CAST((i + j + k) % 20 AS VARCHAR)))
+                    AS tlen
+           FROM (SELECT i, j, nt, unnest(range(0, nt)) AS k FROM r)
+           GROUP BY i, j),
+    agg AS (SELECT r.i,
+                   SUM(100 * r.i + r.j) AS ids,
+                   SUM(-(r.negmag) - 1) AS negs,
+                   SUM(tl.tlen) AS tlen,
+                   SUM(r.bl) AS blen,
+                   SUM(1700000000 + r.i + r.j) AS tss,
+                   SUM(CASE r.hv WHEN 0 THEN 2 WHEN 1 THEN 6
+                       WHEN 2 THEN -8 ELSE 1 END) AS h4,
+                   SUM(CASE WHEN r.fl = 0 THEN 1 ELSE 0 END) AS ntrue,
+                   SUM(CASE WHEN r.fl = 2 THEN 1 ELSE 0 END) AS nnull
+            FROM r JOIN tl ON tl.i = r.i AND tl.j = r.j
+            GROUP BY r.i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'cbor' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE m.nr END AS BIGINT)
+             AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.ids END AS BIGINT)
+             AS id_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.negs END AS BIGINT)
+             AS neg_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.tlen END AS BIGINT)
+             AS tag_text_len,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.blen END AS BIGINT)
+             AS blob_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.tss END AS BIGINT)
+             AS ts_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.h4 END AS BIGINT)
+             AS half_x4_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.ntrue END AS BIGINT)
+             AS n_true,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.nnull END AS BIGINT)
+             AS n_null
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="CBOR record ingest (RFC 8949 + RFC 8742 sequences) — the "
+    "binary interchange format of the IoT/COSE ecosystem as a Kafka "
+    "payload shape: back-to-back record maps decoded by a complete "
+    "from-scratch CBOR reader (all five integer widths with the "
+    "preferred-serialization minimality CHECK, definite and "
+    "indefinite strings/arrays/maps with break handling, tags, "
+    "half/single/double floats incl. the Appendix-D float16 "
+    "algorithm with subnormals; reserved additional-info, lone "
+    "breaks, wrong-type chunks, unpaired keys and trailing bytes "
+    "all refuse). Odd ids chunk every text indefinite-length; the "
+    "typed walk enforces the record schema (7 keys, epoch tag 1, "
+    "exactly-representable f16 rotation reported as 4x integers). "
+    "40 RFC Appendix-A vectors + 4000 round-trips pinned in tests. "
+    "Every 13th id truncated by one byte; every 9th gains a lone "
+    "top-level 0xFF break. The oracle recomputes id/neg/text/blob/"
+    "timestamp sums blind from the write formulas. Pure map over "
+    "blobs, zero shuffle. operators/cbor.py read_cbor_records",
+    tags=("llm", "multimodal"),
+)
+def multimodal_cbor_records(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.cbor import (
+        cbor_records_stats,
+        synthesize_cbor_media,
+    )
+
+    media = synthesize_cbor_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return cbor_records_stats(media)
