@@ -927,3 +927,740 @@ def synthesize_iceberg_mor_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# v2 EQUALITY DELETES — the value-addressed delete flavor
+# --------------------------------------------------------------------------
+
+# Position deletes (read_iceberg_mor) kill (file, row) coordinates;
+# EQUALITY deletes (spec content=2) kill every row whose key columns
+# match a delete-file row — the shape CDC upserts land in. The
+# manifest entry carries ``equality_ids`` naming the key fields.
+
+MANIFEST_SCHEMA_EQ = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": [
+                            "null",
+                            {"type": "array", "items": "int"},
+                        ],
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+
+def read_iceberg_eqdel(data: bytes) -> dict | None:
+    """Iceberg v2 equality-delete scan: delete manifests list parquet
+    files of KEY VALUES (content=2, equality_ids=[1] — the 'k'
+    field); the scan drops every data-file row whose k appears in
+    any delete file. Cross-checks mirror the position-delete walk,
+    plus: content=2 entries must carry equality_ids=[1] and data
+    entries must carry none."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    cur = meta.get("current-snapshot-id")
+    snaps = meta.get("snapshots")
+    if not isinstance(cur, int) or not isinstance(snaps, list):
+        return None
+    snap = next(
+        (s for s in snaps if isinstance(s, dict) and s.get("snapshot-id") == cur),
+        None,
+    )
+    if snap is None or not isinstance(snap.get("manifest-list"), str):
+        return None
+    mlist_blob = files.get(snap["manifest-list"])
+    if mlist_blob is None:
+        return None
+    got = read_avro_container(mlist_blob)
+    if got is None:
+        return None
+    mlist, _, _ = got
+    data_files: dict[str, dict] = {}
+    delete_values: set[int] = set()
+    n_delete_files = n_delete_values = 0
+    for mf in mlist:
+        try:
+            path = mf["manifest_path"]
+            declared = mf["manifest_length"]
+            content = mf["content"]
+        except (TypeError, KeyError):
+            return None
+        blob = files.get(path)
+        if blob is None or len(blob) != declared:
+            return None
+        g2 = read_avro_container(blob)
+        if g2 is None:
+            return None
+        entries, _, _ = g2
+        for ent in entries:
+            try:
+                df = ent["data_file"]
+                fcontent = df["content"]
+                fpath = df["file_path"]
+                rows = df["record_count"]
+                size = df["file_size_in_bytes"]
+                eq_ids = df["equality_ids"]
+            except (TypeError, KeyError):
+                return None
+            if ent.get("status") != 1:
+                return None
+            blob2 = files.get(fpath)
+            if blob2 is None or len(blob2) != size:
+                return None
+            if content == 0:
+                if fcontent != 0 or eq_ids is not None:
+                    return None
+                data_files[fpath] = {"rows": rows, "blob": blob2}
+            elif content == 1:
+                if fcontent != 2 or eq_ids != [1]:
+                    return None  # equality deletes keyed on field 1
+                col = read_parquet_column_k(blob2, collect_values=True)
+                if col is None or col["n_values"] != rows:
+                    return None
+                delete_values.update(col["values"])
+                n_delete_files += 1
+                n_delete_values += col["n_values"]
+            else:
+                return None
+    live_rows = k_sum = eq_deleted = 0
+    for info in data_files.values():
+        col = read_parquet_column_k(info["blob"], collect_values=True)
+        if col is None or col["n_values"] != info["rows"]:
+            return None
+        for v in col["values"]:
+            if v in delete_values:
+                eq_deleted += 1
+            else:
+                live_rows += 1
+                k_sum += v
+    return {
+        "data_files": len(data_files),
+        "delete_files": n_delete_files,
+        "n_delete_values": n_delete_values,
+        "eq_deleted_rows": eq_deleted,
+        "live_rows": live_rows,
+        "k_sum": k_sum,
+    }
+
+
+ICEBERG_EQ_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("data_files", LongType()),
+        StructField("delete_files", LongType()),
+        StructField("n_delete_values", LongType()),
+        StructField("eq_deleted_rows", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("k_sum", LongType()),
+    ]
+)
+
+
+def _iceberg_eq_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    zero = {
+        f.name: 0 for f in ICEBERG_EQ_SCHEMA.fields if f.name != "format"
+    }
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = dict(zero, media_id=int(mid), format="unknown")
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_iceberg_eqdel(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="iceberg", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in ICEBERG_EQ_SCHEMA.fields]
+    )
+
+
+def iceberg_eqdel_stats(df: DataFrame) -> DataFrame:
+    """Iceberg v2 equality-delete scan over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _iceberg_eq_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ICEBERG_EQ_SCHEMA
+    )
+
+
+def _eq_rows(i: int, f: int) -> int:
+    return 35 + ((i + f) % 3) * 15
+
+
+def _eq_k(i: int, f: int, j: int) -> int:
+    return (7 * i + 13 * f + 5 * j) % 600
+
+
+def _eq_deletes(i: int) -> list[int]:
+    return sorted((11 * i + 23 * u) % 600 for u in range(6 + i % 4))
+
+
+def _make_iceberg_eq_table(
+    i: int, bad_stripe: int = 13, lie_stripe: int = 9
+) -> bytes:
+    """``2 + i%2`` data files + ONE equality-delete parquet file of
+    key VALUES (small k modulus so deletes really hit). Every
+    ``bad_stripe``-th id truncates the delete file; every
+    ``lie_stripe``-th id overstates its record_count by one."""
+    import pyarrow as pa
+
+    nf = 2 + i % 2
+    codec = ("null", "deflate")[i % 2]
+    sync = bytes((i * 37 + 11 * k) % 256 for k in range(16))
+    members: list[tuple[str, bytes]] = []
+    data_entries = []
+    for f in range(nf):
+        rows = _eq_rows(i, f)
+        path = f"data/part-{f:05d}.parquet"
+        blob = _mor_parquet(
+            {"k": pa.array([_eq_k(i, f, j) for j in range(rows)], pa.int64())}
+        )
+        members.append((path, blob))
+        data_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": rows,
+                    "file_size_in_bytes": len(blob),
+                    "equality_ids": None,
+                },
+            }
+        )
+    dels = _eq_deletes(i)
+    del_blob = _mor_parquet({"k": pa.array(dels, pa.int64())})
+    if i % bad_stripe == 0:
+        del_blob = del_blob[:-1]
+    members.append(("data/eq-deletes-00000.parquet", del_blob))
+    del_count = len(dels)
+    if i % lie_stripe == 0 and i % bad_stripe != 0:
+        del_count += 1
+    delete_entries = [
+        {
+            "status": 1,
+            "snapshot_id": None,
+            "data_file": {
+                "content": 2,
+                "file_path": "data/eq-deletes-00000.parquet",
+                "file_format": "PARQUET",
+                "record_count": del_count,
+                "file_size_in_bytes": len(del_blob),
+                "equality_ids": [1],
+            },
+        }
+    ]
+    man_data = make_avro_container(
+        MANIFEST_SCHEMA_EQ, data_entries, codec=codec, sync=sync
+    )
+    man_del = make_avro_container(
+        MANIFEST_SCHEMA_EQ, delete_entries, codec=codec, sync=sync
+    )
+    members.append(("manifest-data.avro", man_data))
+    members.append(("manifest-del.avro", man_del))
+    mlist = [
+        {
+            "manifest_path": "manifest-data.avro",
+            "manifest_length": len(man_data),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_files_count": nf,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+        },
+        {
+            "manifest_path": "manifest-del.avro",
+            "manifest_length": len(man_del),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+        },
+    ]
+    members.append(
+        (
+            "snap-current.avro",
+            make_avro_container(
+                MLIST_SCHEMA_V2, mlist, codec=codec, sync=sync
+            ),
+        )
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"0000-{i}",
+        "current-snapshot-id": 3000 + i,
+        "snapshots": [
+            {
+                "snapshot-id": 3000 + i,
+                "manifest-list": "snap-current.avro",
+            }
+        ],
+    }
+    members.append(
+        (f"v{1 + i % 3}.metadata.json", json.dumps(meta).encode())
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    parts.append(b"\x00" * (2 * _BLOCK))
+    return b"".join(parts)
+
+
+def synthesize_iceberg_eq_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of Iceberg v2 equality-delete tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_eq_table(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# MANIFEST-LEVEL PARTITION PRUNING — the planner-side skipping layer
+# --------------------------------------------------------------------------
+
+# The manifest list carries per-partition-field SUMMARIES
+# (field_summary: contains_null + lower/upper bound bytes, the spec's
+# single-value serialization — 4-byte LE for int). A predicate opens
+# ONLY the manifests whose summary can intersect: at 100 TB the
+# manifest list is a few KB and this decides which multi-MB manifests
+# are fetched at all — the Iceberg twin of the parquet page index.
+
+MLIST_SCHEMA_P = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {"name": "lower_bound", "type": ["null", "bytes"]},
+                            {"name": "upper_bound", "type": ["null", "bytes"]},
+                        ],
+                    },
+                },
+            ],
+        },
+    ],
+}
+
+MANIFEST_SCHEMA_P = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition_day", "type": "int"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _i32le(b) -> int | None:
+    if not isinstance(b, bytes) or len(b) != 4:
+        return None
+    import struct as _s
+
+    return _s.unpack("<i", b)[0]
+
+
+def read_iceberg_manifest_prune(
+    data: bytes, lo: int, hi: int
+) -> dict | None:
+    """Predicate ``lo <= day <= hi`` against the manifest list's
+    partition summaries: manifests whose [lower, upper] cannot
+    intersect are never opened. Every OPENED manifest's files must
+    sit inside the claimed bounds (a lying summary is caught exactly
+    when its manifest is read — the page-index property), and the
+    summary must not claim nulls the partition field cannot have."""
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    cur = meta.get("current-snapshot-id")
+    snaps = meta.get("snapshots")
+    if not isinstance(cur, int) or not isinstance(snaps, list):
+        return None
+    snap = next(
+        (s for s in snaps if isinstance(s, dict) and s.get("snapshot-id") == cur),
+        None,
+    )
+    if snap is None or not isinstance(snap.get("manifest-list"), str):
+        return None
+    mlist_blob = files.get(snap["manifest-list"])
+    if mlist_blob is None:
+        return None
+    got = read_avro_container(mlist_blob)
+    if got is None:
+        return None
+    mlist, _, _ = got
+    n_read = files_read = files_sel = rows_sel = 0
+    for mf in mlist:
+        try:
+            path = mf["manifest_path"]
+            declared = mf["manifest_length"]
+            parts = mf["partitions"]
+        except (TypeError, KeyError):
+            return None
+        if mf.get("content") != 0 or not isinstance(parts, list):
+            return None
+        if len(parts) != 1:
+            return None  # one partition field (day)
+        fs = parts[0]
+        if not isinstance(fs, dict) or fs.get("contains_null"):
+            return None  # the day field is REQUIRED: no nulls
+        bmin = _i32le(fs.get("lower_bound"))
+        bmax = _i32le(fs.get("upper_bound"))
+        if bmin is None or bmax is None or bmin > bmax:
+            return None
+        if bmax < lo or bmin > hi:
+            continue  # PRUNED — this manifest is never fetched
+        blob = files.get(path)
+        if blob is None or len(blob) != declared:
+            return None
+        g2 = read_avro_container(blob)
+        if g2 is None:
+            return None
+        entries, _, _ = g2
+        n_read += 1
+        for ent in entries:
+            try:
+                df = ent["data_file"]
+                day = df["partition_day"]
+                rows = df["record_count"]
+            except (TypeError, KeyError):
+                return None
+            if not bmin <= day <= bmax:
+                return None  # the summary lied about an opened manifest
+            files_read += 1
+            if lo <= day <= hi:
+                files_sel += 1
+                rows_sel += rows
+    return {
+        "n_manifests": len(mlist),
+        "n_manifests_read": n_read,
+        "data_files_read": files_read,
+        "files_selected": files_sel,
+        "rows_selected": rows_sel,
+    }
+
+
+ICEBERG_PRUNE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_manifests", LongType()),
+        StructField("n_manifests_read", LongType()),
+        StructField("data_files_read", LongType()),
+        StructField("files_selected", LongType()),
+        StructField("rows_selected", LongType()),
+    ]
+)
+
+
+def _prune_predicate(i: int) -> tuple[int, int]:
+    lo = (7 * i) % 55
+    return lo, lo + 25
+
+
+def _iceberg_prune_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    zero = {
+        f.name: 0
+        for f in ICEBERG_PRUNE_SCHEMA.fields
+        if f.name != "format"
+    }
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        i = int(mid)
+        row = dict(zero, media_id=i, format="unknown")
+        b = bytes(blob) if blob is not None else b""
+        lo, hi = _prune_predicate(i)
+        try:
+            st = read_iceberg_manifest_prune(b, lo, hi)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="iceberg", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in ICEBERG_PRUNE_SCHEMA.fields]
+    )
+
+
+def iceberg_prune_stats(df: DataFrame) -> DataFrame:
+    """Manifest-level partition pruning over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _iceberg_prune_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ICEBERG_PRUNE_SCHEMA
+    )
+
+
+def _prune_days(i: int, m: int) -> tuple[int, int]:
+    return (
+        20 * m + (i + m) % 20,
+        20 * m + (i + 3 * m + 7) % 20,
+    )
+
+
+def _make_iceberg_prune_table(
+    i: int, bad_stripe: int = 13, lie_stripe: int = 9
+) -> bytes:
+    """``3 + i%3`` manifests, each holding two files whose partition
+    days sit inside its 20-day band; the manifest-list summaries
+    carry the TIGHT per-manifest min/max as 4-byte-LE bounds. Every
+    ``bad_stripe``-th id truncates the manifest list (the Avro walk
+    must refuse); every ``lie_stripe``-th id rewrites one file's day
+    in the FIRST manifest the predicate selects to land outside its
+    claimed bounds — pruned manifests could lie forever, only an
+    opened one is caught."""
+    import struct as _s
+
+    nm = 3 + i % 3
+    codec = ("null", "deflate")[i % 2]
+    sync = bytes((i * 41 + 13 * k) % 256 for k in range(16))
+    lo, hi = _prune_predicate(i)
+    bounds = []
+    days_by_m = []
+    for m in range(nm):
+        d1, d2 = _prune_days(i, m)
+        days_by_m.append([d1, d2])
+        bounds.append((min(d1, d2), max(d1, d2)))
+    selected = [
+        m
+        for m in range(nm)
+        if bounds[m][1] >= lo and bounds[m][0] <= hi
+    ]
+    lie = i % lie_stripe == 0 and i % bad_stripe != 0
+    lie_m = selected[0] if (lie and selected) else None
+    members: list[tuple[str, bytes]] = []
+    mlist = []
+    for m in range(nm):
+        days = list(days_by_m[m])
+        if m == lie_m:
+            days[0] = 20 * m + 25  # outside the claimed upper bound
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"data/day-{m}-{e}.parquet",
+                    "file_format": "PARQUET",
+                    "partition_day": days[e],
+                    "record_count": 10 + (i + 5 * m + e) % 90,
+                    "file_size_in_bytes": 1000 + m,
+                },
+            }
+            for e in range(2)
+        ]
+        blob = make_avro_container(
+            MANIFEST_SCHEMA_P, entries, codec=codec, sync=sync
+        )
+        members.append((f"manifest-{m}.avro", blob))
+        mlist.append(
+            {
+                "manifest_path": f"manifest-{m}.avro",
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_files_count": 2,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "partitions": [
+                    {
+                        "contains_null": False,
+                        "lower_bound": _s.pack("<i", bounds[m][0]),
+                        "upper_bound": _s.pack("<i", bounds[m][1]),
+                    }
+                ],
+            }
+        )
+    mlist_blob = make_avro_container(
+        MLIST_SCHEMA_P, mlist, codec=codec, sync=sync
+    )
+    if i % bad_stripe == 0 or (lie and lie_m is None):
+        # a lie needs a selected manifest to land in; when the
+        # predicate selects nothing, degrade via the container walk
+        # instead so the stripe contract stays deterministic
+        mlist_blob = mlist_blob[:-3]
+    members.append(("snap-current.avro", mlist_blob))
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"0000-{i}",
+        "current-snapshot-id": 4000 + i,
+        "snapshots": [
+            {
+                "snapshot-id": 4000 + i,
+                "manifest-list": "snap-current.avro",
+            }
+        ],
+    }
+    members.append(
+        (f"v{1 + i % 3}.metadata.json", json.dumps(meta).encode())
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    parts.append(b"\x00" * (2 * _BLOCK))
+    return b"".join(parts)
+
+
+def synthesize_iceberg_prune_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of partition-summary Iceberg chains."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_prune_table(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -635,3 +635,154 @@ def multimodal_cbor_records(
         load_table(spark, sf_dir, "documents")
     )
     return cbor_records_stats(media)
+
+
+@register(
+    "lakehouse_iceberg_eqdel",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      2 + doc_id % 2 AS nf,
+                      6 + doc_id % 4 AS nd
+               FROM documents),
+    dels AS (SELECT i, (11 * i + 23 * u) % 600 AS dv
+             FROM (SELECT i, nd, unnest(range(0, nd)) AS u FROM m)),
+    rj AS (SELECT i, f, j, (7 * i + 13 * f + 5 * j) % 600 AS k
+           FROM (SELECT i, f, R, unnest(range(0, R)) AS j
+                 FROM (SELECT i, nf, f,
+                              35 + ((i + f) % 3) * 15 AS R
+                       FROM (SELECT i, nf, unnest(range(0, nf)) AS f
+                             FROM m)))),
+    dd AS (SELECT rj.i, rj.k,
+                  dels.dv IS NOT NULL AS del
+           FROM rj LEFT JOIN dels
+             ON dels.i = rj.i AND dels.dv = rj.k),
+    agg AS (SELECT i,
+                   SUM(CASE WHEN del THEN 1 ELSE 0 END) AS deleted,
+                   SUM(CASE WHEN del THEN 0 ELSE 1 END) AS live,
+                   SUM(CASE WHEN del THEN 0 ELSE k END) AS ks
+            FROM dd GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE m.nf END AS BIGINT)
+             AS data_files,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS delete_files,
+           CAST(CASE WHEN bad THEN 0 ELSE m.nd END AS BIGINT)
+             AS n_delete_values,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.deleted END AS BIGINT)
+             AS eq_deleted_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.live END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.ks END AS BIGINT)
+             AS k_sum
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="Iceberg v2 EQUALITY DELETES — the value-addressed delete "
+    "flavor (spec content=2), the shape CDC upserts land in: delete "
+    "manifests list parquet files of KEY VALUES with "
+    "equality_ids=[1] naming the key field, and the scan drops "
+    "every data-file row whose key matches any delete value — "
+    "completing the v2 delete spec next to lakehouse_iceberg_mor's "
+    "position deletes. The fixture's small key modulus makes "
+    "deletes genuinely collide across files. Cross-checks: "
+    "equality_ids must be [1] on content=2 entries and ABSENT on "
+    "data entries, delete record_count vs the actual decode (every "
+    "9th id lies by one), manifest lengths, file sizes, data "
+    "record_count vs decode; every 13th id truncates the delete "
+    "file. The oracle replays the delete-value set and surviving "
+    "aggregates blind via an anti-join. Pure map over blobs, zero "
+    "shuffle. operators/iceberg.py read_iceberg_eqdel",
+    tags=("llm", "lakehouse"),
+)
+def lakehouse_iceberg_eqdel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg import (
+        iceberg_eqdel_stats,
+        synthesize_iceberg_eq_media,
+    )
+
+    media = synthesize_iceberg_eq_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_eqdel_stats(media)
+
+
+@register(
+    "lakehouse_iceberg_manifest_prune",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      3 + doc_id % 3 AS nm,
+                      (7 * doc_id) % 55 AS lo
+               FROM documents),
+    mf AS (SELECT i, lo, mm, e,
+                  20 * mm + CASE WHEN e = 0 THEN (i + mm) % 20
+                            ELSE (i + 3 * mm + 7) % 20 END AS day,
+                  10 + (i + 5 * mm + e) % 90 AS rc
+           FROM (SELECT i, lo, mm, unnest(range(0, 2)) AS e
+                 FROM (SELECT i, lo, nm, unnest(range(0, nm)) AS mm
+                       FROM m))),
+    b AS (SELECT i, mm, MIN(day) AS bmin, MAX(day) AS bmax
+          FROM mf GROUP BY i, mm),
+    sel AS (SELECT b.i, b.mm
+            FROM b JOIN m ON m.i = b.i
+            WHERE b.bmax >= m.lo AND b.bmin <= m.lo + 25),
+    agg AS (SELECT mf.i,
+                   COUNT(DISTINCT mf.mm) AS n_read,
+                   COUNT(*) AS fr,
+                   SUM(CASE WHEN mf.day BETWEEN mf.lo AND mf.lo + 25
+                       THEN 1 ELSE 0 END) AS fs,
+                   SUM(CASE WHEN mf.day BETWEEN mf.lo AND mf.lo + 25
+                       THEN mf.rc ELSE 0 END) AS rs
+            FROM mf JOIN sel ON sel.i = mf.i AND sel.mm = mf.mm
+            GROUP BY mf.i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE m.nm END AS BIGINT)
+             AS n_manifests,
+           CAST(CASE WHEN bad THEN 0
+                ELSE COALESCE(agg.n_read, 0) END AS BIGINT)
+             AS n_manifests_read,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(agg.fr, 0) END
+                AS BIGINT) AS data_files_read,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(agg.fs, 0) END
+                AS BIGINT) AS files_selected,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(agg.rs, 0) END
+                AS BIGINT) AS rows_selected
+    FROM m LEFT JOIN agg ON agg.i = m.i
+    """,
+    doc="Iceberg MANIFEST-LEVEL PARTITION PRUNING — the planner-side "
+    "skipping layer and the lakehouse twin of the parquet page "
+    "index (L222): the manifest list's per-partition-field "
+    "summaries (field_summary: contains_null + lower/upper bound in "
+    "the spec's single-value serialization, 4-byte LE ints) let a "
+    "day-range predicate open ONLY the manifests that can "
+    "intersect — ~57%% of manifests are never fetched under the "
+    "rotating predicate, which at 100 TB is the difference between "
+    "reading a few-KB list and every multi-MB manifest. The trust "
+    "chain is the page-index property: every OPENED manifest's "
+    "files must sit inside the claimed bounds (every 9th id "
+    "rewrites one file's day in the FIRST selected manifest to "
+    "break its summary — a pruned manifest could lie forever, only "
+    "an opened one is caught), contains_null must be false for the "
+    "required day field, manifest_length is verified; every 13th "
+    "id truncates the manifest list. The oracle recomputes tight "
+    "bounds, the selected set, and selected row totals blind. Pure "
+    "map over blobs, zero shuffle. operators/iceberg.py "
+    "read_iceberg_manifest_prune",
+    tags=("llm", "lakehouse"),
+)
+def lakehouse_iceberg_manifest_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg import (
+        iceberg_prune_stats,
+        synthesize_iceberg_prune_media,
+    )
+
+    media = synthesize_iceberg_prune_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_prune_stats(media)
