@@ -786,3 +786,82 @@ def lakehouse_iceberg_manifest_prune(
         load_table(spark, sf_dir, "documents")
     )
     return iceberg_prune_stats(media)
+
+
+@register(
+    "lakehouse_delta_checkpoint",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      2 + doc_id % 2 AS nf
+               FROM documents),
+    fj AS (SELECT i, nf, f, 30 + ((i + f) % 4) * 10 AS R,
+                  NOT (i % 2 = 1 AND f = 0) AS alive
+           FROM (SELECT i, nf, unnest(range(0, nf + 1)) AS f FROM m)),
+    rj AS (SELECT i, f, (19 * i + 7 * f + 3 * j) % 2000 AS k
+           FROM (SELECT i, f, R, unnest(range(0, R)) AS j
+                 FROM fj WHERE alive)),
+    agg AS (SELECT fj.i,
+                   SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS lf,
+                   SUM(CASE WHEN alive THEN R ELSE 0 END) AS lr
+            FROM fj GROUP BY fj.i),
+    ks AS (SELECT i, SUM(k) AS ksum FROM rj GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS checkpoint_version,
+           CAST(CASE WHEN bad THEN 0 ELSE 3 + m.nf END AS BIGINT)
+             AS n_actions,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_tombstones,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_tail_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.lf END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.lr END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE ks.ksum END AS BIGINT)
+             AS k_sum
+    FROM m
+    JOIN agg ON agg.i = m.i
+    JOIN ks ON ks.i = m.i
+    """,
+    doc="Delta CHECKPOINT parquet — the log-compaction layer "
+    "(delta.io PROTOCOL.md 'Checkpoints'): _last_checkpoint names a "
+    "parquet file holding the POST-replay state at version V (one "
+    "action per row in parquet's union-by-struct-null shape), and "
+    "the reader starts there and replays only the JSON commits "
+    "AFTER V — the difference between one parquet read and "
+    "replaying millions of commits on an old table. The hand walk "
+    "decodes every action leaf with a GENERIC max_def=2 struct-leaf "
+    "reader spanning four physical types, two NEW to the repo's "
+    "parquet surface: bit-packed PLAIN BOOLEAN (add.dataChange, "
+    "LSB-first single bits) and INT32 (protocol.minReaderVersion), "
+    "beside INT64 and BYTE_ARRAY; even ids null out "
+    "add.modificationTime so the field-null definition level is "
+    "exercised, and remove tombstones prove non-add rows parse. The "
+    "fixture OMITS pre-checkpoint commits entirely — only actually "
+    "using the checkpoint can reconstruct the state. Trust chain: "
+    "_last_checkpoint.size vs the decoded row count (every 9th id "
+    "lies by one), exactly one action struct per row, add.path/"
+    "stats required when the add struct is present, tail-commit "
+    "contiguity from V+1, every tail remove targeting a live file "
+    "(every 13th id removes a never-added file), stats.numRecords "
+    "and add.size vs the actual per-file decode. The oracle "
+    "recomputes the post-tail live set and aggregates blind. Pure "
+    "map over blobs, zero shuffle. operators/deltacp.py "
+    "read_delta_checkpoint_table",
+    tags=("llm", "lakehouse"),
+)
+def lakehouse_delta_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltacp import (
+        delta_checkpoint_stats,
+        synthesize_delta_checkpoint_media,
+    )
+
+    media = synthesize_delta_checkpoint_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_checkpoint_stats(media)
