@@ -1642,3 +1642,134 @@ def st27_stream_wiki_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st28_stream_delta_dv_scan",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      2 + doc_id % 3 AS nf
+               FROM documents),
+    rj AS (SELECT i, nf, f, j,
+                  (13 * i + 29 * f + 11 * j) % 3000 AS k,
+                  NOT (f = nf - 1 AND i % 2 = 0)
+                    AND ((j >= 5 AND j < 7 + (i + f) % 6)
+                         OR j % 7 = (i + f) % 7) AS del
+           FROM (SELECT i, nf, f, R, unnest(range(0, R)) AS j
+                 FROM (SELECT i, nf, f, 40 + ((i + f) % 3) * 20 AS R
+                       FROM (SELECT i, nf, unnest(range(0, nf)) AS f
+                             FROM m)))),
+    agg AS (SELECT i,
+                   SUM(CASE WHEN del THEN 1 ELSE 0 END) AS deleted,
+                   SUM(CASE WHEN del THEN 0 ELSE 1 END) AS live,
+                   SUM(CASE WHEN del THEN 0 ELSE k END) AS ks
+            FROM rj GROUP BY i)
+    SELECT CAST(m.i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tables,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE agg.deleted END)
+                AS BIGINT) AS deleted_rows,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE agg.live END)
+                AS BIGINT) AS live_rows,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE agg.ks END)
+                AS BIGINT) AS k_sum
+    FROM m JOIN agg ON agg.i = m.i GROUP BY 1
+    """,
+    doc="STREAMING Delta merge-on-read scan — whole lakehouse tables "
+    "(tar blobs of log + deletion vectors + parquet parts) arriving "
+    "as a file stream, each micro-batch running the full composed "
+    "decode (log replay with last-wins DVs, roaring bitmap decode, "
+    "hand parquet column reads, deleted-position subtraction) via "
+    "Arrow-batched mapInPandas ON THE STREAM PLAN, per-epoch "
+    "per-bucket partials through the checkpointed foreachBatch + "
+    "overwrite-idempotent epoch sink. This is the CDC-compaction "
+    "consumer a lakehouse feeds: tables land, the stream keeps "
+    "running totals of live rows after deletes. Stateless per blob; "
+    "the batch twin's CRC-flip and cardinality-lie stripes land in "
+    "n_ok. operators/deltadv.py scan_delta_table_mor",
+    tags=("streaming", "llm", "lakehouse"),
+)
+def st28_stream_delta_dv_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.deltadv import (
+        delta_dv_scan_stats,
+        synthesize_delta_dv_media,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.sources.batch import load_table
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st28_src_")
+    out = tempfile.mkdtemp(prefix="st28_out_")
+    ckpt = tempfile.mkdtemp(prefix="st28_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_delta_dv_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .option("compression", "none")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = delta_dv_scan_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_tables"),
+                F.sum(
+                    (F.col("format") == "delta").cast("long")
+                ).cast("long").alias("n_ok"),
+                F.sum("deleted_rows").cast("long").alias(
+                    "deleted_rows"
+                ),
+                F.sum("live_rows").cast("long").alias("live_rows"),
+                F.sum("k_sum").cast("long").alias("k_sum"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st28 delta dv stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_tables").cast("long").alias("n_tables"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("deleted_rows").cast("long").alias(
+                    "deleted_rows"
+                ),
+                F.sum("live_rows").cast("long").alias("live_rows"),
+                F.sum("k_sum").cast("long").alias("k_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
