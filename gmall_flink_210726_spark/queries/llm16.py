@@ -865,3 +865,74 @@ def lakehouse_delta_checkpoint(
         load_table(spark, sf_dir, "documents")
     )
     return delta_checkpoint_stats(media)
+
+
+@register(
+    "multimodal_tfrecord",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 9 = 0 AS bad,
+                      2 + doc_id % 4 AS nr
+               FROM documents),
+    r AS (SELECT i, j, 3 + (i + j) % 5 AS nt, 4 + (i + j) % 7 AS tl,
+                 (i + j) % 9 - 4 AS s4
+          FROM (SELECT i, nr, unnest(range(0, nr)) AS j FROM m)),
+    tk AS (SELECT i, j, SUM((i + j + t) % 50) AS tsum
+           FROM (SELECT i, j, nt, unnest(range(0, nt)) AS t FROM r)
+           GROUP BY i, j),
+    agg AS (SELECT r.i,
+                   SUM(100 * r.i + r.j) AS ids,
+                   SUM(r.nt) AS tc,
+                   SUM(tk.tsum) AS ts,
+                   SUM(r.tl) AS tls,
+                   SUM(r.s4) AS s4s
+            FROM r JOIN tk ON tk.i = r.i AND tk.j = r.j
+            GROUP BY r.i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'tfrecord' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE m.nr END AS BIGINT)
+             AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.ids END AS BIGINT)
+             AS id_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.tc END AS BIGINT)
+             AS token_count,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.ts END AS BIGINT)
+             AS token_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.tls END AS BIGINT)
+             AS text_len_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.s4s END AS BIGINT)
+             AS score_x4_sum
+    FROM m JOIN agg ON agg.i = m.i
+    """,
+    doc="TFRecord + tf.Example decode from scratch — THE training-"
+    "data container of the TensorFlow ecosystem and the wire shape "
+    "most public ML corpora ship in: per-record uint64-length / "
+    "masked-crc32c(length) / data / masked-crc32c(data) framing "
+    "(the ((crc>>15)|(crc<<17)) + 0xa282ead8 mask over the repo's "
+    "hand Castagnoli CRC), each record a tf.Example protobuf walked "
+    "by the generic wire decoder (Features map entries, one-of "
+    "Feature kinds: BytesList, PACKED-fixed32 FloatList, PACKED-"
+    "varint Int64List with two's-complement negatives). Strictness: "
+    "both CRCs per record, exactly one kind per Feature, packed "
+    "streams consume their length exactly, duplicate keys refuse. "
+    "Every 13th id flips a byte inside the first record's proto "
+    "body (the data CRC catches it); every 9th flips a byte inside "
+    "the LAST record's STORED data-CRC — framing and proto both "
+    "intact, only the checksum comparison objects. Fixture floats "
+    "are quarter-exact so the oracle sums 4x integers. Pure map "
+    "over blobs, zero shuffle. operators/tfrecord.py "
+    "read_tfrecord_examples",
+    tags=("llm", "multimodal"),
+)
+def multimodal_tfrecord(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.tfrecord import (
+        synthesize_tfrecord_media,
+        tfrecord_stats,
+    )
+
+    media = synthesize_tfrecord_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return tfrecord_stats(media)
