@@ -4,9 +4,13 @@ ingest formats a 100 TB training pipeline actually consumes.
 
 Round-11 continuation (the r10 brief itself shipped in the first
 half of the round): parquet PAGE INDEX reads (ColumnIndex /
-OffsetIndex, the skipping layer below L192's row-group stats),
-then the delete-layer composition (roaring bitmaps / position
-deletes) and the bz2-compressed dump front door.
+OffsetIndex, the skipping layer below L192's row-group stats); the
+merge-on-read delete layers on BOTH table formats (Delta deletion
+vectors over from-scratch roaring bitmaps; Iceberg position AND
+equality deletes) plus Iceberg manifest-summary pruning and Delta
+checkpoint-parquet replay; the bzip2 Wikipedia-dump and XZ/LZMA
+corpus front doors; CBOR and TFRecord record ingest; and
+product-quantization ANN with Lloyd-trained codebooks.
 """
 
 from __future__ import annotations
