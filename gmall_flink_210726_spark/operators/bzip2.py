@@ -127,7 +127,7 @@ def _huff_decode(bits: _Bits, tab) -> int:
     return perm[idx]
 
 
-def _decode_block(bits: _Bits, max_block: int) -> bytes:
+def _decode_block(bits: _Bits, max_block: int) -> tuple[bytes, int]:
     stored_crc = bits.take(32)
     if bits.bit():
         raise ValueError("bzip2: randomised blocks unsupported")

@@ -171,11 +171,17 @@ class _Dec:
                     k = self._item_or_break(depth)
                     if k is BREAK:
                         return out
-                    out[_key(k)] = self.item(depth + 1)
+                    hk = _key(k)
+                    if hk in out:
+                        raise ValueError("cbor: duplicate map key")
+                    out[hk] = self.item(depth + 1)
                     # (an unpaired key raises inside item: truncated)
             for _ in range(n):
                 k = self.item(depth + 1)
-                out[_key(k)] = self.item(depth + 1)
+                hk = _key(k)
+                if hk in out:
+                    raise ValueError("cbor: duplicate map key")
+                out[hk] = self.item(depth + 1)
             return out
         if mt == 6:
             t = self._arg(ai, mt)

@@ -407,7 +407,17 @@ def lzma_alone_decompress(data: bytes) -> bytes:
 def lzma2_decompress(
     data: bytes, pos: int, end: int
 ) -> tuple[bytes, int]:
-    """LZMA2 chunk walk -> (plain, position after the end marker)."""
+    """LZMA2 chunk walk -> (plain, position after the end marker).
+
+    A dict reset (control byte 1, or compressed-chunk reset mode 3)
+    only bounds back-references and the pos-state counter — the
+    output produced BEFORE the reset is still part of the stream.
+    ``out`` accumulates flushed pre-reset output; ``window`` is the
+    dictionary since the last reset, so the rep-distance and
+    pos-state arithmetic in ``_lzma_run`` (both keyed off
+    ``len(window)``) naturally restart at the reset point, matching
+    liblzma's dict.pos reset."""
+    out = bytearray()
     window = bytearray()
     st: _LzmaState | None = None
     need_dict_reset = True
@@ -417,12 +427,12 @@ def lzma2_decompress(
         control = data[pos]
         pos += 1
         if control == 0:
-            return bytes(window), pos
+            out.extend(window)
+            return bytes(out), pos
         if control in (1, 2):
             if control == 1:
-                if not need_dict_reset and window:
-                    pass  # dict reset on a non-empty window: allowed
-                window = window if control == 2 else bytearray()
+                out.extend(window)
+                window = bytearray()
                 need_dict_reset = False
             if pos + 2 > end:
                 raise ValueError("lzma2: truncated copy header")
@@ -465,6 +475,7 @@ def lzma2_decompress(
         elif st is None:
             raise ValueError("lzma2: chunk before props")
         if reset == 3:
+            out.extend(window)
             window = bytearray()
             need_dict_reset = False
         if need_dict_reset:

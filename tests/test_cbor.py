@@ -132,3 +132,14 @@ def test_records_walk_matches_formula(i):
 def test_records_degrade_stripes():
     for i in (13, 26, 0, 9, 18):
         assert read_cbor_records(_make_cbor_blob(i)) is None
+
+
+def test_duplicate_map_keys_refused():
+    import pytest as _pytest
+    from gmall_flink_210726_spark.operators.cbor import cbor_loads
+
+    # {1: 2, 1: 3} definite, and the indefinite twin — RFC 8949 §5.6
+    with _pytest.raises(ValueError, match="duplicate map key"):
+        cbor_loads(bytes.fromhex("a2010201 03".replace(" ", "")))
+    with _pytest.raises(ValueError, match="duplicate map key"):
+        cbor_loads(bytes.fromhex("bf0102010 3ff".replace(" ", "")))

@@ -40,3 +40,28 @@ def test_every_query_has_a_survey_row():
     text = (ROOT / "SURVEY.md").read_text()
     missing = [n for n in sorted(SPECS) if n not in text]
     assert not missing, f"queries with no SURVEY.md mention: {missing}"
+
+
+def test_survey_213_counts_match_registry():
+    """The §2.13 'Counts:' line must equal len(load_all()) exactly —
+    name-presence alone let a 308-vs-322 drift pass (VERDICT r11 §wrong
+    #1)."""
+    text = (ROOT / "SURVEY.md").read_text()
+    m = re.search(r"Counts: (\d+) queries, (\d+) streaming\.", text)
+    assert m, "SURVEY §2.13 Counts line missing"
+    n_st = sum(1 for n in SPECS if re.match(r"st\d+_", n))
+    assert (int(m.group(1)), int(m.group(2))) == (len(SPECS), n_st), (
+        f"SURVEY §2.13 says {m.group(1)}/{m.group(2)}, registry is "
+        f"{len(SPECS)}/{n_st} — run scripts/regen_query_index.py"
+    )
+
+
+def test_survey_213_table_rows_match_registry():
+    """Every registry name must have its own §2.13 index row (and no
+    stale rows for names that no longer exist)."""
+    text = (ROOT / "SURVEY.md").read_text()
+    rows = set(re.findall(r"^\| `([a-z0-9_]+)` \| `[^`]+` \|$", text, re.M))
+    assert rows == set(SPECS), (
+        f"missing rows: {sorted(set(SPECS) - rows)[:5]}, "
+        f"stale rows: {sorted(rows - set(SPECS))[:5]}"
+    )

@@ -194,3 +194,57 @@ def test_alone_fixture_matches_formula(i):
 def test_alone_degrade_stripes():
     for i in (13, 26, 0, 9, 18):
         assert read_lzma_alone(_make_lzma_alone(i)) is None
+
+
+# ----------------------------------------------- mid-block dict resets
+
+
+def test_lzma2_mid_block_dict_reset_keeps_prior_output():
+    """A dict reset only bounds back-references; output decoded
+    before the reset is still part of the stream. Build a raw LZMA2
+    stream by hand (two control-1 copy chunks = two dict resets,
+    then the end marker) and pin it against stdlib's raw LZMA2
+    decoder."""
+    from gmall_flink_210726_spark.operators.xz import lzma2_decompress
+
+    a, b = b"hello lzma2 ", b"after the dict reset"
+    raw = (
+        b"\x01" + (len(a) - 1).to_bytes(2, "big") + a
+        + b"\x01" + (len(b) - 1).to_bytes(2, "big") + b
+        + b"\x00"
+    )
+    dec = lzma.LZMADecompressor(
+        format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}],
+    )
+    expect = dec.decompress(raw)
+    assert expect == a + b
+    plain, pos = lzma2_decompress(raw, 0, len(raw))
+    assert plain == expect and pos == len(raw)
+
+
+def test_lzma2_compressed_chunk_after_copy_dict_reset():
+    """Compressed chunk whose dictionary starts at a mid-stream
+    reset: take a stdlib raw LZMA2 stream (which begins with a dict
+    reset) and prepend a control-1 copy chunk; the copy chunk's
+    bytes must survive in the output and must NOT be reachable as
+    match history for the compressed part."""
+    from gmall_flink_210726_spark.operators.xz import lzma2_decompress
+
+    body = b"the quick brown fox " * 8
+    comp = lzma.compress(
+        body,
+        format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}],
+    )
+    assert comp.endswith(b"\x00")
+    prefix = b"PRE" * 5
+    raw = b"\x01" + (len(prefix) - 1).to_bytes(2, "big") + prefix + comp
+    dec = lzma.LZMADecompressor(
+        format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "preset": 6}],
+    )
+    expect = dec.decompress(raw)
+    assert expect == prefix + body
+    plain, pos = lzma2_decompress(raw, 0, len(raw))
+    assert plain == expect and pos == len(raw)
