@@ -85,8 +85,33 @@ def parse_warc_record(payload: bytes) -> dict | None:
     return {
         "type": rtype_s,
         "uri": uri,
+        "ctype": fields.get(b"content-type", b"").decode("latin-1"),
         "content": payload[body_start : body_start + clen],
     }
+
+
+def response_payload(rec: dict) -> tuple[dict | None, bytes] | None:
+    """Peel the HTTP/1.1 message layer when the record carries one.
+
+    ISO 28500 §6 says a ``response`` record's Content-Type SHOULD be
+    ``application/http; msgtype=response`` — that WARC header (not a
+    body sniff) is the discriminator between HTTP-bearing records
+    (real CommonCrawl, 2013+) and bare-payload captures. Returns
+    ``(http_meta, body)`` where ``http_meta`` is
+    ``operators/httpmsg.py parse_http_response``'s dict for
+    HTTP-bearing records and ``None`` for bare ones; returns ``None``
+    outright when the declared HTTP message is malformed (status
+    line, chunked framing, Content-Length lie, content coding)."""
+    if rec["ctype"].split(";")[0].strip().lower() == "application/http":
+        from gmall_flink_210726_spark.operators.httpmsg import (
+            parse_http_response,
+        )
+
+        msg = parse_http_response(rec["content"])
+        if msg is None:
+            return None
+        return msg, msg["body"]
+    return None, rec["content"]
 
 
 def _walk_warc(data: bytes) -> dict | None:
@@ -171,10 +196,16 @@ def warc_record_stats(df: DataFrame) -> DataFrame:
 
 
 def make_warc_record(
-    rtype: str, uri: str, content: bytes, declared_len: int | None = None
+    rtype: str,
+    uri: str,
+    content: bytes,
+    declared_len: int | None = None,
+    ctype: str | None = None,
 ) -> bytes:
     """Render one record; ``declared_len`` overrides the true length
-    (fixture corruption knob)."""
+    (fixture corruption knob); ``ctype`` adds the record Content-Type
+    header (``application/http; msgtype=response`` marks an
+    HTTP-bearing record per ISO 28500 §6)."""
     clen = len(content) if declared_len is None else declared_len
     head = [
         b"WARC/1.0",
@@ -183,6 +214,8 @@ def make_warc_record(
         b"WARC-Date: 2024-01-01T00:00:00Z",
         b"Content-Length: " + str(clen).encode("ascii"),
     ]
+    if ctype:
+        head.insert(3, b"Content-Type: " + ctype.encode("ascii"))
     if uri:
         head.insert(3, b"WARC-Target-URI: " + uri.encode("ascii"))
     return _CRLF.join(head) + _CRLF + _CRLF + content + _CRLF + _CRLF
@@ -289,10 +322,11 @@ WARC_HTML_SCHEMA = StructType(
 
 
 def _walk_warc_html(data: bytes) -> dict | None:
-    """Gzip members -> WARC records -> HTML extraction of every
-    response body. Any layer failing degrades the whole stream (a
-    desynchronized record or swallowed page makes everything after it
-    unreliable)."""
+    """Gzip members -> WARC records -> (HTTP message layer when the
+    record's Content-Type declares application/http) -> HTML
+    extraction of every response body. Any layer failing degrades the
+    whole stream (a desynchronized record or swallowed page makes
+    everything after it unreliable)."""
     from gmall_flink_210726_spark.operators.html import extract_text
 
     members = iter_gzip_members(data)
@@ -308,7 +342,11 @@ def _walk_warc_html(data: bytes) -> dict | None:
         n += 1
         if rec["type"] != "response":
             continue
-        res = extract_text(rec["content"].decode("latin-1"))
+        peeled = response_payload(rec)
+        if peeled is None:
+            return None
+        _msg, body = peeled
+        res = extract_text(body.decode("latin-1"))
         if res is None:
             return None
         if not title:
@@ -983,3 +1021,276 @@ def synthesize_wat_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# HTTP-bearing response records (real CommonCrawl, 2013+): the WARC
+# content block is a full HTTP/1.1 response — status line, headers,
+# chunked transfer framing, gzip/deflate content codings — peeled by
+# operators/httpmsg.py before the HTML extractor runs. The walk
+# dispatches on the record's Content-Type (application/http), so one
+# stream can mix bare and HTTP-bearing records.
+# --------------------------------------------------------------------------
+
+WARC_HTTP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_responses", LongType()),
+        StructField("n_http", LongType()),
+        StructField("status_sum", LongType()),
+        StructField("n_chunked", LongType()),
+        StructField("n_gzip", LongType()),
+        StructField("n_deflate", LongType()),
+        StructField("title", StringType()),
+        StructField("n_blocks", LongType()),
+        StructField("n_words", LongType()),
+        StructField("body_text", StringType()),
+    ]
+)
+
+
+def _walk_warc_http(data: bytes) -> dict | None:
+    """Gzip members -> WARC records -> HTTP message layer (status
+    line, chunked de-framing, content-coding decode) -> HTML
+    extraction. Any layer failing — a malformed status line, a
+    chunk-size lie, a Content-Length lie, an undecodable coding, a
+    swallowed page — degrades the whole stream."""
+    from gmall_flink_210726_spark.operators.html import extract_text
+
+    members = iter_gzip_members(data)
+    if members is None:
+        return None
+    n = n_resp = n_http = status_sum = 0
+    n_chunked = n_gzip = n_deflate = 0
+    title = ""
+    blocks: list[str] = []
+    for _name, payload in members:
+        rec = parse_warc_record(payload)
+        if rec is None:
+            return None
+        n += 1
+        if rec["type"] != "response":
+            continue
+        n_resp += 1
+        peeled = response_payload(rec)
+        if peeled is None:
+            return None
+        msg, body = peeled
+        if msg is not None:
+            n_http += 1
+            status_sum += msg["status"]
+            n_chunked += int(msg["chunked"])
+            n_gzip += int(
+                any(e in ("gzip", "x-gzip") for e in msg["encodings"])
+            )
+            n_deflate += int("deflate" in msg["encodings"])
+        res = extract_text(body.decode("latin-1"))
+        if res is None:
+            return None
+        if not title:
+            title = res["title"]
+        blocks.extend(res["blocks"])
+    body_text = "\n".join(blocks)
+    return {
+        "n_records": n,
+        "n_responses": n_resp,
+        "n_http": n_http,
+        "status_sum": status_sum,
+        "n_chunked": n_chunked,
+        "n_gzip": n_gzip,
+        "n_deflate": n_deflate,
+        "title": title,
+        "n_blocks": len(blocks),
+        "n_words": sum(len(b.split(" ")) for b in blocks),
+        "body_text": body_text,
+    }
+
+
+def _warc_http_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_records": 0,
+            "n_responses": 0,
+            "n_http": 0,
+            "status_sum": 0,
+            "n_chunked": 0,
+            "n_gzip": 0,
+            "n_deflate": 0,
+            "title": "",
+            "n_blocks": 0,
+            "n_words": 0,
+            "body_text": "",
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = _walk_warc_http(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="warc", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in WARC_HTTP_SCHEMA.fields]
+    )
+
+
+def warc_http_text(df: DataFrame) -> DataFrame:
+    """The REAL CommonCrawl ingest pass: HTTP-bearing response
+    records de-framed and de-coded before HTML extraction. Per-blob
+    stateless Arrow-batched mapInPandas; only integer stats and the
+    extracted text shuffle."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _warc_http_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, WARC_HTTP_SCHEMA
+    )
+
+
+def _chunk_body(body: bytes, step: int, lie: bool = False) -> bytes:
+    """Chunked-framing encoder for fixtures: ``step``-byte chunks, a
+    chunk extension on the first size line, a trailer field, the
+    final CRLF. ``lie`` inflates the FIRST chunk's declared size by
+    one — the desync the exact-consumption check must catch."""
+    out = bytearray()
+    first = True
+    for off in range(0, len(body), step):
+        piece = body[off : off + step]
+        size = len(piece) + (1 if lie and first else 0)
+        ext = b";ext=a" if first else b""
+        out += format(size, "x").encode("ascii") + ext + _CRLF
+        out += piece + _CRLF
+        first = False
+    out += b"0" + _CRLF
+    out += b"X-Len: " + str(len(body)).encode("ascii") + _CRLF
+    out += _CRLF
+    return bytes(out)
+
+
+def _make_http_response(i: int, page: bytes) -> bytes:
+    """Deterministic HTTP/1.1 response around the HTML page.
+
+    Framing variant ``i % 5``: 0 identity+Content-Length, 1 chunked,
+    2 gzip+Content-Length, 3 chunked over gzip, 4 deflate+
+    Content-Length. Lie stripes override the shape so the oracle can
+    predict them: every 13th id declares one chunk a byte bigger than
+    it is (chunk-size lie), every 13th-miss 17th id declares
+    Content-Length one byte long (CL lie) — each desync must degrade
+    its stream and nothing else."""
+    import zlib as _zlib
+
+    head = [
+        b"HTTP/1.1 200 OK",
+        b"Date: Mon, 01 Jan 2024 00:00:00 GMT",
+        b"Server: warcfix/1.0",
+        b"Content-Type: text/html; charset=latin-1",
+    ]
+    step = 7 + i % 13
+    if i % 13 == 0:
+        head.append(b"Transfer-Encoding: chunked")
+        body = _chunk_body(page, step, lie=True)
+    elif i % 17 == 0:
+        head.append(
+            b"Content-Length: " + str(len(page) + 1).encode("ascii")
+        )
+        body = page
+    else:
+        v = i % 5
+        if v == 0:
+            head.append(
+                b"Content-Length: " + str(len(page)).encode("ascii")
+            )
+            body = page
+        elif v == 1:
+            head.append(b"Transfer-Encoding: chunked")
+            body = _chunk_body(page, step)
+        elif v == 2:
+            gz = _gzip_member(page)
+            head.append(b"Content-Encoding: gzip")
+            head.append(
+                b"Content-Length: " + str(len(gz)).encode("ascii")
+            )
+            body = gz
+        elif v == 3:
+            gz = _gzip_member(page)
+            head.append(b"Content-Encoding: gzip")
+            head.append(b"Transfer-Encoding: chunked")
+            body = _chunk_body(gz, step)
+        else:
+            df = _zlib.compress(page, 6)
+            head.append(b"Content-Encoding: deflate")
+            head.append(
+                b"Content-Length: " + str(len(df)).encode("ascii")
+            )
+            body = df
+    return _CRLF.join(head) + _CRLF + _CRLF + body
+
+
+def _make_warc_http_stream(i: int, text: str) -> bytes:
+    """A warcinfo record plus ONE HTTP-bearing response (Content-Type
+    application/http; msgtype=response) whose de-framed, de-coded
+    body is the HTML fixture page. Corruption can strike any of the
+    three layers independently: every 11th id's page swallows via the
+    unclosed script (HTML), every 13th id lies about a chunk size
+    (HTTP framing), every 17th lies about Content-Length (HTTP
+    framing) — all CRC-clean at the gzip layer below."""
+    from gmall_flink_210726_spark.operators.html import _make_html
+    from gmall_flink_210726_spark.operators.inflate import _run_text
+
+    info = make_warc_record("warcinfo", "", _run_text(i, 0, 80))
+    page = _make_html(i, text).encode("latin-1")
+    resp = make_warc_record(
+        "response",
+        f"http://example.com/doc/{i}",
+        _make_http_response(i, page),
+        ctype="application/http; msgtype=response",
+    )
+    return _gzip_member(info) + _gzip_member(resp)
+
+
+def synthesize_warc_http_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of .warc.gz streams whose response records
+    carry full HTTP/1.1 messages (the real CommonCrawl shape)."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id", "text"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_warc_http_stream(int(i), t)
+                        for i, t in zip(ids, pdf["text"])
+                    ],
+                    "meta": [
+                        {
+                            "format": "warc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)

@@ -71,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm14,
         llm15,
         llm16,
+        llm17,
         streamq,
         streamq2,
         streamq3,

@@ -19,7 +19,7 @@ class TestRecordGrammar:
         rec = make_warc_record("response", "http://x/1", b"hello")
         r = parse_warc_record(rec)
         assert r == {"type": "response", "uri": "http://x/1",
-                     "content": b"hello"}
+                     "ctype": "", "content": b"hello"}
 
     def test_warcinfo_needs_no_uri(self):
         r = parse_warc_record(make_warc_record("warcinfo", "", b"abc"))
