@@ -92,3 +92,68 @@ def multimodal_warc_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return warc_http_text(media)
+
+
+@register(
+    "multimodal_parquet_bloom",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      2 + doc_id % 3 AS g,
+                      doc_id % 7 = 0 OR doc_id % 9 = 0 AS bad,
+                      doc_id % 137 AS qr
+               FROM documents),
+    p AS (SELECT media_id, g, bad,
+                 qr < 24 * g AS present,
+                 CASE WHEN qr < 24 * g THEN qr % g ELSE -1 END AS fg
+          FROM m)
+    SELECT media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_groups,
+           CAST(CASE WHEN bad OR NOT present THEN 0 ELSE 1
+                END AS BIGINT) AS n_maybe,
+           CAST(CASE WHEN bad THEN 0
+                     WHEN present THEN g - 1 ELSE g
+                END AS BIGINT) AS n_skipped,
+           CAST(CASE WHEN bad OR NOT present THEN 0 ELSE 1
+                END AS BIGINT) AS n_found,
+           CAST(CASE WHEN bad THEN -1 ELSE fg END AS BIGINT)
+             AS found_group,
+           CAST(CASE WHEN bad OR NOT present THEN 0
+                ELSE 1000 * (24 * fg + 276 * g) + 24 * media_id
+                END AS BIGINT) AS k_sum_read
+    FROM p
+    """,
+    doc="Parquet split-block bloom filters (SBBF) — the third and "
+    "last data-skipping layer beside row-group stats (L192) and the "
+    "page index (L222), and the only one that prunes point lookups "
+    "when every group spans the full value range (the fixture's "
+    "groups deliberately interleave values so min/max could never "
+    "skip). From-scratch XXH64 (pinned against Spark's JVM xxhash64 "
+    "and the reference vectors), the multiply-shift block reduction "
+    "and eight-SALT word masks from the parquet-format spec, and a "
+    "hand Thrift-compact WRITER rendering the complete file "
+    "(pyarrow 16 cannot write blooms; pyarrow reads the hand file "
+    "back bit-exact in tests). The walk opens ONLY maybe-groups. "
+    "Trust chain: bloom_filter_length must equal parsed header + "
+    "numBytes (every 7th id lies by one byte); false negatives are "
+    "a spec violation, so every decoded value of every opened group "
+    "re-probes its own filter — every 9th id zeroes one bit of a "
+    "non-probe value chosen so the probe key still opens the group "
+    "and walks into the lie. No false positives over the driver id "
+    "range (measured exhaustively), so the oracle reconstructs "
+    "n_maybe/n_skipped/found_group/k_sum_read blind from doc_id. "
+    "operators/pqbloom.py read_parquet_bloom_lookup",
+    tags=("llm", "multimodal", "lakehouse"),
+)
+def multimodal_parquet_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.pqbloom import (
+        parquet_bloom_stats,
+        synthesize_parquet_bloom_media,
+    )
+
+    media = synthesize_parquet_bloom_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_bloom_stats(media)
