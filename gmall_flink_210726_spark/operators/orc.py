@@ -182,15 +182,25 @@ def rle_v2_unsigned(data: bytes, n: int) -> tuple[list[int], int]:
     return _rle_v2(data, n, signed=False)
 
 
-def _rle_v2(data: bytes, n: int, signed: bool) -> tuple[list[int], int]:
+def _rle_v2(
+    data: bytes,
+    n: int,
+    signed: bool,
+    runs: list | None = None,
+) -> tuple[list[int], int]:
     """Shared RLEv2 walk; raises ValueError on any grammar violation
-    or count mismatch."""
+    or count mismatch. When ``runs`` is given, appends one
+    ``(byte offset of run header, values decoded before it)`` pair
+    per run — the boundary record ROW_INDEX positions must hit
+    (operators/orc2.py cross-checks the index against it)."""
     out: list[int] = []
     pos = 0
     enc_mask = 0
     while len(out) < n:
         if pos >= len(data):
             raise ValueError("rle: out of input")
+        if runs is not None:
+            runs.append((pos, len(out)))
         h = data[pos]
         enc = h >> 6
         enc_mask |= 1 << enc
