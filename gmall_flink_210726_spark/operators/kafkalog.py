@@ -21,9 +21,11 @@ Implemented from the spec:
   over everything AFTER the crc field — a single flipped byte in
   the records region must degrade;
 - attributes bits 0-2 select the records-block compression: none /
-  gzip / lz4 FRAME / zstd, routed through the repo's hand RFC 1952,
-  RFC 8878 and LZ4-frame decoders (Kafka's snappy uses the
-  Java-ecosystem xerial framing and is out of scope, documented);
+  gzip / xerial-snappy / lz4 FRAME / zstd, routed through the
+  repo's hand RFC 1952,
+  RFC 8878 and LZ4-frame decoders (Kafka's snappy is the
+  Java-ecosystem xerial framing over raw snappy blocks, decoded by
+  _xerial_snappy_decompress through the hand raw-snappy decoder);
 - RECORDS are varint-framed with ZIGZAG varints: length, attributes,
   timestampDelta, offsetDelta, key (-1 = null), value, headers;
   each record's length field must equal its actual byte size,
@@ -89,7 +91,42 @@ def _zz_enc(v: int) -> bytes:
             return bytes(out)
 
 
-_COMP_NAMES = {0: "none", 1: "gzip", 3: "lz4", 4: "zstd"}
+_COMP_NAMES = {0: "none", 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+
+
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+
+
+def _xerial_snappy_decompress(body: bytes) -> bytes | None:
+    """Kafka's snappy records-block coding is the Java-ecosystem
+    XERIAL stream framing (snappy-java SnappyOutputStream), not raw
+    snappy: the 8-byte magic ``\x82SNAPPY\x00``, two int32-BE
+    version fields (version, min-compatible version), then repeated
+    ``[int32 BE block length][raw snappy block]`` — each block
+    routed through the repo's hand raw-snappy decoder
+    (operators/parquetmeta.py snappy_decompress). Exact consumption:
+    a block length that overruns the body refuses the batch."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        snappy_decompress,
+    )
+
+    if len(body) < 16 or body[:8] != _XERIAL_MAGIC:
+        return None
+    version, compat = struct.unpack_from(">ii", body, 8)
+    if version < 1 or compat < 1 or compat > version:
+        return None
+    pos = 16
+    out = bytearray()
+    while pos < len(body):
+        if pos + 4 > len(body):
+            return None
+        (ln,) = struct.unpack_from(">i", body, pos)
+        pos += 4
+        if ln <= 0 or pos + ln > len(body):
+            return None
+        out.extend(snappy_decompress(body[pos : pos + ln]))
+        pos += ln
+    return bytes(out)
 
 
 def _records_decompress(body: bytes, codec: int) -> bytes | None:
@@ -105,6 +142,8 @@ def _records_decompress(body: bytes, codec: int) -> bytes | None:
             if members is None:
                 return None
             return b"".join(p for _, p in members)
+        if codec == 2:
+            return _xerial_snappy_decompress(body)
         if codec == 3:
             from gmall_flink_210726_spark.operators.lz4 import (
                 lz4_frame_decompress,
@@ -136,6 +175,7 @@ def read_kafka_segment(data: bytes) -> dict | None:
         "ts_delta_sum": 0,
         "max_offset": -1,
     }
+    codecs: set[str] = set()
     if not data:
         return None
     try:
@@ -222,9 +262,13 @@ def read_kafka_segment(data: bytes) -> dict | None:
             out["n_batches"] += 1
             out["n_records"] += rcount
             out["max_offset"] = base_off + last_od
+            codecs.add(_COMP_NAMES[codec])
             pos = batch_end
     except (ValueError, struct.error):
         return None
+    out["compression"] = (
+        codecs.pop() if len(codecs) == 1 else "mixed"
+    )
     return out
 
 
@@ -268,11 +312,9 @@ def _kafka_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         except Exception:
             st = None
         if st is not None:
-            row.update(
-                format="kafka",
-                compression=("none", "gzip", "lz4", "zstd")[i % 4],
-                **st,
-            )
+            # compression comes from the DECODED batch attributes,
+            # not the fixture id
+            row.update(format="kafka", **st)
         out.append(row)
     return pd.DataFrame(
         out, columns=[f.name for f in KAFKA_SCHEMA.fields]
@@ -321,10 +363,10 @@ def _enc_record(i: int, b: int, r: int) -> bytes:
 
 def _make_kafka_segment(i: int, bad_stripe: int = 11) -> bytes:
     """``1 + i % 3`` batches of ``2 + (i+b) % 4`` records each,
-    compression by id (none/gzip/lz4-frame/zstd via the reference
-    pyarrow codecs). Every ``bad_stripe``-th id XORs one byte inside
+    compression by id (none/gzip/xerial-snappy/lz4-frame/zstd via
+    the reference pyarrow codecs). Every ``bad_stripe``-th id XORs one byte inside
     the FIRST batch's records region — CRC32C must catch it."""
-    codec = i % 4
+    codec = i % 5
     base_off = 0
     parts = []
     first_records_at = -1
@@ -338,12 +380,24 @@ def _make_kafka_segment(i: int, bad_stripe: int = 11) -> bytes:
         elif codec == 2:
             import pyarrow as pa
 
-            records = bytes(pa.Codec("lz4").compress(records))
+            # xerial framing over raw snappy blocks; <=24-byte blocks
+            # force the multi-block path
+            blocks = [
+                bytes(pa.Codec("snappy").compress(records[o : o + 24]))
+                for o in range(0, len(records), 24)
+            ]
+            records = _XERIAL_MAGIC + struct.pack(">ii", 1, 1) + b"".join(
+                struct.pack(">i", len(blk)) + blk for blk in blocks
+            )
         elif codec == 3:
             import pyarrow as pa
 
+            records = bytes(pa.Codec("lz4").compress(records))
+        elif codec == 4:
+            import pyarrow as pa
+
             records = bytes(pa.Codec("zstd").compress(records))
-        attrs = {0: 0, 1: 1, 2: 3, 3: 4}[codec]
+        attrs = codec
         mid = struct.pack(
             ">hiqqqhii",
             attrs,

@@ -1026,9 +1026,10 @@ def multimodal_orc_strings(
     SELECT m.i AS media_id,
            CASE WHEN bad THEN 'unknown' ELSE 'kafka' END AS format,
            CASE WHEN bad THEN ''
-                WHEN m.i % 4 = 0 THEN 'none'
-                WHEN m.i % 4 = 1 THEN 'gzip'
-                WHEN m.i % 4 = 2 THEN 'lz4'
+                WHEN m.i % 5 = 0 THEN 'none'
+                WHEN m.i % 5 = 1 THEN 'gzip'
+                WHEN m.i % 5 = 2 THEN 'snappy'
+                WHEN m.i % 5 = 3 THEN 'lz4'
                 ELSE 'zstd' END AS compression,
            CAST(CASE WHEN bad THEN 0 ELSE nb END AS BIGINT) AS n_batches,
            CAST(CASE WHEN bad THEN 0 ELSE ag.n_records END AS BIGINT)
@@ -1054,9 +1055,10 @@ def multimodal_orc_strings(
     "frames whose CRC32C (Castagnoli, from-scratch table, pinned on "
     "the RFC 3720 vector) covers everything after the crc field; "
     "attributes select the records-block compression (none / gzip / "
-    "lz4 FRAME / zstd through the repo's hand decoders; Kafka's "
-    "snappy is Java-ecosystem xerial framing, documented out of "
-    "scope); records are zigzag-varint framed (length must equal "
+    "xerial-snappy / lz4 FRAME / zstd through the repo's hand "
+    "decoders — snappy is the Java-ecosystem xerial stream framing, "
+    "magic+versions+[len][raw snappy block] repeated, multi-block "
+    "exercised); records are zigzag-varint framed (length must equal "
     "the actual bytes, offsetDeltas dense 0..n-1, lastOffsetDelta "
     "agreeing, headers walked, null keys counted). Values carry a "
     "numeric payload the reader parses back out, so the oracle "

@@ -70,3 +70,63 @@ class TestSegmentWalk:
         got = read_kafka_segment(_make_kafka_segment(i))
         assert got is not None
         assert got["max_offset"] == got["n_records"] - 1
+
+
+# ------------------------------------------------- xerial snappy path
+
+
+def test_xerial_snappy_batches_roundtrip():
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        _make_kafka_segment,
+        read_kafka_segment,
+    )
+
+    # ids = 2 mod 5 are xerial-snappy; multi-block framing (24-byte
+    # blocks) is exercised whenever the records region exceeds one
+    for i in (2, 7, 12, 17, 27, 37):
+        st = read_kafka_segment(_make_kafka_segment(i))
+        assert st is not None, i
+        assert st["compression"] == "snappy"
+
+
+def test_xerial_framing_violations_refused():
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        _xerial_snappy_decompress,
+    )
+    import struct as _struct
+
+    import pyarrow as pa
+
+    blk = bytes(pa.Codec("snappy").compress(b"hello xerial"))
+    good = (
+        b"\x82SNAPPY\x00" + _struct.pack(">ii", 1, 1)
+        + _struct.pack(">i", len(blk)) + blk
+    )
+    assert _xerial_snappy_decompress(good) == b"hello xerial"
+    assert _xerial_snappy_decompress(b"\x83SNAPPY\x00" + good[8:]) is None
+    # compat version above version
+    bad_ver = b"\x82SNAPPY\x00" + _struct.pack(">ii", 1, 2) + good[16:]
+    assert _xerial_snappy_decompress(bad_ver) is None
+    # block length overrunning the body
+    lie = (
+        b"\x82SNAPPY\x00" + _struct.pack(">ii", 1, 1)
+        + _struct.pack(">i", len(blk) + 9) + blk
+    )
+    assert _xerial_snappy_decompress(lie) is None
+    assert _xerial_snappy_decompress(good[:-1]) is None
+
+
+def test_compression_reported_from_decoded_attributes():
+    """The compression column is the DECODED batch attribute name,
+    uniform across a segment's batches."""
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        _make_kafka_segment,
+        read_kafka_segment,
+    )
+
+    for i in (5, 6, 7, 8, 9):
+        st = read_kafka_segment(_make_kafka_segment(i))
+        assert st is not None
+        assert st["compression"] == (
+            "none", "gzip", "snappy", "lz4", "zstd"
+        )[i % 5]
