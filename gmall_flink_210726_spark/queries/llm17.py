@@ -315,3 +315,174 @@ def multimodal_orc_rowindex(
         load_table(spark, sf_dir, "documents")
     )
     return orc_rowindex_stats(media)
+
+
+def _l2sql(x: str) -> str:
+    """DuckDB fixed-point log2 — the same integer square-and-compare
+    loop as operators/unigram.py log2fix (bit-identical)."""
+    n = f"(length(printf('%b', {x})) - 1)"
+    init = f"((({x} * 65536) // (1 << {n})) << 32)"
+    fold = (
+        f"list_reduce(list_prepend({init}, range(0, 16)), "
+        "(s, i) -> CASE WHEN (((s >> 32) * (s >> 32)) >> 16) >= 131072 "
+        "THEN ((((s >> 32) * (s >> 32)) >> 17) << 32) "
+        "+ ((s & 4294967295) * 2 + 1) "
+        "ELSE ((((s >> 32) * (s >> 32)) >> 16) << 32) "
+        "+ ((s & 4294967295) * 2) END)"
+    )
+    return f"({n} * 65536 + ({fold} & 4294967295))"
+
+
+def _unigram_oracle(mode: str) -> str:
+    """The full seed + 2-round hard-EM replay in DuckDB SQL; ``mode``
+    selects the train (vocab) or encode (per-doc) tail."""
+    head = r"""
+    WITH wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM (
+        SELECT substr(x, 1, 8) AS w FROM (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(text), '\s+'), x -> x != '')) AS x
+          FROM documents))
+      GROUP BY w),
+    sub AS (
+      SELECT substr(w, pos, l) AS piece, CAST(SUM(ct) AS BIGINT) AS u
+      FROM wf, unnest(range(1, 9)) AS t1(pos),
+               unnest(range(1, 5)) AS t2(l)
+      WHERE pos + l - 1 <= length(w)
+      GROUP BY 1),
+    topv AS (SELECT piece, u FROM sub ORDER BY u DESC, piece LIMIT 96),
+    chars AS (SELECT piece, u FROM sub WHERE length(piece) = 1),
+    v0 AS (SELECT piece, MAX(u) AS u
+           FROM (SELECT * FROM topv UNION ALL SELECT * FROM chars)
+           GROUP BY piece),
+    seg AS (
+      SELECT w, ct, mask,
+             list_transform(range(1, length(cuts)),
+               t -> substr(w, cuts[t] + 1, cuts[t+1] - cuts[t]))
+               AS pieces
+      FROM (
+        SELECT w, ct, mask,
+               list_concat(list_concat([0],
+                 list_filter(range(1, length(w)),
+                   j -> ((mask >> (j - 1)) & 1) = 1)),
+                 [length(w)]) AS cuts
+        FROM (SELECT w, ct,
+                     unnest(range(0, (1::BIGINT << (length(w) - 1))))
+                       AS mask
+              FROM wf)))"""
+    round_tpl = """,
+    c{k} AS (SELECT piece, {lt} - {lu} AS cost
+             FROM v{k}, (SELECT CAST(SUM(u) AS BIGINT) AS T
+                         FROM v{k}) t),
+    sc{k} AS (
+      SELECT q.w, q.mask, COUNT(*) AS np, COUNT(c.cost) AS nv,
+             CAST(SUM(c.cost) AS BIGINT) AS score
+      FROM (SELECT w, mask, unnest(pieces) AS piece FROM seg) q
+      LEFT JOIN c{k} c ON c.piece = q.piece
+      GROUP BY q.w, q.mask),
+    win{k} AS (
+      SELECT w, mask FROM (
+        SELECT w, mask, row_number() OVER (
+          PARTITION BY w ORDER BY score, np, mask) AS rn
+        FROM sc{k} WHERE nv = np) WHERE rn = 1)"""
+    usage_tpl = """,
+    ur{k} AS (
+      SELECT piece, CAST(SUM(ct) AS BIGINT) AS u
+      FROM (SELECT s.ct, unnest(s.pieces) AS piece
+            FROM seg s JOIN win{k} x
+              ON s.w = x.w AND s.mask = x.mask)
+      GROUP BY piece),
+    v{k1} AS (
+      SELECT piece, u FROM ur{k} WHERE length(piece) > 1
+      UNION ALL
+      SELECT ch.piece, COALESCE(u2.u, 1) AS u
+      FROM chars ch LEFT JOIN ur{k} u2 ON u2.piece = ch.piece)"""
+    sql = head
+    for k in range(2):
+        sql += round_tpl.format(
+            k=k, lt=_l2sql("t.T"), lu=_l2sql("u")
+        ) + usage_tpl.format(k=k, k1=k + 1)
+    # the post-training cost table and (for encode) a final pass
+    sql += round_tpl.format(k=2, lt=_l2sql("t.T"), lu=_l2sql("u"))
+    if mode == "train":
+        return sql + """
+    SELECT v2.piece AS piece, v2.u AS usage, c2.cost AS cost
+    FROM v2 JOIN c2 ON c2.piece = v2.piece
+    """
+    return sql + r""",
+    pw AS (
+      SELECT z.w, CAST(COUNT(*) AS BIGINT) AS w_tokens,
+             CAST(SUM(CASE WHEN length(piece) > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS w_multi,
+             CAST(SUM(length(piece)) AS BIGINT) AS w_chars
+      FROM (SELECT s.w, unnest(s.pieces) AS piece
+            FROM seg s JOIN win2 x
+              ON s.w = x.w AND s.mask = x.mask) z
+      GROUP BY z.w),
+    pairs AS (
+      SELECT doc_id, substr(x, 1, 8) AS w FROM (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\s+'), x -> x != '')) AS x
+        FROM documents))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(w_multi) AS BIGINT) AS n_multi,
+           CAST(SUM(w_chars) AS BIGINT) AS n_chars
+    FROM pairs JOIN pw ON pw.w = pairs.w
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "text_unigram_train",
+    oracle=_unigram_oracle("train"),
+    doc="SentencePiece-style unigram-LM tokenizer TRAINING (Kudo "
+    "2018) — completes the tokenizer-training trio beside bpe_train "
+    "(L185) and WordPiece: seed vocabulary from frequent substrings "
+    "(top-96 of all length-1..4 substrings of the frequency-weighted "
+    "distinct words, plus every character for coverage), then two "
+    "hard-EM (Viterbi-EM) rounds: E re-segments every distinct word "
+    "under the current piece costs, M recomputes costs from "
+    "frequency-weighted usage, pruning drops unused multi-char "
+    "pieces while characters keep a usage floor. Every arithmetic "
+    "step is integer-deterministic so the oracle replays EM EXACTLY "
+    "in SQL: costs are fixed-point base-2 surprisals computed by an "
+    "integer square-and-compare mantissa loop (bit-identical in "
+    "Python, a Spark aggregate fold, and a DuckDB list_reduce), and "
+    "Viterbi is an exhaustive enumeration of the <=128 cut masks of "
+    "8-char-capped words with (cost, n_pieces, mask) total-order "
+    "tie-breaks — no float ever enters. Scale: ONE corpus-sized "
+    "shuffle (the checkpointed distinct-word frame), vocab-sized agg "
+    "+ ~160-row bounded collect per round, the bpe_train loop "
+    "discipline. operators/unigram.py unigram_train; validated "
+    "against an independent pure-Python reference in tests.",
+    tags=("llm", "text", "tokenizer"),
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.unigram import unigram_train
+
+    return unigram_train(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_unigram_encode",
+    oracle=_unigram_oracle("encode"),
+    doc="Corpus-wide Viterbi ENCODING under the trained unigram-LM "
+    "costs — the tokenizer's throughput step (what a training-data "
+    "pipeline spends its cycles on after text_unigram_train learns "
+    "the vocabulary once). Segments the DISTINCT-word frame only "
+    "(tokenize the vocabulary, never re-tokenize the zipfian "
+    "corpus — the L185 bpe_encode discipline) and joins back to the "
+    "(doc, word) pairs. Per doc: n_words, n_tokens, n_multi "
+    "(multi-char pieces), and n_chars recomputed from PIECE lengths "
+    "— the losslessness proof (must equal the summed truncated word "
+    "lengths, which is how the oracle cross-derives it). "
+    "operators/unigram.py unigram_encode",
+    tags=("llm", "text", "tokenizer"),
+)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.unigram import (
+        unigram_encode,
+    )
+
+    return unigram_encode(load_table(spark, sf_dir, "documents"))
