@@ -486,3 +486,84 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return unigram_encode(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lakehouse_delta_v2_checkpoint",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 9 = 0 OR doc_id % 13 = 0
+                        OR doc_id % 15 = 0 AS bad,
+                      2 + doc_id % 2 AS nf,
+                      1 + doc_id % 2 AS ns
+               FROM documents),
+    fj AS (SELECT i, nf, f, 30 + ((i + f) % 4) * 10 AS R,
+                  NOT (i % 2 = 1 AND f = 0) AS alive
+           FROM (SELECT i, nf, unnest(range(0, nf + 1)) AS f FROM m)),
+    rj AS (SELECT i, (19 * i + 7 * f + 3 * j) % 2000 AS k
+           FROM (SELECT i, f, unnest(range(0, R)) AS j
+                 FROM fj WHERE alive)),
+    agg AS (SELECT fj.i,
+                   SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS lf,
+                   SUM(CASE WHEN alive THEN R ELSE 0 END) AS lr
+            FROM fj GROUP BY fj.i),
+    ks AS (SELECT i, SUM(k) AS ksum FROM rj GROUP BY i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS checkpoint_version,
+           CAST(CASE WHEN bad THEN 0 ELSE 3 + ns END AS BIGINT)
+             AS n_main_actions,
+           CAST(CASE WHEN bad THEN 0 ELSE ns END AS BIGINT)
+             AS n_sidecars,
+           CAST(CASE WHEN bad THEN 0 ELSE nf + 1 END AS BIGINT)
+             AS n_sidecar_actions,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_tombstones,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_tail_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.lf END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE agg.lr END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE ks.ksum END AS BIGINT)
+             AS k_sum
+    FROM m
+    JOIN agg ON agg.i = m.i
+    JOIN ks ON ks.i = m.i
+    """,
+    doc="Delta V2 CHECKPOINTS (delta.io PROTOCOL.md 'V2 Checkpoint "
+    "Table Feature') — what current feature-enabled writers emit, "
+    "keeping the Delta layer current (VERDICT r11 next #8): the "
+    "checkpoint at V is a UUID-named MANIFEST parquet "
+    "(<V>.checkpoint.<uuid>.parquet, exactly one allowed) holding "
+    "checkpointMetadata + protocol + metaData + SIDECAR pointer "
+    "rows, while the file actions live in sidecar parquet parts "
+    "under _delta_log/_sidecars/. The hand struct-leaf reader (L233) "
+    "decodes both layers; _last_checkpoint carries checkpointSchema "
+    "and a size that must equal the TOTAL decoded action count "
+    "across manifest + sidecars (every 9th id lies by one). Trust "
+    "chain: exactly one checkpointMetadata row and its version must "
+    "equal V, protocol minReaderVersion == 3 (the v2Checkpoint "
+    "reader requirement), each sidecar's declared sizeInBytes vs "
+    "the member's true bytes (every 15th id inflates one), sidecars "
+    "hold ONLY file actions, duplicate adds across sidecars "
+    "refused, tail-commit contiguity and never-added-remove refusal "
+    "(every 13th id), and per-file stats.numRecords/size vs the "
+    "actual hand parquet decode. The oracle recomputes the "
+    "post-tail live set blind. operators/deltacp.py "
+    "read_delta_v2_checkpoint_table",
+    tags=("llm", "multimodal", "lakehouse"),
+)
+def lakehouse_delta_v2_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltacp import (
+        delta_v2_checkpoint_stats,
+        synthesize_delta_v2_checkpoint_media,
+    )
+
+    media = synthesize_delta_v2_checkpoint_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_v2_checkpoint_stats(media)

@@ -114,3 +114,96 @@ def test_boolean_and_int32_leaves_decode():
     # even ids null modificationTime: the FIELD-null level (def=1)
     mt = _read_struct_leaf(ckpt, meta, *_LEAVES["add_mtime"])
     assert ("null",) in mt
+
+
+# ------------------------------------------------------ v2 checkpoints
+
+
+class TestV2Checkpoint:
+    def test_fixture_matches_formula(self):
+        from gmall_flink_210726_spark.operators.deltacp import (
+            _cp_k,
+            _cp_rows,
+            _make_delta_v2_checkpoint_table,
+            read_delta_v2_checkpoint_table,
+        )
+
+        for i in (1, 2, 3, 4, 5, 9, 13, 15, 30, 45):
+            st = read_delta_v2_checkpoint_table(
+                _make_delta_v2_checkpoint_table(i)
+            )
+            if i % 9 == 0 or i % 13 == 0 or i % 15 == 0:
+                assert st is None, i
+                continue
+            assert st is not None, i
+            m = 2 + i % 2
+            alive = [
+                f for f in range(m + 1) if not (i % 2 == 1 and f == 0)
+            ]
+            assert st["checkpoint_version"] == 2
+            assert st["n_sidecars"] == 1 + i % 2
+            assert st["n_sidecar_actions"] == m + 1
+            assert st["n_tombstones"] == 1
+            assert st["live_files"] == len(alive)
+            assert st["live_rows"] == sum(
+                _cp_rows(i, f) for f in alive
+            )
+            assert st["k_sum"] == sum(
+                _cp_k(i, f, j)
+                for f in alive
+                for j in range(_cp_rows(i, f))
+            )
+
+    def test_protocol_below_v3_refused(self):
+        """A v2-shaped checkpoint whose protocol says reader v1 must
+        refuse — the feature requires minReaderVersion 3."""
+        from gmall_flink_210726_spark.operators import deltacp as d
+
+        blob = d._make_delta_v2_checkpoint_table(1)
+        # the manifest stores minReaderVersion 3 as a PLAIN INT32;
+        # rewrite it to 1 in place via the tar member
+        members = dict(d._iter_tar_members(blob))
+        name = next(
+            n
+            for n in members
+            if ".checkpoint." in n and n.endswith(".parquet")
+        )
+        patched = members[name].replace(
+            b"\x03\x00\x00\x00", b"\x01\x00\x00\x00", 1
+        )
+        assert patched != members[name]
+        out = bytearray()
+        for n, payload in members.items():
+            p = patched if n == name else payload
+            pad = (-len(p)) % d._BLOCK
+            out += d._make_header(n, len(p)) + p + b"\x00" * pad
+        out += b"\x00" * (2 * d._BLOCK)
+        assert d.read_delta_v2_checkpoint_table(bytes(out)) is None
+
+    def test_two_manifests_refused(self):
+        from gmall_flink_210726_spark.operators import deltacp as d
+
+        blob = d._make_delta_v2_checkpoint_table(1)
+        members = list(d._iter_tar_members(blob))
+        name, payload = next(
+            (n, p) for n, p in members if ".checkpoint." in n
+        )
+        dup = name.replace(
+            d._uuid_for(1, 99), d._uuid_for(1, 98)
+        )
+        members.append((dup, payload))
+        out = bytearray()
+        for n, p in members:
+            pad = (-len(p)) % d._BLOCK
+            out += d._make_header(n, len(p)) + p + b"\x00" * pad
+        out += b"\x00" * (2 * d._BLOCK)
+        assert d.read_delta_v2_checkpoint_table(bytes(out)) is None
+
+    def test_truncation_refused(self):
+        from gmall_flink_210726_spark.operators.deltacp import (
+            _make_delta_v2_checkpoint_table,
+            read_delta_v2_checkpoint_table,
+        )
+
+        blob = _make_delta_v2_checkpoint_table(2)
+        assert read_delta_v2_checkpoint_table(blob[: len(blob) // 2]) is None
