@@ -788,3 +788,364 @@ def orc_rowindex_stats(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         gen, ORCIX_SCHEMA
     )
+
+
+# ------------------------------------------------------- BLOOM_FILTER
+# The third ORC skipping layer (stats -> ROW_INDEX -> blooms),
+# completing the same trio the parquet side has (L192/L222/L237).
+# Stream kind 8 (BLOOM_FILTER_UTF8) holds a BloomFilterIndex
+# protobuf: one BloomFilter per row-index stride, with
+# numHashFunctions (field 1) and the utf8bitset bytes (field 3).
+# LONG values are hashed with the Thomas Wang 64-bit mix computed in
+# SIGNED arithmetic (C++ ORC's int64_t shifts are arithmetic — this
+# maps 0 to 0, unlike the unsigned variant) and spread over k
+# positions Kirsch-Mitzenmacher style with Java-int overflow
+# semantics; every convention below is pinned bit-exact against
+# pyarrow's writer in tests.
+
+
+def _s64(x: int) -> int:
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def orc_long_hash(key: int) -> int:
+    """C++ ORC getLongHash: Thomas Wang mix over SIGNED int64."""
+    key = _s64(~key + (key << 21))
+    key = _s64(key ^ (key >> 24))
+    key = _s64(key + (key << 3) + (key << 8))
+    key = _s64(key ^ (key >> 14))
+    key = _s64(key + (key << 2) + (key << 4))
+    key = _s64(key ^ (key >> 28))
+    key = _s64(key + (key << 31))
+    return key
+
+
+def _i32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def orc_bloom_positions(v: int, k: int, nbits: int) -> list[int]:
+    """The k probe positions of LONG value v (Kirsch-Mitzenmacher
+    over the two 32-bit halves, Java-int wrap, negative -> ~x)."""
+    h = orc_long_hash(v)
+    h1, h2 = _i32(h), _i32(h >> 32)
+    out = []
+    for i in range(1, k + 1):
+        comb = _i32(h1 + i * h2)
+        if comb < 0:
+            comb = _i32(~comb)
+        out.append(comb % nbits)
+    return out
+
+
+def orc_bloom_check(bitset: bytes, k: int, v: int) -> bool:
+    nbits = len(bitset) * 8
+    return all(
+        (bitset[p >> 3] >> (p & 7)) & 1
+        for p in orc_bloom_positions(v, k, nbits)
+    )
+
+
+def _parse_bloom_index(raw: bytes) -> list[tuple[int, bytes]] | None:
+    """BloomFilterIndex -> [(numHashFunctions, bitset bytes)]."""
+    msg = _pb_fields(raw)
+    out = []
+    for e in msg.get(1, []):
+        bf = _pb_fields(e)
+        k = bf.get(1, [None])[0]
+        bits = bf.get(3, [None])[0]
+        if not isinstance(k, int) or not isinstance(bits, bytes):
+            return None
+        out.append((k, bits))
+    return out
+
+
+def read_orc_bloom_lookup(data: bytes, q: int) -> dict | None:
+    """Point lookup of ``q`` gated by the per-stride bloom filters:
+    strides whose filter rejects q are never read; read strides
+    re-probe EVERY decoded value against their own filter (a false
+    negative is a writer-contract violation — the planted bit-clear
+    lie must degrade), and all of a column's filters must agree on
+    (numHashFunctions, bitset size) — the writer invariant the
+    cooked-k lie violates. Bloom entry count must equal the
+    row-index entry count (one filter per stride)."""
+    walked = _walk_footer(data)
+    if walked is None:
+        return None
+    footer, comp = walked
+    if comp != 0:
+        return None
+    num_rows = footer.get(6, [None])[0]
+    stride = footer.get(8, [None])[0]
+    stripes = footer.get(3, [])
+    types = footer.get(4, [])
+    if (
+        not isinstance(num_rows, int)
+        or not isinstance(stride, int)
+        or stride <= 0
+        or not stripes
+        or len(types) != 2
+    ):
+        return None
+    if _pb_fields(types[1]).get(1, [0])[0] != 4:  # LONG
+        return None
+    n_strides = n_maybe = n_found = 0
+    found_stride = -1
+    total = 0
+    try:
+        for s in stripes:
+            got = _stripe_streams(data, _pb_fields(s), comp)
+            if got is None:
+                return None
+            streams, encs, rows = got
+            if encs.get(1) != 2:
+                return None
+            if (8, 1) not in streams or (6, 1) not in streams:
+                return None
+            blooms = _parse_bloom_index(streams[(8, 1)])
+            entries = _parse_row_index(streams[(6, 1)])
+            if blooms is None:
+                return None
+            nst = -(-rows // stride)
+            if len(blooms) != nst or len(entries) != nst:
+                return None  # one filter per stride, one entry each
+            shapes = {(k, len(bits)) for k, bits in blooms}
+            if len(shapes) != 1:
+                return None  # writer emits uniform k / numBytes
+            k0, _nb = next(iter(shapes))
+            if k0 < 1:
+                return None
+            vals = None
+            for kx, st_ in enumerate(blooms):
+                bk, bits = st_
+                n_strides += 1
+                if not orc_bloom_check(bits, bk, q):
+                    continue  # definitively absent: never read
+                n_maybe += 1
+                if vals is None:
+                    vals, _ = _rle_v2(streams[(1, 1)], rows, True)
+                r0 = kx * stride
+                r1 = min(r0 + stride, rows)
+                chunk = vals[r0:r1]
+                for v in chunk:
+                    if not orc_bloom_check(bits, bk, v):
+                        return None  # false negative: the filter lied
+                hits = sum(1 for v in chunk if v == q)
+                if hits and found_stride < 0:
+                    found_stride = kx
+                n_found += hits
+            total += rows
+    except (ValueError, IndexError, TypeError):
+        return None
+    if total != num_rows:
+        return None
+    return {
+        "n_rows": num_rows,
+        "n_strides": n_strides,
+        "n_maybe": n_maybe,
+        "n_found": n_found,
+        "found_stride": found_stride,
+    }
+
+
+ORCBLOOM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("n_strides", LongType()),
+        StructField("n_found", LongType()),
+        StructField("found_stride", LongType()),
+        StructField("q", LongType()),
+    ]
+)
+
+
+def _orc_bloom_params(i: int) -> tuple[int, int, bool]:
+    """(row count, probe value, present). Stride k holds the values
+    ``residue * 8 + k`` (residues 0..250) — every stride spans the
+    SAME numeric band, so min/max statistics cannot skip anything
+    and the bloom is the only working discriminator. Lie ids pin the
+    probe onto a present residue so the cooked stride is read."""
+    n = 3000 + 500 * (i % 5)
+    nst = -(-n // 1000)
+    lie = i % 19 == 0 or i % 23 == 0
+    qr = (i * 13) % (251 if lie else 260)
+    s_target = i % nst
+    return n, qr * 8 + s_target, qr < 251
+
+
+def _make_orc_bloom(i: int) -> bytes:
+    """REAL pyarrow.orc file with per-stride bloom filters (fpp
+    0.05, k=4). Every 19th id clears one bloom bit of a non-probe
+    value in the probe's stride (chosen outside the probe's own
+    positions, so the stride is still read and walks into the lie);
+    every 23rd id bumps stride 1's numHashFunctions varint — the
+    uniform-shape writer invariant catches it before any probe."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc_mod
+
+    n, q, _present = _orc_bloom_params(i)
+    nst = -(-n // 1000)
+    vals = [
+        ((i + 7 * r) % 251) * 8 + (r // 1000) for r in range(n)
+    ]
+    buf = io.BytesIO()
+    orc_mod.write_table(
+        pa.table({"k": pa.array(vals, pa.int64())}),
+        buf,
+        compression="uncompressed",
+        row_index_stride=1000,
+        bloom_filter_columns=[1],
+        bloom_filter_fpp=0.05,
+    )
+    blob = bytearray(buf.getvalue())
+    if not (i % 19 == 0 or i % 23 == 0):
+        return bytes(blob)
+    # locate the kind-8 col-1 stream and its per-entry spans
+    data = bytes(blob)
+    ps_len = data[-1]
+    ps = _pb_fields(data[-1 - ps_len : -1])
+    flen = ps[1][0]
+    foot = _pb_fields(
+        _unframe(data[len(data) - 1 - ps_len - flen : -1 - ps_len], 0)
+    )
+    st = _pb_fields(foot[3][0])
+    off, ilen, dlen, sflen = (st[k][0] for k in (1, 2, 3, 4))
+    sf = _pb_fields(
+        _unframe(data[off + ilen + dlen : off + ilen + dlen + sflen], 0)
+    )
+    pos = off
+    b_start = b_len = None
+    for sb in sf.get(1, []):
+        sd = _pb_fields(sb)
+        kind, col, ln = (
+            sd.get(1, [0])[0],
+            sd.get(2, [0])[0],
+            sd.get(3, [0])[0],
+        )
+        if kind == 8 and col == 1:
+            b_start, b_len = pos, ln
+        pos += ln
+    assert b_start is not None
+    # cursor walk over BloomFilterIndex entries
+    p = b_start
+    end = b_start + b_len
+    entry = 0
+    s_target = i % nst
+    while p < end:
+        tag, p = _uvarint_at(data, p)
+        assert tag == 0x0A
+        elen, p = _uvarint_at(data, p)
+        e_end = p + elen
+        k_span = bits_span = None
+        q2 = p
+        while q2 < e_end:
+            t2, q2 = _uvarint_at(data, q2)
+            if t2 == 0x08:
+                v_start = q2
+                _v, q2 = _uvarint_at(data, q2)
+                k_span = (v_start, q2)
+            else:
+                l2, q2 = _uvarint_at(data, q2)
+                if t2 == 0x1A:
+                    bits_span = (q2, q2 + l2)
+                q2 += l2
+        if i % 23 == 0 and entry == 1 and k_span is not None:
+            blob[k_span[0]] = blob[k_span[0]] + 1  # k 4 -> 5
+        if i % 19 == 0 and entry == s_target and bits_span is not None:
+            kf = data[k_span[0]]
+            nbits = (bits_span[1] - bits_span[0]) * 8
+            q_pos = set(orc_bloom_positions(q, kf, nbits))
+            victim_res = ((i * 13) % 251 + 1) % 251
+            victim = victim_res * 8 + s_target
+            bit = next(
+                b
+                for b in orc_bloom_positions(victim, kf, nbits)
+                if b not in q_pos
+            )
+            byte_at = bits_span[0] + (bit >> 3)
+            blob[byte_at] &= ~(1 << (bit & 7)) & 0xFF
+        entry += 1
+        p = e_end
+    return bytes(blob)
+
+
+def synthesize_orc_bloom_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of bloom-bearing ORC files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_orc_bloom(int(x)) for x in ids],
+                    "meta": [
+                        {
+                            "format": "orc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _orcbloom_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_rows": 0,
+            "n_strides": 0,
+            "n_found": 0,
+            "found_stride": -1,
+            "q": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        _n, q, _present = _orc_bloom_params(mid)
+        try:
+            st = read_orc_bloom_lookup(b, q)
+        except Exception:
+            st = None
+        if st is not None:
+            st.pop("n_maybe")  # bloom FPs are legal -> not oracled
+            row.update(format="orc", q=q, **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in ORCBLOOM_SCHEMA.fields]
+    )
+
+
+def orc_bloom_stats(df: DataFrame) -> DataFrame:
+    """Bloom-gated ORC point lookups over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _orcbloom_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ORCBLOOM_SCHEMA
+    )

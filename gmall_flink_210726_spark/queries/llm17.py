@@ -567,3 +567,69 @@ def lakehouse_delta_v2_checkpoint(
         load_table(spark, sf_dir, "documents")
     )
     return delta_v2_checkpoint_stats(media)
+
+
+@register(
+    "multimodal_orc_bloom",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 3000 + 500 * (doc_id % 5) AS n,
+                      doc_id % 19 = 0 OR doc_id % 23 = 0 AS bad
+               FROM documents),
+    p AS (SELECT i, n, bad, (n + 999) // 1000 AS nst,
+                 (i * 13) % 260 AS qr,
+                 i % ((n + 999) // 1000) AS starg
+          FROM m),
+    t AS (SELECT i, COUNT(*) AS cnt
+          FROM (SELECT p.i, unnest(range(starg * 1000,
+                       least(starg * 1000 + 1000, n))) AS r,
+                       qr
+                FROM p WHERE qr < 251)
+          WHERE (i + 7 * r) % 251 = qr
+          GROUP BY i)
+    SELECT p.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'orc' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE nst END AS BIGINT)
+             AS n_strides,
+           CAST(CASE WHEN bad THEN 0 ELSE COALESCE(t.cnt, 0)
+                END AS BIGINT) AS n_found,
+           CAST(CASE WHEN bad OR t.cnt IS NULL THEN -1 ELSE starg
+                END AS BIGINT) AS found_stride,
+           CAST(CASE WHEN bad THEN 0 ELSE qr * 8 + starg
+                END AS BIGINT) AS q
+    FROM p LEFT JOIN t ON t.i = p.i
+    """,
+    doc="ORC per-stride BLOOM FILTERS (stream kind 8, "
+    "BLOOM_FILTER_UTF8) — the third ORC skipping layer, completing "
+    "the same stats -> row-index -> bloom trio the parquet side has "
+    "(L192/L222/L237): a BloomFilterIndex protobuf carries one "
+    "filter per row-index stride; LONG values hash with the Thomas "
+    "Wang 64-bit mix in SIGNED arithmetic (C++ ORC's int64 shifts "
+    "are arithmetic — 0 hashes to 0, the convention fitted and "
+    "pinned bit-exact against pyarrow's writer in tests) and spread "
+    "Kirsch-Mitzenmacher style with Java-int overflow semantics. "
+    "Fixture strides all span the SAME numeric band (stride k holds "
+    "residue*8+k), so min/max statistics cannot skip anything and "
+    "the bloom is the only working discriminator — measured ~76%% "
+    "of strides skipped. Bloom false positives are legal, so the "
+    "oracle pins only FP-independent outputs (n_found/found_stride/"
+    "counts); skip behavior is pinned in pytest. Trust chain: one "
+    "filter per row-index entry, uniform (k, numBytes) across a "
+    "column's filters (every 23rd id bumps stride 1's k varint), "
+    "and every read stride re-probes each decoded value against its "
+    "own filter — every 19th id clears one bloom bit of a non-probe "
+    "value chosen outside the probe's positions, so the stride is "
+    "read and walks into the false-negative lie. "
+    "operators/orc2.py read_orc_bloom_lookup",
+    tags=("llm", "multimodal", "lakehouse"),
+)
+def multimodal_orc_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.orc2 import (
+        orc_bloom_stats,
+        synthesize_orc_bloom_media,
+    )
+
+    media = synthesize_orc_bloom_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return orc_bloom_stats(media)

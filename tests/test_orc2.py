@@ -172,3 +172,122 @@ def test_rowindex_truncation_refused():
     blob = _make_orc_rowindex(1)
     _n, lo, hi = _rowindex_params(1)
     assert read_orc_rowindex(blob[:-1], lo, hi) is None
+
+
+# ------------------------------------------------------ bloom filters
+
+
+def test_orc_long_hash_convention_pinned_against_writer():
+    """Single-value files isolate each value's k probe positions;
+    the signed-Wang + Kirsch-Mitzenmacher convention must reproduce
+    the writer's bits exactly (including the 0 -> bit 0 edge)."""
+    import pyarrow as pa
+
+    from gmall_flink_210726_spark.operators.orc import (
+        _pb_fields,
+        _unframe,
+    )
+    from gmall_flink_210726_spark.operators.orc2 import (
+        orc_bloom_positions,
+    )
+
+    def writer_bits(v):
+        buf = io.BytesIO()
+        orc_mod.write_table(
+            pa.table({"k": pa.array([v] * 50, pa.int64())}),
+            buf,
+            compression="uncompressed",
+            row_index_stride=1000,
+            bloom_filter_columns=[1],
+            bloom_filter_fpp=0.05,
+        )
+        data = buf.getvalue()
+        ps_len = data[-1]
+        ps = _pb_fields(data[-1 - ps_len : -1])
+        flen = ps[1][0]
+        foot = _pb_fields(
+            _unframe(data[len(data) - 1 - ps_len - flen : -1 - ps_len], 0)
+        )
+        st = _pb_fields(foot[3][0])
+        off, ilen, dlen, sflen = (st[k][0] for k in (1, 2, 3, 4))
+        sf = _pb_fields(
+            _unframe(
+                data[off + ilen + dlen : off + ilen + dlen + sflen], 0
+            )
+        )
+        pos = off
+        for sb in sf.get(1, []):
+            sd = _pb_fields(sb)
+            kind, col, ln = (
+                sd.get(1, [0])[0],
+                sd.get(2, [0])[0],
+                sd.get(3, [0])[0],
+            )
+            if kind == 8 and col == 1:
+                bf = _pb_fields(_pb_fields(data[pos : pos + ln])[1][0])
+                return bf[1][0], bf[3][0]
+            pos += ln
+
+    for v in (0, 1, 2, 37, -1, 251, 123456789):
+        k, bits = writer_bits(v)
+        got = sorted(
+            i
+            for i in range(len(bits) * 8)
+            if (bits[i >> 3] >> (i & 7)) & 1
+        )
+        assert got == sorted(
+            set(orc_bloom_positions(v, k, len(bits) * 8))
+        ), v
+
+
+@pytest.mark.parametrize("i", [1, 2, 3, 4, 5, 7, 19, 23, 38, 46, 100])
+def test_bloom_fixture_matches_formula(i):
+    from gmall_flink_210726_spark.operators.orc2 import (
+        _make_orc_bloom,
+        _orc_bloom_params,
+        read_orc_bloom_lookup,
+    )
+
+    n, q, present = _orc_bloom_params(i)
+    st = read_orc_bloom_lookup(_make_orc_bloom(i), q)
+    if i % 19 == 0 or i % 23 == 0:
+        assert st is None
+        return
+    assert st is not None
+    nst = -(-n // 1000)
+    s_target = i % nst
+    qr = (i * 13) % 260
+    exp = (
+        sum(
+            1
+            for r in range(
+                s_target * 1000, min(s_target * 1000 + 1000, n)
+            )
+            if (i + 7 * r) % 251 == qr
+        )
+        if present
+        else 0
+    )
+    assert st["n_found"] == exp
+    assert st["found_stride"] == (s_target if exp else -1)
+
+
+def test_bloom_actually_skips_on_same_band_strides():
+    """Every stride spans the same numeric band, so min/max could
+    never skip — the bloom must. Pin a healthy measured skip rate."""
+    from gmall_flink_210726_spark.operators.orc2 import (
+        _make_orc_bloom,
+        _orc_bloom_params,
+        read_orc_bloom_lookup,
+    )
+
+    skipped = total = 0
+    for i in range(1, 60):
+        if i % 19 == 0 or i % 23 == 0:
+            continue
+        n, q, _present = _orc_bloom_params(i)
+        st = read_orc_bloom_lookup(_make_orc_bloom(i), q)
+        assert st is not None
+        skipped += st["n_strides"] - st["n_maybe"]
+        total += st["n_strides"]
+    assert skipped / total > 0.5, (skipped, total)
