@@ -1773,3 +1773,131 @@ def st28_stream_delta_dv_scan(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st29_stream_warc_http_ingest",
+    oracle="""
+    WITH s AS (SELECT doc_id AS i, doc_id % 5 AS v,
+                      doc_id % 11 = 0 OR doc_id % 13 = 0
+                        OR doc_id % 17 = 0 AS bad,
+                      len(string_split(text, ' ')) AS nw,
+                      1 + doc_id % 3 AS nli
+               FROM documents)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_streams,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_http,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 200 END) AS BIGINT)
+             AS status_sum,
+           CAST(SUM(CASE WHEN bad OR v NOT IN (1, 3) THEN 0 ELSE 1
+                END) AS BIGINT) AS n_chunked,
+           CAST(SUM(CASE WHEN bad OR v NOT IN (2, 3) THEN 0 ELSE 1
+                END) AS BIGINT) AS n_gzip,
+           CAST(SUM(CASE WHEN bad OR v != 4 THEN 0 ELSE 1
+                END) AS BIGINT) AS n_deflate,
+           CAST(SUM(CASE WHEN bad THEN 0
+                ELSE 2 + nw + 3 * nli + 15 END) AS BIGINT) AS n_words
+    FROM s GROUP BY 1
+    """,
+    doc="STREAMING real-CommonCrawl ingest — the round-12 HTTP/1.1 "
+    "message layer (L236) running as a Structured Streaming "
+    "operator: HTTP-bearing .warc.gz streams arrive as a parquet "
+    "file stream (32 files, 16 per trigger), the full chain — gzip "
+    "CRC walk -> WARC framing -> Content-Type dispatch -> RFC 9112 "
+    "status line / chunked de-framing / gzip+deflate content "
+    "codings -> HTML extraction — runs Arrow-batched ON THE STREAM "
+    "PLAN, and per-epoch per-bucket partials flow through the "
+    "checkpointed foreachBatch + overwrite-idempotent epoch sink. "
+    "Per-blob stateless; the batch twin's three lie stripes (HTML "
+    "swallow / chunk-size lie / Content-Length lie) carry into "
+    "n_ok. The oracle recomputes per-bucket framing-variant counts "
+    "and word totals blind. operators/warc.py warc_http_text",
+    tags=("streaming", "llm", "multimodal", "text"),
+)
+def st29_stream_warc_http_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_warc_http_media,
+        warc_http_text,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.sources.batch import load_table
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st29_src_")
+    out = tempfile.mkdtemp(prefix="st29_out_")
+    ckpt = tempfile.mkdtemp(prefix="st29_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_warc_http_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .option("compression", "none")  # blobs are already gzip
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = warc_http_text(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_streams"),
+                F.sum((F.col("format") == "warc").cast("long"))
+                .cast("long")
+                .alias("n_ok"),
+                F.sum("n_http").cast("long").alias("n_http"),
+                F.sum("status_sum").cast("long").alias("status_sum"),
+                F.sum("n_chunked").cast("long").alias("n_chunked"),
+                F.sum("n_gzip").cast("long").alias("n_gzip"),
+                F.sum("n_deflate").cast("long").alias("n_deflate"),
+                F.sum("n_words").cast("long").alias("n_words"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st29 warc http stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_streams").cast("long").alias("n_streams"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_http").cast("long").alias("n_http"),
+                F.sum("status_sum").cast("long").alias("status_sum"),
+                F.sum("n_chunked").cast("long").alias("n_chunked"),
+                F.sum("n_gzip").cast("long").alias("n_gzip"),
+                F.sum("n_deflate").cast("long").alias("n_deflate"),
+                F.sum("n_words").cast("long").alias("n_words"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
