@@ -506,7 +506,11 @@ def _walk_warc_text(data: bytes) -> dict | None:
             return None
         n += 1
         if rec["type"] == "response":
-            res = extract_text(rec["content"].decode("latin-1"))
+            peeled = response_payload(rec)  # HTTP-bearing dispatch
+            if peeled is None:
+                return None
+            _msg, body = peeled
+            res = extract_text(body.decode("latin-1"))
             if res is None:
                 return None
             if not title:
@@ -671,7 +675,11 @@ def _walk_warc_zstd_text(data: bytes) -> dict | None:
             return None
         n += 1
         if rec["type"] == "response":
-            res = extract_text(rec["content"].decode("latin-1"))
+            peeled = response_payload(rec)  # HTTP-bearing dispatch
+            if peeled is None:
+                return None
+            _msg, body = peeled
+            res = extract_text(body.decode("latin-1"))
             if res is None:
                 return None
             if not title:

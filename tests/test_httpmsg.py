@@ -315,3 +315,27 @@ def test_http_record_with_body_masquerading_as_bare_degrades():
         ctype="application/http; msgtype=response",
     )
     assert _walk_warc_http(_gzip_member(rec)) is None
+
+
+def test_wet_mixed_walk_peels_http_responses_too():
+    """The combined WARC/WET door also dispatches on Content-Type."""
+    from gmall_flink_210726_spark.operators.html import _make_html
+    from gmall_flink_210726_spark.operators.warc import (
+        _gzip_member,
+        _make_http_response,
+        _walk_warc_text,
+        make_warc_record,
+    )
+
+    page = _make_html(3, "one two three four").encode("latin-1")
+    http = make_warc_record(
+        "response",
+        "http://e/2",
+        _make_http_response(3, page),
+        ctype="application/http; msgtype=response",
+    )
+    conv = make_warc_record("conversion", "http://e/3", b"line a\nline b")
+    st = _walk_warc_text(_gzip_member(http) + _gzip_member(conv))
+    assert st is not None
+    assert st["n_responses"] == 1 and st["n_conversions"] == 1
+    assert st["title"] == "Doc 3"

@@ -957,3 +957,50 @@ class TestRound10PlanShapes:
             spark.read.parquet(big).count()
             == spark.read.parquet(small).count()
         )
+
+
+class TestRound12Plans:
+    def test_unigram_encode_segments_distinct_words(self, spark):
+        """text_unigram_encode: the mask-enumeration segmentation
+        (the cost-map expression) must sit on the distinct-word
+        side, never in a node carrying doc ids — tokenize the
+        vocabulary, not the corpus."""
+        plan = (
+            SPECS["text_unigram_encode"]
+            .fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        seg_lines = [
+            ln for ln in plan.split("\n") if "element_at(map(" in ln
+        ]
+        assert seg_lines, "cost-map segmentation missing from plan"
+        assert all("doc_id" not in ln for ln in seg_lines)
+
+    def test_warc_http_walk_is_single_map_stage(self, spark):
+        """multimodal_warc_http: fixture synth + decode is two
+        chained mapInPandas over the documents scan — no join, no
+        aggregation, zero shuffles."""
+        plan = (
+            SPECS["multimodal_warc_http"]
+            .fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "MapInPandas" in plan
+        for op in ("Join", "Aggregate", "Exchange", "Sort"):
+            assert op not in plan, op
+
+    def test_orc_bloom_walk_is_single_map_stage(self, spark):
+        plan = (
+            SPECS["multimodal_orc_bloom"]
+            .fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "MapInPandas" in plan
+        for op in ("Join", "Aggregate", "Exchange", "Sort"):
+            assert op not in plan, op
