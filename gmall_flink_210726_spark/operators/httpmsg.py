@@ -242,3 +242,59 @@ def parse_http_response(raw: bytes) -> dict | None:
         "encodings": encodings,
         "body": body,
     }
+
+
+def parse_http_request(raw: bytes) -> dict | None:
+    """The request half of the message layer (RFC 9112 §3) — what a
+    WARC ``request`` record (msgtype=request) carries: request-line
+    ``method SP request-target SP HTTP-version``, the same field
+    grammar as responses, and body framing limited to what captured
+    requests use (absent body, or exact Content-Length; TE+CL refused
+    the same way). Returns ``{'method', 'target', 'version',
+    'headers', 'body'}`` or None."""
+    sep = raw.find(_CRLF + _CRLF)
+    if sep < 0:
+        return None
+    head_lines = raw[:sep].split(_CRLF)
+    parts = head_lines[0].split(b" ")
+    if len(parts) != 3:
+        return None
+    method, target, version = parts
+    if not method or any(c not in _TCHAR for c in method):
+        return None
+    if not target or b" " in target:
+        return None
+    if version not in (b"HTTP/1.0", b"HTTP/1.1"):
+        return None
+    fields = _parse_fields(head_lines[1:])
+    if fields is None:
+        return None
+    rest = raw[sep + 4 :]
+    te = fields.get("transfer-encoding")
+    cl = fields.get("content-length")
+    if te is not None and cl is not None:
+        return None  # RFC 9112 §6.3.3
+    if te is not None:
+        codings = [c.strip().lower() for c in te.split(",")]
+        if codings and codings[-1] == "chunked":
+            try:
+                body = _dechunk(rest)
+            except ValueError:
+                return None
+        else:
+            return None  # a request body needs explicit framing
+    elif cl is not None:
+        if not cl.isdigit() or len(rest) != int(cl):
+            return None
+        body = rest
+    else:
+        if rest:
+            return None  # bodyless request must end at the headers
+        body = b""
+    return {
+        "method": method.decode("ascii"),
+        "target": target.decode("latin-1"),
+        "version": version.decode("ascii"),
+        "headers": fields,
+        "body": body,
+    }

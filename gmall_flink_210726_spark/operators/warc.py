@@ -1302,3 +1302,218 @@ def synthesize_warc_http_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Request/response PAIRS — the full capture shape real crawls store:
+# each fetch is a msgtype=request record followed by its
+# msgtype=response record under the same WARC-Target-URI. The
+# request-line's target must agree with the record's own URI (a
+# desynchronized pair is how a mis-threaded crawl silently attributes
+# content to the wrong page).
+# --------------------------------------------------------------------------
+
+WARC_REQ_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_requests", LongType()),
+        StructField("n_get", LongType()),
+        StructField("n_post", LongType()),
+        StructField("req_body_len", LongType()),
+        StructField("status_sum", LongType()),
+        StructField("n_words", LongType()),
+    ]
+)
+
+
+def _walk_warc_reqresp(data: bytes) -> dict | None:
+    """Gzip members -> WARC records -> HTTP request AND response
+    message layers. Per request record: parse the request-line +
+    headers + body framing, and demand the request-target equal the
+    record's own WARC-Target-URI path. Responses run the full L236
+    chain into HTML."""
+    from gmall_flink_210726_spark.operators.html import extract_text
+    from gmall_flink_210726_spark.operators.httpmsg import (
+        parse_http_request,
+    )
+
+    members = iter_gzip_members(data)
+    if members is None:
+        return None
+    n = n_req = n_get = n_post = 0
+    req_body_len = status_sum = n_words = 0
+    for _name, payload in members:
+        rec = parse_warc_record(payload)
+        if rec is None:
+            return None
+        n += 1
+        ct = rec["ctype"].lower()
+        if rec["type"] == "request":
+            if "msgtype=request" not in ct.replace(" ", ""):
+                return None
+            req = parse_http_request(rec["content"])
+            if req is None:
+                return None
+            uri = rec["uri"]
+            # scheme://host<path> -> the path must equal the target
+            path_at = uri.find("/", uri.find("://") + 3)
+            if path_at < 0 or uri[path_at:] != req["target"]:
+                return None  # mis-threaded pair
+            if "host" not in req["headers"]:
+                return None  # HTTP/1.1 requests must carry Host
+            n_req += 1
+            if req["method"] == "GET":
+                n_get += 1
+            elif req["method"] == "POST":
+                n_post += 1
+            req_body_len += len(req["body"])
+        elif rec["type"] == "response":
+            peeled = response_payload(rec)
+            if peeled is None:
+                return None
+            msg, body = peeled
+            if msg is not None:
+                status_sum += msg["status"]
+            res = extract_text(body.decode("latin-1"))
+            if res is None:
+                return None
+            n_words += sum(len(b.split(" ")) for b in res["blocks"])
+    return {
+        "n_records": n,
+        "n_requests": n_req,
+        "n_get": n_get,
+        "n_post": n_post,
+        "req_body_len": req_body_len,
+        "status_sum": status_sum,
+        "n_words": n_words,
+    }
+
+
+def _make_http_request(i: int) -> bytes:
+    """Deterministic captured request: GET on even ids (bodyless),
+    POST with an exact-Content-Length form body on odd ids. Every
+    27th id declares the POST body a byte longer than it is; every
+    21st id's request-line targets the NEXT doc's path (the
+    mis-threaded-pair lie the URI cross-check must catch)."""
+    target = f"/doc/{i + 1}" if i % 21 == 0 else f"/doc/{i}"
+    head = [
+        b"GET " + target.encode("ascii") + b" HTTP/1.1",
+        b"Host: example.com",
+        b"User-Agent: warcfix/1.0",
+        b"Accept: text/html",
+    ]
+    body = b""
+    if i % 2 == 1 or i % 27 == 0:
+        body = f"q={i}".encode("ascii")
+        head[0] = b"POST " + target.encode("ascii") + b" HTTP/1.1"
+        lie = 1 if i % 27 == 0 else 0
+        head.append(
+            b"Content-Length: " + str(len(body) + lie).encode("ascii")
+        )
+    return _CRLF.join(head) + _CRLF + _CRLF + body
+
+
+def _make_warc_reqresp_stream(i: int, text: str) -> bytes:
+    """warcinfo + request + response — the real per-fetch capture
+    triple. The response reuses the L236 HTTP fixture (framing
+    variants + its 11/13/17 stripes); the request adds the 21/27
+    stripes of _make_http_request."""
+    from gmall_flink_210726_spark.operators.html import _make_html
+    from gmall_flink_210726_spark.operators.inflate import _run_text
+
+    info = make_warc_record("warcinfo", "", _run_text(i, 1, 64))
+    uri = f"http://example.com/doc/{i}"
+    req = make_warc_record(
+        "request",
+        uri,
+        _make_http_request(i),
+        ctype="application/http; msgtype=request",
+    )
+    page = _make_html(i, text).encode("latin-1")
+    resp = make_warc_record(
+        "response",
+        uri,
+        _make_http_response(i, page),
+        ctype="application/http; msgtype=response",
+    )
+    return _gzip_member(info) + _gzip_member(req) + _gzip_member(resp)
+
+
+def synthesize_warc_reqresp_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of request/response-pair .warc.gz blobs."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id", "text"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_warc_reqresp_stream(int(x), t)
+                        for x, t in zip(ids, pdf["text"])
+                    ],
+                    "meta": [
+                        {
+                            "format": "warc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _warc_req_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        row = {
+            "media_id": int(mid),
+            "format": "unknown",
+            "n_records": 0,
+            "n_requests": 0,
+            "n_get": 0,
+            "n_post": 0,
+            "req_body_len": 0,
+            "status_sum": 0,
+            "n_words": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = _walk_warc_reqresp(b)
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="warc", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in WARC_REQ_SCHEMA.fields]
+    )
+
+
+def warc_reqresp_stats(df: DataFrame) -> DataFrame:
+    """Request/response pair walk over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _warc_req_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, WARC_REQ_SCHEMA
+    )

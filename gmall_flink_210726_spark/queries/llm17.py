@@ -633,3 +633,64 @@ def multimodal_orc_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return orc_bloom_stats(media)
+
+
+@register(
+    "multimodal_warc_reqresp",
+    oracle="""
+    WITH s AS (SELECT doc_id AS i,
+                      doc_id % 11 = 0 OR doc_id % 13 = 0
+                        OR doc_id % 17 = 0 OR doc_id % 21 = 0
+                        OR doc_id % 27 = 0 AS bad,
+                      doc_id % 2 = 1 AS post,
+                      len(string_split(text, ' ')) AS nw,
+                      1 + doc_id % 3 AS nli
+               FROM documents)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'warc' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 3 END AS BIGINT)
+             AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_requests,
+           CAST(CASE WHEN bad OR post THEN 0 ELSE 1 END AS BIGINT)
+             AS n_get,
+           CAST(CASE WHEN bad OR NOT post THEN 0 ELSE 1
+                END AS BIGINT) AS n_post,
+           CAST(CASE WHEN bad OR NOT post THEN 0
+                ELSE 2 + length(CAST(i AS VARCHAR))
+                END AS BIGINT) AS req_body_len,
+           CAST(CASE WHEN bad THEN 0 ELSE 200 END AS BIGINT)
+             AS status_sum,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 2 + nw + 3 * nli + 15 END AS BIGINT) AS n_words
+    FROM s
+    """,
+    doc="WARC request/response PAIRS — the full per-fetch capture "
+    "shape real crawls store: each fetch is a msgtype=request record "
+    "followed by its msgtype=response record under the same "
+    "WARC-Target-URI. The request half of the RFC 9112 message "
+    "layer parses the request-line (method/target/version grammar), "
+    "the shared field grammar, a mandatory Host header, and body "
+    "framing (bodyless GET; POST with exact Content-Length; TE+CL "
+    "refused) — and the request-target must equal the record's own "
+    "URI path, the cross-record check that catches a mis-threaded "
+    "crawl attributing content to the wrong page. Responses run the "
+    "full L236 chain. Five independent stripes: the response's "
+    "11/13/17 trio plus every 21st id's request targeting the NEXT "
+    "doc's path and every 27th id's POST Content-Length lie. "
+    "operators/httpmsg.py parse_http_request, operators/warc.py "
+    "warc_reqresp_stats",
+    tags=("llm", "multimodal", "text"),
+)
+def multimodal_warc_reqresp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_warc_reqresp_media,
+        warc_reqresp_stats,
+    )
+
+    media = synthesize_warc_reqresp_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return warc_reqresp_stats(media)

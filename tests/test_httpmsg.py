@@ -339,3 +339,74 @@ def test_wet_mixed_walk_peels_http_responses_too():
     assert st is not None
     assert st["n_responses"] == 1 and st["n_conversions"] == 1
     assert st["title"] == "Doc 3"
+
+
+# -------------------------------------------------- request messages
+
+
+def test_request_grammar():
+    from gmall_flink_210726_spark.operators.httpmsg import (
+        parse_http_request,
+    )
+
+    req = parse_http_request(
+        b"GET /doc/7 HTTP/1.1\r\nHost: e.com\r\n\r\n"
+    )
+    assert req is not None
+    assert req["method"] == "GET" and req["target"] == "/doc/7"
+    assert req["body"] == b""
+    post = parse_http_request(
+        b"POST /f HTTP/1.1\r\nHost: e\r\nContent-Length: 3\r\n\r\nq=1"
+    )
+    assert post is not None and post["body"] == b"q=1"
+    for bad in (
+        b"GET /x\r\n\r\n",                         # no version
+        b"GET  /x HTTP/1.1\r\n\r\n",               # empty target piece
+        b"GET /x HTTP/2\r\n\r\n",                  # wrong version
+        b"G@T /x HTTP/1.1\r\n\r\n",                # bad method tchar
+        b"GET /x HTTP/1.1\r\n\r\nleftover",        # bodyless + bytes
+        b"POST /x HTTP/1.1\r\nContent-Length: 9\r\n\r\nq=1",  # CL lie
+        b"POST /x HTTP/1.1\r\nContent-Length: 3\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nq=1",  # TE+CL
+    ):
+        assert parse_http_request(bad) is None, bad
+
+
+def test_reqresp_fixture_walk_and_stripes():
+    from gmall_flink_210726_spark.operators.warc import (
+        _make_warc_reqresp_stream,
+        _walk_warc_reqresp,
+    )
+
+    text = "alpha beta gamma delta"
+    for i in range(1, 60):
+        st = _walk_warc_reqresp(_make_warc_reqresp_stream(i, text))
+        bad = any(i % m == 0 for m in (11, 13, 17, 21, 27))
+        if bad:
+            assert st is None, i
+            continue
+        assert st is not None, i
+        post = i % 2 == 1
+        assert st["n_records"] == 3 and st["n_requests"] == 1
+        assert st["n_post"] == (1 if post else 0)
+        assert st["req_body_len"] == (len(f"q={i}") if post else 0)
+        assert st["status_sum"] == 200
+
+
+def test_mis_threaded_pair_refused():
+    """A request whose target names a different path than its own
+    record URI must degrade (the i%21 stripe proves it end-to-end;
+    this pins the check in isolation)."""
+    from gmall_flink_210726_spark.operators.warc import (
+        _gzip_member,
+        _walk_warc_reqresp,
+        make_warc_record,
+    )
+
+    req = make_warc_record(
+        "request",
+        "http://example.com/doc/5",
+        b"GET /doc/6 HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        ctype="application/http; msgtype=request",
+    )
+    assert _walk_warc_reqresp(_gzip_member(req)) is None
