@@ -157,3 +157,53 @@ def test_no_false_positive_over_driver_id_range():
         st = read_parquet_bloom_lookup(_make_parquet_bloom(i), q)
         assert st is not None
         assert st["n_maybe"] == (1 if present else 0), i
+
+
+def test_sbbf_reads_parquet_mr_written_blooms(spark):
+    """Cross-writer validation: Spark's parquet-mr writes real SBBF
+    sections (only when the column falls back from dictionary
+    encoding, hence the high-cardinality values); the hand header
+    parse + xxh64 + block check must accept every written value and
+    reject values outside the written set (up to the bloom's tiny
+    FPP)."""
+    import glob
+    import struct as _struct
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        _read_struct,
+        _Reader,
+    )
+
+    d = tempfile.mkdtemp(prefix="sparkbloom_")
+    (
+        spark.range(0, 400000)
+        .selectExpr("id * 2654435761 as k")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .parquet(d)
+    )
+    f = glob.glob(d + "/*.parquet")[0]
+    data = open(f, "rb").read()
+    (flen,) = _struct.unpack_from("<I", data, len(data) - 8)
+    meta = _read_struct(
+        _Reader(data, len(data) - 8 - flen, len(data) - 8)
+    )
+    cm = meta[4][0][1][0][3]
+    bf_off, bf_len = cm[14], cm[15]
+    r = _Reader(data, bf_off, len(data))
+    hdr = _read_struct(r)
+    nbytes = hdr[1]
+    assert (r.pos - bf_off) + nbytes == bf_len
+    for fid in (2, 3, 4):  # BLOCK / XXHASH / UNCOMPRESSED unions
+        assert isinstance(hdr[fid], dict) and 1 in hdr[fid]
+    bitset = data[r.pos : r.pos + nbytes]
+    # every written value must probe positive (no false negatives)
+    for i in range(0, 400000, 1777):
+        assert sbbf_check(bitset, _h_int64(i * 2654435761))
+    # unwritten values overwhelmingly probe negative
+    fp = sum(
+        sbbf_check(bitset, _h_int64(v)) for v in range(1, 500, 2)
+    )
+    assert fp <= 2
