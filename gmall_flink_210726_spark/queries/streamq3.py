@@ -1901,3 +1901,123 @@ def st29_stream_warc_http_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st30_stream_orc_decimal_ingest",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 1500 + (doc_id % 4) * 400 AS n,
+                      doc_id % 23 = 0 AS bad
+               FROM documents),
+    r AS (SELECT i, n, bad, unnest(range(0, n)) AS r FROM m),
+    v AS (SELECT i, n, bad,
+                 (i * 37 + r * 131) % 100000 - 50000 AS mant,
+                 CASE r % 5 WHEN 0 THEN 0 WHEN 1 THEN 500000000
+                            WHEN 2 THEN 123456789 WHEN 3 THEN 1000
+                            ELSE 250000000 END AS ns
+          FROM r),
+    a AS (SELECT i, n, bad, SUM(mant) AS dsum, SUM(ns) AS nsum
+          FROM v GROUP BY i, n, bad)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE n END) AS BIGINT)
+             AS n_rows,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE dsum END) AS BIGINT)
+             AS dec_sum_mant,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE nsum END) AS BIGINT)
+             AS ns_sum
+    FROM a GROUP BY 1
+    """,
+    doc="STREAMING warehouse-ORC ingest — the round-12 DECIMAL + "
+    "TIMESTAMP read path (L238) as a Structured Streaming operator: "
+    "real pyarrow ORC files (decimal mantissa varints + RLEv2 "
+    "scales, epoch-2015 seconds + trailing-zero nanos, all five "
+    "codecs, DecimalStatistics/TimestampStatistics books checked) "
+    "arrive as a parquet file stream (32 files, 16 per trigger), "
+    "decoded Arrow-batched ON THE STREAM PLAN, per-epoch per-bucket "
+    "partials through the checkpointed foreachBatch + overwrite-"
+    "idempotent epoch sink. Per-blob stateless; the batch twin's "
+    "every-23rd-id byte-flip stripe carries into n_ok. "
+    "operators/orc2.py orc_dec_stats",
+    tags=("streaming", "llm", "multimodal", "lakehouse"),
+)
+def st30_stream_orc_decimal_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.orc2 import (
+        orc_dec_stats,
+        synthesize_orc_dec_media,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.sources.batch import load_table
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st30_src_")
+    out = tempfile.mkdtemp(prefix="st30_out_")
+    ckpt = tempfile.mkdtemp(prefix="st30_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_orc_dec_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .option("compression", "none")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = orc_dec_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum((F.col("format") == "orc").cast("long"))
+                .cast("long")
+                .alias("n_ok"),
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("dec_sum_mant").cast("long").alias("dec_sum_mant"),
+                F.sum("ns_sum").cast("long").alias("ns_sum"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st30 orc decimal stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_files").cast("long").alias("n_files"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("dec_sum_mant").cast("long").alias("dec_sum_mant"),
+                F.sum("ns_sum").cast("long").alias("ns_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
