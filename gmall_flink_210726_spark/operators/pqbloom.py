@@ -165,6 +165,16 @@ def _h_int64(v: int) -> int:
     return xxh64(struct.pack("<q", v), 0)
 
 
+def _h_bytes(v: bytes) -> int:
+    """BYTE_ARRAY hashes the raw bytes (no length prefix) per the
+    parquet bloom spec."""
+    return xxh64(v, 0)
+
+
+def _h_value(v) -> int:
+    return _h_bytes(v) if isinstance(v, bytes) else _h_int64(v)
+
+
 # ------------------------------------- Thrift compact WRITER (min.)
 
 _T_I32 = 5
@@ -232,11 +242,12 @@ def _empty_union(member: int = 1) -> bytes:
     return _tstruct([(member, _T_STRUCT, _tstruct([]))])
 
 
-def make_bloom_section(values: list[int], nblocks: int) -> bytes:
-    """BloomFilterHeader + bitset for a chunk of INT64 values."""
+def make_bloom_section(values: list, nblocks: int) -> bytes:
+    """BloomFilterHeader + bitset for a chunk of INT64 or BYTE_ARRAY
+    values."""
     bitset = bytearray(32 * nblocks)
     for v in values:
-        sbbf_insert(bitset, _h_int64(v))
+        sbbf_insert(bitset, _h_value(v))
     header = _tstruct(
         [
             (1, _T_I32, _i(32 * nblocks)),
@@ -248,17 +259,20 @@ def make_bloom_section(values: list[int], nblocks: int) -> bytes:
     return header + bytes(bitset)
 
 
-def _data_page(values: list[int]) -> bytes:
+def _data_page(values: list) -> bytes:
     """PageHeader + v1 page body: <u32 dlen> RLE def-levels (all 1,
     the OPTIONAL-column shape every hand parquet fixture uses) then
-    PLAIN little-endian int64s."""
+    PLAIN values — little-endian int64s, or length-prefixed
+    BYTE_ARRAYs."""
     n = len(values)
     levels = _varint(n << 1) + b"\x01"  # one RLE run of 1s
-    body = (
-        struct.pack("<I", len(levels))
-        + levels
-        + struct.pack(f"<{n}q", *values)
-    )
+    if values and isinstance(values[0], bytes):
+        payload = b"".join(
+            struct.pack("<I", len(v)) + v for v in values
+        )
+    else:
+        payload = struct.pack(f"<{n}q", *values)
+    body = struct.pack("<I", len(levels)) + levels + payload
     dph = _tstruct(
         [
             (1, _T_I32, _i(n)),
@@ -306,12 +320,12 @@ def write_parquet_bloom(
     for g, vals in enumerate(groups):
         section = bytearray(make_bloom_section(vals, nblocks))
         if clear_value is not None and clear_value[0] == g:
-            hv = _h_int64(clear_value[1])
+            hv = _h_value(clear_value[1])
             hi, masks = _block_masks(hv)
             base = ((hi * nblocks) >> 32) * 32
             w = 0
             if keep_value is not None:
-                hk = _h_int64(keep_value)
+                hk = _h_value(keep_value)
                 ki, kmasks = _block_masks(hk)
                 if ((ki * nblocks) >> 32) * 32 == base:
                     w = next(
@@ -328,6 +342,9 @@ def write_parquet_bloom(
             length += 1
         bloom_info.append((len(out), length))
         out += section
+    ptype = 6 if groups and groups[0] and isinstance(
+        groups[0][0], bytes
+    ) else 2
     schema = _tlist(
         _T_STRUCT,
         [
@@ -339,7 +356,7 @@ def write_parquet_bloom(
             ),
             _tstruct(
                 [
-                    (1, _T_I32, _i(2)),  # INT64
+                    (1, _T_I32, _i(ptype)),  # INT64 / BYTE_ARRAY
                     (3, _T_I32, _i(1)),  # OPTIONAL
                     (4, _T_BINARY, _binary(b"k")),
                 ]
@@ -350,7 +367,7 @@ def write_parquet_bloom(
     for (poff, psize, n), (boff, blen) in zip(page_info, bloom_info):
         cmeta = _tstruct(
             [
-                (1, _T_I32, _i(2)),  # INT64
+                (1, _T_I32, _i(ptype)),
                 (2, _T_LIST, _tlist(_T_I32, [_i(0), _i(3)])),
                 (3, _T_LIST, _tlist(_T_BINARY, [_binary(b"k")])),
                 (4, _T_I32, _i(0)),  # UNCOMPRESSED
@@ -392,13 +409,14 @@ def write_parquet_bloom(
 
 
 def _read_group_values(
-    data: bytes, off: int, n_vals: int
-) -> list[int] | None:
-    """One chunk's PLAIN INT64 page walk (v1 pages, def levels all
-    1) — the same contract read_parquet_column_k enforces."""
+    data: bytes, off: int, n_vals: int, ptype: int = 2
+) -> list | None:
+    """One chunk's PLAIN page walk (v1 pages, def levels all 1) —
+    INT64 or BYTE_ARRAY; the same contract read_parquet_column_k
+    enforces."""
     got = 0
     pos = off
-    values: list[int] = []
+    values: list = []
     while got < n_vals:
         r = _Reader(data, pos, len(data))
         ph = _read_struct(r)
@@ -419,15 +437,31 @@ def _read_group_values(
         if len(levels) != pn or any(v != 1 for v in levels):
             return None
         vals = page[4 + dlen :]
-        if len(vals) != 8 * pn:
-            return None
-        values.extend(struct.unpack_from(f"<{pn}q", vals, 0))
+        if ptype == 2:
+            if len(vals) != 8 * pn:
+                return None
+            values.extend(struct.unpack_from(f"<{pn}q", vals, 0))
+        else:  # BYTE_ARRAY: <u32 len><bytes> each
+            bp = 0
+            for _ in range(pn):
+                if bp + 4 > len(vals):
+                    return None
+                (sl,) = struct.unpack_from("<I", vals, bp)
+                bp += 4
+                if bp + sl > len(vals):
+                    return None
+                values.append(vals[bp : bp + sl])
+                bp += sl
+            if bp != len(vals):
+                return None
         got += pn
         pos = r.pos + psize
     return values if got == n_vals else None
 
 
-def read_parquet_bloom_lookup(data: bytes, q: int) -> dict | None:
+def read_parquet_bloom_lookup(
+    data: bytes, q, ptype: int = 2
+) -> dict | None:
     """Point lookup of ``q`` through the bloom-filter skipping stack:
     footer -> per row group read the SBBF section (header parse,
     length cross-check), probe q — open ONLY maybe-groups, decode
@@ -448,7 +482,7 @@ def read_parquet_bloom_lookup(data: bytes, q: int) -> dict | None:
     row_groups = meta.get(4)
     if not isinstance(num_rows, int) or not isinstance(row_groups, list):
         return None
-    hq = _h_int64(q)
+    hq = _h_value(q)
     n_groups = n_maybe = n_found = 0
     found_group = -1
     k_sum_read = 0
@@ -461,7 +495,7 @@ def read_parquet_bloom_lookup(data: bytes, q: int) -> dict | None:
         cm = cc.get(3) if isinstance(cc, dict) else None
         if not isinstance(cm, dict) or cm.get(3) != [b"k"]:
             return None
-        if cm.get(1) != 2 or cm.get(4) != 0:
+        if cm.get(1) != ptype or cm.get(4) != 0:
             return None
         n_vals = cm.get(5)
         off = cm.get(9)
@@ -494,19 +528,23 @@ def read_parquet_bloom_lookup(data: bytes, q: int) -> dict | None:
             continue
         n_maybe += 1
         try:
-            values = _read_group_values(data, off, n_vals)
+            values = _read_group_values(data, off, n_vals, ptype)
         except ValueError:
             return None
         if values is None:
             return None
         for v in values:
-            if not sbbf_check(bitset, _h_int64(v)):
+            if not sbbf_check(bitset, _h_value(v)):
                 return None  # false negative: the filter lied
         hits = sum(1 for v in values if v == q)
         if hits and found_group < 0:
             found_group = g
         n_found += hits
-        k_sum_read += sum(values)
+        k_sum_read += (
+            sum(len(v) for v in values)
+            if ptype == 6
+            else sum(values)
+        )
     if total != num_rows:
         return None
     return {
@@ -640,4 +678,133 @@ def parquet_bloom_stats(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "content").mapInPandas(
         gen, PQBLOOM_SCHEMA
+    )
+
+
+# ------------------------------------------------ BYTE_ARRAY variant
+# The URL/doc-key point lookup: string columns have no useful min/max
+# at all for high-cardinality keys, so the bloom is the ONLY skipping
+# layer. Hash input is the raw bytes (no length prefix) per the
+# parquet bloom spec; pinned against parquet-mr-written string blooms
+# in tests.
+
+
+def _bloom_str_params(i: int) -> tuple[int, int, bytes, bool]:
+    """(n groups, blocks, probe key, present) for doc i — group gg
+    holds the 24 keys ``doc/<i>/<gg + j*G>``."""
+    g = 2 + i % 3
+    nb = 3 + (i // 3) % 3  # sized FP-free over the driver id range
+    qr = i % (24 * g) if i % 9 == 0 else i % 137
+    return g, nb, f"doc/{i}/{qr}".encode("ascii"), qr < 24 * g
+
+
+def _make_parquet_bloom_str(i: int) -> bytes:
+    g, nb, q, _present = _bloom_str_params(i)
+    groups = [
+        [f"doc/{i}/{gg + j * g}".encode("ascii") for j in range(24)]
+        for gg in range(g)
+    ]
+    len_lie = 0 if i % 7 == 0 else None
+    clear = None
+    if i % 9 == 0:
+        qg = (i % (24 * g)) % g
+        victim = next(v for v in groups[qg] if v != q)
+        clear = (qg, victim)
+    return write_parquet_bloom(
+        groups,
+        nb,
+        len_lie_group=len_lie,
+        clear_value=clear,
+        keep_value=q,
+    )
+
+
+# Bloom false positives are legal and DO occur at this fixture's
+# scale (one measured in 5000 ids), so the oracled output carries
+# only FP-independent fields; skip behavior is pinned in pytest.
+PQBLOOMSTR_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_groups", LongType()),
+        StructField("n_found", LongType()),
+        StructField("found_group", LongType()),
+    ]
+)
+
+
+def synthesize_parquet_bloom_str_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of string-keyed bloom parquet files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_parquet_bloom_str(int(x)) for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "parquet",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _pqbloomstr_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_groups": 0,
+            "n_found": 0,
+            "found_group": -1,
+        }
+        b = bytes(blob) if blob is not None else b""
+        _g, _nb, q, _present = _bloom_str_params(mid)
+        try:
+            st = read_parquet_bloom_lookup(b, q, ptype=6)
+        except Exception:
+            st = None
+        if st is not None:
+            for k in ("n_maybe", "n_skipped", "k_sum_read"):
+                st.pop(k)  # FP-dependent: not oracled
+            row.update(format="parquet", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in PQBLOOMSTR_SCHEMA.fields]
+    )
+
+
+def parquet_bloom_str_stats(df: DataFrame) -> DataFrame:
+    """Bloom-gated string-key lookups over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _pqbloomstr_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, PQBLOOMSTR_SCHEMA
     )

@@ -694,3 +694,51 @@ def multimodal_warc_reqresp(
         load_table(spark, sf_dir, "documents")
     )
     return warc_reqresp_stats(media)
+
+
+@register(
+    "multimodal_parquet_bloom_str",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      2 + doc_id % 3 AS g,
+                      doc_id % 7 = 0 OR doc_id % 9 = 0 AS bad,
+                      doc_id % 137 AS qr
+               FROM documents)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'parquet' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_groups,
+           CAST(CASE WHEN bad OR qr >= 24 * g THEN 0 ELSE 1
+                END AS BIGINT) AS n_found,
+           CAST(CASE WHEN bad OR qr >= 24 * g THEN -1 ELSE qr % g
+                END AS BIGINT) AS found_group
+    FROM m
+    """,
+    doc="Parquet split-block bloom filters on a STRING key column — "
+    "the URL/doc-key point lookup where min/max statistics are "
+    "useless for high-cardinality keys and the bloom is the ONLY "
+    "skipping layer. BYTE_ARRAY hash input is the raw bytes (no "
+    "length prefix) per the parquet bloom spec; the hand writer "
+    "renders PLAIN BYTE_ARRAY pages (length-prefixed) beside the "
+    "bloom sections, and the walk re-probes every decoded string of "
+    "every opened group. Unlike the INT64 twin (L237, measured "
+    "FP-free), string-key false positives DO occur at this scale "
+    "(one in 5000 ids), so the oracle pins only FP-independent "
+    "outputs and pytest pins the skip rate. Same lie stripes: every "
+    "7th id's bloom_filter_length off by one, every 9th id's "
+    "bit-clear false negative planted outside the probe's "
+    "positions. operators/pqbloom.py read_parquet_bloom_lookup "
+    "(ptype=6)",
+    tags=("llm", "multimodal", "lakehouse"),
+)
+def multimodal_parquet_bloom_str(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.pqbloom import (
+        parquet_bloom_str_stats,
+        synthesize_parquet_bloom_str_media,
+    )
+
+    media = synthesize_parquet_bloom_str_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return parquet_bloom_str_stats(media)

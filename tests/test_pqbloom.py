@@ -207,3 +207,112 @@ def test_sbbf_reads_parquet_mr_written_blooms(spark):
         sbbf_check(bitset, _h_int64(v)) for v in range(1, 500, 2)
     )
     assert fp <= 2
+
+
+# --------------------------------------------------- BYTE_ARRAY keys
+
+
+def test_string_bloom_fixture_and_stripes():
+    from gmall_flink_210726_spark.operators.pqbloom import (
+        _bloom_str_params,
+        _make_parquet_bloom_str,
+        read_parquet_bloom_lookup,
+    )
+
+    skipped = total = 0
+    for i in range(1, 80):
+        g, _nb, q, present = _bloom_str_params(i)
+        st = read_parquet_bloom_lookup(
+            _make_parquet_bloom_str(i), q, ptype=6
+        )
+        if i % 7 == 0 or i % 9 == 0:
+            assert st is None, i
+            continue
+        assert st is not None, i
+        assert st["n_groups"] == g
+        assert st["n_found"] == (1 if present else 0)
+        if present:
+            assert st["found_group"] == (i % 137) % g
+        skipped += st["n_skipped"]
+        total += st["n_groups"]
+    # strings have no usable min/max: the bloom must do the skipping
+    assert skipped / total > 0.6, (skipped, total)
+
+
+def test_string_bloom_false_negative_lie_caught():
+    from gmall_flink_210726_spark.operators.pqbloom import (
+        read_parquet_bloom_lookup,
+        write_parquet_bloom,
+    )
+
+    groups = [[b"u/a", b"u/b", b"u/c"], [b"u/d", b"u/e", b"u/f"]]
+    blob = write_parquet_bloom(
+        groups, 2, clear_value=(1, b"u/f"), keep_value=b"u/e"
+    )
+    assert read_parquet_bloom_lookup(blob, b"u/e", ptype=6) is None
+    honest = write_parquet_bloom(groups, 2)
+    st = read_parquet_bloom_lookup(honest, b"u/e", ptype=6)
+    assert st is not None and st["found_group"] == 1
+
+
+def test_pyarrow_reads_handwritten_string_file():
+    import pyarrow.parquet as _pq
+
+    from gmall_flink_210726_spark.operators.pqbloom import (
+        write_parquet_bloom,
+    )
+
+    groups = [[b"alpha", b"beta"], [b"gamma", b"delta"]]
+    blob = write_parquet_bloom(groups, 2)
+    t = _pq.read_table(io.BytesIO(blob))
+    assert t.column("k").to_pylist() == [
+        b"alpha", b"beta", b"gamma", b"delta"
+    ]
+
+
+def test_sbbf_reads_parquet_mr_written_string_blooms(spark):
+    """The BYTE_ARRAY hash convention (raw bytes, no length prefix)
+    pinned against parquet-mr's string blooms."""
+    import glob
+    import struct as _struct
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        _read_struct,
+        _Reader,
+    )
+
+    d = tempfile.mkdtemp(prefix="sparkbloomstr_")
+    (
+        spark.range(0, 300000)
+        .selectExpr("concat('url/', cast(id * 48271 as string)) as k")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .parquet(d)
+    )
+    f = glob.glob(d + "/*.parquet")[0]
+    data = open(f, "rb").read()
+    (flen,) = _struct.unpack_from("<I", data, len(data) - 8)
+    meta = _read_struct(
+        _Reader(data, len(data) - 8 - flen, len(data) - 8)
+    )
+    cm = meta[4][0][1][0][3]
+    assert 14 in cm, "no bloom written (dictionary did not fall back)"
+    r = _Reader(data, cm[14], len(data))
+    hdr = _read_struct(r)
+    bitset = data[r.pos : r.pos + hdr[1]]
+    from gmall_flink_210726_spark.operators.pqbloom import (
+        _h_bytes,
+        sbbf_check,
+    )
+
+    for i in range(0, 300000, 1333):
+        assert sbbf_check(
+            bitset, _h_bytes(f"url/{i * 48271}".encode())
+        ), i
+    fp = sum(
+        sbbf_check(bitset, _h_bytes(f"url/x{v}".encode()))
+        for v in range(250)
+    )
+    assert fp <= 2
