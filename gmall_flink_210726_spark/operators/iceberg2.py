@@ -1,0 +1,485 @@
+"""Iceberg BUCKET-transform partition pruning — the hash-partitioned
+half of Iceberg's hidden partitioning (the range half is L232's
+field-summary pruning): a table partitioned by ``bucket(N, k)``
+routes every row to partition ``(murmur3_x86_32(little-endian-8(k),
+seed 0) & Integer.MAX_VALUE) % N`` (Iceberg spec "Bucket Transform
+Details"), and a point lookup computes the probe's bucket ONCE and
+opens only the manifests/files claiming that bucket — the planner
+move that turns a key lookup on a 100 TB table into one partition's
+worth of I/O.
+
+- ``murmur3_x86_32`` from the public MurmurHash3 spec: 4-byte
+  little-endian blocks, c1/c2 mix with rotl 15/13, the 5h+0xe6546b64
+  round, byte-accumulated tail, final avalanche. Pinned in tests
+  against the canonical reference vectors AND Spark's JVM ``hash()``
+  (the same algorithm at seed 42) on 4-aligned payloads.
+- Trust chain: manifests whose claimed bucket range excludes the
+  probe bucket are never fetched; every SELECTED data file's parquet
+  is decoded and every key re-hashed — each must land in the file's
+  claimed bucket (a wrong-bucket row is exactly how a mis-routed
+  writer corrupts a bucketed table silently), and record_count must
+  equal the actual decode.
+- The fixture assigns buckets BY CONSTRUCTION (keys are searched
+  until their hash lands in the target bucket), so every oracled
+  count is hash-independent and the SQL oracle needs no murmur.
+
+Reuses the round-11 machinery: tar walk, schema-driven Avro
+containers, hand parquet column reads.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from gmall_flink_210726_spark.operators.avro import (
+    make_avro_container,
+    read_avro_container,
+)
+from gmall_flink_210726_spark.operators.iceberg import (
+    _i32le,
+    _mor_parquet,
+)
+from gmall_flink_210726_spark.operators.tar import _BLOCK, _make_header
+from gmall_flink_210726_spark.operators.wds import _iter_tar_members
+
+_M32 = 0xFFFFFFFF
+_N_BUCKETS = 16  # >= 2 * max manifests, so every claimed bucket exists
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Canonical MurmurHash3 x86_32 (the Iceberg bucket hash at seed
+    0; Spark's JVM hash() at seed 42)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _M32
+    n = len(data)
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & _M32
+
+    for off in range(0, n - n % 4, 4):
+        (k,) = struct.unpack_from("<I", data, off)
+        k = (k * c1) & _M32
+        k = rotl(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+        h = rotl(h, 13)
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[n - n % 4 :]
+    k = 0
+    for i, b in enumerate(tail):
+        k |= b << (8 * i)
+    if tail:
+        k = (k * c1) & _M32
+        k = rotl(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(k: int, n: int = _N_BUCKETS) -> int:
+    """bucket(n, k) for a long key per the Iceberg spec: hash the
+    8-byte little-endian two's-complement value at seed 0, mask to
+    non-negative int32, mod n."""
+    h = murmur3_x86_32(struct.pack("<q", k), 0)
+    return (h & 0x7FFFFFFF) % n
+
+
+MLIST_SCHEMA_B = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {"name": "lower_bound", "type": ["null", "bytes"]},
+                            {"name": "upper_bound", "type": ["null", "bytes"]},
+                        ],
+                    },
+                },
+            ],
+        },
+    ],
+}
+
+MANIFEST_SCHEMA_B = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition_bucket", "type": "int"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def read_iceberg_bucket_prune(data: bytes, q: int) -> dict | None:
+    """Point lookup of key ``q`` through bucket pruning: compute the
+    probe bucket once, open only manifests whose claimed bucket
+    range contains it, select only files claiming that bucket, and
+    decode each selected file's parquet — every key must re-hash to
+    the file's claimed bucket, record_count must match, and the
+    match count falls out of the same decode."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    cur = meta.get("current-snapshot-id")
+    snaps = meta.get("snapshots")
+    if not isinstance(cur, int) or not isinstance(snaps, list):
+        return None
+    snap = next(
+        (
+            s
+            for s in snaps
+            if isinstance(s, dict) and s.get("snapshot-id") == cur
+        ),
+        None,
+    )
+    if snap is None or not isinstance(snap.get("manifest-list"), str):
+        return None
+    mlist_blob = files.get(snap["manifest-list"])
+    if mlist_blob is None:
+        return None
+    got = read_avro_container(mlist_blob)
+    if got is None:
+        return None
+    mlist, _, _ = got
+    tb = iceberg_bucket(q)
+    n_read = files_sel = rows_sel = n_found = 0
+    for mf in mlist:
+        try:
+            path = mf["manifest_path"]
+            declared = mf["manifest_length"]
+            parts = mf["partitions"]
+        except (TypeError, KeyError):
+            return None
+        if mf.get("content") != 0 or not isinstance(parts, list):
+            return None
+        if len(parts) != 1:
+            return None  # one partition field (the bucket)
+        fs = parts[0]
+        if not isinstance(fs, dict) or fs.get("contains_null"):
+            return None  # bucket of a required key: never null
+        bmin = _i32le(fs.get("lower_bound"))
+        bmax = _i32le(fs.get("upper_bound"))
+        if bmin is None or bmax is None or not 0 <= bmin <= bmax:
+            return None
+        if bmax >= _N_BUCKETS:
+            return None
+        if tb < bmin or tb > bmax:
+            continue  # PRUNED: the probe's bucket cannot be here
+        blob = files.get(path)
+        if blob is None or len(blob) != declared:
+            return None
+        g2 = read_avro_container(blob)
+        if g2 is None:
+            return None
+        entries, _, _ = g2
+        n_read += 1
+        for ent in entries:
+            try:
+                df = ent["data_file"]
+                bkt = df["partition_bucket"]
+                rows = df["record_count"]
+                fpath = df["file_path"]
+            except (TypeError, KeyError):
+                return None
+            if not bmin <= bkt <= bmax:
+                return None  # the summary lied about an opened manifest
+            if bkt != tb:
+                continue  # a non-matching bucket file: never decoded
+            pblob = files.get(fpath)
+            if pblob is None:
+                return None
+            col = read_parquet_column_k(pblob, collect_values=True)
+            if col is None or col["n_values"] != rows:
+                return None
+            for v in col["values"]:
+                if iceberg_bucket(v) != bkt:
+                    return None  # a mis-routed row: the bucket lied
+            files_sel += 1
+            rows_sel += rows
+            n_found += sum(1 for v in col["values"] if v == q)
+    return {
+        "n_manifests": len(mlist),
+        "n_manifests_read": n_read,
+        "files_selected": files_sel,
+        "rows_selected": rows_sel,
+        "n_found": n_found,
+    }
+
+
+ICEBERG_BUCKET_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_manifests", LongType()),
+        StructField("n_manifests_read", LongType()),
+        StructField("files_selected", LongType()),
+        StructField("rows_selected", LongType()),
+        StructField("n_found", LongType()),
+    ]
+)
+
+
+def _bucket_rows(i: int, m: int, e: int) -> int:
+    return 10 + (i + 5 * m + e) % 40
+
+
+def _bucket_keys(i: int, m: int, e: int, bucket: int) -> list[int]:
+    """The first ``rows`` integers >= a per-file base whose Iceberg
+    bucket equals ``bucket`` — hash-dependent membership, but every
+    COUNT the oracle sees is fixed by construction."""
+    rows = _bucket_rows(i, m, e)
+    out = []
+    k = 1000 * (2 * m + e) + i
+    while len(out) < rows:
+        if iceberg_bucket(k) == bucket:
+            out.append(k)
+        k += 1
+    return out
+
+
+def _bucket_params(i: int) -> tuple[int, int, int]:
+    """(n manifests, target manifest, target file-slot) — manifest m
+    claims buckets [2m, 2m+1]; the probe targets file slot i%2 of
+    manifest i%nm, so exactly one manifest opens and one file
+    decodes."""
+    nm = 3 + i % 3
+    return nm, i % nm, i % 2
+
+
+def _make_iceberg_bucket_table(
+    i: int,
+    bad_stripe: int = 13,
+    misroute_stripe: int = 9,
+    count_lie_stripe: int = 17,
+) -> bytes:
+    """``3 + i%3`` manifests x 2 parquet data files, manifest m
+    claiming buckets [2m, 2m+1] (4-byte LE summaries). The probe key
+    is a real member of the target file, so n_found == 1 by
+    construction. Every ``misroute_stripe``-th id swaps one key of
+    the TARGET file for a key of a different bucket (only a decoded
+    file can reveal it); every ``count_lie_stripe``-th id inflates
+    the target file's record_count; every ``bad_stripe``-th id
+    truncates the manifest list."""
+    nm, tm, te = _bucket_params(i)
+    codec = ("null", "deflate")[i % 2]
+    sync = bytes((i * 37 + 11 * k) % 256 for k in range(16))
+    members: list[tuple[str, bytes]] = []
+    mlist = []
+    for m in range(nm):
+        entries = []
+        for e in range(2):
+            bucket = 2 * m + e
+            keys = _bucket_keys(i, m, e, bucket)
+            if i % misroute_stripe == 0 and m == tm and e == te:
+                other = keys[-1] + 1
+                while iceberg_bucket(other) == bucket:
+                    other += 1
+                keys = keys[:-1] + [other]
+            blob = _mor_parquet({"k": keys})
+            fpath = f"data/b{bucket}-{m}-{e}.parquet"
+            members.append((fpath, blob))
+            rc = len(keys)
+            if i % count_lie_stripe == 0 and m == tm and e == te:
+                rc += 1
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": fpath,
+                        "file_format": "PARQUET",
+                        "partition_bucket": bucket,
+                        "record_count": rc,
+                        "file_size_in_bytes": len(blob),
+                    },
+                }
+            )
+        blob = make_avro_container(
+            MANIFEST_SCHEMA_B, entries, codec=codec, sync=sync
+        )
+        members.append((f"manifest-{m}.avro", blob))
+        mlist.append(
+            {
+                "manifest_path": f"manifest-{m}.avro",
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "content": 0,
+                "partitions": [
+                    {
+                        "contains_null": False,
+                        "lower_bound": struct.pack("<i", 2 * m),
+                        "upper_bound": struct.pack("<i", 2 * m + 1),
+                    }
+                ],
+            }
+        )
+    mlist_blob = make_avro_container(
+        MLIST_SCHEMA_B, mlist, codec=codec, sync=sync
+    )
+    if i % bad_stripe == 0:
+        mlist_blob = mlist_blob[:-3]
+    members.append(("snap-current.avro", mlist_blob))
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"bkt-{i}",
+        "current-snapshot-id": 7000 + i,
+        "snapshots": [
+            {
+                "snapshot-id": 7000 + i,
+                "manifest-list": "snap-current.avro",
+            }
+        ],
+    }
+    members.append(
+        (f"v{1 + i % 3}.metadata.json", json.dumps(meta).encode())
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    parts.append(b"\x00" * (2 * _BLOCK))
+    return b"".join(parts)
+
+
+def _bucket_probe(i: int) -> int:
+    """The probe key: a REAL member of the target file (its
+    ``i % rows``-th key), so presence is by construction."""
+    nm, tm, te = _bucket_params(i)
+    keys = _bucket_keys(i, tm, te, 2 * tm + te)
+    return keys[i % len(keys)]
+
+
+def synthesize_iceberg_bucket_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of bucket-partitioned Iceberg chains."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_bucket_table(int(x)) for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _iceberg_bucket_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for mid, blob in zip(pdf["media_id"], pdf["content"]):
+        mid = int(mid)
+        row = {
+            "media_id": mid,
+            "format": "unknown",
+            "n_manifests": 0,
+            "n_manifests_read": 0,
+            "files_selected": 0,
+            "rows_selected": 0,
+            "n_found": 0,
+        }
+        b = bytes(blob) if blob is not None else b""
+        try:
+            st = read_iceberg_bucket_prune(b, _bucket_probe(mid))
+        except Exception:
+            st = None
+        if st is not None:
+            row.update(format="iceberg", **st)
+        out.append(row)
+    return pd.DataFrame(
+        out, columns=[f.name for f in ICEBERG_BUCKET_SCHEMA.fields]
+    )
+
+
+def iceberg_bucket_stats(df: DataFrame) -> DataFrame:
+    """Bucket-pruned Iceberg point lookups over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _iceberg_bucket_batch(pdf)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ICEBERG_BUCKET_SCHEMA
+    )

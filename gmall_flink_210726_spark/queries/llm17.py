@@ -742,3 +742,63 @@ def multimodal_parquet_bloom_str(
         load_table(spark, sf_dir, "documents")
     )
     return parquet_bloom_str_stats(media)
+
+
+@register(
+    "lakehouse_iceberg_bucket_prune",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      3 + doc_id % 3 AS nm,
+                      doc_id % 9 = 0 OR doc_id % 13 = 0
+                        OR doc_id % 17 = 0 AS bad
+               FROM documents),
+    p AS (SELECT i, nm, bad,
+                 i % nm AS tm, i % 2 AS te
+          FROM m)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nm END AS BIGINT)
+             AS n_manifests,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_manifests_read,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS files_selected,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 10 + (i + 5 * tm + te) % 40 END AS BIGINT)
+             AS rows_selected,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS n_found
+    FROM p
+    """,
+    doc="Iceberg BUCKET-transform partition pruning — the "
+    "hash-partitioned half of hidden partitioning (the range half "
+    "is L232): bucket(N, k) = (murmur3_x86_32(little-endian-8(k), "
+    "seed 0) & MAX_INT) %% N per the Iceberg spec, murmur "
+    "implemented from the public MurmurHash3 spec and pinned in "
+    "tests against BOTH the canonical reference vectors and Spark's "
+    "JVM hash() (same algorithm, seed 42). A point lookup computes "
+    "the probe's bucket ONCE and opens only the manifest claiming "
+    "it (4-byte-LE field summaries) and only the data file claiming "
+    "that bucket — one manifest fetched, one parquet decoded, the "
+    "move that turns a key lookup on a 100 TB table into one "
+    "partition's I/O. Trust chain: every decoded key must re-hash "
+    "to the file's claimed bucket (every 9th id mis-routes one row "
+    "— how a buggy writer silently corrupts a bucketed table), "
+    "record_count vs the actual decode (every 17th id inflates it), "
+    "manifest-list truncation refusal (every 13th). The fixture "
+    "assigns keys to buckets BY SEARCH, so every oracled count is "
+    "hash-independent and the SQL oracle needs no murmur. "
+    "operators/iceberg2.py read_iceberg_bucket_prune",
+    tags=("llm", "multimodal", "lakehouse"),
+)
+def lakehouse_iceberg_bucket_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg2 import (
+        iceberg_bucket_stats,
+        synthesize_iceberg_bucket_media,
+    )
+
+    media = synthesize_iceberg_bucket_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_bucket_stats(media)

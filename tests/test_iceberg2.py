@@ -1,0 +1,123 @@
+"""Iceberg bucket-transform pruning: the canonical murmur3_x86_32
+pinned against the reference vectors AND Spark's JVM hash(), and the
+bucket-pruned point-lookup walk with its trust chain."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from gmall_flink_210726_spark.operators.iceberg2 import (
+    _bucket_params,
+    _bucket_probe,
+    _bucket_rows,
+    _make_iceberg_bucket_table,
+    iceberg_bucket,
+    murmur3_x86_32,
+    read_iceberg_bucket_prune,
+)
+
+# ----------------------------------------------------------- murmur3
+
+
+def test_murmur3_reference_vectors():
+    assert murmur3_x86_32(b"", 0) == 0
+    assert murmur3_x86_32(b"", 1) == 0x514E28B7
+    assert murmur3_x86_32(b"hello", 0) == 0x248BFA47
+
+
+def test_murmur3_against_spark_jvm(spark):
+    """Spark's hash() over BinaryType is murmur3_x86_32 at seed 42 —
+    an independent JVM implementation (4-aligned payloads only:
+    Spark's tail handling deviates from canonical murmur on
+    non-aligned lengths)."""
+    import pyspark.sql.functions as F
+
+    payloads = [
+        struct.pack("<q", v)
+        for v in (0, 1, -1, 12345, 2**40, -(2**40), 2**62)
+    ] + [b"abcd", b"abcdefgh1234"]
+    df = spark.createDataFrame(
+        [(p,) for p in payloads], "b binary"
+    ).select(F.hash("b").alias("h"))
+    jvm = [r.h & 0xFFFFFFFF for r in df.collect()]
+    assert jvm == [murmur3_x86_32(p, 42) for p in payloads]
+
+
+def test_bucket_range():
+    for k in range(-50, 50):
+        assert 0 <= iceberg_bucket(k) < 16
+
+
+# ------------------------------------------------------ fixture walk
+
+
+@pytest.mark.parametrize(
+    "i", [1, 2, 3, 4, 5, 7, 9, 13, 17, 26, 34, 100]
+)
+def test_bucket_prune_matches_formula(i):
+    st = read_iceberg_bucket_prune(
+        _make_iceberg_bucket_table(i), _bucket_probe(i)
+    )
+    if i % 9 == 0 or i % 13 == 0 or i % 17 == 0:
+        assert st is None
+        return
+    assert st is not None
+    nm, tm, te = _bucket_params(i)
+    assert st["n_manifests"] == nm
+    assert st["n_manifests_read"] == 1  # exactly one manifest opened
+    assert st["files_selected"] == 1
+    assert st["rows_selected"] == _bucket_rows(i, tm, te)
+    assert st["n_found"] == 1
+
+
+def test_absent_key_still_prunes_to_one_manifest():
+    """A key whose bucket belongs to an existing manifest but that
+    was never written: one manifest opens, zero matches."""
+    blob = _make_iceberg_bucket_table(1)
+    q = _bucket_probe(1)
+    # search a key in the same bucket that is NOT the probe and is
+    # far outside every file's key range
+    tb = iceberg_bucket(q)
+    k = 10**9
+    while iceberg_bucket(k) != tb:
+        k += 1
+    st = read_iceberg_bucket_prune(blob, k)
+    assert st is not None
+    assert st["n_manifests_read"] == 1 and st["n_found"] == 0
+
+
+def test_foreign_bucket_manifest_never_decoded():
+    """Corrupt every data file OUTSIDE the probe's bucket: the walk
+    must still succeed — pruned partitions are never fetched."""
+    from gmall_flink_210726_spark.operators.tar import (
+        _BLOCK,
+        _make_header,
+    )
+    from gmall_flink_210726_spark.operators.wds import _iter_tar_members
+
+    i = 2
+    blob = _make_iceberg_bucket_table(i)
+    q = _bucket_probe(i)
+    tb = iceberg_bucket(q)
+    members = list(_iter_tar_members(blob))
+    out = bytearray()
+    for name, payload in members:
+        if name.startswith("data/") and not name.startswith(
+            f"data/b{tb}-"
+        ):
+            payload = b"\x00" * len(payload)  # smashed foreign file
+        pad = (-len(payload)) % _BLOCK
+        out += _make_header(name, len(payload)) + payload + b"\x00" * pad
+    out += b"\x00" * (2 * _BLOCK)
+    st = read_iceberg_bucket_prune(bytes(out), q)
+    assert st is not None and st["n_found"] == 1
+
+
+def test_truncation_refused():
+    blob = _make_iceberg_bucket_table(1)
+    assert (
+        read_iceberg_bucket_prune(blob[: len(blob) // 2], _bucket_probe(1))
+        is None
+    )
