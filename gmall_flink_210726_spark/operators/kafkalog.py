@@ -267,7 +267,9 @@ def read_kafka_segment(data: bytes) -> dict | None:
     except (ValueError, struct.error):
         return None
     out["compression"] = (
-        codecs.pop() if len(codecs) == 1 else "mixed"
+        next(iter(codecs))
+        if len(codecs) == 1
+        else ("none" if not codecs else "mixed")
     )
     return out
 

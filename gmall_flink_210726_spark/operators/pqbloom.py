@@ -328,15 +328,24 @@ def write_parquet_bloom(
                 hk = _h_value(keep_value)
                 ki, kmasks = _block_masks(hk)
                 if ((ki * nblocks) >> 32) * 32 == base:
+                    # pick a word where the victim sets a bit the
+                    # probe key does not; if every word coincides
+                    # (astronomically unlikely but possible for an
+                    # unlucky id), there is no distinguishing bit —
+                    # skip the lie rather than crash synthesis
                     w = next(
-                        j
-                        for j in range(8)
-                        if masks[j] != kmasks[j]
+                        (
+                            j
+                            for j in range(8)
+                            if masks[j] & ~kmasks[j]
+                        ),
+                        None,
                     )
-            hdr_len = len(section) - 32 * nblocks
-            off = hdr_len + base + 4 * w
-            (word,) = struct.unpack_from("<I", section, off)
-            struct.pack_into("<I", section, off, word & ~masks[w])
+            if w is not None:
+                hdr_len = len(section) - 32 * nblocks
+                off = hdr_len + base + 4 * w
+                (word,) = struct.unpack_from("<I", section, off)
+                struct.pack_into("<I", section, off, word & ~masks[w])
         length = len(section)
         if len_lie_group is not None and len_lie_group == g:
             length += 1
