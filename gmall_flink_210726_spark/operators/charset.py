@@ -259,27 +259,16 @@ def synthesize_charset_media(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def utf16_decode_strict(data: bytes) -> tuple[list[int], str] | None:
-    """BOM-sniffed strict UTF-16 decode (RFC 2781 §4.3): requires a
-    BOM (FF FE little / FE FF big — the unmarked-stream default is a
-    heuristic, not a decode), even byte length, correctly paired
-    surrogates (a high surrogate must be followed by a low one,
-    lone surrogates reject), and no code point above U+10FFFF (holds
-    by construction). Returns (code points, 'utf-16le'|'utf-16be')
-    or None."""
-    if len(data) < 2 or len(data) % 2:
-        return None
-    if data[:2] == b"\xff\xfe":
-        order = "little"
-        label = "utf-16le"
-    elif data[:2] == b"\xfe\xff":
-        order = "big"
-        label = "utf-16be"
-    else:
+def _utf16_cps(data: bytes, order: str) -> list[int] | None:
+    """BOM-less strict UTF-16 unit pairing: even byte length,
+    correctly paired surrogates (a high surrogate must be followed by
+    a low one, lone surrogates reject). Returns code points or
+    None."""
+    if len(data) % 2:
         return None
     units = [
         int.from_bytes(data[i : i + 2], order)
-        for i in range(2, len(data), 2)
+        for i in range(0, len(data), 2)
     ]
     out: list[int] = []
     i = 0
@@ -298,6 +287,29 @@ def utf16_decode_strict(data: bytes) -> tuple[list[int], str] | None:
             return None  # lone low surrogate
         out.append(u)
         i += 1
+    return out
+
+
+def utf16_decode_strict(data: bytes) -> tuple[list[int], str] | None:
+    """BOM-sniffed strict UTF-16 decode (RFC 2781 §4.3): requires a
+    BOM (FF FE little / FE FF big — the unmarked-stream default is a
+    heuristic, not a decode), even byte length, correctly paired
+    surrogates, and no code point above U+10FFFF (holds by
+    construction). Returns (code points, 'utf-16le'|'utf-16be')
+    or None."""
+    if len(data) < 2 or len(data) % 2:
+        return None
+    if data[:2] == b"\xff\xfe":
+        order = "little"
+        label = "utf-16le"
+    elif data[:2] == b"\xfe\xff":
+        order = "big"
+        label = "utf-16be"
+    else:
+        return None
+    out = _utf16_cps(data[2:], order)
+    if out is None:
+        return None
     return out, label
 
 
@@ -414,3 +426,121 @@ def synthesize_charset_web_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# The WARC/HTML front-door decode chain: bytes -> str with the
+# precedence a real crawl reader needs (the round-12 `weak`):
+#
+#   1. declared charset (HTTP Content-Type charset= parameter) — a
+#      declaration is tried STRICTLY; a lying header whose bytes do
+#      not decode falls through to sniffing instead of mojibaking;
+#   2. BOM (UTF-8 EF BB BF / UTF-16 FF FE / FE FF) — an explicit
+#      in-band declaration;
+#   3. <meta charset=...> / <meta http-equiv Content-Type> prescan
+#      over the first 1024 bytes (the WHATWG encoding-sniff window);
+#   4. strict UTF-8 (~95% of real crawls);
+#   5. strict Windows-1252 (the mislabeled-latin-1 tail);
+#   6. latin-1 floor (never fails; every byte is its code point).
+#
+# Label normalization follows the WHATWG Encoding Standard's mapping
+# for the legacy web: iso-8859-1/latin-1/us-ascii label the
+# Windows-1252 decoder (what the bytes actually are on real pages).
+# --------------------------------------------------------------------------
+
+_UTF8_LABELS = frozenset({"utf-8", "utf8", "unicode-1-1-utf-8"})
+_CP1252_LABELS = frozenset(
+    {
+        "windows-1252", "cp1252", "x-cp1252", "cp-1252",
+        "iso-8859-1", "iso8859-1", "iso_8859-1", "iso88591",
+        "latin-1", "latin1", "l1", "ascii", "us-ascii",
+        "ansi_x3.4-1968",
+    }
+)
+_UTF16LE_LABELS = frozenset({"utf-16", "utf-16le", "utf16"})
+_UTF16BE_LABELS = frozenset({"utf-16be"})
+
+
+def _decode_declared(data: bytes, label: str) -> tuple[str, str] | None:
+    """Strict decode under a declared charset label, or None when the
+    label is unknown OR the bytes do not decode under it (either way
+    the caller falls through the chain). A leading BOM matching the
+    declared family is stripped; for utf-16 an explicit BOM wins over
+    the declared byte order (RFC 2781 §4.3)."""
+    label = label.strip().lower()
+    if label in _UTF8_LABELS:
+        body = data[3:] if data[:3] == b"\xef\xbb\xbf" else data
+        cps = utf8_decode_strict(body)
+        if cps is None:
+            return None
+        return "".join(map(chr, cps)), "utf-8"
+    if label in _CP1252_LABELS:
+        cps = cp1252_decode_strict(data)
+        if cps is None:
+            return None
+        return "".join(map(chr, cps)), "cp1252"
+    if label in _UTF16LE_LABELS or label in _UTF16BE_LABELS:
+        if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+            got = utf16_decode_strict(data)
+            if got is None:
+                return None
+            cps, enc = got
+            return "".join(map(chr, cps)), enc
+        order = "little" if label in _UTF16LE_LABELS else "big"
+        cps = _utf16_cps(data, order)
+        if cps is None:
+            return None
+        return "".join(map(chr, cps)), f"utf-16{order[0]}e"
+    return None  # unknown label -> sniff instead
+
+
+def sniff_meta_charset(data: bytes) -> str | None:
+    """WHATWG-style prescan of the first 1024 bytes for
+    ``<meta charset=...>`` or the charset parameter inside
+    ``<meta http-equiv="Content-Type" content="...">``. The window is
+    scanned as latin-1 (byte-transparent); the returned label is
+    lower-cased, quotes stripped."""
+    import re
+
+    head = data[:1024].decode("latin-1")
+    m = re.search(
+        r"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9._:\-]+)",
+        head,
+        re.IGNORECASE,
+    )
+    return m.group(1).lower() if m else None
+
+
+def decode_web_bytes(
+    data: bytes, declared: str | None = None
+) -> tuple[str, str, str]:
+    """The front-door chain (module section doc). Never fails.
+
+    Returns ``(text, encoding, source)`` where ``source`` names the
+    rung that fired: ``http`` (declared charset honored), ``bom``,
+    ``meta``, ``content`` (strict UTF-8 or cp1252 sniff), or
+    ``floor`` (latin-1)."""
+    if declared:
+        got = _decode_declared(data, declared)
+        if got is not None:
+            return got[0], got[1], "http"
+    if data[:3] == b"\xef\xbb\xbf":
+        cps = utf8_decode_strict(data[3:])
+        if cps is not None:
+            return "".join(map(chr, cps)), "utf-8", "bom"
+    u16 = utf16_decode_strict(data)
+    if u16 is not None:
+        cps, enc = u16
+        return "".join(map(chr, cps)), enc, "bom"
+    meta = sniff_meta_charset(data)
+    if meta:
+        got = _decode_declared(data, meta)
+        if got is not None:
+            return got[0], got[1], "meta"
+    cps = utf8_decode_strict(data)
+    if cps is not None:
+        return "".join(map(chr, cps)), "utf-8", "content"
+    cps = cp1252_decode_strict(data)
+    if cps is not None:
+        return "".join(map(chr, cps)), "cp1252", "content"
+    return data.decode("latin-1"), "latin-1", "floor"

@@ -170,6 +170,51 @@ def _decode_codings(body: bytes, encodings: list[str]) -> bytes:
     return body
 
 
+def content_type_charset(content_type: str | None) -> str | None:
+    """Extract the ``charset`` parameter from a ``Content-Type`` field
+    value (RFC 9110 §8.3): ``type "/" subtype *( OWS ";" OWS
+    token "=" ( token / quoted-string ) )``. Returns the charset
+    lower-cased, or None when absent/malformed. Charset names are
+    case-insensitive (RFC 2978 §4); quoted-string backslash escapes
+    are honored. The FIRST charset parameter wins (duplicates are a
+    malformed field — real servers emit at most one; we keep the
+    first rather than refuse, matching browser behavior)."""
+    if not content_type:
+        return None
+    parts = content_type.split(";")
+    for param in parts[1:]:
+        eq = param.find("=")
+        if eq < 0:
+            continue
+        name = param[:eq].strip(" \t").lower()
+        if name != "charset":
+            continue
+        val = param[eq + 1 :].strip(" \t")
+        if val.startswith('"'):
+            # quoted-string: unescape \x pairs, require closing quote
+            out = []
+            i = 1
+            closed = False
+            while i < len(val):
+                c = val[i]
+                if c == "\\" and i + 1 < len(val):
+                    out.append(val[i + 1])
+                    i += 2
+                elif c == '"':
+                    closed = True
+                    break
+                else:
+                    out.append(c)
+                    i += 1
+            if not closed:
+                return None
+            val = "".join(out)
+        if not val:
+            return None
+        return val.lower()
+    return None
+
+
 def parse_http_response(raw: bytes) -> dict | None:
     """One WARC content block -> the decoded HTTP response, or None
     on any message-layer violation (module doc contract).
@@ -214,7 +259,15 @@ def parse_http_response(raw: bytes) -> dict | None:
             if any(c not in ("", "chunked") for c in codings[:-1]):
                 return None  # transfer codings beyond chunked
         else:
-            body = rest  # close-delimited despite TE (§6.3 item 7)
+            # TE present but final coding is not chunked: the body is
+            # close-delimited (§6.3 item 7) BUT still transfer-coded.
+            # We never decode transfer codings other than chunked, so
+            # letting still-coded bytes flow onward would violate the
+            # module contract (wrong text is worse than no text) —
+            # refuse anything beyond the identity no-ops.
+            if any(c not in ("", "identity") for c in codings):
+                return None
+            body = rest
     elif cl is not None:
         if not cl.isdigit():
             return None
@@ -277,6 +330,9 @@ def parse_http_request(raw: bytes) -> dict | None:
     if te is not None:
         codings = [c.strip().lower() for c in te.split(",")]
         if codings and codings[-1] == "chunked":
+            if any(c not in ("", "chunked") for c in codings[:-1]):
+                return None  # transfer codings beyond chunked (as in
+                # parse_http_response — we cannot decode them)
             try:
                 body = _dechunk(rest)
             except ValueError:

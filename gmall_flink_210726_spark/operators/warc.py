@@ -114,6 +114,45 @@ def response_payload(rec: dict) -> tuple[dict | None, bytes] | None:
     return None, rec["content"]
 
 
+def _body_text(body: bytes, msg: dict | None) -> str:
+    """Front-door charset decode (the round-12 ``weak`` fix): the
+    HTTP ``Content-Type: ...; charset=`` parameter when the record
+    carried an HTTP message, then BOM, then ``<meta charset>``
+    prescan, then strict UTF-8, then cp1252, then the latin-1 floor —
+    ``operators/charset.py decode_web_bytes``. A lying declaration
+    whose bytes do not strictly decode falls through to sniffing
+    instead of mojibaking."""
+    from gmall_flink_210726_spark.operators.charset import (
+        decode_web_bytes,
+    )
+    from gmall_flink_210726_spark.operators.httpmsg import (
+        content_type_charset,
+    )
+
+    declared = None
+    if msg is not None:
+        declared = content_type_charset(
+            msg["headers"].get("content-type")
+        )
+    return decode_web_bytes(body, declared)[0]
+
+
+def _conversion_text(rec: dict) -> str:
+    """WET conversion payload -> text through the same chain; the
+    declaration rung reads the WARC record's own Content-Type
+    (``text/plain; charset=...`` when present)."""
+    from gmall_flink_210726_spark.operators.charset import (
+        decode_web_bytes,
+    )
+    from gmall_flink_210726_spark.operators.httpmsg import (
+        content_type_charset,
+    )
+
+    return decode_web_bytes(
+        rec["content"], content_type_charset(rec["ctype"])
+    )[0]
+
+
 def _walk_warc(data: bytes) -> dict | None:
     members = iter_gzip_members(data)
     if members is None:
@@ -345,8 +384,8 @@ def _walk_warc_html(data: bytes) -> dict | None:
         peeled = response_payload(rec)
         if peeled is None:
             return None
-        _msg, body = peeled
-        res = extract_text(body.decode("latin-1"))
+        msg, body = peeled
+        res = extract_text(_body_text(body, msg))
         if res is None:
             return None
         if not title:
@@ -409,12 +448,28 @@ def _make_warc_html_stream(i: int, text: str) -> bytes:
     so corruption can strike either layer independently: every 11th id
     carries the page's unclosed-script swallow (the HTML stripe),
     every 12th id lies about Content-Length (the WARC stripe, still
-    CRC-clean at the gzip layer)."""
+    CRC-clean at the gzip layer). Bare records carry no HTTP headers,
+    so the charset stripe (i % 3) exercises the header-less rungs of
+    the decode chain: 0 UTF-8 bytes (content sniff), 1 cp1252 bytes
+    with an injected ``<meta charset="windows-1252">`` (the WHATWG
+    prescan rung), 2 UTF-16 with BOM (the BOM rung) — all carrying
+    the non-ASCII marker paragraph, all extracting the SAME text."""
     from gmall_flink_210726_spark.operators.html import _make_html
     from gmall_flink_210726_spark.operators.inflate import _run_text
 
     info = make_warc_record("warcinfo", "", _run_text(i, 0, 80))
-    page = _make_html(i, text).encode("latin-1")
+    page_str = _make_html(i, text).replace(
+        "</body>", f"<p>{_charset_marker(i)}</p>\n</body>"
+    )
+    v = i % 3
+    if v == 0:
+        page = page_str.encode("utf-8")
+    elif v == 1:
+        page = page_str.replace(
+            "<style>", '<meta charset="windows-1252">\n<style>', 1
+        ).encode("cp1252")
+    else:
+        page = page_str.encode("utf-16")
     bad_len = i % 12 == 0
     resp = make_warc_record(
         "response",
@@ -509,8 +564,8 @@ def _walk_warc_text(data: bytes) -> dict | None:
             peeled = response_payload(rec)  # HTTP-bearing dispatch
             if peeled is None:
                 return None
-            _msg, body = peeled
-            res = extract_text(body.decode("latin-1"))
+            msg, body = peeled
+            res = extract_text(_body_text(body, msg))
             if res is None:
                 return None
             if not title:
@@ -518,7 +573,7 @@ def _walk_warc_text(data: bytes) -> dict | None:
             blocks.extend(res["blocks"])
             n_resp += 1
         elif rec["type"] == "conversion":
-            text = rec["content"].decode("latin-1")
+            text = _conversion_text(rec)
             blocks.extend(ln for ln in text.split("\n") if ln != "")
             n_conv += 1
     return {
@@ -678,8 +733,8 @@ def _walk_warc_zstd_text(data: bytes) -> dict | None:
             peeled = response_payload(rec)  # HTTP-bearing dispatch
             if peeled is None:
                 return None
-            _msg, body = peeled
-            res = extract_text(body.decode("latin-1"))
+            msg, body = peeled
+            res = extract_text(_body_text(body, msg))
             if res is None:
                 return None
             if not title:
@@ -687,7 +742,7 @@ def _walk_warc_zstd_text(data: bytes) -> dict | None:
             blocks.extend(res["blocks"])
             n_resp += 1
         elif rec["type"] == "conversion":
-            text = rec["content"].decode("latin-1")
+            text = _conversion_text(rec)
             blocks.extend(ln for ln in text.split("\n") if ln != "")
             n_conv += 1
     return {
@@ -1094,7 +1149,7 @@ def _walk_warc_http(data: bytes) -> dict | None:
                 any(e in ("gzip", "x-gzip") for e in msg["encodings"])
             )
             n_deflate += int("deflate" in msg["encodings"])
-        res = extract_text(body.decode("latin-1"))
+        res = extract_text(_body_text(body, msg))
         if res is None:
             return None
         if not title:
@@ -1186,7 +1241,9 @@ def _chunk_body(body: bytes, step: int, lie: bool = False) -> bytes:
     return bytes(out)
 
 
-def _make_http_response(i: int, page: bytes) -> bytes:
+def _make_http_response(
+    i: int, page: bytes, charset: str | None = "latin-1"
+) -> bytes:
     """Deterministic HTTP/1.1 response around the HTML page.
 
     Framing variant ``i % 5``: 0 identity+Content-Length, 1 chunked,
@@ -1195,14 +1252,19 @@ def _make_http_response(i: int, page: bytes) -> bytes:
     predict them: every 13th id declares one chunk a byte bigger than
     it is (chunk-size lie), every 13th-miss 17th id declares
     Content-Length one byte long (CL lie) — each desync must degrade
-    its stream and nothing else."""
+    its stream and nothing else. ``charset`` sets the Content-Type
+    charset parameter (None = bare ``text/html``, exercising the
+    BOM/sniff rungs of the decode chain)."""
     import zlib as _zlib
 
+    ctype = b"Content-Type: text/html"
+    if charset is not None:
+        ctype += b"; charset=" + charset.encode("ascii")
     head = [
         b"HTTP/1.1 200 OK",
         b"Date: Mon, 01 Jan 2024 00:00:00 GMT",
         b"Server: warcfix/1.0",
-        b"Content-Type: text/html; charset=latin-1",
+        ctype,
     ]
     step = 7 + i % 13
     if i % 13 == 0:
@@ -1245,23 +1307,58 @@ def _make_http_response(i: int, page: bytes) -> bytes:
     return _CRLF.join(head) + _CRLF + _CRLF + body
 
 
+def _charset_marker(i: int) -> str:
+    """The non-ASCII paragraph every charset-striped page carries:
+    cp1252-encodable on purpose (é ï — are latin-1 range, the smart
+    quotes are the 0x93/0x94 C1 printables), so the SAME text
+    round-trips through every encoding variant — equal extracted
+    text across variants IS the proof the chain decoded correctly
+    (any mojibake shifts the hash)."""
+    return f"café {i} — naïve “résumé”"
+
+
+def _encode_page(i: int, page_str: str) -> tuple[bytes, str | None]:
+    """Charset stripe rotation ``i % 4`` for HTTP-bearing pages:
+    0 UTF-8 bytes + honest ``charset=utf-8``; 1 cp1252 bytes + honest
+    ``charset=windows-1252``; 2 UTF-16 (BOM) bytes with NO charset
+    parameter — the BOM rung must fire; 3 cp1252 bytes under a LYING
+    ``charset=utf-8`` — the strict declared decode fails and the
+    chain must fall through to the cp1252 content sniff. Returns
+    (bytes, charset-header-value-or-None)."""
+    v = i % 4
+    if v == 0:
+        return page_str.encode("utf-8"), "utf-8"
+    if v == 1:
+        return page_str.encode("cp1252"), "windows-1252"
+    if v == 2:
+        return page_str.encode("utf-16"), None
+    return page_str.encode("cp1252"), "utf-8"  # the lie
+
+
 def _make_warc_http_stream(i: int, text: str) -> bytes:
     """A warcinfo record plus ONE HTTP-bearing response (Content-Type
     application/http; msgtype=response) whose de-framed, de-coded
-    body is the HTML fixture page. Corruption can strike any of the
-    three layers independently: every 11th id's page swallows via the
-    unclosed script (HTML), every 13th id lies about a chunk size
-    (HTTP framing), every 17th lies about Content-Length (HTTP
-    framing) — all CRC-clean at the gzip layer below."""
+    body is the HTML fixture page carrying the non-ASCII charset
+    marker. Corruption can strike any of the three layers
+    independently: every 11th id's page swallows via the unclosed
+    script (HTML), every 13th id lies about a chunk size (HTTP
+    framing), every 17th lies about Content-Length (HTTP framing) —
+    all CRC-clean at the gzip layer below. Encoding rotates i%4
+    (``_encode_page``): utf-8 / cp1252 / UTF-16-BOM / lying utf-8
+    declaration over cp1252 bytes — all four must extract the SAME
+    text."""
     from gmall_flink_210726_spark.operators.html import _make_html
     from gmall_flink_210726_spark.operators.inflate import _run_text
 
     info = make_warc_record("warcinfo", "", _run_text(i, 0, 80))
-    page = _make_html(i, text).encode("latin-1")
+    page_str = _make_html(i, text).replace(
+        "</body>", f"<p>{_charset_marker(i)}</p>\n</body>"
+    )
+    page, cs = _encode_page(i, page_str)
     resp = make_warc_record(
         "response",
         f"http://example.com/doc/{i}",
-        _make_http_response(i, page),
+        _make_http_response(i, page, charset=cs),
         ctype="application/http; msgtype=response",
     )
     return _gzip_member(info) + _gzip_member(resp)
@@ -1376,7 +1473,7 @@ def _walk_warc_reqresp(data: bytes) -> dict | None:
             msg, body = peeled
             if msg is not None:
                 status_sum += msg["status"]
-            res = extract_text(body.decode("latin-1"))
+            res = extract_text(_body_text(body, msg))
             if res is None:
                 return None
             n_words += sum(len(b.split(" ")) for b in res["blocks"])

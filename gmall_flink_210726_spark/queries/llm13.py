@@ -493,10 +493,10 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT) AS n_records,
            CASE WHEN bad THEN ''
                 ELSE 'Doc ' || CAST(media_id AS VARCHAR) END AS title,
-           CAST(CASE WHEN bad THEN 0 ELSE 4 + nli END AS BIGINT)
+           CAST(CASE WHEN bad THEN 0 ELSE 5 + nli END AS BIGINT)
              AS n_blocks,
            CAST(CASE WHEN bad THEN 0
-                ELSE 2 + nw + 3 * nli + 15 END AS BIGINT) AS n_words,
+                ELSE 2 + nw + 3 * nli + 20 END AS BIGINT) AS n_words,
            CASE WHEN bad THEN ''
                 ELSE 'Heading ' || CAST(media_id AS VARCHAR) || chr(10)
                      || p1 || chr(10) || p2 || chr(10)
@@ -507,6 +507,9 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                      || chr(10)
                      || 'amp & lt < gt > quote " num A hex B link '
                      || CAST(media_id AS VARCHAR) || ' end'
+                     || chr(10)
+                     || 'café ' || CAST(media_id AS VARCHAR)
+                     || ' — naïve “résumé”'
            END AS body_text
     FROM b
     """,
@@ -520,7 +523,11 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the parquet text column. Corruption strikes either layer "
     "independently — every 11th id has the page's unclosed-script "
     "swallow (HTML layer), every 12th lies about Content-Length "
-    "(WARC layer, CRC-clean below) — and both must degrade. "
+    "(WARC layer, CRC-clean below) — and both must degrade. Charset "
+    "stripes rotate doc_id%3 over the header-less rungs — utf-8 "
+    "bytes (content sniff) / cp1252 with an injected <meta "
+    "charset> (WHATWG prescan) / UTF-16 BOM — all extracting the "
+    "SAME non-ASCII marker text (charset.py decode_web_bytes). "
     "operators/warc.py warc_html_text",
     tags=("llm", "multimodal", "text"),
 )

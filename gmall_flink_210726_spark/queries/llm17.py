@@ -44,10 +44,10 @@ from gmall_flink_210726_spark.sources.batch import load_table
                 END AS BIGINT) AS n_deflate,
            CASE WHEN bad THEN ''
                 ELSE 'Doc ' || CAST(media_id AS VARCHAR) END AS title,
-           CAST(CASE WHEN bad THEN 0 ELSE 4 + nli END AS BIGINT)
+           CAST(CASE WHEN bad THEN 0 ELSE 5 + nli END AS BIGINT)
              AS n_blocks,
            CAST(CASE WHEN bad THEN 0
-                ELSE 2 + nw + 3 * nli + 15 END AS BIGINT) AS n_words,
+                ELSE 2 + nw + 3 * nli + 20 END AS BIGINT) AS n_words,
            CASE WHEN bad THEN ''
                 ELSE 'Heading ' || CAST(media_id AS VARCHAR) || chr(10)
                      || p1 || chr(10) || p2 || chr(10)
@@ -58,6 +58,9 @@ from gmall_flink_210726_spark.sources.batch import load_table
                      || chr(10)
                      || 'amp & lt < gt > quote " num A hex B link '
                      || CAST(media_id AS VARCHAR) || ' end'
+                     || chr(10)
+                     || 'café ' || CAST(media_id AS VARCHAR)
+                     || ' — naïve “résumé”'
            END AS body_text
     FROM b
     """,
@@ -75,7 +78,13 @@ from gmall_flink_210726_spark.sources.batch import load_table
     "page swallows via the unclosed script (HTML), every 13th "
     "declares one chunk a byte bigger than it is (chunked framing "
     "desync), every 17th declares Content-Length one byte long — "
-    "each must degrade exactly its stream. The oracle reconstructs "
+    "each must degrade exactly its stream. Charset stripes rotate "
+    "doc_id%4 — utf-8 declared / cp1252 declared / UTF-16-BOM with "
+    "no charset param / cp1252 bytes under a LYING charset=utf-8 — "
+    "and every variant must extract the SAME non-ASCII marker text "
+    "through the decode chain (HTTP charset -> BOM -> meta -> "
+    "strict-UTF-8 -> cp1252; operators/charset.py decode_web_bytes). "
+    "The oracle reconstructs "
     "the exact extracted text, counts, and per-variant framing flags "
     "blind from the parquet text column. Per-blob stateless "
     "Arrow-batched mapInPandas; embarrassingly parallel at 100 TB. "

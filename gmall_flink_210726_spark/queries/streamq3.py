@@ -1799,7 +1799,7 @@ def st28_stream_delta_dv_scan(
            CAST(SUM(CASE WHEN bad OR v != 4 THEN 0 ELSE 1
                 END) AS BIGINT) AS n_deflate,
            CAST(SUM(CASE WHEN bad THEN 0
-                ELSE 2 + nw + 3 * nli + 15 END) AS BIGINT) AS n_words
+                ELSE 2 + nw + 3 * nli + 20 END) AS BIGINT) AS n_words
     FROM s GROUP BY 1
     """,
     doc="STREAMING real-CommonCrawl ingest — the round-12 HTTP/1.1 "

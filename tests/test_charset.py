@@ -174,3 +174,110 @@ class TestUtf16:
         r = charset_transcode_web(b"\xff\xfe\x41\x90\x41")
         assert r["encoding"] == "latin-1"
         assert r["cp_sum"] == 0xFF + 0xFE + 0x41 + 0x90 + 0x41
+
+
+class TestDecodeWebBytes:
+    """The front-door chain (decode_web_bytes): byte-for-byte
+    agreement with Python's own codecs on every rung, plus the rung
+    precedence contract (VERDICT r12 item 1)."""
+
+    def _rand_text(self, rng, n, cp1252_only=False):
+        pool = (
+            "abcdefghijklmnop qrstuv 0123456789 éàüñ—“”‰€ŒžŸ"
+            if cp1252_only
+            else "abc def 0123 éàüñ—“”€ 中文字 𝄞🙂 λόγος"
+        )
+        return "".join(rng.choice(pool) for _ in range(n))
+
+    def test_codec_agreement_fuzz(self):
+        from gmall_flink_210726_spark.operators.charset import (
+            decode_web_bytes,
+        )
+
+        rng = random.Random(1312)
+        for trial in range(200):
+            n = 1 + rng.randrange(120)
+            # utf-8 rung
+            t = self._rand_text(rng, n)
+            text, enc, src = decode_web_bytes(t.encode("utf-8"))
+            assert text == t and enc == "utf-8"
+            # declared utf-8 honored
+            text, enc, src = decode_web_bytes(
+                t.encode("utf-8"), "UTF-8"
+            )
+            assert text == t and src == "http"
+            # utf-16 BOM rung, both orders — agreement with codecs
+            for codec in ("utf-16", "utf-16le", "utf-16be"):
+                raw = t.encode(codec)
+                if codec != "utf-16":
+                    bom = (
+                        b"\xff\xfe" if codec == "utf-16le" else b"\xfe\xff"
+                    )
+                    raw = bom + raw
+                text, enc, src = decode_web_bytes(raw)
+                assert src == "bom"
+                assert text == raw[2:].decode(
+                    "utf-16le" if raw[:2] == b"\xff\xfe" else "utf-16be"
+                )
+            # cp1252 rung (non-UTF-8 bytes): agreement with codec
+            t2 = self._rand_text(rng, n, cp1252_only=True)
+            raw = t2.encode("cp1252")
+            text, enc, src = decode_web_bytes(raw)
+            if enc == "cp1252":
+                assert text == raw.decode("cp1252")
+            else:  # pure-ASCII draws legitimately land utf-8
+                assert raw.decode("utf-8") == text
+
+    def test_rung_precedence(self):
+        from gmall_flink_210726_spark.operators.charset import (
+            decode_web_bytes,
+        )
+
+        body = "café — “quote”"
+        cp = body.encode("cp1252")
+        # honest declaration fires the http rung
+        assert decode_web_bytes(cp, "windows-1252") == (
+            body, "cp1252", "http"
+        )
+        # WHATWG legacy mapping: latin-1/iso-8859-1 label cp1252
+        assert decode_web_bytes(cp, "iso-8859-1")[2] == "http"
+        assert decode_web_bytes(cp, "latin-1")[0] == body
+        # LYING utf-8 declaration over cp1252 bytes falls through to
+        # the content sniff and still recovers the text
+        text, enc, src = decode_web_bytes(cp, "utf-8")
+        assert (text, enc, src) == (body, "cp1252", "content")
+        # unknown label -> sniff
+        assert decode_web_bytes(body.encode("utf-8"), "ebcdic") == (
+            body, "utf-8", "content"
+        )
+        # BOM outranks meta: utf-16 bytes containing a meta tag
+        page = '<meta charset="windows-1252">' + body
+        raw = page.encode("utf-16")
+        assert decode_web_bytes(raw) == (page, "utf-16le", "bom")
+        # meta rung on header-less cp1252
+        raw = page.encode("cp1252")
+        assert decode_web_bytes(raw) == (page, "cp1252", "meta")
+        # utf-8 BOM rung
+        raw = b"\xef\xbb\xbf" + body.encode("utf-8")
+        assert decode_web_bytes(raw) == (body, "utf-8", "bom")
+        # floor: undefined cp1252 byte in otherwise-broken utf-8
+        raw = b"\x90\xff"
+        assert decode_web_bytes(raw) == (
+            raw.decode("latin-1"), "latin-1", "floor"
+        )
+
+    def test_declared_utf16_without_bom(self):
+        from gmall_flink_210726_spark.operators.charset import (
+            decode_web_bytes,
+        )
+
+        t = "pair 𝄞 end"
+        raw = t.encode("utf-16le")  # no BOM
+        assert decode_web_bytes(raw, "utf-16") == (t, "utf-16le", "http")
+        raw = t.encode("utf-16be")
+        assert decode_web_bytes(raw, "utf-16be") == (
+            t, "utf-16be", "http"
+        )
+        # declared utf-16 WITH a BOM: the BOM wins over the label
+        raw = t.encode("utf-16")  # FF FE + LE
+        assert decode_web_bytes(raw, "utf-16be")[0] == t

@@ -12,6 +12,7 @@ import pytest
 
 from gmall_flink_210726_spark.operators.httpmsg import (
     _dechunk,
+    parse_http_request,
     parse_http_response,
 )
 
@@ -410,3 +411,58 @@ def test_mis_threaded_pair_refused():
         ctype="application/http; msgtype=request",
     )
     assert _walk_warc_reqresp(_gzip_member(req)) is None
+
+
+def test_te_nonchunked_codings_refused():
+    """A Transfer-Encoding whose final coding is not chunked leaves
+    the body still transfer-coded; letting it flow onward would feed
+    gzip bytes to the HTML extractor — both sides must refuse
+    anything beyond identity (ADVICE r12)."""
+    assert parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nXX"
+    ) is None
+    # identity-only TE is a no-op: close-delimited body flows
+    ok = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: identity\r\n\r\nhi"
+    )
+    assert ok is not None and ok["body"] == b"hi"
+    # request side: a pre-chunked coding we cannot decode refuses too
+    chunked = b"2\r\nhi\r\n0\r\n\r\n"
+    assert parse_http_request(
+        b"POST /x HTTP/1.1\r\nHost: e\r\n"
+        b"Transfer-Encoding: gzip, chunked\r\n\r\n" + chunked
+    ) is None
+    good = parse_http_request(
+        b"POST /x HTTP/1.1\r\nHost: e\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    assert good is not None and good["body"] == b"hi"
+
+
+def test_content_type_charset_param():
+    from gmall_flink_210726_spark.operators.httpmsg import (
+        content_type_charset,
+    )
+
+    assert content_type_charset("text/html; charset=UTF-8") == "utf-8"
+    assert content_type_charset("text/html;charset=iso-8859-1") == (
+        "iso-8859-1"
+    )
+    assert content_type_charset(
+        'text/html; charset="Windows-1252"'
+    ) == "windows-1252"
+    assert content_type_charset(
+        'text/html; CHARSET="utf\\-8"'
+    ) == "utf-8"  # quoted-pair unescaping
+    assert content_type_charset("text/html") is None
+    assert content_type_charset(None) is None
+    assert content_type_charset("text/html; charset=") is None
+    assert content_type_charset('text/html; charset="unclosed') is None
+    # first parameter wins over a later duplicate
+    assert content_type_charset(
+        "text/html; charset=utf-8; charset=latin-1"
+    ) == "utf-8"
+    # unrelated params skipped
+    assert content_type_charset(
+        "multipart/form-data; boundary=x; charset=utf-16"
+    ) == "utf-16"

@@ -122,8 +122,9 @@ class TestWarcHtmlE2E:
         st = _walk_warc_html(_make_warc_html_stream(1, text))
         assert st["n_records"] == 2
         assert st["title"] == "Doc 1"
-        assert st["n_blocks"] == 4 + (1 + 1 % 3)
+        assert st["n_blocks"] == 5 + (1 + 1 % 3)  # + charset marker
         assert st["body_text"].startswith("Heading 1\n")
+        assert st["body_text"].endswith("café 1 — naïve “résumé”")
 
     def test_html_layer_corruption_degrades(self):
         from gmall_flink_210726_spark.operators.warc import (
