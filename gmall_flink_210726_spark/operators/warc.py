@@ -799,17 +799,33 @@ def _make_warc_zstd_stream(i: int, text: str) -> bytes:
     """Same mixed-record layout as ``_make_wet_stream`` (warcinfo +
     response/conversion by ``i % 3``) but each record rides its own
     ZSTD frame (reference-encoder compressed, level rotating with
-    id); every 5th id prefixes a skippable frame (CC's dictionary
-    slot). Corruption stripes mirror the gzip twin: every 13th id
+    id). Corruption stripes mirror the gzip twin: every 13th id
     lies about the LAST record's Content-Length (the zstd layer
     still decodes — only WARC framing catches it), response-bearing
-    every-11th ids keep the unclosed-script HTML stripe."""
+    every-11th ids keep the unclosed-script HTML stripe.
+
+    Every 5th id uses the REAL CommonCrawl ``.warc.zst`` dictionary
+    convention (iipc warc-specifications): a LEADING skippable frame
+    with magic 0x184D2A5D carries a trained RFC 8878 §5 dictionary
+    (itself zstd-compressed on every 10th id — the spec allows
+    either), and all record frames are reference-encoder compressed
+    AGAINST it, so the hand decoder must resolve the Dictionary_ID,
+    pre-seed entropy/repeat state, and prime the match window. Two
+    dictionary lies live on already-bad 13-stripe rows (so the
+    oracle is untouched): every 195th id ships a TRUNCATED
+    dictionary, every other 65th id omits the dictionary frame while
+    its frames still name the DID — both must refuse, never decode
+    garbage."""
     import struct as _s
 
     import pyarrow as pa
 
     from gmall_flink_210726_spark.operators.html import _make_html
     from gmall_flink_210726_spark.operators.inflate import _run_text
+    from gmall_flink_210726_spark.operators.zstd import (
+        fixture_zstd_dict,
+        zstd_ref_compress_dict,
+    )
 
     codec = pa.Codec("zstd", compression_level=1 + 6 * (i % 4))
     ws = text.split(" ")
@@ -827,15 +843,34 @@ def _make_warc_zstd_stream(i: int, text: str) -> bytes:
     if v != 0:
         specs.append(("conversion", uri, conv))
     bad_len = i % 13 == 0
+    use_dict = i % 5 == 0
     parts = []
-    if i % 5 == 0:
-        pad = bytes(4 + i % 8)
-        parts.append(_s.pack("<II", 0x184D2A50, len(pad)) + pad)
+    d = None
+    if use_dict:
+        d = fixture_zstd_dict()
+        slot = (
+            bytes(pa.Codec("zstd").compress(d)) if i % 10 == 0 else d
+        )
+        if i % 195 == 0:  # truncated dictionary (13-stripe rows)
+            slot = slot[: len(slot) // 2]
+            parts.append(
+                _s.pack("<II", 0x184D2A5D, len(slot)) + slot
+            )
+        elif i % 65 == 0:  # dictionary frame omitted entirely
+            pass
+        else:
+            parts.append(
+                _s.pack("<II", 0x184D2A5D, len(slot)) + slot
+            )
     for j, (t, u, c) in enumerate(specs):
         dl = len(c) + 1 if bad_len and j == len(specs) - 1 else None
-        parts.append(
-            bytes(codec.compress(make_warc_record(t, u, c, dl)))
-        )
+        rec = make_warc_record(t, u, c, dl)
+        if use_dict:
+            parts.append(
+                zstd_ref_compress_dict(rec, d, 1 + 6 * (i % 4))
+            )
+        else:
+            parts.append(bytes(codec.compress(rec)))
     return b"".join(parts)
 
 

@@ -22,8 +22,19 @@ Layout of a frame (RFC 8878 §3):
 
 The content checksum, when present, is verified with a from-scratch
 XXH64 (public domain algorithm, Collet) — so even the integrity
-check is self-hosting. Dictionaries are not supported (rejected),
-matching the no-external-state decode a corpus pipeline wants.
+check is self-hosting.
+
+Dictionaries (RFC 8878 §5) ARE supported: ``parse_zstd_dictionary``
+reads the 0xEC30A437 format (entropy tables that pre-seed the first
+block's repeat modes, the three replacement repeat offsets, and the
+content that primes the match window), and ``iter_zstd_frames``
+resolves each frame's Dictionary_ID against explicitly supplied
+dictionaries plus any auto-registered from the stream itself: the
+``.warc.zst`` convention (iipc warc-specifications) stores the
+trained dictionary in a LEADING skippable frame with magic
+0x184D2A5D, optionally itself zstd-compressed. A frame naming an
+unknown dictionary refuses (decoding without the dictionary would
+produce garbage).
 
 Every grammar violation raises ValueError; callers degrade the row.
 """
@@ -613,12 +624,73 @@ def _decode_block(data: bytes, out: bytearray, prev: dict) -> None:
     out += lits[lpos:]
 
 
-def iter_zstd_frames(data: bytes):
+_DICT_MAGIC = 0xEC30A437  # RFC 8878 §5
+_WARC_DICT_MAGIC = 0x184D2A5D  # iipc .warc.zst dictionary slot
+
+
+def parse_zstd_dictionary(raw: bytes) -> dict:
+    """RFC 8878 §5 dictionary: magic, Dictionary_ID, entropy tables
+    (Huffman literals, then FSE offsets / match-lengths /
+    literals-lengths — they pre-seed the first compressed block's
+    repeat modes), three replacement repeat offsets (each nonzero
+    and <= content size), then the content that primes the LZ77
+    window. Raises ValueError on any violation."""
+    if len(raw) < 8:
+        raise ValueError("zstd: dictionary too short")
+    (magic, did) = struct.unpack_from("<II", raw, 0)
+    if magic != _DICT_MAGIC:
+        raise ValueError("zstd: bad dictionary magic")
+    if did == 0:
+        raise ValueError("zstd: dictionary id 0 is reserved")
+    pos = 8
+    weights, used = _huf_read_weights(raw[pos:])
+    huf = _huf_build_dtable(weights)
+    pos += used
+    tables: dict[str, tuple] = {}
+    for kind in ("of", "ml", "ll"):
+        counts, tlog, used = _fse_read_ncount(
+            raw[pos:], _MAX_SYM[kind], _MAX_LOG[kind]
+        )
+        tables[kind] = (_fse_build_dtable(counts, tlog), tlog)
+        pos += used
+    if pos + 12 > len(raw):
+        raise ValueError("zstd: dictionary missing repeat offsets")
+    reps = list(struct.unpack_from("<III", raw, pos))
+    pos += 12
+    content = bytes(raw[pos:])
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError("zstd: dictionary repeat offset invalid")
+    return {
+        "dict_id": did,
+        "huf": huf,
+        "ll": tables["ll"],
+        "of": tables["of"],
+        "ml": tables["ml"],
+        "reps": reps,
+        "content": content,
+    }
+
+
+def _register_warc_dict(blob: bytes, registered: dict) -> None:
+    """A 0x184D2A5D skippable frame's content is the dictionary,
+    possibly itself a zstd frame (the spec allows either)."""
+    if blob[:4] == b"\x28\xb5\x2f\xfd":  # zstd magic LE
+        blob = zstd_decompress(blob)
+    d = parse_zstd_dictionary(blob)
+    registered[d["dict_id"]] = d
+
+
+def iter_zstd_frames(data: bytes, dicts: dict | None = None):
     """Walk a stream of concatenated zstd frames, yielding
     ``(payload_bytes, had_checksum)`` per CONTENT frame (skippable
-    frames yield ``(None, False)``). Raises ValueError on any
-    grammar violation, size mismatch, or checksum failure."""
+    frames yield ``(None, False)``). ``dicts`` maps Dictionary_ID ->
+    ``parse_zstd_dictionary`` output for out-of-band dictionaries;
+    0x184D2A5D skippable frames auto-register in-band (module doc).
+    Raises ValueError on any grammar violation, size mismatch,
+    checksum failure, or unresolvable Dictionary_ID."""
     pos = 0
+    registered = dict(dicts) if dicts else {}
     if not data:
         raise ValueError("zstd: empty input")
     while pos < len(data):
@@ -629,9 +701,13 @@ def iter_zstd_frames(data: bytes):
             if pos + 8 > len(data):
                 raise ValueError("zstd: truncated skippable frame")
             (fsz,) = struct.unpack_from("<I", data, pos + 4)
-            pos += 8 + fsz
-            if pos > len(data):
+            if pos + 8 + fsz > len(data):
                 raise ValueError("zstd: skippable frame overruns")
+            if magic == _WARC_DICT_MAGIC:
+                _register_warc_dict(
+                    bytes(data[pos + 8 : pos + 8 + fsz]), registered
+                )
+            pos += 8 + fsz
             yield None, False
             continue
         if magic != 0xFD2FB528:
@@ -647,12 +723,17 @@ def iter_zstd_frames(data: bytes):
             raise ValueError("zstd: reserved descriptor bits set")
         has_checksum = (desc >> 2) & 1
         did_code = desc & 3
-        if did_code:
-            raise ValueError("zstd: dictionaries not supported")
         if not single:
             if pos >= len(data):
                 raise ValueError("zstd: missing window descriptor")
             pos += 1  # window size is advisory for a full decode
+        did = 0
+        if did_code:
+            nb = (0, 1, 2, 4)[did_code]
+            if pos + nb > len(data):
+                raise ValueError("zstd: truncated dictionary id")
+            did = int.from_bytes(data[pos : pos + nb], "little")
+            pos += nb
         fcs_bytes = (0, 2, 4, 8)[fcs_code]
         if single and fcs_code == 0:
             fcs_bytes = 1
@@ -665,9 +746,24 @@ def iter_zstd_frames(data: bytes):
                 fcs += 256
             pos += fcs_bytes
         # per-frame buffer: matches may never reach into a previous
-        # frame's output (no dictionaries)
+        # frame's output — only into this frame's dictionary content,
+        # which primes the window as a stripped prefix
         frame_out = bytearray()
         prev: dict = {}
+        hist = 0
+        if did:
+            d = registered.get(did)
+            if d is None:
+                raise ValueError(
+                    f"zstd: frame references unknown dictionary {did}"
+                )
+            frame_out += d["content"]
+            hist = len(d["content"])
+            prev["huf"] = d["huf"]
+            prev["ll"] = d["ll"]
+            prev["of"] = d["of"]
+            prev["ml"] = d["ml"]
+            prev["reps"] = list(d["reps"])
         while True:
             if pos + 3 > len(data):
                 raise ValueError("zstd: truncated block header")
@@ -693,26 +789,27 @@ def iter_zstd_frames(data: bytes):
                 raise ValueError("zstd: reserved block type")
             if last:
                 break
-        if fcs is not None and len(frame_out) != fcs:
+        content = bytes(frame_out[hist:])  # strip dictionary priming
+        if fcs is not None and len(content) != fcs:
             raise ValueError("zstd: content size mismatch")
         if has_checksum:
             if pos + 4 > len(data):
                 raise ValueError("zstd: truncated checksum")
             (want,) = struct.unpack_from("<I", data, pos)
             pos += 4
-            got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
+            got = xxh64(content) & 0xFFFFFFFF
             if got != want:
                 raise ValueError("zstd: content checksum mismatch")
-        yield bytes(frame_out), bool(has_checksum)
+        yield content, bool(has_checksum)
 
 
-def zstd_decompress(data: bytes) -> bytes:
+def zstd_decompress(data: bytes, dicts: dict | None = None) -> bytes:
     """Decode one zstd frame (plus any following frames, skippable
     frames skipped) and return the concatenated content. Raises
     ValueError on any grammar violation, size mismatch, or checksum
     failure."""
     return b"".join(
-        payload for payload, _ in iter_zstd_frames(data)
+        payload for payload, _ in iter_zstd_frames(data, dicts)
         if payload is not None
     )
 
@@ -978,3 +1075,107 @@ def synthesize_zstd_media(docs):
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Reference-encoder bindings for DICTIONARY fixtures and tests. The
+# repo's validate-the-hand-decoder pattern needs frames a REAL
+# encoder produced against a REAL trained dictionary; pyarrow's
+# bundled zstd exposes no dictionary API, so these go through
+# libzstd's public C ABI (ZDICT_trainFromBuffer /
+# ZSTD_compress_usingDict) via ctypes. Fixture/test side only — the
+# decode path above never touches a library.
+# ---------------------------------------------------------------------------
+
+
+def _libzstd():
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("zstd")
+    if name is None:  # pragma: no cover - container always has it
+        raise RuntimeError("libzstd not found for fixture synthesis")
+    lib = ctypes.CDLL(name)
+    for fn, res, args in (
+        ("ZDICT_trainFromBuffer", ctypes.c_size_t,
+         [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+          ctypes.POINTER(ctypes.c_size_t), ctypes.c_uint]),
+        ("ZDICT_isError", ctypes.c_uint, [ctypes.c_size_t]),
+        ("ZSTD_isError", ctypes.c_uint, [ctypes.c_size_t]),
+        ("ZSTD_compressBound", ctypes.c_size_t, [ctypes.c_size_t]),
+        ("ZSTD_createCCtx", ctypes.c_void_p, []),
+        ("ZSTD_freeCCtx", ctypes.c_size_t, [ctypes.c_void_p]),
+        ("ZSTD_compress_usingDict", ctypes.c_size_t,
+         [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+          ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+          ctypes.c_size_t, ctypes.c_int]),
+    ):
+        f = getattr(lib, fn)
+        f.restype = res
+        f.argtypes = args
+    return lib
+
+
+def zstd_ref_train_dict(samples: list[bytes], capacity: int = 2048) -> bytes:
+    """Train a dictionary with the reference trainer (deterministic
+    for fixed samples + library version)."""
+    import ctypes
+
+    lib = _libzstd()
+    blob = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*map(len, samples))
+    buf = ctypes.create_string_buffer(capacity)
+    r = lib.ZDICT_trainFromBuffer(
+        buf, capacity, blob, sizes, len(samples)
+    )
+    if lib.ZDICT_isError(r):
+        raise RuntimeError(f"ZDICT_trainFromBuffer failed ({r})")
+    return buf.raw[:r]
+
+
+def zstd_ref_compress_dict(
+    data: bytes, dict_bytes: bytes, level: int = 3
+) -> bytes:
+    """Compress one frame against a dictionary with the reference
+    encoder (writes the Dictionary_ID into the frame header)."""
+    import ctypes
+
+    lib = _libzstd()
+    cctx = lib.ZSTD_createCCtx()
+    try:
+        bound = lib.ZSTD_compressBound(len(data))
+        out = ctypes.create_string_buffer(bound)
+        r = lib.ZSTD_compress_usingDict(
+            cctx, out, bound, data, len(data),
+            dict_bytes, len(dict_bytes), level,
+        )
+        if lib.ZSTD_isError(r):
+            raise RuntimeError(f"ZSTD_compress_usingDict failed ({r})")
+        return out.raw[:r]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+
+
+_FIXTURE_DICT: bytes | None = None
+
+
+def fixture_zstd_dict() -> bytes:
+    """The per-process fixture dictionary: trained once from the
+    deterministic WARC-record sample family every dictionary stripe
+    compresses (the record head + run-text body the streams are made
+    of), so the trainer finds real repeated substrings. The TRAINED
+    BYTES may vary with libzstd version, but fixtures never hash the
+    compressed bytes — only the hand-decoded payloads, which are
+    exact."""
+    global _FIXTURE_DICT
+    if _FIXTURE_DICT is None:
+        samples = [
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:rec>\r\n"
+            b"WARC-Target-URI: http://example.com/doc/%d\r\n" % k
+            + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + _run_text_z(k, 0, 200 + 37 * (k % 11))
+            for k in range(64)
+        ]
+        _FIXTURE_DICT = zstd_ref_train_dict(samples, 2048)
+    return _FIXTURE_DICT

@@ -1097,8 +1097,15 @@ def crawl_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "family — the from-scratch RFC 8878 decoder (FSE + Huffman + "
     "sequences) feeds the same WARC framing, HTML extraction and "
     "WET passthrough as the gzip twin (multimodal_wet_text), with "
-    "identical record mix, skippable-frame dictionary slots on "
-    "every 5th id (CC's convention), rotating compression levels, "
+    "identical record mix and rotating compression levels. Every "
+    "5th id uses the REAL .warc.zst dictionary convention: a "
+    "leading 0x184D2A5D skippable frame carries an RFC 8878 §5 "
+    "TRAINED dictionary (itself zstd-compressed on 10th ids) and "
+    "all record frames are reference-encoder compressed AGAINST "
+    "it — the hand decoder resolves the Dictionary_ID, pre-seeds "
+    "entropy/repeat state, and primes the LZ77 window; omitted "
+    "(65th) and truncated (195th) dictionary lies ride already-"
+    "bad rows and must refuse, "
     "and the same per-layer corruption stripes: every 13th id lies "
     "about Content-Length (zstd still decodes cleanly — only WARC "
     "framing catches it), response-bearing every-11th ids keep the "

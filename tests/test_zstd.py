@@ -129,10 +129,11 @@ class TestRejection:
             except ValueError:
                 pass
 
-    def test_dictionary_frames_rejected(self):
-        # descriptor with dict-id code 1
+    def test_unknown_dictionary_id_rejected(self):
+        # descriptor with dict-id code 1 naming DID 7, which no one
+        # registered -> the frame must refuse, not decode garbage
         frame = b"\x28\xb5\x2f\xfd" + bytes([0x21, 0x07]) + b"\x01\x00\x00"
-        with pytest.raises(ValueError):
+        with pytest.raises(ValueError, match="unknown dictionary"):
             zstd_decompress(frame)
 
 
@@ -232,3 +233,174 @@ class TestCliInterop:
         d = bytes(rng.choice(b"abcdef \n") for _ in range(80_000))
         frame = self._cli(d, "-3", "--no-content-size")
         assert zstd_decompress(frame) == d
+
+
+class TestDictionary:
+    """RFC 8878 §5 dictionaries: parse a REAL trained dictionary,
+    decode reference-encoder frames compressed against it (library
+    AND CLI), honor the .warc.zst leading-skippable-frame slot, and
+    refuse every dictionary lie."""
+
+    def _dict(self):
+        from gmall_flink_210726_spark.operators.zstd import (
+            fixture_zstd_dict,
+        )
+
+        return fixture_zstd_dict()
+
+    def test_parse_trained_dictionary(self):
+        from gmall_flink_210726_spark.operators.zstd import (
+            parse_zstd_dictionary,
+        )
+
+        d = parse_zstd_dictionary(self._dict())
+        assert d["dict_id"] != 0
+        assert len(d["content"]) > 0
+        assert all(
+            1 <= r <= len(d["content"]) for r in d["reps"]
+        )
+        # entropy tables materialized
+        assert d["huf"][1] > 0
+        for k in ("ll", "of", "ml"):
+            assert len(d[k][0]) == 1 << d[k][1] or d[k][1] == 0
+
+    def test_library_roundtrip_with_dict(self):
+        from gmall_flink_210726_spark.operators.zstd import (
+            iter_zstd_frames,
+            parse_zstd_dictionary,
+            zstd_ref_compress_dict,
+        )
+
+        raw = self._dict()
+        parsed = parse_zstd_dictionary(raw)
+        rng = random.Random(77)
+        for level in (1, 3, 12, 19):
+            data = bytes(
+                rng.choice(b"WARC/1.0 response example.com doc ")
+                for _ in range(rng.randrange(100, 4000))
+            )
+            frame = zstd_ref_compress_dict(data, raw, level)
+            got = [
+                p
+                for p, _ in iter_zstd_frames(
+                    frame, {parsed["dict_id"]: parsed}
+                )
+                if p is not None
+            ]
+            assert got == [data], level
+
+    def test_warc_skippable_slot_raw_and_compressed(self):
+        import pyarrow as pa
+
+        from gmall_flink_210726_spark.operators.zstd import (
+            iter_zstd_frames,
+            zstd_ref_compress_dict,
+        )
+
+        raw = self._dict()
+        payload = b"WARC/1.0 body " * 40
+        frame = zstd_ref_compress_dict(payload, raw, 3)
+        for slot in (raw, bytes(pa.Codec("zstd").compress(raw))):
+            stream = (
+                struct.pack("<II", 0x184D2A5D, len(slot))
+                + slot
+                + frame
+            )
+            got = [
+                p for p, _ in iter_zstd_frames(stream) if p is not None
+            ]
+            assert got == [payload]
+
+    def test_cli_dict_frame(self):
+        """Cross-reference: a frame the CLI compressed with -D
+        against the library-trained dictionary."""
+        import os
+        import subprocess
+        import tempfile
+
+        cli = "/root/miniconda/bin/zstd"
+        if not os.path.exists(cli):
+            pytest.skip("zstd CLI not available")
+        from gmall_flink_210726_spark.operators.zstd import (
+            iter_zstd_frames,
+            parse_zstd_dictionary,
+        )
+
+        raw = self._dict()
+        parsed = parse_zstd_dictionary(raw)
+        data = b"WARC/1.0\r\nWARC-Type: response\r\n" * 60
+        with tempfile.TemporaryDirectory() as td:
+            dpath = os.path.join(td, "d.dict")
+            fpath = os.path.join(td, "f.bin")
+            open(dpath, "wb").write(raw)
+            open(fpath, "wb").write(data)
+            subprocess.run(
+                [cli, "-q", "-f", "-7", "-D", dpath, fpath,
+                 "-o", fpath + ".zst"],
+                check=True,
+            )
+            frame = open(fpath + ".zst", "rb").read()
+        got = [
+            p
+            for p, _ in iter_zstd_frames(
+                frame, {parsed["dict_id"]: parsed}
+            )
+            if p is not None
+        ]
+        assert got == [data]
+
+    def test_dictionary_lies_refused(self):
+        from gmall_flink_210726_spark.operators.zstd import (
+            parse_zstd_dictionary,
+            zstd_decompress,
+            zstd_ref_compress_dict,
+        )
+
+        raw = self._dict()
+        # truncated INSIDE the entropy tables: unparseable (a cut in
+        # the content tail merely shortens the window — that lie is
+        # caught at frame-decode time by match-before-stream-start,
+        # which the i%195 fixture stripe exercises end to end)
+        with pytest.raises(ValueError):
+            parse_zstd_dictionary(raw[:12])
+        # bad magic
+        with pytest.raises(ValueError, match="magic"):
+            parse_zstd_dictionary(b"\x00" * 32)
+        # id 0 reserved
+        bad = bytearray(raw)
+        bad[4:8] = b"\x00\x00\x00\x00"
+        with pytest.raises(ValueError, match="reserved"):
+            parse_zstd_dictionary(bytes(bad))
+        # frame without its dictionary refuses
+        frame = zstd_ref_compress_dict(b"x" * 500, raw, 3)
+        with pytest.raises(ValueError, match="unknown dictionary"):
+            zstd_decompress(frame)
+        # repeat offset beyond content size
+        parsed = parse_zstd_dictionary(raw)
+        # find where reps live: magic+id .. content; recompute by
+        # re-serializing is overkill — corrupt the slot in place by
+        # scanning for the reps bytes (they sit 12 bytes before
+        # content, i.e. at len(raw) - len(content) - 12)
+        off = len(raw) - len(parsed["content"]) - 12
+        bad = bytearray(raw)
+        struct.pack_into("<I", bad, off, len(parsed["content"]) + 9)
+        with pytest.raises(ValueError, match="repeat offset"):
+            parse_zstd_dictionary(bytes(bad))
+
+    def test_warc_zstd_fixture_dict_stripes(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_warc_zstd_stream,
+            _walk_warc_zstd_text,
+        )
+
+        text = "a b c d e f g h"
+        # good dictionary rows decode
+        for i in (5, 10, 20, 25):
+            assert _walk_warc_zstd_text(
+                _make_warc_zstd_stream(i, text)
+            ) is not None, i
+        # omitted dictionary / truncated dictionary refuse
+        for i in (65, 130, 195):
+            assert _walk_warc_zstd_text(
+                _make_warc_zstd_stream(i, text)
+            ) is None, i
