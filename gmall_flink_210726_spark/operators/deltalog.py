@@ -79,11 +79,14 @@ def _collect_commits(
 
 def _replay_state(
     commits: dict[int, bytes],
-) -> tuple[dict[str, tuple[int, int, str]], int, int] | None:
+) -> tuple[dict[str, tuple[int, int, str, dict]], int, int] | None:
     """Ordered replay -> (live path map, n_adds, n_removes); None on
-    any protocol violation (module docstring contract)."""
+    any protocol violation (module docstring contract). Each live
+    entry carries the add's full parsed ``stats`` dict so skipping
+    layers (minValues/maxValues) can prune without re-parsing."""
     n = len(commits)
-    live: dict[str, tuple[int, int, str]] = {}  # path -> (size, rows, pv)
+    # path -> (size, rows, pv, stats)
+    live: dict[str, tuple[int, int, str, dict]] = {}
     n_adds = n_removes = 0
     saw_protocol = saw_meta = False
     for v in range(n):
@@ -122,15 +125,18 @@ def _replay_state(
                 path = a["path"]
                 stats = a.get("stats")
                 try:
-                    rows = int(json.loads(stats)["numRecords"])
+                    sdict = json.loads(stats)
+                    rows = int(sdict["numRecords"])
                 except (TypeError, ValueError, KeyError):
+                    return None
+                if not isinstance(sdict, dict):
                     return None
                 pv = json.dumps(
                     a.get("partitionValues", {}), sort_keys=True
                 )
                 if path in live and live[path][0] != a["size"]:
                     return None  # re-add must agree with the live entry
-                live[path] = (a["size"], rows, pv)
+                live[path] = (a["size"], rows, pv, sdict)
                 n_adds += 1
             elif "remove" in action:
                 r = action["remove"]
@@ -169,9 +175,9 @@ def replay_delta_log(data: bytes) -> dict | None:
         "n_adds": n_adds,
         "n_removes": n_removes,
         "live_files": len(live),
-        "live_bytes": sum(s for s, _, _ in live.values()),
-        "live_rows": sum(r for _, r, _ in live.values()),
-        "n_partitions": len({pv for _, _, pv in live.values()}),
+        "live_bytes": sum(e[0] for e in live.values()),
+        "live_rows": sum(e[1] for e in live.values()),
+        "n_partitions": len({e[2] for e in live.values()}),
     }
 
 
@@ -362,7 +368,7 @@ def scan_delta_table(data: bytes) -> dict | None:
     )
 
     live_rows = k_sum = 0
-    for path, (size, rows, _pv) in live.items():
+    for path, (size, rows, _pv, _st) in live.items():
         blob = parts.get(path)
         if blob is None or len(blob) != size:
             return None  # the add's size must tell the truth
@@ -539,6 +545,275 @@ def synthesize_delta_table_media(docs: DataFrame) -> DataFrame:
                     "media_id": ids,
                     "content": [
                         _make_delta_table(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "delta",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Stats-based FILE SKIPPING (delta.io/PROTOCOL.md "Per-file
+# Statistics"): add.stats carries minValues/maxValues per column, and
+# a range predicate prunes files BEFORE any parquet bytes are fetched
+# — the skipping rung every real Delta reader uses at scale (at
+# 100 TB the pruned part files are never even opened; only the
+# few-KB log is read). The trust chain is CHECKED on every file the
+# predicate does open: the claimed min/max must equal the
+# actually-decoded min/max (a lying-stats file that the skip layer
+# trusted blind would silently drop live rows).
+# --------------------------------------------------------------------------
+
+DELTA_SKIP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_commits", LongType()),
+        StructField("live_files", LongType()),
+        StructField("n_skipped", LongType()),
+        StructField("n_read", LongType()),
+        StructField("skipped_rows", LongType()),
+        StructField("n_matching", LongType()),
+        StructField("match_sum", LongType()),
+    ]
+)
+
+
+def scan_delta_table_pruned(data: bytes, lo: int, hi: int) -> dict | None:
+    """Delta table scan with add.stats min/max skipping for the
+    predicate ``lo <= k <= hi``. Files whose [minValues.k,
+    maxValues.k] window misses the range are SKIPPED without
+    touching their bytes; read files are fully decoded and their
+    claimed min/max re-proven against the actual values."""
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    commit_members = []
+    parts: dict[str, bytes] = {}
+    for name, payload in members:
+        if name.startswith("_delta_log/"):
+            commit_members.append((name[len("_delta_log/") :], payload))
+        else:
+            parts[name] = payload
+    commits = _collect_commits(commit_members)
+    if commits is None:
+        return None
+    state = _replay_state(commits)
+    if state is None:
+        return None
+    live, _n_adds, _n_removes = state
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    n_skipped = n_read = skipped_rows = n_matching = match_sum = 0
+    for path, (size, rows, _pv, stats) in live.items():
+        mins = stats.get("minValues")
+        maxs = stats.get("maxValues")
+        if (
+            not isinstance(mins, dict)
+            or not isinstance(maxs, dict)
+            or not isinstance(mins.get("k"), int)
+            or not isinstance(maxs.get("k"), int)
+        ):
+            return None  # this scan NEEDS the skipping stats
+        mn, mx = mins["k"], maxs["k"]
+        if mn > mx:
+            return None  # impossible window
+        if mx < lo or mn > hi:
+            n_skipped += 1
+            skipped_rows += rows
+            continue  # file bytes never touched
+        blob = parts.get(path)
+        if blob is None or len(blob) != size:
+            return None
+        col = read_parquet_column_k(blob, collect_values=True)
+        if col is None:
+            return None
+        if col["n_values"] != rows:
+            return None
+        vals = col["values"]
+        if min(vals) != mn or max(vals) != mx:
+            return None  # lying min/max on a file we DID read
+        n_read += 1
+        sel = [v for v in vals if lo <= v <= hi]
+        n_matching += len(sel)
+        match_sum += sum(sel)
+    return {
+        "n_commits": len(commits),
+        "live_files": len(live),
+        "n_skipped": n_skipped,
+        "n_read": n_read,
+        "skipped_rows": skipped_rows,
+        "n_matching": n_matching,
+        "match_sum": match_sum,
+    }
+
+
+def delta_stats_skip_scan(df: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Pruned Delta scan over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            zero = {
+                f.name: 0
+                for f in DELTA_SKIP_SCHEMA.fields
+                if f.name != "format"
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = dict(zero, media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = scan_delta_table_pruned(b, lo, hi)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="delta", **st)
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DELTA_SKIP_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, DELTA_SKIP_SCHEMA
+    )
+
+
+def _make_delta_table_stats(i: int) -> bytes:
+    """A Delta table whose adds carry TRUE minValues/maxValues for
+    ``k`` (recomputed from the same formula the part files are
+    written with), except two stripes on the LAST add (always live):
+    every 14th id claims a max ONE BELOW the real max — when the
+    predicate opens that file, the actual decode must expose the lie
+    (the L192 trust-chain pattern); every 23rd-miss-14th id claims a
+    window at [2000, 2003], outside every fixture predicate — the
+    file is silently pruned, documenting the trust boundary
+    skipping inherently has: a lie on a file you never open cannot
+    be caught, and the oracle models the reader (the skip), not the
+    ground truth. Layout mirrors ``_make_delta_table`` (2 + i%3
+    commits, removes on (i+v)%2==0)."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        _make_parquet,
+    )
+
+    n_commits = 2 + i % 3
+    members: list[tuple[str, bytes]] = []
+    log_parts: list[bytes] = []
+    for v in range(n_commits):
+        lines: list[bytes] = []
+        if v == 0:
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2,
+                        }
+                    }
+                ).encode()
+            )
+            lines.append(
+                json.dumps(
+                    {"metaData": {"id": f"tbl-{i}", "format": {}}}
+                ).encode()
+            )
+            ks = (0, 1)
+        else:
+            ks = (0,)
+        for k in ks:
+            s = _scan_seed(i, v, k)
+            blob = _make_parquet(s, "NONE", bad_stripe=s + 1)
+            path = f"part-{v:05d}-{k}.parquet"
+            members.append((path, blob))
+            n = 10 + s % 90
+            vals = [(s * 7 + 3 * r) % 1000 for r in range(n)]
+            mn, mx = min(vals), max(vals)
+            last = v == n_commits - 1 and k == 0
+            if last and i % 14 == 0:
+                mx -= 1  # in-window lie: actual max exceeds claim
+            elif last and i % 23 == 0:
+                # whole window shifted out of every fixture predicate
+                # (predicates live in [0, 1000)); a skip layer that
+                # never re-proves would silently drop this file
+                mn, mx = 2000, 2003
+            lines.append(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": path,
+                            "partitionValues": {},
+                            "size": len(blob),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                            "stats": json.dumps(
+                                {
+                                    "numRecords": n,
+                                    "minValues": {"k": mn},
+                                    "maxValues": {"k": mx},
+                                    "nullCount": {"k": 0},
+                                }
+                            ),
+                        }
+                    }
+                ).encode()
+            )
+        if v > 0 and (i + v) % 2 == 0:
+            prev = f"part-{v - 1:05d}-0.parquet"
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": prev,
+                            "deletionTimestamp": 1,
+                            "dataChange": True,
+                        }
+                    }
+                ).encode()
+            )
+        log_parts.append(b"\n".join(lines) + b"\n")
+    for v, payload in enumerate(log_parts):
+        members.append((f"_delta_log/{v:020d}.json", payload))
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_delta_stats_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of Delta tables with min/max file stats."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_delta_table_stats(int(i)) for i in ids
                     ],
                     "meta": [
                         {

@@ -1,0 +1,123 @@
+r"""LLM-pipeline wave 18: round-13 lakehouse + format depth.
+
+Round-12 brief items (VERDICT r12 "Next round"): Delta stats-based
+file skipping (minValues/maxValues pruning before any parquet bytes
+are fetched), Avro logical types, Kafka transactional/control batches,
+ORC FLOAT/DOUBLE/BINARY columns, Iceberg schema evolution by field-id,
+and parquet page-level CRC verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+
+@register(
+    "lakehouse_delta_stats_skip",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 2 + doc_id % 3 AS nc
+                 FROM documents),
+    cms AS (SELECT i, nc, unnest(range(0, nc)) AS v FROM ids),
+    files AS (
+        SELECT i, nc, v, unnest(CASE WHEN v = 0 THEN [0, 1]
+                                     ELSE [0] END) AS k
+        FROM cms),
+    live AS (
+        SELECT * FROM files
+        WHERE NOT (k = 0 AND v < nc - 1 AND (i + v + 1) % 2 = 0)),
+    vals AS (
+        SELECT i, nc, v, k,
+               10 + ((17 * i + 31 * v + 7 * k) % 4000 + 1) % 90 AS n,
+               [(((17 * i + 31 * v + 7 * k) % 4000 + 1) * 7 + 3 * r)
+                  % 1000
+                for r in range(0,
+                  10 + ((17 * i + 31 * v + 7 * k) % 4000 + 1) % 90)]
+                 AS vs,
+               (v = nc - 1 AND k = 0) AS lastf
+        FROM live),
+    f2 AS (
+        SELECT i, nc, n, vs, lastf,
+               list_min(vs) AS mn, list_max(vs) AS mx
+        FROM vals),
+    f3 AS (
+        SELECT i, nc, n, vs, mn, mx,
+               CASE WHEN lastf AND i % 14 = 0 THEN mn
+                    WHEN lastf AND i % 23 = 0 THEN 2000
+                    ELSE mn END AS cmn,
+               CASE WHEN lastf AND i % 14 = 0 THEN mx - 1
+                    WHEN lastf AND i % 23 = 0 THEN 2003
+                    ELSE mx END AS cmx
+        FROM f2),
+    f4 AS (
+        SELECT i, nc, n, vs, mn, mx, cmn, cmx,
+               (cmx < 300 OR cmn > 499) AS skipped,
+               NOT (cmx < 300 OR cmn > 499)
+                 AND (cmn <> mn OR cmx <> mx) AS lie
+        FROM f3),
+    agg AS (
+        SELECT i, MAX(nc) AS n_commits, COUNT(*) AS live_files,
+               BOOL_OR(lie) AS bad,
+               SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS n_skipped,
+               SUM(CASE WHEN skipped THEN 0 ELSE 1 END) AS n_read,
+               SUM(CASE WHEN skipped THEN n ELSE 0 END)
+                 AS skipped_rows,
+               SUM(CASE WHEN skipped THEN 0 ELSE len(
+                     list_filter(vs, x -> x BETWEEN 300 AND 499))
+                   END) AS n_matching,
+               SUM(CASE WHEN skipped THEN 0 ELSE COALESCE(list_sum(
+                     list_filter(vs, x -> x BETWEEN 300 AND 499)), 0)
+                   END) AS match_sum
+        FROM f4 GROUP BY i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n_commits END AS BIGINT)
+             AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE live_files END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE n_skipped END AS BIGINT)
+             AS n_skipped,
+           CAST(CASE WHEN bad THEN 0 ELSE n_read END AS BIGINT)
+             AS n_read,
+           CAST(CASE WHEN bad THEN 0 ELSE skipped_rows END AS BIGINT)
+             AS skipped_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE n_matching END AS BIGINT)
+             AS n_matching,
+           CAST(CASE WHEN bad THEN 0 ELSE match_sum END AS BIGINT)
+             AS match_sum
+    FROM agg
+    """,
+    doc="Delta STATS-BASED FILE SKIPPING (delta.io/PROTOCOL.md "
+    "per-file statistics) — the one missing rung of the round-12 "
+    "skipping ladder: each add's stats JSON carries minValues/"
+    "maxValues for k, and the range predicate k BETWEEN 300 AND 499 "
+    "prunes files during LOG REPLAY, before any parquet bytes are "
+    "fetched (at 100 TB the pruned part files are never opened; only "
+    "the few-KB log is read). Every file the predicate DOES open is "
+    "fully decoded by the hand parquet column walk and its claimed "
+    "min/max re-proven against the actual values (the L192 "
+    "trust-chain pattern): every 14th id's always-live last add "
+    "claims max-1 and must degrade the table when read. Every "
+    "23rd-miss-14th id claims a [2000,2003] window and is silently "
+    "pruned — documenting the trust boundary skipping inherently "
+    "has (a lie on a file you never open cannot be caught); the "
+    "oracle models the reader, not the ground truth. ~49% of live "
+    "files are skipped at this predicate (pinned in "
+    "tests/test_deltalog.py). operators/deltalog.py "
+    "scan_delta_table_pruned",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_delta_stats_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltalog import (
+        delta_stats_skip_scan,
+        synthesize_delta_stats_media,
+    )
+
+    media = synthesize_delta_stats_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_stats_skip_scan(media, 300, 499)

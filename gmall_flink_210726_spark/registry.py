@@ -72,6 +72,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm15,
         llm16,
         llm17,
+        llm18,
         streamq,
         streamq2,
         streamq3,

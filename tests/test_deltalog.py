@@ -193,3 +193,79 @@ class TestFullTableScan:
             for n, p in members
         ) + b"\x00" * (2 * _BLOCK)
         assert scan_delta_table(rebuilt) is None
+
+
+class TestStatsSkip:
+    """add.stats minValues/maxValues file skipping: pruned files are
+    never opened, read files re-prove their claimed min/max, and the
+    skip rate at the fixture predicate is pinned."""
+
+    def test_skip_rate_and_lies(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_table_stats,
+            scan_delta_table_pruned,
+        )
+
+        skipped = files = degraded = 0
+        for i in range(200):
+            st = scan_delta_table_pruned(
+                _make_delta_table_stats(i), 300, 499
+            )
+            if st is None:
+                # only the in-window 14-stripe lie can degrade
+                assert i % 14 == 0, i
+                degraded += 1
+                continue
+            skipped += st["n_skipped"]
+            files += st["live_files"]
+            assert st["n_skipped"] + st["n_read"] == st["live_files"]
+        assert degraded > 0
+        rate = skipped / files
+        assert 0.40 < rate < 0.60, rate  # pinned skip rate ~0.49
+
+    def test_pruned_file_bytes_never_touched(self):
+        """Corrupt a file the predicate prunes: the scan must still
+        succeed — proof the pruned bytes are never fetched."""
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_table_stats,
+            _scan_seed,
+            scan_delta_table_pruned,
+        )
+
+        # find an id whose FIRST live file is skipped at [300, 499]
+        for i in range(1, 100):
+            if i % 14 == 0 or i % 23 == 0:
+                continue
+            blob = bytearray(_make_delta_table_stats(i))
+            st = scan_delta_table_pruned(bytes(blob), 300, 499)
+            if st is None or st["n_skipped"] == 0:
+                continue
+            # smash every parquet body of a file we KNOW is skipped:
+            # locate it via its tar member name then corrupt payload
+            s = _scan_seed(i, 0, 0)
+            vals = [(s * 7 + 3 * r) % 1000 for r in range(10 + s % 90)]
+            if not (max(vals) < 300 or min(vals) > 499):
+                continue  # first file not the skipped one; next id
+            name = b"part-00000-0.parquet"
+            at = bytes(blob).find(name)
+            assert at >= 0
+            # tar payload starts 512 bytes after the header start
+            payload_at = at + 512
+            blob[payload_at + 8 : payload_at + 24] = b"\xde" * 16
+            st2 = scan_delta_table_pruned(bytes(blob), 300, 499)
+            assert st2 == st  # identical result, bytes never read
+            return
+        raise AssertionError("no candidate id found")
+
+    def test_missing_stats_refused(self):
+        """This scan NEEDS minValues/maxValues: the plain fixture
+        (numRecords only) must degrade rather than read everything
+        silently."""
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_table,
+            scan_delta_table_pruned,
+        )
+
+        assert scan_delta_table_pruned(
+            _make_delta_table(1), 300, 499
+        ) is None
