@@ -71,14 +71,125 @@ def _bytes(r: _Reader) -> bytes:
     return r.take(n)
 
 
+def _logical_kind(schema) -> tuple[str, str] | None:
+    """Return (logicalType, underlying-type-name) when ``schema`` is
+    a dict carrying a VALID logical-type annotation (Avro 1.11 spec
+    'Logical Types'); None otherwise. Per the spec, an invalid
+    annotation (wrong underlying type, bad decimal attributes) is
+    IGNORED — the datum decodes as its underlying type."""
+    if not isinstance(schema, dict):
+        return None
+    lt = schema.get("logicalType")
+    if not isinstance(lt, str):
+        return None
+    t = schema.get("type")
+    if lt == "decimal":
+        if t not in ("bytes", "fixed"):
+            return None
+        prec = schema.get("precision")
+        scale = schema.get("scale", 0)
+        if not isinstance(prec, int) or not isinstance(scale, int):
+            return None
+        if prec <= 0 or scale < 0 or scale > prec:
+            return None
+        if t == "fixed":
+            size = int(schema["size"])
+            # max precision representable in size bytes (spec rule)
+            if prec > len(str(2 ** (8 * size - 1) - 1)):
+                return None
+        return lt, t
+    if lt == "date" and t == "int":
+        return lt, t
+    if lt == "time-millis" and t == "int":
+        return lt, t
+    if lt in ("time-micros", "timestamp-millis", "timestamp-micros") \
+            and t == "long":
+        return lt, t
+    if lt == "uuid" and t == "string":
+        return lt, t
+    return None
+
+
+_UUID_HEX = set("0123456789abcdefABCDEF")
+
+
+def _apply_logical(lt: str, schema: dict, raw):
+    """Underlying decoded value -> the logical value. Raises on a
+    VALUE that violates the logical type's own range rules (a bad
+    uuid string, a time past midnight) — unlike a bad annotation,
+    a bad value is data corruption, not a schema quirk."""
+    import datetime
+    import decimal
+
+    if lt == "decimal":
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        scale = schema.get("scale", 0)
+        prec = schema["precision"]
+        d = decimal.Decimal(unscaled).scaleb(-scale)
+        if len(str(abs(unscaled))) > prec:
+            raise ValueError("avro: decimal exceeds declared precision")
+        return d
+    if lt == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=raw)
+    if lt == "time-millis":
+        if not 0 <= raw < 86_400_000:
+            raise ValueError("avro: time-millis out of range")
+        return datetime.time(
+            raw // 3_600_000,
+            raw // 60_000 % 60,
+            raw // 1000 % 60,
+            raw % 1000 * 1000,
+        )
+    if lt == "time-micros":
+        if not 0 <= raw < 86_400_000_000:
+            raise ValueError("avro: time-micros out of range")
+        return datetime.time(
+            raw // 3_600_000_000,
+            raw // 60_000_000 % 60,
+            raw // 1_000_000 % 60,
+            raw % 1_000_000,
+        )
+    if lt == "timestamp-millis":
+        return datetime.datetime(
+            1970, 1, 1
+        ) + datetime.timedelta(milliseconds=raw)
+    if lt == "timestamp-micros":
+        return datetime.datetime(
+            1970, 1, 1
+        ) + datetime.timedelta(microseconds=raw)
+    if lt == "uuid":
+        s = raw
+        if (
+            len(s) != 36
+            or any(s[p] != "-" for p in (8, 13, 18, 23))
+            or any(
+                c not in _UUID_HEX
+                for j, c in enumerate(s)
+                if j not in (8, 13, 18, 23)
+            )
+        ):
+            raise ValueError("avro: malformed uuid string")
+        return s.lower()
+    raise ValueError(f"avro: unhandled logical type {lt}")
+
+
 def _decode_value(r: _Reader, schema):
-    """Schema-driven Avro datum decode (spec 'Data Serialization')."""
+    """Schema-driven Avro datum decode (spec 'Data Serialization'),
+    including logical types (valid annotations convert; invalid ones
+    are ignored per spec)."""
     if isinstance(schema, list):  # union: zigzag branch index
         idx = r.zigzag()
         if idx < 0 or idx >= len(schema):
             raise ValueError("avro: union branch out of range")
         return _decode_value(r, schema[idx])
     if isinstance(schema, dict):
+        lk = _logical_kind(schema)
+        if lk is not None:
+            lt, under = lk
+            raw = _decode_value(r, under if under != "fixed" else {
+                "type": "fixed", "size": schema["size"]
+            })
+            return _apply_logical(lt, schema, raw)
         t = schema.get("type")
         if t == "record":
             return {
@@ -455,6 +566,10 @@ def _enc_datum(schema, v) -> bytes:
                     out += _zz_enc(len(kb)) + kb
                     out += _enc_datum(schema["values"], x)
             return out + _zz_enc(0)
+        if t == "fixed":
+            if len(v) != int(schema["size"]):
+                raise ValueError("avro encode: fixed size mismatch")
+            return v
         schema = t
     if schema == "null":
         return b""
@@ -566,6 +681,28 @@ def _decode_resolved(r: _Reader, wsch, rsch):
             if bn == wname or (wname, bn) in _PROMOTIONS:
                 return _decode_resolved(r, wsch, br)
         raise ValueError("avro: no reader union branch matches")
+    rlk = _logical_kind(rsch)
+    if rlk is not None:
+        # A reader that DECLARES a logical type demands the writer
+        # wrote that logical type: promoting a plain writer int/long
+        # into a reader timestamp would mint times out of raw
+        # numbers — refuse. (Schema resolution in the spec matches
+        # underlying types; this reader is deliberately stricter
+        # where silence would fabricate semantics.) Decimal must
+        # also agree on precision and scale — the same digits under
+        # a different scale are a different number.
+        wlk = _logical_kind(wsch)
+        if wlk is None or wlk[0] != rlk[0]:
+            raise ValueError(
+                "avro: reader logical type "
+                f"{rlk[0]} not written by the writer"
+            )
+        if rlk[0] == "decimal" and (
+            wsch.get("precision") != rsch.get("precision")
+            or wsch.get("scale", 0) != rsch.get("scale", 0)
+        ):
+            raise ValueError("avro: decimal precision/scale mismatch")
+        return _decode_value(r, wsch)
     wt, rt = _type_name(wsch), _type_name(rsch)
     if wt == "record" and rt == "record":
         rfields = {f["name"]: f for f in rsch["fields"]}
@@ -831,6 +968,213 @@ def synthesize_avro_v1_media(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": ids,
                     "content": [_make_avro_v1(int(i)) for i in ids],
+                    "meta": [
+                        {
+                            "format": "avro",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Logical-type fixture (Avro 1.11 'Logical Types'): decimal over
+# bytes AND fixed, date, timestamp-micros, uuid — the annotations
+# real Kafka-ecosystem payloads and Iceberg manifest fields carry.
+# --------------------------------------------------------------------------
+
+
+def _logical_schema(i: int) -> dict:
+    """Every 6th id annotates the date field's int as decimal — an
+    INVALID annotation (decimal only annotates bytes/fixed) that the
+    spec says to IGNORE, so the field decodes as its plain int."""
+    d_field: dict = {"type": "int", "logicalType": "date"}
+    if i % 6 == 0:
+        d_field = {"type": "int", "logicalType": "decimal",
+                   "precision": 4}
+    return {
+        "type": "record",
+        "name": "Txn",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "price", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 9, "scale": 2}},
+            {"name": "qty", "type": {
+                "type": "fixed", "name": "Qty", "size": 6,
+                "logicalType": "decimal",
+                "precision": 14, "scale": 4}},
+            {"name": "d", "type": d_field},
+            {"name": "tus", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "uid", "type": {
+                "type": "string", "logicalType": "uuid"}},
+        ],
+    }
+
+
+def _logical_row_raw(i: int, r: int) -> dict:
+    """The raw per-record values (encode-side representation)."""
+    p = (i * 37 + r * 101) % 2_000_001 - 1_000_000
+    q = (i * 53 + r * 997) % 3_000_001 - 1_500_000
+    uid = "%08x-0000-4000-8000-%012x" % (
+        (i * 2654435761 + r) % 2**32,
+        (i + r * 97) % 2**48,
+    )
+    if i % 13 == 0 and r == 0:
+        uid = uid[:14] + "Z" + uid[15:]  # malformed uuid VALUE
+    return {
+        "id": r,
+        "price": p.to_bytes(
+            max(1, (p.bit_length() + 8) // 8), "big", signed=True
+        ),
+        "qty": q.to_bytes(6, "big", signed=True),
+        "d": (i + 3 * r) % 20000,
+        "tus": 1_600_000_000_000_000
+        + (i * 1_000_003 + r * 777) % 10**12,
+        "uid": uid,
+    }
+
+
+def _make_avro_logical(i: int) -> bytes:
+    """``4 + i % 7`` records, 3 records per block, codec rotating
+    i%3 (null/deflate/snappy). Stripes: every 6th id's date field
+    carries the IGNORED invalid decimal annotation; every 13th id's
+    first uuid VALUE is malformed (a value lie — degrades); every
+    9th id flips a sync-marker byte (container lie — degrades)."""
+    schema = _logical_schema(i)
+    n = 4 + i % 7
+    recs = [_logical_row_raw(i, r) for r in range(n)]
+    codec = ("null", "deflate", "snappy")[i % 3]
+    blob = bytearray(
+        make_avro_container(schema, recs, codec=codec, per_block=3)
+    )
+    if i % 9 == 0:
+        blob[-3] ^= 0x40  # trailing sync marker byte
+    return bytes(blob)
+
+
+AVRO_LOGICAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("codec", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("price_unscaled_sum", LongType()),
+        StructField("qty_unscaled_sum", LongType()),
+        StructField("date_min", StringType()),
+        StructField("ts_max_iso", StringType()),
+        StructField("uuid_first", StringType()),
+        StructField("lt_ignored", LongType()),
+    ]
+)
+
+
+def _avro_logical_one(i: int, data: bytes) -> dict | None:
+    import datetime
+    import decimal
+
+    got = read_avro_container(data)
+    if got is None:
+        return None
+    records, codec, n_blocks = got
+    if not records:
+        return None
+    ignored = isinstance(records[0]["d"], int)
+    prices = [r["price"] for r in records]
+    qtys = [r["qty"] for r in records]
+    if not all(isinstance(p, decimal.Decimal) for p in prices + qtys):
+        return None  # the annotation was valid; decode must convert
+    dmin = min(
+        r["d"] if not ignored
+        else datetime.date(1970, 1, 1) + datetime.timedelta(days=r["d"])
+        for r in records
+    )
+    tmax = max(r["tus"] for r in records)
+    if not isinstance(tmax, datetime.datetime):
+        return None
+    return {
+        "codec": codec,
+        "n_records": len(records),
+        "n_blocks": n_blocks,
+        "price_unscaled_sum": int(
+            sum(p.scaleb(2) for p in prices)
+        ),
+        "qty_unscaled_sum": int(sum(q.scaleb(4) for q in qtys)),
+        "date_min": dmin.isoformat(),
+        "ts_max_iso": tmax.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+        "uuid_first": records[0]["uid"],
+        "lt_ignored": int(ignored),
+    }
+
+
+def avro_logical_stats(df: DataFrame) -> DataFrame:
+    """Logical-type container decode over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in AVRO_LOGICAL_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                row = {
+                    "media_id": mid,
+                    "format": "unknown",
+                    "codec": "",
+                    "n_records": 0,
+                    "n_blocks": 0,
+                    "price_unscaled_sum": 0,
+                    "qty_unscaled_sum": 0,
+                    "date_min": "",
+                    "ts_max_iso": "",
+                    "uuid_first": "",
+                    "lt_ignored": 0,
+                }
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = _avro_logical_one(mid, b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="avro_lt", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, AVRO_LOGICAL_SCHEMA
+    )
+
+
+def synthesize_avro_logical_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of logical-type Avro containers."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_avro_logical(int(i)) for i in ids
+                    ],
                     "meta": [
                         {
                             "format": "avro",

@@ -121,3 +121,87 @@ def lakehouse_delta_stats_skip(
         load_table(spark, sf_dir, "documents")
     )
     return delta_stats_skip_scan(media, 300, 499)
+
+
+@register(
+    "multimodal_avro_logical",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 4 + doc_id % 7 AS n
+               FROM documents),
+    r AS (SELECT i, n, unnest(range(0, n)) AS rr FROM m),
+    per AS (SELECT i, n,
+                   SUM((i * 37 + rr * 101) % 2000001 - 1000000)
+                     AS psum,
+                   SUM((i * 53 + rr * 997) % 3000001 - 1500000)
+                     AS qsum,
+                   MIN((i + 3 * rr) % 20000) AS dmin,
+                   MAX(1600000000000000
+                       + (i * 1000003 + rr * 777) % 1000000000000)
+                     AS tmax
+            FROM r GROUP BY i, n),
+    f AS (SELECT i, n, psum, qsum, dmin, tmax,
+                 i % 9 = 0 OR i % 13 = 0 AS bad
+          FROM per)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'avro_lt' END AS format,
+           CASE WHEN bad THEN ''
+                ELSE ['null', 'deflate', 'snappy'][1 + i % 3]
+           END AS codec,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
+             AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE (n + 2) // 3 END AS BIGINT)
+             AS n_blocks,
+           CAST(CASE WHEN bad THEN 0 ELSE psum END AS BIGINT)
+             AS price_unscaled_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE qsum END AS BIGINT)
+             AS qty_unscaled_sum,
+           CASE WHEN bad THEN ''
+                ELSE strftime(
+                       DATE '1970-01-01' + CAST(dmin AS INTEGER),
+                       '%Y-%m-%d')
+           END AS date_min,
+           CASE WHEN bad THEN ''
+                ELSE strftime(make_timestamp(tmax),
+                              '%Y-%m-%dT%H:%M:%S.%f')
+           END AS ts_max_iso,
+           CASE WHEN bad THEN ''
+                ELSE printf('%08x-0000-4000-8000-%012x',
+                            (i * 2654435761) % 4294967296,
+                            i % 281474976710656)
+           END AS uuid_first,
+           CAST(CASE WHEN NOT bad AND i % 6 = 0 THEN 1 ELSE 0
+                END AS BIGINT) AS lt_ignored
+    FROM f
+    """,
+    doc="Avro LOGICAL TYPES (Avro 1.11 spec) in the schema-driven "
+    "container reader — the annotations real Kafka-ecosystem "
+    "payloads and Iceberg manifest fields carry: decimal over BYTES "
+    "(minimal two's-complement big-endian unscaled, negative half "
+    "proves signedness) and over FIXED(6) with the max-precision-"
+    "per-size bound checked, date (days since epoch), "
+    "timestamp-micros (ISO-rendered to prove the conversion, not "
+    "just the raw long), and uuid (RFC 4122 textual, format-"
+    "validated). Spec rule pinned: an INVALID annotation (every 6th "
+    "id declares decimal on an int) is IGNORED and the field "
+    "decodes as its underlying type — while an invalid VALUE "
+    "(every 13th id's malformed uuid) is data corruption and "
+    "degrades, as does the flipped sync marker on every 9th id. "
+    "Codec rotates null/deflate/snappy through the hand decoders. "
+    "The resolved reader refuses promoting a plain writer int/long "
+    "into a reader logical type (pytest-pinned). Arrow-batched "
+    "mapInPandas, zero shuffle. operators/avro.py "
+    "avro_logical_stats",
+    tags=("llm", "multimodal"),
+)
+def multimodal_avro_logical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.avro import (
+        avro_logical_stats,
+        synthesize_avro_logical_media,
+    )
+
+    media = synthesize_avro_logical_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return avro_logical_stats(media)

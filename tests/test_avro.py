@@ -142,3 +142,186 @@ class TestSnappyLiteralWriter:
         assert got is not None
         # sanity: struct/zlib agree on a known vector
         assert struct.pack(">I", zlib.crc32(b"abc")) == b"\x35\x24\x41\xc2"
+
+
+class TestLogicalTypes:
+    """Avro 1.11 logical types: conversion correctness against
+    Python's own datetime/decimal arithmetic, the ignore-invalid-
+    annotation spec rule, value-lie refusals, and the resolved
+    reader's no-promotion-into-a-logical-type rule."""
+
+    def test_decimal_bytes_signed_roundtrip(self):
+        import decimal
+
+        from gmall_flink_210726_spark.operators.avro import (
+            make_avro_container,
+            read_avro_container,
+        )
+
+        sch = {
+            "type": "record", "name": "R",
+            "fields": [{"name": "p", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 9, "scale": 2}}],
+        }
+        for unscaled in (0, 1, -1, 127, -128, 128, 99999999,
+                         -99999999, 255, -256):
+            raw = unscaled.to_bytes(
+                max(1, (unscaled.bit_length() + 8) // 8),
+                "big", signed=True,
+            )
+            blob = make_avro_container(sch, [{"p": raw}])
+            recs, _, _ = read_avro_container(blob)
+            assert recs[0]["p"] == decimal.Decimal(
+                unscaled
+            ).scaleb(-2), unscaled
+
+    def test_date_time_timestamp_uuid(self):
+        import datetime
+
+        from gmall_flink_210726_spark.operators.avro import (
+            make_avro_container,
+            read_avro_container,
+        )
+
+        sch = {
+            "type": "record", "name": "R",
+            "fields": [
+                {"name": "d", "type": {
+                    "type": "int", "logicalType": "date"}},
+                {"name": "tm", "type": {
+                    "type": "int", "logicalType": "time-millis"}},
+                {"name": "tu", "type": {
+                    "type": "long", "logicalType": "time-micros"}},
+                {"name": "sm", "type": {
+                    "type": "long",
+                    "logicalType": "timestamp-millis"}},
+                {"name": "su", "type": {
+                    "type": "long",
+                    "logicalType": "timestamp-micros"}},
+                {"name": "u", "type": {
+                    "type": "string", "logicalType": "uuid"}},
+            ],
+        }
+        row = {
+            "d": 19000, "tm": 86_399_999, "tu": 86_399_999_999,
+            "sm": 1_600_000_000_123, "su": 1_600_000_000_123_456,
+            "u": "0001A2B3-0000-4000-8000-0000DEADBEEF",
+        }
+        blob = make_avro_container(sch, [row])
+        recs, _, _ = read_avro_container(blob)
+        r0 = recs[0]
+        epoch = datetime.datetime(1970, 1, 1)
+        assert r0["d"] == datetime.date(1970, 1, 1) + \
+            datetime.timedelta(days=19000)
+        assert r0["tm"] == datetime.time(23, 59, 59, 999000)
+        assert r0["tu"] == datetime.time(23, 59, 59, 999999)
+        assert r0["sm"] == epoch + datetime.timedelta(
+            milliseconds=1_600_000_000_123
+        )
+        assert r0["su"] == epoch + datetime.timedelta(
+            microseconds=1_600_000_000_123_456
+        )
+        assert r0["u"] == "0001a2b3-0000-4000-8000-0000deadbeef"
+
+    def test_invalid_annotations_ignored(self):
+        """decimal on int / scale>precision / uuid on long: ignored
+        per spec — the datum decodes as its underlying type."""
+        from gmall_flink_210726_spark.operators.avro import (
+            make_avro_container,
+            read_avro_container,
+        )
+
+        for bad_field in (
+            {"type": "int", "logicalType": "decimal", "precision": 4},
+            {"type": "bytes", "logicalType": "decimal",
+             "precision": 2, "scale": 5},
+            {"type": "bytes", "logicalType": "decimal",
+             "precision": 0, "scale": 0},
+            {"type": "long", "logicalType": "uuid"},
+            {"type": "long", "logicalType": "date"},
+            # fixed(2) can hold at most 4 digits; precision 9 invalid
+            {"type": "fixed", "name": "F", "size": 2,
+             "logicalType": "decimal", "precision": 9, "scale": 1},
+        ):
+            sch = {"type": "record", "name": "R",
+                   "fields": [{"name": "x", "type": bad_field}]}
+            t = bad_field["type"]
+            v = (b"\x01\x02" if t == "fixed" else
+                 b"\x05" if t == "bytes" else 7)
+            blob = make_avro_container(sch, [{"x": v}])
+            recs, _, _ = read_avro_container(blob)
+            assert recs[0]["x"] == v, bad_field
+
+    def test_value_lies_degrade(self):
+        """Out-of-range time / overlong decimal / malformed uuid are
+        VALUE corruption -> container walk returns None."""
+        from gmall_flink_210726_spark.operators.avro import (
+            make_avro_container,
+            read_avro_container,
+        )
+
+        cases = [
+            ({"type": "int", "logicalType": "time-millis"},
+             86_400_000),
+            ({"type": "long", "logicalType": "time-micros"},
+             86_400_000_000),
+            ({"type": "string", "logicalType": "uuid"},
+             "not-a-uuid"),
+            ({"type": "bytes", "logicalType": "decimal",
+              "precision": 2, "scale": 1},
+             (1000).to_bytes(2, "big", signed=True)),
+        ]
+        for field, v in cases:
+            sch = {"type": "record", "name": "R",
+                   "fields": [{"name": "x", "type": field}]}
+            blob = make_avro_container(sch, [{"x": v}])
+            assert read_avro_container(blob) is None, field
+
+    def test_resolution_refuses_promotion_into_logical(self):
+        """Writer plain long -> reader timestamp-micros: refused (a
+        promotion would mint times out of raw numbers); writer with
+        the SAME logical type resolves; decimal precision/scale must
+        agree exactly."""
+        from gmall_flink_210726_spark.operators.avro import (
+            make_avro_container,
+            read_avro_resolved,
+        )
+
+        w_plain = {"type": "record", "name": "R",
+                   "fields": [{"name": "t", "type": "long"}]}
+        r_ts = {"type": "record", "name": "R",
+                "fields": [{"name": "t", "type": {
+                    "type": "long",
+                    "logicalType": "timestamp-micros"}}]}
+        blob = make_avro_container(w_plain, [{"t": 12345}])
+        assert read_avro_resolved(blob, r_ts) is None
+        # same logical type on both sides resolves
+        w_ts = r_ts
+        blob2 = make_avro_container(w_ts, [{"t": 12345}])
+        got = read_avro_resolved(blob2, r_ts)
+        assert got is not None
+        # decimal scale mismatch refuses
+        w_dec = {"type": "record", "name": "R",
+                 "fields": [{"name": "p", "type": {
+                     "type": "bytes", "logicalType": "decimal",
+                     "precision": 9, "scale": 2}}]}
+        r_dec3 = {"type": "record", "name": "R",
+                  "fields": [{"name": "p", "type": {
+                      "type": "bytes", "logicalType": "decimal",
+                      "precision": 9, "scale": 3}}]}
+        blob3 = make_avro_container(w_dec, [{"p": b"\x07"}])
+        assert read_avro_resolved(blob3, r_dec3) is None
+        assert read_avro_resolved(blob3, w_dec) is not None
+
+    def test_fixture_stripes(self):
+        from gmall_flink_210726_spark.operators.avro import (
+            _avro_logical_one,
+            _make_avro_logical,
+        )
+
+        for i in range(60):
+            st = _avro_logical_one(i, _make_avro_logical(i))
+            assert (st is None) == (i % 9 == 0 or i % 13 == 0), i
+            if st is not None:
+                assert st["lt_ignored"] == int(i % 6 == 0), i
