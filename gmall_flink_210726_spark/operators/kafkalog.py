@@ -465,3 +465,374 @@ def synthesize_kafka_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# KIP-98 transactional reads (read_committed): attributes bit 4 marks
+# a TRANSACTIONAL batch (producerId >= 0 required), bit 5 a CONTROL
+# batch carrying exactly one control record whose KEY is
+# ``version:int16 BE, type:int16 BE`` (0 = ABORT, 1 = COMMIT). A
+# read_committed scan buffers each producer's transactional records
+# until its marker arrives: commit makes them visible, abort drops
+# them. A closed segment must close every transaction — a dangling
+# open producer, a marker for a producer with nothing open, an
+# unknown control type, or a transactional batch without a producer
+# id all refuse (the exactly-once books must balance exactly).
+# --------------------------------------------------------------------------
+
+
+def _parse_v2_records(body: bytes, rcount: int) -> list[dict] | None:
+    """Shared v2 record-framing walk -> [{'ts_delta','key','value'}];
+    None on any framing violation (dense offsets, exact lengths,
+    exact consumption)."""
+    rp = 0
+    out = []
+    for k in range(rcount):
+        rlen, rp = _zz_dec(body, rp)
+        rec_end = rp + rlen
+        if rlen < 0 or rec_end > len(body) or rp >= len(body):
+            return None
+        rp += 1  # record attributes
+        ts_delta, rp = _zz_dec(body, rp)
+        off_delta, rp = _zz_dec(body, rp)
+        if off_delta != k:
+            return None
+        klen, rp = _zz_dec(body, rp)
+        key = None
+        if klen >= 0:
+            if rp + klen > len(body):
+                return None
+            key = body[rp : rp + klen]
+            rp += klen
+        vlen, rp = _zz_dec(body, rp)
+        value = None
+        if vlen >= 0:
+            if rp + vlen > len(body):
+                return None
+            value = body[rp : rp + vlen]
+            rp += vlen
+        nhdr, rp = _zz_dec(body, rp)
+        if nhdr < 0:
+            return None
+        for _ in range(nhdr):
+            hk, rp = _zz_dec(body, rp)
+            if hk < 0 or rp + hk > len(body):
+                return None
+            rp += hk
+            hv, rp = _zz_dec(body, rp)
+            if hv < 0 or rp + hv > len(body):
+                return None
+            rp += hv
+        if rp != rec_end:
+            return None
+        out.append({"ts_delta": ts_delta, "key": key, "value": value})
+    if rp != len(body):
+        return None
+    return out
+
+
+def read_kafka_segment_committed(data: bytes) -> dict | None:
+    """read_committed segment walk (section doc); None on any
+    framing/CRC/transaction-books violation."""
+    pos = 0
+    out = {
+        "n_batches": 0,
+        "n_control": 0,
+        "n_txn_batches": 0,
+        "n_txns_committed": 0,
+        "n_txns_aborted": 0,
+        "committed_records": 0,
+        "committed_sum": 0,
+        "aborted_records": 0,
+        "aborted_sum": 0,
+        "max_offset": -1,
+    }
+    # producerId -> [n_records, payload_sum] buffered until a marker
+    open_txns: dict[int, list[int]] = {}
+    if not data:
+        return None
+    try:
+        while pos < len(data):
+            if pos + 12 > len(data):
+                return None
+            base_off, blen = struct.unpack_from(">qi", data, pos)
+            batch_end = pos + 12 + blen
+            if blen <= 49 or batch_end > len(data):
+                return None
+            (_ple, magic) = struct.unpack_from(">ib", data, pos + 12)
+            if magic != 2:
+                return None
+            (crc,) = struct.unpack_from(">I", data, pos + 17)
+            if crc32c(data[pos + 21 : batch_end]) != crc:
+                return None
+            (attrs, last_od) = struct.unpack_from(">hi", data, pos + 21)
+            (_bts, _mts, pid) = struct.unpack_from(">qqq", data, pos + 27)
+            (_pep, _bseq, rcount) = struct.unpack_from(
+                ">hii", data, pos + 51
+            )
+            codec = attrs & 7
+            is_txn = bool(attrs & 0x10)
+            is_control = bool(attrs & 0x20)
+            if codec not in _COMP_NAMES:
+                return None
+            body = _records_decompress(
+                data[pos + 61 : batch_end], codec
+            )
+            if body is None:
+                return None
+            if rcount <= 0 or last_od != rcount - 1:
+                return None
+            recs = _parse_v2_records(body, rcount)
+            if recs is None:
+                return None
+            out["n_batches"] += 1
+            out["max_offset"] = base_off + last_od
+            pos = batch_end
+            if is_control:
+                # control batches are coordinator-written markers
+                if not is_txn or pid < 0 or rcount != 1:
+                    return None
+                key = recs[0]["key"]
+                if key is None or len(key) < 4:
+                    return None
+                version, ctype = struct.unpack_from(">hh", key, 0)
+                if version < 0 or ctype not in (0, 1):
+                    return None  # 0 = abort, 1 = commit
+                if pid not in open_txns:
+                    return None  # marker with nothing open
+                n, s = open_txns.pop(pid)
+                out["n_control"] += 1
+                if ctype == 1:
+                    out["n_txns_committed"] += 1
+                    out["committed_records"] += n
+                    out["committed_sum"] += s
+                else:
+                    out["n_txns_aborted"] += 1
+                    out["aborted_records"] += n
+                    out["aborted_sum"] += s
+                continue
+            # data batch: the fixture payload contract ('v' + digits)
+            total = 0
+            for rec in recs:
+                v = rec["value"]
+                if v is None or v[:1] != b"v" or not v[1:].isdigit():
+                    return None
+                total += int(v[1:])
+            if is_txn:
+                if pid < 0:
+                    return None  # transactional batch needs a producer
+                out["n_txn_batches"] += 1
+                buf = open_txns.setdefault(pid, [0, 0])
+                buf[0] += rcount
+                buf[1] += total
+            else:
+                out["committed_records"] += rcount
+                out["committed_sum"] += total
+    except (ValueError, struct.error):
+        return None
+    if open_txns:
+        return None  # a closed segment must close every transaction
+    return out
+
+
+KAFKA_TXN_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_batches", LongType()),
+        StructField("n_control", LongType()),
+        StructField("n_txn_batches", LongType()),
+        StructField("n_txns_committed", LongType()),
+        StructField("n_txns_aborted", LongType()),
+        StructField("committed_records", LongType()),
+        StructField("committed_sum", LongType()),
+        StructField("aborted_records", LongType()),
+        StructField("aborted_sum", LongType()),
+        StructField("max_offset", LongType()),
+    ]
+)
+
+
+def kafka_committed_stats(df: DataFrame) -> DataFrame:
+    """read_committed segment walk over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in KAFKA_TXN_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                i = int(mid)
+                row = {c: 0 for c in cols}
+                row.update(media_id=i, format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_kafka_segment_committed(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="kafka", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, KAFKA_TXN_SCHEMA
+    )
+
+
+def _enc_batch(
+    base_off: int,
+    records: bytes,
+    rcount: int,
+    attrs: int,
+    pid: int,
+    codec: int = 0,
+) -> bytes:
+    """One RecordBatch v2 frame around already-encoded records."""
+    if codec:
+        import pyarrow as pa
+
+        name = {1: "gzip", 3: "lz4", 4: "zstd"}.get(codec)
+        if name:
+            records = bytes(pa.Codec(name).compress(records))
+        else:  # xerial snappy
+            blocks = [
+                bytes(
+                    pa.Codec("snappy").compress(records[o : o + 24])
+                )
+                for o in range(0, len(records), 24)
+            ]
+            records = (
+                _XERIAL_MAGIC
+                + struct.pack(">ii", 1, 1)
+                + b"".join(
+                    struct.pack(">i", len(b)) + b for b in blocks
+                )
+            )
+    mid = struct.pack(
+        ">hiqqqhii",
+        attrs | codec,
+        rcount - 1,
+        1700000000000,
+        1700000000000 + rcount,
+        pid,
+        0 if pid >= 0 else -1,
+        -1,
+        rcount,
+    ) + records
+    return struct.pack(
+        ">qiibI",
+        base_off,
+        4 + 1 + 4 + len(mid),
+        0,
+        2,
+        crc32c(mid),
+    ) + mid
+
+
+def _enc_control_record(ctype: int) -> bytes:
+    key = struct.pack(">hh", 0, ctype)
+    value = struct.pack(">i", 0)  # coordinator epoch (v0)
+    body = bytearray(b"\x00")
+    body += _zz_enc(0)  # timestampDelta
+    body += _zz_enc(0)  # offsetDelta
+    body += _zz_enc(len(key)) + key
+    body += _zz_enc(len(value)) + value
+    body += _zz_enc(0)  # headers
+    return _zz_enc(len(body)) + bytes(body)
+
+
+def _make_kafka_txn_segment(i: int) -> bytes:
+    """Interleaved transactional segment: a plain batch, then
+    ``1 + i % 2`` producers each writing ``1 + (i+p) % 2`` data
+    batches of 2-4 records, then (interleaved with a second plain
+    batch) one marker per producer — ABORT when (i + p) % 3 == 0,
+    COMMIT otherwise. Data-batch compression rotates i%5. Lie
+    stripes: every 17th id drops the LAST marker (dangling open
+    transaction), every 19th-miss-17th id prepends a marker for a
+    producer with nothing open, every 11th-miss-both id XORs a byte
+    in the first batch's records (CRC must catch)."""
+    codec = i % 5
+    parts: list[bytes] = []
+    base_off = 0
+
+    def plain(nrec: int, salt: int) -> None:
+        nonlocal base_off
+        recs = b"".join(
+            _enc_record(i, salt, r) for r in range(nrec)
+        )
+        parts.append(
+            _enc_batch(base_off, recs, nrec, 0, -1, codec)
+        )
+        base_off += nrec
+
+    def marker(pid: int, ctype: int) -> None:
+        nonlocal base_off
+        parts.append(
+            _enc_batch(
+                base_off, _enc_control_record(ctype), 1, 0x30, pid
+            )
+        )
+        base_off += 1
+
+    if i % 17 != 0 and i % 19 == 0:
+        marker(99, 1)  # marker with nothing open -> refuse
+    plain(2 + i % 3, 0)
+    n_pids = 1 + i % 2
+    for p in range(n_pids):
+        for b in range(1 + (i + p) % 2):
+            nrec = 2 + (i + p + b) % 3
+            recs = b"".join(
+                _enc_record(i, 10 * (p + 1) + b, r)
+                for r in range(nrec)
+            )
+            parts.append(
+                _enc_batch(base_off, recs, nrec, 0x10, p, codec)
+            )
+            base_off += nrec
+    plain(2, 1)
+    for p in range(n_pids):
+        if i % 17 == 0 and p == n_pids - 1:
+            continue  # dangling open transaction -> refuse
+        marker(p, 0 if (i + p) % 3 == 0 else 1)
+    blob = bytearray(b"".join(parts))
+    if i % 11 == 0 and i % 17 != 0 and i % 19 != 0:
+        blob[73] ^= 0x55  # inside the first batch's records region
+    return bytes(blob)
+
+
+def synthesize_kafka_txn_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of transactional Kafka segments."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_kafka_txn_segment(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "kafka",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -130,3 +130,83 @@ def test_compression_reported_from_decoded_attributes():
         assert st["compression"] == (
             "none", "gzip", "snappy", "lz4", "zstd"
         )[i % 5]
+
+
+class TestTransactionalReads:
+    """KIP-98 read_committed: aborted records excluded, control
+    markers balanced, interleaved producers resolved independently."""
+
+    def test_abort_excludes_commit_includes(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _enc_batch,
+            _enc_control_record,
+            _enc_record,
+            read_kafka_segment_committed,
+        )
+
+        recs = b"".join(_enc_record(1, 0, r) for r in range(3))
+        parts = [
+            _enc_batch(0, recs, 3, 0x10, 7),          # txn pid 7
+            _enc_batch(3, recs, 3, 0x10, 8),          # txn pid 8
+            _enc_batch(6, _enc_control_record(0), 1, 0x30, 7),  # abort
+            _enc_batch(7, _enc_control_record(1), 1, 0x30, 8),  # commit
+        ]
+        st = read_kafka_segment_committed(b"".join(parts))
+        assert st is not None
+        assert st["n_txns_aborted"] == 1
+        assert st["n_txns_committed"] == 1
+        assert st["aborted_records"] == 3
+        assert st["committed_records"] == 3
+        assert st["aborted_sum"] == st["committed_sum"]
+        assert st["max_offset"] == 7
+
+    def test_books_must_balance(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _enc_batch,
+            _enc_control_record,
+            _enc_record,
+            read_kafka_segment_committed,
+        )
+
+        recs = b"".join(_enc_record(1, 0, r) for r in range(2))
+        # dangling open transaction
+        assert read_kafka_segment_committed(
+            _enc_batch(0, recs, 2, 0x10, 7)
+        ) is None
+        # marker for a producer with nothing open
+        assert read_kafka_segment_committed(
+            _enc_batch(0, _enc_control_record(1), 1, 0x30, 7)
+        ) is None
+        # control batch without the transactional bit
+        assert read_kafka_segment_committed(
+            b"".join([
+                _enc_batch(0, recs, 2, 0x10, 7),
+                _enc_batch(2, _enc_control_record(1), 1, 0x20, 7),
+            ])
+        ) is None
+        # unknown control type
+        assert read_kafka_segment_committed(
+            b"".join([
+                _enc_batch(0, recs, 2, 0x10, 7),
+                _enc_batch(2, _enc_control_record(2), 1, 0x30, 7),
+            ])
+        ) is None
+        # transactional data batch without a producer id
+        assert read_kafka_segment_committed(
+            b"".join([
+                _enc_batch(0, recs, 2, 0x10, -1),
+            ])
+        ) is None
+
+    def test_fixture_stripes(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _make_kafka_txn_segment,
+            read_kafka_segment_committed,
+        )
+
+        for i in range(80):
+            st = read_kafka_segment_committed(
+                _make_kafka_txn_segment(i)
+            )
+            bad = i % 11 == 0 or i % 17 == 0 or i % 19 == 0
+            assert (st is None) == bad, i
