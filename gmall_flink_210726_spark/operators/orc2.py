@@ -46,7 +46,13 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from gmall_flink_210726_spark.operators.orc import (
     _COMP_NAMES,
@@ -1148,4 +1154,276 @@ def orc_bloom_stats(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "content").mapInPandas(
         gen, ORCBLOOM_SCHEMA
+    )
+
+
+# ------------------------------------------- FLOAT + DOUBLE + BINARY
+
+
+def read_orc_double_bin(data: bytes) -> dict | None:
+    """Full read of an (f FLOAT, x DOUBLE, b BINARY) ORC file —
+    the remaining common warehouse types after round 12's
+    DECIMAL/TIMESTAMP:
+
+    - FLOAT/DOUBLE: DATA = IEEE 754 little-endian 4/8-byte values,
+      DIRECT encoding (the spec defines no V2 for them); stream
+      length must be exactly rows*width;
+    - BINARY (DIRECT_V2): DATA = concatenated payload bytes, LENGTH
+      = RLEv2 unsigned lengths whose sum must tile DATA exactly;
+    - footer DoubleStatistics (min/max/sum as fixed64 doubles) are
+      cross-checked against the decode — the sum bit-exactly, using
+      the writer's own per-stripe-then-merge accumulation order;
+      BinaryStatistics.sum (zigzag total length) likewise."""
+    import struct as _s
+
+    walked = _walk_footer(data)
+    if walked is None:
+        return None
+    footer, comp = walked
+    num_rows = footer.get(6, [None])[0]
+    stripes = footer.get(3, [])
+    types = footer.get(4, [])
+    stats = footer.get(7, [])
+    if not isinstance(num_rows, int) or not stripes or len(types) != 4:
+        return None
+    try:
+        kinds = [_pb_fields(t).get(1, [0])[0] for t in types]
+    except ValueError:
+        return None
+    if kinds != [12, 5, 6, 8]:  # struct, FLOAT, DOUBLE, BINARY
+        return None
+    floats: list[float] = []
+    doubles: list[float] = []
+    f_sum = x_sum = 0.0  # per-stripe accumulation, merged in order
+    blen_sum = bsum = n_bin = 0
+    n_stripes = 0
+    try:
+        for s in stripes:
+            got = _stripe_streams(data, _pb_fields(s), comp)
+            if got is None:
+                return None
+            streams, encs, rows = got
+            if encs.get(1) != 0 or encs.get(2) != 0:  # DIRECT only
+                return None
+            if encs.get(3) != 2:  # binary DIRECT_V2
+                return None
+            fbody = _unframe(streams.get((1, 1), b""), comp)
+            if len(fbody) != 4 * rows:
+                return None
+            fvals = list(_s.unpack(f"<{rows}f", fbody))
+            xbody = _unframe(streams.get((1, 2), b""), comp)
+            if len(xbody) != 8 * rows:
+                return None
+            xvals = list(_s.unpack(f"<{rows}d", xbody))
+            bbody = _unframe(streams.get((1, 3), b""), comp)
+            lens, _ = _rle_v2(
+                _unframe(streams.get((2, 3), b""), comp), rows, False
+            )
+            if any(ln < 0 for ln in lens) or sum(lens) != len(bbody):
+                return None
+            pos = 0
+            for ln in lens:
+                bsum += sum(bbody[pos : pos + ln])
+                pos += ln
+            blen_sum += sum(lens)
+            n_bin += rows
+            floats.extend(fvals)
+            doubles.extend(xvals)
+            sf = sx = 0.0
+            for v in fvals:
+                sf += v
+            for v in xvals:
+                sx += v
+            f_sum += sf
+            x_sum += sx
+            n_stripes += 1
+    except (ValueError, IndexError, TypeError):
+        return None
+    if len(floats) != num_rows or n_bin != num_rows:
+        return None
+    # ---- footer statistics vs the decode
+    if len(stats) != 4:
+        return None
+    for idx, (vals, total) in (
+        (1, (floats, f_sum)),
+        (2, (doubles, x_sum)),
+    ):
+        cs = _pb_fields(stats[idx])
+        if cs.get(1, [None])[0] != num_rows:
+            return None
+        ds = _pb_fields(cs.get(3, [b""])[0]) if 3 in cs else {}
+        for fno, want in ((1, min(vals)), (2, max(vals)), (3, total)):
+            if fno in ds:
+                (got_d,) = _s.unpack("<d", ds[fno][0])
+                if got_d != want:
+                    return None
+    bs_cs = _pb_fields(stats[3])
+    if bs_cs.get(1, [None])[0] != num_rows:
+        return None
+    bstat = _pb_fields(bs_cs.get(8, [b""])[0]) if 8 in bs_cs else {}
+    if 1 in bstat and _zz(bstat[1][0]) != blen_sum:
+        return None
+    return {
+        "n_rows": num_rows,
+        "n_stripes": n_stripes,
+        "f_sum": f_sum,
+        "x_sum": x_sum,
+        "x_min": min(doubles),
+        "x_max": max(doubles),
+        "blen_sum": blen_sum,
+        "bsum": bsum,
+        "compression": _COMP_NAMES[comp],
+    }
+
+
+ORCDBL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("compression", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("f_sum", DoubleType()),
+        StructField("x_sum", DoubleType()),
+        StructField("x_min", DoubleType()),
+        StructField("x_max", DoubleType()),
+        StructField("blen_sum", LongType()),
+        StructField("bsum", LongType()),
+    ]
+)
+
+
+def _dbl_rows(i: int, n: int):
+    """Exactly-representable values: integers / 64, so every partial
+    sum is exact in BOTH engines and float equality is bit-equality.
+    (f fits float32: |mantissa| < 2^13.)"""
+    mf = [(i * 13 + r * 7) % 8192 - 4096 for r in range(n)]
+    mx = [(i * 29 + r * 17) % 2_000_001 - 1_000_000 for r in range(n)]
+    return mf, mx
+
+
+def _bin_rows(i: int, n: int) -> list[bytes]:
+    return [
+        bytes(
+            (i * 3 + r * 5 + j * 11) % 256
+            for j in range((i + r) % 18)
+        )
+        for r in range(n)
+    ]
+
+
+def _make_orc_double(i: int, bad_stripe: int = 21) -> bytes:
+    """REAL pyarrow.orc file: (f FLOAT, x DOUBLE, b BINARY),
+    ``1200 + (i%4)*300`` rows, 4 KiB stripes, compression rotating
+    by id. Every ``bad_stripe``-th id flips a byte inside the first
+    stripe's data region — caught by codec grammar, stream-length
+    tiling, or the statistics books."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc_mod
+
+    n = 1200 + (i % 4) * 300
+    mf, mx = _dbl_rows(i, n)
+    comp = ("uncompressed", "zlib", "snappy", "zstd", "lz4")[i % 5]
+    buf = io.BytesIO()
+    orc_mod.write_table(
+        pa.table(
+            {
+                "f": pa.array([m / 64 for m in mf], pa.float32()),
+                "x": pa.array([m / 64 for m in mx], pa.float64()),
+                "b": pa.array(_bin_rows(i, n), pa.binary()),
+            }
+        ),
+        buf,
+        compression=comp,
+        stripe_size=4096,
+        batch_size=256,
+    )
+    blob = bytearray(buf.getvalue())
+    if i % bad_stripe == 0:
+        data = bytes(blob)
+        ps_len = data[-1]
+        ps = _pb_fields(data[-1 - ps_len : -1])
+        flen, ck = ps[1][0], ps.get(2, [0])[0]
+        foot = _pb_fields(
+            _unframe(
+                data[len(data) - 1 - ps_len - flen : -1 - ps_len], ck
+            )
+        )
+        st = _pb_fields(foot[3][0])
+        blob[st[1][0] + st[2][0] + 9] ^= 0x55
+    return bytes(blob)
+
+
+def synthesize_orc_double_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of real float/double/binary ORC files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_orc_double(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "orc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def orc_double_stats(df: DataFrame) -> DataFrame:
+    """Float/double/binary ORC read over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in ORCDBL_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {
+                    "media_id": int(mid),
+                    "format": "unknown",
+                    "compression": "",
+                    "n_rows": 0,
+                    "f_sum": 0.0,
+                    "x_sum": 0.0,
+                    "x_min": 0.0,
+                    "x_max": 0.0,
+                    "blen_sum": 0,
+                    "bsum": 0,
+                }
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_orc_double_bin(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    st.pop("n_stripes")
+                    row.update(format="orc", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ORCDBL_SCHEMA
     )

@@ -315,3 +315,77 @@ def multimodal_kafka_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return kafka_committed_stats(media)
+
+
+@register(
+    "multimodal_orc_double",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      1200 + (doc_id % 4) * 300 AS n
+               FROM documents),
+    r AS (SELECT i, n, unnest(range(0, n)) AS rr FROM m),
+    per AS (SELECT i, n,
+                   CAST(SUM((i * 13 + rr * 7) % 8192 - 4096)
+                        AS BIGINT) AS mf_sum,
+                   CAST(SUM((i * 29 + rr * 17) % 2000001 - 1000000)
+                        AS BIGINT) AS mx_sum,
+                   MIN((i * 29 + rr * 17) % 2000001 - 1000000)
+                     AS mx_min,
+                   MAX((i * 29 + rr * 17) % 2000001 - 1000000)
+                     AS mx_max,
+                   CAST(SUM((i + rr) % 18) AS BIGINT) AS blen_sum,
+                   CAST(SUM(COALESCE(list_sum(
+                     [(i * 3 + rr * 5 + j * 11) % 256
+                      for j in range(0, (i + rr) % 18)]), 0))
+                        AS BIGINT) AS bsum
+            FROM r GROUP BY i, n),
+    f AS (SELECT *, i % 21 = 0 AS bad FROM per)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'orc' END AS format,
+           CASE WHEN bad THEN ''
+                ELSE ['none', 'zlib', 'snappy', 'zstd',
+                      'lz4'][1 + i % 5]
+           END AS compression,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_rows,
+           CASE WHEN bad THEN 0.0
+                ELSE CAST(mf_sum AS DOUBLE) / 64 END AS f_sum,
+           CASE WHEN bad THEN 0.0
+                ELSE CAST(mx_sum AS DOUBLE) / 64 END AS x_sum,
+           CASE WHEN bad THEN 0.0
+                ELSE CAST(mx_min AS DOUBLE) / 64 END AS x_min,
+           CASE WHEN bad THEN 0.0
+                ELSE CAST(mx_max AS DOUBLE) / 64 END AS x_max,
+           CAST(CASE WHEN bad THEN 0 ELSE blen_sum END AS BIGINT)
+             AS blen_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE bsum END AS BIGINT)
+             AS bsum
+    FROM f
+    """,
+    doc="ORC FLOAT + DOUBLE + BINARY columns — the remaining common "
+    "warehouse types after round 12's DECIMAL/TIMESTAMP: IEEE 754 "
+    "little-endian DATA streams (DIRECT encoding; the spec defines "
+    "no V2 for floats) with exact rows*width stream tiling, BINARY "
+    "as concatenated payload + RLEv2-unsigned LENGTH stream whose "
+    "sum must tile DATA exactly, and footer DoubleStatistics "
+    "(fixed64 min/max/sum) cross-checked BIT-EXACTLY against the "
+    "decode using the writer's own per-stripe-then-merge "
+    "accumulation order; BinaryStatistics.sum (zigzag total length) "
+    "likewise. Values are integers/64, exactly representable in "
+    "both engines, so float equality in the oracle is bit-equality "
+    "with no tolerance. Real pyarrow.orc files, 4 KiB stripes, all "
+    "five codecs rotating; every 21st id flips a data byte and must "
+    "degrade. operators/orc2.py read_orc_double_bin",
+    tags=("llm", "multimodal"),
+)
+def multimodal_orc_double(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.orc2 import (
+        orc_double_stats,
+        synthesize_orc_double_media,
+    )
+
+    media = synthesize_orc_double_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return orc_double_stats(media)

@@ -291,3 +291,74 @@ def test_bloom_actually_skips_on_same_band_strides():
         skipped += st["n_strides"] - st["n_maybe"]
         total += st["n_strides"]
     assert skipped / total > 0.5, (skipped, total)
+
+
+class TestDoubleBinary:
+    """FLOAT/DOUBLE/BINARY columns: IEEE LE streams, RLEv2 length
+    tiling, DoubleStatistics bit-exact cross-checks."""
+
+    def test_roundtrip_against_real_writer(self):
+        from gmall_flink_210726_spark.operators.orc2 import (
+            _bin_rows,
+            _dbl_rows,
+            _make_orc_double,
+            read_orc_double_bin,
+        )
+
+        for i in (1, 2, 3, 4, 5, 9):
+            st = read_orc_double_bin(_make_orc_double(i))
+            assert st is not None, i
+            n = 1200 + (i % 4) * 300
+            mf, mx = _dbl_rows(i, n)
+            assert st["n_rows"] == n
+            assert st["f_sum"] == sum(mf) / 64  # bit-exact
+            assert st["x_sum"] == sum(mx) / 64
+            assert st["x_min"] == min(mx) / 64
+            assert st["x_max"] == max(mx) / 64
+            bs = _bin_rows(i, n)
+            assert st["blen_sum"] == sum(len(b) for b in bs)
+            assert st["bsum"] == sum(sum(b) for b in bs)
+            # the 4 KiB stripe budget is checked against COMPRESSED
+            # bytes, so only the uncompressed rotation reliably
+            # splits into several stripes
+            assert st["n_stripes"] >= (6 if i == 5 else 1), i
+
+    def test_corrupt_stripe_degrades(self):
+        from gmall_flink_210726_spark.operators.orc2 import (
+            _make_orc_double,
+            read_orc_double_bin,
+        )
+
+        for i in (0, 21, 42, 63):
+            assert read_orc_double_bin(_make_orc_double(i)) is None, i
+
+    def test_lying_double_stats_caught(self):
+        """Flip one bit of the footer DoubleStatistics sum: the file
+        stays structurally valid and only the books catch it."""
+        import struct
+
+        from gmall_flink_210726_spark.operators.orc2 import (
+            _make_orc_double,
+            _pb_fields,
+            _unframe,
+            read_orc_double_bin,
+        )
+
+        blob = bytearray(_make_orc_double(5))  # i%5==0 -> uncompressed
+        assert read_orc_double_bin(bytes(blob)) is not None
+        data = bytes(blob)
+        ps_len = data[-1]
+        ps = _pb_fields(data[-1 - ps_len : -1])
+        flen = ps[1][0]
+        foot_at = len(data) - 1 - ps_len - flen
+        # uncompressed footer: find the fixed64 sum of column 2 (x)
+        # by scanning for its exact little-endian image
+        from gmall_flink_210726_spark.operators.orc2 import _dbl_rows
+
+        n = 1200 + (5 % 4) * 300
+        _, mx = _dbl_rows(5, n)
+        want = struct.pack("<d", sum(mx) / 64)
+        at = data.find(want, foot_at)
+        assert at > 0
+        blob[at] ^= 0x01
+        assert read_orc_double_bin(bytes(blob)) is None
