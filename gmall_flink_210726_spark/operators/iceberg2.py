@@ -483,3 +483,407 @@ def iceberg_bucket_stats(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         gen, ICEBERG_BUCKET_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# SCHEMA EVOLUTION BY FIELD-ID — the feature Iceberg's format exists
+# for (spec "Schemas and Data Types" / "Column Projection"): table
+# columns are identified by FIELD ID, never by name. The current
+# schema (selected by metadata.json current-schema-id) may have
+# renamed a column, dropped one, or added one since a data file was
+# written; reading an old parquet file resolves each reader field by
+# the field_id stored in the parquet SchemaElement (field 9):
+#
+# - a RENAME is free: old files carry the old NAME but the same id;
+# - a DROPPED column's data is simply not projected;
+# - an ADDED optional column is null for every pre-evolution file;
+# - a reader field whose id is MISSING from a file (required) or
+#   appears TWICE refuses — resolving by name instead would silently
+#   read the wrong bytes, which the fixture's decoy stripe proves.
+# --------------------------------------------------------------------------
+
+ICEBERG_EVO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_files", LongType()),
+        StructField("n_files_old", LongType()),
+        StructField("n_files_new", LongType()),
+        StructField("total_rows", LongType()),
+        StructField("key_sum", LongType()),
+        StructField("score_sum", LongType()),
+        StructField("score_nulls", LongType()),
+    ]
+)
+
+
+def read_iceberg_evolved(data: bytes) -> dict | None:
+    """Tar table -> current-schema scan with field-id column
+    resolution (section doc); None on any chain violation."""
+    from gmall_flink_210726_spark.operators.iceberg import (
+        MANIFEST_SCHEMA,
+        MLIST_SCHEMA,
+    )
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_leaf_fields,
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    sid = meta.get("current-schema-id")
+    schemas = meta.get("schemas")
+    if not isinstance(sid, int) or not isinstance(schemas, list):
+        return None
+    cur = next(
+        (
+            s
+            for s in schemas
+            if isinstance(s, dict) and s.get("schema-id") == sid
+        ),
+        None,
+    )
+    if cur is None or not isinstance(cur.get("fields"), list):
+        return None
+    reader_fields = []  # (id, name, required)
+    for f in cur["fields"]:
+        if (
+            not isinstance(f, dict)
+            or not isinstance(f.get("id"), int)
+            or f.get("type") != "long"
+        ):
+            return None
+        reader_fields.append(
+            (f["id"], f.get("name", ""), bool(f.get("required")))
+        )
+    snap_id = meta.get("current-snapshot-id")
+    snaps = meta.get("snapshots")
+    if not isinstance(snap_id, int) or not isinstance(snaps, list):
+        return None
+    snap = next(
+        (
+            s
+            for s in snaps
+            if isinstance(s, dict) and s.get("snapshot-id") == snap_id
+        ),
+        None,
+    )
+    if snap is None:
+        return None
+    mlist_blob = files.get(snap.get("manifest-list"))
+    if mlist_blob is None:
+        return None
+    got = read_avro_container(mlist_blob)
+    if got is None:
+        return None
+    mlist, _, _ = got
+    out = {
+        "n_files": 0,
+        "n_files_old": 0,
+        "n_files_new": 0,
+        "total_rows": 0,
+        "key_sum": 0,
+        "score_sum": 0,
+        "score_nulls": 0,
+    }
+    try:
+        for mf in mlist:
+            blob = files.get(mf["manifest_path"])
+            if blob is None or len(blob) != mf["manifest_length"]:
+                return None
+            g2 = read_avro_container(blob)
+            if g2 is None:
+                return None
+            entries, _, _ = g2
+            for ent in entries:
+                if ent["status"] == 2:
+                    continue  # deleted
+                df = ent["data_file"]
+                pq_blob = files.get(df["file_path"])
+                if pq_blob is None:
+                    return None
+                rows = df["record_count"]
+                leaves = parquet_leaf_fields(pq_blob)
+                if leaves is None:
+                    return None
+                by_id: dict[int, bytes] = {}
+                for fid, name in leaves:
+                    if fid is None:
+                        continue
+                    if fid in by_id:
+                        return None  # duplicate field id
+                    by_id[fid] = name
+                out["n_files"] += 1
+                has_all = True
+                for fid, _name, required in reader_fields:
+                    col_name = by_id.get(fid)
+                    if col_name is None:
+                        if required:
+                            return None  # required id missing
+                        has_all = False
+                        out["score_nulls"] += rows
+                        continue
+                    col = read_parquet_column_k(
+                        pq_blob, name=col_name
+                    )
+                    if col is None or col["n_values"] != rows:
+                        return None
+                    if required:
+                        out["key_sum"] += col["k_sum"]
+                    else:
+                        out["score_sum"] += col["k_sum"]
+                out["total_rows"] += rows
+                if has_all:
+                    out["n_files_new"] += 1
+                else:
+                    out["n_files_old"] += 1
+    except (TypeError, KeyError, ValueError):
+        return None
+    return out
+
+
+def _evo_parquet(cols: list[tuple[str, int, list[int]]]) -> bytes:
+    """Real pyarrow parquet with explicit field ids:
+    cols = [(name, field_id, values)]."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [
+        pa.field(
+            name,
+            pa.int64(),
+            metadata={b"PARQUET:field_id": str(fid).encode()},
+        )
+        for name, fid, _ in cols
+    ]
+    table = pa.table(
+        {name: vals for name, _, vals in cols},
+        schema=pa.schema(fields),
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        table,
+        buf,
+        write_statistics=False,
+        use_dictionary=False,
+    )
+    return buf.getvalue()
+
+
+def _evo_old_rows(i: int, f: int) -> int:
+    return 10 + (i + 3 * f) % 40
+
+
+def _evo_new_rows(i: int, g: int) -> int:
+    return 10 + (i + 5 * g) % 40
+
+
+def _evo_k(i: int, f: int, r: int) -> int:
+    return (i * 7 + f * 13 + 3 * r) % 1000
+
+
+def _evo_score(i: int, g: int, r: int) -> int:
+    return (i * 11 + g * 17 + 5 * r) % 500
+
+
+def _make_iceberg_evo_table(i: int) -> bytes:
+    """Current schema 1 = {key: id 1 (RENAMED from k), score: id 3
+    (ADDED, optional)}; schema 0's v (id 2) was DROPPED. Old files
+    carry (k id1, v id2), new files (key id1, score id3). Stripes:
+    every 7th id's first old file is the NAME DECOY — its true id-1
+    column is named 'legacy' and a column NAMED 'key' carries id 9
+    with values+1, so a name-resolving reader returns a wrong sum
+    the oracle catches; every 13th id's first old file mislabels its
+    k column as id 5 (required id 1 missing -> refuse); every
+    19th-miss-13th id's first new file carries TWO id-1 columns
+    (refuse)."""
+    n_old = 1 + i % 2
+    n_new = 1 + (i + 1) % 3
+    members: list[tuple[str, bytes]] = []
+    entries = []
+    for f in range(n_old):
+        rows = _evo_old_rows(i, f)
+        kv = [_evo_k(i, f, r) for r in range(rows)]
+        vv = [r for r in range(rows)]
+        if f == 0 and i % 13 == 0:
+            cols = [("k", 5, kv), ("v", 2, vv)]
+        elif f == 0 and i % 7 == 0:
+            cols = [
+                ("legacy", 1, kv),
+                ("key", 9, [v + 1 for v in kv]),
+                ("v", 2, vv),
+            ]
+        else:
+            cols = [("k", 1, kv), ("v", 2, vv)]
+        blob = _evo_parquet(cols)
+        path = f"data/old-{f}.parquet"
+        members.append((path, blob))
+        entries.append((path, rows, len(blob)))
+    for g in range(n_new):
+        rows = _evo_new_rows(i, g)
+        kv = [_evo_k(i, 100 + g, r) for r in range(rows)]
+        sv = [_evo_score(i, g, r) for r in range(rows)]
+        if g == 0 and i % 19 == 0 and i % 13 != 0:
+            cols = [("key", 1, kv), ("dup", 1, sv)]
+        else:
+            cols = [("key", 1, kv), ("score", 3, sv)]
+        blob = _evo_parquet(cols)
+        path = f"data/new-{g}.parquet"
+        members.append((path, blob))
+        entries.append((path, rows, len(blob)))
+    from gmall_flink_210726_spark.operators.iceberg import (
+        MANIFEST_SCHEMA,
+        MLIST_SCHEMA,
+    )
+
+    manifest = make_avro_container(
+        MANIFEST_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": 1000 + i,
+                "data_file": {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                },
+            }
+            for p, rows, size in entries
+        ],
+    )
+    members.append(("meta/m0.avro", manifest))
+    mlist = make_avro_container(
+        MLIST_SCHEMA,
+        [
+            {
+                "manifest_path": "meta/m0.avro",
+                "manifest_length": len(manifest),
+                "partition_spec_id": 0,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+            }
+        ],
+    )
+    members.append(("meta/snap-1.avro", mlist))
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"tbl-{i}",
+        "current-schema-id": 1,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": True,
+                     "type": "long"},
+                    {"id": 2, "name": "v", "required": True,
+                     "type": "long"},
+                ],
+            },
+            {
+                "schema-id": 1,
+                "fields": [
+                    {"id": 1, "name": "key", "required": True,
+                     "type": "long"},
+                    {"id": 3, "name": "score", "required": False,
+                     "type": "long"},
+                ],
+            },
+        ],
+        "current-snapshot-id": 900 + i,
+        "snapshots": [
+            {
+                "snapshot-id": 900 + i,
+                "manifest-list": "meta/snap-1.avro",
+            }
+        ],
+    }
+    members.append(
+        ("v2.metadata.json", json.dumps(meta).encode("utf-8"))
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def iceberg_evolution_stats(df: DataFrame) -> DataFrame:
+    """Field-id schema-evolution scan over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in ICEBERG_EVO_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_iceberg_evolved(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="iceberg", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ICEBERG_EVO_SCHEMA
+    )
+
+
+def synthesize_iceberg_evo_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of schema-evolved Iceberg tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_evo_table(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -412,7 +412,7 @@ _CODECS = (0, 1, 2, 6, 7)
 
 
 def read_parquet_column_k(
-    data: bytes, collect_values: bool = False
+    data: bytes, collect_values: bool = False, name: bytes = b"k"
 ) -> dict | None:
     """Footer -> every row group's 'k' column chunk -> data pages ->
     def levels + PLAIN int64 values. With ``collect_values`` the
@@ -449,7 +449,7 @@ def read_parquet_column_k(
             cm = cc.get(3) if isinstance(cc, dict) else None
             if (
                 isinstance(cm, dict)
-                and cm.get(3) == [b"k"]  # path_in_schema
+                and cm.get(3) == [name]  # path_in_schema
             ):
                 chunk = cm
                 break
@@ -3385,3 +3385,35 @@ def synthesize_parquet_struct_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def parquet_leaf_fields(data: bytes) -> list[tuple[int | None, bytes]] | None:
+    """Footer schema walk -> [(field_id, name)] for every LEAF
+    element (num_children absent/0), in schema order. field_id is
+    SchemaElement field 9 (the identifier Iceberg resolves columns
+    by); None when the writer did not assign one."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        return None
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen <= 0 or start < 4:
+        return None
+    try:
+        meta = _read_struct(_Reader(data, start, len(data) - 8))
+    except ValueError:
+        return None
+    schema = meta.get(2)
+    if not isinstance(schema, list) or not schema:
+        return None
+    out: list[tuple[int | None, bytes]] = []
+    for el in schema[1:]:  # element 0 is the root
+        if not isinstance(el, dict):
+            return None
+        if el.get(5, 0):  # num_children > 0: a group, not a leaf
+            continue
+        name = el.get(4)
+        if not isinstance(name, bytes):
+            return None
+        fid = el.get(9)
+        out.append((fid if isinstance(fid, int) else None, name))
+    return out

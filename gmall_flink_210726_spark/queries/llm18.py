@@ -389,3 +389,93 @@ def multimodal_orc_double(
         load_table(spark, sf_dir, "documents")
     )
     return orc_double_stats(media)
+
+
+@register(
+    "lakehouse_iceberg_schema_evolution",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 1 + doc_id % 2 AS n_old,
+                      1 + (doc_id + 1) % 3 AS n_new
+               FROM documents),
+    olds AS (SELECT i, n_old, n_new, unnest(range(0, n_old)) AS f
+             FROM m),
+    o AS (SELECT i, f, 10 + (i + 3 * f) % 40 AS rows_,
+                 COALESCE(list_sum(
+                   [(i * 7 + f * 13 + 3 * r) % 1000
+                    for r in range(0, 10 + (i + 3 * f) % 40)]), 0)
+                   AS ksum
+          FROM olds),
+    news AS (SELECT i, n_old, n_new, unnest(range(0, n_new)) AS g
+             FROM m),
+    nn AS (SELECT i, g, 10 + (i + 5 * g) % 40 AS rows_,
+                  COALESCE(list_sum(
+                    [(i * 7 + (100 + g) * 13 + 3 * r) % 1000
+                     for r in range(0, 10 + (i + 5 * g) % 40)]), 0)
+                    AS ksum,
+                  COALESCE(list_sum(
+                    [(i * 11 + g * 17 + 5 * r) % 500
+                     for r in range(0, 10 + (i + 5 * g) % 40)]), 0)
+                    AS ssum
+           FROM news),
+    oa AS (SELECT i, CAST(SUM(rows_) AS BIGINT) AS orows,
+                  CAST(SUM(ksum) AS BIGINT) AS oksum,
+                  COUNT(*) AS n_old
+           FROM o GROUP BY i),
+    na AS (SELECT i, CAST(SUM(rows_) AS BIGINT) AS nrows,
+                  CAST(SUM(ksum) AS BIGINT) AS nksum,
+                  CAST(SUM(ssum) AS BIGINT) AS nssum,
+                  COUNT(*) AS n_new
+           FROM nn GROUP BY i),
+    f AS (SELECT oa.i, oa.n_old, na.n_new, oa.orows, na.nrows,
+                 oa.oksum + na.nksum AS key_sum, na.nssum,
+                 oa.i % 13 = 0 OR oa.i % 19 = 0 AS bad
+          FROM oa JOIN na ON oa.i = na.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n_old + n_new END
+                AS BIGINT) AS n_files,
+           CAST(CASE WHEN bad THEN 0 ELSE n_old END AS BIGINT)
+             AS n_files_old,
+           CAST(CASE WHEN bad THEN 0 ELSE n_new END AS BIGINT)
+             AS n_files_new,
+           CAST(CASE WHEN bad THEN 0 ELSE orows + nrows END
+                AS BIGINT) AS total_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE key_sum END AS BIGINT)
+             AS key_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE nssum END AS BIGINT)
+             AS score_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE orows END AS BIGINT)
+             AS score_nulls
+    FROM f
+    """,
+    doc="Iceberg SCHEMA EVOLUTION BY FIELD-ID — the feature the "
+    "format exists for (spec 'Column Projection'): the current "
+    "schema RENAMED k->key (same id 1), DROPPED v (id 2), and ADDED "
+    "optional score (id 3); data files written before the evolution "
+    "carry the old names and no id-3 column. The reader resolves "
+    "every column by the field_id in the parquet SchemaElement "
+    "(field 9), NEVER by name: renames are free, dropped columns "
+    "unprojected, added columns null for pre-evolution files "
+    "(score_nulls counts them). The decoy stripe proves it: every "
+    "7th id's first old file names its TRUE id-1 column 'legacy' "
+    "and plants a column NAMED 'key' under id 9 with values+1 — a "
+    "name-resolving reader returns a wrong key_sum the oracle "
+    "catches. A required id missing (13th ids) or a duplicate id "
+    "(19th ids) refuses. Chain: metadata.json current-schema-id -> "
+    "manifest list -> manifest -> real pyarrow parquet with "
+    "PARQUET:field_id metadata, decoded by the hand column walk. "
+    "operators/iceberg2.py read_iceberg_evolved",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_iceberg_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg2 import (
+        iceberg_evolution_stats,
+        synthesize_iceberg_evo_media,
+    )
+
+    media = synthesize_iceberg_evo_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_evolution_stats(media)

@@ -121,3 +121,86 @@ def test_truncation_refused():
         read_iceberg_bucket_prune(blob[: len(blob) // 2], _bucket_probe(1))
         is None
     )
+
+
+class TestSchemaEvolution:
+    """Field-id column resolution: renames free, drops unprojected,
+    adds null, name decoys defeated, missing/duplicate ids refused."""
+
+    def test_rename_add_drop_and_decoy(self):
+        from gmall_flink_210726_spark.operators.iceberg2 import (
+            _evo_k,
+            _evo_old_rows,
+            _make_iceberg_evo_table,
+            read_iceberg_evolved,
+        )
+
+        # i=7: decoy stripe (a column NAMED 'key' under id 9 with
+        # values+1) — field-id resolution must return the TRUE sum
+        st = read_iceberg_evolved(_make_iceberg_evo_table(7))
+        assert st is not None
+        rows0 = _evo_old_rows(7, 0)
+        true0 = sum(_evo_k(7, 0, r) for r in range(rows0))
+        # a name-based reader would have added rows0 extra (+1/row)
+        assert st["key_sum"] < true0 + rows0 + 10**9  # sanity
+        # recompute the full truth
+        n_old, n_new = 1 + 7 % 2, 1 + (7 + 1) % 3
+        key_sum = 0
+        from gmall_flink_210726_spark.operators.iceberg2 import (
+            _evo_new_rows,
+        )
+
+        for f in range(n_old):
+            key_sum += sum(
+                _evo_k(7, f, r) for r in range(_evo_old_rows(7, f))
+            )
+        for g in range(n_new):
+            key_sum += sum(
+                _evo_k(7, 100 + g, r)
+                for r in range(_evo_new_rows(7, g))
+            )
+        assert st["key_sum"] == key_sum  # NOT key_sum + rows0
+        assert st["n_files_old"] == n_old
+        assert st["score_nulls"] > 0  # old files have no id 3
+
+    def test_missing_and_duplicate_ids_refused(self):
+        from gmall_flink_210726_spark.operators.iceberg2 import (
+            _make_iceberg_evo_table,
+            read_iceberg_evolved,
+        )
+
+        assert read_iceberg_evolved(_make_iceberg_evo_table(13)) is None
+        assert read_iceberg_evolved(_make_iceberg_evo_table(19)) is None
+        assert read_iceberg_evolved(_make_iceberg_evo_table(26)) is None
+
+    def test_current_schema_id_must_resolve(self):
+        import json
+
+        from gmall_flink_210726_spark.operators.iceberg2 import (
+            _make_iceberg_evo_table,
+            read_iceberg_evolved,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+        from gmall_flink_210726_spark.operators.wds import (
+            _iter_tar_members,
+        )
+
+        blob = _make_iceberg_evo_table(1)
+        members = dict(_iter_tar_members(blob))
+        meta = json.loads(members["v2.metadata.json"])
+        meta["current-schema-id"] = 5  # no such schema
+        members["v2.metadata.json"] = json.dumps(meta).encode()
+        parts = []
+        for name, payload in members.items():
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        bad = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+        assert read_iceberg_evolved(bad) is None
+        assert read_iceberg_evolved(blob) is not None
