@@ -269,11 +269,31 @@ def _make_parquet(i: int, compression: str = "NONE",
         compression=compression,
         write_statistics=False,
         use_dictionary=False,
+        write_page_checksum=True,
     )
     blob = bytearray(buf.getvalue())
     if i % bad_stripe == 0:
         struct.pack_into("<I", blob, len(blob) - 8, 0x7FFFFFFF)
     return bytes(blob)
+
+
+def _flip_first_page_value(blob: bytes) -> bytes:
+    """CRC-lie stripe: XOR one byte inside the FIRST data page's
+    VALUES region of column k. Counts, levels and framing all stay
+    valid — only the page CRC can catch it (without verification the
+    walk would return a silently wrong k_sum)."""
+    (flen,) = struct.unpack_from("<I", blob, len(blob) - 8)
+    meta = _read_struct(
+        _Reader(blob, len(blob) - 8 - flen, len(blob) - 8)
+    )
+    cm = meta[4][0][1][0][3]  # rg0 -> cc0 -> ColumnMetaData
+    off = cm[9]
+    r = _Reader(blob, off, len(blob))
+    ph = _read_struct(r)
+    (dlen,) = struct.unpack_from("<I", blob, r.pos)
+    out = bytearray(blob)
+    out[r.pos + 4 + dlen + 5] ^= 0x55  # inside the first int64s
+    return bytes(out)
 
 
 def synthesize_parquet_media(docs: DataFrame) -> DataFrame:
@@ -293,7 +313,12 @@ def synthesize_parquet_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "content": [_make_parquet(int(i)) for i in ids],
+                    "content": [
+                        _flip_first_page_value(_make_parquet(int(i)))
+                        if i % 10 == 0 and i % 7 != 0
+                        else _make_parquet(int(i))
+                        for i in ids
+                    ],
                     "meta": [
                         {
                             "format": "parquet",
@@ -481,6 +506,17 @@ def read_parquet_column_k(
                 page = data[r.pos : r.pos + psize]
                 if len(page) != psize:
                     return None
+                crc = ph.get(4)
+                if crc is not None:
+                    # optional page CRC (standard CRC-32 over the
+                    # serialized, still-compressed page bytes, spec
+                    # PageHeader.crc) — the one integrity layer that
+                    # catches a flipped VALUE byte no count/level
+                    # cross-check can see
+                    import zlib as _zlib
+
+                    if _zlib.crc32(page) != crc & 0xFFFFFFFF:
+                        return None
                 page = _page_decompress(page, codec, usize)
                 if page is None:
                     return None

@@ -785,7 +785,8 @@ def multimodal_parquet_footer(
 @register(
     "multimodal_parquet_column",
     oracle="""
-    WITH m AS (SELECT doc_id AS media_id, doc_id % 7 = 0 AS bad,
+    WITH m AS (SELECT doc_id AS media_id,
+                      doc_id % 7 = 0 OR doc_id % 10 = 0 AS bad,
                       10 + doc_id % 90 AS n, 1 + doc_id % 3 AS g
                FROM documents)
     SELECT media_id,
@@ -807,9 +808,15 @@ def multimodal_parquet_footer(
     "HYBRID decoder (both run forms) -> PLAIN little-endian int64 "
     "values. Cross-checks at every layer: def levels all 1, per-page "
     "counts sum to the chunk's num_values, chunk counts sum to the "
-    "file row count. The oracle recomputes the exact column sum from "
-    "the write formulas blind; every 7th id's smashed footer length "
-    "degrades. operators/parquetmeta.py read_parquet_column_k",
+    "file row count — plus the optional PageHeader.crc (standard "
+    "CRC-32 over the still-compressed page bytes), the one layer "
+    "that catches a flipped VALUE byte no count/level check can "
+    "see: every 10th id's first page has one value byte XORed "
+    "with counts and levels intact, and must degrade instead of "
+    "returning a silently wrong sum. The oracle recomputes the "
+    "exact column sum from the write formulas blind; every 7th "
+    "id's smashed footer length degrades. "
+    "operators/parquetmeta.py read_parquet_column_k",
     tags=("llm", "multimodal"),
 )
 def multimodal_parquet_column(

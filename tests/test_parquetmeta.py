@@ -498,3 +498,46 @@ class TestStatsSkip:
         blob[off] ^= 0x01
         st = parquet_stats_skip(bytes(blob), 300, 449)
         assert st is None
+
+
+class TestPageCrc:
+    """Optional PageHeader.crc verification: the one layer that
+    catches a flipped VALUE byte no count/level check can see."""
+
+    def test_crc_verified_and_flip_caught(self):
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _flip_first_page_value,
+            _make_parquet,
+            read_parquet_column_k,
+        )
+
+        clean = _make_parquet(3)
+        st = read_parquet_column_k(clean)
+        assert st is not None
+        flipped = _flip_first_page_value(clean)
+        # counts and levels are intact: only the CRC can catch it
+        assert read_parquet_column_k(flipped) is None
+        # compressed pages carry the CRC over COMPRESSED bytes
+        for comp in ("SNAPPY", "GZIP", "ZSTD", "LZ4"):
+            assert read_parquet_column_k(
+                _make_parquet(3, comp, bad_stripe=99)
+            ) is not None, comp
+
+    def test_files_without_crc_still_read(self):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            read_parquet_column_k,
+        )
+
+        t = pa.table({"k": pa.array(range(20), pa.int64())})
+        buf = io.BytesIO()
+        pq.write_table(
+            t, buf, write_statistics=False, use_dictionary=False,
+            write_page_checksum=False,
+        )
+        st = read_parquet_column_k(buf.getvalue())
+        assert st is not None and st["k_sum"] == sum(range(20))
