@@ -90,6 +90,35 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception as exc:
         print(f"bench: python warm-up failed: {exc}", file=sys.stderr)
+    # Warm the Structured Streaming machinery: the FIRST streaming
+    # micro-batch in a session pays state-store provider init,
+    # streaming codegen, and the streaming file-source/memory-sink
+    # paths (~2-4 s on this box), which otherwise lands on whichever
+    # st query runs first and inflates its recorded time (the round-12
+    # st4 record caught exactly this plus cold page cache; see the
+    # SURVEY bench-variance note).
+    try:
+        import shutil
+        import tempfile
+
+        warm_dir = tempfile.mkdtemp(prefix="bench_stwarm_")
+        spark.range(0, 32).write.mode("overwrite").parquet(warm_dir)
+        wq = (
+            spark.readStream.schema("id long")
+            .parquet(warm_dir)
+            .groupBy("id")
+            .count()
+            .writeStream.format("memory")
+            .queryName("bench_stwarm")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(120)
+        wq.stop()
+        shutil.rmtree(warm_dir, ignore_errors=True)
+    except Exception as exc:
+        print(f"bench: streaming warm-up failed: {exc}", file=sys.stderr)
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     record_path = os.path.join(repo_dir, "BENCH_LOCAL.json")
