@@ -2021,3 +2021,164 @@ def st30_stream_orc_decimal_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st31_stream_kafka_txn_ingest",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 1 + doc_id % 2 AS n_pids
+               FROM documents),
+    pb AS (SELECT i, n_pids, unnest(range(0, n_pids)) AS p FROM m),
+    tb AS (SELECT i, n_pids, p,
+                  unnest(range(0, 1 + (i + p) % 2)) AS b
+           FROM pb),
+    txn AS (SELECT i, n_pids, p, b,
+                   2 + (i + p + b) % 3 AS nrec,
+                   COALESCE(list_sum(
+                     [(7 * i + 5 * (10 * (p + 1) + b) + r) % 100
+                      for r in range(0, 2 + (i + p + b) % 3)]), 0)
+                     AS psum
+            FROM tb),
+    per_p AS (SELECT i, p, (i + p) % 3 = 0 AS aborted,
+                     CAST(SUM(nrec) AS BIGINT) AS trec,
+                     CAST(SUM(psum) AS BIGINT) AS tsum
+              FROM txn GROUP BY i, p),
+    agg AS (SELECT i,
+                   CAST(SUM(CASE WHEN aborted THEN 0 ELSE trec END)
+                        AS BIGINT) AS com_rec,
+                   CAST(SUM(CASE WHEN aborted THEN 0 ELSE tsum END)
+                        AS BIGINT) AS com_sum,
+                   CAST(SUM(CASE WHEN aborted THEN trec ELSE 0 END)
+                        AS BIGINT) AS ab_rec
+            FROM per_p GROUP BY i),
+    plains AS (SELECT doc_id AS i, 2 + doc_id % 3 AS nr1,
+                      COALESCE(list_sum(
+                        [(7 * doc_id + r) % 100
+                         for r in range(0, 2 + doc_id % 3)]), 0) AS s1,
+                      COALESCE(list_sum(
+                        [(7 * doc_id + 5 + r) % 100
+                         for r in range(0, 2)]), 0) AS s2
+               FROM documents),
+    f AS (SELECT a.i,
+                 a.com_rec + pl.nr1 + 2 AS committed_records,
+                 CAST(a.com_sum + pl.s1 + pl.s2 AS BIGINT)
+                   AS committed_sum,
+                 a.ab_rec AS aborted_records,
+                 a.i % 11 = 0 OR a.i % 17 = 0 OR a.i % 19 = 0 AS bad
+          FROM agg a JOIN plains pl ON a.i = pl.i)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE committed_records END)
+                AS BIGINT) AS committed_records,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE committed_sum END)
+                AS BIGINT) AS committed_sum,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE aborted_records END)
+                AS BIGINT) AS aborted_records
+    FROM f GROUP BY 1
+    """,
+    doc="STREAMING exactly-once Kafka segment ingest — the round-13 "
+    "KIP-98 read_committed walk (L252) as a Structured Streaming "
+    "operator: transactional segments (interleaved producers, "
+    "commit/abort control markers, five rotating codecs) arrive as "
+    "a parquet file stream (32 files, 16 per trigger), decoded "
+    "Arrow-batched ON THE STREAM PLAN — aborted records excluded "
+    "per producer exactly as in the batch twin — and per-epoch "
+    "per-bucket partials flow through the checkpointed foreachBatch "
+    "+ overwrite-idempotent epoch sink (exactly-once composed with "
+    "exactly-once). Per-blob stateless; the batch twin's dangling-"
+    "txn/orphan-marker/CRC stripes carry into n_ok. "
+    "operators/kafkalog.py read_kafka_segment_committed",
+    tags=("streaming", "llm", "multimodal"),
+)
+def st31_stream_kafka_txn_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        kafka_committed_stats,
+        synthesize_kafka_txn_media,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.sources.batch import load_table
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st31_src_")
+    out = tempfile.mkdtemp(prefix="st31_out_")
+    ckpt = tempfile.mkdtemp(prefix="st31_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_kafka_txn_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .option("compression", "none")  # blobs already compressed
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = kafka_committed_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_segments"),
+                F.sum((F.col("format") == "kafka").cast("long"))
+                .cast("long")
+                .alias("n_ok"),
+                F.sum("committed_records")
+                .cast("long")
+                .alias("committed_records"),
+                F.sum("committed_sum")
+                .cast("long")
+                .alias("committed_sum"),
+                F.sum("aborted_records")
+                .cast("long")
+                .alias("aborted_records"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st31 kafka txn stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_segments").cast("long").alias("n_segments"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("committed_records")
+                .cast("long")
+                .alias("committed_records"),
+                F.sum("committed_sum")
+                .cast("long")
+                .alias("committed_sum"),
+                F.sum("aborted_records")
+                .cast("long")
+                .alias("aborted_records"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
