@@ -828,3 +828,86 @@ def synthesize_delta_stats_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# TIME TRAVEL (version-as-of): Delta's core read feature after the
+# snapshot itself — ``VERSION AS OF v`` replays ONLY commits 0..v
+# (delta.io/PROTOCOL.md: the state at version v is the replay of the
+# first v+1 commit files). Corruption in LATER commits is invisible
+# to an as-of read (those files are never opened), and traveling past
+# the log's end refuses.
+# --------------------------------------------------------------------------
+
+
+def replay_delta_log_asof(data: bytes, version: int) -> dict | None:
+    """Tar of commit files -> the snapshot AS OF ``version``; None on
+    any protocol violation within commits 0..version, or when the log
+    has no such version."""
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    commits = _collect_commits(members)
+    if commits is None:
+        return None
+    if version < 0 or version >= len(commits):
+        return None  # cannot travel to a version the log never had
+    upto = {v: commits[v] for v in range(version + 1)}
+    state = _replay_state(upto)
+    if state is None:
+        return None
+    live, n_adds, n_removes = state
+    return {
+        "version": version,
+        "n_commits": len(commits),
+        "n_adds": n_adds,
+        "n_removes": n_removes,
+        "live_files": len(live),
+        "live_bytes": sum(e[0] for e in live.values()),
+        "live_rows": sum(e[1] for e in live.values()),
+        "n_partitions": len({e[2] for e in live.values()}),
+    }
+
+
+DELTA_ASOF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("version", LongType()),
+        StructField("n_commits", LongType()),
+        StructField("n_adds", LongType()),
+        StructField("n_removes", LongType()),
+        StructField("live_files", LongType()),
+        StructField("live_bytes", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("n_partitions", LongType()),
+    ]
+)
+
+
+def delta_asof_stats(df: DataFrame, version: int) -> DataFrame:
+    """Version-as-of replay over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in DELTA_ASOF_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = replay_delta_log_asof(b, version)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="delta", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, DELTA_ASOF_SCHEMA
+    )

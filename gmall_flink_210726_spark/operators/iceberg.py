@@ -126,6 +126,12 @@ def read_iceberg_snapshot(data: bytes) -> dict | None:
         ),
         None,
     )
+    return _snapshot_totals(files, snap)
+
+
+def _snapshot_totals(files: dict, snap: dict | None) -> dict | None:
+    """One snapshot's manifest-list walk -> live-file totals with the
+    module-doc cross-checks; None on any violation."""
     if snap is None or not isinstance(snap.get("manifest-list"), str):
         return None
     mlist_blob = files.get(snap["manifest-list"])
@@ -184,6 +190,64 @@ def read_iceberg_snapshot(data: bytes) -> dict | None:
         out["n_existing"] += counts[0]
         out["n_deleted"] += counts[2]
     return out
+
+
+def read_iceberg_asof(data: bytes, asof_ms: int) -> dict | None:
+    """TIME TRAVEL (``TIMESTAMP AS OF``, Iceberg spec table-metadata
+    ``snapshot-log``): the snapshot whose log entry is the LATEST
+    with ``timestamp-ms <= asof_ms``. The log must be strictly
+    ascending in time (an out-of-order entry makes every as-of
+    answer ambiguous — refuse), every entry's snapshot-id must
+    resolve, and an as-of before the first entry refuses (the table
+    did not exist yet). Totals come from the resolved snapshot's
+    manifest list with the full trust chain."""
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    log = meta.get("snapshot-log")
+    snaps = meta.get("snapshots")
+    if not isinstance(log, list) or not log or not isinstance(snaps, list):
+        return None
+    by_id = {
+        s.get("snapshot-id"): s for s in snaps if isinstance(s, dict)
+    }
+    prev_ts = None
+    chosen = None
+    for ent in log:
+        if (
+            not isinstance(ent, dict)
+            or not isinstance(ent.get("timestamp-ms"), int)
+            or ent.get("snapshot-id") not in by_id
+        ):
+            return None
+        ts = ent["timestamp-ms"]
+        if prev_ts is not None and ts <= prev_ts:
+            return None  # log must be strictly ascending
+        prev_ts = ts
+        if ts <= asof_ms:
+            chosen = ent
+    if chosen is None:
+        return None  # as-of predates the table
+    totals = _snapshot_totals(files, by_id[chosen["snapshot-id"]])
+    if totals is None:
+        return None
+    return {
+        "snapshot_ts_ms": chosen["timestamp-ms"],
+        "n_snapshots": len(log),
+        **totals,
+    }
 
 
 def _iceberg_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -299,10 +363,23 @@ def _make_iceberg_table(i: int, bad_stripe: int = 13) -> bytes:
             ),
         )
     )
+    # snapshot-log for TIME TRAVEL (read_iceberg_asof); the snapshot
+    # reader ignores it, so these lies strike ONLY the as-of path:
+    # every 23rd id's older entry names a snapshot that does not
+    # exist, every 29th-miss-23rd id's log runs backward in time
+    ts0 = 1_700_000_000_000
+    old_id = 1 if i % 23 == 0 else 1000 + i
+    log = [
+        {"timestamp-ms": ts0, "snapshot-id": old_id},
+        {"timestamp-ms": ts0 + 60_000, "snapshot-id": 2000 + i},
+    ]
+    if i % 29 == 0 and i % 23 != 0:
+        log = list(reversed(log))
     meta = {
         "format-version": 2,
         "table-uuid": f"0000-{i}",
         "current-snapshot-id": 2000 + i,
+        "snapshot-log": log,
         "snapshots": [
             {"snapshot-id": 1000 + i, "manifest-list": "snap-old.avro"},
             {
@@ -1664,3 +1741,48 @@ def synthesize_iceberg_prune_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+ICEBERG_ASOF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("snapshot_ts_ms", LongType()),
+        StructField("n_snapshots", LongType()),
+        StructField("n_manifests", LongType()),
+        StructField("n_added", LongType()),
+        StructField("n_existing", LongType()),
+        StructField("n_deleted", LongType()),
+        StructField("live_files", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("live_bytes", LongType()),
+    ]
+)
+
+
+def iceberg_asof_stats(df: DataFrame, asof_ms: int) -> DataFrame:
+    """Timestamp-as-of snapshot resolution over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in ICEBERG_ASOF_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_iceberg_asof(b, asof_ms)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="iceberg", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ICEBERG_ASOF_SCHEMA
+    )

@@ -479,3 +479,159 @@ def lakehouse_iceberg_schema_evolution(
         load_table(spark, sf_dir, "documents")
     )
     return iceberg_evolution_stats(media)
+
+
+@register(
+    "lakehouse_delta_time_travel",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 2 + doc_id % 4 AS nc,
+                      2 + doc_id % 3 AS base,
+                      doc_id % 12 = 0 AS bad
+               FROM documents),
+    ks AS (SELECT i, nc, base, bad,
+                  unnest(range(0, base)) AS k
+           FROM m),
+    c0 AS (SELECT i, CAST(SUM(10 + (i + 3 * k) % 90) AS BIGINT)
+                     AS rows0,
+                  CAST(SUM(1000 + (7 * i + 11 * k) % 5000)
+                       AS BIGINT) AS bytes0
+           FROM ks GROUP BY i),
+    f AS (SELECT m.i, m.nc, m.base, m.bad,
+                 (m.i + 1) % 2 = 0 AS removed,
+                 c0.rows0 + 10 + (m.i + 300) % 90 AS rows01,
+                 c0.bytes0 + 1000 + (7 * m.i + 1100) % 5000
+                   AS bytes01,
+                 10 + (m.i + 3 * (m.i % m.base)) % 90 AS rrows,
+                 1000 + (7 * m.i + 11 * (m.i % m.base)) % 5000
+                   AS rbytes
+          FROM m JOIN c0 ON m.i = c0.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS version,
+           CAST(CASE WHEN bad THEN 0 ELSE nc END AS BIGINT)
+             AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE base + 1 END AS BIGINT)
+             AS n_adds,
+           CAST(CASE WHEN bad THEN 0
+                WHEN removed THEN 1 ELSE 0 END AS BIGINT)
+             AS n_removes,
+           CAST(CASE WHEN bad THEN 0
+                ELSE base + 1 - (CASE WHEN removed THEN 1 ELSE 0 END)
+                END AS BIGINT) AS live_files,
+           CAST(CASE WHEN bad THEN 0
+                ELSE bytes01 - (CASE WHEN removed THEN rbytes
+                                ELSE 0 END) END AS BIGINT)
+             AS live_bytes,
+           CAST(CASE WHEN bad THEN 0
+                ELSE rows01 - (CASE WHEN removed THEN rrows
+                               ELSE 0 END) END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0
+                WHEN removed AND i % base = 1 AND base < 4 THEN 1
+                ELSE 2 END AS BIGINT) AS n_partitions
+    FROM f
+    """,
+    doc="Delta TIME TRAVEL (VERSION AS OF 1): the state at version v "
+    "is the replay of commits 0..v ONLY (delta.io/PROTOCOL.md) - "
+    "later commits are never opened, so corruption beyond the "
+    "travel point is invisible (pinned in tests: the 12-stripe's "
+    "truncated last commit degrades an as-of-1 read exactly when "
+    "the log has two commits, and an as-of-0 read of the same "
+    "corrupt log succeeds); traveling past the log's end refuses. "
+    "The oracle replays adds/removes of commits 0 and 1 blind. "
+    "operators/deltalog.py replay_delta_log_asof",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_delta_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltalog import (
+        delta_asof_stats,
+    )
+    from gmall_flink_210726_spark.operators.deltalog import (
+        synthesize_delta_log_media,
+    )
+
+    media = synthesize_delta_log_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_asof_stats(media, 1)
+
+
+@register(
+    "lakehouse_iceberg_time_travel",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 23 = 0
+                        OR doc_id % 29 = 0 AS bad,
+                      2 + doc_id % 3 AS ne
+               FROM documents),
+    e AS (SELECT i, bad, unnest(range(0, ne)) AS ent FROM m),
+    s AS (SELECT i, bad, ent, (i + ent) % 5 AS s5,
+                 10 + (i + 3 * ent) % 90 AS rows_,
+                 500 + (11 * i + 17 * ent) % 4000 AS size_
+          FROM e),
+    c AS (SELECT i, bad,
+                 CAST(SUM(CASE WHEN s5 IN (1, 2) THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_added,
+                 CAST(SUM(CASE WHEN s5 NOT IN (0, 1, 2) THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_existing,
+                 CAST(SUM(CASE WHEN s5 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_deleted,
+                 CAST(SUM(CASE WHEN s5 <> 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS live_files,
+                 CAST(SUM(CASE WHEN s5 <> 0 THEN rows_ ELSE 0 END)
+                      AS BIGINT) AS live_rows,
+                 CAST(SUM(CASE WHEN s5 <> 0 THEN size_ ELSE 0 END)
+                      AS BIGINT) AS live_bytes
+          FROM s GROUP BY i, bad)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 1700000000000 END
+                AS BIGINT) AS snapshot_ts_ms,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS n_snapshots,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_manifests,
+           CAST(CASE WHEN bad THEN 0 ELSE n_added END AS BIGINT)
+             AS n_added,
+           CAST(CASE WHEN bad THEN 0 ELSE n_existing END AS BIGINT)
+             AS n_existing,
+           CAST(CASE WHEN bad THEN 0 ELSE n_deleted END AS BIGINT)
+             AS n_deleted,
+           CAST(CASE WHEN bad THEN 0 ELSE live_files END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE live_rows END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE live_bytes END AS BIGINT)
+             AS live_bytes
+    FROM c
+    """,
+    doc="Iceberg TIME TRAVEL (TIMESTAMP AS OF, spec snapshot-log): "
+    "resolve the LATEST snapshot-log entry with timestamp-ms <= the "
+    "as-of instant — here between the two snapshots, so the walk "
+    "must read the OLDER snapshot's manifest list (one manifest) "
+    "while current-snapshot-id points at the newer one covering "
+    "more. The log must be strictly ascending (every 29th id runs "
+    "backward — an out-of-order log makes every as-of answer "
+    "ambiguous, refuse), every entry's snapshot-id must resolve "
+    "(every 23rd id's older entry names a missing snapshot), an "
+    "as-of before the first entry refuses, and the resolved "
+    "snapshot's manifest walk keeps the full trust chain (the 13th-"
+    "id manifest-length lie carries over). Totals recomputed blind. "
+    "operators/iceberg.py read_iceberg_asof",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_iceberg_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg import (
+        iceberg_asof_stats,
+        synthesize_iceberg_media,
+    )
+
+    media = synthesize_iceberg_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_asof_stats(media, 1_700_000_030_000)

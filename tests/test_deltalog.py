@@ -269,3 +269,38 @@ class TestStatsSkip:
         assert scan_delta_table_pruned(
             _make_delta_table(1), 300, 499
         ) is None
+
+
+class TestTimeTravel:
+    """VERSION AS OF replays commits 0..v only."""
+
+    def test_later_corruption_invisible(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_log,
+            replay_delta_log_asof,
+        )
+
+        # i=12: the LAST commit (v=1, n=2) is truncated mid-line;
+        # as-of 1 reads it and degrades, as-of 0 never opens it
+        assert replay_delta_log_asof(_make_delta_log(12), 1) is None
+        st = replay_delta_log_asof(_make_delta_log(12), 0)
+        assert st is not None and st["version"] == 0
+        # traveling past the log refuses
+        assert replay_delta_log_asof(_make_delta_log(1), 99) is None
+        assert replay_delta_log_asof(_make_delta_log(1), -1) is None
+
+    def test_asof_state_matches_prefix_replay(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_log,
+            replay_delta_log,
+            replay_delta_log_asof,
+        )
+
+        for i in (1, 2, 3, 5):
+            n = 2 + i % 4
+            full = replay_delta_log(_make_delta_log(i))
+            top = replay_delta_log_asof(_make_delta_log(i), n - 1)
+            assert top is not None
+            for k in ("n_adds", "n_removes", "live_files",
+                      "live_rows", "live_bytes", "n_partitions"):
+                assert top[k] == full[k], (i, k)

@@ -406,3 +406,41 @@ def test_prune_degrade_stripes():
             )
             is None
         )
+
+
+class TestTimeTravel:
+    """TIMESTAMP AS OF via snapshot-log: resolves the latest entry at
+    or before the instant; ascending-log and resolvable-id required;
+    pre-creation as-of refuses."""
+
+    def test_asof_resolution(self):
+        from gmall_flink_210726_spark.operators.iceberg import (
+            _make_iceberg_table,
+            read_iceberg_asof,
+            read_iceberg_snapshot,
+        )
+
+        blob = _make_iceberg_table(2)  # 3 manifests current
+        cur = read_iceberg_snapshot(blob)
+        mid = read_iceberg_asof(blob, 1_700_000_030_000)
+        late = read_iceberg_asof(blob, 1_900_000_000_000)
+        assert mid is not None and mid["n_manifests"] == 1
+        assert late is not None
+        assert late["n_manifests"] == cur["n_manifests"] == 3
+        assert read_iceberg_asof(blob, 1) is None  # pre-creation
+
+    def test_asof_lies(self):
+        from gmall_flink_210726_spark.operators.iceberg import (
+            _make_iceberg_table,
+            read_iceberg_asof,
+            read_iceberg_snapshot,
+        )
+
+        t = 1_700_000_030_000
+        # missing snapshot-id in the log (23-stripe)
+        assert read_iceberg_asof(_make_iceberg_table(23), t) is None
+        # descending log (29-stripe)
+        assert read_iceberg_asof(_make_iceberg_table(29), t) is None
+        # both lies are INVISIBLE to the current-snapshot reader
+        assert read_iceberg_snapshot(_make_iceberg_table(23)) is not None
+        assert read_iceberg_snapshot(_make_iceberg_table(29)) is not None
