@@ -263,6 +263,54 @@ def _read_meta_map(r: _Reader) -> dict[bytes, bytes]:
             meta[k] = _bytes(r)
 
 
+def _decompress_block(payload: bytes, codec: str) -> bytes:
+    """One data block's codec decode (Avro 1.11 'Required Codecs' +
+    the optional ones this repo has hand decoders for). Raises
+    ValueError on any codec-layer violation."""
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        from gmall_flink_210726_spark.operators.inflate import inflate
+
+        return inflate(payload)
+    if codec == "snappy":
+        if len(payload) < 4:
+            raise ValueError("avro: snappy block too short")
+        (crc,) = struct.unpack(">I", payload[-4:])
+        out = snappy_decompress(payload[:-4])
+        if zlib.crc32(out) != crc:
+            raise ValueError("avro: snappy CRC mismatch")
+        return out
+    if codec == "zstandard":
+        from gmall_flink_210726_spark.operators.zstd import (
+            zstd_decompress,
+        )
+
+        return zstd_decompress(payload)
+    if codec == "bzip2":
+        from gmall_flink_210726_spark.operators.bzip2 import (
+            bz2_decompress_stream,
+        )
+
+        out, endbit = bz2_decompress_stream(payload, 0)
+        if (endbit + 7) // 8 != len(payload):
+            raise ValueError("avro: bzip2 trailing bytes")
+        return out
+    if codec == "xz":
+        from gmall_flink_210726_spark.operators.xz import (
+            xz_decompress_stream,
+        )
+
+        plains, _check, end = xz_decompress_stream(payload, 0)
+        if end != len(payload):
+            raise ValueError("avro: xz trailing bytes")
+        return b"".join(plains)
+    raise ValueError(f"avro: unsupported codec {codec}")
+
+
+_CODECS_OK = ("null", "deflate", "snappy", "zstandard", "bzip2", "xz")
+
+
 def read_avro_container(
     data: bytes,
 ) -> tuple[list, str, int] | None:
@@ -278,7 +326,7 @@ def read_avro_container(
         sync = r.take(16)
         schema = json.loads(meta[b"avro.schema"].decode("utf-8"))
         codec = meta.get(b"avro.codec", b"null").decode("ascii")
-        if codec not in ("null", "deflate", "snappy"):
+        if codec not in _CODECS_OK:
             return None
         records: list = []
         n_blocks = 0
@@ -290,19 +338,7 @@ def read_avro_container(
             payload = r.take(size)
             if r.take(16) != sync:
                 return None  # corrupt sync marker
-            if codec == "deflate":
-                from gmall_flink_210726_spark.operators.inflate import (
-                    inflate,
-                )
-
-                payload = inflate(payload)
-            elif codec == "snappy":
-                if len(payload) < 4:
-                    return None
-                (crc,) = struct.unpack(">I", payload[-4:])
-                payload = snappy_decompress(payload[:-4])
-                if zlib.crc32(payload) != crc:
-                    return None
+            payload = _decompress_block(payload, codec)
             br = _Reader(payload, 0, len(payload))
             for _ in range(count):
                 records.append(_decode_value(br, schema))
@@ -380,12 +416,16 @@ def _enc_record(i: int, r: int) -> bytes:
 
 def _make_avro(i: int, bad_stripe: int = 9) -> bytes:
     """``8 + i % 40`` records over ``1 + i % 3`` blocks; codec
-    rotates null/deflate/snappy by id. Every ``bad_stripe``-th id
+    rotates ALL SIX spec codecs by id (null/deflate/snappy plus the
+    optional zstandard/bzip2/xz through the repo's hand RFC 8878 /
+    bzip2 / xz decoders). Every ``bad_stripe``-th id
     gets one byte of the FIRST block's trailing sync marker flipped
     — the reader must notice the mismatch and degrade."""
     n = 8 + i % 40
     g = 1 + i % 3
-    codec = ("null", "deflate", "snappy")[i % 3]
+    codec = (
+        "null", "deflate", "snappy", "zstandard", "bzip2", "xz"
+    )[i % 6]
     sync = bytes((i * 31 + 7 * k) % 256 for k in range(16))
     schema_json = json.dumps(_SCHEMA).encode()
     head = bytearray(_MAGIC)
@@ -409,6 +449,21 @@ def _make_avro(i: int, bad_stripe: int = 9) -> bytes:
         elif codec == "snappy":
             crc = struct.pack(">I", zlib.crc32(payload))
             payload = _snappy_literal(payload) + crc
+        elif codec == "zstandard":
+            import pyarrow as pa
+
+            payload = bytes(pa.Codec("zstd").compress(payload))
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            payload = _bz2.compress(payload, 9)
+        elif codec == "xz":
+            import lzma as _lzma
+
+            payload = _lzma.compress(
+                payload, format=_lzma.FORMAT_XZ,
+                check=_lzma.CHECK_CRC64,
+            )
         out += _zz_enc(len(recs)) + _zz_enc(len(payload)) + payload
         if first_sync_at < 0:
             first_sync_at = len(out)
@@ -615,6 +670,21 @@ def make_avro_container(
         elif codec == "snappy":
             crc = struct.pack(">I", zlib.crc32(payload))
             payload = _snappy_literal(payload) + crc
+        elif codec == "zstandard":
+            import pyarrow as pa
+
+            payload = bytes(pa.Codec("zstd").compress(payload))
+        elif codec == "bzip2":
+            import bz2 as _bz2
+
+            payload = _bz2.compress(payload, 9)
+        elif codec == "xz":
+            import lzma as _lzma
+
+            payload = _lzma.compress(
+                payload, format=_lzma.FORMAT_XZ,
+                check=_lzma.CHECK_CRC64,
+            )
         out += _zz_enc(len(recs)) + _zz_enc(len(payload)) + payload
         out += sync
     return bytes(out)
@@ -783,7 +853,7 @@ def read_avro_resolved(
         sync = r.take(16)
         wschema = json.loads(meta[b"avro.schema"].decode("utf-8"))
         codec = meta.get(b"avro.codec", b"null").decode("ascii")
-        if codec not in ("null", "deflate", "snappy"):
+        if codec not in _CODECS_OK:
             return None
         records: list = []
         n_blocks = 0
@@ -795,19 +865,7 @@ def read_avro_resolved(
             payload = r.take(size)
             if r.take(16) != sync:
                 return None
-            if codec == "deflate":
-                from gmall_flink_210726_spark.operators.inflate import (
-                    inflate,
-                )
-
-                payload = inflate(payload)
-            elif codec == "snappy":
-                if len(payload) < 4:
-                    return None
-                (crc,) = struct.unpack(">I", payload[-4:])
-                payload = snappy_decompress(payload[:-4])
-                if zlib.crc32(payload) != crc:
-                    return None
+            payload = _decompress_block(payload, codec)
             br = _Reader(payload, 0, len(payload))
             for _ in range(count):
                 records.append(
@@ -1044,14 +1102,16 @@ def _logical_row_raw(i: int, r: int) -> dict:
 
 def _make_avro_logical(i: int) -> bytes:
     """``4 + i % 7`` records, 3 records per block, codec rotating
-    i%3 (null/deflate/snappy). Stripes: every 6th id's date field
+    i%6 over all six spec codecs. Stripes: every 6th id's date field
     carries the IGNORED invalid decimal annotation; every 13th id's
     first uuid VALUE is malformed (a value lie — degrades); every
     9th id flips a sync-marker byte (container lie — degrades)."""
     schema = _logical_schema(i)
     n = 4 + i % 7
     recs = [_logical_row_raw(i, r) for r in range(n)]
-    codec = ("null", "deflate", "snappy")[i % 3]
+    codec = (
+        "null", "deflate", "snappy", "zstandard", "bzip2", "xz"
+    )[i % 6]
     blob = bytearray(
         make_avro_container(schema, recs, codec=codec, per_block=3)
     )

@@ -154,9 +154,8 @@ def multimodal_parquet_nested(
     SELECT m.i AS media_id,
            CASE WHEN bad THEN 'unknown' ELSE 'avro' END AS format,
            CASE WHEN bad THEN ''
-                WHEN m.i % 3 = 0 THEN 'null'
-                WHEN m.i % 3 = 1 THEN 'deflate'
-                ELSE 'snappy' END AS codec,
+                ELSE ['null', 'deflate', 'snappy', 'zstandard',
+                      'bzip2', 'xz'][1 + m.i % 6] END AS codec,
            CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_records,
            CAST(CASE WHEN bad THEN 0 ELSE g END AS BIGINT) AS n_blocks,
            CAST(CASE WHEN bad THEN 0 ELSE base.id_sum END AS BIGINT)
@@ -178,10 +177,12 @@ def multimodal_parquet_nested(
     "marker, then sync-framed data blocks (zigzag-long count + byte "
     "size). A SCHEMA-DRIVEN decoder materializes records (long "
     "zigzag varints, union-indexed nullable string, block-framed "
-    "long array) and all three spec codecs are hand-walked: null, "
+    "long array) and ALL SIX spec codecs are hand-walked: null, "
     "deflate (raw DEFLATE via the repo's hand inflate), snappy "
     "(hand block decoder + the codec's big-endian CRC-32 of the "
-    "uncompressed data, checked). Cross-checks: each block decodes "
+    "uncompressed data, checked), and the optional zstandard / "
+    "bzip2 / xz through the repo's hand RFC 8878 / bzip2 / xz "
+    "decoders (exact-consumption checked). Cross-checks: each block decodes "
     "EXACTLY its declared record count and consumes its payload "
     "exactly; every block's trailing sync must equal the header's "
     "(every 9th id has one sync byte flipped and must degrade). "

@@ -145,7 +145,8 @@ def lakehouse_delta_stats_skip(
     SELECT i AS media_id,
            CASE WHEN bad THEN 'unknown' ELSE 'avro_lt' END AS format,
            CASE WHEN bad THEN ''
-                ELSE ['null', 'deflate', 'snappy'][1 + i % 3]
+                ELSE ['null', 'deflate', 'snappy', 'zstandard',
+                      'bzip2', 'xz'][1 + i % 6]
            END AS codec,
            CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
              AS n_records,

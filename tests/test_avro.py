@@ -79,13 +79,16 @@ class TestDatumDecode:
 
 class TestContainerWalk:
     def test_all_codecs_roundtrip(self):
-        for i in (1, 2, 3, 4, 5, 30):  # null/deflate/snappy rotation
+        for i in (1, 2, 3, 4, 5, 6, 30):  # six-codec rotation
             got = read_avro_container(_make_avro(i))
             assert got is not None, i
             recs, codec, nb = got
             assert len(recs) == 8 + i % 40
             assert nb == 1 + i % 3
-            assert codec == ("null", "deflate", "snappy")[i % 3]
+            assert codec == (
+                "null", "deflate", "snappy", "zstandard", "bzip2",
+                "xz",
+            )[i % 6]
 
     def test_sync_flip_degrades(self):
         assert read_avro_container(_make_avro(0)) is None
