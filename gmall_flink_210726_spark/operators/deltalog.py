@@ -911,3 +911,262 @@ def delta_asof_stats(df: DataFrame, version: int) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         gen, DELTA_ASOF_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# PARTITION PRUNING: Delta's partitionValues are metadata — the
+# partition column is a table column whose per-file value lives in
+# the add action, not in the parquet bytes. An equality predicate on
+# the partition column prunes files during LOG REPLAY (bytes never
+# touched). The fixture's partitioning is DERIVED (pk = k % 4, every
+# row of a file sharing it), so the trust chain is CHECKABLE on
+# every file the predicate opens: each decoded k must satisfy
+# k % 4 == the claimed partition value — a mis-routed writer (the
+# real-world lie: a file landed under the wrong partition) degrades
+# the table the moment the predicate selects it.
+# --------------------------------------------------------------------------
+
+DELTA_PART_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_commits", LongType()),
+        StructField("live_files", LongType()),
+        StructField("n_pruned", LongType()),
+        StructField("n_read", LongType()),
+        StructField("read_rows", LongType()),
+        StructField("k_sum", LongType()),
+    ]
+)
+
+
+def scan_delta_table_partition_pruned(
+    data: bytes, pcol: str, pval: str
+) -> dict | None:
+    """Delta scan with partitionValues equality pruning (section
+    doc); None on any protocol or trust-chain violation."""
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    commit_members = []
+    parts: dict[str, bytes] = {}
+    for name, payload in members:
+        if name.startswith("_delta_log/"):
+            commit_members.append((name[len("_delta_log/") :], payload))
+        else:
+            parts[name] = payload
+    commits = _collect_commits(commit_members)
+    if commits is None:
+        return None
+    state = _replay_state(commits)
+    if state is None:
+        return None
+    live, _a, _r = state
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    n_pruned = n_read = read_rows = k_sum = 0
+    for path, (size, rows, pv_json, _st) in live.items():
+        pv = json.loads(pv_json)
+        claimed = pv.get(pcol)
+        if not isinstance(claimed, str):
+            return None  # a partitioned table's adds must carry it
+        if claimed != pval:
+            n_pruned += 1
+            continue  # bytes never touched
+        blob = parts.get(path)
+        if blob is None or len(blob) != size:
+            return None
+        col = read_parquet_column_k(blob, collect_values=True)
+        if col is None or col["n_values"] != rows:
+            return None
+        want = int(pval)
+        if any(v % 4 != want for v in col["values"]):
+            return None  # mis-routed file: wrong partition claimed
+        n_read += 1
+        read_rows += rows
+        k_sum += col["k_sum"]
+    return {
+        "n_commits": len(commits),
+        "live_files": len(live),
+        "n_pruned": n_pruned,
+        "n_read": n_read,
+        "read_rows": read_rows,
+        "k_sum": k_sum,
+    }
+
+
+def delta_partition_prune_scan(
+    df: DataFrame, pcol: str, pval: str
+) -> DataFrame:
+    """Partition-pruned Delta scan over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in DELTA_PART_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = scan_delta_table_partition_pruned(
+                        b, pcol, pval
+                    )
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="delta", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, DELTA_PART_SCHEMA
+    )
+
+
+def _part_kvals(i: int, v: int, k: int) -> tuple[int, list[int]]:
+    """(true pk, k values) for file (v, k) of table i."""
+    s = _scan_seed(i, v, k)
+    pk = (i + v + k) % 4
+    n = 10 + s % 90
+    return pk, [pk + 4 * ((s * 7 + 3 * r) % 250) for r in range(n)]
+
+
+def _make_delta_part_table(i: int) -> bytes:
+    """Partitioned Delta table: file (v, k)'s rows ALL satisfy
+    k % 4 == pk, and the add declares partitionValues {"pk": pk}.
+    Layout mirrors _make_delta_table (2 + i%3 commits, removes on
+    (i+v)%2==0). Lie stripe: every 15th id's LAST add (always live)
+    claims (pk+1)%4 — a mis-routed file that degrades exactly when
+    the predicate selects the CLAIMED value, and is silently pruned
+    otherwise (the same trust boundary the stats-skip fixture
+    documents)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_commits = 2 + i % 3
+    members: list[tuple[str, bytes]] = []
+    log_parts: list[bytes] = []
+    for v in range(n_commits):
+        lines: list[bytes] = []
+        if v == 0:
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2,
+                        }
+                    }
+                ).encode()
+            )
+            lines.append(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": f"tbl-{i}",
+                            "partitionColumns": ["pk"],
+                            "format": {},
+                        }
+                    }
+                ).encode()
+            )
+            ks = (0, 1)
+        else:
+            ks = (0,)
+        for k in ks:
+            pk, kv = _part_kvals(i, v, k)
+            table = pa.table({"k": pa.array(kv, pa.int64())})
+            buf = io.BytesIO()
+            pq.write_table(
+                table, buf,
+                write_statistics=False, use_dictionary=False,
+            )
+            blob = buf.getvalue()
+            path = f"pk={pk}/part-{v:05d}-{k}.parquet"
+            members.append((path, blob))
+            claimed = pk
+            if v == n_commits - 1 and k == 0 and i % 15 == 0:
+                claimed = (pk + 1) % 4  # mis-routed file
+            lines.append(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": path,
+                            "partitionValues": {"pk": str(claimed)},
+                            "size": len(blob),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                            "stats": json.dumps(
+                                {"numRecords": len(kv)}
+                            ),
+                        }
+                    }
+                ).encode()
+            )
+        if v > 0 and (i + v) % 2 == 0:
+            prev_pk, _ = _part_kvals(i, v - 1, 0)
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": f"pk={prev_pk}/part-{v - 1:05d}-0"
+                            ".parquet",
+                            "deletionTimestamp": 1,
+                            "dataChange": True,
+                        }
+                    }
+                ).encode()
+            )
+        log_parts.append(b"\n".join(lines) + b"\n")
+    for v, payload in enumerate(log_parts):
+        members.append((f"_delta_log/{v:020d}.json", payload))
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_delta_part_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of partitioned Delta tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_delta_part_table(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "delta",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

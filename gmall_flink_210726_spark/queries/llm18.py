@@ -636,3 +636,89 @@ def lakehouse_iceberg_time_travel(
         load_table(spark, sf_dir, "documents")
     )
     return iceberg_asof_stats(media, 1_700_000_030_000)
+
+
+@register(
+    "lakehouse_delta_partition_prune",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 2 + doc_id % 3 AS nc
+                 FROM documents),
+    cms AS (SELECT i, nc, unnest(range(0, nc)) AS v FROM ids),
+    files AS (
+        SELECT i, nc, v, unnest(CASE WHEN v = 0 THEN [0, 1]
+                                     ELSE [0] END) AS k
+        FROM cms),
+    live AS (
+        SELECT * FROM files
+        WHERE NOT (k = 0 AND v < nc - 1 AND (i + v + 1) % 2 = 0)),
+    vals AS (
+        SELECT i, nc, v, k,
+               (i + v + k) % 4 AS pk,
+               10 + ((17 * i + 31 * v + 7 * k) % 4000 + 1) % 90 AS n,
+               (17 * i + 31 * v + 7 * k) % 4000 + 1 AS s,
+               (v = nc - 1 AND k = 0 AND i % 15 = 0) AS lied
+        FROM live),
+    f2 AS (
+        SELECT i, nc, n, pk, lied,
+               CASE WHEN lied THEN (pk + 1) % 4 ELSE pk END
+                 AS claimed,
+               n * pk + 4 * COALESCE(list_sum(
+                 [(s * 7 + 3 * r) % 250 for r in range(0, n)]), 0)
+                 AS ksum
+        FROM vals),
+    agg AS (
+        SELECT i, MAX(nc) AS n_commits, COUNT(*) AS live_files,
+               BOOL_OR(claimed = 2 AND lied) AS bad,
+               CAST(SUM(CASE WHEN claimed <> 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pruned,
+               CAST(SUM(CASE WHEN claimed = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_read,
+               CAST(SUM(CASE WHEN claimed = 2 THEN n ELSE 0 END)
+                    AS BIGINT) AS read_rows,
+               CAST(SUM(CASE WHEN claimed = 2 THEN ksum ELSE 0 END)
+                    AS BIGINT) AS k_sum
+        FROM f2 GROUP BY i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n_commits END AS BIGINT)
+             AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE live_files END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE n_pruned END AS BIGINT)
+             AS n_pruned,
+           CAST(CASE WHEN bad THEN 0 ELSE n_read END AS BIGINT)
+             AS n_read,
+           CAST(CASE WHEN bad THEN 0 ELSE read_rows END AS BIGINT)
+             AS read_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE k_sum END AS BIGINT)
+             AS k_sum
+    FROM agg
+    """,
+    doc="Delta PARTITION PRUNING: partitionValues are metadata - the "
+    "partition column's per-file value lives in the add action, not "
+    "the parquet bytes, so an equality predicate (pk = 2) prunes "
+    "files during LOG REPLAY with pruned bytes never touched. The "
+    "fixture's partitioning is DERIVED (every row of a file "
+    "satisfies k % 4 == pk), making the trust chain CHECKABLE on "
+    "contact: every opened file's decoded keys must all land in the "
+    "claimed partition - the mis-routed-writer lie (every 15th id's "
+    "always-live last add claims (pk+1)%4) degrades exactly when "
+    "the predicate selects the CLAIMED value and is silently pruned "
+    "otherwise, the same trust boundary the stats-skip twin "
+    "documents. ~75% of live files pruned at one-in-four "
+    "selectivity. operators/deltalog.py "
+    "scan_delta_table_partition_pruned",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_delta_partition_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltalog import (
+        delta_partition_prune_scan,
+        synthesize_delta_part_media,
+    )
+
+    media = synthesize_delta_part_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_partition_prune_scan(media, "pk", "2")

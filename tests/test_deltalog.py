@@ -304,3 +304,57 @@ class TestTimeTravel:
             for k in ("n_adds", "n_removes", "live_files",
                       "live_rows", "live_bytes", "n_partitions"):
                 assert top[k] == full[k], (i, k)
+
+
+class TestPartitionPrune:
+    def test_pruned_bytes_never_touched_and_misroute_caught(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_part_table,
+            _part_kvals,
+            scan_delta_table_partition_pruned,
+        )
+
+        # find an id whose file (0,0) is pruned at pk=2, corrupt it:
+        # the scan result must be identical
+        for i in range(1, 60):
+            if i % 15 == 0:
+                continue
+            pk, _ = _part_kvals(i, 0, 0)
+            if pk == 2:
+                continue
+            blob = bytearray(_make_delta_part_table(i))
+            st = scan_delta_table_partition_pruned(
+                bytes(blob), "pk", "2"
+            )
+            if st is None:
+                continue
+            name = f"pk={pk}/part-00000-0.parquet".encode()
+            at = bytes(blob).find(name)
+            assert at >= 0
+            blob[at + 512 + 8 : at + 512 + 24] = b"\xde" * 16
+            st2 = scan_delta_table_partition_pruned(
+                bytes(blob), "pk", "2"
+            )
+            assert st2 == st
+            break
+        else:
+            raise AssertionError("no candidate")
+        # mis-routed file degrades exactly when its CLAIMED value is
+        # selected
+        for i in (15, 30, 45, 60, 75):
+            from gmall_flink_210726_spark.operators.deltalog import (
+                _part_kvals as pkv,
+            )
+
+            nc = 2 + i % 3
+            true_pk, _ = pkv(i, nc - 1, 0)
+            claimed = (true_pk + 1) % 4
+            st = scan_delta_table_partition_pruned(
+                _make_delta_part_table(i), "pk", str(claimed)
+            )
+            assert st is None, i
+            # any OTHER predicate never opens the liar
+            other = str((claimed + 1) % 4)
+            assert scan_delta_table_partition_pruned(
+                _make_delta_part_table(i), "pk", other
+            ) is not None, i
