@@ -836,3 +836,241 @@ def synthesize_kafka_txn_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# OFFSET INDEX (.index): every Kafka log segment ships a sparse
+# offset index — 8-byte big-endian entries (relativeOffset:int32,
+# position:int32) appended as (largest offset of the batch, physical
+# position of the batch START); a consumer seek does a floor binary
+# search then scans batches forward from that position (the broker's
+# translateOffset). The pair travels as a 2-member tar
+# (segment.log + segment.index). Trust chain: entries strictly
+# ascending in BOTH fields, every position must land exactly on a
+# batch boundary, and each entry's relativeOffset must equal that
+# batch's own last offset relative to the segment base — a cooked
+# index silently desyncs every seek, here it degrades.
+# --------------------------------------------------------------------------
+
+
+def _batch_offsets(data: bytes) -> list[tuple[int, int, int]] | None:
+    """Frame walk -> [(position, base_offset, last_offset)] with CRC
+    proof per batch; None on any framing violation."""
+    out = []
+    pos = 0
+    if not data:
+        return None
+    while pos < len(data):
+        if pos + 12 > len(data):
+            return None
+        base_off, blen = struct.unpack_from(">qi", data, pos)
+        batch_end = pos + 12 + blen
+        if blen <= 49 or batch_end > len(data):
+            return None
+        (_ple, magic) = struct.unpack_from(">ib", data, pos + 12)
+        if magic != 2:
+            return None
+        (crc,) = struct.unpack_from(">I", data, pos + 17)
+        if crc32c(data[pos + 21 : batch_end]) != crc:
+            return None
+        (_attrs, last_od) = struct.unpack_from(">hi", data, pos + 21)
+        if last_od < 0:
+            return None
+        out.append((pos, base_off, base_off + last_od))
+        pos = batch_end
+    return out
+
+
+def read_kafka_indexed_lookup(data: bytes, target_rel: int) -> dict | None:
+    """Tar(segment.log, segment.index) -> seek proof for the record
+    at ``segment_base + target_rel`` (section doc); None on any
+    index/framing/books violation or a target outside the segment."""
+    from gmall_flink_210726_spark.operators.wds import _iter_tar_members
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    log = files.get("segment.log")
+    idx = files.get("segment.index")
+    if log is None or idx is None or len(idx) % 8:
+        return None
+    batches = _batch_offsets(log)
+    if not batches:
+        return None
+    by_pos = {p: (b, l) for p, b, l in batches}
+    seg_base = batches[0][1]
+    entries = [
+        struct.unpack_from(">ii", idx, o) for o in range(0, len(idx), 8)
+    ]
+    prev_r = prev_p = -1
+    for rel, p in entries:
+        if rel <= prev_r or p <= prev_p:
+            return None  # must be strictly ascending in both fields
+        got = by_pos.get(p)
+        if got is None:
+            return None  # position must land on a batch boundary
+        if got[1] - seg_base != rel:
+            return None  # entry must name ITS batch's last offset
+        prev_r, prev_p = rel, p
+    target = seg_base + target_rel
+    if target < seg_base or target > batches[-1][2]:
+        return None  # outside the segment
+    # floor search: the last entry with relativeOffset <= target_rel
+    start_pos = 0
+    for rel, p in entries:
+        if rel <= target_rel:
+            start_pos = p
+        else:
+            break
+    scanned = 0
+    for p, b, last in batches:
+        if p < start_pos:
+            continue
+        scanned += 1
+        if b <= target <= last:
+            # decode the batch and surface the record's payload
+            (attrs,) = struct.unpack_from(">h", log, p + 21)
+            (blen,) = struct.unpack_from(">i", log, p + 8)
+            body = _records_decompress(
+                log[p + 61 : p + 12 + blen], attrs & 7
+            )
+            if body is None:
+                return None
+            recs = _parse_v2_records(body, last - b + 1)
+            if recs is None:
+                return None
+            v = recs[target - b]["value"]
+            if v is None or v[:1] != b"v" or not v[1:].isdigit():
+                return None
+            return {
+                "n_entries": len(entries),
+                "n_batches": len(batches),
+                "batches_scanned": scanned,
+                "found_offset": target,
+                "payload": int(v[1:]),
+            }
+    return None  # a hole in the offsets: the books lied
+
+
+KAFKA_IDX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_entries", LongType()),
+        StructField("n_batches", LongType()),
+        StructField("batches_scanned", LongType()),
+        StructField("found_offset", LongType()),
+        StructField("payload", LongType()),
+    ]
+)
+
+
+def kafka_indexed_lookup_stats(df: DataFrame, target_rel: int) -> DataFrame:
+    """Offset-index seek over MEDIA_SCHEMA tar blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in KAFKA_IDX_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_kafka_indexed_lookup(b, target_rel)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="kafka", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, KAFKA_IDX_SCHEMA
+    )
+
+
+def _make_kafka_indexed_segment(i: int) -> bytes:
+    """Tar(segment.log, segment.index): ``3 + i % 4`` batches of
+    ``2 + (i + b) % 4`` records, compression rotating i%5; the index
+    is SPARSE — every second batch gets an entry (batch 0 always).
+    Lie stripes: every 15th id bumps an entry's position mid-batch
+    (not a boundary), every 16th-miss-15th id bumps an entry's
+    relativeOffset by one (naming an offset its batch does not end
+    at), every 11th-miss-both id swaps two entries (non-monotonic) —
+    each must degrade rather than desync the seek."""
+    from gmall_flink_210726_spark.operators.tar import (
+        _BLOCK,
+        _make_header,
+    )
+
+    codec = i % 5
+    parts: list[bytes] = []
+    entries: list[tuple[int, int]] = []
+    base_off = 0
+    pos = 0
+    nb = 3 + i % 4
+    for b in range(nb):
+        rcount = 2 + (i + b) % 4
+        records = b"".join(_enc_record(i, b, r) for r in range(rcount))
+        frame = _enc_batch(base_off, records, rcount, 0, -1, codec)
+        if b % 2 == 0:
+            entries.append((base_off + rcount - 1, pos))
+        parts.append(frame)
+        pos += len(frame)
+        base_off += rcount
+    log = b"".join(parts)
+    if i % 15 == 0:
+        entries[0] = (entries[0][0], entries[0][1] + 9)
+    elif i % 16 == 0:
+        entries[-1] = (entries[-1][0] + 1, entries[-1][1])
+    elif i % 11 == 0 and len(entries) >= 2:
+        entries[0], entries[1] = entries[1], entries[0]
+    idx = b"".join(struct.pack(">ii", r, p) for r, p in entries)
+    out = []
+    for name, payload in (("segment.log", log), ("segment.index", idx)):
+        pad = (-len(payload)) % _BLOCK
+        out.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(out) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_kafka_indexed_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of (segment.log, segment.index) tars."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_kafka_indexed_segment(int(i))
+                        for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "kafka",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

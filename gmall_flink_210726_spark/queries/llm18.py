@@ -722,3 +722,84 @@ def lakehouse_delta_partition_prune(
         load_table(spark, sf_dir, "documents")
     )
     return delta_partition_prune_scan(media, "pk", "2")
+
+
+@register(
+    "multimodal_kafka_index",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 3 + doc_id % 4 AS nb
+               FROM documents),
+    b AS (SELECT i, nb, unnest(range(0, nb)) AS bb FROM m),
+    c AS (SELECT i, nb, bb, 2 + (i + bb) % 4 AS cnt FROM b),
+    w AS (SELECT i, nb, bb, cnt,
+                 SUM(cnt) OVER (PARTITION BY i ORDER BY bb)
+                   - cnt AS off0,
+                 SUM(cnt) OVER (PARTITION BY i ORDER BY bb)
+                   - 1 AS last_off
+          FROM c),
+    tot AS (SELECT i, MAX(nb) AS nb,
+                   CAST(SUM(cnt) AS BIGINT) AS total,
+                   (MAX(nb) + 1) // 2 AS n_entries
+            FROM w GROUP BY i),
+    cont AS (SELECT i, MIN(bb) AS cb
+             FROM w WHERE off0 <= 5 AND 5 <= last_off GROUP BY i),
+    flr AS (SELECT i,
+                   COALESCE(MAX(CASE WHEN bb % 2 = 0
+                                     AND last_off <= 5 THEN bb END),
+                            0) AS fb
+            FROM w GROUP BY i),
+    pay AS (SELECT w.i, (7 * w.i + 5 * w.bb + (5 - w.off0)) % 100
+                     AS payload
+            FROM w JOIN cont ON w.i = cont.i AND w.bb = cont.cb),
+    f AS (SELECT t.i, t.nb, t.n_entries, t.total,
+                 cont.cb, flr.fb, pay.payload,
+                 t.i % 15 = 0 OR t.i % 16 = 0
+                   OR (t.i % 11 = 0 AND t.n_entries >= 2)
+                   OR 5 >= t.total AS bad
+          FROM tot t
+          JOIN cont ON t.i = cont.i
+          JOIN flr ON t.i = flr.i
+          JOIN pay ON t.i = pay.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'kafka' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n_entries END AS BIGINT)
+             AS n_entries,
+           CAST(CASE WHEN bad THEN 0 ELSE nb END AS BIGINT)
+             AS n_batches,
+           CAST(CASE WHEN bad THEN 0 ELSE cb - fb + 1 END AS BIGINT)
+             AS batches_scanned,
+           CAST(CASE WHEN bad THEN 0 ELSE 5 END AS BIGINT)
+             AS found_offset,
+           CAST(CASE WHEN bad THEN 0 ELSE payload END AS BIGINT)
+             AS payload
+    FROM f
+    """,
+    doc="Kafka OFFSET INDEX (.index) seek — the other half of every "
+    "real segment directory: sparse 8-byte big-endian entries "
+    "(relativeOffset:int32, position:int32) appended as (largest "
+    "offset of the batch, batch START position); a consumer seek "
+    "floor-binary-searches then scans batches forward (the broker's "
+    "translateOffset), shipped as a 2-member tar (segment.log + "
+    "segment.index). Trust chain: entries strictly ascending in "
+    "BOTH fields, every position must land exactly on a batch "
+    "boundary, and each entry's relativeOffset must equal ITS "
+    "batch's last offset — a mid-batch position (15th ids), a "
+    "bumped relativeOffset (16th ids), or swapped entries (11th "
+    "ids) each degrade rather than silently desync the seek. The "
+    "oracle recomputes the floor batch, scan length, and the sought "
+    "record's payload blind. operators/kafkalog.py "
+    "read_kafka_indexed_lookup",
+    tags=("llm", "multimodal"),
+)
+def multimodal_kafka_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        kafka_indexed_lookup_stats,
+        synthesize_kafka_indexed_media,
+    )
+
+    media = synthesize_kafka_indexed_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return kafka_indexed_lookup_stats(media, 5)

@@ -210,3 +210,29 @@ class TestTransactionalReads:
             )
             bad = i % 11 == 0 or i % 17 == 0 or i % 19 == 0
             assert (st is None) == bad, i
+
+
+class TestOffsetIndex:
+    def test_seek_and_lies(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _make_kafka_indexed_segment,
+            read_kafka_indexed_lookup,
+        )
+
+        st = read_kafka_indexed_lookup(
+            _make_kafka_indexed_segment(1), 5
+        )
+        assert st is not None and st["found_offset"] == 5
+        # the floor entry spares scanning from the segment start
+        assert st["batches_scanned"] < st["n_batches"] or (
+            st["n_batches"] <= 2
+        )
+        # lie stripes degrade
+        for i in (15, 16, 22):
+            assert read_kafka_indexed_lookup(
+                _make_kafka_indexed_segment(i), 5
+            ) is None, i
+        # a target past the segment end refuses
+        assert read_kafka_indexed_lookup(
+            _make_kafka_indexed_segment(1), 10_000
+        ) is None
