@@ -1649,3 +1649,270 @@ def warc_reqresp_stats(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         gen, WARC_REQ_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# CDXJ random access — how CommonCrawl is ACTUALLY consumed at scale:
+# nobody scans 100 TB of .warc.gz for one URL; the published cc-index
+# (CDXJ: one line per capture, ``urlkey timestamp {json}`` sorted by
+# urlkey, the JSON carrying filename/offset/length/digest) turns a
+# URL lookup into ONE ranged fetch of ONE gzip member. The lookup
+# here proves exactly that: bytes outside [offset, offset+length)
+# are never touched (pinned by corrupting every other member), the
+# fetched member must decompress to exactly one WARC record whose
+# HTTP body's SHA-1 matches the index line's digest (base32, the
+# WARC-Payload-Digest convention), and the index must be SORTED by
+# urlkey (an unsorted index breaks the binary search every real
+# client does — refuse).
+# --------------------------------------------------------------------------
+
+CDX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_lines", LongType()),
+        StructField("status", LongType()),
+        StructField("title", StringType()),
+        StructField("n_words", LongType()),
+        StructField("digest_ok", LongType()),
+    ]
+)
+
+
+def cdx_lookup(data: bytes, urlkey: str) -> dict | None:
+    """Tar(index.cdxj, data.warc.gz) -> the ranged fetch + decode of
+    ONE capture (section doc); None on any violation."""
+    import base64
+    import hashlib
+    import json as _json
+
+    from gmall_flink_210726_spark.operators.html import extract_text
+    from gmall_flink_210726_spark.operators.httpmsg import (
+        parse_http_response,
+    )
+    from gmall_flink_210726_spark.operators.wds import _iter_tar_members
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    idx = files.get("index.cdxj")
+    warc = files.get("data.warc.gz")
+    if idx is None or warc is None:
+        return None
+    lines = [ln for ln in idx.split(b"\n") if ln]
+    parsed = []
+    for ln in lines:
+        parts = ln.split(b" ", 2)
+        if len(parts) != 3:
+            return None
+        try:
+            meta = _json.loads(parts[2].decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            return None
+        parsed.append((parts[0].decode("latin-1"), meta))
+    keys = [k for k, _ in parsed]
+    if keys != sorted(keys):
+        return None  # binary search demands a sorted index
+    hit = next((m for k, m in parsed if k == urlkey), None)
+    if hit is None:
+        return None
+    try:
+        off = int(hit["offset"])
+        length = int(hit["length"])
+        digest = hit["digest"]
+    except (KeyError, ValueError, TypeError):
+        return None
+    if off < 0 or length <= 0 or off + length > len(warc):
+        return None
+    # the RANGED fetch: exactly [off, off+length) — one gzip member
+    member = warc[off : off + length]
+    got = iter_gzip_members(member)
+    if got is None or len(got) != 1:
+        return None  # a desynced offset/length cannot frame cleanly
+    rec = parse_warc_record(got[0][1])
+    if rec is None or rec["type"] != "response":
+        return None
+    peeled = response_payload(rec)
+    if peeled is None:
+        return None
+    msg, body = peeled
+    if msg is None:
+        return None
+    sha = hashlib.sha1(body).digest()
+    want = "sha1:" + base64.b32encode(sha).decode("ascii")
+    if digest != want:
+        return None  # the index lied about the payload
+    res = extract_text(_body_text(body, msg))
+    if res is None:
+        return None
+    return {
+        "n_lines": len(lines),
+        "status": msg["status"],
+        "title": res["title"],
+        "n_words": sum(len(b.split(" ")) for b in res["blocks"]),
+        "digest_ok": 1,
+    }
+
+
+def cdx_lookup_stats(df: DataFrame, urlkey_fmt: str) -> DataFrame:
+    """CDXJ ranged-fetch lookup over MEDIA_SCHEMA tar blobs; the
+    probe urlkey is ``urlkey_fmt.format(i=media_id)``."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in CDX_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                mid = int(mid)
+                row = {c: 0 for c in cols}
+                row.update(media_id=mid, format="unknown", title="")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = cdx_lookup(b, urlkey_fmt.format(i=mid))
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="cdx", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, CDX_SCHEMA
+    )
+
+
+def _make_cdx_archive(i: int, text: str) -> bytes:
+    """Tar(index.cdxj, data.warc.gz): ``2 + i % 3`` HTTP-bearing
+    response records; the TARGET capture (urlkey
+    ``com,example)/doc/{i}``) is record ``i % n``, the others are
+    filler pages under different urlkeys. The cdxj carries true
+    offset/length/digest per record, sorted by urlkey. Lie stripes:
+    every 14th id's target offset is +1 (ranged fetch desyncs),
+    every 16th-miss id's length is -1, every 18th-miss id's digest
+    is cooked, every 21st-miss id's index lines are UNSORTED —
+    each must degrade; corruption OUTSIDE the target's byte range is
+    provably invisible (pinned in tests)."""
+    import base64
+    import hashlib
+    import json as _json
+
+    from gmall_flink_210726_spark.operators.html import _make_html
+
+    n = 2 + i % 3
+    tgt = i % n
+    members = []
+    offsets = []
+    pos = 0
+    for r in range(n):
+        page = _make_html(i + 1000 * r, text).encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(page)).encode() + b"\r\n\r\n"
+            + page
+        )
+        rec = make_warc_record(
+            "response",
+            f"http://example.com/doc/{i}-{r}",
+            http,
+            ctype="application/http; msgtype=response",
+        )
+        member = _gzip_member(rec)
+        members.append((r, member, page))
+        offsets.append((pos, len(member)))
+        pos += len(member)
+    warc = b"".join(m for _, m, _ in members)
+    lines = []
+    for r, _m, page in members:
+        key = (
+            f"com,example)/doc/{i}"
+            if r == tgt
+            else f"com,example)/filler/{i}-{r:04d}"
+        )
+        off, length = offsets[r]
+        digest = "sha1:" + base64.b32encode(
+            hashlib.sha1(page).digest()
+        ).decode("ascii")
+        if r == tgt:
+            if i % 14 == 0:
+                off += 1
+            elif i % 16 == 0:
+                length -= 1
+            elif i % 18 == 0:
+                digest = digest[:-6] + "AAAAAA"
+        lines.append(
+            (
+                key,
+                f"{key} 20240101000000 "
+                + _json.dumps(
+                    {
+                        "url": f"http://example.com/doc/{i}-{r}",
+                        "filename": "data.warc.gz",
+                        "offset": str(off),
+                        "length": str(length),
+                        "status": "200",
+                        "digest": digest,
+                    }
+                ),
+            )
+        )
+    lines.sort()
+    if i % 21 == 0 and len(lines) >= 2 and i % 14 != 0 \
+            and i % 16 != 0 and i % 18 != 0:
+        lines[0], lines[1] = lines[1], lines[0]
+    idx = ("\n".join(t for _, t in lines) + "\n").encode("utf-8")
+    from gmall_flink_210726_spark.operators.tar import (
+        _BLOCK,
+        _make_header,
+    )
+
+    out = []
+    for name, payload in (
+        ("index.cdxj", idx),
+        ("data.warc.gz", warc),
+    ):
+        pad = (-len(payload)) % _BLOCK
+        out.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(out) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_cdx_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of (index.cdxj, data.warc.gz) tars."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id", "text"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_cdx_archive(int(x), t)
+                        for x, t in zip(ids, pdf["text"])
+                    ],
+                    "meta": [
+                        {
+                            "format": "warc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)

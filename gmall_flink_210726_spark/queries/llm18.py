@@ -803,3 +803,63 @@ def multimodal_kafka_index(
         load_table(spark, sf_dir, "documents")
     )
     return kafka_indexed_lookup_stats(media, 5)
+
+
+@register(
+    "multimodal_cdx_lookup",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 2 + doc_id % 3 AS n,
+                      len(string_split(text, ' ')) AS nw
+               FROM documents),
+    f AS (SELECT i, n, nw,
+                 i + 1000 * (i % n) AS j
+          FROM m),
+    g AS (SELECT i, n, nw, j,
+                 j % 11 = 0 OR i % 14 = 0 OR i % 16 = 0
+                   OR i % 18 = 0 OR i % 21 = 0 AS bad
+          FROM f)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'cdx' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
+             AS n_lines,
+           CAST(CASE WHEN bad THEN 0 ELSE 200 END AS BIGINT)
+             AS status,
+           CASE WHEN bad THEN ''
+                ELSE 'Doc ' || CAST(j AS VARCHAR) END AS title,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 2 + nw + 3 * (1 + j % 3) + 15 END AS BIGINT)
+             AS n_words,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS digest_ok
+    FROM g
+    """,
+    doc="CDXJ RANDOM ACCESS — how CommonCrawl is actually consumed "
+    "at scale: the published cc-index (one sorted line per capture: "
+    "urlkey timestamp {filename/offset/length/digest JSON}) turns a "
+    "URL lookup into ONE ranged fetch of ONE gzip member instead of "
+    "a 100 TB scan. The lookup proves the whole contract: bytes "
+    "outside [offset, offset+length) are never touched (pinned by "
+    "corrupting a non-target member - identical result), the range "
+    "must frame exactly one CRC-proven gzip member holding one WARC "
+    "response, the HTTP body's SHA-1 must equal the index line's "
+    "base32 digest (the WARC-Payload-Digest convention), the index "
+    "must be SORTED by urlkey (real clients binary-search it), and "
+    "the extracted text flows through the charset-aware front door. "
+    "Lie stripes: offset+1 (14th ids), length-1 (16th), cooked "
+    "digest (18th), unsorted index (21st) - each degrades; the "
+    "target's own unclosed-script pages (j%11) degrade at the HTML "
+    "layer. operators/warc.py cdx_lookup",
+    tags=("llm", "multimodal", "text"),
+)
+def multimodal_cdx_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.warc import (
+        cdx_lookup_stats,
+        synthesize_cdx_media,
+    )
+
+    media = synthesize_cdx_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return cdx_lookup_stats(media, "com,example)/doc/{i}")

@@ -324,3 +324,45 @@ class TestWatEnvelope:
             }
         ).encode()
         assert _wat_links(ok) == []
+
+
+class TestCdxRandomAccess:
+    def test_ranged_fetch_never_reads_outside(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_cdx_archive,
+            cdx_lookup,
+        )
+
+        text = "alpha beta gamma delta"
+        blob = bytearray(_make_cdx_archive(5, text))  # target = last
+        st0 = cdx_lookup(bytes(blob), "com,example)/doc/5")
+        assert st0 is not None
+        # locate the data.warc.gz TAR member (header at a 512-aligned
+        # offset; the same string also appears inside the index JSON)
+        b = bytes(blob)
+        p = -1
+        while True:
+            p = b.find(b"data.warc.gz", p + 1)
+            assert p >= 0
+            if p % 512 == 0:
+                break
+        blob[p + 512 + 4 : p + 512 + 12] = b"\xde" * 8  # member 0
+        st1 = cdx_lookup(bytes(blob), "com,example)/doc/5")
+        assert st1 == st0  # corruption outside the range is invisible
+
+    def test_index_lies_refused(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_cdx_archive,
+            cdx_lookup,
+        )
+
+        text = "a b c d"
+        for i, why in ((14, "offset+1"), (16, "length-1"),
+                       (18, "digest"), (21, "unsorted")):
+            assert cdx_lookup(
+                _make_cdx_archive(i, text), f"com,example)/doc/{i}"
+            ) is None, why
+        # an absent urlkey refuses
+        assert cdx_lookup(
+            _make_cdx_archive(1, text), "com,example)/nope"
+        ) is None
