@@ -443,27 +443,7 @@ def _make_avro(i: int, bad_stripe: int = 9) -> bytes:
     for b0 in range(0, n, per):
         recs = list(range(b0, min(b0 + per, n)))
         payload = b"".join(_enc_record(i, r) for r in recs)
-        if codec == "deflate":
-            c = zlib.compressobj(6, zlib.DEFLATED, -15)
-            payload = c.compress(payload) + c.flush()
-        elif codec == "snappy":
-            crc = struct.pack(">I", zlib.crc32(payload))
-            payload = _snappy_literal(payload) + crc
-        elif codec == "zstandard":
-            import pyarrow as pa
-
-            payload = bytes(pa.Codec("zstd").compress(payload))
-        elif codec == "bzip2":
-            import bz2 as _bz2
-
-            payload = _bz2.compress(payload, 9)
-        elif codec == "xz":
-            import lzma as _lzma
-
-            payload = _lzma.compress(
-                payload, format=_lzma.FORMAT_XZ,
-                check=_lzma.CHECK_CRC64,
-            )
+        payload = _compress_block(payload, codec)
         out += _zz_enc(len(recs)) + _zz_enc(len(payload)) + payload
         if first_sync_at < 0:
             first_sync_at = len(out)
@@ -642,6 +622,33 @@ def _enc_datum(schema, v) -> bytes:
     raise ValueError(f"avro encode: unsupported {schema!r}")
 
 
+def _compress_block(payload: bytes, codec: str) -> bytes:
+    """Writer-side twin of _decompress_block (fixtures only)."""
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return c.compress(payload) + c.flush()
+    if codec == "snappy":
+        crc = struct.pack(">I", zlib.crc32(payload))
+        return _snappy_literal(payload) + crc
+    if codec == "zstandard":
+        import pyarrow as pa
+
+        return bytes(pa.Codec("zstd").compress(payload))
+    if codec == "bzip2":
+        import bz2 as _bz2
+
+        return _bz2.compress(payload, 9)
+    if codec == "xz":
+        import lzma as _lzma
+
+        return _lzma.compress(
+            payload, format=_lzma.FORMAT_XZ, check=_lzma.CHECK_CRC64
+        )
+    raise ValueError(f"avro encode: unsupported codec {codec}")
+
+
 def make_avro_container(
     schema: dict,
     records: list,
@@ -664,27 +671,7 @@ def make_avro_container(
     for b0 in range(0, len(records), per_block):
         recs = records[b0 : b0 + per_block]
         payload = b"".join(_enc_datum(schema, r) for r in recs)
-        if codec == "deflate":
-            c = zlib.compressobj(6, zlib.DEFLATED, -15)
-            payload = c.compress(payload) + c.flush()
-        elif codec == "snappy":
-            crc = struct.pack(">I", zlib.crc32(payload))
-            payload = _snappy_literal(payload) + crc
-        elif codec == "zstandard":
-            import pyarrow as pa
-
-            payload = bytes(pa.Codec("zstd").compress(payload))
-        elif codec == "bzip2":
-            import bz2 as _bz2
-
-            payload = _bz2.compress(payload, 9)
-        elif codec == "xz":
-            import lzma as _lzma
-
-            payload = _lzma.compress(
-                payload, format=_lzma.FORMAT_XZ,
-                check=_lzma.CHECK_CRC64,
-            )
+        payload = _compress_block(payload, codec)
         out += _zz_enc(len(recs)) + _zz_enc(len(payload)) + payload
         out += sync
     return bytes(out)

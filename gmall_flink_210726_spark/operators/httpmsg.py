@@ -181,7 +181,28 @@ def content_type_charset(content_type: str | None) -> str | None:
     first rather than refuse, matching browser behavior)."""
     if not content_type:
         return None
-    parts = content_type.split(";")
+    # split on ';' OUTSIDE quoted-strings (a legal quoted parameter
+    # value may contain ';' — RFC 9110 quoted-string grammar)
+    parts = []
+    cur = []
+    in_q = False
+    esc = False
+    for ch in content_type:
+        if esc:
+            cur.append(ch)
+            esc = False
+        elif in_q and ch == "\\":
+            cur.append(ch)
+            esc = True
+        elif ch == '"':
+            cur.append(ch)
+            in_q = not in_q
+        elif ch == ";" and not in_q:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
     for param in parts[1:]:
         eq = param.find("=")
         if eq < 0:

@@ -520,10 +520,6 @@ ICEBERG_EVO_SCHEMA = StructType(
 def read_iceberg_evolved(data: bytes) -> dict | None:
     """Tar table -> current-schema scan with field-id column
     resolution (section doc); None on any chain violation."""
-    from gmall_flink_210726_spark.operators.iceberg import (
-        MANIFEST_SCHEMA,
-        MLIST_SCHEMA,
-    )
     from gmall_flink_210726_spark.operators.parquetmeta import (
         parquet_leaf_fields,
         read_parquet_column_k,
@@ -615,6 +611,8 @@ def read_iceberg_evolved(data: bytes) -> dict | None:
                 pq_blob = files.get(df["file_path"])
                 if pq_blob is None:
                     return None
+                if len(pq_blob) != df["file_size_in_bytes"]:
+                    return None  # the manifest's size must be true
                 rows = df["record_count"]
                 leaves = parquet_leaf_fields(pq_blob)
                 if leaves is None:

@@ -161,10 +161,47 @@ def _records_decompress(body: bytes, codec: int) -> bytes | None:
     return None
 
 
+def _iter_batches(data: bytes):
+    """Shared RecordBatch v2 frame walk: yields
+    ``(pos, base_off, attrs, last_od, pid, rcount, body)`` per batch
+    with the CRC32C proof, codec validation, and records-block
+    decompression already done. Raises ValueError on any framing
+    violation — the single copy of the batch grammar every reader in
+    this module builds on."""
+    pos = 0
+    if not data:
+        raise ValueError("kafka: empty segment")
+    while pos < len(data):
+        if pos + 12 > len(data):
+            raise ValueError("kafka: truncated batch header")
+        base_off, blen = struct.unpack_from(">qi", data, pos)
+        batch_end = pos + 12 + blen
+        if blen <= 49 or batch_end > len(data):
+            raise ValueError("kafka: bad batch length")
+        (_ple, magic) = struct.unpack_from(">ib", data, pos + 12)
+        if magic != 2:
+            raise ValueError("kafka: bad magic")
+        (crc,) = struct.unpack_from(">I", data, pos + 17)
+        if crc32c(data[pos + 21 : batch_end]) != crc:
+            raise ValueError("kafka: CRC32C mismatch")
+        (attrs, last_od) = struct.unpack_from(">hi", data, pos + 21)
+        (_bts, _mts, pid) = struct.unpack_from(">qqq", data, pos + 27)
+        (_pep, _bseq, rcount) = struct.unpack_from(
+            ">hii", data, pos + 51
+        )
+        codec = attrs & 7
+        if codec not in _COMP_NAMES:
+            raise ValueError("kafka: unknown codec")
+        body = _records_decompress(data[pos + 61 : batch_end], codec)
+        if body is None:
+            raise ValueError("kafka: records block decode failed")
+        yield pos, base_off, attrs, last_od, pid, rcount, body
+        pos = batch_end
+
+
 def read_kafka_segment(data: bytes) -> dict | None:
     """Segment walk -> aggregate proof of record-level decode; None
     on any framing/CRC/books violation (module docstring)."""
-    pos = 0
     out = {
         "n_batches": 0,
         "n_records": 0,
@@ -176,94 +213,33 @@ def read_kafka_segment(data: bytes) -> dict | None:
         "max_offset": -1,
     }
     codecs: set[str] = set()
-    if not data:
-        return None
     try:
-        while pos < len(data):
-            if pos + 12 > len(data):
+        for _pos, base_off, attrs, last_od, _pid, rcount, body in (
+            _iter_batches(data)
+        ):
+            recs = _parse_v2_records(body, rcount)
+            if recs is None:
                 return None
-            base_off, blen = struct.unpack_from(">qi", data, pos)
-            batch_end = pos + 12 + blen
-            if blen <= 49 or batch_end > len(data):
-                return None
-            (_ple, magic) = struct.unpack_from(">ib", data, pos + 12)
-            if magic != 2:
-                return None
-            (crc,) = struct.unpack_from(">I", data, pos + 17)
-            if crc32c(data[pos + 21 : batch_end]) != crc:
-                return None  # CRC32C over everything after the field
-            (attrs, last_od) = struct.unpack_from(">hi", data, pos + 21)
-            (base_ts, _max_ts, _pid) = struct.unpack_from(
-                ">qqq", data, pos + 27
-            )
-            (_pepoch, _bseq, rcount) = struct.unpack_from(
-                ">hii", data, pos + 51
-            )
-            codec = attrs & 7
-            if codec not in _COMP_NAMES:
-                return None
-            body = _records_decompress(
-                data[pos + 61 : batch_end], codec
-            )
-            if body is None:
-                return None
-            rp = 0
-            for k in range(rcount):
-                rlen, rp = _zz_dec(body, rp)
-                rec_end = rp + rlen
-                if rlen < 0 or rec_end > len(body):
-                    return None
-                if rp >= len(body):
-                    return None
-                rp += 1  # record attributes (int8, always 0 today)
-                ts_delta, rp = _zz_dec(body, rp)
-                off_delta, rp = _zz_dec(body, rp)
-                if off_delta != k:
-                    return None  # offsets must be dense from the base
-                klen, rp = _zz_dec(body, rp)
-                if klen < 0:
+            for rec in recs:
+                key, value = rec["key"], rec["value"]
+                if key is None:
                     out["n_null_keys"] += 1
                 else:
-                    if rp + klen > len(body):
-                        return None
-                    out["key_len_sum"] += klen
-                    rp += klen
-                vlen, rp = _zz_dec(body, rp)
-                if vlen < 0:
+                    out["key_len_sum"] += len(key)
+                if value is None:
                     return None  # fixture values are never null
-                if rp + vlen > len(body):
-                    return None
-                value = body[rp : rp + vlen]
-                rp += vlen
                 # content proof: the numeric payload after the tag
-                if not value[:1] == b"v" or not value[1:].isdigit():
+                if value[:1] != b"v" or not value[1:].isdigit():
                     return None
                 out["payload_sum"] += int(value[1:])
-                out["value_len_sum"] += vlen
-                nhdr, rp = _zz_dec(body, rp)
-                if nhdr < 0:
-                    return None
-                for _ in range(nhdr):
-                    hk, rp = _zz_dec(body, rp)
-                    if hk < 0 or rp + hk > len(body):
-                        return None
-                    rp += hk
-                    hv, rp = _zz_dec(body, rp)
-                    if hv < 0 or rp + hv > len(body):
-                        return None
-                    rp += hv
-                if rp != rec_end:
-                    return None  # length field must match the bytes
-                out["ts_delta_sum"] += ts_delta
-            if rp != len(body):
-                return None  # records must consume the block exactly
+                out["value_len_sum"] += len(value)
+                out["ts_delta_sum"] += rec["ts_delta"]
             if last_od != rcount - 1:
                 return None  # the batch header's own books
             out["n_batches"] += 1
             out["n_records"] += rcount
             out["max_offset"] = base_off + last_od
-            codecs.add(_COMP_NAMES[codec])
-            pos = batch_end
+            codecs.add(_COMP_NAMES[attrs & 7])
     except (ValueError, struct.error):
         return None
     out["compression"] = (
@@ -534,7 +510,6 @@ def _parse_v2_records(body: bytes, rcount: int) -> list[dict] | None:
 def read_kafka_segment_committed(data: bytes) -> dict | None:
     """read_committed segment walk (section doc); None on any
     framing/CRC/transaction-books violation."""
-    pos = 0
     out = {
         "n_batches": 0,
         "n_control": 0,
@@ -549,37 +524,12 @@ def read_kafka_segment_committed(data: bytes) -> dict | None:
     }
     # producerId -> [n_records, payload_sum] buffered until a marker
     open_txns: dict[int, list[int]] = {}
-    if not data:
-        return None
     try:
-        while pos < len(data):
-            if pos + 12 > len(data):
-                return None
-            base_off, blen = struct.unpack_from(">qi", data, pos)
-            batch_end = pos + 12 + blen
-            if blen <= 49 or batch_end > len(data):
-                return None
-            (_ple, magic) = struct.unpack_from(">ib", data, pos + 12)
-            if magic != 2:
-                return None
-            (crc,) = struct.unpack_from(">I", data, pos + 17)
-            if crc32c(data[pos + 21 : batch_end]) != crc:
-                return None
-            (attrs, last_od) = struct.unpack_from(">hi", data, pos + 21)
-            (_bts, _mts, pid) = struct.unpack_from(">qqq", data, pos + 27)
-            (_pep, _bseq, rcount) = struct.unpack_from(
-                ">hii", data, pos + 51
-            )
-            codec = attrs & 7
+        for _pos, base_off, attrs, last_od, pid, rcount, body in (
+            _iter_batches(data)
+        ):
             is_txn = bool(attrs & 0x10)
             is_control = bool(attrs & 0x20)
-            if codec not in _COMP_NAMES:
-                return None
-            body = _records_decompress(
-                data[pos + 61 : batch_end], codec
-            )
-            if body is None:
-                return None
             if rcount <= 0 or last_od != rcount - 1:
                 return None
             recs = _parse_v2_records(body, rcount)
@@ -587,7 +537,6 @@ def read_kafka_segment_committed(data: bytes) -> dict | None:
                 return None
             out["n_batches"] += 1
             out["max_offset"] = base_off + last_od
-            pos = batch_end
             if is_control:
                 # control batches are coordinator-written markers
                 if not is_txn or pid < 0 or rcount != 1:
@@ -600,16 +549,16 @@ def read_kafka_segment_committed(data: bytes) -> dict | None:
                     return None  # 0 = abort, 1 = commit
                 if pid not in open_txns:
                     return None  # marker with nothing open
-                n, s = open_txns.pop(pid)
+                n, total = open_txns.pop(pid)
                 out["n_control"] += 1
                 if ctype == 1:
                     out["n_txns_committed"] += 1
                     out["committed_records"] += n
-                    out["committed_sum"] += s
+                    out["committed_sum"] += total
                 else:
                     out["n_txns_aborted"] += 1
                     out["aborted_records"] += n
-                    out["aborted_sum"] += s
+                    out["aborted_sum"] += total
                 continue
             # data batch: the fixture payload contract ('v' + digits)
             total = 0
@@ -857,27 +806,15 @@ def _batch_offsets(data: bytes) -> list[tuple[int, int, int]] | None:
     """Frame walk -> [(position, base_offset, last_offset)] with CRC
     proof per batch; None on any framing violation."""
     out = []
-    pos = 0
-    if not data:
+    try:
+        for pos, base_off, _attrs, last_od, _pid, _rc, _body in (
+            _iter_batches(data)
+        ):
+            if last_od < 0:
+                return None
+            out.append((pos, base_off, base_off + last_od))
+    except (ValueError, struct.error):
         return None
-    while pos < len(data):
-        if pos + 12 > len(data):
-            return None
-        base_off, blen = struct.unpack_from(">qi", data, pos)
-        batch_end = pos + 12 + blen
-        if blen <= 49 or batch_end > len(data):
-            return None
-        (_ple, magic) = struct.unpack_from(">ib", data, pos + 12)
-        if magic != 2:
-            return None
-        (crc,) = struct.unpack_from(">I", data, pos + 17)
-        if crc32c(data[pos + 21 : batch_end]) != crc:
-            return None
-        (_attrs, last_od) = struct.unpack_from(">hi", data, pos + 21)
-        if last_od < 0:
-            return None
-        out.append((pos, base_off, base_off + last_od))
-        pos = batch_end
     return out
 
 

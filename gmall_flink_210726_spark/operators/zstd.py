@@ -1088,7 +1088,13 @@ def synthesize_zstd_media(docs):
 # ---------------------------------------------------------------------------
 
 
+_LIBZSTD = None
+
+
 def _libzstd():
+    global _LIBZSTD
+    if _LIBZSTD is not None:
+        return _LIBZSTD
     import ctypes
     import ctypes.util
 
@@ -1113,6 +1119,7 @@ def _libzstd():
         f = getattr(lib, fn)
         f.restype = res
         f.argtypes = args
+    _LIBZSTD = lib
     return lib
 
 

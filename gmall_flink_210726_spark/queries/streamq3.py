@@ -1195,8 +1195,9 @@ def st23_stream_webdataset(
     GROUP BY 1
     """,
     doc="STREAMING Avro ingest — the object-container walk "
-    "(multimodal_avro_container: schema-driven decode, all three "
-    "spec codecs, sync/CRC cross-checks) running as a STRUCTURED "
+    "(multimodal_avro_container: schema-driven decode, ALL SIX "
+    "spec codecs incl. the hand zstd/bzip2/xz decoders, sync/CRC "
+    "cross-checks) running as a STRUCTURED "
     "STREAMING operator: containers arrive as a parquet file stream "
     "(32 source files, 16 per trigger: two micro-batches whose "
     "splits land on every core), the decode runs via Arrow-batched "

@@ -334,7 +334,11 @@ class TestCdxRandomAccess:
         )
 
         text = "alpha beta gamma delta"
-        blob = bytearray(_make_cdx_archive(5, text))  # target = last
+        # i=5: n = 2 + 5%3 = 4 records, target = 5%4 = 1 — so
+        # member 0 (corrupted below) is NOT the target; the guard
+        # keeps the test honest if the fixture formula ever changes
+        assert 5 % (2 + 5 % 3) != 0
+        blob = bytearray(_make_cdx_archive(5, text))
         st0 = cdx_lookup(bytes(blob), "com,example)/doc/5")
         assert st0 is not None
         # locate the data.warc.gz TAR member (header at a 512-aligned
