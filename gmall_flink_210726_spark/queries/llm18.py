@@ -863,3 +863,74 @@ def multimodal_cdx_lookup(
         load_table(spark, sf_dir, "documents")
     )
     return cdx_lookup_stats(media, "com,example)/doc/{i}")
+
+
+@register(
+    "lakehouse_hudi_snapshot",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 2 + doc_id % 3 AS ng,
+                      doc_id % 2 = 0 AS has_t2,
+                      doc_id % 13 = 0 OR doc_id % 19 = 0 AS bad
+               FROM documents),
+    g AS (SELECT i, ng, has_t2, bad, unnest(range(0, ng)) AS gg
+          FROM m),
+    sel AS (SELECT i, ng, has_t2, bad, gg,
+                   CASE WHEN has_t2 AND gg % 2 = 0 THEN 2 ELSE 1
+                   END AS c
+            FROM g),
+    v AS (SELECT i, ng, has_t2, bad, gg,
+                 10 + (i + 7 * gg + 13 * c) % 40 AS n,
+                 COALESCE(list_sum(
+                   [(i * 5 + gg * 11 + c * 17 + 3 * r) % 1000
+                    for r in range(0,
+                      10 + (i + 7 * gg + 13 * c) % 40)]), 0) AS ks
+          FROM sel),
+    a AS (SELECT i, MAX(ng) AS ng, BOOL_OR(has_t2) AS has_t2,
+                 BOOL_OR(bad) AS bad,
+                 CAST(SUM(n) AS BIGINT) AS rows_,
+                 CAST(SUM(ks) AS BIGINT) AS ksum
+          FROM v GROUP BY i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'hudi' END AS format,
+           CAST(CASE WHEN bad THEN 0
+                WHEN has_t2 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_completed,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_inflight,
+           CAST(CASE WHEN bad THEN 0 ELSE ng END AS BIGINT)
+             AS n_groups,
+           CAST(CASE WHEN bad THEN 0 ELSE rows_ END AS BIGINT)
+             AS total_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE ksum END AS BIGINT)
+             AS k_sum
+    FROM a
+    """,
+    doc="Hudi COPY-ON-WRITE timeline replay — the THIRD major table "
+    "format next to the Delta log and the Iceberg snapshot chain "
+    "(hudi.apache.org 'Timeline'): only COMPLETED commits are "
+    "readable; per FILE GROUP (fileId) the snapshot sees the base "
+    "file of the LATEST completed commit, a rewrite superseding the "
+    "old base file under the same fileId. The fixture plants an "
+    "INFLIGHT commit whose base file sits in the tar — a dirty read "
+    "would see it, the replay provably never opens it (corruption "
+    "pin), and superseded base files are likewise never opened. "
+    "Trust chain: one base file per group per commit (duplicate "
+    "fileId refuses, 19th ids), every selected file's bytes match "
+    "fileSizeInBytes and its decode matches numWrites (overstated "
+    "by one on 13th ids - caught). TIMESTAMP-AS-OF replays the "
+    "timeline prefix (pytest-pinned). operators/hudi.py "
+    "read_hudi_snapshot",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_hudi_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.hudi import (
+        hudi_snapshot_stats,
+        synthesize_hudi_media,
+    )
+
+    media = synthesize_hudi_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return hudi_snapshot_stats(media)
