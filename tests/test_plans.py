@@ -1004,3 +1004,43 @@ class TestRound12Plans:
         assert "MapInPandas" in plan
         for op in ("Join", "Aggregate", "Exchange", "Sort"):
             assert op not in plan, op
+
+
+class TestRound13PlanShapes:
+    """Round-13 decode walks: all per-blob stateless mapInPandas
+    chains over the documents scan — no join, no aggregation, zero
+    shuffles; at 100 TB each is embarrassingly parallel."""
+
+    def _assert_pure_map(self, spark, name):
+        plan = (
+            SPECS[name]
+            .fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "MapInPandas" in plan, name
+        for op in ("Join", "Aggregate", "Exchange", "Sort"):
+            assert op not in plan, (name, op)
+
+    def test_delta_skip_and_prune_walks_are_pure_maps(self, spark):
+        self._assert_pure_map(spark, "lakehouse_delta_stats_skip")
+        self._assert_pure_map(spark, "lakehouse_delta_partition_prune")
+        self._assert_pure_map(spark, "lakehouse_delta_time_travel")
+
+    def test_iceberg_and_hudi_walks_are_pure_maps(self, spark):
+        self._assert_pure_map(
+            spark, "lakehouse_iceberg_schema_evolution"
+        )
+        self._assert_pure_map(spark, "lakehouse_iceberg_time_travel")
+        self._assert_pure_map(spark, "lakehouse_hudi_snapshot")
+
+    def test_format_walks_are_pure_maps(self, spark):
+        for name in (
+            "multimodal_avro_logical",
+            "multimodal_kafka_txn",
+            "multimodal_kafka_index",
+            "multimodal_orc_double",
+            "multimodal_cdx_lookup",
+        ):
+            self._assert_pure_map(spark, name)
