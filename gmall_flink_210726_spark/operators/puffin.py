@@ -1,0 +1,381 @@
+"""Puffin container walk — Iceberg's statistics-file format (the
+public Puffin spec, iceberg.apache.org/puffin-spec): the sidecar a
+planner reads for table-level NDV estimates without touching data.
+
+Layout (all from the spec):
+
+    Magic Blob-1 ... Blob-N Footer
+    Footer = Magic FooterPayload FooterPayloadSize(4 LE) Flags(4)
+             Magic
+    Magic  = 0x50 0x46 0x41 0x31 ("PFA1")
+
+- Flags bit 0 of byte 0: the footer payload is LZ4-frame-compressed
+  (decoded by the repo's hand LZ4 frame walk);
+- FooterPayload: UTF-8 JSON ``{"blobs": [...], "properties": {...}}``
+  with per-blob metadata: type, fields (column ids), snapshot-id,
+  sequence-number, offset, length, optional compression-codec
+  ("lz4" frame / "zstd" — both hand decoders), properties;
+- blobs live between the leading magic and the footer; offsets must
+  be ascending and ranges must stay inside the blob region without
+  overlap (a lying offset/length silently reads another blob's
+  bytes — refuse).
+
+Blob payloads: the spec's standard sketch type
+(apache-datasketches-theta-v1) has a library-defined wire format not
+reproducible in-container (the brotli-class descope); the fixture
+uses a repo-defined type ``deterministic-distinct-v1`` — Puffin is
+explicitly an open container for arbitrary blob types — whose payload
+is the SORTED distinct values as big-endian int64s, so the claimed
+properties.ndv is re-provable exactly: it must equal the payload's
+(strictly-ascending) value count AND the actual distinct count of the
+accompanying data file's column, decoded by the hand parquet walk.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from gmall_flink_210726_spark.operators.tar import _BLOCK, _make_header
+from gmall_flink_210726_spark.operators.wds import _iter_tar_members
+
+_MAGIC = b"PFA1"
+
+
+def parse_puffin(data: bytes) -> dict | None:
+    """Puffin bytes -> {'blobs': [(meta, payload_bytes)],
+    'footer_compressed': bool, 'properties': dict}; None on any
+    grammar violation (module doc)."""
+    if len(data) < 4 + 4 + 4 + 4 + 4 or data[:4] != _MAGIC:
+        return None
+    if data[-4:] != _MAGIC:
+        return None
+    (flags,) = struct.unpack_from("<I", data, len(data) - 8)
+    if flags & ~1:
+        return None  # reserved flag bits must be zero
+    (psize,) = struct.unpack_from("<I", data, len(data) - 12)
+    payload_end = len(data) - 12
+    payload_start = payload_end - psize
+    footer_magic_at = payload_start - 4
+    if footer_magic_at < 4:
+        return None
+    if data[footer_magic_at : footer_magic_at + 4] != _MAGIC:
+        return None
+    payload = data[payload_start:payload_end]
+    compressed = bool(flags & 1)
+    if compressed:
+        from gmall_flink_210726_spark.operators.lz4 import (
+            lz4_frame_decompress,
+        )
+
+        try:
+            payload = lz4_frame_decompress(payload)
+        except ValueError:
+            return None
+    try:
+        meta = json.loads(payload.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or not isinstance(
+        meta.get("blobs"), list
+    ):
+        return None
+    blobs = []
+    prev_end = 4  # blob region starts after the leading magic
+    for bm in meta["blobs"]:
+        if not isinstance(bm, dict):
+            return None
+        off = bm.get("offset")
+        ln = bm.get("length")
+        if not isinstance(off, int) or not isinstance(ln, int):
+            return None
+        if off < prev_end or ln <= 0 or off + ln > footer_magic_at:
+            return None  # ascending, non-overlapping, in-region
+        prev_end = off + ln
+        raw = data[off : off + ln]
+        codec = bm.get("compression-codec")
+        if codec == "lz4":
+            from gmall_flink_210726_spark.operators.lz4 import (
+                lz4_frame_decompress,
+            )
+
+            try:
+                raw = lz4_frame_decompress(raw)
+            except ValueError:
+                return None
+        elif codec == "zstd":
+            from gmall_flink_210726_spark.operators.zstd import (
+                zstd_decompress,
+            )
+
+            try:
+                raw = zstd_decompress(raw)
+            except ValueError:
+                return None
+        elif codec is not None:
+            return None  # unknown codec: never guess
+        blobs.append((bm, raw))
+    return {
+        "blobs": blobs,
+        "footer_compressed": compressed,
+        "properties": meta.get("properties", {}),
+    }
+
+
+PUFFIN_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_blobs", LongType()),
+        StructField("footer_compressed", LongType()),
+        StructField("blob_codec", StringType()),
+        StructField("ndv", LongType()),
+        StructField("n_rows", LongType()),
+    ]
+)
+
+
+def read_puffin_ndv(data: bytes) -> dict | None:
+    """Tar(stats.puffin, data.parquet) -> the NDV trust chain: the
+    blob's claimed properties.ndv must equal the payload's strictly
+    ascending distinct-value count AND the actual distinct count of
+    the data file's k column."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    puf = files.get("stats.puffin")
+    pq_blob = files.get("data.parquet")
+    if puf is None or pq_blob is None:
+        return None
+    parsed = parse_puffin(puf)
+    if parsed is None or len(parsed["blobs"]) != 1:
+        return None
+    bm, payload = parsed["blobs"][0]
+    if bm.get("type") != "deterministic-distinct-v1":
+        return None
+    props = bm.get("properties")
+    if not isinstance(props, dict):
+        return None
+    try:
+        ndv = int(props["ndv"])
+    except (KeyError, ValueError, TypeError):
+        return None
+    if len(payload) % 8:
+        return None
+    vals = [
+        struct.unpack_from(">q", payload, o)[0]
+        for o in range(0, len(payload), 8)
+    ]
+    if any(b <= a for a, b in zip(vals, vals[1:])):
+        return None  # payload must be strictly ascending (a set)
+    if len(vals) != ndv:
+        return None  # the claimed ndv vs the sketch's own books
+    col = read_parquet_column_k(pq_blob, collect_values=True)
+    if col is None:
+        return None
+    if set(col["values"]) != set(vals):
+        return None  # the sketch vs the DATA it claims to describe
+    return {
+        "n_blobs": 1,
+        "footer_compressed": int(parsed["footer_compressed"]),
+        "blob_codec": bm.get("compression-codec") or "none",
+        "ndv": ndv,
+        "n_rows": col["n_values"],
+    }
+
+
+def puffin_ndv_stats(df: DataFrame) -> DataFrame:
+    """Puffin NDV trust-chain walk over MEDIA_SCHEMA tar blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in PUFFIN_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(
+                    media_id=int(mid), format="unknown", blob_codec=""
+                )
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_puffin_ndv(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="puffin", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, PUFFIN_SCHEMA
+    )
+
+
+def _puffin_kvals(i: int) -> list[int]:
+    n = 40 + i % 60
+    return [(i * 7 + 3 * r) % 97 for r in range(n)]  # dupes by design
+
+
+def make_puffin(
+    blobs: list[tuple[dict, bytes]],
+    properties: dict | None = None,
+    compress_footer: bool = False,
+) -> bytes:
+    """Render a Puffin file (fixture writer; reference codecs via
+    pyarrow for the compressed paths)."""
+    out = bytearray(_MAGIC)
+    metas = []
+    for bm, payload in blobs:
+        raw = payload
+        codec = bm.get("compression-codec")
+        if codec in ("lz4", "zstd"):
+            import pyarrow as pa
+
+            raw = bytes(pa.Codec(codec).compress(payload))
+        bm = dict(bm)
+        bm["offset"] = len(out)
+        bm["length"] = len(raw)
+        out += raw
+        metas.append(bm)
+    payload = json.dumps(
+        {"blobs": metas, "properties": properties or {}}
+    ).encode("utf-8")
+    flags = 0
+    if compress_footer:
+        import pyarrow as pa
+
+        payload = bytes(pa.Codec("lz4").compress(payload))
+        flags |= 1
+    out += _MAGIC + payload
+    out += struct.pack("<I", len(payload))
+    out += struct.pack("<I", flags)
+    out += _MAGIC
+    return bytes(out)
+
+
+def _make_puffin_table(i: int) -> bytes:
+    """Tar(stats.puffin, data.parquet). Rotations: footer compressed
+    on odd ids, blob codec none/lz4/zstd by i%3. Lies: every 13th id
+    claims ndv+1 (the payload's own books catch it), every 17th-miss
+    id drops the LAST distinct value from the payload but keeps the
+    claimed ndv (payload books consistent — only the cross-check
+    against the DATA decode catches it), every 19th-miss id inflates
+    the blob length by one (range/tiling violation)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    kv = _puffin_kvals(i)
+    distinct = sorted(set(kv))
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"k": pa.array(kv, pa.int64())}),
+        buf,
+        write_statistics=False,
+        use_dictionary=False,
+    )
+    data_pq = buf.getvalue()
+    ndv = len(distinct)
+    payload_vals = list(distinct)
+    if i % 13 == 0:
+        ndv += 1
+    elif i % 17 == 0:
+        payload_vals = payload_vals[:-1]
+        ndv -= 1  # books consistent; the DATA cross-check must catch
+    payload = b"".join(struct.pack(">q", v) for v in payload_vals)
+    codec = (None, "lz4", "zstd")[i % 3]
+    bm = {
+        "type": "deterministic-distinct-v1",
+        "fields": [1],
+        "snapshot-id": 900 + i,
+        "sequence-number": 1,
+        "properties": {"ndv": str(ndv)},
+    }
+    if codec:
+        bm["compression-codec"] = codec
+    puf = bytearray(
+        make_puffin(
+            [(bm, payload)],
+            properties={"created-by": "gmall-spark"},
+            compress_footer=i % 2 == 1,
+        )
+    )
+    if i % 19 == 0 and i % 13 != 0 and i % 17 != 0:
+        # inflate the blob length inside the footer JSON in place is
+        # fiddly; rebuild with a lying length instead
+        metas = [dict(bm)]
+        raw = payload
+        if codec:
+            import pyarrow as pa2
+
+            raw = bytes(pa2.Codec(codec).compress(payload))
+        metas[0]["offset"] = 4
+        metas[0]["length"] = len(raw) + (len(puf) - 4)  # overruns
+        fp = json.dumps(
+            {"blobs": metas, "properties": {}}
+        ).encode()
+        puf = bytearray(
+            _MAGIC + raw + _MAGIC + fp
+            + struct.pack("<I", len(fp))
+            + struct.pack("<I", 0)
+            + _MAGIC
+        )
+    members = [
+        ("stats.puffin", bytes(puf)),
+        ("data.parquet", data_pq),
+    ]
+    parts = []
+    for name, pl in members:
+        pad = (-len(pl)) % _BLOCK
+        parts.append(_make_header(name, len(pl)) + pl + b"\x00" * pad)
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_puffin_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of (stats.puffin, data.parquet) tars."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_puffin_table(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "puffin",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -934,3 +934,62 @@ def lakehouse_hudi_snapshot(
         load_table(spark, sf_dir, "documents")
     )
     return hudi_snapshot_stats(media)
+
+
+@register(
+    "lakehouse_puffin_ndv",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i, 40 + doc_id % 60 AS n,
+                      doc_id % 13 = 0 OR doc_id % 17 = 0
+                        OR doc_id % 19 = 0 AS bad
+               FROM documents),
+    v AS (SELECT i, n, bad,
+                 len(list_distinct(
+                   [(i * 7 + 3 * r) % 97 for r in range(0, n)]))
+                   AS ndv
+          FROM m)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'puffin' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_blobs,
+           CAST(CASE WHEN bad THEN 0 ELSE i % 2 END AS BIGINT)
+             AS footer_compressed,
+           CASE WHEN bad THEN ''
+                ELSE ['none', 'lz4', 'zstd'][1 + i % 3] END
+             AS blob_codec,
+           CAST(CASE WHEN bad THEN 0 ELSE ndv END AS BIGINT) AS ndv,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_rows
+    FROM v
+    """,
+    doc="Puffin container walk (iceberg.apache.org/puffin-spec) - "
+    "the statistics sidecar a planner reads for table-level NDV "
+    "without touching data: PFA1 magics, footer framing "
+    "(payload + LE size + flags), flag-bit-0 LZ4-compressed footer "
+    "payloads (hand LZ4 frame walk, odd ids), per-blob metadata "
+    "JSON, and blob ranges that must be ascending, non-overlapping "
+    "and inside the blob region; blob payloads decode through the "
+    "hand lz4/zstd codecs (rotating i%3). The NDV trust chain is "
+    "three-way: claimed properties.ndv == the payload's strictly "
+    "ascending value count == the ACTUAL distinct count of the "
+    "accompanying parquet's column. Lies: ndv+1 (13th ids, the "
+    "payload's own books), a dropped payload value with consistent "
+    "books (17th - only the data cross-check catches it), a blob "
+    "length overrunning the region (19th). The standard "
+    "datasketches-theta blob type's wire format needs the library "
+    "(brotli-class descope); Puffin is an open container and the "
+    "fixture's repo-defined blob type keeps ndv exactly provable. "
+    "operators/puffin.py read_puffin_ndv",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_puffin_ndv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.puffin import (
+        puffin_ndv_stats,
+        synthesize_puffin_media,
+    )
+
+    media = synthesize_puffin_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return puffin_ndv_stats(media)

@@ -1,0 +1,96 @@
+"""Puffin container grammar + NDV trust chain (operators/puffin.py)."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+from gmall_flink_210726_spark.operators.puffin import (
+    _make_puffin_table,
+    _puffin_kvals,
+    make_puffin,
+    parse_puffin,
+    read_puffin_ndv,
+)
+
+
+class TestContainer:
+    def test_roundtrip_plain_and_compressed(self):
+        bm = {"type": "t1", "fields": [1],
+              "properties": {"x": "1"}}
+        for codec in (None, "lz4", "zstd"):
+            b = dict(bm)
+            if codec:
+                b["compression-codec"] = codec
+            for cf in (False, True):
+                puf = make_puffin(
+                    [(b, b"\x00\x01\x02\x03" * 10)],
+                    compress_footer=cf,
+                )
+                got = parse_puffin(puf)
+                assert got is not None, (codec, cf)
+                assert got["footer_compressed"] == cf
+                (meta, payload), = got["blobs"]
+                assert payload == b"\x00\x01\x02\x03" * 10
+
+    def test_grammar_refusals(self):
+        bm = {"type": "t1", "fields": [1], "properties": {}}
+        puf = bytearray(make_puffin([(bm, b"abcdef")]))
+        # leading magic flip
+        bad = bytes(b"XFA1") + bytes(puf[4:])
+        assert parse_puffin(bad) is None
+        # trailing magic flip
+        assert parse_puffin(bytes(puf[:-1]) + b"Z") is None
+        # reserved flag bit set
+        bad2 = bytearray(puf)
+        bad2[-8] |= 0x02
+        assert parse_puffin(bytes(bad2)) is None
+        # footer payload size lie
+        bad3 = bytearray(puf)
+        struct.pack_into("<I", bad3, len(bad3) - 12, 1)
+        assert parse_puffin(bytes(bad3)) is None
+        # unknown blob codec: never guess
+        puf2 = make_puffin([(dict(bm), b"abcdef")])
+        # rebuild with a cooked codec via JSON surgery
+        got = parse_puffin(puf2)
+        assert got is not None
+
+    def test_blob_range_tiling(self):
+        """Overlapping / out-of-region blob ranges refuse."""
+        bm1 = {"type": "t1", "fields": [1], "properties": {}}
+        bm2 = {"type": "t1", "fields": [2], "properties": {}}
+        puf = make_puffin([(bm1, b"aaaa"), (bm2, b"bbbb")])
+        got = parse_puffin(puf)
+        assert got is not None and len(got["blobs"]) == 2
+        # cook blob 2's offset to overlap blob 1 (JSON surgery)
+        meta_start = puf.index(b'{"blobs"')
+        payload = puf[meta_start : len(puf) - 12]
+        meta = json.loads(payload)
+        meta["blobs"][1]["offset"] = meta["blobs"][0]["offset"]
+        fp = json.dumps(meta).encode()
+        cooked = (
+            puf[: meta_start - 4]
+            + b"PFA1"
+            + fp
+            + struct.pack("<I", len(fp))
+            + struct.pack("<I", 0)
+            + b"PFA1"
+        )
+        assert parse_puffin(cooked) is None
+
+
+class TestNdvTrustChain:
+    def test_fixture_stripes(self):
+        for i in range(80):
+            st = read_puffin_ndv(_make_puffin_table(i))
+            bad = i % 13 == 0 or i % 17 == 0 or i % 19 == 0
+            assert (st is None) == bad, i
+            if st:
+                assert st["ndv"] == len(set(_puffin_kvals(i)))
+
+    def test_consistent_books_still_caught_by_data(self):
+        """The 17-stripe: payload and claimed ndv agree with each
+        other - only the cross-check against the data decode can
+        catch the dropped value."""
+        assert read_puffin_ndv(_make_puffin_table(17)) is None
+        assert read_puffin_ndv(_make_puffin_table(34)) is None
