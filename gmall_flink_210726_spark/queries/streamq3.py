@@ -2183,3 +2183,135 @@ def st31_stream_kafka_txn_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st32_stream_warc_zstd_ingest",
+    oracle="""
+    WITH s AS (SELECT doc_id AS i, doc_id % 3 AS v,
+                      doc_id % 13 = 0 OR
+                      (doc_id % 11 = 0 AND doc_id % 3 <> 1) AS bad,
+                      len(string_split(text, ' ')) AS nw,
+                      1 + doc_id % 3 AS nli
+               FROM documents)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_streams,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 WHEN v = 2 THEN 3
+                    ELSE 2 END) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN bad OR v = 1 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_responses,
+           CAST(SUM(CASE WHEN bad OR v = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_conversions,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE
+                  (CASE WHEN v <> 1 THEN 2 + nw + 3 * nli + 15
+                        ELSE 0 END)
+                + (CASE WHEN v <> 0 THEN nw ELSE 0 END)
+                END) AS BIGINT) AS n_words
+    FROM s GROUP BY 1
+    """,
+    doc="STREAMING modern-CommonCrawl ingest — the round-13 zstd "
+    "DICTIONARY path (L249) as a Structured Streaming operator: "
+    ".warc.zst blobs (every 5th id carrying the real 0x184D2A5D "
+    "leading-skippable-frame trained dictionary, its record frames "
+    "reference-encoder compressed AGAINST it) arrive as a parquet "
+    "file stream (32 files, 16 per trigger); the hand RFC 8878 walk "
+    "auto-registers the dictionary, primes the window, decodes, and "
+    "the WARC/HTML/WET chain runs Arrow-batched ON THE STREAM PLAN "
+    "with per-epoch per-bucket partials through the checkpointed "
+    "foreachBatch + overwrite-idempotent epoch sink. Per-blob "
+    "stateless; the batch twin's lie stripes (Content-Length 13ths, "
+    "HTML swallow, omitted/truncated dictionary on 65th/195th ids — "
+    "already-bad rows) carry into n_ok. operators/warc.py "
+    "warc_zstd_text_extract, operators/zstd.py iter_zstd_frames",
+    tags=("streaming", "llm", "multimodal", "text"),
+)
+def st32_stream_warc_zstd_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_warc_zstd_media,
+        warc_zstd_text_extract,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.sources.batch import load_table
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st32_src_")
+    out = tempfile.mkdtemp(prefix="st32_out_")
+    ckpt = tempfile.mkdtemp(prefix="st32_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_warc_zstd_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .option("compression", "none")  # blobs already zstd
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = warc_zstd_text_extract(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_streams"),
+                F.sum((F.col("format") == "warc").cast("long"))
+                .cast("long")
+                .alias("n_ok"),
+                F.sum("n_records").cast("long").alias("n_records"),
+                F.sum("n_responses")
+                .cast("long")
+                .alias("n_responses"),
+                F.sum("n_conversions")
+                .cast("long")
+                .alias("n_conversions"),
+                F.sum("n_words").cast("long").alias("n_words"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st32 warc zstd stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_streams").cast("long").alias("n_streams"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_records").cast("long").alias("n_records"),
+                F.sum("n_responses")
+                .cast("long")
+                .alias("n_responses"),
+                F.sum("n_conversions")
+                .cast("long")
+                .alias("n_conversions"),
+                F.sum("n_words").cast("long").alias("n_words"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
