@@ -1042,5 +1042,6 @@ class TestRound13PlanShapes:
             "multimodal_kafka_index",
             "multimodal_orc_double",
             "multimodal_cdx_lookup",
+            "lakehouse_puffin_ndv",
         ):
             self._assert_pure_map(spark, name)

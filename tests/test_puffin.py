@@ -49,11 +49,24 @@ class TestContainer:
         bad3 = bytearray(puf)
         struct.pack_into("<I", bad3, len(bad3) - 12, 1)
         assert parse_puffin(bytes(bad3)) is None
-        # unknown blob codec: never guess
+        # unknown blob codec: never guess (JSON surgery puts a
+        # codec name the reader has no decoder for into the footer)
         puf2 = make_puffin([(dict(bm), b"abcdef")])
-        # rebuild with a cooked codec via JSON surgery
-        got = parse_puffin(puf2)
-        assert got is not None
+        meta_start = puf2.index(b'{"blobs"')
+        meta = json.loads(puf2[meta_start : len(puf2) - 12])
+        meta["blobs"][0]["compression-codec"] = "snappy"
+        fp = json.dumps(meta).encode()
+        cooked = (
+            puf2[: meta_start - 4]
+            + b"PFA1"
+            + fp
+            + struct.pack("<I", len(fp))
+            + struct.pack("<I", 0)
+            + b"PFA1"
+        )
+        assert parse_puffin(cooked) is None
+        # ... while the original parses fine
+        assert parse_puffin(puf2) is not None
 
     def test_blob_range_tiling(self):
         """Overlapping / out-of-region blob ranges refuse."""
