@@ -379,3 +379,440 @@ def synthesize_puffin_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Iceberg v3 DELETION VECTORS — the format-v3 merge-on-read design
+# (iceberg spec 'Deletion Vectors' + puffin-spec 'deletion-vector-v1'):
+# position deletes live as Puffin blobs, one per data file, each a
+# framed 64-bit roaring bitmap:
+#
+#     len:u32 BE  (covers magic + vector)
+#     magic D1 D3 39 64  (1681511377 LE — shared with Delta's
+#                         RoaringBitmapArray for cross-format compat)
+#     vector     (the 'portable' 64-bit roaring serialization,
+#                 decoded by operators/roaring.py rbm_array_decode,
+#                 whose leading 4 bytes ARE that magic)
+#     crc:u32 BE (CRC-32 of magic + vector)
+#
+# Delete manifests reference the blob by (puffin path,
+# content_offset, content_size_in_bytes, referenced_data_file,
+# record_count = cardinality); the scan resolves each DV through the
+# Puffin footer, demands the manifest's (offset, length) name a REAL
+# blob of the right type whose referenced-data-file matches, proves
+# the framing (length books, magic, CRC), and applies the positions
+# to the hand-decoded parquet rows.
+# --------------------------------------------------------------------------
+
+MANIFEST_DV_SCHEMA = {
+    "type": "record",
+    "name": "delete_manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {
+            "name": "delete_file",
+            "type": {
+                "type": "record",
+                "name": "delete_file",
+                "fields": [
+                    {"name": "content", "type": "int"},  # 2 = DV
+                    {"name": "file_path", "type": "string"},
+                    {"name": "referenced_data_file", "type": "string"},
+                    {"name": "content_offset", "type": "long"},
+                    {"name": "content_size_in_bytes", "type": "long"},
+                    {"name": "record_count", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+ICEBERG_DV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_data_files", LongType()),
+        StructField("n_dvs", LongType()),
+        StructField("total_rows", LongType()),
+        StructField("deleted_rows", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("live_k_sum", LongType()),
+    ]
+)
+
+
+def decode_dv_blob(payload: bytes, cardinality: int) -> list[int] | None:
+    """deletion-vector-v1 framing -> sorted positions; None on any
+    framing/CRC/cardinality violation."""
+    import zlib
+
+    from gmall_flink_210726_spark.operators.roaring import (
+        rbm_array_decode,
+    )
+
+    if len(payload) < 12:
+        return None
+    (ln,) = struct.unpack_from(">I", payload, 0)
+    if 4 + ln + 4 != len(payload):
+        return None  # length must tile magic+vector+crc exactly
+    vec = payload[4 : 4 + ln]
+    if vec[:4] != b"\xd1\xd3\x39\x64":
+        return None  # the shared Delta/Iceberg DV magic
+    (crc,) = struct.unpack_from(">I", payload, 4 + ln)
+    if zlib.crc32(vec) != crc:
+        return None
+    try:
+        positions = rbm_array_decode(vec)
+    except ValueError:
+        return None
+    if len(positions) != cardinality:
+        return None  # the manifest must not lie about cardinality
+    return positions
+
+
+def read_iceberg_dv_scan(data: bytes) -> dict | None:
+    """Tar table (metadata.json + Avro manifests + dv.puffin + data
+    parquet) -> v3 merge-on-read totals; None on any chain
+    violation (section doc)."""
+    from gmall_flink_210726_spark.operators.avro import (
+        read_avro_container,
+    )
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 3:
+        return None  # DVs are a v3 feature
+    data_manifest = files.get(meta.get("data-manifest", ""))
+    dv_manifest = files.get(meta.get("delete-manifest", ""))
+    if data_manifest is None or dv_manifest is None:
+        return None
+    got = read_avro_container(data_manifest)
+    if got is None:
+        return None
+    data_entries, _, _ = got
+    got2 = read_avro_container(dv_manifest)
+    if got2 is None:
+        return None
+    dv_entries, _, _ = got2
+    # parse every referenced puffin ONCE; blobs keyed by offset
+    puffins: dict[str, dict[tuple[int, int], dict]] = {}
+    dvs: dict[str, tuple[list[int], int]] = {}
+    for ent in dv_entries:
+        try:
+            df = ent["delete_file"]
+            path = df["file_path"]
+            ref = df["referenced_data_file"]
+            off = df["content_offset"]
+            ln = df["content_size_in_bytes"]
+            card = df["record_count"]
+        except (TypeError, KeyError):
+            return None
+        if df.get("content") != 2:
+            return None  # 2 = deletion vector
+        if path not in puffins:
+            blob = files.get(path)
+            if blob is None:
+                return None
+            parsed = parse_puffin(blob)
+            if parsed is None:
+                return None
+            index: dict[tuple[int, int], dict] = {}
+            for bm, payload in parsed["blobs"]:
+                index[(bm["offset"], bm["length"])] = {
+                    "meta": bm,
+                    "payload": payload,
+                }
+            puffins[path] = index
+        hit = puffins[path].get((off, ln))
+        if hit is None:
+            return None  # manifest range must name a REAL blob
+        bm = hit["meta"]
+        if bm.get("type") != "deletion-vector-v1":
+            return None
+        props = bm.get("properties", {})
+        if props.get("referenced-data-file") != ref:
+            return None  # the blob must describe THIS data file
+        if str(card) != props.get("cardinality"):
+            return None
+        positions = decode_dv_blob(hit["payload"], card)
+        if positions is None:
+            return None
+        if ref in dvs:
+            return None  # at most one DV per data file (v3 rule)
+        dvs[ref] = (positions, card)
+    total_rows = deleted = live_rows = live_sum = 0
+    n_data = 0
+    for ent in data_entries:
+        try:
+            df = ent["data_file"]
+            path = df["file_path"]
+            rows = df["record_count"]
+        except (TypeError, KeyError):
+            return None
+        blob = files.get(path)
+        if blob is None or len(blob) != df.get("file_size_in_bytes"):
+            return None
+        col = read_parquet_column_k(blob, collect_values=True)
+        if col is None or col["n_values"] != rows:
+            return None
+        n_data += 1
+        total_rows += rows
+        vals = col["values"]
+        positions, card = dvs.get(path, ([], 0))
+        if positions and positions[-1] >= rows:
+            return None  # a delete past the file's end
+        dead = set(positions)
+        deleted += len(dead)
+        for j, v in enumerate(vals):
+            if j not in dead:
+                live_rows += 1
+                live_sum += v
+    return {
+        "n_data_files": n_data,
+        "n_dvs": len(dvs),
+        "total_rows": total_rows,
+        "deleted_rows": deleted,
+        "live_rows": live_rows,
+        "live_k_sum": live_sum,
+    }
+
+
+def iceberg_dv_stats(df: DataFrame) -> DataFrame:
+    """v3 DV merge-on-read scan over MEDIA_SCHEMA tar blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in ICEBERG_DV_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_iceberg_dv_scan(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="iceberg", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ICEBERG_DV_SCHEMA
+    )
+
+
+def _dv_file_rows(i: int, f: int) -> int:
+    return 20 + (i + 9 * f) % 60
+
+
+def _dv_kval(i: int, f: int, j: int) -> int:
+    return (i * 3 + f * 19 + 5 * j) % 1000
+
+
+def _dv_positions(i: int, f: int, rows: int) -> list[int]:
+    return sorted({(i + 3 * f + 7 * t) % rows for t in range(rows // 4)})
+
+
+def _make_iceberg_dv_table(i: int) -> bytes:
+    """``2 + i % 2`` data files; file 0 always carries a DV, file 1
+    too on odd ids (so two-DV tables exist and the offset-swap lie
+    has a target).
+    Lies: every 13th id flips one CRC byte inside the puffin DV blob
+    (framing catches it), every 17th-miss id overstates a DV's
+    cardinality in manifest AND blob properties consistently (the
+    roaring decode's own count exposes it), every 19th-miss id's
+    manifest content_offset is shifted to the OTHER blob's range
+    (the referenced-data-file cross-check refuses)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import zlib
+
+    from gmall_flink_210726_spark.operators.avro import (
+        make_avro_container,
+    )
+    from gmall_flink_210726_spark.operators.roaring import (
+        rbm_array_encode,
+    )
+
+    nf = 2 + i % 2
+    members: list[tuple[str, bytes]] = []
+    data_entries = []
+    dv_specs = []  # (ref_path, positions)
+    for f in range(nf):
+        rows = _dv_file_rows(i, f)
+        kv = [_dv_kval(i, f, j) for j in range(rows)]
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({"k": pa.array(kv, pa.int64())}),
+            buf,
+            write_statistics=False,
+            use_dictionary=False,
+        )
+        blob = buf.getvalue()
+        path = f"data/part-{f}.parquet"
+        members.append((path, blob))
+        data_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "data_file": {
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": rows,
+                    "file_size_in_bytes": len(blob),
+                },
+            }
+        )
+        if f == 0 or (f == 1 and i % 2 == 1):
+            dv_specs.append((path, _dv_positions(i, f, rows)))
+    # build the puffin with one DV blob per spec
+    blobs = []
+    for spec_no, (ref, positions) in enumerate(dv_specs):
+        vec = rbm_array_encode(positions)
+        payload = (
+            struct.pack(">I", len(vec))
+            + vec
+            + struct.pack(">I", zlib.crc32(vec))
+        )
+        card = len(positions)
+        if i % 17 == 0 and i % 13 != 0 and spec_no == 0:
+            card += 1  # consistent manifest+properties lie
+        blobs.append(
+            (
+                {
+                    "type": "deletion-vector-v1",
+                    "fields": [2147483546],
+                    "snapshot-id": 1,
+                    "sequence-number": 1,
+                    "properties": {
+                        "referenced-data-file": ref,
+                        "cardinality": str(card),
+                    },
+                },
+                payload,
+            )
+        )
+    puf = bytearray(make_puffin(blobs, compress_footer=i % 2 == 1))
+    parsed = parse_puffin(bytes(puf))
+    dv_entries = []
+    for (bm, _payload), (ref, positions) in zip(
+        parsed["blobs"], dv_specs
+    ):
+        card = int(bm["properties"]["cardinality"])
+        off, ln = bm["offset"], bm["length"]
+        dv_entries.append(
+            {
+                "status": 1,
+                "delete_file": {
+                    "content": 2,
+                    "file_path": "dv.puffin",
+                    "referenced_data_file": ref,
+                    "content_offset": off,
+                    "content_size_in_bytes": ln,
+                    "record_count": card,
+                },
+            }
+        )
+    if i % 13 == 0:
+        # flip the last CRC byte of the FIRST DV blob in place
+        bm0 = parsed["blobs"][0][0]
+        at = bm0["offset"] + bm0["length"] - 1
+        puf[at] ^= 0x55
+    if i % 19 == 0 and i % 13 != 0 and i % 17 != 0 and len(dv_entries) >= 2:
+        # point DV 0's manifest range at DV 1's blob
+        dv_entries[0]["delete_file"]["content_offset"] = dv_entries[1][
+            "delete_file"
+        ]["content_offset"]
+        dv_entries[0]["delete_file"]["content_size_in_bytes"] = (
+            dv_entries[1]["delete_file"]["content_size_in_bytes"]
+        )
+    from gmall_flink_210726_spark.operators.iceberg import (
+        MANIFEST_SCHEMA,
+    )
+
+    members.append(("dv.puffin", bytes(puf)))
+    members.append(
+        (
+            "meta/data-m0.avro",
+            make_avro_container(MANIFEST_SCHEMA, data_entries),
+        )
+    )
+    members.append(
+        (
+            "meta/dv-m0.avro",
+            make_avro_container(MANIFEST_DV_SCHEMA, dv_entries),
+        )
+    )
+    members.append(
+        (
+            "v3.metadata.json",
+            json.dumps(
+                {
+                    "format-version": 3,
+                    "table-uuid": f"tbl-{i}",
+                    "data-manifest": "meta/data-m0.avro",
+                    "delete-manifest": "meta/dv-m0.avro",
+                }
+            ).encode(),
+        )
+    )
+    parts = []
+    for name, pl in members:
+        pad = (-len(pl)) % _BLOCK
+        parts.append(_make_header(name, len(pl)) + pl + b"\x00" * pad)
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_iceberg_dv_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of v3 DV tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_dv_table(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -107,3 +107,53 @@ class TestNdvTrustChain:
         catch the dropped value."""
         assert read_puffin_ndv(_make_puffin_table(17)) is None
         assert read_puffin_ndv(_make_puffin_table(34)) is None
+
+
+class TestIcebergDv:
+    """v3 deletion vectors in Puffin: framing, trust chain, and
+    merge-on-read subtraction."""
+
+    def test_dv_blob_framing(self):
+        import struct
+        import zlib
+
+        from gmall_flink_210726_spark.operators.puffin import (
+            decode_dv_blob,
+        )
+        from gmall_flink_210726_spark.operators.roaring import (
+            rbm_array_encode,
+        )
+
+        pos = [1, 5, 9, 1000, (1 << 32) + 3]
+        vec = rbm_array_encode(pos)
+        assert vec[:4] == b"\xd1\xd3\x39\x64"  # the shared magic
+        payload = (
+            struct.pack(">I", len(vec))
+            + vec
+            + struct.pack(">I", zlib.crc32(vec))
+        )
+        assert decode_dv_blob(payload, len(pos)) == pos
+        # length lie
+        bad = struct.pack(">I", len(vec) + 1) + payload[4:]
+        assert decode_dv_blob(bad, len(pos)) is None
+        # crc flip
+        bad2 = bytearray(payload)
+        bad2[-1] ^= 1
+        assert decode_dv_blob(bytes(bad2), len(pos)) is None
+        # cardinality lie
+        assert decode_dv_blob(payload, len(pos) + 1) is None
+
+    def test_scan_stripes(self):
+        from gmall_flink_210726_spark.operators.puffin import (
+            _make_iceberg_dv_table,
+            read_iceberg_dv_scan,
+        )
+
+        for i in (1, 2, 3, 4, 5):
+            assert read_iceberg_dv_scan(
+                _make_iceberg_dv_table(i)
+            ) is not None, i
+        for i in (13, 17, 19):  # crc / cardinality / range swap
+            assert read_iceberg_dv_scan(
+                _make_iceberg_dv_table(i)
+            ) is None, i
