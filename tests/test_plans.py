@@ -1043,5 +1043,6 @@ class TestRound13PlanShapes:
             "multimodal_orc_double",
             "multimodal_cdx_lookup",
             "lakehouse_puffin_ndv",
+            "lakehouse_iceberg_dv_puffin",
         ):
             self._assert_pure_map(spark, name)
