@@ -93,7 +93,9 @@ def _logical_kind(schema) -> tuple[str, str] | None:
         if prec <= 0 or scale < 0 or scale > prec:
             return None
         if t == "fixed":
-            size = int(schema["size"])
+            size = schema.get("size")
+            if not isinstance(size, int) or size <= 0:
+                return None  # malformed fixed: annotation ignored
             # max precision representable in size bytes (spec rule)
             if prec > len(str(2 ** (8 * size - 1) - 1)):
                 return None
@@ -345,7 +347,8 @@ def read_avro_container(
             if br.pos != br.end:
                 return None  # records must consume the block exactly
             n_blocks += 1
-    except (ValueError, KeyError, UnicodeDecodeError):
+    except (ValueError, KeyError, UnicodeDecodeError,
+            TypeError, OverflowError):
         return None
     return records, codec, n_blocks
 
@@ -861,7 +864,8 @@ def read_avro_resolved(
             if br.pos != br.end:
                 return None
             n_blocks += 1
-    except (ValueError, KeyError, UnicodeDecodeError):
+    except (ValueError, KeyError, UnicodeDecodeError,
+            TypeError, OverflowError):
         return None
     return records, codec, n_blocks
 

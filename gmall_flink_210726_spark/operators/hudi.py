@@ -71,9 +71,9 @@ def read_hudi_snapshot(data: bytes, asof: str | None = None) -> dict | None:
         if not name.startswith(".hoodie/"):
             continue
         base = name[len(".hoodie/") :]
-        if base.endswith(".commit.inflight") or base.endswith(
-            ".commit.requested"
-        ):
+        # Real Hudi names a commit-action inflight instant bare
+        # "<ts>.inflight" (no action infix); accept both spellings.
+        if base.endswith((".inflight", ".requested")):
             inflight += 1
         elif base.endswith(".commit"):
             ts = base[: -len(".commit")]

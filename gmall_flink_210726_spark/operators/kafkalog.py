@@ -748,7 +748,14 @@ def _make_kafka_txn_segment(i: int) -> bytes:
         marker(p, 0 if (i + p) % 3 == 0 else 1)
     blob = bytearray(b"".join(parts))
     if i % 11 == 0 and i % 17 != 0 and i % 19 != 0:
-        blob[73] ^= 0x55  # inside the first batch's records region
+        # Flip a byte INSIDE the first batch's CRC-covered region
+        # (attributes onward = frame offset 61+): computed from the
+        # batch's actual length, not a hard-coded offset, so the
+        # stripe stays a CRC degrade even if the fixture's first
+        # batch ever shrinks.
+        (first_len,) = struct.unpack_from(">i", blob, 8)
+        flip = max(21, min(73, 12 + first_len - 1))
+        blob[flip] ^= 0x55
     return bytes(blob)
 
 

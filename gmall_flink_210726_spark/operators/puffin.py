@@ -86,8 +86,7 @@ def parse_puffin(data: bytes) -> dict | None:
         meta.get("blobs"), list
     ):
         return None
-    blobs = []
-    prev_end = 4  # blob region starts after the leading magic
+    spans = []
     for bm in meta["blobs"]:
         if not isinstance(bm, dict):
             return None
@@ -95,9 +94,18 @@ def parse_puffin(data: bytes) -> dict | None:
         ln = bm.get("length")
         if not isinstance(off, int) or not isinstance(ln, int):
             return None
+        spans.append((off, ln))
+    # The spec mandates in-region, non-overlapping blobs but does NOT
+    # require footer metadata order to match physical order — check
+    # the tiling on an offset-sorted view, keep footer order below.
+    prev_end = 4  # blob region starts after the leading magic
+    for off, ln in sorted(spans):
         if off < prev_end or ln <= 0 or off + ln > footer_magic_at:
-            return None  # ascending, non-overlapping, in-region
+            return None  # non-overlapping, in-region
         prev_end = off + ln
+    blobs = []
+    for bm in meta["blobs"]:
+        off, ln = bm["offset"], bm["length"]
         raw = data[off : off + ln]
         codec = bm.get("compression-codec")
         if codec == "lz4":

@@ -328,3 +328,28 @@ class TestLogicalTypes:
             assert (st is None) == (i % 9 == 0 or i % 13 == 0), i
             if st is not None:
                 assert st["lt_ignored"] == int(i % 6 == 0), i
+
+
+class TestMalformedLogicalSchema:
+    def test_nonnumeric_fixed_size_ignored_not_crash(self):
+        """A fixed-decimal whose size is not an int must be treated
+        as an ignored annotation, not raise TypeError (ADVICE r13)."""
+        from gmall_flink_210726_spark.operators.avro import _logical_kind
+
+        assert _logical_kind(
+            {
+                "type": "fixed",
+                "size": "four",
+                "logicalType": "decimal",
+                "precision": 4,
+                "scale": 1,
+            }
+        ) is None
+        assert _logical_kind(
+            {
+                "type": "fixed",
+                "size": 0,
+                "logicalType": "decimal",
+                "precision": 4,
+            }
+        ) is None

@@ -281,3 +281,21 @@ class TestDecodeWebBytes:
         # declared utf-16 WITH a BOM: the BOM wins over the label
         raw = t.encode("utf-16")  # FF FE + LE
         assert decode_web_bytes(raw, "utf-16be")[0] == t
+
+
+class TestMetaPrescanComments:
+    def test_meta_in_comment_ignored(self):
+        """WHATWG prescan: a <meta charset> inside an HTML comment is
+        not a declaration (ADVICE r13)."""
+        from gmall_flink_210726_spark.operators.charset import (
+            sniff_meta_charset,
+        )
+
+        body = b"<!-- <meta charset=koi8-r> --><p>x</p>"
+        assert sniff_meta_charset(body) is None
+        # unclosed comment eats the rest of the window
+        body2 = b"<!-- <meta charset=koi8-r> <p>x</p>"
+        assert sniff_meta_charset(body2) is None
+        # a real declaration after a comment still fires
+        body3 = b"<!-- hi --><meta charset=windows-1252><p>x</p>"
+        assert sniff_meta_charset(body3) == "windows-1252"

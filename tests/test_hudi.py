@@ -60,3 +60,29 @@ class TestTimeline:
         assert read_hudi_snapshot(
             _make_hudi_table(2), asof="20230101000000"
         ) is None
+
+
+class TestBareInflightSpelling:
+    def test_bare_inflight_counted(self):
+        """Real Hudi names a commit-action inflight instant bare
+        <ts>.inflight (no action infix) — counted too (ADVICE r13)."""
+        import tarfile
+        import io
+
+        blob = _make_hudi_table(1)
+        # append a bare-inflight member via the same tar helpers
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+
+        name = ".hoodie/20240104000000.inflight"
+        payload = b"{}"
+        pad = (-len(payload)) % _BLOCK
+        extra = _make_header(name, len(payload)) + payload + b"\x00" * pad
+        cooked = blob[: -2 * _BLOCK] + extra + b"\x00" * (2 * _BLOCK)
+        st0 = read_hudi_snapshot(blob)
+        st1 = read_hudi_snapshot(cooked)
+        assert st0 is not None and st1 is not None
+        assert st1["n_inflight"] == st0["n_inflight"] + 1
+        assert st1["total_rows"] == st0["total_rows"]

@@ -157,3 +157,31 @@ class TestIcebergDv:
             assert read_iceberg_dv_scan(
                 _make_iceberg_dv_table(i)
             ) is None, i
+
+
+class TestFooterOrderIndependence:
+    def test_reordered_footer_entries_parse(self):
+        """The spec mandates non-overlapping in-region blobs but not
+        that footer metadata order match physical order — a reordered
+        footer must still parse (ADVICE r13)."""
+        bm1 = {"type": "t1", "fields": [1], "properties": {}}
+        bm2 = {"type": "t1", "fields": [2], "properties": {}}
+        puf = make_puffin([(bm1, b"aaaa"), (bm2, b"bbbb")])
+        meta_start = puf.index(b'{"blobs"')
+        payload = puf[meta_start : len(puf) - 12]
+        meta = json.loads(payload)
+        meta["blobs"].reverse()
+        fp = json.dumps(meta).encode()
+        cooked = (
+            puf[: meta_start - 4]
+            + b"PFA1"
+            + fp
+            + struct.pack("<I", len(fp))
+            + struct.pack("<I", 0)
+            + b"PFA1"
+        )
+        got = parse_puffin(cooked)
+        assert got is not None and len(got["blobs"]) == 2
+        # footer order preserved in the result
+        assert got["blobs"][0][1] == b"bbbb"
+        assert got["blobs"][1][1] == b"aaaa"
