@@ -1,0 +1,101 @@
+r"""LLM-pipeline wave 19: round-14 lakehouse + format depth.
+
+Round-13 brief items (VERDICT r13 "Next round"): Hudi merge-on-read
+log replay, Confluent Schema-Registry / Avro single-object framing,
+Delta column mapping, Puffin wired into the Iceberg metadata walk,
+Delta version checksum files, fragmented MP4, FLAC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_flink_210726_spark.registry import register
+from gmall_flink_210726_spark.sources.batch import load_table
+
+
+@register(
+    "lakehouse_hudi_mor",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 2 + doc_id % 3 AS ng
+                 FROM documents),
+    g AS (SELECT i, ng, unnest(range(0, ng)) AS gg FROM ids),
+    r AS (SELECT i, ng, gg,
+                 unnest(range(0, 8 + (i + 3 * gg) % 9)) AS rr
+          FROM g),
+    v AS (SELECT i, ng, rr, (i % 2 = 0) AS ev,
+                 (7 * i + 11 * gg + 5 * rr) % 1000 AS k1,
+                 (7 * i + 11 * gg + 5 * rr + 311) % 1000 AS k2,
+                 (7 * i + 11 * gg + 5 * rr + 577) % 1000 AS k4
+          FROM r),
+    m AS (SELECT i, ng, ev,
+                 CASE WHEN ev AND rr % 4 = 1 THEN TRUE
+                      WHEN rr % 5 = 4 THEN FALSE
+                      ELSE TRUE END AS live,
+                 CASE WHEN ev AND rr % 4 = 1 THEN k4
+                      WHEN rr % 3 = 0 THEN k2
+                      ELSE k1 END AS kv
+          FROM v),
+    a AS (SELECT i, MAX(ng) AS ng,
+                 MAX(CASE WHEN ev THEN 1 ELSE 0 END) AS ev,
+                 CAST(SUM(CASE WHEN live THEN 1 ELSE 0 END)
+                      AS BIGINT) AS total_rows,
+                 CAST(SUM(CASE WHEN live THEN kv ELSE 0 END)
+                      AS BIGINT) AS k_sum
+          FROM m GROUP BY i),
+    b AS (SELECT *, (i % 13 = 0 OR i % 17 = 0) AS bad FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'hudi' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 + ev END AS BIGINT)
+             AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_inflight,
+           CAST(CASE WHEN bad THEN 0 ELSE ng END AS BIGINT)
+             AS n_groups,
+           CAST(CASE WHEN bad THEN 0 ELSE ng * (2 + ev) END
+                AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN bad THEN 0
+                     WHEN i % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_corrupt,
+           CAST(CASE WHEN bad THEN 0 ELSE total_rows END AS BIGINT)
+             AS total_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE k_sum END AS BIGINT)
+             AS k_sum
+    FROM b
+    """,
+    doc="Hudi MERGE-ON-READ — the upsert-heavy half of the third "
+    "table format (hudi.apache.org 'Table & Query Types' / "
+    "HoodieLogFormat): per file group, the latest base parquet is "
+    "merged at read with its HoodieLogFormat delta-log blocks "
+    "(#HUDI# magic, u64 size, version, type, header map, content, "
+    "trailing total-length) — AVRO data blocks upsert by record "
+    "key via the schema-driven Avro datum decoder, DELETE blocks "
+    "remove HoodieKeys, a COMMAND/ROLLBACK block neutralizes its "
+    "TARGET instant's earlier blocks (Hudi's only protection "
+    "against a FAILED writer's orphan blocks: the fixture plants a "
+    "complete orphan data block at T3 with no timeline instant and "
+    "rolls it back at T4 — a naive reader that applies it gets the "
+    "wrong k_sum), blocks stamped NEWER than the latest completed "
+    "instant are skipped (pending ingestion), and a "
+    "size-inconsistent frame degrades to a CORRUPT block exactly as "
+    "HoodieLogFileReader recovers: scan to the next magic, count "
+    "it, keep reading. At 100 TB only the few-KB timeline and the "
+    "touched file group's log blocks are read on top of the base "
+    "file — the whole walk is one Arrow-batched map stage, no "
+    "shuffle. Trust: deltacommit stats must name real log files "
+    "with exact sizes (13th ids lie - refused), a well-framed data "
+    "block lying about its record count refuses (17th ids), base "
+    "numWrites re-proven against the parquet decode. "
+    "operators/hudi.py read_hudi_mor_snapshot",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_210726_spark.operators.hudi import (
+        hudi_mor_stats,
+        synthesize_hudi_mor_media,
+    )
+
+    media = synthesize_hudi_mor_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return hudi_mor_stats(media)

@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm16,
         llm17,
         llm18,
+        llm19,
         streamq,
         streamq2,
         streamq3,

@@ -1046,3 +1046,25 @@ class TestRound13PlanShapes:
             "lakehouse_iceberg_dv_puffin",
         ):
             self._assert_pure_map(spark, name)
+
+
+class TestRound14PlanShapes:
+    """Round-14 decode walks: per-blob stateless mapInPandas chains
+    over the documents scan — no join, no aggregation, zero shuffles;
+    at 100 TB each is embarrassingly parallel."""
+
+    def _assert_pure_map(self, spark, name):
+        plan = (
+            SPECS[name]
+            .fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "MapInPandas" in plan, name
+        for op in ("Join", "Aggregate", "Exchange", "Sort"):
+            assert op not in plan, (name, op)
+
+    def test_round14_walks_are_pure_maps(self, spark):
+        for name in ("lakehouse_hudi_mor",):
+            self._assert_pure_map(spark, name)
