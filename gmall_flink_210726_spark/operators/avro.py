@@ -1239,3 +1239,139 @@ def synthesize_avro_logical_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Parsing Canonical Form + CRC-64-AVRO (Rabin) schema fingerprints +
+# single-object encoding (Avro 1.11 spec 'Schema Fingerprints' /
+# 'Single-object encoding')
+# --------------------------------------------------------------------------
+
+_PRIMITIVES = {
+    "null",
+    "boolean",
+    "int",
+    "long",
+    "float",
+    "double",
+    "bytes",
+    "string",
+}
+
+
+def parsing_canonical_form(schema, namespace: str | None = None) -> str:
+    """Avro 'Parsing Canonical Form': fullnames, only the defining
+    attributes (in the spec's fixed key order: name, type, fields,
+    symbols, items, values, size), minimal JSON. The transformation
+    the spec defines fingerprints over."""
+
+    def full(name: str, ns: str | None) -> str:
+        return name if "." in name or not ns else f"{ns}.{name}"
+
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return json.dumps(schema)
+        return json.dumps(full(schema, namespace))
+    if isinstance(schema, list):
+        return (
+            "["
+            + ",".join(
+                parsing_canonical_form(s, namespace) for s in schema
+            )
+            + "]"
+        )
+    if not isinstance(schema, dict):
+        raise ValueError("avro: bad schema node")
+    t = schema["type"]
+    if t in _PRIMITIVES:
+        return json.dumps(t)
+    ns = schema.get("namespace", namespace)
+    if t == "record":
+        name = json.dumps(full(schema["name"], ns))
+        fields = ",".join(
+            '{"name":%s,"type":%s}'
+            % (
+                json.dumps(f["name"]),
+                parsing_canonical_form(f["type"], ns),
+            )
+            for f in schema["fields"]
+        )
+        return '{"name":%s,"type":"record","fields":[%s]}' % (
+            name,
+            fields,
+        )
+    if t == "enum":
+        return '{"name":%s,"type":"enum","symbols":[%s]}' % (
+            json.dumps(full(schema["name"], ns)),
+            ",".join(json.dumps(s) for s in schema["symbols"]),
+        )
+    if t == "fixed":
+        return '{"name":%s,"type":"fixed","size":%d}' % (
+            json.dumps(full(schema["name"], ns)),
+            int(schema["size"]),
+        )
+    if t == "array":
+        return '{"type":"array","items":%s}' % parsing_canonical_form(
+            schema["items"], ns
+        )
+    if t == "map":
+        return '{"type":"map","values":%s}' % parsing_canonical_form(
+            schema["values"], ns
+        )
+    raise ValueError(f"avro: cannot canonicalize {t!r}")
+
+
+# the spec's CRC-64-AVRO polynomial: fingerprint of the empty stream
+_EMPTY64 = 0xC15D213AA4D7A795
+_FP_TABLE: list[int] | None = None
+
+
+def rabin_fingerprint64(buf: bytes) -> int:
+    """CRC-64-AVRO (the spec's 64-bit Rabin fingerprint): table-driven
+    right-shift CRC with both the initial value and the polynomial
+    equal to the spec constant 0xC15D213AA4D7A795."""
+    global _FP_TABLE
+    if _FP_TABLE is None:
+        tbl = []
+        for i in range(256):
+            fp = i
+            for _ in range(8):
+                fp = (fp >> 1) ^ (_EMPTY64 if fp & 1 else 0)
+            tbl.append(fp)
+        _FP_TABLE = tbl
+    fp = _EMPTY64
+    for b in buf:
+        fp = (fp >> 8) ^ _FP_TABLE[(fp ^ b) & 0xFF]
+    return fp
+
+
+def schema_fingerprint(schema) -> int:
+    """CRC-64-AVRO of the schema's Parsing Canonical Form (the
+    fingerprint single-object encoding embeds)."""
+    return rabin_fingerprint64(
+        parsing_canonical_form(schema).encode("utf-8")
+    )
+
+
+_SO_MAGIC = b"\xc3\x01"
+
+
+def encode_single_object(schema, datum) -> bytes:
+    """Avro single-object encoding: C3 01 marker + 8-byte
+    LITTLE-endian CRC-64-AVRO schema fingerprint + the binary datum."""
+    return (
+        _SO_MAGIC
+        + struct.pack("<Q", schema_fingerprint(schema))
+        + _enc_datum(schema, datum)
+    )
+
+
+def decode_single_object_frame(
+    value: bytes,
+) -> tuple[int, bytes] | None:
+    """Single-object frame -> (fingerprint, datum bytes); None when
+    the marker is absent or the frame is too short."""
+    if len(value) < 10 or value[:2] != _SO_MAGIC:
+        return None
+    (fp,) = struct.unpack_from("<Q", value, 2)
+    return fp, value[10:]

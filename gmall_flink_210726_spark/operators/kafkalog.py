@@ -1018,3 +1018,327 @@ def synthesize_kafka_indexed_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Schema-Registry payloads: Confluent wire framing + Avro
+# single-object encoding over RecordBatch v2 values
+# --------------------------------------------------------------------------
+#
+# The dominant real-world Kafka payload conventions (the reference's
+# consumers, util/MyKafkaUtil.java:32-37, would hit these first):
+#
+# - Confluent wire format (docs.confluent.io 'Wire format'): value =
+#   magic byte 0x00 + 4-byte BIG-endian schema id + Avro binary
+#   datum; the id resolves against the schema registry;
+# - Avro single-object encoding (Avro 1.11 spec): value = C3 01 +
+#   8-byte LITTLE-endian CRC-64-AVRO fingerprint of the writer
+#   schema's Parsing Canonical Form + Avro binary datum.
+#
+# Either way the consumer decodes with WRITER schema = the resolved
+# one and READER schema = the subject's latest version (schema
+# evolution end-to-end: int->long promotion + defaulted added
+# fields). An unknown schema id or fingerprint REFUSES — guessing a
+# schema fabricates data.
+
+KAFKA_REG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_v1", LongType()),
+        StructField("n_v2", LongType()),
+        StructField("n_confluent", LongType()),
+        StructField("n_single_object", LongType()),
+        StructField("value_sum", LongType()),
+    ]
+)
+
+_REG_V1 = {
+    "type": "record",
+    "name": "Evt",
+    "fields": [{"name": "a", "type": "int"}],
+}
+_REG_V2 = {
+    "type": "record",
+    "name": "Evt",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "long", "default": 5},
+    ],
+}
+
+
+def read_kafka_avro_registry(data: bytes) -> dict | None:
+    """Tar(registry.json, segment .log) -> per-topic decode stats
+    with every record value resolved through the registry (module
+    section doc); None on any framing, registry, or resolution
+    violation."""
+    import json as _json
+
+    from gmall_flink_210726_spark.operators.avro import (
+        _decode_resolved,
+        decode_single_object_frame,
+        schema_fingerprint,
+    )
+    from gmall_flink_210726_spark.operators.parquetmeta import _Reader
+    from gmall_flink_210726_spark.operators.wds import _iter_tar_members
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    reg_raw = files.get("registry.json")
+    seg = next(
+        (v for k, v in files.items() if k.endswith(".log")), None
+    )
+    if reg_raw is None or seg is None:
+        return None
+    try:
+        reg = _json.loads(reg_raw.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    versions = reg.get("versions")
+    latest = reg.get("latest")
+    if not isinstance(versions, dict) or not isinstance(latest, int):
+        return None
+    by_id: dict[int, tuple[int, dict]] = {}
+    by_fp: dict[int, tuple[int, dict]] = {}
+    for vstr, entry in versions.items():
+        if (
+            not vstr.isdigit()
+            or not isinstance(entry, dict)
+            or not isinstance(entry.get("id"), int)
+            or not isinstance(entry.get("schema"), dict)
+        ):
+            return None
+        ver = int(vstr)
+        sch = entry["schema"]
+        by_id[entry["id"]] = (ver, sch)
+        try:
+            by_fp[schema_fingerprint(sch)] = (ver, sch)
+        except (ValueError, KeyError, TypeError):
+            return None
+    if str(latest) not in versions:
+        return None
+    reader_schema = versions[str(latest)]["schema"]
+    n_records = n_v1 = n_v2 = n_conf = n_so = value_sum = 0
+    try:
+        for _pos, _bo, attrs, _lod, _pid, rcount, body in _iter_batches(
+            seg
+        ):
+            if attrs & 0x20:
+                return None  # control batches don't belong here
+            recs = _parse_v2_records(body, rcount)
+            if recs is None:
+                return None
+            for rec in recs:
+                v = rec["value"]
+                if not v:
+                    return None
+                if v[0] == 0x00:
+                    if len(v) < 5:
+                        return None
+                    (sid,) = struct.unpack_from(">I", v, 1)
+                    hit = by_id.get(sid)
+                    if hit is None:
+                        return None  # unregistered schema id
+                    datum = v[5:]
+                    n_conf += 1
+                else:
+                    frame = decode_single_object_frame(v)
+                    if frame is None:
+                        return None
+                    fp, datum = frame
+                    hit = by_fp.get(fp)
+                    if hit is None:
+                        return None  # unknown fingerprint
+                    n_so += 1
+                ver, wsch = hit
+                r = _Reader(datum, 0, len(datum))
+                try:
+                    val = _decode_resolved(r, wsch, reader_schema)
+                except (ValueError, KeyError, TypeError):
+                    return None
+                if r.pos != r.end:
+                    return None
+                if ver == 1:
+                    n_v1 += 1
+                elif ver == 2:
+                    n_v2 += 1
+                value_sum += int(val["a"]) + int(val["b"])
+                n_records += 1
+    except ValueError:
+        return None
+    return {
+        "n_records": n_records,
+        "n_v1": n_v1,
+        "n_v2": n_v2,
+        "n_confluent": n_conf,
+        "n_single_object": n_so,
+        "value_sum": value_sum,
+    }
+
+
+def kafka_avro_registry_stats(df: DataFrame) -> DataFrame:
+    """Registry-resolved Avro decode over MEDIA_SCHEMA tar blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in KAFKA_REG_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_kafka_avro_registry(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="avro_registry", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, KAFKA_REG_SCHEMA
+    )
+
+
+def _enc_value_record(rel: int, key: bytes | None, value: bytes) -> bytes:
+    """One v2 record frame around caller-provided key/value bytes."""
+    body = bytearray(b"\x00")
+    body += _zz_enc(rel)  # timestampDelta
+    body += _zz_enc(rel)  # offsetDelta
+    if key is None:
+        body += _zz_enc(-1)
+    else:
+        body += _zz_enc(len(key)) + key
+    body += _zz_enc(len(value)) + value
+    body += _zz_enc(0)  # headers
+    return _zz_enc(len(body)) + bytes(body)
+
+
+def _make_kafka_registry_tar(i: int) -> bytes:
+    """Tar(registry.json, 00000000000000000000.log): ``12 + i % 9``
+    messages; message m is written with schema v2 when (i+m)%3==0
+    (else v1, whose datum resolves through int->long promotion and
+    the b=5 default) and framed Confluent-style when (i+m)%2==0
+    (else Avro single-object). Stripes: every 13th id frames one
+    message with unregistered schema id 9 (refused); every
+    17th-miss id flips one bit of a single-object fingerprint
+    (refused); every 19th-miss id points the registry's ``latest``
+    at a version that does not exist (refused)."""
+    import json as _json
+
+    from gmall_flink_210726_spark.operators.avro import (
+        _enc_datum,
+        encode_single_object,
+    )
+    from gmall_flink_210726_spark.operators.tar import (
+        _BLOCK,
+        _make_header,
+    )
+
+    n_msgs = 12 + i % 9
+    # the lies must land on a message of the matching framing
+    last_conf = max(m for m in range(n_msgs) if (i + m) % 2 == 0)
+    last_so = max(m for m in range(n_msgs) if (i + m) % 2 == 1)
+    values = []
+    for m in range(n_msgs):
+        a = (3 * i + 7 * m) % 1000
+        is_v2 = (i + m) % 3 == 0
+        if is_v2:
+            datum_schema, datum = _REG_V2, {
+                "a": a,
+                "b": (5 * i + 11 * m) % 100,
+            }
+        else:
+            datum_schema, datum = _REG_V1, {"a": a}
+        if (i + m) % 2 == 0:
+            sid = 2 if is_v2 else 1
+            if i % 13 == 0 and m == last_conf:
+                sid = 9  # unregistered
+            v = (
+                b"\x00"
+                + struct.pack(">I", sid)
+                + _enc_datum(datum_schema, datum)
+            )
+        else:
+            v = bytearray(encode_single_object(datum_schema, datum))
+            if i % 17 == 0 and i % 13 != 0 and m == last_so:
+                v[2] ^= 0x01  # fingerprint lie
+            v = bytes(v)
+        values.append(v)
+    parts = []
+    base = 0
+    while base < n_msgs:
+        chunk = values[base : base + 5]
+        recs = b"".join(
+            _enc_value_record(j, str(base + j).encode(), v)
+            for j, v in enumerate(chunk)
+        )
+        parts.append(_enc_batch(base, recs, len(chunk), 0, -1))
+        base += len(chunk)
+    latest = 2
+    if i % 19 == 0 and i % 13 != 0 and i % 17 != 0:
+        latest = 3  # dangling latest pointer
+    registry = _json.dumps(
+        {
+            "subject": "events-value",
+            "latest": latest,
+            "versions": {
+                "1": {"id": 1, "schema": _REG_V1},
+                "2": {"id": 2, "schema": _REG_V2},
+            },
+        }
+    ).encode()
+    members = [
+        ("registry.json", registry),
+        ("00000000000000000000.log", b"".join(parts)),
+    ]
+    out = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        out.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(out) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_kafka_registry_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of registry+segment tars."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_kafka_registry_tar(int(x)) for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "kafka",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

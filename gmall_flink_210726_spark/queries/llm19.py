@@ -99,3 +99,79 @@ def lakehouse_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     )
     return hudi_mor_stats(media)
+
+
+@register(
+    "multimodal_kafka_avro_registry",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 12 + doc_id % 9 AS n
+                 FROM documents),
+    m AS (SELECT i, n, unnest(range(0, n)) AS mm FROM ids),
+    v AS (SELECT i, n, mm,
+                 ((i + mm) % 3 = 0) AS isv2,
+                 ((i + mm) % 2 = 0) AS conf,
+                 (3 * i + 7 * mm) % 1000 AS a,
+                 CASE WHEN (i + mm) % 3 = 0
+                      THEN (5 * i + 11 * mm) % 100
+                      ELSE 5 END AS b
+          FROM m),
+    a AS (SELECT i, MAX(n) AS n,
+                 CAST(SUM(CASE WHEN isv2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_v2,
+                 CAST(SUM(CASE WHEN conf THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_confluent,
+                 CAST(SUM(a + b) AS BIGINT) AS value_sum
+          FROM v GROUP BY i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown'
+                ELSE 'avro_registry' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
+             AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE n - n_v2 END AS BIGINT)
+             AS n_v1,
+           CAST(CASE WHEN bad THEN 0 ELSE n_v2 END AS BIGINT)
+             AS n_v2,
+           CAST(CASE WHEN bad THEN 0 ELSE n_confluent END AS BIGINT)
+             AS n_confluent,
+           CAST(CASE WHEN bad THEN 0 ELSE n - n_confluent END
+                AS BIGINT) AS n_single_object,
+           CAST(CASE WHEN bad THEN 0 ELSE value_sum END AS BIGINT)
+             AS value_sum
+    FROM b
+    """,
+    doc="Confluent Schema-Registry wire framing + Avro SINGLE-OBJECT "
+    "encoding — the two real-world Kafka payload conventions "
+    "(docs.confluent.io 'Wire format'; Avro 1.11 spec "
+    "'Single-object encoding'), composed end-to-end with the "
+    "RecordBatch v2 segment walk and the schema-RESOLUTION decoder: "
+    "magic 0x00 + u32BE schema id resolved against the registry, or "
+    "C3 01 + u64LE CRC-64-AVRO fingerprint of the writer schema's "
+    "Parsing Canonical Form (both canonicalization and the Rabin "
+    "CRC-64 hand-implemented from the spec; the table-driven CRC is "
+    "pinned on Avro's published \"int\" test fingerprint "
+    "0x7275d51a3f395c8f). Every message decodes with writer = the "
+    "resolved schema and reader = the subject's LATEST version, so "
+    "schema evolution (int->long promotion + defaulted added field) "
+    "runs across a topic's mixed-version history. An unregistered "
+    "schema id, an unknown fingerprint, or a dangling latest "
+    "pointer REFUSES - resolving against a guessed schema would "
+    "fabricate data. One Arrow-batched map stage, no shuffle. "
+    "operators/kafkalog.py read_kafka_avro_registry, "
+    "operators/avro.py parsing_canonical_form/rabin_fingerprint64",
+    tags=("llm", "multimodal"),
+)
+def multimodal_kafka_avro_registry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        kafka_avro_registry_stats,
+        synthesize_kafka_registry_media,
+    )
+
+    media = synthesize_kafka_registry_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return kafka_avro_registry_stats(media)

@@ -353,3 +353,87 @@ class TestMalformedLogicalSchema:
                 "precision": 4,
             }
         ) is None
+
+
+class TestFingerprints:
+    def test_rabin_spec_vectors(self):
+        """CRC-64-AVRO pinned on Avro's shared fingerprint test data:
+        the canonical form of "int" fingerprints to
+        0x7275d51a3f395c8f, and the empty stream to the polynomial
+        constant itself."""
+        from gmall_flink_210726_spark.operators.avro import (
+            rabin_fingerprint64,
+            schema_fingerprint,
+        )
+
+        assert rabin_fingerprint64(b"") == 0xC15D213AA4D7A795
+        assert schema_fingerprint("int") == 0x7275D51A3F395C8F
+        assert schema_fingerprint({"type": "int"}) == 0x7275D51A3F395C8F
+
+    def test_canonical_form_rules(self):
+        """Fullnames, attribute stripping, fixed key order, minimal
+        JSON (spec 'Parsing Canonical Form')."""
+        from gmall_flink_210726_spark.operators.avro import (
+            parsing_canonical_form,
+        )
+
+        s = {
+            "type": "record",
+            "name": "Evt",
+            "namespace": "com.x",
+            "doc": "ignored",
+            "aliases": ["Old"],
+            "fields": [
+                {"name": "a", "type": {"type": "int"}, "default": 0},
+                {
+                    "name": "tags",
+                    "type": {"type": "array", "items": "string"},
+                },
+            ],
+        }
+        assert parsing_canonical_form(s) == (
+            '{"name":"com.x.Evt","type":"record","fields":['
+            '{"name":"a","type":"int"},'
+            '{"name":"tags","type":{"type":"array","items":"string"}}]}'
+        )
+        # nested named types inherit the enclosing namespace
+        s2 = {
+            "type": "record",
+            "name": "R",
+            "namespace": "ns",
+            "fields": [
+                {
+                    "name": "e",
+                    "type": {
+                        "type": "enum",
+                        "name": "E",
+                        "symbols": ["A", "B"],
+                    },
+                }
+            ],
+        }
+        assert '"name":"ns.E"' in parsing_canonical_form(s2)
+
+    def test_single_object_roundtrip(self):
+        from gmall_flink_210726_spark.operators.avro import (
+            _decode_value,
+            decode_single_object_frame,
+            encode_single_object,
+            schema_fingerprint,
+        )
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _Reader,
+        )
+
+        sch = {
+            "type": "record",
+            "name": "E",
+            "fields": [{"name": "a", "type": "long"}],
+        }
+        frame = encode_single_object(sch, {"a": -42})
+        assert frame[:2] == b"\xc3\x01"
+        fp, datum = decode_single_object_frame(frame)
+        assert fp == schema_fingerprint(sch)
+        r = _Reader(datum, 0, len(datum))
+        assert _decode_value(r, sch) == {"a": -42}
+        assert decode_single_object_frame(b"\xc3\x02xxxxxxxxxx") is None

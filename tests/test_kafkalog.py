@@ -236,3 +236,59 @@ class TestOffsetIndex:
         assert read_kafka_indexed_lookup(
             _make_kafka_indexed_segment(1), 10_000
         ) is None
+
+
+class TestAvroRegistry:
+    def test_model_and_stripes(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _make_kafka_registry_tar,
+            read_kafka_avro_registry,
+        )
+
+        for i in (1, 2, 3, 4, 5, 6):
+            st = read_kafka_avro_registry(_make_kafka_registry_tar(i))
+            assert st is not None, i
+            n = 12 + i % 9
+            assert st["n_records"] == n
+            assert (
+                st["n_confluent"] + st["n_single_object"] == n
+            )
+            assert st["n_v1"] + st["n_v2"] == n
+            want = sum(
+                (3 * i + 7 * m) % 1000
+                + (
+                    (5 * i + 11 * m) % 100
+                    if (i + m) % 3 == 0
+                    else 5
+                )
+                for m in range(n)
+            )
+            assert st["value_sum"] == want, i
+        # unregistered id / flipped fingerprint / dangling latest
+        for i in (13, 26, 17, 34, 19, 38):
+            assert (
+                read_kafka_avro_registry(_make_kafka_registry_tar(i))
+                is None
+            ), i
+
+    def test_v1_resolution_through_v2_reader(self):
+        """A v1-written datum (int a) resolves through the v2 reader:
+        a promoted to long, b filled from its default."""
+        from gmall_flink_210726_spark.operators.avro import (
+            _decode_resolved,
+            _enc_datum,
+        )
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _REG_V1,
+            _REG_V2,
+        )
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            _Reader,
+        )
+
+        datum = _enc_datum(_REG_V1, {"a": 123})
+        r = _Reader(datum, 0, len(datum))
+        assert _decode_resolved(r, _REG_V1, _REG_V2) == {
+            "a": 123,
+            "b": 5,
+        }

@@ -1066,5 +1066,8 @@ class TestRound14PlanShapes:
             assert op not in plan, (name, op)
 
     def test_round14_walks_are_pure_maps(self, spark):
-        for name in ("lakehouse_hudi_mor",):
+        for name in (
+            "lakehouse_hudi_mor",
+            "multimodal_kafka_avro_registry",
+        ):
             self._assert_pure_map(spark, name)
