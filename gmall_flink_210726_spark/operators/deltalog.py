@@ -79,11 +79,17 @@ def _collect_commits(
 
 def _replay_state(
     commits: dict[int, bytes],
+    max_reader: int = _MAX_READER_VERSION,
 ) -> tuple[dict[str, tuple[int, int, str, dict]], int, int] | None:
     """Ordered replay -> (live path map, n_adds, n_removes); None on
     any protocol violation (module docstring contract). Each live
     entry carries the add's full parsed ``stats`` dict so skipping
-    layers (minValues/maxValues) can prune without re-parsing."""
+    layers (minValues/maxValues) can prune without re-parsing.
+    ``max_reader`` is the CALLER's capability: only the
+    column-mapping-aware scan may accept minReaderVersion 2 (that is
+    what reader version 2 means in the protocol); every logical-name
+    reader keeps refusing it — reading a mapped table by logical
+    name returns wrong data, not an error."""
     n = len(commits)
     # path -> (size, rows, pv, stats)
     live: dict[str, tuple[int, int, str, dict]] = {}
@@ -106,7 +112,7 @@ def _replay_state(
                     or not isinstance(p.get("minReaderVersion"), int)
                 ):
                     return None
-                if p["minReaderVersion"] > _MAX_READER_VERSION:
+                if p["minReaderVersion"] > max_reader:
                     return None  # forward-compat: refuse, never guess
                 saw_protocol = True
             elif "metaData" in action:
@@ -1156,6 +1162,368 @@ def synthesize_delta_part_media(docs: DataFrame) -> DataFrame:
                     "media_id": ids,
                     "content": [
                         _make_delta_part_table(int(i)) for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "delta",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Column mapping (delta.io/PROTOCOL.md 'Column Mapping'): id + name
+# modes — the Delta twin of Iceberg's field-id evolution (L254)
+# --------------------------------------------------------------------------
+#
+# With ``delta.columnMapping.mode`` set, parquet files store columns
+# under per-field PHYSICAL names (``delta.columnMapping.physicalName``
+# in the schema field metadata), and readers resolve logical columns
+# either by that physical name (``name`` mode) or by parquet field id
+# == ``delta.columnMapping.id`` (``id`` mode).  Resolving by LOGICAL
+# name is wrong the moment a column has ever been renamed: the old
+# physical remnant may still exist under the logical name with stale
+# values — the fixture plants exactly that decoy in every file.
+
+
+def _parse_mapped_schema(md: dict) -> tuple[str, list[dict]] | None:
+    """metaData action -> (mode, [{name, id, physical}]) or None on
+    a malformed schemaString / configuration."""
+    conf = md.get("configuration", {})
+    if not isinstance(conf, dict):
+        return None
+    mode = conf.get("delta.columnMapping.mode", "none")
+    if mode not in ("none", "id", "name"):
+        return None
+    try:
+        sch = json.loads(md["schemaString"])
+    except (TypeError, ValueError, KeyError):
+        return None
+    if not isinstance(sch, dict) or not isinstance(
+        sch.get("fields"), list
+    ):
+        return None
+    fields = []
+    for f in sch["fields"]:
+        if not isinstance(f, dict) or not isinstance(
+            f.get("name"), str
+        ):
+            return None
+        fm = f.get("metadata", {})
+        if not isinstance(fm, dict):
+            return None
+        cid = fm.get("delta.columnMapping.id")
+        phys = fm.get("delta.columnMapping.physicalName")
+        if mode != "none" and (
+            not isinstance(cid, int) or not isinstance(phys, str)
+        ):
+            return None  # mapping mode demands complete metadata
+        fields.append(
+            {"name": f["name"], "id": cid, "physical": phys}
+        )
+    return mode, fields
+
+
+def scan_delta_column_mapped(data: bytes) -> dict | None:
+    """Full table scan under column mapping: log replay, then every
+    live file's logical columns resolved by physical name (``name``
+    mode) or parquet field id (``id`` mode) — never by logical name.
+    None on any protocol/trust violation: a live file missing a
+    mapped column, duplicate field ids, size or numRecords lies."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_leaf_fields,
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    commit_members = []
+    parts: dict[str, bytes] = {}
+    for name, payload in members:
+        if name.startswith("_delta_log/"):
+            commit_members.append((name[len("_delta_log/") :], payload))
+        else:
+            parts[name] = payload
+    commits = _collect_commits(commit_members)
+    if commits is None:
+        return None
+    state = _replay_state(commits, max_reader=2)
+    if state is None:
+        return None
+    live, _n_adds, _n_removes = state
+    # the LATEST metaData action wins (schema evolution)
+    mapped = None
+    for v in range(len(commits)):
+        for line in commits[v].split(b"\n"):
+            if not line.strip():
+                continue
+            try:
+                action = json.loads(line.decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+            if isinstance(action, dict) and "metaData" in action:
+                mapped = _parse_mapped_schema(action["metaData"])
+                if mapped is None:
+                    return None
+    if mapped is None:
+        return None
+    mode, fields = mapped
+    live_rows = 0
+    sums = {f["name"]: 0 for f in fields}
+    for path, (size, rows, _pv, _st) in live.items():
+        blob = parts.get(path)
+        if blob is None or len(blob) != size:
+            return None
+        if mode == "id":
+            leaves = parquet_leaf_fields(blob)
+            if leaves is None:
+                return None
+            by_id: dict[int, bytes] = {}
+            for fid, lname in leaves:
+                if fid is None:
+                    continue
+                if fid in by_id:
+                    return None  # duplicate field id
+                by_id[fid] = lname
+        n_checked = None
+        for f in fields:
+            if mode == "id":
+                col_name = by_id.get(f["id"])
+                if col_name is None:
+                    return None  # mapped id missing from the file
+            elif mode == "name":
+                col_name = f["physical"].encode("utf-8")
+            else:
+                col_name = f["name"].encode("utf-8")
+            col = read_parquet_column_k(blob, name=col_name)
+            if col is None or col["n_values"] != rows:
+                return None
+            sums[f["name"]] += col["k_sum"]
+            n_checked = col["n_values"]
+        if n_checked is None:
+            return None
+        live_rows += rows
+    return {
+        "mode": mode,
+        "n_commits": len(commits),
+        "live_files": len(live),
+        "live_rows": live_rows,
+        "k_sum": sums.get("k", 0),
+        "score_sum": sums.get("score", 0),
+    }
+
+
+DELTA_CM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("mode", StringType()),
+        StructField("n_commits", LongType()),
+        StructField("live_files", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("k_sum", LongType()),
+        StructField("score_sum", LongType()),
+    ]
+)
+
+
+def delta_column_mapping_scan(df: DataFrame) -> DataFrame:
+    """Column-mapped Delta scan over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in DELTA_CM_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(
+                    media_id=int(mid), format="unknown", mode="none"
+                )
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = scan_delta_column_mapped(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="delta", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, DELTA_CM_SCHEMA
+    )
+
+
+def _cm_n(i: int, f: int) -> int:
+    return 8 + (i + 2 * f) % 9
+
+
+def _cm_k(i: int, f: int, r: int) -> int:
+    return (7 * i + 13 * f + 3 * r) % 1000
+
+
+def _cm_s(i: int, f: int, r: int) -> int:
+    return (5 * i + 11 * f + 2 * r) % 500
+
+
+def _make_delta_cm_table(i: int) -> bytes:
+    """Column-mapped Delta table: mode ``id`` on even ids, ``name``
+    on odd. Logical columns ``k`` / ``score`` live physically as
+    ``col-k-<i>`` (id 1) / ``col-score-<i>`` (id 2); EVERY file also
+    carries a DECOY physical column literally named ``k`` (field id
+    99) holding value+1 — the pre-rename remnant a logical-name
+    reader would wrongly read. Commit 0 adds files 0-1, commit 1
+    adds file 2 and removes file 0 when i%3==0. Lies: every 13th
+    id's last file OMITS the mapped k column entirely (schema says
+    it must exist - refused); every 17th-miss id's last add
+    overstates numRecords (refused by the decode)."""
+    from gmall_flink_210726_spark.operators.iceberg2 import _evo_parquet
+
+    mode = "id" if i % 2 == 0 else "name"
+    phys_k = f"col-k-{i}"
+    phys_s = f"col-score-{i}"
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": False,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": phys_k,
+                    },
+                },
+                {
+                    "name": "score",
+                    "type": "long",
+                    "nullable": False,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": phys_s,
+                    },
+                },
+            ],
+        }
+    )
+    members: list[tuple[str, bytes]] = []
+    adds: dict[int, list[bytes]] = {0: [], 1: []}
+    for f in range(3):
+        n = _cm_n(i, f)
+        kv = [_cm_k(i, f, r) for r in range(n)]
+        sv = [_cm_s(i, f, r) for r in range(n)]
+        decoy = [(v + 1) % 1000 for v in kv]
+        cols = [
+            (phys_k, 1, kv),
+            (phys_s, 2, sv),
+            ("k", 99, decoy),  # the pre-rename physical remnant
+        ]
+        if i % 13 == 0 and f == 2:
+            cols = cols[1:]  # mapped k column missing: refuse
+        blob = _evo_parquet(cols)
+        path = f"part-{f:05d}.parquet"
+        members.append((path, blob))
+        rows = n
+        if i % 17 == 0 and i % 13 != 0 and f == 2:
+            rows += 1  # numRecords lie: only the decode catches it
+        adds[0 if f < 2 else 1].append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": path,
+                        "partitionValues": {},
+                        "size": len(blob),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": rows}),
+                    }
+                }
+            ).encode()
+        )
+    c0 = [
+        json.dumps(
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            }
+        ).encode(),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": f"tbl-cm-{i}",
+                    "format": {},
+                    "schemaString": schema_string,
+                    "configuration": {
+                        "delta.columnMapping.mode": mode,
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                }
+            }
+        ).encode(),
+        *adds[0],
+    ]
+    c1 = list(adds[1])
+    if i % 3 == 0:
+        c1.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": "part-00000.parquet",
+                        "deletionTimestamp": 1,
+                        "dataChange": True,
+                    }
+                }
+            ).encode()
+        )
+    members.append(("_delta_log/" + "0" * 20 + ".json", b"\n".join(c0) + b"\n"))
+    members.append(
+        (
+            "_delta_log/" + "0" * 19 + "1.json",
+            b"\n".join(c1) + b"\n",
+        )
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_delta_cm_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of column-mapped Delta tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_delta_cm_table(int(x)) for x in ids
                     ],
                     "meta": [
                         {

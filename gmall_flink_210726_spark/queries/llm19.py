@@ -175,3 +175,75 @@ def multimodal_kafka_avro_registry(
         load_table(spark, sf_dir, "documents")
     )
     return kafka_avro_registry_stats(media)
+
+
+@register(
+    "lakehouse_delta_column_mapping",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i FROM documents),
+    f AS (SELECT i, unnest([0, 1, 2]) AS ff FROM ids),
+    lf AS (SELECT i, ff FROM f
+           WHERE NOT (i % 3 = 0 AND ff = 0)),
+    r AS (SELECT i, ff,
+                 unnest(range(0, 8 + (i + 2 * ff) % 9)) AS rr
+          FROM lf),
+    v AS (SELECT i, ff,
+                 (7 * i + 13 * ff + 3 * rr) % 1000 AS kv,
+                 (5 * i + 11 * ff + 2 * rr) % 500 AS sv
+          FROM r),
+    a AS (SELECT i,
+                 CAST(COUNT(DISTINCT ff) AS BIGINT) AS live_files,
+                 CAST(COUNT(*) AS BIGINT) AS live_rows,
+                 CAST(SUM(kv) AS BIGINT) AS k_sum,
+                 CAST(SUM(sv) AS BIGINT) AS score_sum
+          FROM v GROUP BY i),
+    b AS (SELECT *, (i % 13 = 0 OR i % 17 = 0) AS bad FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CASE WHEN bad THEN 'none'
+                WHEN i % 2 = 0 THEN 'id'
+                ELSE 'name' END AS mode,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE live_files END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE live_rows END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE k_sum END AS BIGINT)
+             AS k_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE score_sum END AS BIGINT)
+             AS score_sum
+    FROM b
+    """,
+    doc="Delta COLUMN MAPPING (delta.io/PROTOCOL.md 'Column "
+    "Mapping') — the Delta twin of Iceberg's field-id evolution "
+    "(L254): with delta.columnMapping.mode set, parquet columns "
+    "live under per-field PHYSICAL names and the scan resolves "
+    "logical columns by physicalName (name mode, odd ids) or by "
+    "parquet field id == columnMapping.id (id mode, even ids), "
+    "never by logical name. The decoy proves it: EVERY file also "
+    "carries a physical column literally named 'k' (the pre-rename "
+    "remnant, field id 99) holding value+1 — a logical-name reader "
+    "silently returns wrong sums, this reader never opens it. "
+    "Reader-version gating is honest: minReaderVersion 2 means "
+    "column mapping, so only this mapping-aware scan accepts it; "
+    "every logical-name scan in the module still refuses v2 tables "
+    "outright. Lies: every 13th id's last file omits the mapped k "
+    "column (schema demands it - refused); every 17th-miss id "
+    "overstates numRecords (refused by the decode). One "
+    "Arrow-batched map stage, no shuffle. operators/deltalog.py "
+    "scan_delta_column_mapped",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_delta_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltalog import (
+        delta_column_mapping_scan,
+        synthesize_delta_cm_media,
+    )
+
+    media = synthesize_delta_cm_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_column_mapping_scan(media)

@@ -358,3 +358,75 @@ class TestPartitionPrune:
             assert scan_delta_table_partition_pruned(
                 _make_delta_part_table(i), "pk", other
             ) is not None, i
+
+
+class TestColumnMapping:
+    def test_model_and_modes(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _cm_k,
+            _cm_n,
+            _cm_s,
+            _make_delta_cm_table,
+            scan_delta_column_mapped,
+        )
+
+        for i in (1, 2, 3, 4, 5, 6):
+            st = scan_delta_column_mapped(_make_delta_cm_table(i))
+            assert st is not None, i
+            assert st["mode"] == ("id" if i % 2 == 0 else "name")
+            lives = [1, 2] if i % 3 == 0 else [0, 1, 2]
+            assert st["live_files"] == len(lives)
+            assert st["k_sum"] == sum(
+                _cm_k(i, f, r)
+                for f in lives
+                for r in range(_cm_n(i, f))
+            )
+            assert st["score_sum"] == sum(
+                _cm_s(i, f, r)
+                for f in lives
+                for r in range(_cm_n(i, f))
+            )
+
+    def test_decoy_column_never_read(self):
+        """The physical remnant named 'k' holds value+1; a
+        logical-name read returns a different sum than the mapped
+        read — proving resolution goes through the mapping."""
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _iter_tar_members,
+            _make_delta_cm_table,
+        )
+        from gmall_flink_210726_spark.operators.parquetmeta import (
+            read_parquet_column_k,
+        )
+
+        m = dict(_iter_tar_members(_make_delta_cm_table(1)))
+        blob = m["part-00000.parquet"]
+        naive = read_parquet_column_k(blob, name=b"k")
+        mapped = read_parquet_column_k(blob, name=b"col-k-1")
+        assert naive is not None and mapped is not None
+        assert naive["k_sum"] != mapped["k_sum"]
+
+    def test_reader_version_gate(self):
+        """A v2 (column-mapped) table refuses under every
+        logical-name scan; only the mapping-aware scan reads it."""
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_cm_table,
+            scan_delta_column_mapped,
+            scan_delta_table,
+        )
+
+        blob = _make_delta_cm_table(1)
+        assert scan_delta_table(blob) is None
+        assert scan_delta_column_mapped(blob) is not None
+
+    def test_trust_refusals(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_cm_table,
+            scan_delta_column_mapped,
+        )
+
+        for i in (13, 26, 17, 34):
+            assert (
+                scan_delta_column_mapped(_make_delta_cm_table(i))
+                is None
+            ), i

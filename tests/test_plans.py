@@ -1069,5 +1069,6 @@ class TestRound14PlanShapes:
         for name in (
             "lakehouse_hudi_mor",
             "multimodal_kafka_avro_registry",
+            "lakehouse_delta_column_mapping",
         ):
             self._assert_pure_map(spark, name)
