@@ -824,3 +824,397 @@ def synthesize_iceberg_dv_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Puffin bound into the Iceberg metadata walk: table-metadata
+# ``statistics`` entries resolved PER SNAPSHOT (iceberg spec 'Table
+# Statistics') — the composition gap the standalone NDV walk left
+# --------------------------------------------------------------------------
+
+
+def read_iceberg_stats_bound(data: bytes) -> dict | None:
+    """Tar table -> the CURRENT snapshot's statistics file resolved
+    through ``metadata.json``'s ``statistics`` list (snapshot-id
+    binding), then the full NDV trust chain: the entry's
+    file-size/footer-size books against the actual Puffin bytes, the
+    entry's blob-metadata against the Puffin footer's own (type,
+    fields, snapshot-id), the claimed ndv against the payload's
+    strictly-ascending books, and finally against the DISTINCT count
+    of the snapshot's actual data decoded through the manifest
+    chain. A STALE statistics file for an older snapshot rides in
+    every table — binding by snapshot-id is what keeps it unread."""
+    from gmall_flink_210726_spark.operators.avro import (
+        read_avro_container,
+    )
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    snap_id = meta.get("current-snapshot-id")
+    snaps = meta.get("snapshots")
+    stats_list = meta.get("statistics")
+    if (
+        not isinstance(snap_id, int)
+        or not isinstance(snaps, list)
+        or not isinstance(stats_list, list)
+    ):
+        return None
+    snap = next(
+        (
+            s
+            for s in snaps
+            if isinstance(s, dict) and s.get("snapshot-id") == snap_id
+        ),
+        None,
+    )
+    if snap is None:
+        return None
+    bound = [
+        st
+        for st in stats_list
+        if isinstance(st, dict) and st.get("snapshot-id") == snap_id
+    ]
+    if len(bound) != 1:
+        return None  # exactly one statistics file per snapshot
+    st = bound[0]
+    stale_ndvs = []
+    for other in stats_list:
+        if other is st:
+            continue
+        blobs_meta = other.get("blob-metadata")
+        if not isinstance(blobs_meta, list) or len(blobs_meta) != 1:
+            return None
+        try:
+            stale_ndvs.append(
+                int(blobs_meta[0]["properties"]["ndv"])
+            )
+        except (KeyError, ValueError, TypeError):
+            return None
+    puf = files.get(st.get("statistics-path"))
+    if puf is None or len(puf) != st.get("file-size-in-bytes"):
+        return None
+    parsed = parse_puffin(puf)
+    if parsed is None or len(parsed["blobs"]) != 1:
+        return None
+    # footer books: magic + payload + payload-size + flags + magic
+    (psize,) = struct.unpack_from("<I", puf, len(puf) - 12)
+    if st.get("file-footer-size-in-bytes") != psize + 16:
+        return None
+    bm, payload = parsed["blobs"][0]
+    decl = st.get("blob-metadata")
+    if not isinstance(decl, list) or len(decl) != 1:
+        return None
+    d = decl[0]
+    if (
+        d.get("type") != bm.get("type")
+        or d.get("fields") != bm.get("fields")
+        or d.get("snapshot-id") != bm.get("snapshot-id")
+        or bm.get("snapshot-id") != snap_id
+    ):
+        return None  # the blob must describe THIS snapshot
+    if bm.get("type") != "deterministic-distinct-v1":
+        return None
+    try:
+        ndv = int(bm["properties"]["ndv"])
+        ndv_decl = int(d["properties"]["ndv"])
+    except (KeyError, ValueError, TypeError):
+        return None
+    if ndv != ndv_decl:
+        return None
+    if len(payload) % 8:
+        return None
+    vals = [
+        struct.unpack_from(">q", payload, o)[0]
+        for o in range(0, len(payload), 8)
+    ]
+    if any(b <= a for a, b in zip(vals, vals[1:])):
+        return None
+    if len(vals) != ndv:
+        return None
+    # the snapshot's actual data, through the manifest chain
+    mlist_blob = files.get(snap.get("manifest-list"))
+    if mlist_blob is None:
+        return None
+    got = read_avro_container(mlist_blob)
+    if got is None:
+        return None
+    mlist, _, _ = got
+    distinct: set[int] = set()
+    n_rows = 0
+    try:
+        for mf in mlist:
+            blob = files.get(mf["manifest_path"])
+            if blob is None or len(blob) != mf["manifest_length"]:
+                return None
+            g2 = read_avro_container(blob)
+            if g2 is None:
+                return None
+            entries, _, _ = g2
+            for ent in entries:
+                if ent["status"] == 2:
+                    continue
+                df = ent["data_file"]
+                pq_blob = files.get(df["file_path"])
+                if (
+                    pq_blob is None
+                    or len(pq_blob) != df["file_size_in_bytes"]
+                ):
+                    return None
+                col = read_parquet_column_k(
+                    pq_blob, collect_values=True
+                )
+                if col is None or col["n_values"] != df["record_count"]:
+                    return None
+                distinct.update(col["values"])
+                n_rows += col["n_values"]
+    except (TypeError, KeyError, ValueError):
+        return None
+    if distinct != set(vals):
+        return None  # the sketch vs the snapshot's REAL data
+    return {
+        "n_snapshots": len(snaps),
+        "ndv": ndv,
+        "stale_ndv": max(stale_ndvs) if stale_ndvs else 0,
+        "n_rows": n_rows,
+    }
+
+
+ICEBERG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_snapshots", LongType()),
+        StructField("ndv", LongType()),
+        StructField("stale_ndv", LongType()),
+        StructField("n_rows", LongType()),
+    ]
+)
+
+
+def iceberg_stats_bound(df: DataFrame) -> DataFrame:
+    """Snapshot-bound Puffin statistics walk over MEDIA_SCHEMA."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in ICEBERG_STATS_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_iceberg_stats_bound(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="iceberg", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ICEBERG_STATS_SCHEMA
+    )
+
+
+def _stats_kvals(i: int) -> list[int]:
+    n = 40 + i % 60
+    return [(i * 7 + 3 * r) % 97 for r in range(n)]
+
+
+def _make_iceberg_stats_table(i: int) -> bytes:
+    """Two snapshots: S1 (old) and S2 (current), each with a full
+    manifest chain and its own Puffin statistics file resolved via
+    ``metadata.json``'s ``statistics`` list. The S1 stats file is
+    the DECOY: it truthfully describes S1's data, whose ndv is
+    constructed to always differ from S2's — a reader that grabs any
+    stats file instead of binding by snapshot-id reports stale_ndv.
+    Lies: every 13th id's S2 entry (and blob) claims ndv+1 (payload
+    books refuse); every 17th-miss id lies about file-size-in-bytes
+    (refused); every 19th-miss id points the S2 entry at the S1
+    FILE (its blob snapshot-id disagrees - refused)."""
+    from gmall_flink_210726_spark.operators.avro import (
+        make_avro_container,
+    )
+    from gmall_flink_210726_spark.operators.iceberg import (
+        MANIFEST_SCHEMA,
+        MLIST_SCHEMA,
+    )
+
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    s1, s2 = 800 + i, 900 + i
+    kv2 = _stats_kvals(i)
+    distinct2 = sorted(set(kv2))
+    ndv2 = len(distinct2)
+    d_old = ndv2 + 1 + i % 7  # provably != ndv2
+    distinct1 = [2000 + 3 * r for r in range(d_old)]
+    kv1 = distinct1 + [distinct1[0]]
+
+    def data_pq(kv):
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({"k": pa.array(kv, pa.int64())}),
+            buf,
+            write_statistics=False,
+            use_dictionary=False,
+        )
+        return buf.getvalue()
+
+    members: list[tuple[str, bytes]] = []
+
+    def chain(tag, snap_id, kv):
+        blob = data_pq(kv)
+        dpath = f"data/{tag}.parquet"
+        members.append((dpath, blob))
+        manifest = make_avro_container(
+            MANIFEST_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "file_path": dpath,
+                        "file_format": "PARQUET",
+                        "record_count": len(kv),
+                        "file_size_in_bytes": len(blob),
+                    },
+                }
+            ],
+        )
+        members.append((f"meta/m-{tag}.avro", manifest))
+        mlist = make_avro_container(
+            MLIST_SCHEMA,
+            [
+                {
+                    "manifest_path": f"meta/m-{tag}.avro",
+                    "manifest_length": len(manifest),
+                    "partition_spec_id": 0,
+                    "added_files_count": 1,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                }
+            ],
+        )
+        mlp = f"meta/snap-{tag}.avro"
+        members.append((mlp, mlist))
+        return mlp
+
+    ml1 = chain("old", s1, kv1)
+    ml2 = chain("cur", s2, kv2)
+
+    def stats_file(snap_id, distinct, ndv_claim):
+        payload = b"".join(
+            struct.pack(">q", v) for v in distinct
+        )
+        bm = {
+            "type": "deterministic-distinct-v1",
+            "fields": [1],
+            "snapshot-id": snap_id,
+            "sequence-number": 1,
+            "properties": {"ndv": str(ndv_claim)},
+        }
+        return bm, make_puffin([(bm, payload)])
+
+    bm1, puf1 = stats_file(s1, distinct1, d_old)
+    ndv_claim2 = ndv2 + (1 if i % 13 == 0 else 0)
+    bm2, puf2 = stats_file(s2, distinct2, ndv_claim2)
+    members.append(("stats-1.puffin", puf1))
+    members.append(("stats-2.puffin", puf2))
+
+    def entry(snap_id, path, puf, bm):
+        (psize,) = struct.unpack_from("<I", puf, len(puf) - 12)
+        return {
+            "snapshot-id": snap_id,
+            "statistics-path": path,
+            "file-size-in-bytes": len(puf),
+            "file-footer-size-in-bytes": psize + 16,
+            "blob-metadata": [bm],
+        }
+
+    e1 = entry(s1, "stats-1.puffin", puf1, bm1)
+    e2 = entry(s2, "stats-2.puffin", puf2, bm2)
+    if i % 17 == 0 and i % 13 != 0:
+        e2["file-size-in-bytes"] += 1
+    if i % 19 == 0 and i % 13 != 0 and i % 17 != 0:
+        e2["statistics-path"] = "stats-1.puffin"
+        e2["file-size-in-bytes"] = len(puf1)
+        (p1,) = struct.unpack_from("<I", puf1, len(puf1) - 12)
+        e2["file-footer-size-in-bytes"] = p1 + 16
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"tbl-stats-{i}",
+        "current-snapshot-id": s2,
+        "snapshots": [
+            {"snapshot-id": s1, "manifest-list": ml1},
+            {"snapshot-id": s2, "manifest-list": ml2},
+        ],
+        "statistics": [e1, e2],
+    }
+    members.append(
+        ("v3.metadata.json", json.dumps(meta).encode("utf-8"))
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_iceberg_stats_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of two-snapshot Iceberg tables with
+    snapshot-bound Puffin statistics."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_stats_table(int(x)) for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -247,3 +247,61 @@ def lakehouse_delta_column_mapping(
         load_table(spark, sf_dir, "documents")
     )
     return delta_column_mapping_scan(media)
+
+
+@register(
+    "lakehouse_iceberg_stats_binding",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 40 + doc_id % 60 AS n
+                 FROM documents),
+    r AS (SELECT i, n, unnest(range(0, n)) AS rr FROM ids),
+    v AS (SELECT i, n, (i * 7 + 3 * rr) % 97 AS kv FROM r),
+    a AS (SELECT i, MAX(n) AS n,
+                 CAST(COUNT(DISTINCT kv) AS BIGINT) AS ndv
+          FROM v GROUP BY i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS n_snapshots,
+           CAST(CASE WHEN bad THEN 0 ELSE ndv END AS BIGINT) AS ndv,
+           CAST(CASE WHEN bad THEN 0 ELSE ndv + 1 + i % 7 END
+                AS BIGINT) AS stale_ndv,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT) AS n_rows
+    FROM b
+    """,
+    doc="Puffin WIRED INTO the Iceberg metadata walk (iceberg spec "
+    "'Table Statistics') — closes round 13's composition gap: the "
+    "current snapshot's statistics file is resolved through "
+    "metadata.json's statistics list BY SNAPSHOT-ID, with the "
+    "entry's file-size/footer-size books proven against the actual "
+    "Puffin bytes, the declared blob-metadata proven against the "
+    "Puffin footer's own (type, fields, snapshot-id), the claimed "
+    "ndv against the payload's strictly-ascending books, and "
+    "finally against the DISTINCT count of the snapshot's real data "
+    "through the manifest-list -> manifest -> parquet chain. Every "
+    "table also carries a STALE statistics file truthfully "
+    "describing the OLDER snapshot (its ndv constructed to always "
+    "differ) — the stale_ndv output column proves the decoy exists "
+    "and was not the one read. Lies: ndv+1 claim (payload books "
+    "refuse, 13th ids), file-size lie (17th), the current entry "
+    "pointed at the old FILE (blob snapshot-id disagrees - 19th). "
+    "At 100 TB the planner reads a few-KB stats file instead of "
+    "scanning data - but only a BOUND one. operators/puffin.py "
+    "read_iceberg_stats_bound",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_iceberg_stats_binding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.puffin import (
+        iceberg_stats_bound,
+        synthesize_iceberg_stats_media,
+    )
+
+    media = synthesize_iceberg_stats_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_stats_bound(media)

@@ -1070,5 +1070,6 @@ class TestRound14PlanShapes:
             "lakehouse_hudi_mor",
             "multimodal_kafka_avro_registry",
             "lakehouse_delta_column_mapping",
+            "lakehouse_iceberg_stats_binding",
         ):
             self._assert_pure_map(spark, name)

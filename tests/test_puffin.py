@@ -185,3 +185,46 @@ class TestFooterOrderIndependence:
         # footer order preserved in the result
         assert got["blobs"][0][1] == b"bbbb"
         assert got["blobs"][1][1] == b"aaaa"
+
+
+class TestIcebergStatsBinding:
+    def test_model(self):
+        from gmall_flink_210726_spark.operators.puffin import (
+            _make_iceberg_stats_table,
+            _stats_kvals,
+            read_iceberg_stats_bound,
+        )
+
+        for i in (1, 2, 3, 4, 5):
+            st = read_iceberg_stats_bound(_make_iceberg_stats_table(i))
+            assert st is not None, i
+            kv = _stats_kvals(i)
+            assert st["ndv"] == len(set(kv))
+            assert st["stale_ndv"] == len(set(kv)) + 1 + i % 7
+            assert st["stale_ndv"] != st["ndv"]
+            assert st["n_rows"] == len(kv)
+
+    def test_snapshot_binding_is_load_bearing(self):
+        """The stale stats file is internally VALID (it truthfully
+        describes the old snapshot) — only snapshot-id binding keeps
+        it unread. Rebinding the current entry onto it refuses."""
+        from gmall_flink_210726_spark.operators.puffin import (
+            _make_iceberg_stats_table,
+            read_iceberg_stats_bound,
+        )
+
+        # i=19 is exactly that rebinding stripe
+        assert read_iceberg_stats_bound(
+            _make_iceberg_stats_table(19)
+        ) is None
+
+    def test_trust_refusals(self):
+        from gmall_flink_210726_spark.operators.puffin import (
+            _make_iceberg_stats_table,
+            read_iceberg_stats_bound,
+        )
+
+        for i in (13, 26, 17, 34, 38):
+            assert read_iceberg_stats_bound(
+                _make_iceberg_stats_table(i)
+            ) is None, i
