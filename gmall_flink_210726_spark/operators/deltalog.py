@@ -1538,3 +1538,276 @@ def synthesize_delta_cm_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Version checksum files (``_delta_log/V.crc``): the log-level
+# integrity layer real Delta writers emit per commit
+# --------------------------------------------------------------------------
+
+
+def scan_delta_table_checked(data: bytes) -> dict | None:
+    """Full table scan with VERSION CHECKSUM verification: every
+    ``_delta_log/<v>.crc`` present must agree with the post-commit
+    snapshot replayed to that version (numFiles, tableSizeBytes,
+    numMetadata, numProtocol) — a ``.crc`` that disagrees with
+    replay refuses the table (the books-balance layer page/DV CRCs
+    do not cover). Missing ``.crc`` files are tolerated (real logs
+    have gaps); the data-level trust chain of ``scan_delta_table``
+    then runs unchanged."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    commit_members = []
+    crc_files: dict[int, bytes] = {}
+    parts: dict[str, bytes] = {}
+    for name, payload in members:
+        if name.startswith("_delta_log/"):
+            base = name[len("_delta_log/") :]
+            if base.endswith(".crc"):
+                if len(base) != 24 or not base[:20].isdigit():
+                    return None
+                v = int(base[:20])
+                if v in crc_files:
+                    return None
+                crc_files[v] = payload
+            else:
+                commit_members.append((base, payload))
+        else:
+            parts[name] = payload
+    commits = _collect_commits(commit_members)
+    if commits is None:
+        return None
+    if any(v >= len(commits) for v in crc_files):
+        return None  # a checksum for a version that does not exist
+    n_crc = 0
+    for v, payload in sorted(crc_files.items()):
+        try:
+            crc = json.loads(payload.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            return None
+        if not isinstance(crc, dict):
+            return None
+        prefix = {w: commits[w] for w in range(v + 1)}
+        st = _replay_state(prefix)
+        if st is None:
+            return None
+        live_v, _a, _r = st
+        if crc.get("numFiles") != len(live_v):
+            return None
+        if crc.get("tableSizeBytes") != sum(
+            sz for sz, _rows, _pv, _s in live_v.values()
+        ):
+            return None
+        if crc.get("numMetadata") != 1 or crc.get("numProtocol") != 1:
+            return None
+        n_crc += 1
+    state = _replay_state(commits)
+    if state is None:
+        return None
+    live, _n_adds, _n_removes = state
+    live_rows = k_sum = 0
+    for path, (size, rows, _pv, _st) in live.items():
+        blob = parts.get(path)
+        if blob is None or len(blob) != size:
+            return None
+        col = read_parquet_column_k(blob)
+        if col is None or col["n_values"] != rows:
+            return None
+        live_rows += col["n_values"]
+        k_sum += col["k_sum"]
+    return {
+        "n_commits": len(commits),
+        "n_crc": n_crc,
+        "live_files": len(live),
+        "live_rows": live_rows,
+        "k_sum": k_sum,
+    }
+
+
+DELTA_CRC_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_commits", LongType()),
+        StructField("n_crc", LongType()),
+        StructField("live_files", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("k_sum", LongType()),
+    ]
+)
+
+
+def delta_checked_scan(df: DataFrame) -> DataFrame:
+    """Checksum-verified Delta scan over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in DELTA_CRC_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = scan_delta_table_checked(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="delta", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, DELTA_CRC_SCHEMA
+    )
+
+
+def _make_delta_crc_table(i: int) -> bytes:
+    """The ``_make_delta_table`` layout (same add/remove/file math,
+    stats always TRUE) plus a truthful ``V.crc`` per version —
+    except version 1's on every 5th id (gaps tolerated). Lies:
+    every 13th id's LAST crc overstates tableSizeBytes by one;
+    every 17th-miss id's LAST crc overstates numFiles — both refuse
+    even though every commit and part file is individually clean."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        _make_parquet,
+    )
+
+    n_commits = 2 + i % 3
+    members: list[tuple[str, bytes]] = []
+    live: dict[str, int] = {}  # path -> size
+    for v in range(n_commits):
+        lines: list[bytes] = []
+        if v == 0:
+            lines.append(
+                json.dumps(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": 2,
+                        }
+                    }
+                ).encode()
+            )
+            lines.append(
+                json.dumps(
+                    {"metaData": {"id": f"tbl-crc-{i}", "format": {}}}
+                ).encode()
+            )
+            ks = (0, 1)
+        else:
+            ks = (0,)
+        for k in ks:
+            s = _scan_seed(i, v, k)
+            blob = _make_parquet(s, "NONE", bad_stripe=s + 1)
+            path = f"part-{v:05d}-{k}.parquet"
+            members.append((path, blob))
+            live[path] = len(blob)
+            lines.append(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": path,
+                            "partitionValues": {},
+                            "size": len(blob),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                            "stats": json.dumps(
+                                {"numRecords": 10 + s % 90}
+                            ),
+                        }
+                    }
+                ).encode()
+            )
+        if v > 0 and (i + v) % 2 == 0:
+            prev = f"part-{v - 1:05d}-0.parquet"
+            del live[prev]
+            lines.append(
+                json.dumps(
+                    {
+                        "remove": {
+                            "path": prev,
+                            "deletionTimestamp": 1,
+                            "dataChange": True,
+                        }
+                    }
+                ).encode()
+            )
+        members.append(
+            (f"_delta_log/{v:020d}.json", b"\n".join(lines) + b"\n")
+        )
+        # the tolerated gap lands on a NON-last version so it can
+        # never mask the last-version lie stripes
+        gap_v = 0 if n_commits == 2 else 1
+        if v == gap_v and i % 5 == 0:
+            continue
+        size_sum = sum(live.values())
+        n_files = len(live)
+        if v == n_commits - 1:
+            if i % 13 == 0:
+                size_sum += 1
+            elif i % 17 == 0:
+                n_files += 1
+        members.append(
+            (
+                f"_delta_log/{v:020d}.crc",
+                json.dumps(
+                    {
+                        "tableSizeBytes": size_sum,
+                        "numFiles": n_files,
+                        "numMetadata": 1,
+                        "numProtocol": 1,
+                    }
+                ).encode(),
+            )
+        )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_delta_crc_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of checksum-carrying Delta tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_delta_crc_table(int(x)) for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "delta",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

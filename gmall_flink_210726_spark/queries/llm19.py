@@ -305,3 +305,70 @@ def lakehouse_iceberg_stats_binding(
         load_table(spark, sf_dir, "documents")
     )
     return iceberg_stats_bound(media)
+
+
+@register(
+    "lakehouse_delta_version_checksum",
+    oracle="""
+    WITH m AS (SELECT doc_id AS i,
+                      doc_id % 13 = 0 OR doc_id % 17 = 0 AS bad,
+                      2 + doc_id % 3 AS c
+               FROM documents),
+    f AS (SELECT i, c, vv, kk,
+                 (17 * i + 31 * vv + 7 * kk) % 4000 + 1 AS s
+          FROM (SELECT i, c, unnest(range(0, c)) AS vv FROM m),
+               (SELECT unnest([0, 1]) AS kk)
+          WHERE kk = 0 OR vv = 0),
+    liv AS (SELECT i, s
+            FROM f
+            WHERE NOT (kk = 0 AND vv < c - 1 AND (i + vv + 1) % 2 = 0)),
+    rows_per AS (SELECT i, s, 10 + s % 90 AS nrows FROM liv),
+    ks AS (SELECT i, SUM((s * 7 + 3 * rr) % 1000) AS kpart
+           FROM (SELECT i, s, nrows, unnest(range(0, nrows)) AS rr
+                 FROM rows_per)
+           GROUP BY i),
+    ag AS (SELECT rp.i, COUNT(*) AS live_files,
+                  SUM(rp.nrows) AS live_rows
+           FROM rows_per rp GROUP BY rp.i)
+    SELECT m.i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE c END AS BIGINT)
+             AS n_commits,
+           CAST(CASE WHEN bad THEN 0
+                     ELSE c - CASE WHEN m.i % 5 = 0 THEN 1 ELSE 0 END
+                END AS BIGINT) AS n_crc,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.live_files END AS BIGINT)
+             AS live_files,
+           CAST(CASE WHEN bad THEN 0 ELSE ag.live_rows END AS BIGINT)
+             AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE ks.kpart END AS BIGINT)
+             AS k_sum
+    FROM m JOIN ag ON ag.i = m.i JOIN ks ON ks.i = m.i
+    """,
+    doc="Delta VERSION CHECKSUM files — the per-commit "
+    "``_delta_log/V.crc`` JSON real writers emit (tableSizeBytes, "
+    "numFiles, numMetadata, numProtocol), verified against the log "
+    "REPLAYED to that version: the log-level books-balance layer "
+    "that page CRCs and DV checksums do not cover (they prove bytes; "
+    "this proves the SNAPSHOT). A ``.crc`` that disagrees with "
+    "replay refuses the whole table even though every commit and "
+    "part file is individually clean — every 13th id's last crc "
+    "overstates tableSizeBytes by ONE byte, every 17th-miss id's "
+    "overstates numFiles; a missing crc is tolerated (every 5th id "
+    "has a gap, counted in n_crc). The data-level chain "
+    "(size + numRecords vs the hand parquet decode) then runs "
+    "unchanged. operators/deltalog.py scan_delta_table_checked",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_delta_version_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltalog import (
+        delta_checked_scan,
+        synthesize_delta_crc_media,
+    )
+
+    media = synthesize_delta_crc_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_checked_scan(media)

@@ -430,3 +430,53 @@ class TestColumnMapping:
                 scan_delta_column_mapped(_make_delta_cm_table(i))
                 is None
             ), i
+
+
+class TestVersionChecksums:
+    def test_model_and_gap(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_crc_table,
+            scan_delta_table_checked,
+        )
+
+        for i in (1, 2, 3, 4, 5, 10):
+            st = scan_delta_table_checked(_make_delta_crc_table(i))
+            assert st is not None, i
+            c = 2 + i % 3
+            assert st["n_commits"] == c
+            assert st["n_crc"] == c - (1 if i % 5 == 0 else 0)
+
+    def test_crc_disagreement_refuses(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_crc_table,
+            scan_delta_table_checked,
+        )
+
+        # tableSizeBytes +1 / numFiles +1 on otherwise-clean tables
+        for i in (13, 26, 17, 34):
+            assert (
+                scan_delta_table_checked(_make_delta_crc_table(i))
+                is None
+            ), i
+
+    def test_crc_for_missing_version_refuses(self):
+        """A checksum claiming a version the log never reached is a
+        lie about the log's length."""
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _iter_tar_members,
+            _make_delta_crc_table,
+            scan_delta_table_checked,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+
+        blob = _make_delta_crc_table(1)
+        members = list(_iter_tar_members(blob))
+        crc = next(p for n, p in members if n.endswith(".crc"))
+        name = "_delta_log/" + "9" * 20 + ".crc"
+        pad = (-len(crc)) % _BLOCK
+        extra = _make_header(name, len(crc)) + crc + b"\x00" * pad
+        cooked = blob[: -2 * _BLOCK] + extra + b"\x00" * (2 * _BLOCK)
+        assert scan_delta_table_checked(cooked) is None

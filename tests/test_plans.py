@@ -1071,5 +1071,6 @@ class TestRound14PlanShapes:
             "multimodal_kafka_avro_registry",
             "lakehouse_delta_column_mapping",
             "lakehouse_iceberg_stats_binding",
+            "lakehouse_delta_version_checksum",
         ):
             self._assert_pure_map(spark, name)
