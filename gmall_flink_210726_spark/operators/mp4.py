@@ -455,3 +455,448 @@ def synthesize_mp4_sampletables(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Fragmented MP4 (moof/traf/trun): the DASH/CMAF streaming layout
+# (ISO/IEC 14496-12 §8.8) where samples live in per-fragment track
+# runs instead of the moov sample tables
+# --------------------------------------------------------------------------
+
+FMP4_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_tracks", LongType()),
+        StructField("n_fragments", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("total_bytes", LongType()),
+        StructField("total_duration", LongType()),
+        StructField("payload_sum", LongType()),
+    ]
+)
+
+_TF_BASE_IS_MOOF = 0x20000
+_TF_BASE_DATA_OFFSET = 0x01
+_TF_SDESC = 0x02
+_TF_DFLT_DUR = 0x08
+_TF_DFLT_SIZE = 0x10
+_TF_DFLT_FLAGS = 0x20
+_TR_DATA_OFFSET = 0x01
+_TR_FIRST_FLAGS = 0x04
+_TR_DUR = 0x100
+_TR_SIZE = 0x200
+_TR_FLAGS = 0x400
+_TR_CTS = 0x800
+
+
+def _parse_trex(data: bytes, body: int, bend: int) -> dict | None:
+    """mvex walk -> {track_id: (default_duration, default_size)}."""
+    out = {}
+    pos = body
+    while pos < bend:
+        if pos + 8 > bend:
+            return None
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        if size < 8 or pos + size > bend:
+            return None
+        if btype == b"trex":
+            if size != 8 + 24:
+                return None
+            tid, _sdi, dur, sz, _fl = struct.unpack_from(
+                ">IIIII", data, pos + 12
+            )
+            if tid in out:
+                return None
+            out[tid] = (dur, sz)
+        pos += size
+    return out
+
+
+def _parse_traf(data: bytes, body: int, bend: int, trex: dict):
+    """traf box -> (track_id, tfdt, data_offset, [(dur, size)]);
+    raises ValueError on any grammar/flag violation. Only the
+    CMAF-style default-base-is-moof addressing is implemented — a
+    legacy base-data-offset traf refuses rather than guessing."""
+    tid = None
+    tfdt = None
+    dflt_dur = dflt_size = None
+    trun = None
+    pos = body
+    while pos < bend:
+        if pos + 8 > bend:
+            raise ValueError("fmp4: truncated traf child")
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        if size < 8 or pos + size > bend:
+            raise ValueError("fmp4: bad traf child size")
+        p = pos + 8
+        if btype == b"tfhd":
+            (vf,) = struct.unpack_from(">I", data, p)
+            flags = vf & 0xFFFFFF
+            if not flags & _TF_BASE_IS_MOOF:
+                raise ValueError("fmp4: base-is-moof required")
+            if flags & _TF_BASE_DATA_OFFSET:
+                raise ValueError("fmp4: base-data-offset unsupported")
+            (tid,) = struct.unpack_from(">I", data, p + 4)
+            q = p + 8
+            if flags & _TF_SDESC:
+                q += 4
+            if flags & _TF_DFLT_DUR:
+                (dflt_dur,) = struct.unpack_from(">I", data, q)
+                q += 4
+            if flags & _TF_DFLT_SIZE:
+                (dflt_size,) = struct.unpack_from(">I", data, q)
+                q += 4
+            if flags & _TF_DFLT_FLAGS:
+                q += 4
+            if q != pos + size:
+                raise ValueError("fmp4: tfhd size mismatch")
+        elif btype == b"tfdt":
+            ver = data[p]
+            if ver == 0:
+                if size != 16:
+                    raise ValueError("fmp4: tfdt v0 size")
+                (tfdt,) = struct.unpack_from(">I", data, p + 4)
+            elif ver == 1:
+                if size != 20:
+                    raise ValueError("fmp4: tfdt v1 size")
+                (tfdt,) = struct.unpack_from(">Q", data, p + 4)
+            else:
+                raise ValueError("fmp4: tfdt version")
+        elif btype == b"trun":
+            if trun is not None:
+                raise ValueError("fmp4: one trun per traf")
+            (vf,) = struct.unpack_from(">I", data, p)
+            flags = vf & 0xFFFFFF
+            (n_s,) = struct.unpack_from(">I", data, p + 4)
+            if n_s == 0 or n_s > 10_000:
+                raise ValueError("fmp4: absurd sample count")
+            q = p + 8
+            if not flags & _TR_DATA_OFFSET:
+                raise ValueError("fmp4: data-offset required")
+            (doff,) = struct.unpack_from(">i", data, q)
+            q += 4
+            if flags & _TR_FIRST_FLAGS:
+                q += 4
+            per = []
+            for _ in range(n_s):
+                dur = sz = None
+                if flags & _TR_DUR:
+                    (dur,) = struct.unpack_from(">I", data, q)
+                    q += 4
+                if flags & _TR_SIZE:
+                    (sz,) = struct.unpack_from(">I", data, q)
+                    q += 4
+                if flags & _TR_FLAGS:
+                    q += 4
+                if flags & _TR_CTS:
+                    q += 4
+                per.append((dur, sz))
+            if q != pos + size:
+                raise ValueError("fmp4: trun size mismatch")
+            trun = (doff, per)
+        pos += size
+    if tid is None or tfdt is None or trun is None:
+        raise ValueError("fmp4: traf missing tfhd/tfdt/trun")
+    if tid not in trex:
+        raise ValueError("fmp4: traf for unknown track")
+    doff, per = trun
+    samples = []
+    for dur, sz in per:
+        if dur is None:
+            dur = dflt_dur if dflt_dur is not None else trex[tid][0]
+        if sz is None:
+            sz = dflt_size if dflt_size is not None else trex[tid][1]
+        if not dur or not sz:
+            raise ValueError("fmp4: unresolved sample duration/size")
+        samples.append((dur, sz))
+    return tid, tfdt, doff, samples
+
+
+def read_mp4_fragments(data: bytes) -> dict | None:
+    """Fragmented-MP4 walk: ftyp + moov(mvex/trex defaults), then
+    moof/mdat pairs. Trust chain: mfhd sequence numbers must run
+    1..n with no gap, every traf's tfdt must equal the track's
+    accumulated duration, every trun's data offset must land its run
+    exactly where the previous traf's ended (default-base-is-moof
+    addressing), and the runs must TILE the fragment's mdat payload
+    exactly — a trun/mdat disagreement degrades. None on any
+    violation."""
+    if len(data) < 16:
+        return None
+    pos = 0
+    trex = None
+    n_frags = n_samples = total_bytes = total_dur = payload_sum = 0
+    track_time: dict[int, int] = {}
+    seq_expected = 1
+    saw_ftyp = False
+    try:
+        while pos < len(data):
+            if pos + 8 > len(data):
+                return None
+            size, btype = struct.unpack_from(">I4s", data, pos)
+            if size < 8 or pos + size > len(data):
+                return None
+            body, bend = pos + 8, pos + size
+            if btype == b"ftyp":
+                saw_ftyp = True
+            elif btype == b"moov":
+                # descend to mvex for the trex defaults
+                q = body
+                while q < bend:
+                    s2, t2 = struct.unpack_from(">I4s", data, q)
+                    if s2 < 8 or q + s2 > bend:
+                        return None
+                    if t2 == b"mvex":
+                        trex = _parse_trex(data, q + 8, q + s2)
+                        if trex is None:
+                            return None
+                    q += s2
+            elif btype == b"moof":
+                if trex is None:
+                    return None  # fragments before defaults
+                q = body
+                seq = None
+                trafs = []
+                while q < bend:
+                    s2, t2 = struct.unpack_from(">I4s", data, q)
+                    if s2 < 8 or q + s2 > bend:
+                        return None
+                    if t2 == b"mfhd":
+                        if s2 != 16:
+                            return None
+                        (seq,) = struct.unpack_from(
+                            ">I", data, q + 12
+                        )
+                    elif t2 == b"traf":
+                        trafs.append(
+                            _parse_traf(data, q + 8, q + s2, trex)
+                        )
+                    q += s2
+                if seq is None or not trafs:
+                    return None
+                if seq != seq_expected:
+                    return None  # sequence-number gap
+                seq_expected += 1
+                # the paired mdat must follow immediately
+                if bend + 8 > len(data):
+                    return None
+                msize, mtype = struct.unpack_from(">I4s", data, bend)
+                if mtype != b"mdat" or msize < 8 or bend + msize > len(
+                    data
+                ):
+                    return None
+                payload = data[bend + 8 : bend + msize]
+                cum = 0
+                for tid, tfdt, doff, samples in trafs:
+                    if track_time.get(tid, 0) != tfdt:
+                        return None  # decode-time chain broken
+                    if doff != size + 8 + cum:
+                        return None  # run must start where the last ended
+                    run_bytes = sum(s for _d, s in samples)
+                    run_dur = sum(d for d, _s in samples)
+                    cum += run_bytes
+                    track_time[tid] = tfdt + run_dur
+                    n_samples += len(samples)
+                    total_bytes += run_bytes
+                    total_dur += run_dur
+                if cum != len(payload):
+                    return None  # trun/mdat disagreement
+                payload_sum += sum(payload)
+                n_frags += 1
+                pos = bend + msize
+                continue
+            elif btype == b"mdat":
+                return None  # an orphan mdat no moof claimed
+            pos = bend
+    except (ValueError, struct.error):
+        return None
+    if not saw_ftyp or trex is None or n_frags == 0:
+        return None
+    return {
+        "n_tracks": len(trex),
+        "n_fragments": n_frags,
+        "n_samples": n_samples,
+        "total_bytes": total_bytes,
+        "total_duration": total_dur,
+        "payload_sum": payload_sum,
+    }
+
+
+def mp4_fragment_stats(df: DataFrame) -> DataFrame:
+    """fMP4 moof/traf/trun walk over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in FMP4_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_mp4_fragments(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="fmp4", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, FMP4_SCHEMA
+    )
+
+
+def _fmp4_ns(i: int, f: int, t: int) -> int:
+    return 3 + (i + f + t) % 5
+
+
+def _fmp4_size(i: int, f: int, t: int, j: int) -> int:
+    return 20 + (i * 7 + f * 5 + t * 3 + j) % 40
+
+
+def _fmp4_dur(i: int, f: int, j: int) -> int:
+    return 30 + (i + f + j) % 25
+
+
+def _make_fmp4(i: int) -> bytes:
+    """``1 + i % 2`` tracks, ``2 + i % 4`` fragments. Per (fragment,
+    track): when (f+t) is even the trun carries PER-SAMPLE sizes and
+    the duration comes from the tfhd default; when odd, sizes come
+    from the trex default and the trun carries per-sample durations
+    — every resolution path exercised. mdat payload bytes are the
+    LCG (i + 31f + 7p) % 256. Stripes: every 13th id's last mdat is
+    one byte SHORT (trun/mdat disagreement); every 17th-miss id
+    skips a sequence number; every 19th-miss id's last tfdt is off
+    by one — all degrade."""
+    n_tracks = 1 + i % 2
+    n_frags = 2 + i % 4
+    trex_dur = {t: 90 + (i + t) % 20 for t in range(1, n_tracks + 1)}
+    trex_size = {t: 50 + (i + t) % 30 for t in range(1, n_tracks + 1)}
+    ftyp = struct.pack(
+        ">I4s4sI4s4s", 24, b"ftyp", b"cmfc", 0, b"isom", b"cmfc"
+    )
+    trexes = b""
+    for t in range(1, n_tracks + 1):
+        trexes += struct.pack(
+            ">I4sIIIIII", 32, b"trex", 0, t, 1,
+            trex_dur[t], trex_size[t], 0,
+        )
+    mvex = struct.pack(">I4s", 8 + len(trexes), b"mvex") + trexes
+    moov = struct.pack(">I4s", 8 + len(mvex), b"moov") + mvex
+    out = bytearray(ftyp + moov)
+    track_time = {t: 0 for t in range(1, n_tracks + 1)}
+    for f in range(n_frags):
+        seq = f + 1
+        if i % 17 == 0 and i % 13 != 0 and f == n_frags - 1:
+            seq += 1  # sequence gap
+        mfhd = struct.pack(">I4sII", 16, b"mfhd", 0, seq)
+        # first pass: per-traf samples + byte extents
+        plans = []
+        for t in range(1, n_tracks + 1):
+            ns = _fmp4_ns(i, f, t)
+            if (f + t) % 2 == 0:
+                sizes = [_fmp4_size(i, f, t, j) for j in range(ns)]
+                durs = [100 + (i + f) % 20] * ns
+                mode = "sizes"
+            else:
+                sizes = [trex_size[t]] * ns
+                durs = [_fmp4_dur(i, f, j) for j in range(ns)]
+                mode = "durs"
+            plans.append((t, ns, sizes, durs, mode))
+
+        def traf_bytes(t, ns, sizes, durs, mode, doff):
+            tfdt_v = track_time[t]
+            if (
+                i % 19 == 0
+                and i % 13 != 0
+                and i % 17 != 0
+                and f == n_frags - 1
+                and t == plans[-1][0]
+            ):
+                tfdt_v += 1  # decode-time lie
+            if mode == "sizes":
+                tfhd = struct.pack(
+                    ">I4sIII", 20, b"tfhd",
+                    _TF_BASE_IS_MOOF | _TF_DFLT_DUR, t,
+                    100 + (i + f) % 20,
+                )
+                trun = struct.pack(
+                    ">I4sIIi",
+                    20 + 4 * ns, b"trun",
+                    _TR_DATA_OFFSET | _TR_SIZE, ns, doff,
+                ) + struct.pack(f">{ns}I", *sizes)
+            else:
+                tfhd = struct.pack(
+                    ">I4sII", 16, b"tfhd", _TF_BASE_IS_MOOF, t
+                )
+                trun = struct.pack(
+                    ">I4sIIi",
+                    20 + 4 * ns, b"trun",
+                    _TR_DATA_OFFSET | _TR_DUR, ns, doff,
+                ) + struct.pack(f">{ns}I", *durs)
+            tfdt = struct.pack(">I4sII", 16, b"tfdt", 0, tfdt_v)
+            body = tfhd + tfdt + trun
+            return struct.pack(">I4s", 8 + len(body), b"traf") + body
+
+        # moof size is needed for data offsets: compute sizes first
+        # (traf byte length is independent of doff's value)
+        probe = [
+            len(traf_bytes(t, ns, sz, du, mo, 0))
+            for t, ns, sz, du, mo in plans
+        ]
+        moof_size = 8 + len(mfhd) + sum(probe)
+        cum = 0
+        trafs = b""
+        for t, ns, sizes, durs, mode in plans:
+            trafs += traf_bytes(
+                t, ns, sizes, durs, mode, moof_size + 8 + cum
+            )
+            cum += sum(sizes)
+            track_time[t] += sum(durs)
+        moof = struct.pack(">I4s", moof_size, b"moof") + mfhd + trafs
+        payload = bytes(
+            (i + 31 * f + 7 * p) % 256 for p in range(cum)
+        )
+        if i % 13 == 0 and f == n_frags - 1:
+            payload = payload[:-1]  # mdat one byte short
+        mdat = struct.pack(">I4s", 8 + len(payload), b"mdat") + payload
+        out += moof + mdat
+    return bytes(out)
+
+
+def synthesize_fmp4_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of fragmented MP4 blobs."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_make_fmp4(int(x)) for x in ids],
+                    "meta": [
+                        {
+                            "format": "mp4",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

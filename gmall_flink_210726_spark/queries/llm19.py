@@ -372,3 +372,91 @@ def lakehouse_delta_version_checksum(
         load_table(spark, sf_dir, "documents")
     )
     return delta_checked_scan(media)
+
+
+@register(
+    "multimodal_mp4_fragments",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 1 + doc_id % 2 AS nt,
+                        2 + doc_id % 4 AS nf
+                 FROM documents),
+    fr AS (SELECT i, nt, unnest(range(0, nf)) AS f FROM ids),
+    tt AS (SELECT i, f, unnest(range(1, nt + 1)) AS t FROM fr),
+    sj AS (SELECT i, f, t,
+                  unnest(range(0, 3 + (i + f + t) % 5)) AS j
+           FROM tt),
+    sv AS (SELECT i, f, t, j,
+                  CASE WHEN (f + t) % 2 = 0
+                       THEN 20 + (i * 7 + f * 5 + t * 3 + j) % 40
+                       ELSE 50 + (i + t) % 30 END AS sz,
+                  CASE WHEN (f + t) % 2 = 0
+                       THEN 100 + (i + f) % 20
+                       ELSE 30 + (i + f + j) % 25 END AS du
+           FROM sj),
+    fb AS (SELECT i, f, CAST(SUM(sz) AS BIGINT) AS bytes_f,
+                  CAST(SUM(du) AS BIGINT) AS dur_f,
+                  CAST(COUNT(*) AS BIGINT) AS ns_f
+           FROM sv GROUP BY i, f),
+    pb AS (SELECT i, f, unnest(range(0, bytes_f)) AS p FROM fb),
+    psum AS (SELECT i,
+                    CAST(SUM((i + 31 * f + 7 * p) % 256) AS BIGINT)
+                      AS payload_sum
+             FROM pb GROUP BY i),
+    agg AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_fragments,
+                   CAST(SUM(ns_f) AS BIGINT) AS n_samples,
+                   CAST(SUM(bytes_f) AS BIGINT) AS total_bytes,
+                   CAST(SUM(dur_f) AS BIGINT) AS total_duration
+            FROM fb GROUP BY i),
+    b AS (SELECT ids.i, ids.nt, agg.n_fragments, agg.n_samples,
+                 agg.total_bytes, agg.total_duration,
+                 psum.payload_sum,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids JOIN agg ON agg.i = ids.i
+                   JOIN psum ON psum.i = ids.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'fmp4' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nt END AS BIGINT)
+             AS n_tracks,
+           CAST(CASE WHEN bad THEN 0 ELSE n_fragments END AS BIGINT)
+             AS n_fragments,
+           CAST(CASE WHEN bad THEN 0 ELSE n_samples END AS BIGINT)
+             AS n_samples,
+           CAST(CASE WHEN bad THEN 0 ELSE total_bytes END AS BIGINT)
+             AS total_bytes,
+           CAST(CASE WHEN bad THEN 0 ELSE total_duration END
+                AS BIGINT) AS total_duration,
+           CAST(CASE WHEN bad THEN 0 ELSE payload_sum END AS BIGINT)
+             AS payload_sum
+    FROM b
+    """,
+    doc="Fragmented MP4 (ISO/IEC 14496-12 §8.8, the DASH/CMAF "
+    "streaming layout): samples live in per-fragment moof/traf/trun "
+    "runs instead of the moov sample tables — the missing half of "
+    "the video-ingest walk (L139-L140 cover moov-only files). "
+    "Implements trex defaults (mvex), tfhd default-sample-duration/"
+    "size with the default-base-is-moof addressing (the legacy "
+    "base-data-offset path refuses rather than guesses), tfdt "
+    "decode-time chaining, and trun per-sample size/duration "
+    "resolution through all three default levels. Trust chain: "
+    "mfhd sequence numbers must run 1..n (a gap degrades - 17th "
+    "ids), every traf's tfdt must equal the track's accumulated "
+    "duration (19th ids lie), every run must start exactly where "
+    "the previous ended, and the runs must TILE the mdat payload "
+    "(a one-byte-short mdat degrades - 13th ids). payload_sum "
+    "proves the byte spans were actually read. One Arrow-batched "
+    "map stage, no shuffle. operators/mp4.py read_mp4_fragments",
+    tags=("llm", "multimodal"),
+)
+def multimodal_mp4_fragments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.mp4 import (
+        mp4_fragment_stats,
+        synthesize_fmp4_media,
+    )
+
+    media = synthesize_fmp4_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return mp4_fragment_stats(media)

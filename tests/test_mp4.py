@@ -252,3 +252,55 @@ class TestMp4SampleTables:
     def test_foreign_and_empty_degrade(self):
         assert _decode_samples(b"")["codec"].iloc[0] == "unknown"
         assert _decode_samples(b"garbage" * 10)["codec"].iloc[0] == "unknown"
+
+
+class TestFragments:
+    def test_model(self):
+        from gmall_flink_210726_spark.operators.mp4 import (
+            _fmp4_ns,
+            _make_fmp4,
+            read_mp4_fragments,
+        )
+
+        for i in (1, 2, 3, 4, 5, 6):
+            st = read_mp4_fragments(_make_fmp4(i))
+            assert st is not None, i
+            assert st["n_tracks"] == 1 + i % 2
+            assert st["n_fragments"] == 2 + i % 4
+            want = sum(
+                _fmp4_ns(i, f, t)
+                for f in range(2 + i % 4)
+                for t in range(1, 2 + i % 2)
+            )
+            assert st["n_samples"] == want, i
+
+    def test_degrades(self):
+        """mdat short (trun/mdat disagreement), sequence gap, and
+        tfdt decode-time lie all degrade."""
+        from gmall_flink_210726_spark.operators.mp4 import (
+            _make_fmp4,
+            read_mp4_fragments,
+        )
+
+        for i in (13, 26, 17, 34, 19, 38):
+            assert read_mp4_fragments(_make_fmp4(i)) is None, i
+
+    def test_orphan_mdat_refuses(self):
+        import struct
+
+        from gmall_flink_210726_spark.operators.mp4 import (
+            _make_fmp4,
+            read_mp4_fragments,
+        )
+
+        blob = _make_fmp4(1) + struct.pack(">I4s", 12, b"mdat") + b"xxxx"
+        assert read_mp4_fragments(blob) is None
+
+    def test_all_default_levels_exercised(self):
+        """The fixture routes sizes through trun AND trex, durations
+        through tfhd AND trun — prove both branches appear."""
+        from gmall_flink_210726_spark.operators.mp4 import _make_fmp4
+
+        blob = _make_fmp4(2)  # 2 tracks: (f+t) parity hits both
+        assert blob.count(b"trun") >= 2
+        assert b"trex" in blob and b"tfdt" in blob

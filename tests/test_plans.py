@@ -1072,5 +1072,6 @@ class TestRound14PlanShapes:
             "lakehouse_delta_column_mapping",
             "lakehouse_iceberg_stats_binding",
             "lakehouse_delta_version_checksum",
+            "multimodal_mp4_fragments",
         ):
             self._assert_pure_map(spark, name)
