@@ -460,3 +460,72 @@ def multimodal_mp4_fragments(
         load_table(spark, sf_dir, "documents")
     )
     return mp4_fragment_stats(media)
+
+
+@register(
+    "multimodal_flac_frames",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 1 + doc_id % 2 AS ch,
+                        600 + doc_id % 300 AS n
+                 FROM documents),
+    cs AS (SELECT i, ch, n, unnest(range(0, ch)) AS c FROM ids),
+    ks AS (SELECT i, c, unnest(range(0, n)) AS k FROM cs),
+    sv AS (SELECT i,
+                  (7 * i + 13 * c + 5 * k) % 2001 - 1000 AS x
+           FROM ks),
+    a AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sample_sum
+          FROM sv GROUP BY i),
+    b AS (SELECT ids.i, ids.ch, ids.n, a.sample_sum,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids JOIN a ON a.i = ids.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'flac' END AS format,
+           CAST(CASE WHEN bad THEN 0
+                     ELSE ([8000, 16000, 22050, 44100])[i % 4 + 1]
+                END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN bad THEN 0 ELSE ch END AS BIGINT)
+             AS channels,
+           CAST(CASE WHEN bad THEN 0 ELSE 16 END AS BIGINT) AS bps,
+           CAST(CASE WHEN bad THEN 0 ELSE (n + 255) // 256 END
+                AS BIGINT) AS n_frames,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
+             AS n_samples,
+           CAST(CASE WHEN bad THEN 0 ELSE sample_sum END AS BIGINT)
+             AS sample_sum
+    FROM b
+    """,
+    doc="FLAC decode FROM SCRATCH (RFC 9639) — the remaining common "
+    "audio-corpus format after WAV/u-law/ADPCM/MP3: STREAMINFO, "
+    "frame headers with CRC-8 (poly 0x07, pinned on the published "
+    "'123456789' check value 0xF4), subframes CONSTANT / VERBATIM / "
+    "FIXED orders 0-4 / LPC (qlp precision+shift+coefficients), "
+    "Rice residuals with partitioned parameters and the raw-bits "
+    "escape, LEFT/SIDE stereo decorrelation (the side channel "
+    "carries bps+1 bits), per-frame CRC-16 (poly 0x8005, check "
+    "value 0xFEE8), and STREAMINFO's MD5 of the interleaved PCM "
+    "verified against the ACTUALLY-DECODED samples via hashlib — "
+    "the end-to-end bit-exactness proof. No FLAC encoder ships in "
+    "the container, so fixtures come from a separate minimal "
+    "encoder in the module (the L115 synthesize-then-verify "
+    "pattern) rotating every strategy: fixed-1/fixed-2/LPC/verbatim "
+    "by (i+f+c)%4, partition orders 0/1, escape every 7th, "
+    "left/side on odd stereo frames. Stripes: MD5 lie (13th - only "
+    "full decode exposes it), last-frame CRC-16 flip (17th), "
+    "total-samples overstatement (19th) - all refuse. One "
+    "Arrow-batched map stage, no shuffle. operators/flac.py "
+    "read_flac",
+    tags=("llm", "multimodal"),
+)
+def multimodal_flac_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.flac import (
+        flac_stats,
+        synthesize_flac_media,
+    )
+
+    media = synthesize_flac_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return flac_stats(media)

@@ -1073,5 +1073,6 @@ class TestRound14PlanShapes:
             "lakehouse_iceberg_stats_binding",
             "lakehouse_delta_version_checksum",
             "multimodal_mp4_fragments",
+            "multimodal_flac_frames",
         ):
             self._assert_pure_map(spark, name)
