@@ -2315,3 +2315,136 @@ def st32_stream_warc_zstd_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st33_stream_hudi_mor_ingest",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 2 + doc_id % 3 AS ng
+                 FROM documents),
+    g AS (SELECT i, ng, unnest(range(0, ng)) AS gg FROM ids),
+    r AS (SELECT i, ng, gg,
+                 unnest(range(0, 8 + (i + 3 * gg) % 9)) AS rr
+          FROM g),
+    v AS (SELECT i, ng, rr, (i % 2 = 0) AS ev,
+                 (7 * i + 11 * gg + 5 * rr) % 1000 AS k1,
+                 (7 * i + 11 * gg + 5 * rr + 311) % 1000 AS k2,
+                 (7 * i + 11 * gg + 5 * rr + 577) % 1000 AS k4
+          FROM r),
+    m AS (SELECT i, ng, ev,
+                 CASE WHEN ev AND rr % 4 = 1 THEN TRUE
+                      WHEN rr % 5 = 4 THEN FALSE
+                      ELSE TRUE END AS live,
+                 CASE WHEN ev AND rr % 4 = 1 THEN k4
+                      WHEN rr % 3 = 0 THEN k2
+                      ELSE k1 END AS kv
+          FROM v),
+    a AS (SELECT i, MAX(ng) AS ng,
+                 MAX(CASE WHEN ev THEN 1 ELSE 0 END) AS ev,
+                 SUM(CASE WHEN live THEN 1 ELSE 0 END) AS total_rows,
+                 SUM(CASE WHEN live THEN kv ELSE 0 END) AS k_sum
+          FROM m GROUP BY i),
+    b AS (SELECT *, (i % 13 = 0 OR i % 17 = 0) AS bad FROM a)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tables,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE ng * (2 + ev) END)
+                AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE total_rows END)
+                AS BIGINT) AS total_rows,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE k_sum END) AS BIGINT)
+             AS k_sum
+    FROM b GROUP BY 1
+    """,
+    doc="STREAMING Hudi merge-on-read ingest — the round-14 "
+    "headline (HoodieLogFormat block replay, lakehouse_hudi_mor) as "
+    "a Structured Streaming operator: MOR table tars arrive as a "
+    "parquet file stream (32 files, 16 per trigger); the timeline + "
+    "log-block merge runs Arrow-batched ON THE STREAM PLAN (the "
+    "CDC-shaped upsert stream the reference's dim sink implies, "
+    "func/DimSinkFunction.java:28-72, at table-format level), with "
+    "per-epoch per-bucket partials through the checkpointed "
+    "foreachBatch + overwrite-idempotent epoch sink. Per-blob "
+    "stateless; the batch twin's stripes (size lie 13ths, "
+    "record-count lie 17ths, rollback/future-instant semantics) "
+    "carry into n_ok/n_blocks. operators/hudi.py "
+    "read_hudi_mor_snapshot",
+    tags=("streaming", "llm", "lakehouse", "multimodal"),
+)
+def st33_stream_hudi_mor_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.hudi import (
+        hudi_mor_stats,
+        synthesize_hudi_mor_media,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st33_src_")
+    out = tempfile.mkdtemp(prefix="st33_out_")
+    ckpt = tempfile.mkdtemp(prefix="st33_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_hudi_mor_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        merged = hudi_mor_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_tables"),
+                F.sum((F.col("format") == "hudi").cast("long"))
+                .cast("long")
+                .alias("n_ok"),
+                F.sum("n_blocks").cast("long").alias("n_blocks"),
+                F.sum("total_rows").cast("long").alias("total_rows"),
+                F.sum("k_sum").cast("long").alias("k_sum"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            merged, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st33 hudi mor stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_tables").cast("long").alias("n_tables"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_blocks").cast("long").alias("n_blocks"),
+                F.sum("total_rows").cast("long").alias("total_rows"),
+                F.sum("k_sum").cast("long").alias("k_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
