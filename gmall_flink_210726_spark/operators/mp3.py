@@ -230,6 +230,30 @@ def _read_syncsafe(b: bytes, off: int) -> int | None:
     return n
 
 
+def _id3_text(body: bytes) -> str | None:
+    """Text-frame payload -> str per the ID3v2.3 encoding byte:
+    0x00 ISO-8859-1, 0x01 UTF-16 WITH BOM (decoded by the charset
+    chain's strict RFC 2781 walk — a missing BOM or a broken
+    surrogate pair refuses). 0x02/0x03 are ID3v2.4-only and refuse
+    inside a v2.3 tag; anything else is reserved."""
+    if not body:
+        return None
+    enc = body[0]
+    if enc == 0:
+        return body[1:].decode("latin-1")
+    if enc == 1:
+        from gmall_flink_210726_spark.operators.charset import (
+            utf16_decode_strict,
+        )
+
+        got = utf16_decode_strict(body[1:])
+        if got is None:
+            return None
+        cps, _label = got
+        return "".join(map(chr, cps))
+    return None
+
+
 def _parse_id3_mp3(data: bytes) -> dict | None:
     """ID3v2.3 header + text-frame walk, then the MP3 frame walk over
     the remaining audio; None on any grammar violation."""
@@ -259,9 +283,9 @@ def _parse_id3_mp3(data: bytes) -> dict | None:
         if fflags != 0 or fsize < 1 or pos + 10 + fsize > tag_end:
             return None
         body = data[pos + 10 : pos + 10 + fsize]
-        if body[0] != 0:  # encoding byte: ISO-8859-1 only here
+        text = _id3_text(body)
+        if text is None:
             return None
-        text = body[1:].decode("latin-1")
         if fid == b"TIT2":
             title = text
         elif fid == b"TPE1":
@@ -327,16 +351,22 @@ def mp3_id3_tags(df: DataFrame) -> DataFrame:
 
 
 def _make_id3_mp3(i: int) -> bytes:
-    """Deterministic ID3v2.3-tagged MP3: TIT2/TPE1/TRCK text frames
-    (ISO-8859-1), syncsafe tag size, 2 + i % 6 zero-padding bytes,
-    then 3 + i % 5 audio frames at a fixed 128 kbps/44.1 kHz."""
+    """Deterministic ID3v2.3-tagged MP3: TIT2/TPE1/TRCK text frames,
+    syncsafe tag size, 2 + i % 6 zero-padding bytes, then 3 + i % 5
+    audio frames at a fixed 128 kbps/44.1 kHz. The TIT2 title ends
+    in a non-ASCII 'é' and rotates its encoding byte — ISO-8859-1 on
+    even ids, UTF-16-with-BOM on odd — so the decode path, not just
+    the framing, is oracle-pinned."""
 
-    def tframe(fid: bytes, text: str) -> bytes:
-        body = b"\x00" + text.encode("latin-1")
+    def tframe(fid: bytes, text: str, enc: int = 0) -> bytes:
+        if enc == 1:
+            body = b"\x01\xff\xfe" + text.encode("utf-16-le")
+        else:
+            body = b"\x00" + text.encode("latin-1")
         return fid + struct.pack(">IH", len(body), 0) + body
 
     frames = (
-        tframe(b"TIT2", f"track {i % 100}")
+        tframe(b"TIT2", f"track {i % 100}é", enc=i % 2)
         + tframe(b"TPE1", f"artist {i % 10}")
         + tframe(b"TRCK", str(1 + i % 12))
     )

@@ -275,7 +275,8 @@ def multimodal_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_mp3_id3",
     oracle="""
     WITH m AS (SELECT doc_id AS media_id, doc_id % 8 = 0 AS bad,
-                      'track ' || CAST(doc_id % 100 AS VARCHAR) AS title,
+                      'track ' || CAST(doc_id % 100 AS VARCHAR)
+                        || chr(233) AS title,
                       'artist ' || CAST(doc_id % 10 AS VARCHAR) AS artist,
                       1 + doc_id % 12 AS track
                FROM documents)
@@ -288,7 +289,10 @@ def multimodal_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN bad THEN '' ELSE artist END AS artist,
            CAST(CASE WHEN bad THEN 0 ELSE track END AS BIGINT) AS track,
            CAST(CASE WHEN bad THEN 0
-                ELSE 10 + (11 + length(title)) + (11 + length(artist))
+                ELSE 10 + (CASE WHEN media_id % 2 = 1
+                           THEN 13 + 2 * length(title)
+                           ELSE 11 + length(title) END)
+                     + (11 + length(artist))
                      + (11 + length(CAST(track AS VARCHAR)))
                      + (2 + media_id % 6) END AS BIGINT) AS tag_bytes,
            CAST(CASE WHEN bad THEN 0 ELSE 3 + media_id % 5 END AS BIGINT)
@@ -298,7 +302,12 @@ def multimodal_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ID3v2.3 tag extraction — the MP3 sibling of JPEG's EXIF: "
     "syncsafe-int tag size (7-bit bytes, a real-world parser trap), "
     "TIT2/TPE1/TRCK text-frame walk with flag and encoding-byte "
-    "validation, zero-padding handling, then the ISO 11172-3 frame "
+    "validation — encoding 0x00 ISO-8859-1 AND 0x01 UTF-16-with-BOM "
+    "(the charset chain's strict RFC 2781 walk; the title ends in a "
+    "non-ASCII character and rotates encodings by id parity, so the "
+    "DECODE, not just the framing, is oracle-pinned; v2.4-only "
+    "encodings refuse inside a v2.3 tag) — zero-padding handling, "
+    "then the ISO 11172-3 frame "
     "walk over the remaining audio so tag AND audio must BOTH parse. "
     "The oracle recomputes titles, artists, track numbers, the exact "
     "tag byte extent (header + 3 frames + id-dependent padding) and "

@@ -132,7 +132,7 @@ class TestId3Robustness:
         for i in (1, 2, 3, 100, 999):
             row = _id3_decode(_make_id3_mp3(i))
             assert row["format"] == "mp3"
-            assert row["title"] == f"track {i % 100}"
+            assert row["title"] == f"track {i % 100}é"
             assert row["artist"] == f"artist {i % 10}"
             assert row["track"] == 1 + i % 12
             assert row["n_tags"] == 3
@@ -145,7 +145,7 @@ class TestId3Robustness:
         # frame boundaries: a cut landing exactly there IS a valid
         # (shorter) file — the decoder must accept it with fewer
         # frames; every other cut must degrade
-        tag_bytes, flen = 63, 144000 * 128 // 44100
+        tag_bytes, flen = 64, 144000 * 128 // 44100  # +1: 'é' in TIT2
         boundaries = {tag_bytes + k * flen for k in range(1, 6)}
         for cut in range(0, len(blob), 13):
             row = _id3_decode(blob[:cut])
@@ -204,3 +204,27 @@ class TestId3Robustness:
 
         assert _parse_id3_mp3(_make_id3_mp3(8)) is None
         assert _parse_id3_mp3(_make_id3_mp3(0)) is None
+
+
+class TestId3Encodings:
+    def test_utf16_and_latin1_titles(self):
+        from gmall_flink_210726_spark.operators.mp3 import (
+            _make_id3_mp3,
+            _parse_id3_mp3,
+        )
+
+        for i in (1, 2, 3, 4):  # odd = UTF-16 with BOM, even = latin-1
+            st = _parse_id3_mp3(_make_id3_mp3(i))
+            assert st is not None
+            assert st["title"] == f"track {i % 100}é", i
+
+    def test_v24_encodings_refuse_in_v23(self):
+        from gmall_flink_210726_spark.operators.mp3 import _id3_text
+
+        assert _id3_text(b"\x03abc") is None  # UTF-8 is v2.4-only
+        assert _id3_text(b"\x02\x00a") is None  # UTF-16BE v2.4-only
+
+    def test_utf16_without_bom_refuses(self):
+        from gmall_flink_210726_spark.operators.mp3 import _id3_text
+
+        assert _id3_text(b"\x01a\x00b\x00") is None
