@@ -885,3 +885,410 @@ def synthesize_iceberg_evo_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Format-v2 POSITION DELETE files (iceberg spec 'Position Delete
+# Files'): parquet delete files of (file_path, pos) rows — the
+# merge-on-read mechanism real v2 tables use (the v3 Puffin DV path
+# is operators/puffin.py read_iceberg_dv_scan)
+# --------------------------------------------------------------------------
+
+
+def read_iceberg_pos_deletes(data: bytes) -> dict | None:
+    """Tar table -> v2 merge-on-read scan: data manifests (content 0)
+    and delete manifests (content 1) resolved from the manifest
+    list; each delete file is a parquet of (file_path, pos) rows —
+    file_path dictionary-decoded, pos hand-decoded — which must be
+    sorted by (file_path, pos) with unique in-range positions
+    referencing real data files (the spec's sort requirement is what
+    makes them streamable at scale). Live rows = data rows minus
+    deleted positions; k_sum recomputed over survivors only. None on
+    any violation."""
+    from gmall_flink_210726_spark.operators.avro import (
+        read_avro_container,
+    )
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+        read_parquet_column_s_dict,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    snap_id = meta.get("current-snapshot-id")
+    snaps = meta.get("snapshots")
+    if not isinstance(snap_id, int) or not isinstance(snaps, list):
+        return None
+    snap = next(
+        (
+            s
+            for s in snaps
+            if isinstance(s, dict) and s.get("snapshot-id") == snap_id
+        ),
+        None,
+    )
+    if snap is None:
+        return None
+    mlist_blob = files.get(snap.get("manifest-list"))
+    if mlist_blob is None:
+        return None
+    got = read_avro_container(mlist_blob)
+    if got is None:
+        return None
+    mlist, _, _ = got
+    data_files = {}  # path -> (rows, values)
+    delete_files = []  # (path, rows claimed, blob)
+    try:
+        for mf in mlist:
+            blob = files.get(mf["manifest_path"])
+            if blob is None or len(blob) != mf["manifest_length"]:
+                return None
+            content = mf.get("content", 0)
+            if content not in (0, 1):
+                return None
+            g2 = read_avro_container(blob)
+            if g2 is None:
+                return None
+            entries, _, _ = g2
+            for ent in entries:
+                if ent["status"] == 2:
+                    continue
+                df = ent["data_file"]
+                blob2 = files.get(df["file_path"])
+                if (
+                    blob2 is None
+                    or len(blob2) != df["file_size_in_bytes"]
+                ):
+                    return None
+                if content == 0:
+                    col = read_parquet_column_k(
+                        blob2, collect_values=True
+                    )
+                    if (
+                        col is None
+                        or col["n_values"] != df["record_count"]
+                    ):
+                        return None
+                    if df["file_path"] in data_files:
+                        return None
+                    data_files[df["file_path"]] = col["values"]
+                else:
+                    delete_files.append(
+                        (df["file_path"], df["record_count"], blob2)
+                    )
+        deleted: dict[str, set[int]] = {p: set() for p in data_files}
+        for _path, claimed, blob2 in delete_files:
+            paths = read_parquet_column_s_dict(
+                blob2, name=b"file_path", collect_values=True
+            )
+            poss = read_parquet_column_k(
+                blob2, collect_values=True, name=b"pos"
+            )
+            if (
+                paths is None
+                or poss is None
+                or paths["n_nulls"]
+                or paths["n_values"] != claimed
+                or poss["n_values"] != claimed
+            ):
+                return None
+            rows = list(
+                zip(
+                    (p.decode("utf-8") for p in paths["values"]),
+                    poss["values"],
+                )
+            )
+            if rows != sorted(set(rows)):
+                return None  # must be sorted by (path, pos), unique
+            for p, pos in rows:
+                vals = data_files.get(p)
+                if vals is None:
+                    return None  # delete for an unknown data file
+                if not 0 <= pos < len(vals):
+                    return None  # position out of range
+                if pos in deleted[p]:
+                    return None  # duplicate across delete files
+                deleted[p].add(pos)
+    except (TypeError, KeyError, ValueError, UnicodeDecodeError):
+        return None
+    total = sum(len(v) for v in data_files.values())
+    ndel = sum(len(s) for s in deleted.values())
+    live_sum = sum(
+        v
+        for p, vals in data_files.items()
+        for r, v in enumerate(vals)
+        if r not in deleted[p]
+    )
+    return {
+        "n_data_files": len(data_files),
+        "n_delete_files": len(delete_files),
+        "total_rows": total,
+        "deleted_rows": ndel,
+        "live_rows": total - ndel,
+        "live_k_sum": live_sum,
+    }
+
+
+POSDEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_data_files", LongType()),
+        StructField("n_delete_files", LongType()),
+        StructField("total_rows", LongType()),
+        StructField("deleted_rows", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("live_k_sum", LongType()),
+    ]
+)
+
+
+def iceberg_pos_delete_stats(df: DataFrame) -> DataFrame:
+    """v2 position-delete merge-on-read scan over MEDIA_SCHEMA."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in POSDEL_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_iceberg_pos_deletes(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="iceberg", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, POSDEL_SCHEMA
+    )
+
+
+def _pd_n(i: int, f: int) -> int:
+    return 10 + (i + 3 * f) % 30
+
+
+def _pd_k(i: int, f: int, r: int) -> int:
+    return (7 * i + 13 * f + 3 * r) % 1000
+
+
+def _pd_deleted(i: int, f: int, r: int) -> bool:
+    return (r + i + f) % 5 == 0
+
+
+def _make_iceberg_posdel_table(i: int) -> bytes:
+    """``2 + i % 3`` data files, ``1 + i % 2`` position-delete files
+    (delete file d covers data files with f % nd == d), rows sorted
+    by (file_path, pos) as the spec requires. Lies: every 13th id's
+    last delete row positions PAST the data file's end (refused);
+    every 17th-miss id's last delete file claims record_count+1
+    (refused); every 19th-miss id swaps its last two delete rows
+    (sort violation - refused)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmall_flink_210726_spark.operators.avro import (
+        make_avro_container,
+    )
+    from gmall_flink_210726_spark.operators.iceberg import (
+        MANIFEST_SCHEMA,
+        MLIST_SCHEMA,
+    )
+
+    nf = 2 + i % 3
+    nd = 1 + i % 2
+    members: list[tuple[str, bytes]] = []
+    data_entries = []
+    for f in range(nf):
+        n = _pd_n(i, f)
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(
+                        [_pd_k(i, f, r) for r in range(n)],
+                        pa.int64(),
+                    )
+                }
+            ),
+            buf,
+            write_statistics=False,
+            use_dictionary=False,
+        )
+        blob = buf.getvalue()
+        path = f"data/d{f}.parquet"
+        members.append((path, blob))
+        data_entries.append((path, n, len(blob)))
+    delete_entries = []
+    for d in range(nd):
+        rows = []
+        for f in range(nf):
+            if f % nd != d:
+                continue
+            n = _pd_n(i, f)
+            rows.extend(
+                (f"data/d{f}.parquet", r)
+                for r in range(n)
+                if _pd_deleted(i, f, r)
+            )
+        rows.sort()
+        if i % 13 == 0 and d == nd - 1 and rows:
+            p, _r = rows[-1]
+            f_last = int(p.split("d")[-1].split(".")[0])
+            rows[-1] = (p, _pd_n(i, f_last))  # one past the end
+        if (
+            i % 19 == 0
+            and i % 13 != 0
+            and i % 17 != 0
+            and d == nd - 1
+            and len(rows) >= 2
+        ):
+            rows[-1], rows[-2] = rows[-2], rows[-1]  # sort violation
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([p for p, _ in rows]),
+                    "pos": pa.array(
+                        [r for _, r in rows], pa.int64()
+                    ),
+                }
+            ),
+            buf,
+            write_statistics=False,
+            use_dictionary=["file_path"],
+        )
+        blob = buf.getvalue()
+        path = f"deletes/del{d}.parquet"
+        members.append((path, blob))
+        claimed = len(rows)
+        if i % 17 == 0 and i % 13 != 0 and d == nd - 1:
+            claimed += 1
+        delete_entries.append((path, claimed, len(blob)))
+
+    def manifest(entries, tag):
+        blob = make_avro_container(
+            MANIFEST_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 900 + i,
+                    "data_file": {
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "record_count": n,
+                        "file_size_in_bytes": size,
+                    },
+                }
+                for p, n, size in entries
+            ],
+        )
+        members.append((f"meta/m-{tag}.avro", blob))
+        return blob
+
+    m_data = manifest(data_entries, "data")
+    m_del = manifest(delete_entries, "del")
+    mlist_schema = json.loads(json.dumps(MLIST_SCHEMA))
+    mlist_schema["fields"] = mlist_schema["fields"] + [
+        {"name": "content", "type": "int"}
+    ]
+    mlist = make_avro_container(
+        mlist_schema,
+        [
+            {
+                "manifest_path": "meta/m-data.avro",
+                "manifest_length": len(m_data),
+                "partition_spec_id": 0,
+                "added_files_count": len(data_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "content": 0,
+            },
+            {
+                "manifest_path": "meta/m-del.avro",
+                "manifest_length": len(m_del),
+                "partition_spec_id": 0,
+                "added_files_count": len(delete_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "content": 1,
+            },
+        ],
+    )
+    members.append(("meta/snap-1.avro", mlist))
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"tbl-posdel-{i}",
+        "current-snapshot-id": 900 + i,
+        "snapshots": [
+            {"snapshot-id": 900 + i, "manifest-list": "meta/snap-1.avro"}
+        ],
+    }
+    members.append(
+        ("v2.metadata.json", json.dumps(meta).encode("utf-8"))
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_iceberg_posdel_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of v2 position-delete Iceberg tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_posdel_table(int(x))
+                        for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

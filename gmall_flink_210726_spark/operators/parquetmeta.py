@@ -681,7 +681,9 @@ def synthesize_parquet_snappy_media(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def read_parquet_column_s_dict(data: bytes) -> dict | None:
+def read_parquet_column_s_dict(
+    data: bytes, name: bytes = b"s", collect_values: bool = False
+) -> dict | None:
     """Footer -> every row group's 's' column chunk -> DICTIONARY
     page (PLAIN byte-array values, fully consumed) -> data pages
     (RLE_DICTIONARY / PLAIN_DICTIONARY): definition levels via the
@@ -713,6 +715,7 @@ def read_parquet_column_s_dict(data: bytes) -> dict | None:
         return None
     n_values = n_nulls = n_pages = dict_size = 0
     value_bytes_sum = dict_bytes_sum = 0
+    collected: list[bytes | None] = []
     for rg in row_groups:
         cols = rg.get(1) if isinstance(rg, dict) else None
         if not isinstance(cols, list):
@@ -720,7 +723,7 @@ def read_parquet_column_s_dict(data: bytes) -> dict | None:
         chunk = None
         for cc in cols:
             cm = cc.get(3) if isinstance(cc, dict) else None
-            if isinstance(cm, dict) and cm.get(3) == [b"s"]:
+            if isinstance(cm, dict) and cm.get(3) == [name]:
                 chunk = cm
                 break
         if chunk is None:
@@ -796,6 +799,7 @@ def read_parquet_column_s_dict(data: bytes) -> dict | None:
                     return None
                 nn = sum(levels)
                 body = page2[4 + dlen :]
+                idx: list[int] = []
                 if nn:
                     if not body:
                         return None
@@ -806,6 +810,12 @@ def read_parquet_column_s_dict(data: bytes) -> dict | None:
                     ):
                         return None
                     value_bytes_sum += sum(dsums[j] for j in idx)
+                if collect_values:
+                    it = iter(idx)
+                    collected.extend(
+                        dvals[next(it)] if lv else None
+                        for lv in levels
+                    )
                 n_nulls += pn - nn
                 got += pn
                 n_pages += 1
@@ -819,7 +829,7 @@ def read_parquet_column_s_dict(data: bytes) -> dict | None:
         dict_bytes_sum += sum(dsums)
     if n_values != num_rows:
         return None  # chunk counts must sum to the file row count
-    return {
+    out = {
         "n_values": n_values,
         "n_nulls": n_nulls,
         "n_pages": n_pages,
@@ -827,6 +837,9 @@ def read_parquet_column_s_dict(data: bytes) -> dict | None:
         "value_bytes_sum": value_bytes_sum,
         "dict_bytes_sum": dict_bytes_sum,
     }
+    if collect_values:
+        out["values"] = collected
+    return out
 
 
 PQDICT_SCHEMA = StructType(

@@ -529,3 +529,75 @@ def multimodal_flac_frames(
         load_table(spark, sf_dir, "documents")
     )
     return flac_stats(media)
+
+
+@register(
+    "lakehouse_iceberg_pos_deletes",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 2 + doc_id % 3 AS nf,
+                        1 + doc_id % 2 AS nd
+                 FROM documents),
+    f AS (SELECT i, nf, nd, unnest(range(0, nf)) AS ff FROM ids),
+    r AS (SELECT i, nf, nd, ff,
+                 unnest(range(0, 10 + (i + 3 * ff) % 30)) AS rr
+          FROM f),
+    v AS (SELECT i, nf, nd,
+                 ((rr + i + ff) % 5 = 0) AS del,
+                 (7 * i + 13 * ff + 3 * rr) % 1000 AS kv
+          FROM r),
+    a AS (SELECT i, MAX(nf) AS nf, MAX(nd) AS nd,
+                 CAST(COUNT(*) AS BIGINT) AS total_rows,
+                 CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END)
+                      AS BIGINT) AS deleted_rows,
+                 CAST(SUM(CASE WHEN del THEN 0 ELSE kv END)
+                      AS BIGINT) AS live_k_sum
+          FROM v GROUP BY i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nf END AS BIGINT)
+             AS n_data_files,
+           CAST(CASE WHEN bad THEN 0 ELSE nd END AS BIGINT)
+             AS n_delete_files,
+           CAST(CASE WHEN bad THEN 0 ELSE total_rows END AS BIGINT)
+             AS total_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE deleted_rows END
+                AS BIGINT) AS deleted_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE total_rows - deleted_rows
+                END AS BIGINT) AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE live_k_sum END AS BIGINT)
+             AS live_k_sum
+    FROM b
+    """,
+    doc="Iceberg format-v2 POSITION DELETE files (spec 'Position "
+    "Delete Files') — the merge-on-read mechanism real v2 tables "
+    "use, completing the deletion story next to the v3 Puffin DV "
+    "path (L265): delete manifests (content=1) resolve parquet "
+    "delete files of (file_path, pos) rows — file_path "
+    "DICTIONARY-decoded by the hand RLE-hybrid walk, pos by the "
+    "hand int64 walk — which must be SORTED by (file_path, pos) "
+    "with unique, in-range positions referencing real data files "
+    "(the spec's sort rule is what keeps the merge streamable at "
+    "100 TB: one sequential pass per data file, no random seeks). "
+    "Survivor k_sum is recomputed from the actually-decoded data "
+    "values minus deleted positions. Lies: a position one past the "
+    "file's end (13th), a record_count overstatement on the delete "
+    "file itself (17th), a sort violation (19th) - all refuse. One "
+    "Arrow-batched map stage, no shuffle. operators/iceberg2.py "
+    "read_iceberg_pos_deletes",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_iceberg_pos_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg2 import (
+        iceberg_pos_delete_stats,
+        synthesize_iceberg_posdel_media,
+    )
+
+    media = synthesize_iceberg_posdel_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_pos_delete_stats(media)

@@ -1074,5 +1074,6 @@ class TestRound14PlanShapes:
             "lakehouse_delta_version_checksum",
             "multimodal_mp4_fragments",
             "multimodal_flac_frames",
+            "lakehouse_iceberg_pos_deletes",
         ):
             self._assert_pure_map(spark, name)
