@@ -638,6 +638,8 @@ def _enc_batch(
     attrs: int,
     pid: int,
     codec: int = 0,
+    first_ts: int = 1700000000000,
+    max_ts: int | None = None,
 ) -> bytes:
     """One RecordBatch v2 frame around already-encoded records."""
     if codec:
@@ -664,8 +666,8 @@ def _enc_batch(
         ">hiqqqhii",
         attrs | codec,
         rcount - 1,
-        1700000000000,
-        1700000000000 + rcount,
+        first_ts,
+        max_ts if max_ts is not None else first_ts + rcount,
         pid,
         0 if pid >= 0 else -1,
         -1,
@@ -1328,6 +1330,262 @@ def synthesize_kafka_registry_media(docs: DataFrame) -> DataFrame:
                     "media_id": ids,
                     "content": [
                         _make_kafka_registry_tar(int(x)) for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "kafka",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Time index (.timeindex): seek-by-timestamp — the second of the
+# broker's two segment indexes (the offset index is above). Entries
+# are (timestamp i64 BE, relativeOffset i32 BE), timestamps strictly
+# ascending; each entry must name a real batch's maxTimestamp and
+# that batch's last offset, and every batch header's maxTimestamp
+# must equal its RECORDS' actual maximum (firstTimestamp + delta) —
+# a header that lies about its max silently breaks every time seek.
+# --------------------------------------------------------------------------
+
+_TS0 = 1_700_000_000_000
+
+
+def read_kafka_time_lookup(data: bytes, target_rel_ts: int) -> dict | None:
+    """Tar(segment.log, segment.timeindex) -> seek proof for the
+    FIRST record with timestamp >= _TS0 + target_rel_ts (Kafka's
+    offsetsForTimes contract); None on any index/framing/books
+    violation or a target past the segment's last timestamp."""
+    from gmall_flink_210726_spark.operators.wds import _iter_tar_members
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    log = files.get("segment.log")
+    idx = files.get("segment.timeindex")
+    if log is None or idx is None or len(idx) % 12:
+        return None
+    # batch walk with per-batch record timestamps + max verification
+    batches = []  # (base_off, last_off, max_ts, [(ts, off, value)])
+    try:
+        for pos, base_off, attrs, last_od, _pid, rcount, body in (
+            _iter_batches(log)
+        ):
+            if attrs & 0x20:
+                return None
+            (first_ts, max_ts) = struct.unpack_from(
+                ">qq", log, pos + 27
+            )
+            recs = _parse_v2_records(body, rcount)
+            if recs is None or rcount != last_od + 1:
+                return None
+            rows = [
+                (first_ts + r["ts_delta"], base_off + k, r["value"])
+                for k, r in enumerate(recs)
+            ]
+            if max(ts for ts, _o, _v in rows) != max_ts:
+                return None  # header maxTimestamp must be true
+            batches.append(
+                (base_off, base_off + last_od, max_ts, rows)
+            )
+    except (ValueError, struct.error):
+        return None
+    if not batches:
+        return None
+    by_last = {last: mx for _b, last, mx, _r in batches}
+    entries = [
+        struct.unpack_from(">qi", idx, o)
+        for o in range(0, len(idx), 12)
+    ]
+    seg_base = batches[0][0]
+    prev_ts = -1
+    prev_off = -1
+    for ts, rel in entries:
+        if ts <= prev_ts or rel <= prev_off:
+            return None  # strictly ascending in both fields
+        mx = by_last.get(seg_base + rel)
+        if mx is None or mx != ts:
+            return None  # entry must name a batch's true maxTimestamp
+        prev_ts, prev_off = ts, rel
+    target = _TS0 + target_rel_ts
+    # floor entry: the last one with timestamp <= target
+    start_off = seg_base
+    for ts, rel in entries:
+        if ts <= target:
+            start_off = seg_base + rel
+        else:
+            break
+    scanned = 0
+    for base_off, last_off, _mx, rows in batches:
+        if last_off < start_off:
+            continue
+        scanned += 1
+        for ts, off, v in rows:
+            if ts >= target:
+                if v is None or v[:1] != b"v" or not v[1:].isdigit():
+                    return None
+                return {
+                    "n_entries": len(entries),
+                    "n_batches": len(batches),
+                    "batches_scanned": scanned,
+                    "found_offset": off,
+                    "found_ts_rel": ts - _TS0,
+                    "payload": int(v[1:]),
+                }
+    return None  # target past the segment's last timestamp
+
+
+KAFKA_TIDX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_entries", LongType()),
+        StructField("n_batches", LongType()),
+        StructField("batches_scanned", LongType()),
+        StructField("found_offset", LongType()),
+        StructField("found_ts_rel", LongType()),
+        StructField("payload", LongType()),
+    ]
+)
+
+
+def kafka_time_lookup_stats(
+    df: DataFrame, target_rel_ts: int
+) -> DataFrame:
+    """Time-index seek over MEDIA_SCHEMA tar blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in KAFKA_TIDX_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_kafka_time_lookup(b, target_rel_ts)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="kafka", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, KAFKA_TIDX_SCHEMA
+    )
+
+
+def _tidx_ts_rel(i: int, off: int) -> int:
+    return 100 * off + i % 50
+
+
+def _tidx_payload(i: int, off: int) -> int:
+    return (5 * i + 7 * off) % 1000
+
+
+def _make_kafka_timeindexed_segment(i: int) -> bytes:
+    """Tar(segment.log, segment.timeindex): ``3 + i % 4`` batches of
+    ``2 + (i+b) % 4`` records; record at global offset o carries
+    timestamp _TS0 + 100*o + i%50 and payload 'v<(5i+7o)%1000>'. The
+    index is sparse (every second batch). Lies: every 13th id's
+    first index entry claims maxTimestamp+1 (no batch has that
+    timestamp - refused); every 17th-miss id's last batch HEADER
+    overstates maxTimestamp (the records prove it - refused); every
+    19th-miss id swaps two entries (non-monotonic - refused)."""
+    from gmall_flink_210726_spark.operators.tar import (
+        _BLOCK,
+        _make_header,
+    )
+
+    parts: list[bytes] = []
+    entries: list[tuple[int, int]] = []
+    base_off = 0
+    nb = 3 + i % 4
+    for b in range(nb):
+        rcount = 2 + (i + b) % 4
+        first_ts = _TS0 + _tidx_ts_rel(i, base_off)
+        max_ts = _TS0 + _tidx_ts_rel(i, base_off + rcount - 1)
+        recs = b"".join(
+            _enc_ts_record(
+                _tidx_ts_rel(i, base_off + r)
+                - _tidx_ts_rel(i, base_off),
+                r,
+                b"v%d" % _tidx_payload(i, base_off + r),
+            )
+            for r in range(rcount)
+        )
+        hdr_max = max_ts
+        if i % 17 == 0 and i % 13 != 0 and b == nb - 1:
+            hdr_max += 1  # header lie: records prove it
+        parts.append(
+            _enc_batch(
+                base_off, recs, rcount, 0, -1, 0, first_ts, hdr_max
+            )
+        )
+        if b % 2 == 0:
+            entries.append((hdr_max, base_off + rcount - 1))
+        base_off += rcount
+    if i % 13 == 0:
+        entries[0] = (entries[0][0] + 1, entries[0][1])
+    elif i % 19 == 0 and i % 17 != 0 and len(entries) >= 2:
+        entries[0], entries[1] = entries[1], entries[0]
+    log = b"".join(parts)
+    idx = b"".join(struct.pack(">qi", t, r) for t, r in entries)
+    out = []
+    for name, payload in (
+        ("segment.log", log),
+        ("segment.timeindex", idx),
+    ):
+        pad = (-len(payload)) % _BLOCK
+        out.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(out) + b"\x00" * (2 * _BLOCK)
+
+
+def _enc_ts_record(ts_delta: int, rel: int, value: bytes) -> bytes:
+    body = bytearray(b"\x00")
+    body += _zz_enc(ts_delta)
+    body += _zz_enc(rel)
+    body += _zz_enc(-1)  # null key
+    body += _zz_enc(len(value)) + value
+    body += _zz_enc(0)
+    return _zz_enc(len(body)) + bytes(body)
+
+
+def synthesize_kafka_timeindexed_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of (segment.log, segment.timeindex) tars."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_kafka_timeindexed_segment(int(x))
+                        for x in ids
                     ],
                     "meta": [
                         {

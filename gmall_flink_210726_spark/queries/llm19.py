@@ -601,3 +601,93 @@ def lakehouse_iceberg_pos_deletes(
         load_table(spark, sf_dir, "documents")
     )
     return iceberg_pos_delete_stats(media)
+
+
+@register(
+    "multimodal_kafka_time_index",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 3 + doc_id % 4 AS nb
+                 FROM documents),
+    bt AS (SELECT i, nb, unnest(range(0, nb)) AS b FROM ids),
+    bc AS (SELECT i, nb, b, 2 + (i + b) % 4 AS rc FROM bt),
+    cum AS (SELECT i, nb, b, rc,
+                   COALESCE(SUM(rc) OVER (
+                       PARTITION BY i ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS base_off
+            FROM bc),
+    bounds AS (SELECT i, nb, b, base_off,
+                      base_off + rc - 1 AS last_off,
+                      100 * (base_off + rc - 1) + i % 50 AS max_ts
+               FROM cum),
+    tgt AS (SELECT i,
+                   CAST(CEIL((520 - i % 50) / 100.0) AS BIGINT)
+                     AS off
+            FROM ids),
+    entry AS (SELECT i, MAX(b) AS entry_b
+              FROM bounds
+              WHERE b % 2 = 0 AND max_ts <= 520
+              GROUP BY i),
+    foundb AS (SELECT bounds.i, bounds.b AS found_b
+               FROM bounds JOIN tgt ON tgt.i = bounds.i
+               WHERE tgt.off BETWEEN bounds.base_off
+                     AND bounds.last_off),
+    agg AS (SELECT ids.i, ids.nb,
+                   CAST((ids.nb + 1) // 2 AS BIGINT) AS n_entries,
+                   CAST(foundb.found_b
+                        - COALESCE(entry.entry_b, 0) + 1 AS BIGINT)
+                     AS batches_scanned,
+                   tgt.off,
+                   (ids.i % 13 = 0 OR ids.i % 17 = 0
+                    OR ids.i % 19 = 0) AS bad
+            FROM ids
+            JOIN tgt ON tgt.i = ids.i
+            JOIN foundb ON foundb.i = ids.i
+            LEFT JOIN entry ON entry.i = ids.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'kafka' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n_entries END AS BIGINT)
+             AS n_entries,
+           CAST(CASE WHEN bad THEN 0 ELSE nb END AS BIGINT)
+             AS n_batches,
+           CAST(CASE WHEN bad THEN 0 ELSE batches_scanned END
+                AS BIGINT) AS batches_scanned,
+           CAST(CASE WHEN bad THEN 0 ELSE off END AS BIGINT)
+             AS found_offset,
+           CAST(CASE WHEN bad THEN 0 ELSE 100 * off + i % 50 END
+                AS BIGINT) AS found_ts_rel,
+           CAST(CASE WHEN bad THEN 0 ELSE (5 * i + 7 * off) % 1000
+                END AS BIGINT) AS payload
+    FROM agg
+    """,
+    doc="Kafka TIME INDEX (.timeindex) seek-by-timestamp — the "
+    "second of the broker's two segment indexes, completing L243's "
+    "offset-index story (offsetsForTimes is how every "
+    "start-from-timestamp consumer boots): entries are (timestamp "
+    "i64 BE, relativeOffset i32 BE), strictly ascending in both "
+    "fields, and each must name a real batch's maxTimestamp and "
+    "that batch's last offset; additionally every batch HEADER's "
+    "maxTimestamp is re-proven against its records' actual maximum "
+    "(firstTimestamp + delta) — a header that lies silently breaks "
+    "every time seek. The lookup floors to the last entry <= "
+    "target, scans forward, and returns the FIRST record with "
+    "timestamp >= target with its decoded payload; "
+    "batches_scanned proves the index actually bounded the scan. "
+    "Lies: an entry timestamp no batch has (13th), a header "
+    "maxTimestamp overstatement (17th), non-monotonic entries "
+    "(19th) - all refuse. operators/kafkalog.py "
+    "read_kafka_time_lookup",
+    tags=("llm", "multimodal", "kafka"),
+)
+def multimodal_kafka_time_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        kafka_time_lookup_stats,
+        synthesize_kafka_timeindexed_media,
+    )
+
+    media = synthesize_kafka_timeindexed_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return kafka_time_lookup_stats(media, 520)

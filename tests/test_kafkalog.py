@@ -292,3 +292,51 @@ class TestAvroRegistry:
             "a": 123,
             "b": 5,
         }
+
+
+class TestTimeIndex:
+    def test_model_and_floor_semantics(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _make_kafka_timeindexed_segment,
+            _tidx_payload,
+            _tidx_ts_rel,
+            read_kafka_time_lookup,
+        )
+
+        for i in (1, 2, 3, 4, 5):
+            st = read_kafka_time_lookup(
+                _make_kafka_timeindexed_segment(i), 520
+            )
+            assert st is not None, i
+            off = st["found_offset"]
+            assert _tidx_ts_rel(i, off) >= 520
+            assert off == 0 or _tidx_ts_rel(i, off - 1) < 520
+            assert st["payload"] == _tidx_payload(i, off)
+
+    def test_target_past_segment_refuses(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _make_kafka_timeindexed_segment,
+            read_kafka_time_lookup,
+        )
+
+        assert (
+            read_kafka_time_lookup(
+                _make_kafka_timeindexed_segment(1), 10_000_000
+            )
+            is None
+        )
+
+    def test_trust_refusals(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _make_kafka_timeindexed_segment,
+            read_kafka_time_lookup,
+        )
+
+        # ghost entry ts / header maxTimestamp lie / non-monotonic
+        for i in (13, 26, 17, 34, 19, 38):
+            assert (
+                read_kafka_time_lookup(
+                    _make_kafka_timeindexed_segment(i), 520
+                )
+                is None
+            ), i

@@ -1075,5 +1075,6 @@ class TestRound14PlanShapes:
             "multimodal_mp4_fragments",
             "multimodal_flac_frames",
             "lakehouse_iceberg_pos_deletes",
+            "multimodal_kafka_time_index",
         ):
             self._assert_pure_map(spark, name)
