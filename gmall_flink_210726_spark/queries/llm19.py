@@ -691,3 +691,99 @@ def multimodal_kafka_time_index(
         load_table(spark, sf_dir, "documents")
     )
     return kafka_time_lookup_stats(media, 520)
+
+
+@register(
+    "lakehouse_hudi_mor_time_travel",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 2 + doc_id % 3 AS ng
+                 FROM documents),
+    g AS (SELECT i, ng, unnest(range(0, ng)) AS gg FROM ids),
+    r AS (SELECT i, ng, gg,
+                 unnest(range(0, 8 + (i + 3 * gg) % 9)) AS rr
+          FROM g),
+    v AS (SELECT i, ng, rr,
+                 (7 * i + 11 * gg + 5 * rr) % 1000 AS k1,
+                 (7 * i + 11 * gg + 5 * rr + 311) % 1000 AS k2
+          FROM r),
+    m AS (SELECT i, ng,
+                 (rr % 5 <> 4) AS live,
+                 CASE WHEN rr % 3 = 0 THEN k2 ELSE k1 END AS kv
+          FROM v),
+    a AS (SELECT i, MAX(ng) AS ng,
+                 CAST(SUM(CASE WHEN live THEN 1 ELSE 0 END)
+                      AS BIGINT) AS total_rows,
+                 CAST(SUM(CASE WHEN live THEN kv ELSE 0 END)
+                      AS BIGINT) AS k_sum
+          FROM m GROUP BY i),
+    b AS (SELECT *, (i % 13 = 0 OR i % 17 = 0) AS bad FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'hudi' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+             AS n_inflight,
+           CAST(CASE WHEN bad THEN 0 ELSE ng END AS BIGINT)
+             AS n_groups,
+           CAST(CASE WHEN bad THEN 0 ELSE ng * 2 END AS BIGINT)
+             AS n_blocks,
+           CAST(CASE WHEN bad THEN 0
+                     WHEN i % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_corrupt,
+           CAST(CASE WHEN bad THEN 0 ELSE total_rows END AS BIGINT)
+             AS total_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE k_sum END AS BIGINT)
+             AS k_sum
+    FROM b
+    """,
+    doc="Hudi MOR TIMESTAMP-AS-OF — time travel over the "
+    "merge-on-read log (lakehouse_hudi_mor at instant T2): the "
+    "timeline prefix keeps only T1 base + T2 deltacommit, and the "
+    "BLOCK filter (instant > as-of is a pending ingestion) must "
+    "drop the even ids' T4 data blocks AND the T4 rollback block — "
+    "which in turn leaves T3's orphan blocks dead for a different "
+    "reason than at latest (their instant exceeds the as-of "
+    "max-instant rather than being rolled back): the two skip rules "
+    "compose. Even and odd ids converge to the same two-commit "
+    "shape the oracle pins. operators/hudi.py "
+    "read_hudi_mor_snapshot(asof)",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_hudi_mor_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.hudi import (
+        _T2,
+        HUDI_MOR_SCHEMA,
+        read_hudi_mor_snapshot,
+        synthesize_hudi_mor_media,
+    )
+    from gmall_flink_210726_spark.session import ship_package
+
+    import pandas as pd
+
+    ship_package(spark)
+    media = synthesize_hudi_mor_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    cols = [f.name for f in HUDI_MOR_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_hudi_mor_snapshot(b, asof=_T2)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="hudi", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "content").mapInPandas(
+        gen, HUDI_MOR_SCHEMA
+    )

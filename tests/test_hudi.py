@@ -220,3 +220,37 @@ class TestMorLogFormat:
             for r in range(_mor_n(4, g))
         )
         assert st["k_sum"] == want
+
+
+class TestMorAsOfSkipRules:
+    def test_asof_t2_drops_t3_and_t4(self):
+        """At as-of T2 the T4 rollback is itself skipped, yet T3's
+        orphan blocks stay dead via the max-instant rule — the two
+        skip rules compose to the same merged state for even ids as
+        the odd-id (no T3/T4) shape."""
+        from gmall_flink_210726_spark.operators.hudi import (
+            _T2,
+            _make_hudi_mor_table,
+            _mor_k,
+            _mor_n,
+            read_hudi_mor_snapshot,
+        )
+
+        for i in (2, 4, 3, 5):  # even ids have T3/T4, odd don't
+            st = read_hudi_mor_snapshot(
+                _make_hudi_mor_table(i), asof=_T2
+            )
+            assert st is not None, i
+            ng = 2 + i % 3
+            assert st["n_commits"] == 2 and st["n_blocks"] == ng * 2
+            want = sum(
+                (
+                    _mor_k(i, g, r, 311)
+                    if r % 3 == 0
+                    else _mor_k(i, g, r, 0)
+                )
+                for g in range(ng)
+                for r in range(_mor_n(i, g))
+                if r % 5 != 4
+            )
+            assert st["k_sum"] == want, i

@@ -1076,5 +1076,6 @@ class TestRound14PlanShapes:
             "multimodal_flac_frames",
             "lakehouse_iceberg_pos_deletes",
             "multimodal_kafka_time_index",
+            "lakehouse_hudi_mor_time_travel",
         ):
             self._assert_pure_map(spark, name)
