@@ -787,3 +787,77 @@ def lakehouse_hudi_mor_time_travel(
     return media.select("media_id", "content").mapInPandas(
         gen, HUDI_MOR_SCHEMA
     )
+
+
+@register(
+    "multimodal_zip64_members",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 3 + doc_id % 5 AS n
+                 FROM documents),
+    e AS (SELECT i, n, unnest(range(0, n)) AS j FROM ids),
+    sz AS (SELECT i, n, j, 40 + (i * 31 + 13 * j) % 200 AS size,
+                  length('z_' || CAST(i AS VARCHAR) || '_'
+                         || CAST(j AS VARCHAR) || '.bin') AS nlen,
+                  4 + 8 * (CASE WHEN j % 2 = 0 THEN 1 ELSE 2 END)
+                    AS elen
+           FROM e),
+    pb AS (SELECT i, j, unnest(range(0, size)) AS k FROM sz),
+    ps AS (SELECT i,
+                  CAST(SUM((i * 19 + 7 * j + 3 * k) % 256) AS BIGINT)
+                    AS payload_sum
+           FROM pb GROUP BY i),
+    agg AS (SELECT i, MAX(n) AS n,
+                   CAST(SUM(size) AS BIGINT) AS total_bytes,
+                   CAST(SUM(46 + nlen + elen) AS BIGINT) AS cd_size
+            FROM sz GROUP BY i),
+    b AS (SELECT agg.i, agg.n, agg.total_bytes, agg.cd_size,
+                 ps.payload_sum,
+                 (agg.i % 13 = 0 OR agg.i % 17 = 0
+                  OR agg.i % 19 = 0) AS bad
+          FROM agg JOIN ps ON ps.i = agg.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'zip64' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
+             AS n_entries,
+           CAST(CASE WHEN bad THEN 0 ELSE total_bytes END AS BIGINT)
+             AS total_bytes,
+           CAST(CASE WHEN bad THEN 0 ELSE payload_sum END AS BIGINT)
+             AS payload_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE cd_size END AS BIGINT)
+             AS cd_size,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
+             AS n_zip64_extras,
+           CASE WHEN bad THEN ''
+                ELSE 'z_' || CAST(i AS VARCHAR) || '_0.bin'
+           END AS first_name
+    FROM b
+    """,
+    doc="ZIP64 (APPNOTE 4.3.14/4.5.3) — the >4 GiB / >65535-entry "
+    "archive layout every large crawl-corpus zip actually uses: "
+    "sentinel 0xFFFF/0xFFFFFFFF fields in the classic EOCD redirect "
+    "through the ZIP64 EOCD LOCATOR to the ZIP64 "
+    "end-of-central-directory record, and per-entry 0x0001 extra "
+    "fields carry the real 64-bit values IN ORDER for exactly the "
+    "fields that hit the sentinel (the ordered-subset rule — even "
+    "fixture entries sentinel only the local-header offset, odd "
+    "ones both sizes). Every STORED payload is CRC-verified, the "
+    "central directory must abut the ZIP64 EOCD, the EOCD the "
+    "locator; the classic walk refuses zip64 archives outright "
+    "rather than reading sentinel values as sizes. Lies: locator "
+    "offset off by one (13th), an extra missing a required u64 "
+    "(17th), an entry-count overstatement in the ZIP64 EOCD (19th) "
+    "- all refuse. operators/zipc.py _walk_zip64",
+    tags=("llm", "multimodal"),
+)
+def multimodal_zip64_members(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.zipc import (
+        synthesize_zip64_media,
+        zip64_entry_stats,
+    )
+
+    media = synthesize_zip64_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return zip64_entry_stats(media)

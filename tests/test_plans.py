@@ -1077,5 +1077,6 @@ class TestRound14PlanShapes:
             "lakehouse_iceberg_pos_deletes",
             "multimodal_kafka_time_index",
             "lakehouse_hudi_mor_time_travel",
+            "multimodal_zip64_members",
         ):
             self._assert_pure_map(spark, name)

@@ -99,3 +99,45 @@ class TestTarRobustness:
     def test_corrupt_stripe_of_fixture(self):
         assert _walk_tar(_make_tar(10)) is None
         assert _walk_tar(_make_tar(0)) is None
+
+
+class TestZip64:
+    def test_model_and_subset_rule(self):
+        from gmall_flink_210726_spark.operators.zipc import (
+            _make_zip64,
+            _walk_zip64,
+            _z64_size,
+        )
+
+        for i in (1, 2, 3, 4, 5):
+            st = _walk_zip64(_make_zip64(i))
+            assert st is not None, i
+            n = 3 + i % 5
+            assert st["n_entries"] == n
+            assert st["n_zip64_extras"] == n
+            assert st["total_bytes"] == sum(
+                _z64_size(i, j) for j in range(n)
+            )
+
+    def test_classic_walk_refuses_zip64(self):
+        """Reading sentinel values as real sizes would be corrupt —
+        the classic walk must refuse, the zip64 walk must read."""
+        from gmall_flink_210726_spark.operators.zipc import (
+            _make_zip,
+            _make_zip64,
+            _walk_zip,
+            _walk_zip64,
+        )
+
+        assert _walk_zip(_make_zip64(1)) is None
+        assert _walk_zip64(_make_zip(1)) is None  # and vice versa
+
+    def test_trust_refusals(self):
+        from gmall_flink_210726_spark.operators.zipc import (
+            _make_zip64,
+            _walk_zip64,
+        )
+
+        # locator lie / missing extra u64 / entry-count lie
+        for i in (13, 26, 17, 34, 19, 38):
+            assert _walk_zip64(_make_zip64(i)) is None, i
