@@ -87,6 +87,7 @@ def parse_warc_record(payload: bytes) -> dict | None:
         "uri": uri,
         "ctype": fields.get(b"content-type", b"").decode("latin-1"),
         "content": payload[body_start : body_start + clen],
+        "fields": fields,
     }
 
 
@@ -240,16 +241,20 @@ def make_warc_record(
     content: bytes,
     declared_len: int | None = None,
     ctype: str | None = None,
+    record_id: str | None = None,
+    extra_headers: list[bytes] | None = None,
 ) -> bytes:
     """Render one record; ``declared_len`` overrides the true length
     (fixture corruption knob); ``ctype`` adds the record Content-Type
     header (``application/http; msgtype=response`` marks an
-    HTTP-bearing record per ISO 28500 §6)."""
+    HTTP-bearing record per ISO 28500 §6); ``extra_headers`` appends
+    raw header lines (revisit plumbing: WARC-Refers-To et al.)."""
     clen = len(content) if declared_len is None else declared_len
+    rid = record_id or "urn:uuid:rec"
     head = [
         b"WARC/1.0",
         b"WARC-Type: " + rtype.encode("ascii"),
-        b"WARC-Record-ID: <urn:uuid:rec>",
+        b"WARC-Record-ID: <" + rid.encode("ascii") + b">",
         b"WARC-Date: 2024-01-01T00:00:00Z",
         b"Content-Length: " + str(clen).encode("ascii"),
     ]
@@ -257,6 +262,8 @@ def make_warc_record(
         head.insert(3, b"Content-Type: " + ctype.encode("ascii"))
     if uri:
         head.insert(3, b"WARC-Target-URI: " + uri.encode("ascii"))
+    if extra_headers:
+        head[4:4] = extra_headers
     return _CRLF.join(head) + _CRLF + _CRLF + content + _CRLF + _CRLF
 
 
@@ -1916,3 +1923,249 @@ def synthesize_cdx_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Revisit records (ISO 28500 §6.7.2 / WARC 1.1 'revisit'): the crawl
+# corpus's OWN dedup mechanism — a recrawl whose payload digest
+# matches an earlier capture stores a headers-only revisit record
+# with WARC-Refers-To + WARC-Payload-Digest instead of the body.
+# --------------------------------------------------------------------------
+
+_REVISIT_PROFILE = (
+    b"http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def _payload_digest(body: bytes) -> bytes:
+    import base64
+    import hashlib
+
+    return b"sha1:" + base64.b32encode(hashlib.sha1(body).digest())
+
+
+def _walk_warc_revisit(data: bytes) -> dict | None:
+    """Gzip-membered WARC stream -> revisit-resolution stats: every
+    response's declared WARC-Payload-Digest is re-proven against its
+    actual content; every revisit must use the
+    identical-payload-digest profile, refer (WARC-Refers-To) to an
+    EARLIER response record in this file, and carry exactly that
+    record's digest; saved_bytes counts the referenced bodies the
+    revisits did not re-store. None on any violation — a dangling
+    refers-to or a digest mismatch silently corrupts dedup."""
+    members = iter_gzip_members(data)
+    if members is None:
+        return None
+    n_records = n_responses = n_revisits = 0
+    stored = saved = 0
+    by_id: dict[bytes, tuple[bytes, int]] = {}  # id -> (digest, len)
+    for _name, payload in members:
+        rec = parse_warc_record(payload)
+        if rec is None:
+            return None
+        n_records += 1
+        f = rec["fields"]
+        rid = f.get(b"warc-record-id", b"")
+        if rec["type"] == "response":
+            digest = f.get(b"warc-payload-digest")
+            if digest is None:
+                return None
+            if digest != _payload_digest(rec["content"]):
+                return None  # the declared digest must be true
+            if not rid or rid in by_id:
+                return None
+            by_id[rid] = (digest, len(rec["content"]))
+            n_responses += 1
+            stored += len(rec["content"])
+        elif rec["type"] == "revisit":
+            if f.get(b"warc-profile") != _REVISIT_PROFILE:
+                return None
+            ref = f.get(b"warc-refers-to")
+            digest = f.get(b"warc-payload-digest")
+            if ref is None or digest is None:
+                return None
+            hit = by_id.get(ref)
+            if hit is None:
+                return None  # dangling or forward reference
+            if digest != hit[0]:
+                return None  # claims identical payload but is not
+            if rec["content"]:
+                return None  # headers-only by construction here
+            n_revisits += 1
+            saved += hit[1]
+        elif rec["type"] != "warcinfo":
+            return None
+    if n_responses == 0:
+        return None
+    return {
+        "n_records": n_records,
+        "n_responses": n_responses,
+        "n_revisits": n_revisits,
+        "stored_bytes": stored,
+        "saved_bytes": saved,
+    }
+
+
+REVISIT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_responses", LongType()),
+        StructField("n_revisits", LongType()),
+        StructField("stored_bytes", LongType()),
+        StructField("saved_bytes", LongType()),
+    ]
+)
+
+
+def warc_revisit_stats(df: DataFrame) -> DataFrame:
+    """Revisit-resolution walk over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in REVISIT_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = _walk_warc_revisit(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="warc", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, REVISIT_SCHEMA
+    )
+
+
+def _rv_len(i: int, u: int) -> int:
+    return 30 + (i * 7 + 11 * u) % 60
+
+
+def _rv_count(i: int, u: int) -> int:
+    return (i + u) % 3
+
+
+def _make_warc_revisit_stream(i: int) -> bytes:
+    """warcinfo + ``2 + i % 3`` unique responses (bare payloads,
+    digests true) each followed by ``(i+u) % 3`` headers-only
+    revisits referring back to it. Lies: every 13th id's last
+    revisit refers to a record id that does not exist; every
+    17th-miss id's last revisit carries a digest one capture off;
+    every 19th-miss id's FIRST RESPONSE declares a wrong payload
+    digest — all refuse."""
+    nu = 2 + i % 3
+    members = [
+        _gzip_member(
+            make_warc_record("warcinfo", "", b"software: fixture\r\n")
+        )
+    ]
+    # the lie stripes ride the LAST response that actually has
+    # revisits (two consecutive (i+u)%3 values cannot both be 0)
+    last_u = max(u for u in range(nu) if _rv_count(i, u) > 0)
+    for u in range(nu):
+        body = bytes(
+            97 + (i + u + k) % 26 for k in range(_rv_len(i, u))
+        )
+        digest = _payload_digest(body)
+        if i % 19 == 0 and i % 13 != 0 and i % 17 != 0 and u == 0:
+            digest = digest[:-1] + (
+                b"A" if digest[-1:] != b"A" else b"B"
+            )
+        rid = f"urn:uuid:resp-{i}-{u}"
+        members.append(
+            _gzip_member(
+                make_warc_record(
+                    "response",
+                    f"https://ex.com/{i}/{u}",
+                    body,
+                    record_id=rid,
+                    extra_headers=[
+                        b"WARC-Payload-Digest: " + digest
+                    ],
+                )
+            )
+        )
+        for v in range(_rv_count(i, u)):
+            ref = rid
+            rdig = _payload_digest(body)
+            if (
+                i % 13 == 0
+                and u == last_u
+                and v == _rv_count(i, u) - 1
+            ):
+                ref = f"urn:uuid:ghost-{i}"
+            if (
+                i % 17 == 0
+                and i % 13 != 0
+                and u == last_u
+                and v == _rv_count(i, u) - 1
+            ):
+                other = bytes(
+                    97 + (i + u + 1 + k) % 26
+                    for k in range(_rv_len(i, u))
+                )
+                rdig = _payload_digest(other)
+            members.append(
+                _gzip_member(
+                    make_warc_record(
+                        "revisit",
+                        f"https://ex.com/{i}/{u}",
+                        b"",
+                        record_id=f"urn:uuid:rev-{i}-{u}-{v}",
+                        extra_headers=[
+                            b"WARC-Refers-To: <"
+                            + ref.encode("ascii")
+                            + b">",
+                            b"WARC-Payload-Digest: " + rdig,
+                            b"WARC-Profile: " + _REVISIT_PROFILE,
+                        ],
+                    )
+                )
+            )
+    return b"".join(members)
+
+
+def synthesize_warc_revisit_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of revisit-bearing WARC streams."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_warc_revisit_stream(int(x))
+                        for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "warc",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

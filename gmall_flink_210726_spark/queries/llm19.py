@@ -861,3 +861,66 @@ def multimodal_zip64_members(
         load_table(spark, sf_dir, "documents")
     )
     return zip64_entry_stats(media)
+
+
+@register(
+    "multimodal_warc_revisit",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 2 + doc_id % 3 AS nu
+                 FROM documents),
+    u AS (SELECT i, nu, unnest(range(0, nu)) AS uu FROM ids),
+    v AS (SELECT i, nu,
+                 30 + (i * 7 + 11 * uu) % 60 AS blen,
+                 (i + uu) % 3 AS rv
+          FROM u),
+    a AS (SELECT i, MAX(nu) AS nu,
+                 CAST(SUM(rv) AS BIGINT) AS n_revisits,
+                 CAST(SUM(blen) AS BIGINT) AS stored_bytes,
+                 CAST(SUM(rv * blen) AS BIGINT) AS saved_bytes
+          FROM v GROUP BY i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'warc' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 + nu + n_revisits END
+                AS BIGINT) AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE nu END AS BIGINT)
+             AS n_responses,
+           CAST(CASE WHEN bad THEN 0 ELSE n_revisits END AS BIGINT)
+             AS n_revisits,
+           CAST(CASE WHEN bad THEN 0 ELSE stored_bytes END
+                AS BIGINT) AS stored_bytes,
+           CAST(CASE WHEN bad THEN 0 ELSE saved_bytes END AS BIGINT)
+             AS saved_bytes
+    FROM b
+    """,
+    doc="WARC REVISIT records (ISO 28500 §6.7.2) — the crawl "
+    "corpus's OWN dedup mechanism: a recrawl whose payload digest "
+    "matches an earlier capture stores a headers-only revisit "
+    "record (WARC-Profile identical-payload-digest) with "
+    "WARC-Refers-To + WARC-Payload-Digest instead of the body. The "
+    "walk re-proves every response's DECLARED payload digest "
+    "against its actual content (base32 SHA-1, the cc-index "
+    "convention), then demands every revisit reference an EARLIER "
+    "response in the file and carry exactly its digest; "
+    "saved_bytes counts the bodies dedup avoided re-storing — the "
+    "quantity a corpus-size estimate needs. Lies: a dangling "
+    "refers-to (13th), a digest one capture off (17th), a response "
+    "declaring a wrong digest (19th) - all refuse; resolving a "
+    "revisit against the wrong capture silently corrupts "
+    "deduplication. operators/warc.py _walk_warc_revisit",
+    tags=("llm", "multimodal", "text"),
+)
+def multimodal_warc_revisit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.warc import (
+        synthesize_warc_revisit_media,
+        warc_revisit_stats,
+    )
+
+    media = synthesize_warc_revisit_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return warc_revisit_stats(media)

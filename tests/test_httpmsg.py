@@ -466,3 +466,69 @@ def test_content_type_charset_param():
     assert content_type_charset(
         "multipart/form-data; boundary=x; charset=utf-16"
     ) == "utf-16"
+
+
+class TestWarcRevisit:
+    def test_model(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_warc_revisit_stream,
+            _rv_count,
+            _rv_len,
+            _walk_warc_revisit,
+        )
+
+        for i in (1, 2, 3, 4, 5):
+            st = _walk_warc_revisit(_make_warc_revisit_stream(i))
+            assert st is not None, i
+            nu = 2 + i % 3
+            assert st["n_responses"] == nu
+            assert st["n_revisits"] == sum(
+                _rv_count(i, u) for u in range(nu)
+            )
+            assert st["saved_bytes"] == sum(
+                _rv_count(i, u) * _rv_len(i, u) for u in range(nu)
+            )
+
+    def test_trust_refusals(self):
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_warc_revisit_stream,
+            _walk_warc_revisit,
+        )
+
+        # dangling refers-to / digest off / response digest lie
+        for i in (13, 26, 17, 34, 19, 38):
+            assert (
+                _walk_warc_revisit(_make_warc_revisit_stream(i))
+                is None
+            ), i
+
+    def test_forward_reference_refuses(self):
+        """A revisit before its target (forward reference) refuses —
+        single-pass resolution is the streamable contract."""
+        from gmall_flink_210726_spark.operators.inflate import (
+            iter_gzip_members,
+        )
+        from gmall_flink_210726_spark.operators.warc import (
+            _make_warc_revisit_stream,
+            _walk_warc_revisit,
+        )
+
+        blob = _make_warc_revisit_stream(1)
+        # i=1: members = [warcinfo, resp0, rev0.., resp1, ...]
+        # find raw member boundaries by re-splitting the gzip stream
+        members = iter_gzip_members(blob)
+        assert members is not None
+        # move the LAST member (a revisit for the last response) to
+        # the front, before its target
+        import zlib
+        import struct
+
+        from gmall_flink_210726_spark.operators.warc import (
+            _gzip_member,
+        )
+
+        payloads = [p for _n, p in members]
+        reordered = [payloads[-1]] + payloads[:-1]
+        cooked = b"".join(_gzip_member(p) for p in reordered)
+        assert _walk_warc_revisit(cooked) is None
+        assert _walk_warc_revisit(blob) is not None

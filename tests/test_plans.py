@@ -1078,5 +1078,6 @@ class TestRound14PlanShapes:
             "multimodal_kafka_time_index",
             "lakehouse_hudi_mor_time_travel",
             "multimodal_zip64_members",
+            "multimodal_warc_revisit",
         ):
             self._assert_pure_map(spark, name)
