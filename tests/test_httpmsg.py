@@ -528,7 +528,12 @@ class TestWarcRevisit:
         )
 
         payloads = [p for _n, p in members]
-        reordered = [payloads[-1]] + payloads[:-1]
+        # i=1 member order: warcinfo, resp0, rev(0,0), resp1,
+        # rev(1,0), rev(1,1), resp2 — move rev(0,0) before resp0
+        assert b"WARC-Type: revisit" in payloads[2]
+        reordered = (
+            [payloads[0], payloads[2], payloads[1]] + payloads[3:]
+        )
         cooked = b"".join(_gzip_member(p) for p in reordered)
         assert _walk_warc_revisit(cooked) is None
         assert _walk_warc_revisit(blob) is not None
