@@ -2448,3 +2448,118 @@ def st33_stream_hudi_mor_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st34_stream_flac_ingest",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 1 + doc_id % 2 AS ch,
+                        600 + doc_id % 300 AS n
+                 FROM documents),
+    cs AS (SELECT i, ch, n, unnest(range(0, ch)) AS c FROM ids),
+    ks AS (SELECT i, c, unnest(range(0, n)) AS k FROM cs),
+    sv AS (SELECT i,
+                  (7 * i + 13 * c + 5 * k) % 2001 - 1000 AS x
+           FROM ks),
+    a AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sample_sum
+          FROM sv GROUP BY i),
+    b AS (SELECT ids.i, ids.n, a.sample_sum,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids JOIN a ON a.i = ids.i)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE n END) AS BIGINT)
+             AS n_samples,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE sample_sum END)
+                AS BIGINT) AS sample_sum
+    FROM b GROUP BY 1
+    """,
+    doc="STREAMING FLAC ingest — the round-14 audio decoder "
+    "(multimodal_flac_frames) as a Structured Streaming operator: "
+    "FLAC blobs arrive as a parquet file stream (32 files, 16 per "
+    "trigger); the full bit-level decode (Rice residuals, LPC, "
+    "left/side, CRC-8/CRC-16, the MD5-of-decoded-PCM proof) runs "
+    "Arrow-batched ON THE STREAM PLAN with per-epoch per-bucket "
+    "partials through the checkpointed overwrite-idempotent epoch "
+    "sink. Per-blob stateless; the batch twin's stripes (MD5 lie, "
+    "CRC-16 flip, total-samples overstatement) carry into n_ok. "
+    "operators/flac.py read_flac",
+    tags=("streaming", "llm", "multimodal"),
+)
+def st34_stream_flac_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.flac import (
+        flac_stats,
+        synthesize_flac_media,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st34_src_")
+    out = tempfile.mkdtemp(prefix="st34_out_")
+    ckpt = tempfile.mkdtemp(prefix="st34_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_flac_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = flac_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_blobs"),
+                F.sum((F.col("format") == "flac").cast("long"))
+                .cast("long")
+                .alias("n_ok"),
+                F.sum("n_samples").cast("long").alias("n_samples"),
+                F.sum("sample_sum").cast("long").alias("sample_sum"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st34 flac stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_blobs").cast("long").alias("n_blobs"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_samples").cast("long").alias("n_samples"),
+                F.sum("sample_sum").cast("long").alias("sample_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
