@@ -505,8 +505,13 @@ def sniff_meta_charset(data: bytes) -> str | None:
     head = data[:1024].decode("latin-1")
     # WHATWG prescan: a <meta> inside an HTML comment is NOT a
     # declaration — strip comments (an unclosed one eats the rest of
-    # the window) before looking for charset=.
-    head = re.sub(r"<!--.*?(-->|\Z)", " ", head, flags=re.DOTALL)
+    # the window) before looking for charset=.  The degenerate
+    # complete comments <!--> and <!---> close immediately (the
+    # opener's -- may overlap the closer per the spec's scan-from
+    # position), so they must not swallow what follows.
+    head = re.sub(
+        r"<!-->|<!--->|<!--.*?-->|<!--.*\Z", " ", head, flags=re.DOTALL
+    )
     m = re.search(
         r"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9._:\-]+)",
         head,

@@ -80,6 +80,8 @@ def _collect_commits(
 def _replay_state(
     commits: dict[int, bytes],
     max_reader: int = _MAX_READER_VERSION,
+    meta_out: list | None = None,
+    on_version=None,
 ) -> tuple[dict[str, tuple[int, int, str, dict]], int, int] | None:
     """Ordered replay -> (live path map, n_adds, n_removes); None on
     any protocol violation (module docstring contract). Each live
@@ -89,7 +91,15 @@ def _replay_state(
     column-mapping-aware scan may accept minReaderVersion 2 (that is
     what reader version 2 means in the protocol); every logical-name
     reader keeps refusing it — reading a mapped table by logical
-    name returns wrong data, not an error."""
+    name returns wrong data, not an error.  ``meta_out``, when given,
+    receives the LAST metaData action dict seen during the replay
+    (appended; schema evolution means the latest wins) so callers
+    need not re-walk the log for it.  ``on_version``, when given, is
+    called as ``on_version(v, live)`` after each version's actions
+    apply (the post-commit snapshot state); returning False from it
+    aborts the replay with None — this lets per-version checks (the
+    ``.crc`` books-balance layer) ride one incremental replay
+    instead of re-replaying the prefix per version."""
     n = len(commits)
     # path -> (size, rows, pv, stats)
     live: dict[str, tuple[int, int, str, dict]] = {}
@@ -120,6 +130,9 @@ def _replay_state(
                 if not isinstance(md, dict) or "id" not in md:
                     return None
                 saw_meta = True
+                if meta_out is not None:
+                    meta_out.clear()
+                    meta_out.append(md)
             elif "add" in action:
                 a = action["add"]
                 if (
@@ -160,6 +173,8 @@ def _replay_state(
                 return None  # unknown action kind
         if v == 0 and not (saw_protocol and saw_meta):
             return None  # commit 0 must establish the table
+        if on_version is not None and on_version(v, live) is False:
+            return None
     return live, n_adds, n_removes
 
 
@@ -1255,24 +1270,16 @@ def scan_delta_column_mapped(data: bytes) -> dict | None:
     commits = _collect_commits(commit_members)
     if commits is None:
         return None
-    state = _replay_state(commits, max_reader=2)
+    meta_box: list = []
+    state = _replay_state(commits, max_reader=2, meta_out=meta_box)
     if state is None:
         return None
     live, _n_adds, _n_removes = state
-    # the LATEST metaData action wins (schema evolution)
-    mapped = None
-    for v in range(len(commits)):
-        for line in commits[v].split(b"\n"):
-            if not line.strip():
-                continue
-            try:
-                action = json.loads(line.decode("utf-8"))
-            except (ValueError, UnicodeDecodeError):
-                return None
-            if isinstance(action, dict) and "metaData" in action:
-                mapped = _parse_mapped_schema(action["metaData"])
-                if mapped is None:
-                    return None
+    # the LATEST metaData action wins (schema evolution); _replay_state
+    # already walked the log, so take the metaData it saw last
+    if not meta_box:
+        return None
+    mapped = _parse_mapped_schema(meta_box[0])
     if mapped is None:
         return None
     mode, fields = mapped
@@ -1584,7 +1591,7 @@ def scan_delta_table_checked(data: bytes) -> dict | None:
         return None
     if any(v >= len(commits) for v in crc_files):
         return None  # a checksum for a version that does not exist
-    n_crc = 0
+    checksums: dict[int, dict] = {}
     for v, payload in sorted(crc_files.items()):
         try:
             crc = json.loads(payload.decode("utf-8"))
@@ -1592,23 +1599,26 @@ def scan_delta_table_checked(data: bytes) -> dict | None:
             return None
         if not isinstance(crc, dict):
             return None
-        prefix = {w: commits[w] for w in range(v + 1)}
-        st = _replay_state(prefix)
-        if st is None:
-            return None
-        live_v, _a, _r = st
+        checksums[v] = crc
+
+    # one incremental replay; each version's .crc is checked against
+    # the post-commit state as the replay reaches it (O(V), not O(V^2))
+    def _check(v: int, live_v: dict) -> bool:
+        crc = checksums.get(v)
+        if crc is None:
+            return True
         if crc.get("numFiles") != len(live_v):
-            return None
+            return False
         if crc.get("tableSizeBytes") != sum(
             sz for sz, _rows, _pv, _s in live_v.values()
         ):
-            return None
-        if crc.get("numMetadata") != 1 or crc.get("numProtocol") != 1:
-            return None
-        n_crc += 1
-    state = _replay_state(commits)
+            return False
+        return crc.get("numMetadata") == 1 and crc.get("numProtocol") == 1
+
+    state = _replay_state(commits, on_version=_check)
     if state is None:
         return None
+    n_crc = len(checksums)
     live, _n_adds, _n_removes = state
     live_rows = k_sum = 0
     for path, (size, rows, _pv, _st) in live.items():

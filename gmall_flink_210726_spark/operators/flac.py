@@ -163,7 +163,9 @@ def _utf8_number_enc(v: int) -> bytes:
         return bytes([v])
     out = []
     nbytes = 2
-    while v >= (1 << (6 - nbytes + 5 * nbytes)):  # capacity check
+    # an n-byte coded number carries (7 - n) lead bits + 6*(n - 1)
+    # continuation bits = 5n + 1 value bits
+    while v >= (1 << (5 * nbytes + 1)):
         nbytes += 1
     # lead byte: nbytes ones, a zero, then the high value bits
     lead_bits = 7 - nbytes
@@ -201,6 +203,20 @@ def _utf8_number_dec(r: _BitReader) -> int:
 # --------------------------------------------------------------------------
 
 _SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+_SAMPLE_SIZE_CODE = {v: k for k, v in _SAMPLE_SIZE.items()}
+
+
+def _pcm_md5(channels_pcm: list[list[int]], bps: int) -> bytes:
+    """MD5 of the interleaved little-endian PCM exactly as STREAMINFO
+    defines it — shared by decoder verification and the encoder."""
+    md5 = hashlib.md5()
+    step = (bps + 7) // 8
+    mask = (1 << (8 * step)) - 1
+    total = len(channels_pcm[0]) if channels_pcm else 0
+    for k in range(total):
+        for c in range(len(channels_pcm)):
+            md5.update((channels_pcm[c][k] & mask).to_bytes(step, "little"))
+    return md5.digest()
 
 
 def _residual_dec(r: _BitReader, blocksize: int, order: int) -> list[int]:
@@ -403,15 +419,7 @@ def read_flac(data: bytes) -> dict | None:
             pos = r.pos
         if pos != len(data):
             return None  # trailing garbage
-        md5 = hashlib.md5()
-        step = (bps + 7) // 8
-        for k in range(total):
-            for c in range(ch):
-                md5.update(
-                    (channels_pcm[c][k] & ((1 << (8 * step)) - 1))
-                    .to_bytes(step, "little")
-                )
-        if md5.digest() != info["md5"]:
+        if _pcm_md5(channels_pcm, bps) != info["md5"]:
             return None  # the decoded PCM vs STREAMINFO's claim
         return {
             "sample_rate": sr,
@@ -522,14 +530,9 @@ def make_flac(
     stereo frames with odd index use left/side decorrelation."""
     ch = len(channels_pcm)
     total = len(channels_pcm[0])
-    md5 = hashlib.md5()
-    step = (bps + 7) // 8
-    for k in range(total):
-        for c in range(ch):
-            md5.update(
-                (channels_pcm[c][k] & ((1 << (8 * step)) - 1))
-                .to_bytes(step, "little")
-            )
+    if bps not in _SAMPLE_SIZE_CODE:
+        raise ValueError(f"flac: unsupported bps {bps}")
+    digest = _pcm_md5(channels_pcm, bps)
     packed = (
         (sample_rate << 44)
         | ((ch - 1) << 41)
@@ -540,7 +543,7 @@ def make_flac(
         struct.pack(">HH", block_size, block_size)
         + b"\x00\x00\x00" * 2
         + packed.to_bytes(8, "big")
-        + md5.digest()
+        + digest
     )
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
@@ -561,7 +564,7 @@ def make_flac(
         hdr.write(7, 4)  # 16-bit blocksize-1 at end of header
         hdr.write(0, 4)  # sample rate from STREAMINFO
         hdr.write(asgn, 4)
-        hdr.write(4, 3)  # 16-bit samples
+        hdr.write(_SAMPLE_SIZE_CODE[bps], 3)
         hdr.write(0, 1)
         hdr.align()
         head = hdr.bytes() + _utf8_number_enc(f) + struct.pack(

@@ -663,14 +663,23 @@ def read_hudi_mor_snapshot(
             n_corrupt += nc
             stream.extend(blocks)
         # rollback pass: a COMMAND/ROLLBACK block kills every earlier
-        # block whose INSTANT_TIME equals its TARGET_INSTANT_TIME
+        # block whose INSTANT_TIME equals its TARGET_INSTANT_TIME.
+        # A rollback stamped after the as-of instant hadn't happened
+        # yet at that snapshot, so it is skipped like any other
+        # future block (the "T4 rollback is itself skipped" rule).
         alive: list[dict] = []
         for blk in stream:
             if blk["type"] == _BLK_COMMAND:
                 cmd = blk["header"].get(_H_CMD, b"")
                 tgt = blk["header"].get(_H_TARGET)
-                if cmd != b"0" or tgt is None:
+                own = blk["header"].get(_H_INSTANT)
+                if cmd != b"0" or tgt is None or own is None:
                     return None
+                own_ts = own.decode("ascii", "replace")
+                if not own_ts.isdigit():
+                    return None
+                if own_ts > max_instant:
+                    continue
                 alive = [
                     b
                     for b in alive

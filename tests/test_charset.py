@@ -299,3 +299,28 @@ class TestMetaPrescanComments:
         # a real declaration after a comment still fires
         body3 = b"<!-- hi --><meta charset=windows-1252><p>x</p>"
         assert sniff_meta_charset(body3) == "windows-1252"
+
+    def test_degenerate_complete_comments(self):
+        """WHATWG's <!--> and <!---> close immediately (the opener's
+        -- may overlap the closer) — they must not swallow a
+        following real declaration."""
+        from gmall_flink_210726_spark.operators.charset import (
+            sniff_meta_charset,
+        )
+
+        assert (
+            sniff_meta_charset(b"<!--><meta charset=windows-1252>")
+            == "windows-1252"
+        )
+        assert (
+            sniff_meta_charset(b"<!---><meta charset=utf-8>")
+            == "utf-8"
+        )
+        # the 4-dash form is an ordinary empty comment
+        assert (
+            sniff_meta_charset(b"<!----><meta charset=big5>") == "big5"
+        )
+        # <!--> closes at once, so a later --> is plain text
+        assert (
+            sniff_meta_charset(b"<!--><meta charset=gbk>-->") == "gbk"
+        )

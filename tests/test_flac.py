@@ -93,3 +93,45 @@ class TestTrustChain:
 
     def test_trailing_garbage_refuses(self):
         assert read_flac(_make_flac_media(1) + b"\x00") is None
+
+
+class TestEncoderRanges:
+    def test_long_stream_coded_frame_numbers(self):
+        """Frame numbers >= 2048 need a 3-byte coded number; the
+        encoder capacity check must agree with the decoder (5n+1
+        value bits per n-byte number)."""
+        pcm = [((3 * n) % 101) - 50 for n in range(10_000)]
+        st = read_flac(make_flac([pcm], 8000, block_size=4))
+        assert st is not None and st["n_frames"] == 2500
+
+    def test_coded_number_boundaries(self):
+        from gmall_flink_210726_spark.operators.flac import (
+            _BitReader,
+            _utf8_number_dec,
+            _utf8_number_enc,
+        )
+
+        for v in (127, 128, 2047, 2048, 16383, 16384, 65535, 65536,
+                  262143, 262144):
+            enc = _utf8_number_enc(v)
+            assert _utf8_number_dec(_BitReader(enc)) == v, v
+
+    def test_bps_knob_roundtrips(self):
+        """Every streamable FLAC sample size, not just 16-bit; the
+        frame header's sample-size code must track bps."""
+        for bps in (8, 12, 16, 20, 24):
+            pcm = [
+                ((i * 7) % (1 << (bps - 1))) - (1 << (bps - 2))
+                for i in range(300)
+            ]
+            st = read_flac(
+                make_flac([pcm], 16000, bps=bps, block_size=64)
+            )
+            assert st is not None and st["bps"] == bps, bps
+            assert st["n_samples"] == 300
+
+    def test_unsupported_bps_refused(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            make_flac([[0] * 10], 8000, bps=17)

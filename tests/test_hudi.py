@@ -222,6 +222,117 @@ class TestMorLogFormat:
         assert st["k_sum"] == want
 
 
+class TestMorRollbackAfterAsOf:
+    def test_future_rollback_of_past_instant_is_skipped(self):
+        """A T4 rollback TARGETING T2 (an instant <= asof) must not
+        apply at asof=T2 — the rollback itself hadn't happened yet —
+        while the full snapshot does apply it and drops T2's
+        upserts. Pins the rollback pass honoring the as-of filter."""
+        import json as _json
+
+        from gmall_flink_210726_spark.operators.hudi import (
+            _T1,
+            _T2,
+            _T4,
+            _mor_base_parquet,
+            _mor_data_block,
+            _mor_k,
+            _mor_n,
+            _mor_rollback_block,
+            read_hudi_mor_snapshot,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+
+        i, g = 1, 0
+        n = _mor_n(i, g)
+        base = _mor_base_parquet(i, g)
+        bpath = f"part/f{g}_0-0_{_T1}.parquet"
+        log1 = _mor_data_block(
+            _T2,
+            [{"rk": r, "k": _mor_k(i, g, r, 311)} for r in range(n)],
+        )
+        log2 = _mor_rollback_block(_T4, _T2)
+        p1 = f"part/.f{g}_{_T1}.log.1_0-0"
+        p2 = f"part/.f{g}_{_T1}.log.2_0-0"
+        members = [
+            (bpath, base),
+            (p1, log1),
+            (p2, log2),
+            (
+                f".hoodie/{_T1}.commit",
+                _json.dumps(
+                    {
+                        "partitionToWriteStats": {
+                            "part": [
+                                {
+                                    "fileId": f"f{g}",
+                                    "path": bpath,
+                                    "numWrites": n,
+                                    "fileSizeInBytes": len(base),
+                                }
+                            ]
+                        }
+                    }
+                ).encode(),
+            ),
+            (
+                f".hoodie/{_T2}.deltacommit",
+                _json.dumps(
+                    {
+                        "partitionToWriteStats": {
+                            "part": [
+                                {
+                                    "fileId": f"f{g}",
+                                    "path": p1,
+                                    "fileSizeInBytes": len(log1),
+                                }
+                            ]
+                        }
+                    }
+                ).encode(),
+            ),
+            (
+                f".hoodie/{_T4}.deltacommit",
+                _json.dumps(
+                    {
+                        "partitionToWriteStats": {
+                            "part": [
+                                {
+                                    "fileId": f"f{g}",
+                                    "path": p2,
+                                    "fileSizeInBytes": len(log2),
+                                }
+                            ]
+                        }
+                    }
+                ).encode(),
+            ),
+        ]
+        parts = []
+        for name, payload in members:
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        tar = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+        asof = read_hudi_mor_snapshot(tar, asof=_T2)
+        assert asof is not None
+        assert asof["k_sum"] == sum(
+            _mor_k(i, g, r, 311) for r in range(n)
+        )
+        full = read_hudi_mor_snapshot(tar)
+        assert full is not None
+        assert full["k_sum"] == sum(
+            _mor_k(i, g, r, 0) for r in range(n)
+        )
+
+
 class TestMorAsOfSkipRules:
     def test_asof_t2_drops_t3_and_t4(self):
         """At as-of T2 the T4 rollback is itself skipped, yet T3's
