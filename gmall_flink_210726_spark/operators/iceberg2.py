@@ -1292,3 +1292,463 @@ def synthesize_iceberg_posdel_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Iceberg v2 EQUALITY delete files (spec "Equality Delete Files").
+# An equality delete file holds rows of just the equality field values
+# (identified by the entry's equality_ids); a data row is deleted when
+# its values for those fields equal any delete row AND the data file's
+# sequence number is STRICTLY LOWER than the delete file's — a delete
+# can never hit rows committed with it or after it.  That strict
+# inequality is the load-bearing semantic (position deletes use <=):
+# the fixture plants same-sequence key collisions that must survive.
+# Columns resolve by FIELD ID on both sides (parquet_leaf_fields),
+# never by name — the same rule the evolution walk (L254) pins.
+# --------------------------------------------------------------------------
+
+
+def read_iceberg_eq_deletes(data: bytes) -> dict | None:
+    """Tar table -> v2 equality-delete merge-on-read scan. Manifest
+    list entries carry content (0 data / 1 deletes) and the v2
+    sequence_number every entry in that manifest inherits; delete
+    entries' data_file structs must declare content=2 with non-empty
+    integer equality_ids. Delete-file key columns and data-file
+    columns resolve by parquet field id; a data row dies when its
+    key tuple appears in any delete file whose sequence number is
+    strictly greater than the data file's. None on any violation:
+    manifest_length or file size or record_count lies, an equality
+    id missing from a data or delete file, duplicate data paths,
+    malformed sequence numbers."""
+    from gmall_flink_210726_spark.operators.avro import (
+        read_avro_container,
+    )
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        parquet_leaf_fields,
+        read_parquet_column_k,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    snap_id = meta.get("current-snapshot-id")
+    snaps = meta.get("snapshots")
+    if not isinstance(snap_id, int) or not isinstance(snaps, list):
+        return None
+    snap = next(
+        (
+            s
+            for s in snaps
+            if isinstance(s, dict) and s.get("snapshot-id") == snap_id
+        ),
+        None,
+    )
+    if snap is None:
+        return None
+    mlist_blob = files.get(snap.get("manifest-list"))
+    if mlist_blob is None:
+        return None
+    got = read_avro_container(mlist_blob)
+    if got is None:
+        return None
+    mlist, _, _ = got
+
+    def _leaf_map(blob: bytes) -> dict[int, bytes] | None:
+        leaves = parquet_leaf_fields(blob)
+        if leaves is None:
+            return None
+        out: dict[int, bytes] = {}
+        for fid, lname in leaves:
+            if fid is None:
+                continue
+            if fid in out:
+                return None  # duplicate field id
+            out[fid] = lname
+        return out
+
+    def _columns_by_ids(
+        blob: bytes, ids: list[int], claimed: int
+    ) -> list[tuple] | None:
+        fmap = _leaf_map(blob)
+        if fmap is None:
+            return None
+        cols = []
+        for fid in ids:
+            lname = fmap.get(fid)
+            if lname is None:
+                return None  # equality id missing from the file
+            col = read_parquet_column_k(
+                blob, collect_values=True, name=lname
+            )
+            if col is None or col["n_values"] != claimed:
+                return None
+            cols.append(col["values"])
+        return list(zip(*cols)) if cols else None
+
+    # (seq, path, rows-claimed, blob): data then deletes
+    data_entries: list[tuple[int, str, int, bytes]] = []
+    del_entries: list[tuple[int, list[int], int, bytes]] = []
+    try:
+        for mf in mlist:
+            blob = files.get(mf["manifest_path"])
+            if blob is None or len(blob) != mf["manifest_length"]:
+                return None
+            content = mf.get("content", 0)
+            seq = mf.get("sequence_number")
+            if content not in (0, 1) or not isinstance(seq, int):
+                return None
+            if seq < 1:
+                return None
+            g2 = read_avro_container(blob)
+            if g2 is None:
+                return None
+            entries, _, _ = g2
+            for ent in entries:
+                if ent["status"] == 2:
+                    continue
+                df = ent["data_file"]
+                blob2 = files.get(df["file_path"])
+                if (
+                    blob2 is None
+                    or len(blob2) != df["file_size_in_bytes"]
+                ):
+                    return None
+                if content == 0:
+                    data_entries.append(
+                        (
+                            seq,
+                            df["file_path"],
+                            df["record_count"],
+                            blob2,
+                        )
+                    )
+                else:
+                    if df.get("content") != 2:
+                        return None  # not an equality delete file
+                    eq_ids = df.get("equality_ids")
+                    if (
+                        not isinstance(eq_ids, list)
+                        or not eq_ids
+                        or not all(
+                            isinstance(x, int) for x in eq_ids
+                        )
+                    ):
+                        return None
+                    del_entries.append(
+                        (seq, eq_ids, df["record_count"], blob2)
+                    )
+        # delete files -> (seq, frozen key set)
+        delete_sets: list[tuple[int, set]] = []
+        for seq, eq_ids, claimed, blob2 in del_entries:
+            keys = _columns_by_ids(blob2, eq_ids, claimed)
+            if keys is None:
+                return None
+            delete_sets.append((seq, set(keys)))
+        eq_union: list[int] = sorted(
+            {x for _s, ids_, _c, _b in del_entries for x in ids_}
+        )
+        seen_paths: set[str] = set()
+        total = ndel = live_sum = 0
+        for seq, path, claimed, blob2 in data_entries:
+            if path in seen_paths:
+                return None
+            seen_paths.add(path)
+            vals = read_parquet_column_k(
+                blob2, collect_values=True, name=b"v"
+            )
+            if vals is None or vals["n_values"] != claimed:
+                return None
+            if eq_union:
+                keys = _columns_by_ids(blob2, eq_union, claimed)
+                if keys is None:
+                    return None
+            else:
+                keys = [()] * claimed
+            # per delete file, project the union tuple down to the
+            # file's own id list (ids resolve positionally in eq_union)
+            proj = [
+                tuple(eq_union.index(x) for x in ids_)
+                for _s, ids_, _c, _b in del_entries
+            ]
+            for key, v in zip(keys, vals["values"]):
+                total += 1
+                dead = any(
+                    dseq > seq
+                    and tuple(key[j] for j in pj) in dset
+                    for (dseq, dset), pj in zip(delete_sets, proj)
+                )
+                if dead:
+                    ndel += 1
+                else:
+                    live_sum += v
+    except (TypeError, KeyError, ValueError, UnicodeDecodeError):
+        return None
+    return {
+        "n_data_files": len(data_entries),
+        "n_delete_files": len(del_entries),
+        "total_rows": total,
+        "deleted_rows": ndel,
+        "live_rows": total - ndel,
+        "live_v_sum": live_sum,
+    }
+
+
+EQDEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_data_files", LongType()),
+        StructField("n_delete_files", LongType()),
+        StructField("total_rows", LongType()),
+        StructField("deleted_rows", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("live_v_sum", LongType()),
+    ]
+)
+
+
+def iceberg_eq_delete_stats(df: DataFrame) -> DataFrame:
+    """v2 equality-delete merge-on-read scan over MEDIA_SCHEMA."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in EQDEL_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_iceberg_eq_deletes(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="iceberg", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, EQDEL_SCHEMA
+    )
+
+
+def _eq_n(i: int, f: int) -> int:
+    return 12 + (i + 5 * f) % 20
+
+
+def _eq_v(i: int, f: int, r: int) -> int:
+    return (7 * i + 13 * f + 3 * r) % 1000
+
+
+def _eq_del_keys(i: int, d: int) -> list[int]:
+    return [r for r in range(40) if (r + i + 3 * d) % 4 == 0]
+
+
+def _make_iceberg_eqdel_table(i: int) -> bytes:
+    """``2 + i % 3`` data files (file f at sequence ``2f+1``),
+    ``1 + i % 2`` equality-delete files (delete d at sequence
+    ``2d+2`` with keys ``(r + i + 3d) % 4 == 0``); keys are the row
+    index, so delete d can only hit data files ``f <= d`` (strictly
+    lower sequence) — same-sequence and later collisions must
+    survive. Lies: every 13th id's last delete file claims
+    equality_ids [99] (no such field id — refused); every 17th-miss
+    id's last delete entry overstates record_count (refused); every
+    19th-miss id lies about the delete manifest's manifest_length
+    (refused)."""
+    from gmall_flink_210726_spark.operators.avro import (
+        make_avro_container,
+    )
+    from gmall_flink_210726_spark.operators.iceberg import (
+        MANIFEST_SCHEMA,
+        MLIST_SCHEMA,
+    )
+
+    nf = 2 + i % 3
+    ne = 1 + i % 2
+    members: list[tuple[str, bytes]] = []
+    data_entries = []
+    for f in range(nf):
+        n = _eq_n(i, f)
+        blob = _evo_parquet(
+            [
+                ("k", 1, list(range(n))),
+                ("v", 2, [_eq_v(i, f, r) for r in range(n)]),
+            ]
+        )
+        path = f"data/d{f}.parquet"
+        members.append((path, blob))
+        data_entries.append((f, path, n, len(blob)))
+    del_entries = []
+    for d in range(ne):
+        keys = _eq_del_keys(i, d)
+        blob = _evo_parquet([("k", 1, keys)])
+        path = f"deletes/eq{d}.parquet"
+        members.append((path, blob))
+        eq_ids = [1]
+        if i % 13 == 0 and d == ne - 1:
+            eq_ids = [99]
+        claimed = len(keys)
+        if i % 17 == 0 and i % 13 != 0 and d == ne - 1:
+            claimed += 1
+        del_entries.append((d, path, eq_ids, claimed, len(blob)))
+
+    mschema = json.loads(json.dumps(MANIFEST_SCHEMA))
+    for fld in mschema["fields"]:
+        if fld["name"] == "data_file":
+            fld["type"]["fields"] = fld["type"]["fields"] + [
+                {"name": "content", "type": "int"},
+                {
+                    "name": "equality_ids",
+                    "type": {"type": "array", "items": "int"},
+                },
+            ]
+    del_manifests = []
+    for d, p, eq_ids, claimed, size in del_entries:
+        blob = make_avro_container(
+            mschema,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 1700 + i,
+                    "data_file": {
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "record_count": claimed,
+                        "file_size_in_bytes": size,
+                        "content": 2,
+                        "equality_ids": eq_ids,
+                    },
+                }
+            ],
+        )
+        members.append((f"meta/m-del{d}.avro", blob))
+        del_manifests.append((d, blob))
+    mlist_schema = json.loads(json.dumps(MLIST_SCHEMA))
+    mlist_schema["fields"] = mlist_schema["fields"] + [
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+    ]
+    # one data manifest per file so each carries its own sequence 2f+1
+    rows = []
+    data_manifests = []
+    for f, p, n, size in data_entries:
+        blob = make_avro_container(
+            MANIFEST_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 1700 + i,
+                    "data_file": {
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "record_count": n,
+                        "file_size_in_bytes": size,
+                    },
+                }
+            ],
+        )
+        name = f"meta/m-data{f}.avro"
+        data_manifests.append((name, blob))
+        rows.append(
+            {
+                "manifest_path": name,
+                "manifest_length": len(blob),
+                "partition_spec_id": 0,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "content": 0,
+                "sequence_number": 2 * f + 1,
+            }
+        )
+    members.extend(data_manifests)
+    for d, blob in del_manifests:
+        mlen = len(blob)
+        if i % 19 == 0 and i % 13 != 0 and i % 17 != 0 and d == ne - 1:
+            mlen += 1
+        rows.append(
+            {
+                "manifest_path": f"meta/m-del{d}.avro",
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "content": 1,
+                "sequence_number": 2 * d + 2,
+            }
+        )
+    mlist = make_avro_container(mlist_schema, rows)
+    members.append(("meta/snap-1.avro", mlist))
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"tbl-eqdel-{i}",
+        "current-snapshot-id": 1700 + i,
+        "snapshots": [
+            {
+                "snapshot-id": 1700 + i,
+                "manifest-list": "meta/snap-1.avro",
+            }
+        ],
+    }
+    members.append(
+        ("v2.metadata.json", json.dumps(meta).encode("utf-8"))
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_iceberg_eqdel_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of v2 equality-delete Iceberg tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_eqdel_table(int(x))
+                        for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

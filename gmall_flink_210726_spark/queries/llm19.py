@@ -924,3 +924,78 @@ def multimodal_warc_revisit(
         load_table(spark, sf_dir, "documents")
     )
     return warc_revisit_stats(media)
+
+
+@register(
+    "lakehouse_iceberg_eq_deletes",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 2 + doc_id % 3 AS nf,
+                        1 + doc_id % 2 AS ne
+                 FROM documents),
+    f AS (SELECT i, nf, ne, unnest(range(0, nf)) AS ff FROM ids),
+    r AS (SELECT i, nf, ne, ff,
+                 unnest(range(0, 12 + (i + 5 * ff) % 20)) AS rr
+          FROM f),
+    v AS (SELECT i, nf, ne,
+                 ((ff = 0 AND (rr + i) % 4 = 0)
+                  OR (ne = 2 AND ff <= 1 AND (rr + i + 3) % 4 = 0))
+                   AS del,
+                 (7 * i + 13 * ff + 3 * rr) % 1000 AS vv
+          FROM r),
+    a AS (SELECT i, MAX(nf) AS nf, MAX(ne) AS ne,
+                 CAST(COUNT(*) AS BIGINT) AS total_rows,
+                 CAST(SUM(CASE WHEN del THEN 1 ELSE 0 END)
+                      AS BIGINT) AS deleted_rows,
+                 CAST(SUM(CASE WHEN del THEN 0 ELSE vv END)
+                      AS BIGINT) AS live_v_sum
+          FROM v GROUP BY i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nf END AS BIGINT)
+             AS n_data_files,
+           CAST(CASE WHEN bad THEN 0 ELSE ne END AS BIGINT)
+             AS n_delete_files,
+           CAST(CASE WHEN bad THEN 0 ELSE total_rows END AS BIGINT)
+             AS total_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE deleted_rows END
+                AS BIGINT) AS deleted_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE total_rows - deleted_rows
+                END AS BIGINT) AS live_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE live_v_sum END AS BIGINT)
+             AS live_v_sum
+    FROM b
+    """,
+    doc="Iceberg format-v2 EQUALITY DELETE files (spec 'Equality "
+    "Delete Files') — the other v2 merge-on-read delete kind next "
+    "to position deletes (L275): delete manifests resolve parquet "
+    "files of just the equality key columns (entry equality_ids), "
+    "and a data row dies when its key tuple matches any delete row "
+    "whose manifest sequence number is STRICTLY GREATER than the "
+    "data file's — the spec's strict inequality means a delete "
+    "never hits rows committed with or after it, which the fixture "
+    "pins with same-sequence key collisions that must survive. Key "
+    "columns resolve by parquet FIELD ID on both sides, never by "
+    "name (the L254 evolution rule). At 100 TB the delete keysets "
+    "are few-KB side inputs per file group: the merge stays one "
+    "sequential pass per data file. Lies: equality_ids naming a "
+    "field id no file has (13th), delete record_count "
+    "overstatement (17th), delete manifest_length lie (19th) - all "
+    "refuse. One Arrow-batched map stage, no shuffle. "
+    "operators/iceberg2.py read_iceberg_eq_deletes",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_iceberg_eq_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg2 import (
+        iceberg_eq_delete_stats,
+        synthesize_iceberg_eqdel_media,
+    )
+
+    media = synthesize_iceberg_eqdel_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_eq_delete_stats(media)

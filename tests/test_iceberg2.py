@@ -304,3 +304,122 @@ class TestPositionDeletes:
             )
         cooked = b"".join(parts) + b"\x00" * (2 * _BLOCK)
         assert read_iceberg_pos_deletes(cooked) is None
+
+
+class TestEqualityDeletes:
+    def test_model(self):
+        from gmall_flink_210726_spark.operators.iceberg2 import (
+            _eq_n,
+            _eq_v,
+            _make_iceberg_eqdel_table,
+            read_iceberg_eq_deletes,
+        )
+
+        for i in (1, 2, 3, 4, 5, 6):
+            st = read_iceberg_eq_deletes(_make_iceberg_eqdel_table(i))
+            assert st is not None, i
+            nf = 2 + i % 3
+            ne = 1 + i % 2
+            want = sum(
+                _eq_v(i, f, r)
+                for f in range(nf)
+                for r in range(_eq_n(i, f))
+                if not any(
+                    d >= f and (r + i + 3 * d) % 4 == 0
+                    for d in range(ne)
+                )
+            )
+            assert st["live_v_sum"] == want, i
+            assert (
+                st["live_rows"] + st["deleted_rows"]
+                == st["total_rows"]
+            )
+
+    def test_strictly_lower_sequence_rule(self):
+        """Keys are row indices shared across files, so every delete
+        file's keys also exist in LATER-sequence data files — those
+        rows must survive. Prove deletions land only in files
+        f <= d."""
+        from gmall_flink_210726_spark.operators.iceberg2 import (
+            _eq_n,
+            _make_iceberg_eqdel_table,
+            read_iceberg_eq_deletes,
+        )
+
+        i = 4  # nf=3, ne=1: only file 0 can lose rows
+        st = read_iceberg_eq_deletes(_make_iceberg_eqdel_table(i))
+        assert st is not None
+        only_f0 = sum(
+            1
+            for r in range(_eq_n(i, 0))
+            if (r + i) % 4 == 0
+        )
+        assert st["deleted_rows"] == only_f0
+        # files 1 and 2 contain the same keys yet lose nothing
+        assert st["total_rows"] == sum(
+            _eq_n(i, f) for f in range(3)
+        )
+
+    def test_trust_refusals(self):
+        from gmall_flink_210726_spark.operators.iceberg2 import (
+            _make_iceberg_eqdel_table,
+            read_iceberg_eq_deletes,
+        )
+
+        # unknown equality id / record_count lie / manifest_length lie
+        for i in (13, 26, 17, 34, 19, 38):
+            assert (
+                read_iceberg_eq_deletes(_make_iceberg_eqdel_table(i))
+                is None
+            ), i
+
+    def test_missing_sequence_number_refuses(self):
+        """A manifest-list entry without a sequence number cannot be
+        ordered against deletes — the v2 inheritance rule requires
+        it."""
+        import json as _json
+
+        from gmall_flink_210726_spark.operators.avro import (
+            make_avro_container,
+            read_avro_container,
+        )
+        from gmall_flink_210726_spark.operators.iceberg import (
+            MLIST_SCHEMA,
+        )
+        from gmall_flink_210726_spark.operators.iceberg2 import (
+            _make_iceberg_eqdel_table,
+            read_iceberg_eq_deletes,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+        from gmall_flink_210726_spark.operators.wds import (
+            _iter_tar_members,
+        )
+
+        blob = _make_iceberg_eqdel_table(1)
+        members = dict(_iter_tar_members(blob))
+        got = read_avro_container(members["meta/snap-1.avro"])
+        assert got is not None
+        rows, _, _ = got
+        # re-encode the manifest list WITHOUT sequence_number
+        mlist_schema = _json.loads(_json.dumps(MLIST_SCHEMA))
+        mlist_schema["fields"] = mlist_schema["fields"] + [
+            {"name": "content", "type": "int"}
+        ]
+        for r in rows:
+            r.pop("sequence_number")
+        members["meta/snap-1.avro"] = make_avro_container(
+            mlist_schema, rows
+        )
+        parts = []
+        for name, payload in members.items():
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        tar = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+        assert read_iceberg_eq_deletes(tar) is None
