@@ -999,3 +999,77 @@ def lakehouse_iceberg_eq_deletes(
         load_table(spark, sf_dir, "documents")
     )
     return iceberg_eq_delete_stats(media)
+
+
+@register(
+    "multimodal_ogg_opus",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 20 + doc_id % 30 AS nq
+                 FROM documents),
+    p AS (SELECT i, nq, unnest(range(0, nq)) AS pp FROM ids),
+    s AS (SELECT i, nq,
+                 CASE pp % 4 WHEN 3 THEN 3 WHEN 1 THEN 2 ELSE 1 END
+                   * CASE (i + 3 * pp) % 4 WHEN 0 THEN 120
+                          WHEN 1 THEN 240 WHEN 2 THEN 480
+                          ELSE 960 END AS samp,
+                 CASE pp % 4 WHEN 3 THEN 3 WHEN 1 THEN 2 ELSE 1 END
+                   AS fr
+          FROM p),
+    a AS (SELECT i, MAX(nq) AS nq,
+                 CAST(SUM(fr) AS BIGINT) AS n_frames,
+                 CAST(SUM(samp) AS BIGINT) AS total
+          FROM s GROUP BY i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'ogg-opus' END AS format,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 5 + CAST(CEIL((nq - 11) / 4.0) AS BIGINT)
+                END AS BIGINT) AS n_pages,
+           CAST(CASE WHEN bad THEN 0 ELSE nq END AS BIGINT)
+             AS n_packets,
+           CAST(CASE WHEN bad THEN 0 ELSE n_frames END AS BIGINT)
+             AS n_frames,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 + i % 2 END AS BIGINT)
+             AS channels,
+           CAST(CASE WHEN bad THEN 0 ELSE 312 + i % 100 END
+                AS BIGINT) AS preskip,
+           CAST(CASE WHEN bad THEN 0
+                WHEN i % 3 = 0 THEN 16000 ELSE 48000 END AS BIGINT)
+             AS input_rate,
+           CAST(CASE WHEN bad THEN 0
+                ELSE total - (312 + i % 100) END AS BIGINT)
+             AS duration_samples
+    FROM b
+    """,
+    doc="Ogg/Opus container walk (RFC 3533 + RFC 7845 + RFC 6716 "
+    "§3.1) — the dominant open audio container in crawled "
+    "speech corpora: page grammar with the RFC's own CRC-32 "
+    "(0x04C11DB7, unreflected, init 0, computed from the spec — "
+    "matches no stdlib CRC), gapless page sequences, BOS/EOS "
+    "placement, granule -1 on continuation-only pages, packet "
+    "reassembly across 255-lacing page spans; OpusHead/OpusTags "
+    "headers; per-packet ToC frame accounting whose 48 kHz total "
+    "must EQUAL the final granule position (the container's own "
+    "duration books), playable duration = granule - pre-skip. The "
+    "audio payload stays opaque — this is the trust-and-metadata "
+    "pass a 100 TB ingest runs BEFORE shipping blobs to a costly "
+    "decode stage. Lies: a flipped byte mid-page (CRC refuses), a "
+    "granule overstatement (ToC books refuse), a page-sequence gap "
+    "(refuses). One Arrow-batched map stage, no shuffle. "
+    "operators/ogg.py read_ogg_opus",
+    tags=("llm", "multimodal"),
+)
+def multimodal_ogg_opus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.ogg import (
+        ogg_opus_stats,
+        synthesize_ogg_media,
+    )
+
+    media = synthesize_ogg_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return ogg_opus_stats(media)

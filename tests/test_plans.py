@@ -1079,5 +1079,7 @@ class TestRound14PlanShapes:
             "lakehouse_hudi_mor_time_travel",
             "multimodal_zip64_members",
             "multimodal_warc_revisit",
+            "lakehouse_iceberg_eq_deletes",
+            "multimodal_ogg_opus",
         ):
             self._assert_pure_map(spark, name)
