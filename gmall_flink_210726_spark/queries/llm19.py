@@ -1073,3 +1073,77 @@ def multimodal_ogg_opus(
         load_table(spark, sf_dir, "documents")
     )
     return ogg_opus_stats(media)
+
+
+@register(
+    "multimodal_webm_clusters",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 3 + doc_id % 5 AS nc
+                 FROM documents),
+    c AS (SELECT i, nc, unnest(range(0, nc)) AS cc FROM ids),
+    b AS (SELECT i, nc, cc,
+                 unnest(range(0, 4 + (i + cc) % 6)) AS bb
+          FROM c),
+    k AS (SELECT i, nc,
+                 CASE WHEN (i % 2 = 1 AND bb % 2 = 1)
+                        OR bb % 4 = 0 THEN 1 ELSE 0 END AS kf
+          FROM b),
+    a AS (SELECT i, MAX(nc) AS nc,
+                 CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                 CAST(SUM(kf) AS BIGINT) AS n_keyframes
+          FROM k GROUP BY i),
+    d AS (SELECT *,
+                 1000 * (nc - 1)
+                   + 40 * (4 + (i + nc - 1) % 6 - 1) AS dur,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'webm' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 + i % 2 END AS BIGINT)
+             AS n_tracks,
+           CAST(CASE WHEN bad THEN 0 ELSE 320 + 16 * (i % 20) END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN bad THEN 0 ELSE 240 + 16 * (i % 10) END
+                AS BIGINT) AS height,
+           CAST(CASE WHEN bad THEN 0 ELSE nc END AS BIGINT)
+             AS n_clusters,
+           CAST(CASE WHEN bad THEN 0 ELSE n_blocks END AS BIGINT)
+             AS n_blocks,
+           CAST(CASE WHEN bad THEN 0 ELSE n_keyframes END AS BIGINT)
+             AS n_keyframes,
+           CAST(CASE WHEN bad THEN 0 ELSE dur END AS BIGINT)
+             AS duration_ticks,
+           CAST(CASE WHEN bad THEN 0 ELSE 1000000 END AS BIGINT)
+             AS timestamp_scale
+    FROM d
+    """,
+    doc="EBML/Matroska (webm) container walk (RFC 8794 + the "
+    "Matroska spec) — the video-corpus counterpart to the Ogg walk "
+    "(L281): VINT element grammar with exact parent tiling, the "
+    "live-muxed UNKNOWN-size Segment running to EOF, DocType gate, "
+    "Info's leading CRC-32 element verified over the remainder of "
+    "its parent (the Matroska CRC placement rule), TrackEntry walk "
+    "(codec ids, video dimensions), Cluster walk with strictly "
+    "increasing timestamps, SimpleBlock track references resolved "
+    "against declared tracks, keyframe flags counted, and the "
+    "declared Duration required to EQUAL the max absolute block "
+    "timestamp (the container's duration books). VP9/Opus payloads "
+    "stay opaque — the trust-and-metadata pass before a costly "
+    "decode stage. Lies: a flipped Info byte under the CRC, a "
+    "cluster size that breaks tiling, a Duration overstatement - "
+    "all refuse. One Arrow-batched map stage, no shuffle. "
+    "operators/ebml.py read_webm",
+    tags=("llm", "multimodal"),
+)
+def multimodal_webm_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.ebml import (
+        synthesize_webm_media,
+        webm_stats,
+    )
+
+    media = synthesize_webm_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return webm_stats(media)

@@ -1081,5 +1081,6 @@ class TestRound14PlanShapes:
             "multimodal_warc_revisit",
             "lakehouse_iceberg_eq_deletes",
             "multimodal_ogg_opus",
+            "multimodal_webm_clusters",
         ):
             self._assert_pure_map(spark, name)
