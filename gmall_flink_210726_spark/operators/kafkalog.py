@@ -457,12 +457,19 @@ def synthesize_kafka_media(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _parse_v2_records(body: bytes, rcount: int) -> list[dict] | None:
-    """Shared v2 record-framing walk -> [{'ts_delta','key','value'}];
-    None on any framing violation (dense offsets, exact lengths,
-    exact consumption)."""
+def _parse_v2_records(
+    body: bytes, rcount: int, dense: bool = True
+) -> list[dict] | None:
+    """Shared v2 record-framing walk ->
+    [{'ts_delta','off_delta','key','value'}]; None on any framing
+    violation (exact lengths, exact consumption).  ``dense=True``
+    requires offset deltas 0..rcount-1 (a producer-written batch);
+    ``dense=False`` allows the GAPS a compacted-log cleaner leaves
+    (original offsets preserved, cleaned records missing) but still
+    requires them strictly increasing from >= 0."""
     rp = 0
     out = []
+    prev_od = -1
     for k in range(rcount):
         rlen, rp = _zz_dec(body, rp)
         rec_end = rp + rlen
@@ -471,8 +478,13 @@ def _parse_v2_records(body: bytes, rcount: int) -> list[dict] | None:
         rp += 1  # record attributes
         ts_delta, rp = _zz_dec(body, rp)
         off_delta, rp = _zz_dec(body, rp)
-        if off_delta != k:
-            return None
+        if dense:
+            if off_delta != k:
+                return None
+        else:
+            if off_delta <= prev_od:
+                return None
+            prev_od = off_delta
         klen, rp = _zz_dec(body, rp)
         key = None
         if klen >= 0:
@@ -501,7 +513,14 @@ def _parse_v2_records(body: bytes, rcount: int) -> list[dict] | None:
             rp += hv
         if rp != rec_end:
             return None
-        out.append({"ts_delta": ts_delta, "key": key, "value": value})
+        out.append(
+            {
+                "ts_delta": ts_delta,
+                "off_delta": off_delta,
+                "key": key,
+                "value": value,
+            }
+        )
     if rp != len(body):
         return None
     return out
@@ -1585,6 +1604,330 @@ def synthesize_kafka_timeindexed_media(docs: DataFrame) -> DataFrame:
                     "media_id": ids,
                     "content": [
                         _make_kafka_timeindexed_segment(int(x))
+                        for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "kafka",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Log compaction (the Kafka cleaner's contract).  A compacted topic
+# retains, below the cleaner checkpoint, AT MOST ONE record per key
+# (the latest), with original offsets preserved — so cleaned batches
+# carry GAPPED offset deltas — plus retained tombstones (null value)
+# for deleted keys; above the checkpoint the dirty head still holds
+# duplicates.  Reading table state = latest record per key across the
+# whole log, tombstone-wins-then-drops — the same latest-wins-upsert
+# semantic as the reference's dim sink (DimSinkFunction.java:28-72)
+# and the Hudi MOR merge (operators/hudi.py), here at the broker's
+# own storage layer.  Trust chain: batch CRC32C (shared walk),
+# per-batch strictly increasing gapped offsets, segment file names
+# matching their first base offset, the checkpoint within log range,
+# and the compaction contract itself — a duplicate key below the
+# checkpoint means the cleaner's books are lying; a compacted topic
+# also requires every record to carry a key.
+# --------------------------------------------------------------------------
+
+
+def read_kafka_compacted(data: bytes) -> dict | None:
+    """Tar(cleaner-offset-checkpoint, *.log) -> compacted table
+    state; None on any violation (section doc)."""
+    from gmall_flink_210726_spark.operators.wds import _iter_tar_members
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    ckpt = files.get("cleaner-offset-checkpoint")
+    if ckpt is None:
+        return None
+    try:
+        lines = ckpt.decode("ascii").strip().split("\n")
+        if len(lines) != 3 or lines[0] != "0" or lines[1] != "1":
+            return None
+        topic, part, boundary_s = lines[2].split(" ")
+        boundary = int(boundary_s)
+        if part != "0" or boundary < 0:
+            return None
+    except (UnicodeDecodeError, ValueError):
+        return None
+    segs = []
+    for name, payload in files.items():
+        if not name.endswith(".log"):
+            continue
+        base = name[: -len(".log")]
+        if len(base) != 20 or not base.isdigit():
+            return None
+        segs.append((int(base), payload))
+    if not segs:
+        return None
+    segs.sort()
+    state: dict[bytes, bytes | None] = {}
+    n_records = n_tombstones = clean_records = 0
+    last_abs = -1
+    clean_keys: set[bytes] = set()
+    try:
+        for base_name, payload in segs:
+            first_batch = True
+            for (
+                _pos,
+                base_off,
+                _attrs,
+                last_od,
+                _pid,
+                rcount,
+                body,
+            ) in _iter_batches(payload):
+                if first_batch:
+                    if base_off != base_name:
+                        return None  # file name vs first batch
+                    first_batch = False
+                recs = _parse_v2_records(body, rcount, dense=False)
+                if recs is None:
+                    return None
+                if recs and recs[-1]["off_delta"] != last_od:
+                    return None  # the batch header's own books
+                for rec in recs:
+                    abs_off = base_off + rec["off_delta"]
+                    if abs_off <= last_abs:
+                        return None  # offsets increase across log
+                    last_abs = abs_off
+                    key = rec["key"]
+                    if key is None:
+                        return None  # compacted topics require keys
+                    n_records += 1
+                    if abs_off < boundary:
+                        clean_records += 1
+                        if key in clean_keys:
+                            return None  # compaction contract
+                        clean_keys.add(key)
+                    if rec["value"] is None:
+                        n_tombstones += 1
+                        state[key] = None
+                    else:
+                        state[key] = rec["value"]
+    except (ValueError, struct.error):
+        return None
+    if boundary > last_abs + 1:
+        return None  # checkpoint past the log end
+    live = {k: v for k, v in state.items() if v is not None}
+    vsum = 0
+    for v in live.values():
+        if v[:1] != b"v" or not v[1:].isdigit():
+            return None
+        vsum += int(v[1:])
+    return {
+        "n_segments": len(segs),
+        "n_records": n_records,
+        "n_tombstones": n_tombstones,
+        "clean_records": clean_records,
+        "live_keys": len(live),
+        "value_sum": vsum,
+    }
+
+
+COMPACT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_segments", LongType()),
+        StructField("n_records", LongType()),
+        StructField("n_tombstones", LongType()),
+        StructField("clean_records", LongType()),
+        StructField("live_keys", LongType()),
+        StructField("value_sum", LongType()),
+    ]
+)
+
+
+def kafka_compacted_stats(df: DataFrame) -> DataFrame:
+    """Compacted-topic state read over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in COMPACT_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_kafka_compacted(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="kafka-compacted", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, COMPACT_SCHEMA
+    )
+
+
+def _cmp_nkeys(i: int) -> int:
+    return 8 + i % 8
+
+
+def _cmp_ndirty(i: int) -> int:
+    return 6 + i % 6
+
+
+def _cmp_clean_v(i: int, k: int) -> int:
+    return (11 * i + 7 * k) % 1000
+
+
+def _cmp_dirty_v(i: int, j: int) -> int:
+    return (13 * i + 5 * j) % 1000
+
+
+def _enc_kv_record(
+    rel: int, key: bytes, value: bytes | None
+) -> bytes:
+    """One v2 record frame; ``value=None`` is a tombstone (varint -1
+    value length — the broker's delete marker)."""
+    body = bytearray(b"\x00")
+    body += _zz_enc(rel)  # timestampDelta
+    body += _zz_enc(rel)  # offsetDelta
+    body += _zz_enc(len(key)) + key
+    if value is None:
+        body += _zz_enc(-1)
+    else:
+        body += _zz_enc(len(value)) + value
+    body += _zz_enc(0)  # headers
+    return _zz_enc(len(body)) + bytes(body)
+
+
+def _make_kafka_compacted_tar(i: int) -> bytes:
+    """Two segments + cleaner checkpoint: the CLEANED segment holds
+    one record per key ``k`` in 0..nkeys-1 at gapped original
+    offsets ``3k + i%3`` (a retained tombstone for ``k % 7 == 3``);
+    the dirty head at base ``B`` (= one past the last clean offset,
+    also the checkpoint) appends ``6 + i%6`` records at dense
+    offsets, key ``(i + 2j) % nkeys``, tombstone when ``j % 5 == 4``.
+    Lies: every 13th id duplicates a key in the clean section
+    (compaction contract refused); every 17th-miss id checkpoints
+    past the log end (refused); every 19th-miss id flips a
+    CRC-covered byte in the dirty segment (refused)."""
+    from gmall_flink_210726_spark.operators.tar import (
+        _BLOCK,
+        _make_header,
+    )
+
+    nk = _cmp_nkeys(i)
+    nd = _cmp_ndirty(i)
+    clean_records = b""
+    n_clean = 0
+    last_rel = 0
+    for k in range(nk):
+        rel = 3 * k + i % 3
+        key = b"k%d" % k
+        if i % 13 == 0 and k == nk - 1:
+            key = b"k0"  # duplicate key in the clean section
+        value = (
+            None
+            if k % 7 == 3
+            else b"v%d" % _cmp_clean_v(i, k)
+        )
+        clean_records += _enc_kv_record(rel, key, value)
+        n_clean += 1
+        last_rel = rel
+    clean_batch = _enc_batch_sparse(0, clean_records, n_clean, last_rel)
+    base = last_rel + 1
+    dirty_records = b""
+    for j in range(nd):
+        key = b"k%d" % ((i + 2 * j) % nk)
+        value = (
+            None if j % 5 == 4 else b"v%d" % _cmp_dirty_v(i, j)
+        )
+        dirty_records += _enc_kv_record(j, key, value)
+    dirty_seg = _enc_batch(base, dirty_records, nd, 0, -1)
+    if i % 19 == 0 and i % 13 != 0 and i % 17 != 0:
+        # flip a CRC-covered byte: 12-byte frame header + 9 bytes in
+        # (attributes region), well inside any batch's covered span
+        flip = 12 + 9
+        dirty_seg = (
+            dirty_seg[:flip]
+            + bytes([dirty_seg[flip] ^ 0x40])
+            + dirty_seg[flip + 1 :]
+        )
+    boundary = base
+    if i % 17 == 0 and i % 13 != 0:
+        boundary = base + nd + 5  # past the log end
+    ckpt = ("0\n1\nevents 0 %d\n" % boundary).encode()
+    members = [
+        ("cleaner-offset-checkpoint", ckpt),
+        ("%020d.log" % 0, clean_batch),
+        ("%020d.log" % base, dirty_seg),
+    ]
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def _enc_batch_sparse(
+    base_off: int, records: bytes, rcount: int, last_od: int
+) -> bytes:
+    """RecordBatch v2 frame whose lastOffsetDelta reflects GAPPED
+    cleaned offsets (last_od >= rcount - 1)."""
+    mid = struct.pack(
+        ">hiqqqhii",
+        0,
+        last_od,
+        1700000000000,
+        1700000000000 + last_od,
+        -1,
+        -1,
+        -1,
+        rcount,
+    ) + records
+    return struct.pack(
+        ">qiibI",
+        base_off,
+        4 + 1 + 4 + len(mid),
+        0,
+        2,
+        crc32c(mid),
+    ) + mid
+
+
+def synthesize_kafka_compacted_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of compacted-topic log dirs."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_kafka_compacted_tar(int(x))
                         for x in ids
                     ],
                     "meta": [

@@ -1147,3 +1147,98 @@ def multimodal_webm_clusters(
         load_table(spark, sf_dir, "documents")
     )
     return webm_stats(media)
+
+
+@register(
+    "multimodal_kafka_compacted",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 8 + doc_id % 8 AS nk,
+                        6 + doc_id % 6 AS nd
+                 FROM documents),
+    cl AS (SELECT i, nk, nd, unnest(range(0, nk)) AS k FROM ids),
+    clean_rows AS (
+        SELECT i, nk, nd, k, 0 AS seq, k AS ord,
+               CASE WHEN k % 7 = 3 THEN NULL
+                    ELSE (11 * i + 7 * k) % 1000 END AS val
+        FROM cl),
+    dj AS (SELECT i, nk, nd, unnest(range(0, nd)) AS j FROM ids),
+    dirty_rows AS (
+        SELECT i, nk, nd, (i + 2 * j) % nk AS k, 1 AS seq,
+               j AS ord,
+               CASE WHEN j % 5 = 4 THEN NULL
+                    ELSE (13 * i + 5 * j) % 1000 END AS val
+        FROM dj),
+    allr AS (SELECT * FROM clean_rows UNION ALL
+             SELECT * FROM dirty_rows),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY i, k
+                 ORDER BY seq DESC, ord DESC) AS rn
+        FROM allr),
+    agg AS (
+        SELECT a.i, MAX(a.nk) AS nk, MAX(a.nd) AS nd,
+               CAST(SUM(CASE WHEN a.val IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tombstones,
+               CAST(COALESCE(SUM(CASE WHEN l.rn = 1
+                         AND l.val IS NOT NULL THEN 1 END), 0)
+                    AS BIGINT) AS live_keys,
+               CAST(COALESCE(SUM(CASE WHEN l.rn = 1
+                         AND l.val IS NOT NULL THEN l.val END), 0)
+                    AS BIGINT) AS value_sum
+        FROM allr a
+        JOIN latest l
+          ON a.i = l.i AND a.k = l.k
+         AND a.seq = l.seq AND a.ord = l.ord
+        GROUP BY a.i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM agg)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown'
+                ELSE 'kafka-compacted' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS n_segments,
+           CAST(CASE WHEN bad THEN 0 ELSE nk + nd END AS BIGINT)
+             AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE n_tombstones END
+                AS BIGINT) AS n_tombstones,
+           CAST(CASE WHEN bad THEN 0 ELSE nk END AS BIGINT)
+             AS clean_records,
+           CAST(CASE WHEN bad THEN 0 ELSE live_keys END AS BIGINT)
+             AS live_keys,
+           CAST(CASE WHEN bad THEN 0 ELSE value_sum END AS BIGINT)
+             AS value_sum
+    FROM b
+    """,
+    doc="Kafka LOG COMPACTION (the cleaner's contract) — reading a "
+    "compacted topic's table state from its log directory: the "
+    "cleaned section keeps at most ONE record per key at its "
+    "ORIGINAL offset (RecordBatch v2 bodies with GAPPED offset "
+    "deltas — the dense walk grew a sparse mode that still "
+    "requires strict increase), retained tombstones (null value) "
+    "mark deletes, the dirty head still holds duplicates, and "
+    "state = latest record per key with tombstone-drops — the "
+    "reference's dim-upsert semantic (DimSinkFunction.java:28-72) "
+    "at the broker's own storage layer. Trust: batch CRC32C, "
+    "segment file names vs first base offset, offsets strictly "
+    "increasing across segments, the cleaner checkpoint within log "
+    "range, keys required on every record, and the compaction "
+    "contract itself — a duplicate key below the checkpoint "
+    "refuses. Lies: clean-section duplicate key (13th), checkpoint "
+    "past the log end (17th), CRC-covered byte flip (19th). One "
+    "Arrow-batched map stage, no shuffle. operators/kafkalog.py "
+    "read_kafka_compacted",
+    tags=("llm", "multimodal"),
+)
+def multimodal_kafka_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        kafka_compacted_stats,
+        synthesize_kafka_compacted_media,
+    )
+
+    media = synthesize_kafka_compacted_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return kafka_compacted_stats(media)

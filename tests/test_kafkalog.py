@@ -340,3 +340,129 @@ class TestTimeIndex:
                 )
                 is None
             ), i
+
+
+class TestCompaction:
+    def test_model_and_latest_wins(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _cmp_clean_v,
+            _cmp_dirty_v,
+            _cmp_ndirty,
+            _cmp_nkeys,
+            _make_kafka_compacted_tar,
+            read_kafka_compacted,
+        )
+
+        for i in (1, 2, 3, 4, 5, 6):
+            st = read_kafka_compacted(_make_kafka_compacted_tar(i))
+            assert st is not None, i
+            nk, nd = _cmp_nkeys(i), _cmp_ndirty(i)
+            state: dict[int, int | None] = {}
+            for k in range(nk):
+                state[k] = (
+                    None if k % 7 == 3 else _cmp_clean_v(i, k)
+                )
+            for j in range(nd):
+                state[(i + 2 * j) % nk] = (
+                    None if j % 5 == 4 else _cmp_dirty_v(i, j)
+                )
+            live = {
+                k: v for k, v in state.items() if v is not None
+            }
+            assert st["live_keys"] == len(live), i
+            assert st["value_sum"] == sum(live.values()), i
+            assert st["n_records"] == nk + nd
+            assert st["clean_records"] == nk
+
+    def test_trust_refusals(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _make_kafka_compacted_tar,
+            read_kafka_compacted,
+        )
+
+        # clean duplicate key / checkpoint past end / CRC flip
+        for i in (13, 26, 17, 34, 19, 38):
+            assert (
+                read_kafka_compacted(_make_kafka_compacted_tar(i))
+                is None
+            ), i
+
+    def test_null_key_refuses(self):
+        """A record without a key cannot live in a compacted topic."""
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _enc_batch_sparse,
+            _enc_kv_record,
+            _zz_enc,
+            read_kafka_compacted,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+
+        body = bytearray(b"\x00")
+        body += _zz_enc(0) + _zz_enc(0)  # ts/offset delta
+        body += _zz_enc(-1)  # NULL key
+        body += _zz_enc(2) + b"v1"
+        body += _zz_enc(0)
+        rec = _zz_enc(len(body)) + bytes(body)
+        seg = _enc_batch_sparse(0, rec, 1, 0)
+        members = [
+            ("cleaner-offset-checkpoint", b"0\n1\nevents 0 1\n"),
+            ("%020d.log" % 0, seg),
+        ]
+        parts = []
+        for name, payload in members:
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        tar = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+        assert read_kafka_compacted(tar) is None
+        # control: the same shape WITH a key reads fine
+        good = _enc_kv_record(0, b"k0", b"v1")
+        seg2 = _enc_batch_sparse(0, good, 1, 0)
+        parts = []
+        for name, payload in [
+            ("cleaner-offset-checkpoint", b"0\n1\nevents 0 1\n"),
+            ("%020d.log" % 0, seg2),
+        ]:
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        tar2 = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+        st = read_kafka_compacted(tar2)
+        assert st is not None and st["live_keys"] == 1
+
+    def test_segment_name_mismatch_refuses(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _enc_batch_sparse,
+            _enc_kv_record,
+            read_kafka_compacted,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+
+        seg = _enc_batch_sparse(
+            5, _enc_kv_record(0, b"k0", b"v1"), 1, 0
+        )
+        parts = []
+        for name, payload in [
+            ("cleaner-offset-checkpoint", b"0\n1\nevents 0 1\n"),
+            ("%020d.log" % 0, seg),  # name says 0, batch says 5
+        ]:
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        tar = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+        assert read_kafka_compacted(tar) is None

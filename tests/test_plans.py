@@ -1082,5 +1082,6 @@ class TestRound14PlanShapes:
             "lakehouse_iceberg_eq_deletes",
             "multimodal_ogg_opus",
             "multimodal_webm_clusters",
+            "multimodal_kafka_compacted",
         ):
             self._assert_pure_map(spark, name)
