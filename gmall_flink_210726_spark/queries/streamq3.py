@@ -2563,3 +2563,148 @@ def st34_stream_flac_ingest(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st35_stream_kafka_compacted",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 8 + doc_id % 8 AS nk,
+                        6 + doc_id % 6 AS nd
+                 FROM documents),
+    cl AS (SELECT i, nk, nd, unnest(range(0, nk)) AS k FROM ids),
+    clean_rows AS (
+        SELECT i, k, 0 AS seq, k AS ord,
+               CASE WHEN k % 7 = 3 THEN NULL
+                    ELSE (11 * i + 7 * k) % 1000 END AS val
+        FROM cl),
+    dj AS (SELECT i, nk, nd, unnest(range(0, nd)) AS j FROM ids),
+    dirty_rows AS (
+        SELECT i, (i + 2 * j) % nk AS k, 1 AS seq, j AS ord,
+               CASE WHEN j % 5 = 4 THEN NULL
+                    ELSE (13 * i + 5 * j) % 1000 END AS val
+        FROM dj),
+    allr AS (SELECT * FROM clean_rows UNION ALL
+             SELECT * FROM dirty_rows),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY i, k
+                 ORDER BY seq DESC, ord DESC) AS rn
+        FROM allr),
+    agg AS (
+        SELECT i,
+               CAST(COALESCE(SUM(CASE WHEN rn = 1
+                         AND val IS NOT NULL THEN 1 END), 0)
+                    AS BIGINT) AS live_keys,
+               CAST(COALESCE(SUM(CASE WHEN rn = 1
+                         AND val IS NOT NULL THEN val END), 0)
+                    AS BIGINT) AS value_sum
+        FROM latest GROUP BY i),
+    b AS (SELECT ids.i, ids.nk + ids.nd AS n_records,
+                 agg.live_keys, agg.value_sum,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids JOIN agg ON agg.i = ids.i)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE n_records END)
+                AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE live_keys END)
+                AS BIGINT) AS live_keys,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE value_sum END)
+                AS BIGINT) AS value_sum
+    FROM b GROUP BY 1
+    """,
+    doc="STREAMING Kafka compacted-state ingest — the round-14 "
+    "compaction reader (multimodal_kafka_compacted) as a "
+    "Structured Streaming operator: compacted log dirs arrive as a "
+    "parquet file stream (32 files, 16 per trigger); the full "
+    "latest-wins state read (gapped-offset sparse walk, tombstone "
+    "drops, cleaner-checkpoint books) runs Arrow-batched ON THE "
+    "STREAM PLAN with per-epoch per-bucket partials through the "
+    "checkpointed overwrite-idempotent epoch sink. Per-blob "
+    "stateless; the batch twin's stripes carry into n_ok. "
+    "operators/kafkalog.py read_kafka_compacted",
+    tags=("streaming", "llm", "multimodal"),
+)
+def st35_stream_kafka_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.kafkalog import (
+        kafka_compacted_stats,
+        synthesize_kafka_compacted_media,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st35_src_")
+    out = tempfile.mkdtemp(prefix="st35_out_")
+    ckpt = tempfile.mkdtemp(prefix="st35_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_kafka_compacted_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = kafka_compacted_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_blobs"),
+                F.sum(
+                    (F.col("format") == "kafka-compacted").cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("n_ok"),
+                F.sum("n_records").cast("long").alias("n_records"),
+                F.sum("live_keys").cast("long").alias("live_keys"),
+                F.sum("value_sum").cast("long").alias("value_sum"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st35 compacted stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_blobs").cast("long").alias("n_blobs"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_records").cast("long").alias("n_records"),
+                F.sum("live_keys").cast("long").alias("live_keys"),
+                F.sum("value_sum").cast("long").alias("value_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
