@@ -1083,5 +1083,6 @@ class TestRound14PlanShapes:
             "multimodal_ogg_opus",
             "multimodal_webm_clusters",
             "multimodal_kafka_compacted",
+            "multimodal_arrow_ipc",
         ):
             self._assert_pure_map(spark, name)
