@@ -1821,3 +1821,487 @@ def synthesize_delta_crc_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Change Data Feed (Delta PROTOCOL.md "Change Data Files" / "Add CDC
+# File").  A CDF-enabled table (delta.enableChangeDataFeed=true)
+# records row-level changes: when a commit carries ``cdc`` actions,
+# its changes are read from those ``_change_data/`` parquet files
+# ONLY (rows tagged insert / update_preimage / update_postimage /
+# delete in the _change_type column); a commit without cdc actions
+# derives changes from its data actions — adds with dataChange=true
+# are inserts, removes with dataChange=true are deletes.  This is the
+# reference's CDC surface (sources/cdc.py, `an3`/`st14` envelope
+# semantics) at the TABLE-FORMAT layer: the same
+# insert/update-pre/update-post/delete taxonomy Debezium emits, but
+# reconstructed from the transaction log itself.
+#
+# Trust chain: protocol + CDF flag gates; every referenced file
+# (add / remove / cdc) must exist with its claimed size; cdc rows
+# must carry a KNOWN _change_type; per commit the update books must
+# balance — every update_preimage needs its update_postimage
+# (equal counts, or the feed is lying about what changed).
+# --------------------------------------------------------------------------
+
+
+def read_delta_cdf(data: bytes) -> dict | None:
+    """Tar table -> aggregated change feed across all versions; None
+    on any violation (section doc)."""
+    from gmall_flink_210726_spark.operators.parquetmeta import (
+        read_parquet_column_k,
+        read_parquet_column_s_dict,
+    )
+
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    commit_members = []
+    parts: dict[str, bytes] = {}
+    for name, payload in members:
+        if name.startswith("_delta_log/"):
+            commit_members.append((name[len("_delta_log/") :], payload))
+        else:
+            parts[name] = payload
+    commits = _collect_commits(commit_members)
+    if commits is None:
+        return None
+    cdf_enabled = False
+    saw_protocol = False
+    n_cdc_commits = 0
+    inserts = deletes = pre = post = 0
+    ins_sum = del_sum = 0
+    for v in range(len(commits)):
+        adds = []
+        removes = []
+        cdcs = []
+        for line in commits[v].split(b"\n"):
+            if not line.strip():
+                continue
+            try:
+                action = json.loads(line.decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                return None
+            if not isinstance(action, dict):
+                return None
+            if "protocol" in action:
+                p = action["protocol"]
+                if not isinstance(p, dict) or not isinstance(
+                    p.get("minReaderVersion"), int
+                ):
+                    return None
+                if p["minReaderVersion"] > 1:
+                    return None
+                saw_protocol = True
+            elif "metaData" in action:
+                md = action["metaData"]
+                if not isinstance(md, dict) or "id" not in md:
+                    return None
+                conf = md.get("configuration", {})
+                if not isinstance(conf, dict):
+                    return None
+                cdf_enabled = (
+                    conf.get("delta.enableChangeDataFeed") == "true"
+                )
+            elif "add" in action:
+                a = action["add"]
+                if (
+                    not isinstance(a, dict)
+                    or not isinstance(a.get("path"), str)
+                    or not isinstance(a.get("size"), int)
+                ):
+                    return None
+                adds.append(a)
+            elif "remove" in action:
+                r = action["remove"]
+                if not isinstance(r, dict) or not isinstance(
+                    r.get("path"), str
+                ):
+                    return None
+                removes.append(r)
+            elif "cdc" in action:
+                c = action["cdc"]
+                if (
+                    not isinstance(c, dict)
+                    or not isinstance(c.get("path"), str)
+                    or not isinstance(c.get("size"), int)
+                    or c.get("dataChange") is not False
+                ):
+                    return None
+                cdcs.append(c)
+            elif "commitInfo" in action:
+                pass
+            else:
+                return None
+        if v == 0 and not saw_protocol:
+            return None
+        if not cdf_enabled:
+            return None  # the feed may only be read when enabled
+        # every referenced file must exist with its claimed size
+        for a in adds:
+            blob = parts.get(a["path"])
+            if blob is None or len(blob) != a["size"]:
+                return None
+        for c in cdcs:
+            blob = parts.get(c["path"])
+            if blob is None or len(blob) != c["size"]:
+                return None
+        if cdcs:
+            n_cdc_commits += 1
+            v_pre = v_post = 0
+            for c in cdcs:
+                blob = parts[c["path"]]
+                types = read_parquet_column_s_dict(
+                    blob, name=b"_change_type", collect_values=True
+                )
+                ks = read_parquet_column_k(
+                    blob, collect_values=True, name=b"k"
+                )
+                if (
+                    types is None
+                    or ks is None
+                    or types["n_nulls"]
+                    or types["n_values"] != ks["n_values"]
+                ):
+                    return None
+                for t, kv in zip(types["values"], ks["values"]):
+                    if t == b"insert":
+                        inserts += 1
+                        ins_sum += kv
+                    elif t == b"delete":
+                        deletes += 1
+                        del_sum += kv
+                    elif t == b"update_preimage":
+                        v_pre += 1
+                    elif t == b"update_postimage":
+                        v_post += 1
+                    else:
+                        return None  # unknown change type
+            if v_pre != v_post:
+                return None  # the update books must balance
+            pre += v_pre
+            post += v_post
+        else:
+            for a in adds:
+                if a.get("dataChange") is not True:
+                    continue
+                col = read_parquet_column_k(
+                    parts[a["path"]], collect_values=True, name=b"k"
+                )
+                if col is None:
+                    return None
+                inserts += col["n_values"]
+                ins_sum += sum(col["values"])
+            for r in removes:
+                if r.get("dataChange") is not True:
+                    continue
+                blob = parts.get(r["path"])
+                if blob is None:
+                    return None  # vacuumed: the feed is unreadable
+                col = read_parquet_column_k(
+                    blob, collect_values=True, name=b"k"
+                )
+                if col is None:
+                    return None
+                deletes += col["n_values"]
+                del_sum += sum(col["values"])
+    return {
+        "n_versions": len(commits),
+        "n_cdc_commits": n_cdc_commits,
+        "inserts": inserts,
+        "deletes": deletes,
+        "updates": pre,
+        "ins_k_sum": ins_sum,
+        "del_k_sum": del_sum,
+    }
+
+
+CDF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_versions", LongType()),
+        StructField("n_cdc_commits", LongType()),
+        StructField("inserts", LongType()),
+        StructField("deletes", LongType()),
+        StructField("updates", LongType()),
+        StructField("ins_k_sum", LongType()),
+        StructField("del_k_sum", LongType()),
+    ]
+)
+
+
+def delta_cdf_stats(df: DataFrame) -> DataFrame:
+    """Change-data-feed read over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in CDF_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_delta_cdf(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="delta-cdf", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, CDF_SCHEMA
+    )
+
+
+def _cdf_n0(i: int) -> int:
+    return 15 + i % 20
+
+
+def _cdf_nu(i: int) -> int:
+    return 4 + i % 5
+
+
+def _cdf_nd(i: int) -> int:
+    return 3 + i % 4
+
+
+def _cdf_k(i: int, r: int) -> int:
+    return (7 * i + 3 * r) % 1000
+
+
+def _cdf_k2(i: int, r: int) -> int:
+    return (11 * i + 5 * r) % 1000
+
+
+def _cdf_parquet(cols: dict) -> bytes:
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arrays = {}
+    use_dict = []
+    for name, vals in cols.items():
+        if vals and isinstance(vals[0], str):
+            arrays[name] = pa.array(vals)
+            use_dict.append(name)
+        else:
+            arrays[name] = pa.array(vals, pa.int64())
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(arrays),
+        buf,
+        write_statistics=False,
+        use_dictionary=use_dict or False,
+    )
+    return buf.getvalue()
+
+
+def _make_delta_cdf_table(i: int) -> bytes:
+    """CDF-enabled table: v0 adds the base file (derived inserts);
+    v1 updates ``4+i%5`` rows via a cdc file (pre+post pairs); v2
+    deletes the LAST ``3+i%4`` rows via a cdc file; v3 (even ids)
+    adds new data with no cdc (derived inserts again). Lies: every
+    13th id drops one update_postimage row (the update books refuse);
+    every 17th-miss id lies about a cdc file's size (refused); every
+    19th-miss id tags a cdc row with an unknown _change_type
+    (refused); disabling the CDF flag refuses in a test."""
+    n0, nu, nd = _cdf_n0(i), _cdf_nu(i), _cdf_nd(i)
+    members: list[tuple[str, bytes]] = []
+    log: list[tuple[str, bytes]] = []
+
+    def commit(v: int, lines: list[dict]) -> None:
+        log.append(
+            (
+                "%020d.json" % v,
+                b"\n".join(
+                    json.dumps(x).encode() for x in lines
+                ),
+            )
+        )
+
+    f0 = _cdf_parquet({"k": [_cdf_k(i, r) for r in range(n0)]})
+    members.append(("part-0.parquet", f0))
+    commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {
+                "metaData": {
+                    "id": f"tbl-cdf-{i}",
+                    "configuration": {
+                        "delta.enableChangeDataFeed": "true"
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": "part-0.parquet",
+                    "size": len(f0),
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    # v1: update rows 0..nu-1 (post = pre + 7), via cdc
+    pre_rows = [(r, _cdf_k(i, r)) for r in range(nu)]
+    cdc1_types = ["update_preimage"] * nu + ["update_postimage"] * nu
+    cdc1_k = [k for _r, k in pre_rows] + [
+        k + 7 for _r, k in pre_rows
+    ]
+    if i % 13 == 0:
+        cdc1_types = cdc1_types[:-1]
+        cdc1_k = cdc1_k[:-1]  # one postimage short: books break
+    if i % 19 == 0 and i % 13 != 0 and i % 17 != 0:
+        cdc1_types[0] = "upsert"  # unknown change type
+    cdc1 = _cdf_parquet({"k": cdc1_k, "_change_type": cdc1_types})
+    members.append(("_change_data/cdc-1.parquet", cdc1))
+    f1 = _cdf_parquet(
+        {
+            "k": [
+                _cdf_k(i, r) + (7 if r < nu else 0)
+                for r in range(n0)
+            ]
+        }
+    )
+    members.append(("part-1.parquet", f1))
+    cdc1_size = len(cdc1)
+    if i % 17 == 0 and i % 13 != 0:
+        cdc1_size += 1
+    commit(
+        1,
+        [
+            {
+                "cdc": {
+                    "path": "_change_data/cdc-1.parquet",
+                    "size": cdc1_size,
+                    "dataChange": False,
+                }
+            },
+            {
+                "remove": {
+                    "path": "part-0.parquet",
+                    "dataChange": True,
+                }
+            },
+            {
+                "add": {
+                    "path": "part-1.parquet",
+                    "size": len(f1),
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    # v2: delete the last nd rows, via cdc
+    del_rows = [
+        _cdf_k(i, r) + (7 if r < nu else 0)
+        for r in range(n0 - nd, n0)
+    ]
+    cdc2 = _cdf_parquet(
+        {"k": del_rows, "_change_type": ["delete"] * nd}
+    )
+    members.append(("_change_data/cdc-2.parquet", cdc2))
+    f2 = _cdf_parquet(
+        {
+            "k": [
+                _cdf_k(i, r) + (7 if r < nu else 0)
+                for r in range(n0 - nd)
+            ]
+        }
+    )
+    members.append(("part-2.parquet", f2))
+    commit(
+        2,
+        [
+            {
+                "cdc": {
+                    "path": "_change_data/cdc-2.parquet",
+                    "size": len(cdc2),
+                    "dataChange": False,
+                }
+            },
+            {
+                "remove": {
+                    "path": "part-1.parquet",
+                    "dataChange": True,
+                }
+            },
+            {
+                "add": {
+                    "path": "part-2.parquet",
+                    "size": len(f2),
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    if i % 2 == 0:
+        n1 = 5 + i % 6
+        f3 = _cdf_parquet(
+            {"k": [_cdf_k2(i, r) for r in range(n1)]}
+        )
+        members.append(("part-3.parquet", f3))
+        commit(
+            3,
+            [
+                {
+                    "add": {
+                        "path": "part-3.parquet",
+                        "size": len(f3),
+                        "dataChange": True,
+                    }
+                }
+            ],
+        )
+    all_members = [
+        (f"_delta_log/{name}", payload) for name, payload in log
+    ] + members
+    parts = []
+    for name, payload in all_members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_delta_cdf_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of CDF-enabled Delta tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_delta_cdf_table(int(x)) for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "delta",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -1319,3 +1319,84 @@ def multimodal_arrow_ipc(
         load_table(spark, sf_dir, "documents")
     )
     return arrow_ipc_stats(media)
+
+
+@register(
+    "lakehouse_delta_cdf",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 15 + doc_id % 20 AS n0,
+                        4 + doc_id % 5 AS nu, 3 + doc_id % 4 AS nd,
+                        CASE WHEN doc_id % 2 = 0
+                             THEN 5 + doc_id % 6 ELSE 0 END AS n1
+                 FROM documents),
+    r0 AS (SELECT i, unnest(range(0, n0)) AS rr FROM ids),
+    s0 AS (SELECT i, CAST(SUM((7 * i + 3 * rr) % 1000) AS BIGINT)
+                    AS base_sum
+           FROM r0 GROUP BY i),
+    r1 AS (SELECT i, unnest(range(0, n1)) AS rr FROM ids),
+    s1 AS (SELECT i, CAST(SUM((11 * i + 5 * rr) % 1000) AS BIGINT)
+                    AS new_sum
+           FROM r1 GROUP BY i),
+    rd AS (SELECT i, unnest(range(n0 - nd, n0)) AS rr FROM ids),
+    sd AS (SELECT i, CAST(SUM((7 * i + 3 * rr) % 1000) AS BIGINT)
+                    AS del_sum
+           FROM rd GROUP BY i),
+    a AS (SELECT ids.i, ids.n0, ids.nu, ids.nd, ids.n1,
+                 s0.base_sum, COALESCE(s1.new_sum, 0) AS new_sum,
+                 sd.del_sum,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids
+          JOIN s0 ON s0.i = ids.i
+          LEFT JOIN s1 ON s1.i = ids.i
+          JOIN sd ON sd.i = ids.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'delta-cdf' END
+             AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 4 - i % 2 END AS BIGINT)
+             AS n_versions,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS n_cdc_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE n0 + n1 END AS BIGINT)
+             AS inserts,
+           CAST(CASE WHEN bad THEN 0 ELSE nd END AS BIGINT)
+             AS deletes,
+           CAST(CASE WHEN bad THEN 0 ELSE nu END AS BIGINT)
+             AS updates,
+           CAST(CASE WHEN bad THEN 0 ELSE base_sum + new_sum END
+                AS BIGINT) AS ins_k_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE del_sum END AS BIGINT)
+             AS del_k_sum
+    FROM a
+    """,
+    doc="Delta CHANGE DATA FEED (PROTOCOL.md 'Add CDC File') — the "
+    "reference's CDC surface (sources/cdc.py, the an3/st14 "
+    "Debezium-style envelope) at the TABLE-FORMAT layer: commits "
+    "carrying cdc actions read row-level changes from their "
+    "_change_data parquet files ONLY (insert / update_preimage / "
+    "update_postimage / delete in _change_type, dictionary-decoded "
+    "by the hand RLE-hybrid walk); commits without cdc derive "
+    "inserts from dataChange adds and deletes from dataChange "
+    "removes (whose files must still exist — a vacuumed feed is "
+    "unreadable, not silently empty). Gates: protocol version, the "
+    "delta.enableChangeDataFeed flag. Books: every referenced file "
+    "exists at its claimed size; unknown change types refuse; per "
+    "commit every update_preimage needs its update_postimage — "
+    "EQUAL counts or the feed lies about what changed. Lies: a "
+    "dropped postimage row (13th), a cdc size lie (17th), an "
+    "unknown _change_type (19th). One Arrow-batched map stage, no "
+    "shuffle. operators/deltalog.py read_delta_cdf",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_delta_cdf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.deltalog import (
+        delta_cdf_stats,
+        synthesize_delta_cdf_media,
+    )
+
+    media = synthesize_delta_cdf_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return delta_cdf_stats(media)

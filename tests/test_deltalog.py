@@ -480,3 +480,104 @@ class TestVersionChecksums:
         extra = _make_header(name, len(crc)) + crc + b"\x00" * pad
         cooked = blob[: -2 * _BLOCK] + extra + b"\x00" * (2 * _BLOCK)
         assert scan_delta_table_checked(cooked) is None
+
+
+class TestChangeDataFeed:
+    def test_model(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _cdf_k,
+            _cdf_n0,
+            _cdf_nd,
+            _cdf_nu,
+            _make_delta_cdf_table,
+            read_delta_cdf,
+        )
+
+        for i in (1, 2, 3, 4, 5, 6):
+            st = read_delta_cdf(_make_delta_cdf_table(i))
+            assert st is not None, i
+            n0, nu, nd = _cdf_n0(i), _cdf_nu(i), _cdf_nd(i)
+            assert st["updates"] == nu
+            assert st["deletes"] == nd
+            assert st["del_k_sum"] == sum(
+                _cdf_k(i, r) for r in range(n0 - nd, n0)
+            )
+            assert st["n_cdc_commits"] == 2
+
+    def test_stripes_refuse(self):
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_cdf_table,
+            read_delta_cdf,
+        )
+
+        # dropped postimage / cdc size lie / unknown change type
+        for i in (13, 26, 17, 34, 19, 38):
+            assert (
+                read_delta_cdf(_make_delta_cdf_table(i)) is None
+            ), i
+
+    def test_cdf_flag_required(self):
+        """The same log with delta.enableChangeDataFeed absent must
+        refuse — the feed may only be read when enabled."""
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_cdf_table,
+            read_delta_cdf,
+        )
+
+        blob = _make_delta_cdf_table(1)
+        patched = blob.replace(
+            b'"delta.enableChangeDataFeed": "true"',
+            b'"delta.enableChangeDataFeed": "fals"',
+        )
+        assert len(patched) == len(blob)  # tar offsets preserved
+        assert read_delta_cdf(patched) is None
+
+    def test_vacuumed_remove_refuses(self):
+        """A derived-delete commit whose removed file is gone from
+        the tar must refuse (not report an empty delete)."""
+        import tarfile
+        import io
+
+        from gmall_flink_210726_spark.operators.deltalog import (
+            _make_delta_cdf_table,
+            read_delta_cdf,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+        from gmall_flink_210726_spark.operators.wds import (
+            _iter_tar_members,
+        )
+
+        # even id -> v3 is a derived-insert commit; rebuild the tar
+        # turning v3 into a derived REMOVE of a file not in the tar
+        import json as _json
+
+        blob = _make_delta_cdf_table(2)
+        members = dict(_iter_tar_members(blob))
+        v3 = _json.loads(
+            members["_delta_log/00000000000000000003.json"].decode()
+        )
+        members["_delta_log/00000000000000000003.json"] = (
+            _json.dumps(v3).encode()
+            + b"\n"
+            + _json.dumps(
+                {
+                    "remove": {
+                        "path": "part-ghost.parquet",
+                        "dataChange": True,
+                    }
+                }
+            ).encode()
+        )
+        parts = []
+        for name, payload in members.items():
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        tar = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+        assert read_delta_cdf(tar) is None

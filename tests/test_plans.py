@@ -1084,5 +1084,6 @@ class TestRound14PlanShapes:
             "multimodal_webm_clusters",
             "multimodal_kafka_compacted",
             "multimodal_arrow_ipc",
+            "lakehouse_delta_cdf",
         ):
             self._assert_pure_map(spark, name)
