@@ -1186,3 +1186,245 @@ def fixture_zstd_dict() -> bytes:
         ]
         _FIXTURE_DICT = zstd_ref_train_dict(samples, 2048)
     return _FIXTURE_DICT
+
+
+# --------------------------------------------------------------------------
+# Seekable format (zstd contrib/seekable_format, public spec
+# zstd_seekable_compression_format.md): a stream of INDEPENDENT
+# content frames followed by one skippable frame (magic 0x184D2A5E)
+# carrying the seek table — per-frame {Compressed_Size u32,
+# Decompressed_Size u32, [xxh64-low-32 Checksum]} entries and a
+# 9-byte footer {Number_Of_Frames u32, Descriptor u8 (bit 7 =
+# checksum flag, rest reserved 0), Seekable_Magic 0x8F92EAB1}.
+# Random access decompresses ONLY the frame containing the target
+# offset — the property that makes 100 TB of compressed blobs
+# scannable by range: an executor reads one entry + one frame, never
+# the stream prefix.  Trust chain: seekable magic + footer books,
+# entries must TILE the data area exactly (sum of compressed sizes ==
+# bytes before the seek frame), the target frame's decode length must
+# equal its Decompressed_Size entry and its xxh64 checksum must hold.
+# --------------------------------------------------------------------------
+
+_SEEK_MAGIC = 0x184D2A5E
+_SEEKABLE_MAGIC = 0x8F92EAB1
+
+
+def read_zstd_seekable(data: bytes, seed: int) -> dict | None:
+    """Seekable stream + deterministic target
+    (``(31 * seed) % total_decompressed``) -> random-access proof:
+    decode ONLY the target's frame, verify its checksum and size
+    entry, return the byte and a 16-byte window sum at the target.
+    None on any violation (section doc)."""
+    if len(data) < 17:
+        return None
+    (footer_magic,) = struct.unpack_from("<I", data, len(data) - 4)
+    if footer_magic != _SEEKABLE_MAGIC:
+        return None
+    n_frames, desc = struct.unpack_from("<IB", data, len(data) - 9)
+    if desc & 0x7C:
+        return None  # reserved descriptor bits
+    has_ck = bool(desc & 0x80)
+    esz = 12 if has_ck else 8
+    table_len = n_frames * esz + 9
+    seek_frame_start = len(data) - 8 - table_len
+    if seek_frame_start < 0:
+        return None
+    magic, fsz = struct.unpack_from("<II", data, seek_frame_start)
+    if magic != _SEEK_MAGIC or fsz != table_len:
+        return None
+    entries = []
+    p = seek_frame_start + 8
+    for _ in range(n_frames):
+        if has_ck:
+            cs, ds, ck = struct.unpack_from("<III", data, p)
+        else:
+            cs, ds = struct.unpack_from("<II", data, p)
+            ck = None
+        if cs == 0:
+            return None
+        entries.append((cs, ds, ck))
+        p += esz
+    if sum(cs for cs, _d, _c in entries) != seek_frame_start:
+        return None  # entries must tile the data area exactly
+    total = sum(ds for _c, ds, _k in entries)
+    if total == 0:
+        return None
+    target = (31 * seed) % total
+    # locate the frame: one entry scan, one frame decode
+    cum_c = cum_d = 0
+    fidx = -1
+    for k, (cs, ds, _ck) in enumerate(entries):
+        if target < cum_d + ds:
+            fidx = k
+            break
+        cum_c += cs
+        cum_d += ds
+    if fidx < 0:
+        return None
+    cs, ds, ck = entries[fidx]
+    try:
+        payload = zstd_decompress(data[cum_c : cum_c + cs])
+    except ValueError:
+        return None
+    if len(payload) != ds:
+        return None  # the entry's decompressed-size books
+    if ck is not None and xxh64(payload) & 0xFFFFFFFF != ck:
+        return None  # the entry's checksum books
+    j = target - cum_d
+    jw = min(j, ds - 16)
+    return {
+        "n_frames": n_frames,
+        "total_decompressed": total,
+        "target_frame": fidx,
+        "byte_at_target": payload[j],
+        "window_sum": sum(payload[jw : jw + 16]),
+    }
+
+
+SEEKABLE_SCHEMA = None  # built lazily in zstd_seekable_stats
+
+
+def zstd_seekable_stats(df):
+    """Random-access seekable-zstd proof over MEDIA_SCHEMA blobs;
+    the per-blob target offset derives from media_id."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from gmall_flink_210726_spark.session import ship_package
+
+    pd = _import_pd()
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("format", StringType()),
+            StructField("n_frames", LongType()),
+            StructField("total_decompressed", LongType()),
+            StructField("target_frame", LongType()),
+            StructField("byte_at_target", LongType()),
+            StructField("window_sum", LongType()),
+        ]
+    )
+    ship_package(df.sparkSession)
+    cols = [f.name for f in schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_zstd_seekable(b, int(mid))
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="zstd-seekable", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(gen, schema)
+
+
+def _seek_nf(i: int) -> int:
+    return 3 + i % 4
+
+
+def _seek_len(i: int, c: int) -> int:
+    return 200 + 37 * ((i + c) % 5)
+
+
+def _seek_byte(i: int, c: int, j: int) -> int:
+    return (5 * i + 7 * c + 3 * j) % 251
+
+
+def make_zstd_seekable(i: int) -> bytes:
+    """Seekable stream: ``3 + i%4`` frames of deterministic bytes
+    compressed by the reference encoder (pyarrow's libzstd), seek
+    table with checksums. Lies: every 13th id flips a checksum bit
+    on the TARGET frame's entry (refused); every 17th-miss id adds 1
+    to one entry's Compressed_Size (tiling refused); every
+    19th-miss id flips the seekable magic (not a seekable stream).
+    A corrupted NON-target frame stays invisible — the random-access
+    path never touches it (pinned in tests)."""
+    import pyarrow as pa
+
+    nf = _seek_nf(i)
+    chunks = [
+        bytes(
+            _seek_byte(i, c, j) for j in range(_seek_len(i, c))
+        )
+        for c in range(nf)
+    ]
+    frames = [
+        bytes(pa.Codec("zstd").compress(ch)) for ch in chunks
+    ]
+    lens = [len(ch) for ch in chunks]
+    total = sum(lens)
+    target = (31 * i) % total
+    cum = 0
+    tframe = 0
+    for c, ln in enumerate(lens):
+        if target < cum + ln:
+            tframe = c
+            break
+        cum += ln
+    entries = b""
+    for c, (fr, ch) in enumerate(zip(frames, chunks)):
+        ck = xxh64(ch) & 0xFFFFFFFF
+        if i % 13 == 0 and c == tframe:
+            ck ^= 1
+        cs = len(fr)
+        if (
+            i % 17 == 0
+            and i % 13 != 0
+            and c == nf - 1
+        ):
+            cs += 1
+        entries += struct.pack("<III", cs, len(ch), ck)
+    magic = _SEEKABLE_MAGIC
+    if i % 19 == 0 and i % 13 != 0 and i % 17 != 0:
+        magic ^= 1
+    table = entries + struct.pack("<IBI", nf, 0x80, magic)
+    seek_frame = struct.pack("<II", _SEEK_MAGIC, len(table)) + table
+    return b"".join(frames) + seek_frame
+
+
+def synthesize_zstd_seekable_media(docs):
+    """MEDIA_SCHEMA table of seekable zstd streams."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    pd = _import_pd()
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        make_zstd_seekable(int(x)) for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "zstd",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -1400,3 +1400,84 @@ def lakehouse_delta_cdf(
         load_table(spark, sf_dir, "documents")
     )
     return delta_cdf_stats(media)
+
+
+@register(
+    "multimodal_zstd_seekable",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 3 + doc_id % 4 AS nf
+                 FROM documents),
+    c AS (SELECT i, nf, unnest(range(0, nf)) AS cc FROM ids),
+    l AS (SELECT i, nf, cc, 200 + 37 * ((i + cc) % 5) AS ln FROM c),
+    cum AS (SELECT i, nf, cc, ln,
+                 COALESCE(SUM(ln) OVER (
+                     PARTITION BY i ORDER BY cc
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS cumlo
+            FROM l),
+    tot AS (SELECT i, CAST(SUM(ln) AS BIGINT) AS total
+            FROM l GROUP BY i),
+    tf AS (SELECT cum.i, cum.nf, cum.cc, cum.ln, cum.cumlo,
+                  tot.total,
+                  (31 * cum.i) % tot.total AS target
+           FROM cum JOIN tot ON tot.i = cum.i
+           WHERE (31 * cum.i) % tot.total >= cum.cumlo
+             AND (31 * cum.i) % tot.total < cum.cumlo + cum.ln),
+    jv AS (SELECT *, target - cumlo AS j,
+                  LEAST(target - cumlo, ln - 16) AS jw FROM tf),
+    w AS (SELECT i, cc, jw, unnest(range(0, 16)) AS t FROM jv),
+    ws AS (SELECT i,
+                  CAST(SUM((5 * i + 7 * cc + 3 * (jw + t)) % 251)
+                       AS BIGINT) AS window_sum
+           FROM w GROUP BY i),
+    fin AS (SELECT jv.i, jv.nf, jv.total, jv.cc,
+                   (5 * jv.i + 7 * jv.cc + 3 * jv.j) % 251 AS b,
+                   ws.window_sum,
+                   (jv.i % 13 = 0 OR jv.i % 17 = 0
+                    OR jv.i % 19 = 0) AS bad
+            FROM jv JOIN ws ON ws.i = jv.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown'
+                ELSE 'zstd-seekable' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nf END AS BIGINT)
+             AS n_frames,
+           CAST(CASE WHEN bad THEN 0 ELSE total END AS BIGINT)
+             AS total_decompressed,
+           CAST(CASE WHEN bad THEN 0 ELSE cc END AS BIGINT)
+             AS target_frame,
+           CAST(CASE WHEN bad THEN 0 ELSE b END AS BIGINT)
+             AS byte_at_target,
+           CAST(CASE WHEN bad THEN 0 ELSE window_sum END AS BIGINT)
+             AS window_sum
+    FROM fin
+    """,
+    doc="Zstd SEEKABLE format (zstd contrib "
+    "zstd_seekable_compression_format.md) — random access into "
+    "compressed streams, the scale path for 100 TB of compressed "
+    "blobs: the seek-table skippable frame (magic 0x184D2A5E, "
+    "9-byte footer with 0x8F92EAB1) maps frame boundaries, so an "
+    "executor reads ONE table entry + ONE frame for any byte range "
+    "— never the stream prefix. The target frame decodes through "
+    "the from-scratch FSE/Huffman decoder, its length must equal "
+    "the entry's Decompressed_Size and its xxh64-low-32 checksum "
+    "must hold; entries must TILE the data area exactly. A "
+    "corrupted NON-target frame stays invisible — pinned in tests "
+    "as the random-access proof. Frames written by the reference "
+    "encoder (libzstd via pyarrow). Lies: a checksum flip on the "
+    "target entry (13th), a Compressed_Size tiling lie (17th), a "
+    "flipped seekable magic (19th). One Arrow-batched map stage, "
+    "no shuffle. operators/zstd.py read_zstd_seekable",
+    tags=("llm", "multimodal"),
+)
+def multimodal_zstd_seekable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.zstd import (
+        synthesize_zstd_seekable_media,
+        zstd_seekable_stats,
+    )
+
+    media = synthesize_zstd_seekable_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return zstd_seekable_stats(media)

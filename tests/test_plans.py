@@ -1085,5 +1085,6 @@ class TestRound14PlanShapes:
             "multimodal_kafka_compacted",
             "multimodal_arrow_ipc",
             "lakehouse_delta_cdf",
+            "multimodal_zstd_seekable",
         ):
             self._assert_pure_map(spark, name)
