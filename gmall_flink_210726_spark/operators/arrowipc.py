@@ -207,6 +207,18 @@ def _popcount_zero(bits: bytes, n: int) -> int:
     return nulls
 
 
+def _message_at(data: bytes, pos: int) -> tuple[_FB, int, int] | None:
+    """Encapsulated message at pos -> (Message fb, metadata span
+    incl the 8-byte prefix, bodyLength)."""
+    if data[pos : pos + 4] != b"\xff\xff\xff\xff":
+        return None
+    (mlen,) = struct.unpack_from("<i", data, pos + 4)
+    if mlen <= 0 or pos + 8 + mlen > len(data):
+        return None
+    msg = _root(data[pos + 8 : pos + 8 + mlen])
+    return msg, 8 + mlen, msg.i64(3)
+
+
 def read_arrow_ipc(data: bytes) -> dict | None:
     """Full file walk -> table stats; None on any violation of the
     trust chain (module doc)."""
@@ -240,19 +252,9 @@ def read_arrow_ipc(data: bytes) -> dict | None:
             for k in range(n_blocks)
         ]
 
-        def _message(pos: int) -> tuple[_FB, int, int] | None:
-            """-> (Message fb, metadata span incl prefix, body len)."""
-            if data[pos : pos + 4] != b"\xff\xff\xff\xff":
-                return None
-            (mlen,) = struct.unpack_from("<i", data, pos + 4)
-            if mlen <= 0 or pos + 8 + mlen > len(data):
-                return None
-            msg = _root(data[pos + 8 : pos + 8 + mlen])
-            return msg, 8 + mlen, msg.i64(3)
-
         # schema message: the format stores the schema twice — the
         # two copies must agree
-        got = _message(8)
+        got = _message_at(data, 8)
         if got is None:
             return None
         msg, span, body_len = got
@@ -273,7 +275,7 @@ def read_arrow_ipc(data: bytes) -> dict | None:
         for b_off, b_meta, b_body in blocks:
             if b_off != pos:
                 return None  # footer offset vs the walk's position
-            got = _message(pos)
+            got = _message_at(data, pos)
             if got is None:
                 return None
             msg, span, body_len = got
@@ -548,6 +550,435 @@ def synthesize_arrow_media(docs: DataFrame) -> DataFrame:
                 {
                     "media_id": ids,
                     "content": [make_arrow_ipc(int(x)) for x in ids],
+                    "meta": [
+                        {
+                            "format": "arrow",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Dictionary-encoded columns (Columnar.md "Dictionary Messages").
+# A dictionary field's schema entry carries a DictionaryEncoding
+# {id:0 long, indexType:1 Int, isOrdered:2}; the dictionary VALUES
+# arrive in DictionaryBatch messages (header type 2: {id:0,
+# data:1 RecordBatch, isDelta:2}) listed in the footer's
+# ``dictionaries`` blocks; record batches then carry int32 INDEX
+# arrays for those columns.  Trust: every dictionary id delivered
+# exactly once before use, isDelta unsupported (refused), every
+# index bounds-checked against its dictionary length, the
+# dictionary's own utf8 offsets monotonic — a batch whose indices
+# point past the dictionary is lying about its values.
+# --------------------------------------------------------------------------
+
+_HDR_DICT_BATCH = 2
+
+
+def _dict_schema_fields(
+    schema: _FB,
+) -> list[tuple[bytes, str, int | None]] | None:
+    """Schema -> [(name, 'int64'|'utf8', dict_id|None)]; None on
+    unsupported shapes (the dict value type must be utf8, indices
+    int32 signed)."""
+    vec = schema.vector(1)
+    if vec is None:
+        return None
+    start, n = vec
+    out = []
+    for k in range(n):
+        p = start + 4 * k
+        fpos = p + struct.unpack_from("<I", schema.buf, p)[0]
+        f = _FB(schema.buf, fpos)
+        name = f.string(0)
+        if name is None:
+            return None
+        ch = f.vector(5)
+        if ch is not None and ch[1] != 0:
+            return None
+        ttype = f.u8(2)
+        denc = f.tab(4)
+        if denc is not None:
+            if ttype != _TYPE_UTF8:
+                return None  # fixture scope: dict<utf8> only
+            it = denc.tab(1)
+            if it is None or it.i32(0) != 32 or not it.u8(1):
+                return None  # int32 signed indices only
+            out.append((name, "utf8", denc.i64(0)))
+        elif ttype == _TYPE_INT:
+            it = f.tab(3)
+            if it is None or it.i32(0) != 64 or not it.u8(1):
+                return None
+            out.append((name, "int64", None))
+        elif ttype == _TYPE_UTF8:
+            out.append((name, "utf8", None))
+        else:
+            return None
+    return out
+
+
+def read_arrow_dict(data: bytes) -> dict | None:
+    """Arrow IPC file with dictionary-encoded columns -> stats; None
+    on any violation (section doc + the base walk's books)."""
+    try:
+        if len(data) < 20 or data[:6] != _MAGIC or data[-6:] != _MAGIC:
+            return None
+        (flen,) = struct.unpack_from("<i", data, len(data) - 10)
+        foot_start = len(data) - 10 - flen
+        if flen <= 0 or foot_start < 8:
+            return None
+        footer = _root(data[foot_start : len(data) - 10])
+        schema = footer.tab(1)
+        if schema is None:
+            return None
+        fields = _dict_schema_fields(schema)
+        if fields is None:
+            return None
+        dict_ids = [d for _n, _t, d in fields if d is not None]
+        if len(set(dict_ids)) != len(dict_ids):
+            return None
+
+        def _blocks(fid: int) -> list[tuple[int, int, int]] | None:
+            vec = footer.vector(fid)
+            if vec is None:
+                return None
+            start, n = vec
+            return [
+                struct.unpack_from(
+                    "<qi4xq", footer.buf, start + 24 * k
+                )
+                for k in range(n)
+            ]
+
+        d_blocks = _blocks(2) or []
+        r_blocks = _blocks(3)
+        if r_blocks is None:
+            return None
+        got = _message_at(data, 8)
+        if got is None:
+            return None
+        msg, span, body_len = got
+        if msg.u8(1) != _HDR_SCHEMA or body_len != 0:
+            return None
+        s2 = msg.tab(2)
+        if s2 is None or _dict_schema_fields(s2) != fields:
+            return None
+        pos = 8 + span
+        # dictionary messages: each id exactly once, before batches
+        dicts: dict[int, list[bytes]] = {}
+        for b_off, b_meta, b_body in d_blocks:
+            if b_off != pos:
+                return None
+            got = _message_at(data, pos)
+            if got is None:
+                return None
+            msg, span, body_len = got
+            if span != b_meta or body_len != b_body:
+                return None
+            if msg.u8(1) != _HDR_DICT_BATCH:
+                return None
+            db = msg.tab(2)
+            if db is None:
+                return None
+            if db.u8(2):
+                return None  # isDelta unsupported
+            did = db.i64(0)
+            if did in dicts or did not in dict_ids:
+                return None
+            rb = db.tab(1)
+            if rb is None:
+                return None
+            body = data[pos + span : pos + span + body_len]
+            vals = _decode_utf8_array(rb, body)
+            if vals is None:
+                return None
+            dicts[did] = vals
+            pos += span + body_len
+        if set(dicts) != set(dict_ids):
+            return None  # every declared dictionary must arrive
+        n_rows = 0
+        k_sum = 0
+        code_sum = 0
+        cat_len_sum = 0
+        for b_off, b_meta, b_body in r_blocks:
+            if b_off != pos:
+                return None
+            got = _message_at(data, pos)
+            if got is None:
+                return None
+            msg, span, body_len = got
+            if span != b_meta or body_len != b_body:
+                return None
+            if msg.u8(1) != _HDR_RECORD_BATCH:
+                return None
+            body = data[pos + span : pos + span + body_len]
+            rb = msg.tab(2)
+            if rb is None:
+                return None
+            length = rb.i64(0)
+            nodes_vec = rb.vector(1)
+            bufs_vec = rb.vector(2)
+            if length < 0 or nodes_vec is None or bufs_vec is None:
+                return None
+            nstart, nn = nodes_vec
+            bstart, nb = bufs_vec
+            if nn != len(fields):
+                return None
+            bufs = [
+                struct.unpack_from("<qq", rb.buf, bstart + 16 * k)
+                for k in range(nb)
+            ]
+            for off, ln in bufs:
+                if off < 0 or ln < 0 or off + ln > body_len:
+                    return None
+            bi = 0
+            for fi, (name, typ, did) in enumerate(fields):
+                nlen, ncount = struct.unpack_from(
+                    "<qq", rb.buf, nstart + 16 * fi
+                )
+                if nlen != length:
+                    return None
+                v_off, v_len = bufs[bi]
+                bi += 1
+                bits = body[v_off : v_off + v_len]
+                if v_len == 0 and ncount != 0:
+                    return None
+                if v_len and _popcount_zero(bits, length) != ncount:
+                    return None
+                if did is not None:
+                    d_off, d_len = bufs[bi]
+                    bi += 1
+                    if d_len < 4 * length:
+                        return None
+                    idxs = struct.unpack_from(
+                        "<%di" % length, body, d_off
+                    )
+                    dvals = dicts[did]
+                    for r, ix in enumerate(idxs):
+                        if v_len and not (
+                            bits[r >> 3] & (1 << (r & 7))
+                        ):
+                            continue
+                        if not 0 <= ix < len(dvals):
+                            return None  # index past the dictionary
+                        code_sum += ix
+                        cat_len_sum += len(dvals[ix])
+                elif typ == "int64":
+                    d_off, d_len = bufs[bi]
+                    bi += 1
+                    if d_len < 8 * length:
+                        return None
+                    vals = struct.unpack_from(
+                        "<%dq" % length, body, d_off
+                    )
+                    k_sum += sum(vals)
+                else:
+                    bi += 2  # plain utf8: offsets + data
+            if bi != nb:
+                return None
+            n_rows += length
+            pos += span + body_len
+        if data[pos : pos + 8] != b"\xff\xff\xff\xff\x00\x00\x00\x00":
+            return None
+        if pos + 8 != foot_start:
+            return None
+        return {
+            "n_batches": len(r_blocks),
+            "n_rows": n_rows,
+            "dict_size": sum(len(v) for v in dicts.values()),
+            "k_sum": k_sum,
+            "code_sum": code_sum,
+            "cat_len_sum": cat_len_sum,
+        }
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
+def _decode_utf8_array(rb: _FB, body: bytes) -> list[bytes] | None:
+    """Single-field utf8 RecordBatch (a dictionary's values) ->
+    list of byte strings; None on any violation."""
+    length = rb.i64(0)
+    nodes_vec = rb.vector(1)
+    bufs_vec = rb.vector(2)
+    if length < 0 or nodes_vec is None or bufs_vec is None:
+        return None
+    if nodes_vec[1] != 1 or bufs_vec[1] != 3:
+        return None
+    bstart = bufs_vec[0]
+    bufs = [
+        struct.unpack_from("<qq", rb.buf, bstart + 16 * k)
+        for k in range(3)
+    ]
+    for off, ln in bufs:
+        if off < 0 or ln < 0 or off + ln > len(body):
+            return None
+    o_off, o_len = bufs[1]
+    d_off, d_len = bufs[2]
+    if o_len < 4 * (length + 1):
+        return None
+    offs = struct.unpack_from("<%di" % (length + 1), body, o_off)
+    if any(offs[r] > offs[r + 1] for r in range(length)):
+        return None  # offsets must be monotonic
+    if offs[0] < 0 or offs[length] > d_len:
+        return None
+    return [
+        body[d_off + offs[r] : d_off + offs[r + 1]]
+        for r in range(length)
+    ]
+
+
+DICT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_batches", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("dict_size", LongType()),
+        StructField("k_sum", LongType()),
+        StructField("code_sum", LongType()),
+        StructField("cat_len_sum", LongType()),
+    ]
+)
+
+
+def arrow_dict_stats(df: DataFrame) -> DataFrame:
+    """Dictionary-encoded Arrow IPC walk over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in DICT_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_arrow_dict(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="arrow-dict", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, DICT_SCHEMA
+    )
+
+
+def _adict_n(i: int) -> int:
+    return 30 + i % 50
+
+
+def _adict_nc(i: int) -> int:
+    return 3 + i % 5
+
+
+def make_arrow_dict(i: int) -> bytes:
+    """Real pyarrow IPC file with a dictionary-encoded utf8 column
+    ``d`` (categories ``cat<(i+r) % nc>``, first-appearance order so
+    row r's code is ``r % nc``) next to a plain int64 ``k``;
+    ``30 + i%50`` rows in 16-row batches. Lies (surgical patches):
+    every 13th id rewrites one index in batch 0 to the dictionary
+    size (bounds refuse); every 17th-miss id adds 8 to the footer
+    DICTIONARY block's metaDataLength (books refuse); every
+    19th-miss id makes the dictionary's utf8 offsets non-monotonic
+    (refused)."""
+    import io
+
+    import pyarrow as pa
+
+    n = _adict_n(i)
+    nc = _adict_nc(i)
+    t = pa.table(
+        {
+            "k": pa.array(
+                [_arrow_k(i, r) for r in range(n)], pa.int64()
+            ),
+            "d": pa.array(
+                ["cat%d" % ((i + r) % nc) for r in range(n)]
+            ).dictionary_encode(),
+        }
+    )
+    buf = io.BytesIO()
+    with pa.ipc.new_file(buf, t.schema) as w:
+        w.write_table(t, max_chunksize=16)
+    blob = bytearray(buf.getvalue())
+    (flen,) = struct.unpack_from("<i", blob, len(blob) - 10)
+    foot_start = len(blob) - 10 - flen
+    footer = _root(bytes(blob[foot_start : len(blob) - 10]))
+    d_start, _dn = footer.vector(2)
+    r_start, _rn = footer.vector(3)
+    if i % 13 == 0:
+        off, meta, _body = struct.unpack_from(
+            "<qi4xq", footer.buf, r_start
+        )
+        msg = _root(bytes(blob[off + 8 : off + meta]))
+        rb = msg.tab(2)
+        bstart, _nb = rb.vector(2)
+        # buffers: k-validity, k-data, d-validity, d-indices
+        ix_off, ix_len = struct.unpack_from(
+            "<qq", rb.buf, bstart + 16 * 3
+        )
+        assert ix_len >= 4
+        struct.pack_into(
+            "<i", blob, off + meta + ix_off, nc
+        )  # index == dict size: out of bounds
+    elif i % 17 == 0:
+        _off, meta, _body = struct.unpack_from(
+            "<qi4xq", footer.buf, d_start
+        )
+        struct.pack_into(
+            "<i", blob, foot_start + d_start + 8, meta + 8
+        )
+    elif i % 19 == 0:
+        off, meta, _body = struct.unpack_from(
+            "<qi4xq", footer.buf, d_start
+        )
+        msg = _root(bytes(blob[off + 8 : off + meta]))
+        db = msg.tab(2)
+        rb = db.tab(1)
+        bstart, _nb = rb.vector(2)
+        o_off, o_len = struct.unpack_from(
+            "<qq", rb.buf, bstart + 16 * 1
+        )
+        # offsets[1] beyond offsets[2]: non-monotonic
+        struct.pack_into(
+            "<i", blob, off + meta + o_off + 4, 1 << 20
+        )
+    return bytes(blob)
+
+
+def synthesize_arrow_dict_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of dictionary-encoded Arrow IPC files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        make_arrow_dict(int(x)) for x in ids
+                    ],
                     "meta": [
                         {
                             "format": "arrow",

@@ -1481,3 +1481,69 @@ def multimodal_zstd_seekable(
         load_table(spark, sf_dir, "documents")
     )
     return zstd_seekable_stats(media)
+
+
+@register(
+    "multimodal_arrow_dict",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 30 + doc_id % 50 AS n,
+                        3 + doc_id % 5 AS nc
+                 FROM documents),
+    r AS (SELECT i, n, nc, unnest(range(0, n)) AS rr FROM ids),
+    a AS (SELECT i, MAX(n) AS n, MAX(nc) AS nc,
+                 CAST(SUM((7 * i + 3 * rr) % 1000) AS BIGINT)
+                   AS k_sum,
+                 CAST(SUM(rr % nc) AS BIGINT) AS code_sum
+          FROM r GROUP BY i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown'
+                ELSE 'arrow-dict' END AS format,
+           CAST(CASE WHEN bad THEN 0
+                ELSE CAST(CEIL(n / 16.0) AS BIGINT) END AS BIGINT)
+             AS n_batches,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
+             AS n_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE nc END AS BIGINT)
+             AS dict_size,
+           CAST(CASE WHEN bad THEN 0 ELSE k_sum END AS BIGINT)
+             AS k_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE code_sum END AS BIGINT)
+             AS code_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE 4 * n END AS BIGINT)
+             AS cat_len_sum
+    FROM b
+    """,
+    doc="Arrow IPC DICTIONARY-ENCODED columns (Columnar.md "
+    "'Dictionary Messages') — how real Arrow corpora ship "
+    "categorical text: the schema's DictionaryEncoding (id, int32 "
+    "signed indices), DictionaryBatch messages resolved from the "
+    "footer's dictionaries blocks (each id delivered exactly once "
+    "before use, isDelta refused, same offset/metaDataLength/"
+    "bodyLength books as record batches), then record batches "
+    "carrying INDEX arrays bounds-checked against the dictionary "
+    "length — an index past the dictionary is lying about its "
+    "values. Dictionary utf8 offsets must be monotonic. Values "
+    "resolve through the dictionary: per-row category lengths and "
+    "codes are re-proven against the closed form. Lies (surgical "
+    "patches on real pyarrow bytes): an out-of-bounds index "
+    "(13th), a dictionary-block metaDataLength lie (17th), "
+    "non-monotonic dictionary offsets (19th) - all refuse. One "
+    "Arrow-batched map stage, no shuffle. operators/arrowipc.py "
+    "read_arrow_dict",
+    tags=("llm", "multimodal"),
+)
+def multimodal_arrow_dict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.arrowipc import (
+        arrow_dict_stats,
+        synthesize_arrow_dict_media,
+    )
+
+    media = synthesize_arrow_dict_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return arrow_dict_stats(media)

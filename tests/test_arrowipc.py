@@ -99,3 +99,64 @@ class TestTrustChain:
         blob = bytearray(make_arrow_ipc(1))
         blob[-1] ^= 1
         assert read_arrow_ipc(bytes(blob)) is None
+
+
+class TestDictionary:
+    def test_model_vs_pyarrow(self):
+        import pyarrow as pa
+
+        from gmall_flink_210726_spark.operators.arrowipc import (
+            make_arrow_dict,
+            read_arrow_dict,
+        )
+
+        for i in (1, 2, 3, 4):
+            blob = make_arrow_dict(i)
+            st = read_arrow_dict(blob)
+            assert st is not None, i
+            t = pa.ipc.open_file(pa.BufferReader(blob)).read_all()
+            assert st["n_rows"] == t.num_rows
+            d = t["d"].combine_chunks()
+            assert st["dict_size"] == len(d.dictionary)
+
+    def test_stripes_refuse(self):
+        from gmall_flink_210726_spark.operators.arrowipc import (
+            make_arrow_dict,
+            read_arrow_dict,
+        )
+
+        # OOB index / dict-block metaDataLength lie / bad offsets
+        for i in (13, 26, 17, 34, 19, 38):
+            assert read_arrow_dict(make_arrow_dict(i)) is None, i
+
+    def test_oob_index_invisible_to_pyarrow_validate(self):
+        """The 13-stripe's out-of-bounds index: pyarrow's reader
+        opens the file without complaint (resolution is lazy) — the
+        walk's bounds books catch it."""
+        import pyarrow as pa
+
+        from gmall_flink_210726_spark.operators.arrowipc import (
+            make_arrow_dict,
+            read_arrow_dict,
+        )
+
+        blob = make_arrow_dict(13)
+        f = pa.ipc.open_file(pa.BufferReader(blob))
+        assert f.num_record_batches >= 1  # opens fine
+        assert read_arrow_dict(blob) is None
+
+    def test_plain_file_refused_by_dict_walk_and_vice_versa(self):
+        from gmall_flink_210726_spark.operators.arrowipc import (
+            make_arrow_dict,
+            make_arrow_ipc,
+            read_arrow_dict,
+            read_arrow_ipc,
+        )
+
+        # the plain walk refuses dictionary encoding outright
+        assert read_arrow_ipc(make_arrow_dict(1)) is None
+        # the dict walk accepts plain files only if the shape fits
+        # (the plain fixture has a nullable column m -> utf8/int64
+        # mix parses, dictionaries are simply absent)
+        st = read_arrow_dict(make_arrow_ipc(1))
+        assert st is None or st["dict_size"] == 0

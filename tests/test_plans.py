@@ -1086,5 +1086,6 @@ class TestRound14PlanShapes:
             "multimodal_arrow_ipc",
             "lakehouse_delta_cdf",
             "multimodal_zstd_seekable",
+            "multimodal_arrow_dict",
         ):
             self._assert_pure_map(spark, name)
