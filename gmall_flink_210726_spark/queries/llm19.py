@@ -1547,3 +1547,81 @@ def multimodal_arrow_dict(
         load_table(spark, sf_dir, "documents")
     )
     return arrow_dict_stats(media)
+
+
+@register(
+    "multimodal_bgzf_seek",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 3 + doc_id % 5 AS nb
+                 FROM documents),
+    c AS (SELECT i, nb, unnest(range(0, nb)) AS cc FROM ids),
+    l AS (SELECT i, nb, cc, 150 + 23 * ((i + cc) % 6) AS ln FROM c),
+    cum AS (SELECT i, nb, cc, ln,
+                 COALESCE(SUM(ln) OVER (
+                     PARTITION BY i ORDER BY cc
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS cumlo
+            FROM l),
+    tot AS (SELECT i, CAST(SUM(ln) AS BIGINT) AS total
+            FROM l GROUP BY i),
+    tf AS (SELECT cum.i, cum.nb, cum.cc, cum.ln, cum.cumlo,
+                  tot.total, (31 * cum.i) % tot.total AS target
+           FROM cum JOIN tot ON tot.i = cum.i
+           WHERE (31 * cum.i) % tot.total >= cum.cumlo
+             AND (31 * cum.i) % tot.total < cum.cumlo + cum.ln),
+    jv AS (SELECT *, target - cumlo AS j,
+                  LEAST(target - cumlo, ln - 16) AS jw FROM tf),
+    w AS (SELECT i, cc, jw, unnest(range(0, 16)) AS t FROM jv),
+    ws AS (SELECT i,
+                  CAST(SUM((3 * i + 5 * cc + 7 * (jw + t)) % 251)
+                       AS BIGINT) AS window_sum
+           FROM w GROUP BY i),
+    fin AS (SELECT jv.i, jv.nb, jv.total, jv.cc, jv.j,
+                   (3 * jv.i + 5 * jv.cc + 7 * jv.j) % 251 AS b,
+                   ws.window_sum,
+                   (jv.i % 13 = 0 OR jv.i % 17 = 0
+                    OR jv.i % 19 = 0) AS bad
+            FROM jv JOIN ws ON ws.i = jv.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'bgzf' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nb END AS BIGINT)
+             AS n_blocks,
+           CAST(CASE WHEN bad THEN 0 ELSE total END AS BIGINT)
+             AS total_uncompressed,
+           CAST(CASE WHEN bad THEN 0 ELSE cc END AS BIGINT)
+             AS target_block,
+           CAST(CASE WHEN bad THEN 0 ELSE j END AS BIGINT)
+             AS in_block_offset,
+           CAST(CASE WHEN bad THEN 0 ELSE b END AS BIGINT)
+             AS byte_at_target,
+           CAST(CASE WHEN bad THEN 0 ELSE window_sum END AS BIGINT)
+             AS window_sum
+    FROM fin
+    """,
+    doc="BGZF — blocked gzip (SAM/BAM spec §4.1; bgzip'd VCF/FASTA "
+    "and tabix ride it) — the random-access gzip variant: every "
+    "member's FEXTRA carries the BC subfield with BSIZE, so any "
+    "uncompressed offset maps to a block by scanning headers/"
+    "trailers ONLY; exactly one block is inflated (the repo's own "
+    "RFC 1951 decoder) and its CRC32 + ISIZE trailer verified — "
+    "seek without decompressing the prefix, the 100 TB property. "
+    "The mandatory 28-byte EOF marker must terminate the file. A "
+    "corrupted NON-target block is provably invisible (pinned). "
+    "Lies: an ISIZE lie on the target block (13th), a dropped EOF "
+    "marker (17th), a CRC32 flip on the target (19th) - all "
+    "refuse. One Arrow-batched map stage, no shuffle. "
+    "operators/bgzf.py read_bgzf",
+    tags=("llm", "multimodal"),
+)
+def multimodal_bgzf_seek(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.bgzf import (
+        bgzf_stats,
+        synthesize_bgzf_media,
+    )
+
+    media = synthesize_bgzf_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return bgzf_stats(media)

@@ -1087,5 +1087,6 @@ class TestRound14PlanShapes:
             "lakehouse_delta_cdf",
             "multimodal_zstd_seekable",
             "multimodal_arrow_dict",
+            "multimodal_bgzf_seek",
         ):
             self._assert_pure_map(spark, name)
