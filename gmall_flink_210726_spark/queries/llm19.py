@@ -1625,3 +1625,76 @@ def multimodal_bgzf_seek(
         load_table(spark, sf_dir, "documents")
     )
     return bgzf_stats(media)
+
+
+@register(
+    "multimodal_npz_embeddings",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 10 + doc_id % 20 AS n,
+                        8 + doc_id % 8 AS d
+                 FROM documents),
+    rc AS (SELECT i, n, d, unnest(range(0, n)) AS rr FROM ids),
+    rcc AS (SELECT i, n, d, rr, unnest(range(0, d)) AS cc FROM rc),
+    e AS (SELECT i, n, d,
+                 (3 * i + 5 * rr + 7 * cc) % 1001 - 500 AS ev,
+                 rr
+          FROM rcc),
+    a AS (SELECT i, MAX(n) AS n, MAX(d) AS d,
+                 CAST(SUM(ev) AS BIGINT) AS emb_sum,
+                 CAST(SUM(CASE WHEN rr = 0 THEN ev ELSE 0 END)
+                      AS BIGINT) AS emb_row0_sum
+          FROM e GROUP BY i),
+    r2 AS (SELECT i, unnest(range(0, n)) AS rr FROM ids),
+    s2 AS (SELECT i, CAST(SUM((11 * i + 13 * rr) % 100000)
+                          AS BIGINT) AS ids_sum
+           FROM r2 GROUP BY i),
+    b AS (SELECT a.*, s2.ids_sum,
+                 (a.i % 13 = 0 OR a.i % 17 = 0 OR a.i % 19 = 0)
+                   AS bad
+          FROM a JOIN s2 ON s2.i = a.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'npz' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS n_arrays,
+           CAST(CASE WHEN bad THEN 0 ELSE n END AS BIGINT)
+             AS emb_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE d END AS BIGINT)
+             AS emb_cols,
+           CAST(CASE WHEN bad THEN 0 ELSE emb_sum END AS BIGINT)
+             AS emb_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE emb_row0_sum END
+                AS BIGINT) AS emb_row0_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE ids_sum END AS BIGINT)
+             AS ids_sum
+    FROM b
+    """,
+    doc="NPY/NPZ — numpy's array serialization, the de-facto "
+    "embedding-dump format (faiss training sets, "
+    "sentence-transformer caches): STORED-zip members with CRC32 "
+    "proof (the L277 ZIP grammar), then the NEP header walk — "
+    "magic/version, the ASCII dict header with exactly the three "
+    "spec keys, 64-byte alignment and newline termination, descr "
+    "gated to little-endian f8/i8, and the SHAPE-TIMES-ITEMSIZE "
+    "books (declared shape must equal the byte length exactly — a "
+    "shape lie cannot hide). Odd ids store emb in FORTRAN order; "
+    "the first-row sum is the order-SENSITIVE proof that striding "
+    "decodes correctly (a C-order misread scrambles it while the "
+    "total sum would not notice). Lies patched into the NPY bytes "
+    "before zipping (zip CRCs stay true — only the NPY books can "
+    "refuse): a shape overstatement (13th), big-endian descr "
+    "(17th), a clobbered header newline (19th). One Arrow-batched "
+    "map stage, no shuffle. operators/npz.py read_npz_embeddings",
+    tags=("llm", "multimodal"),
+)
+def multimodal_npz_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.npz import (
+        npz_stats,
+        synthesize_npz_media,
+    )
+
+    media = synthesize_npz_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return npz_stats(media)

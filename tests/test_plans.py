@@ -1088,5 +1088,6 @@ class TestRound14PlanShapes:
             "multimodal_zstd_seekable",
             "multimodal_arrow_dict",
             "multimodal_bgzf_seek",
+            "multimodal_npz_embeddings",
         ):
             self._assert_pure_map(spark, name)
