@@ -1698,3 +1698,83 @@ def multimodal_npz_embeddings(
         load_table(spark, sf_dir, "documents")
     )
     return npz_stats(media)
+
+
+@register(
+    "multimodal_git_pack",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 6 + doc_id % 8 AS nb,
+                        2 + doc_id % 3 AS nc
+                 FROM documents),
+    b AS (SELECT i, nb, nc, unnest(range(0, nb)) AS bb FROM ids),
+    j AS (SELECT i, nb, nc, bb,
+                 unnest(range(0, 30 + (i + bb) % 25)) AS jj
+          FROM b),
+    s AS (SELECT i,
+                 CAST(SUM((7 * i + 11 * bb + 3 * jj) % 251)
+                      AS BIGINT) AS byte_sum,
+                 CAST(COUNT(*) AS BIGINT) AS blob_bytes
+          FROM j GROUP BY i),
+    d AS (SELECT i,
+                 CAST(SUM(CASE WHEN bb % 3 = 2 THEN 1
+                          WHEN bb % 7 = 6 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_deltas
+          FROM b GROUP BY i),
+    a AS (SELECT ids.i, ids.nb, ids.nc, s.byte_sum, s.blob_bytes,
+                 d.n_deltas,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids JOIN s ON s.i = ids.i JOIN d ON d.i = ids.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'git-pack' END
+             AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nb + 2 * nc END
+                AS BIGINT) AS n_objects,
+           CAST(CASE WHEN bad THEN 0 ELSE nb END AS BIGINT)
+             AS n_blobs,
+           CAST(CASE WHEN bad THEN 0 ELSE nc END AS BIGINT)
+             AS n_trees,
+           CAST(CASE WHEN bad THEN 0 ELSE nc END AS BIGINT)
+             AS n_commits,
+           CAST(CASE WHEN bad THEN 0 ELSE n_deltas END AS BIGINT)
+             AS n_deltas,
+           CAST(CASE WHEN bad THEN 0 ELSE blob_bytes END AS BIGINT)
+             AS blob_bytes,
+           CAST(CASE WHEN bad THEN 0 ELSE byte_sum END AS BIGINT)
+             AS blob_byte_sum
+    FROM a
+    """,
+    doc="Git PACKFILE + pack-index walk (gitformat-pack(5)) — how "
+    "code corpora actually arrive: a clone IS a pack, and "
+    "The-Stack-style source ingest reads packs, not checkouts. "
+    "Full grammar from the public spec: varint object headers, "
+    "per-object zlib through the repo's own RFC 1950/1951 inflate "
+    "(Adler-32 + declared-size books), OFS_DELTA with the +1-bias "
+    "offset varint and REF_DELTA resolution with copy/insert "
+    "commands (base/result-size books), object identity RECOMPUTED "
+    "as sha1('<type> <len>\\\\0'+content) and matched against the "
+    "idx's sorted unique ids; idx v2 fanout monotonicity, "
+    "per-object CRC32 of the PACKED bytes, offsets landing exactly "
+    "on objects, the pack trailer SHA-1 and the idx's own trailing "
+    "SHA-1; semantic layer: commits reference in-pack trees and "
+    "parents, trees list git-sorted entries resolving to in-pack "
+    "blobs. REAL git verify-pack accepts the fixture (pinned). "
+    "Lies: an idx CRC32 flip (13th), a pack-trailer flip (17th), a "
+    "delta base-size overstatement (19th) - all refuse. One "
+    "Arrow-batched map stage, no shuffle; at 100 TB the pack+idx "
+    "pair is the unit of parallelism. operators/gitpack.py "
+    "read_git_pack",
+    tags=("llm", "multimodal"),
+)
+def multimodal_git_pack(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.gitpack import (
+        git_pack_stats,
+        synthesize_git_pack_media,
+    )
+
+    media = synthesize_git_pack_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return git_pack_stats(media)

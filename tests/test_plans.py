@@ -1089,5 +1089,6 @@ class TestRound14PlanShapes:
             "multimodal_arrow_dict",
             "multimodal_bgzf_seek",
             "multimodal_npz_embeddings",
+            "multimodal_git_pack",
         ):
             self._assert_pure_map(spark, name)
