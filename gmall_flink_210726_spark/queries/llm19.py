@@ -1778,3 +1778,72 @@ def multimodal_git_pack(
         load_table(spark, sf_dir, "documents")
     )
     return git_pack_stats(media)
+
+
+@register(
+    "multimodal_sstable_kv",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 40 + doc_id % 40 AS nk
+                 FROM documents),
+    r AS (SELECT i, nk, unnest(range(0, nk)) AS rr FROM ids),
+    v AS (SELECT i, nk, rr,
+                 unnest(range(0, 10 + (i + rr) % 15)) AS jj
+          FROM r),
+    s AS (SELECT i,
+                 CAST(SUM((5 * i + 3 * rr + jj) % 251) AS BIGINT)
+                   AS val_sum
+          FROM v GROUP BY i),
+    a AS (SELECT ids.i, ids.nk, s.val_sum,
+                 CAST(CEIL(ids.nk / 8.0) AS BIGINT) AS nb,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids JOIN s ON s.i = ids.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'sstable' END
+             AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nb END AS BIGINT)
+             AS n_blocks,
+           CAST(CASE WHEN bad THEN 0 ELSE nk END AS BIGINT)
+             AS n_entries,
+           CAST(CASE WHEN bad THEN 0 ELSE 6 * nk END AS BIGINT)
+             AS key_bytes,
+           CAST(CASE WHEN bad THEN 0 ELSE val_sum END AS BIGINT)
+             AS val_byte_sum,
+           CAST(CASE WHEN bad THEN 0
+                ELSE 2 * (nb - 1)
+                     + CAST(CEIL((nk - 8 * (nb - 1)) / 4.0)
+                            AS BIGINT)
+                END AS BIGINT) AS n_restarts
+    FROM a
+    """,
+    doc="LevelDB/RocksDB SSTable (BlockBasedTable) walk — the "
+    "KV-store file behind embedded state stores, read directly for "
+    "KV-snapshot ingest (one executor per table at 100 TB): footer "
+    "magic + varint BlockHandles; every block's MASKED CRC32C "
+    "(leveldb's exact (c>>15|c<<17)+0xa282ead8 masking over "
+    "content+type byte, on the repo's own CRC32C table) with "
+    "alternating raw/snappy blocks through the hand snappy "
+    "decoder; prefix-compressed entries re-anchored at restart "
+    "points (shared=0 books), exact entry-region consumption, "
+    "STRICT global key order (the binary-search invariant), index "
+    "separators bounding their blocks, data blocks tiling the file "
+    "up to the metaindex. The reference keeps dim state in "
+    "HBase/Redis (func/DimSinkFunction.java) — this is that "
+    "KV-snapshot surface at open-format level. Lies: a stored-CRC "
+    "flip (13th), a restart-count overstatement (17th), a key-order "
+    "swap (19th) - all refuse. One Arrow-batched map stage, no "
+    "shuffle. operators/sstable.py read_sstable",
+    tags=("llm", "multimodal"),
+)
+def multimodal_sstable_kv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.sstable import (
+        sstable_stats,
+        synthesize_sstable_media,
+    )
+
+    media = synthesize_sstable_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return sstable_stats(media)

@@ -1090,5 +1090,6 @@ class TestRound14PlanShapes:
             "multimodal_bgzf_seek",
             "multimodal_npz_embeddings",
             "multimodal_git_pack",
+            "multimodal_sstable_kv",
         ):
             self._assert_pure_map(spark, name)
