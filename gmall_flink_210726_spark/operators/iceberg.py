@@ -1786,3 +1786,297 @@ def iceberg_asof_stats(df: DataFrame, asof_ms: int) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(
         gen, ICEBERG_ASOF_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Named references (Iceberg spec "refs", the branching/tagging layer
+# of table-metadata): a map of name -> {snapshot-id, type, retention
+# knobs}.  "main" IS the current snapshot by definition — the spec
+# keeps current-snapshot-id and the main branch head in lockstep, so
+# a metadata file where they disagree is corrupt.  Retention fields
+# are type-gated: min-snapshots-to-keep / max-snapshot-age-ms are
+# BRANCH-only (a tag carrying them is malformed); max-ref-age-ms is
+# legal on both.  Every ref must resolve to a declared snapshot, and
+# each referenced snapshot's manifest walk runs the full trust chain
+# (_snapshot_totals).  This is how real warehouses pin eval sets
+# ("tag the corpus we trained on") while main keeps moving.
+# --------------------------------------------------------------------------
+
+_BRANCH_ONLY = {"min-snapshots-to-keep", "max-snapshot-age-ms"}
+_REF_KEYS = _BRANCH_ONLY | {"snapshot-id", "type", "max-ref-age-ms"}
+
+
+def read_iceberg_refs(data: bytes) -> dict | None:
+    """Tar table -> ref census with per-ref snapshot totals; None on
+    any violation (section doc)."""
+    members = _iter_tar_members(data)
+    if members is None:
+        return None
+    files = dict(members)
+    meta_name = next(
+        (n for n in files if n.endswith(".metadata.json")), None
+    )
+    if meta_name is None:
+        return None
+    try:
+        meta = json.loads(files[meta_name].decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(meta, dict) or meta.get("format-version") != 2:
+        return None
+    cur = meta.get("current-snapshot-id")
+    snaps = meta.get("snapshots")
+    refs = meta.get("refs")
+    if (
+        not isinstance(cur, int)
+        or not isinstance(snaps, list)
+        or not isinstance(refs, dict)
+        or not refs
+    ):
+        return None
+    by_id = {
+        s.get("snapshot-id"): s for s in snaps if isinstance(s, dict)
+    }
+    main = refs.get("main")
+    if (
+        not isinstance(main, dict)
+        or main.get("type") != "branch"
+        or main.get("snapshot-id") != cur
+    ):
+        return None  # main must exist and BE the current snapshot
+    n_branches = n_tags = 0
+    main_rows = dev_rows = tags_rows_sum = 0
+    for name, ref in refs.items():
+        if not isinstance(name, str) or not isinstance(ref, dict):
+            return None
+        if not set(ref) <= _REF_KEYS:
+            return None
+        rtype = ref.get("type")
+        sid = ref.get("snapshot-id")
+        if rtype not in ("branch", "tag") or sid not in by_id:
+            return None
+        if rtype == "tag" and _BRANCH_ONLY & set(ref):
+            return None  # retention knobs are branch-only
+        totals = _snapshot_totals(files, by_id[sid])
+        if totals is None:
+            return None
+        if rtype == "branch":
+            n_branches += 1
+        else:
+            n_tags += 1
+            tags_rows_sum += totals["live_rows"]
+        if name == "main":
+            main_rows = totals["live_rows"]
+        elif name == "dev":
+            dev_rows = totals["live_rows"]
+    return {
+        "n_refs": len(refs),
+        "n_branches": n_branches,
+        "n_tags": n_tags,
+        "main_rows": main_rows,
+        "dev_rows": dev_rows,
+        "tags_rows_sum": tags_rows_sum,
+    }
+
+
+ICEBERG_REFS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_refs", LongType()),
+        StructField("n_branches", LongType()),
+        StructField("n_tags", LongType()),
+        StructField("main_rows", LongType()),
+        StructField("dev_rows", LongType()),
+        StructField("tags_rows_sum", LongType()),
+    ]
+)
+
+
+def iceberg_refs_stats(df: DataFrame) -> DataFrame:
+    """Ref-census walk over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in ICEBERG_REFS_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_iceberg_refs(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="iceberg", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, ICEBERG_REFS_SCHEMA
+    )
+
+
+def _refs_ns(i: int) -> int:
+    return 2 + i % 3
+
+
+def _refs_nt(i: int) -> int:
+    return 1 + i % 2
+
+
+def _refs_nf(i: int, s: int) -> int:
+    return 2 + (i + s) % 3
+
+
+def _refs_rows(i: int, s: int, f: int) -> int:
+    return 10 + (i + 3 * s + f) % 20
+
+
+def _refs_snap_rows(i: int, s: int) -> int:
+    return sum(
+        _refs_rows(i, s, f) for f in range(_refs_nf(i, s))
+    )
+
+
+def _make_iceberg_refs_table(i: int) -> bytes:
+    """``2+i%3`` snapshots; refs: main (branch, latest), dev
+    (branch, latest-1), tags ``v<t>`` at snapshots 0..``i%2``.
+    Lies: every 13th id points main at a NON-current snapshot
+    (refused); every 17th-miss id puts min-snapshots-to-keep on a
+    tag (refused); every 19th-miss id names a ghost snapshot-id in
+    a tag (refused)."""
+    ns = _refs_ns(i)
+    nt = _refs_nt(i)
+    members: list[tuple[str, bytes]] = []
+    snaps = []
+    for s in range(ns):
+        nf = _refs_nf(i, s)
+        manifest = make_avro_container(
+            MANIFEST_SCHEMA,
+            [
+                {
+                    "status": 1,
+                    "snapshot_id": 3000 + i * 10 + s,
+                    "data_file": {
+                        "file_path": f"data/s{s}f{f}.parquet",
+                        "file_format": "PARQUET",
+                        "record_count": _refs_rows(i, s, f),
+                        "file_size_in_bytes": 100
+                        + (7 * i + s + f) % 50,
+                    },
+                }
+                for f in range(nf)
+            ],
+        )
+        members.append((f"meta/m-{s}.avro", manifest))
+        mlist = make_avro_container(
+            MLIST_SCHEMA,
+            [
+                {
+                    "manifest_path": f"meta/m-{s}.avro",
+                    "manifest_length": len(manifest),
+                    "partition_spec_id": 0,
+                    "added_files_count": nf,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                }
+            ],
+        )
+        members.append((f"meta/snap-{s}.avro", mlist))
+        snaps.append(
+            {
+                "snapshot-id": 3000 + i * 10 + s,
+                "manifest-list": f"meta/snap-{s}.avro",
+            }
+        )
+    cur = snaps[-1]["snapshot-id"]
+    main_target = cur
+    if i % 13 == 0:
+        main_target = snaps[0]["snapshot-id"]
+        if ns == 1:
+            main_target = cur + 1
+    refs = {
+        "main": {
+            "snapshot-id": main_target,
+            "type": "branch",
+            "min-snapshots-to-keep": 1,
+        },
+        "dev": {
+            "snapshot-id": snaps[max(0, ns - 2)]["snapshot-id"],
+            "type": "branch",
+        },
+    }
+    for t in range(nt):
+        tag = {
+            "snapshot-id": snaps[t]["snapshot-id"],
+            "type": "tag",
+            "max-ref-age-ms": 1000000,
+        }
+        if i % 17 == 0 and i % 13 != 0 and t == nt - 1:
+            tag["min-snapshots-to-keep"] = 2  # branch-only knob
+        if (
+            i % 19 == 0
+            and i % 13 != 0
+            and i % 17 != 0
+            and t == nt - 1
+        ):
+            tag["snapshot-id"] = 999999999  # ghost snapshot
+        refs[f"v{t}"] = tag
+    meta = {
+        "format-version": 2,
+        "table-uuid": f"tbl-refs-{i}",
+        "current-snapshot-id": cur,
+        "snapshots": snaps,
+        "refs": refs,
+    }
+    members.append(
+        ("v3.metadata.json", json.dumps(meta).encode("utf-8"))
+    )
+    parts = []
+    for name, payload in members:
+        pad = (-len(payload)) % _BLOCK
+        parts.append(
+            _make_header(name, len(payload)) + payload + b"\x00" * pad
+        )
+    return b"".join(parts) + b"\x00" * (2 * _BLOCK)
+
+
+def synthesize_iceberg_refs_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of branched/tagged Iceberg tables."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _make_iceberg_refs_table(int(x))
+                        for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "iceberg",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

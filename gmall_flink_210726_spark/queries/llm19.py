@@ -1847,3 +1847,77 @@ def multimodal_sstable_kv(
         load_table(spark, sf_dir, "documents")
     )
     return sstable_stats(media)
+
+
+@register(
+    "lakehouse_iceberg_refs",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 2 + doc_id % 3 AS ns,
+                        1 + doc_id % 2 AS nt
+                 FROM documents),
+    s AS (SELECT i, ns, nt, unnest(range(0, ns)) AS ss FROM ids),
+    f AS (SELECT i, ns, nt, ss,
+                 unnest(range(0, 2 + (i + ss) % 3)) AS ff
+          FROM s),
+    sr AS (SELECT i, ns, nt, ss,
+                  CAST(SUM(10 + (i + 3 * ss + ff) % 20) AS BIGINT)
+                    AS rows_s
+           FROM f GROUP BY i, ns, nt, ss),
+    a AS (SELECT i, MAX(ns) AS ns, MAX(nt) AS nt,
+                 CAST(SUM(CASE WHEN ss = ns - 1 THEN rows_s
+                          ELSE 0 END) AS BIGINT) AS main_rows,
+                 CAST(SUM(CASE WHEN ss = ns - 2 THEN rows_s
+                          ELSE 0 END) AS BIGINT) AS dev_rows,
+                 CAST(SUM(CASE WHEN ss < nt THEN rows_s
+                          ELSE 0 END) AS BIGINT) AS tags_rows_sum
+          FROM sr GROUP BY i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'iceberg' END
+             AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 + nt END AS BIGINT)
+             AS n_refs,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 END AS BIGINT)
+             AS n_branches,
+           CAST(CASE WHEN bad THEN 0 ELSE nt END AS BIGINT)
+             AS n_tags,
+           CAST(CASE WHEN bad THEN 0 ELSE main_rows END AS BIGINT)
+             AS main_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE dev_rows END AS BIGINT)
+             AS dev_rows,
+           CAST(CASE WHEN bad THEN 0 ELSE tags_rows_sum END
+                AS BIGINT) AS tags_rows_sum
+    FROM b
+    """,
+    doc="Iceberg NAMED REFERENCES (spec table-metadata 'refs') — "
+    "the branching/tagging layer real warehouses use to pin eval "
+    "sets while main keeps moving: a ref map of name -> "
+    "{snapshot-id, type, retention}. 'main' must exist as a branch "
+    "AND equal current-snapshot-id (the spec keeps them in "
+    "lockstep — disagreement is corruption); retention knobs are "
+    "type-gated (min-snapshots-to-keep / max-snapshot-age-ms are "
+    "branch-only; a tag carrying them is malformed); every ref "
+    "resolves to a declared snapshot whose manifest walk runs the "
+    "full trust chain (manifest_length books, per-status counts). "
+    "Completes the time-travel story next to VERSION-AS-OF and "
+    "TIMESTAMP-AS-OF: resolution by NAME. Lies: main at a "
+    "non-current snapshot (13th), a tag with a branch-only knob "
+    "(17th), a ghost snapshot-id (19th) - all refuse. One "
+    "Arrow-batched map stage, no shuffle. operators/iceberg.py "
+    "read_iceberg_refs",
+    tags=("llm", "lakehouse", "multimodal"),
+)
+def lakehouse_iceberg_refs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.iceberg import (
+        iceberg_refs_stats,
+        synthesize_iceberg_refs_media,
+    )
+
+    media = synthesize_iceberg_refs_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return iceberg_refs_stats(media)

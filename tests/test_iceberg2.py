@@ -423,3 +423,98 @@ class TestEqualityDeletes:
             )
         tar = b"".join(parts) + b"\x00" * (2 * _BLOCK)
         assert read_iceberg_eq_deletes(tar) is None
+
+
+class TestRefs:
+    def test_model(self):
+        from gmall_flink_210726_spark.operators.iceberg import (
+            _make_iceberg_refs_table,
+            _refs_nt,
+            _refs_snap_rows,
+            read_iceberg_refs,
+        )
+
+        for i in (1, 2, 3, 4, 5, 6):
+            st = read_iceberg_refs(_make_iceberg_refs_table(i))
+            assert st is not None, i
+            assert st["n_tags"] == _refs_nt(i)
+            assert st["tags_rows_sum"] == sum(
+                _refs_snap_rows(i, t) for t in range(_refs_nt(i))
+            )
+
+    def test_stripes_refuse(self):
+        from gmall_flink_210726_spark.operators.iceberg import (
+            _make_iceberg_refs_table,
+            read_iceberg_refs,
+        )
+
+        # main off current / branch-only knob on tag / ghost id
+        for i in (13, 26, 17, 34, 19, 38):
+            assert (
+                read_iceberg_refs(_make_iceberg_refs_table(i))
+                is None
+            ), i
+
+    def test_missing_main_refuses(self):
+        """A refs map without 'main' cannot express the current
+        branch — refuse."""
+        import json as _json
+
+        from gmall_flink_210726_spark.operators.iceberg import (
+            _make_iceberg_refs_table,
+            read_iceberg_refs,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+        from gmall_flink_210726_spark.operators.wds import (
+            _iter_tar_members,
+        )
+
+        blob = _make_iceberg_refs_table(1)
+        members = dict(_iter_tar_members(blob))
+        meta = _json.loads(members["v3.metadata.json"].decode())
+        meta["refs"].pop("main")
+        members["v3.metadata.json"] = _json.dumps(meta).encode()
+        parts = []
+        for name, payload in members.items():
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        tar = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+        assert read_iceberg_refs(tar) is None
+
+    def test_unknown_ref_key_refuses(self):
+        import json as _json
+
+        from gmall_flink_210726_spark.operators.iceberg import (
+            _make_iceberg_refs_table,
+            read_iceberg_refs,
+        )
+        from gmall_flink_210726_spark.operators.tar import (
+            _BLOCK,
+            _make_header,
+        )
+        from gmall_flink_210726_spark.operators.wds import (
+            _iter_tar_members,
+        )
+
+        blob = _make_iceberg_refs_table(1)
+        members = dict(_iter_tar_members(blob))
+        meta = _json.loads(members["v3.metadata.json"].decode())
+        meta["refs"]["main"]["surprise"] = 1
+        members["v3.metadata.json"] = _json.dumps(meta).encode()
+        parts = []
+        for name, payload in members.items():
+            pad = (-len(payload)) % _BLOCK
+            parts.append(
+                _make_header(name, len(payload))
+                + payload
+                + b"\x00" * pad
+            )
+        tar = b"".join(parts) + b"\x00" * (2 * _BLOCK)
+        assert read_iceberg_refs(tar) is None

@@ -1091,5 +1091,6 @@ class TestRound14PlanShapes:
             "multimodal_npz_embeddings",
             "multimodal_git_pack",
             "multimodal_sstable_kv",
+            "lakehouse_iceberg_refs",
         ):
             self._assert_pure_map(spark, name)
