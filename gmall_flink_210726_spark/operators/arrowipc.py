@@ -366,8 +366,8 @@ def read_arrow_ipc(data: bytes) -> dict | None:
                         offs[r] > offs[r + 1] for r in range(length)
                     ):
                         return None
-                    if offs[length] - offs[0] > d_len:
-                        return None
+                    if offs[0] < 0 or offs[length] > d_len:
+                        return None  # offsets must stay in-buffer
                     len_sums[name] += offs[length] - offs[0]
                 null_counts[name] += ncount
             n_rows += length
@@ -727,6 +727,8 @@ def read_arrow_dict(data: bytes) -> dict | None:
             bufs_vec = rb.vector(2)
             if length < 0 or nodes_vec is None or bufs_vec is None:
                 return None
+            if rb.slot(3) is not None:
+                return None  # compressed bodies: out of scope
             nstart, nn = nodes_vec
             bstart, nb = bufs_vec
             if nn != len(fields):
@@ -809,6 +811,8 @@ def _decode_utf8_array(rb: _FB, body: bytes) -> list[bytes] | None:
     bufs_vec = rb.vector(2)
     if length < 0 or nodes_vec is None or bufs_vec is None:
         return None
+    if rb.slot(3) is not None:
+        return None  # compressed bodies: out of scope
     if nodes_vec[1] != 1 or bufs_vec[1] != 3:
         return None
     bstart = bufs_vec[0]

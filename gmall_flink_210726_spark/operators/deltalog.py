@@ -82,6 +82,7 @@ def _replay_state(
     max_reader: int = _MAX_READER_VERSION,
     meta_out: list | None = None,
     on_version=None,
+    actions_out: list | None = None,
 ) -> tuple[dict[str, tuple[int, int, str, dict]], int, int] | None:
     """Ordered replay -> (live path map, n_adds, n_removes); None on
     any protocol violation (module docstring contract). Each live
@@ -99,7 +100,13 @@ def _replay_state(
     apply (the post-commit snapshot state); returning False from it
     aborts the replay with None — this lets per-version checks (the
     ``.crc`` books-balance layer) ride one incremental replay
-    instead of re-replaying the prefix per version."""
+    instead of re-replaying the prefix per version.  ``actions_out``,
+    when given, receives every validated action as
+    ``(version, kind, dict)`` AND makes ``cdc`` actions legal
+    (validated: string path, int size, dataChange false) — the
+    change-data-feed reader rides the same single copy of the action
+    grammar instead of re-implementing it; without ``actions_out``
+    a cdc action stays an unknown-kind refusal."""
     n = len(commits)
     # path -> (size, rows, pv, stats)
     live: dict[str, tuple[int, int, str, dict]] = {}
@@ -125,6 +132,8 @@ def _replay_state(
                 if p["minReaderVersion"] > max_reader:
                     return None  # forward-compat: refuse, never guess
                 saw_protocol = True
+                if actions_out is not None:
+                    actions_out.append((v, "protocol", p))
             elif "metaData" in action:
                 md = action["metaData"]
                 if not isinstance(md, dict) or "id" not in md:
@@ -133,6 +142,8 @@ def _replay_state(
                 if meta_out is not None:
                     meta_out.clear()
                     meta_out.append(md)
+                if actions_out is not None:
+                    actions_out.append((v, "metaData", md))
             elif "add" in action:
                 a = action["add"]
                 if (
@@ -157,6 +168,8 @@ def _replay_state(
                     return None  # re-add must agree with the live entry
                 live[path] = (a["size"], rows, pv, sdict)
                 n_adds += 1
+                if actions_out is not None:
+                    actions_out.append((v, "add", a))
             elif "remove" in action:
                 r = action["remove"]
                 if not isinstance(r, dict) or not isinstance(
@@ -167,8 +180,20 @@ def _replay_state(
                     return None  # removing a never-live file
                 del live[r["path"]]
                 n_removes += 1
+                if actions_out is not None:
+                    actions_out.append((v, "remove", r))
             elif "commitInfo" in action:
                 pass  # informational
+            elif "cdc" in action and actions_out is not None:
+                c = action["cdc"]
+                if (
+                    not isinstance(c, dict)
+                    or not isinstance(c.get("path"), str)
+                    or not isinstance(c.get("size"), int)
+                    or c.get("dataChange") is not False
+                ):
+                    return None
+                actions_out.append((v, "cdc", c))
             else:
                 return None  # unknown action kind
         if v == 0 and not (saw_protocol and saw_meta):
@@ -1847,7 +1872,11 @@ def synthesize_delta_crc_media(docs: DataFrame) -> DataFrame:
 
 def read_delta_cdf(data: bytes) -> dict | None:
     """Tar table -> aggregated change feed across all versions; None
-    on any violation (section doc)."""
+    on any violation (section doc).  The action grammar runs through
+    _replay_state's single copy (``actions_out``); this function owns
+    only the CDF semantics: the enable-flag gate, file-size books,
+    cdc-vs-derived routing, change-type taxonomy, and the per-commit
+    update pre/post balance."""
     from gmall_flink_210726_spark.operators.parquetmeta import (
         read_parquet_column_k,
         read_parquet_column_s_dict,
@@ -1866,90 +1895,45 @@ def read_delta_cdf(data: bytes) -> dict | None:
     commits = _collect_commits(commit_members)
     if commits is None:
         return None
+    actions: list = []
+    state = _replay_state(commits, actions_out=actions)
+    if state is None:
+        return None
+    by_version: dict[int, dict[str, list]] = {
+        v: {"add": [], "remove": [], "cdc": [], "metaData": []}
+        for v in range(len(commits))
+    }
+    for v, kind, act in actions:
+        if kind in by_version[v]:
+            by_version[v][kind].append(act)
     cdf_enabled = False
-    saw_protocol = False
     n_cdc_commits = 0
     inserts = deletes = pre = post = 0
     ins_sum = del_sum = 0
     for v in range(len(commits)):
-        adds = []
-        removes = []
-        cdcs = []
-        for line in commits[v].split(b"\n"):
-            if not line.strip():
-                continue
-            try:
-                action = json.loads(line.decode("utf-8"))
-            except (ValueError, UnicodeDecodeError):
+        acts = by_version[v]
+        for md in acts["metaData"]:
+            conf = md.get("configuration", {})
+            if not isinstance(conf, dict):
                 return None
-            if not isinstance(action, dict):
-                return None
-            if "protocol" in action:
-                p = action["protocol"]
-                if not isinstance(p, dict) or not isinstance(
-                    p.get("minReaderVersion"), int
-                ):
-                    return None
-                if p["minReaderVersion"] > 1:
-                    return None
-                saw_protocol = True
-            elif "metaData" in action:
-                md = action["metaData"]
-                if not isinstance(md, dict) or "id" not in md:
-                    return None
-                conf = md.get("configuration", {})
-                if not isinstance(conf, dict):
-                    return None
-                cdf_enabled = (
-                    conf.get("delta.enableChangeDataFeed") == "true"
-                )
-            elif "add" in action:
-                a = action["add"]
-                if (
-                    not isinstance(a, dict)
-                    or not isinstance(a.get("path"), str)
-                    or not isinstance(a.get("size"), int)
-                ):
-                    return None
-                adds.append(a)
-            elif "remove" in action:
-                r = action["remove"]
-                if not isinstance(r, dict) or not isinstance(
-                    r.get("path"), str
-                ):
-                    return None
-                removes.append(r)
-            elif "cdc" in action:
-                c = action["cdc"]
-                if (
-                    not isinstance(c, dict)
-                    or not isinstance(c.get("path"), str)
-                    or not isinstance(c.get("size"), int)
-                    or c.get("dataChange") is not False
-                ):
-                    return None
-                cdcs.append(c)
-            elif "commitInfo" in action:
-                pass
-            else:
-                return None
-        if v == 0 and not saw_protocol:
-            return None
+            cdf_enabled = (
+                conf.get("delta.enableChangeDataFeed") == "true"
+            )
         if not cdf_enabled:
             return None  # the feed may only be read when enabled
         # every referenced file must exist with its claimed size
-        for a in adds:
+        for a in acts["add"]:
             blob = parts.get(a["path"])
             if blob is None or len(blob) != a["size"]:
                 return None
-        for c in cdcs:
+        for c in acts["cdc"]:
             blob = parts.get(c["path"])
             if blob is None or len(blob) != c["size"]:
                 return None
-        if cdcs:
+        if acts["cdc"]:
             n_cdc_commits += 1
             v_pre = v_post = 0
-            for c in cdcs:
+            for c in acts["cdc"]:
                 blob = parts[c["path"]]
                 types = read_parquet_column_s_dict(
                     blob, name=b"_change_type", collect_values=True
@@ -1982,17 +1966,18 @@ def read_delta_cdf(data: bytes) -> dict | None:
             pre += v_pre
             post += v_post
         else:
-            for a in adds:
+            for a in acts["add"]:
                 if a.get("dataChange") is not True:
                     continue
+                rows = json.loads(a["stats"])["numRecords"]
                 col = read_parquet_column_k(
                     parts[a["path"]], collect_values=True, name=b"k"
                 )
-                if col is None:
-                    return None
+                if col is None or col["n_values"] != rows:
+                    return None  # stats vs the actual decode
                 inserts += col["n_values"]
                 ins_sum += sum(col["values"])
-            for r in removes:
+            for r in acts["remove"]:
                 if r.get("dataChange") is not True:
                     continue
                 blob = parts.get(r["path"])
@@ -2014,6 +1999,7 @@ def read_delta_cdf(data: bytes) -> dict | None:
         "ins_k_sum": ins_sum,
         "del_k_sum": del_sum,
     }
+
 
 
 CDF_SCHEMA = StructType(
@@ -2145,6 +2131,7 @@ def _make_delta_cdf_table(i: int) -> bytes:
                     "path": "part-0.parquet",
                     "size": len(f0),
                     "dataChange": True,
+                    "stats": json.dumps({"numRecords": n0}),
                 }
             },
         ],
@@ -2195,6 +2182,7 @@ def _make_delta_cdf_table(i: int) -> bytes:
                     "path": "part-1.parquet",
                     "size": len(f1),
                     "dataChange": True,
+                    "stats": json.dumps({"numRecords": n0}),
                 }
             },
         ],
@@ -2238,6 +2226,7 @@ def _make_delta_cdf_table(i: int) -> bytes:
                     "path": "part-2.parquet",
                     "size": len(f2),
                     "dataChange": True,
+                    "stats": json.dumps({"numRecords": n0 - nd}),
                 }
             },
         ],
@@ -2256,6 +2245,7 @@ def _make_delta_cdf_table(i: int) -> bytes:
                         "path": "part-3.parquet",
                         "size": len(f3),
                         "dataChange": True,
+                        "stats": json.dumps({"numRecords": n1}),
                     }
                 }
             ],

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import ast
 import struct
-import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -46,55 +45,19 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_EOCD_SIG = b"PK\x05\x06"
-_CENTRAL_SIG = b"PK\x01\x02"
-_LOCAL_SIG = b"PK\x03\x04"
-
-
 def _zip_members(data: bytes) -> list[tuple[str, bytes]] | None:
-    """STORED-zip central-directory walk -> [(name, payload)] with
-    per-member CRC32 proof (the `operators/zipc.py` grammar,
-    collecting payloads instead of sums)."""
-    end = len(data)
-    scan_from = max(0, end - 22 - 65535)
-    eocd = data.rfind(_EOCD_SIG, scan_from)
-    if eocd < 0 or eocd + 22 > end:
-        return None
-    (disk, cddisk, n_this, n_total, cdsize, cdoff, clen) = (
-        struct.unpack_from("<HHHHIIH", data, eocd + 4)
+    """STORED-zip members with per-member CRC32 proof — the single
+    shared grammar in `operators/zipc.py` (`_iter_zip_entries`),
+    names decoded latin-1."""
+    from gmall_flink_210726_spark.operators.zipc import (
+        _iter_zip_entries,
     )
-    if disk != 0 or cddisk != 0 or n_this != n_total or n_total == 0:
+
+    got = _iter_zip_entries(data)
+    if got is None:
         return None
-    if eocd + 22 + clen != end or cdoff + cdsize != eocd:
-        return None
-    pos = cdoff
-    out: list[tuple[str, bytes]] = []
-    for _ in range(n_total):
-        if pos + 46 > eocd or data[pos : pos + 4] != _CENTRAL_SIG:
-            return None
-        (
-            _vm, _vn, flags, method, _t, _d, crc, csize, usize,
-            nlen, elen, comlen, _dsk, _ia, _ea, lho,
-        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", data, pos + 4)
-        if flags != 0 or method != 0 or csize != usize:
-            return None  # STORED only
-        name = data[pos + 46 : pos + 46 + nlen]
-        if lho + 30 + nlen > eocd or data[lho : lho + 4] != _LOCAL_SIG:
-            return None
-        (l_nlen, l_elen) = struct.unpack_from("<HH", data, lho + 26)
-        if l_nlen != nlen or data[lho + 30 : lho + 30 + nlen] != name:
-            return None
-        body = lho + 30 + l_nlen + l_elen
-        if body + usize > eocd:
-            return None
-        payload = data[body : body + usize]
-        if zlib.crc32(payload) != crc:
-            return None
-        out.append((name.decode("latin-1"), payload))
-        pos += 46 + nlen + elen + comlen
-    if pos != eocd:
-        return None
-    return out
+    members, _cd = got
+    return [(n.decode("latin-1"), p) for n, p in members]
 
 
 _ITEMSIZE = {"<f8": 8, "<i8": 8}
@@ -303,21 +266,12 @@ def make_npz(i: int) -> bytes:
         new = b"(%d, %d)" % (n + 1, d)
         k = bytes(eb).find(old)
         assert k >= 0
+        # n is always in [10, 29], so n and n+1 are both two digits
+        # and the header length (and 64-alignment) are unchanged
+        assert len(new) == len(old)
         eb = bytearray(
             bytes(eb[:k]) + new + bytes(eb[k + len(old) :])
         )
-        # keep the header 64-aligned: drop padding spaces as needed
-        grow = len(new) - len(old)
-        if grow:
-            nl = bytes(eb).index(b"\n", k)
-            pad = bytes(eb[k:nl]).count(b" ")
-            assert pad >= grow
-            eb = bytearray(
-                bytes(eb[: nl - grow]) + bytes(eb[nl:])
-            )
-            (hlen,) = struct.unpack_from("<H", eb, 8)
-            struct.pack_into("<H", eb, 8, hlen)  # length unchanged:
-            # we dropped exactly the bytes the new shape added
     elif i % 17 == 0:
         k = bytes(eb).find(b"'<f8'")
         assert k >= 0

@@ -131,7 +131,7 @@ def _opus_packet_samples(pkt: bytes) -> int | None:
         if (len(pkt) - 2) % n_frames:
             return None
     total = n_frames * dur
-    if total > _MAX_FRAME_SAMPLES * 2 and total > 5760:
+    if total > 5760:
         return None  # RFC 6716 §3.4 R5: at most 120 ms per packet
     return total
 

@@ -114,13 +114,18 @@ def _parse_block(
     )
     if restarts[0] != 0 or restarts != sorted(restarts):
         return None
-    if any(r >= tail for r in restarts[1:]) and tail > 0:
+    if tail == 0:
+        if restarts != [0]:
+            return None  # an empty block carries one zero anchor
+    elif any(r >= tail for r in restarts[1:]):
         return None
     out: list[tuple[bytes, bytes]] = []
+    entry_starts: set[int] = set()
     pos = 0
     prev_key = b""
     rs = set(restarts)
     while pos < tail:
+        entry_starts.add(pos)
         at_restart = pos in rs
         got = _varint(block, pos)
         if got is None:
@@ -148,6 +153,8 @@ def _parse_block(
         prev_key = key
     if pos != tail:
         return None  # entries must consume the region exactly
+    if tail and any(r not in entry_starts for r in restarts):
+        return None  # every restart must land on an entry start
     return out, n_restarts
 
 

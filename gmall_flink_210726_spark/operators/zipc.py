@@ -48,7 +48,14 @@ _CENTRAL_SIG = b"PK\x01\x02"
 _EOCD_SIG = b"PK\x05\x06"
 
 
-def _walk_zip(data: bytes) -> dict | None:
+def _iter_zip_entries(
+    data: bytes,
+) -> tuple[list[tuple[bytes, bytes]], int] | None:
+    """Shared STORED-zip central-directory grammar ->
+    ``([(name, payload)], cd_size)`` with the per-member CRC32 proof
+    and local-header cross-checks; None on any violation.  Both the
+    classic walk below and the NPZ reader (`operators/npz.py`)
+    build on this single copy."""
     end = len(data)
     # EOCD back-scan (comment may pad up to 64 KiB; scan what's there)
     scan_from = max(0, end - 22 - 65535)
@@ -65,8 +72,7 @@ def _walk_zip(data: bytes) -> dict | None:
     if cdoff + cdsize != eocd:
         return None
     pos = cdoff
-    n = total = psum = 0
-    first_name = ""
+    members: list[tuple[bytes, bytes]] = []
     for _ in range(n_total):
         if pos + 46 > eocd or data[pos : pos + 4] != _CENTRAL_SIG:
             return None
@@ -89,20 +95,24 @@ def _walk_zip(data: bytes) -> dict | None:
         payload = data[body : body + usize]
         if zlib.crc32(payload) != crc:
             return None  # the REAL integrity check
-        if n == 0:
-            first_name = name.decode("latin-1")
-        n += 1
-        total += usize
-        psum += sum(payload)
+        members.append((name, payload))
         pos += 46 + nlen + elen + comlen
     if pos != eocd:
         return None
+    return members, cdsize
+
+
+def _walk_zip(data: bytes) -> dict | None:
+    got = _iter_zip_entries(data)
+    if got is None:
+        return None
+    members, cdsize = got
     return {
-        "n_entries": n,
-        "total_bytes": total,
-        "payload_sum": psum,
+        "n_entries": len(members),
+        "total_bytes": sum(len(p) for _n, p in members),
+        "payload_sum": sum(sum(p) for _n, p in members),
         "cd_size": cdsize,
-        "first_name": first_name,
+        "first_name": members[0][0].decode("latin-1"),
     }
 
 

@@ -1607,10 +1607,12 @@ def multimodal_arrow_dict(
     "seek without decompressing the prefix, the 100 TB property. "
     "The mandatory 28-byte EOF marker must terminate the file. A "
     "corrupted NON-target block is provably invisible (pinned). "
-    "Lies: an ISIZE lie on the target block (13th), a dropped EOF "
-    "marker (17th), a CRC32 flip on the target (19th) - all "
-    "refuse. One Arrow-batched map stage, no shuffle. "
-    "operators/bgzf.py read_bgzf",
+    "Lies: a deflate-byte flip inside the target block (13th), a "
+    "dropped EOF marker (17th), a CRC32 flip on the target (19th) "
+    "- all refuse; an ISIZE lie on a block the access never "
+    "inflates is documented as legitimately invisible, which is "
+    "exactly why the per-block CRC matters. One Arrow-batched map "
+    "stage, no shuffle. operators/bgzf.py read_bgzf",
     tags=("llm", "multimodal"),
 )
 def multimodal_bgzf_seek(
