@@ -18,8 +18,15 @@ class TestRecordGrammar:
     def test_minimal_response(self):
         rec = make_warc_record("response", "http://x/1", b"hello")
         r = parse_warc_record(rec)
-        assert r == {"type": "response", "uri": "http://x/1",
-                     "ctype": "", "content": b"hello"}
+        assert r is not None
+        assert r["type"] == "response"
+        assert r["uri"] == "http://x/1"
+        assert r["ctype"] == ""
+        assert r["content"] == b"hello"
+        # the raw header map rides along (the revisit walk resolves
+        # WARC-Refers-To / payload digests through it)
+        assert r["fields"][b"warc-type"] == b"response"
+        assert r["fields"][b"content-length"] == b"5"
 
     def test_warcinfo_needs_no_uri(self):
         r = parse_warc_record(make_warc_record("warcinfo", "", b"abc"))
