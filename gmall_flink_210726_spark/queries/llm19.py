@@ -1923,3 +1923,82 @@ def lakehouse_iceberg_refs(
         load_table(spark, sf_dir, "documents")
     )
     return iceberg_refs_stats(media)
+
+
+@register(
+    "multimodal_bson_dump",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 8 + doc_id % 12 AS nd
+                 FROM documents),
+    d AS (SELECT i, nd, unnest(range(0, nd)) AS dd FROM ids),
+    na AS (SELECT i, nd, dd, 2 + (i + dd) % 3 AS n_arr FROM d),
+    aj AS (SELECT i, dd, unnest(range(0, n_arr)) AS jj FROM na),
+    arr AS (SELECT i, CAST(SUM(10 * dd + jj) AS BIGINT) AS arr_sum,
+                   CAST(COUNT(*) AS BIGINT) AS arr_vals
+            FROM aj GROUP BY i),
+    per AS (SELECT i, MAX(nd) AS nd,
+                 CAST(SUM((7 * i + 13 * dd) % 100000 - 50000)
+                      AS BIGINT) AS n_sum,
+                 CAST(SUM((3 * i + dd) % 1000) AS BIGINT)
+                   AS inner_sum,
+                 CAST(SUM((11 * i + 5 * dd) % 2001 - 1000)
+                      AS BIGINT) AS dbl_sum,
+                 CAST(SUM(5 + (i + dd) % 12) AS BIGINT)
+                   AS str_bytes,
+                 CAST(SUM(dd % 2) AS BIGINT) AS n_true
+          FROM d GROUP BY i),
+    a AS (SELECT per.*, arr.arr_sum, arr.arr_vals,
+                 (per.i % 13 = 0 OR per.i % 17 = 0
+                  OR per.i % 19 = 0) AS bad
+          FROM per JOIN arr ON arr.i = per.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'bson' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nd END AS BIGINT)
+             AS n_top_docs,
+           CAST(CASE WHEN bad THEN 0 ELSE nd END AS BIGINT)
+             AS n_docs,
+           CAST(CASE WHEN bad THEN 0 ELSE nd END AS BIGINT)
+             AS n_arrays,
+           CAST(CASE WHEN bad THEN 0 ELSE 6 * nd + arr_vals END
+                AS BIGINT) AS n_values,
+           CAST(CASE WHEN bad THEN 0
+                ELSE n_sum + inner_sum + arr_sum END AS BIGINT)
+             AS int_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE dbl_sum END AS BIGINT)
+             AS dbl_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE str_bytes END AS BIGINT)
+             AS str_bytes,
+           CAST(CASE WHEN bad THEN 0 ELSE n_true END AS BIGINT)
+             AS n_true
+    FROM a
+    """,
+    doc="BSON dump walk (bsonspec.org v1.1) — what a mongodump "
+    "actually is: back-to-back documents, each "
+    "[int32 len][elements][NUL], with the LENGTH BOOKS at every "
+    "level: a document's elements must consume exactly len-5 bytes "
+    "(a length lie cannot hide — the next document's prefix lands "
+    "mid-element), strings carry their own int32+NUL redundancy "
+    "(the classic BSON double-accounting, verified), arrays are "
+    "documents whose keys MUST be '0','1',... in order (the "
+    "spec's array rule, enforced), embedded documents recurse "
+    "with their own books, integral doubles summed exactly, "
+    "unknown element types refuse. The reference's dim/config "
+    "enrichment surface arriving as Mongo exports. Lies: a "
+    "document length overstatement (13th), a clobbered string NUL "
+    "(17th), an out-of-sequence array key (19th) - all refuse. "
+    "One Arrow-batched map stage, no shuffle. operators/bson.py "
+    "read_bson_dump",
+    tags=("llm", "multimodal"),
+)
+def multimodal_bson_dump(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.bson import (
+        bson_stats,
+        synthesize_bson_media,
+    )
+
+    media = synthesize_bson_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return bson_stats(media)

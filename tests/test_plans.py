@@ -1092,5 +1092,6 @@ class TestRound14PlanShapes:
             "multimodal_git_pack",
             "multimodal_sstable_kv",
             "lakehouse_iceberg_refs",
+            "multimodal_bson_dump",
         ):
             self._assert_pure_map(spark, name)
