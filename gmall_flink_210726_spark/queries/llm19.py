@@ -2002,3 +2002,70 @@ def multimodal_bson_dump(
         load_table(spark, sf_dir, "documents")
     )
     return bson_stats(media)
+
+
+@register(
+    "multimodal_hbase_hfile",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 20 + doc_id % 25 AS nr
+                 FROM documents),
+    r AS (SELECT i, nr, unnest(range(0, nr)) AS rr FROM ids),
+    v AS (SELECT i, nr, rr,
+                 unnest(range(0, 8 + (i + rr) % 10)) AS jj
+          FROM r),
+    s AS (SELECT i,
+                 CAST(SUM((7 * i + 5 * rr + jj) % 251) AS BIGINT)
+                   AS val_sum
+          FROM v GROUP BY i),
+    a AS (SELECT ids.i, ids.nr, s.val_sum,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids JOIN s ON s.i = ids.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'hfile' END AS format,
+           CAST(CASE WHEN bad THEN 0
+                ELSE CAST(CEIL(nr / 8.0) AS BIGINT) END AS BIGINT)
+             AS n_data_blocks,
+           CAST(CASE WHEN bad THEN 0 ELSE nr END AS BIGINT)
+             AS n_cells,
+           CAST(CASE WHEN bad THEN 0 ELSE 6 * nr END AS BIGINT)
+             AS row_bytes,
+           CAST(CASE WHEN bad THEN 0 ELSE val_sum END AS BIGINT)
+             AS value_byte_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE 8 END AS BIGINT)
+             AS max_block_cells
+    FROM a
+    """,
+    doc="HBase HFile v2 walk — the on-disk format behind the "
+    "REFERENCE'S OWN dim store (DimSinkFunction.java:28-72 upserts "
+    "dimensions into HBase via Phoenix; the region server persists "
+    "HFiles, and bulk export/snapshot ingest reads them directly): "
+    "33-byte block headers (DATABLK*/IDXROOT2/FILEINF2 magics, "
+    "prevBlockOffset backward chain), HBase's CHUNKED checksum "
+    "scheme (one big-endian CRC32C per bytesPerChecksum chunk over "
+    "header+payload, verified chunk by chunk on the repo's own "
+    "table), KeyValue cells (rowLen/family/qualifier/timestamp/"
+    "type) in the comparator order every read path assumes — "
+    "(row,fam,qual) asc, timestamp DESC, Put type; the single-level "
+    "root index must name each block's true offset, on-disk size "
+    "and exact first key; the 212-byte trailer's fileInfo/"
+    "loadOnOpen/first/last/entryCount books all re-proven, version "
+    "int (minor<<24)|major gated to v2-with-checksums. Lies: a "
+    "value-byte flip under a checksum chunk (13th), a root-index "
+    "offset off by one (17th), a trailer entryCount overstatement "
+    "(19th) - all refuse. One Arrow-batched map stage, no shuffle. "
+    "operators/hfile.py read_hfile",
+    tags=("llm", "multimodal"),
+)
+def multimodal_hbase_hfile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.hfile import (
+        hfile_stats,
+        synthesize_hfile_media,
+    )
+
+    media = synthesize_hfile_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return hfile_stats(media)

@@ -1093,5 +1093,6 @@ class TestRound14PlanShapes:
             "multimodal_sstable_kv",
             "lakehouse_iceberg_refs",
             "multimodal_bson_dump",
+            "multimodal_hbase_hfile",
         ):
             self._assert_pure_map(spark, name)
