@@ -448,3 +448,332 @@ def synthesize_sstable_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# The log (WAL) format (leveldb log_format.md; RocksDB's legacy WAL
+# is the same grammar): the OTHER half of the KV store next to the
+# table walk above — every write hits the log first, and replaying
+# logs is how a KV snapshot's tail (unflushed memtable) is
+# recovered.  Fixed 32 KiB blocks; each record fragment is
+# ``[masked crc32c u32 LE][length u16 LE][type u8][payload]`` where
+# type is FULL(1) / FIRST(2) / MIDDLE(3) / LAST(4) and the CRC
+# covers TYPE BYTE + PAYLOAD with the same masking as the table's
+# blocks.  A fragment never spans a block boundary: when fewer than
+# 7 bytes remain in a block the writer zero-pads, and a record
+# larger than a block is split FIRST/MIDDLE*/LAST.  Trust chain:
+# per-fragment masked CRC, the fragment state machine (a MIDDLE or
+# LAST without a FIRST refuses; an unterminated FIRST at EOF
+# refuses), zero trailer padding, and record payloads re-proven as
+# length-prefixed KV upserts whose final state is latest-wins (the
+# same dim-upsert semantic as the compacted-topic read).
+# --------------------------------------------------------------------------
+
+_WAL_BLOCK = 32768
+_FULL, _FIRST, _MIDDLE, _LAST = 1, 2, 3, 4
+
+
+def read_leveldb_wal(data: bytes) -> dict | None:
+    """Log-file walk -> replayed KV state; None on any violation
+    (section doc)."""
+    records: list[bytes] = []
+    frag: bytearray | None = None
+    pos = 0
+    n_fragments = 0
+    while pos < len(data):
+        block_end = min(pos + _WAL_BLOCK, len(data))
+        while pos < block_end:
+            if block_end - pos < 7:
+                if any(data[pos:block_end]):
+                    return None  # trailer must be zero padding
+                pos = block_end
+                break
+            crc, length, rtype = struct.unpack_from(
+                "<IHB", data, pos
+            )
+            if crc == 0 and length == 0 and rtype == 0:
+                if any(data[pos:block_end]):
+                    return None  # zero padding to block end only
+                pos = block_end
+                break
+            if rtype not in (_FULL, _FIRST, _MIDDLE, _LAST):
+                return None
+            if pos + 7 + length > block_end:
+                return None  # a fragment never crosses a block
+            payload = data[pos + 7 : pos + 7 + length]
+            if _mask_crc(crc32c(bytes([rtype]) + payload)) != crc:
+                return None  # per-fragment masked CRC
+            n_fragments += 1
+            if rtype == _FULL:
+                if frag is not None:
+                    return None
+                records.append(payload)
+            elif rtype == _FIRST:
+                if frag is not None:
+                    return None
+                frag = bytearray(payload)
+            elif rtype == _MIDDLE:
+                if frag is None:
+                    return None
+                frag += payload
+            else:  # LAST
+                if frag is None:
+                    return None
+                frag += payload
+                records.append(bytes(frag))
+                frag = None
+            pos += 7 + length
+    if frag is not None:
+        return None  # unterminated record at EOF
+    _ = n_fragments  # proven by reassembly; not a closed-form metric
+    # payload grammar: [klen u16][key][vlen u16][value] upserts;
+    # vlen 0xFFFF marks a delete
+    state: dict[bytes, bytes | None] = {}
+    n_deletes = 0
+    for rec in records:
+        p = 0
+        if len(rec) < 2:
+            return None
+        while p < len(rec):
+            if p + 2 > len(rec):
+                return None
+            (klen,) = struct.unpack_from("<H", rec, p)
+            p += 2
+            if p + klen + 2 > len(rec):
+                return None
+            key = rec[p : p + klen]
+            p += klen
+            (vlen,) = struct.unpack_from("<H", rec, p)
+            p += 2
+            if vlen == 0xFFFF:
+                state[key] = None
+                n_deletes += 1
+                continue
+            if p + vlen > len(rec):
+                return None
+            state[key] = rec[p : p + vlen]
+            p += vlen
+    live = {k: v for k, v in state.items() if v is not None}
+    return {
+        "n_records": len(records),
+        "n_deletes": n_deletes,
+        "live_keys": len(live),
+        "value_byte_sum": sum(sum(v) for v in live.values()),
+    }
+
+
+WAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_deletes", LongType()),
+        StructField("live_keys", LongType()),
+        StructField("value_byte_sum", LongType()),
+    ]
+)
+
+
+def leveldb_wal_stats(df: DataFrame) -> DataFrame:
+    """WAL replay over MEDIA_SCHEMA blobs."""
+    from gmall_flink_210726_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    cols = [f.name for f in WAL_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                row = {c: 0 for c in cols}
+                row.update(media_id=int(mid), format="unknown")
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    st = read_leveldb_wal(b)
+                except Exception:
+                    st = None
+                if st is not None:
+                    row.update(format="leveldb-wal", **st)
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("media_id", "content").mapInPandas(
+        gen, WAL_SCHEMA
+    )
+
+
+def _wal_nw(i: int) -> int:
+    return 30 + i % 30
+
+
+def _wal_key(i: int, w: int) -> bytes:
+    return b"k%03d" % ((w * 7) % (_wal_nw(i) // 2 + 5))
+
+
+def _wal_vlen(i: int, w: int) -> int:
+    return 20 + (i + w) % 40
+
+
+def _wal_vbyte(i: int, w: int, j: int) -> int:
+    return (11 * i + 3 * w + j) % 251
+
+
+def _wal_is_delete(i: int, w: int) -> bool:
+    return (w + i) % 7 == 6
+
+
+def make_leveldb_wal(i: int) -> bytes:
+    """``30 + i%30`` upsert records (repeated keys exercise
+    latest-wins; every 7th-offset a delete); record ``i%5`` is
+    written as one BIG record spanning a block boundary via
+    FIRST/MIDDLE/LAST fragments (the writer fills the current block
+    with a FIRST fragment first). Lies: every 13th id flips a bit
+    of one fragment's CRC field (refused); every 17th-miss id turns
+    a LAST fragment into MIDDLE (unterminated record refuses);
+    every 19th-miss id writes junk into the block-tail padding
+    (refused)."""
+    writes = []
+    nw = _wal_nw(i)
+    for w in range(nw):
+        key = _wal_key(i, w)
+        if _wal_is_delete(i, w):
+            payload = (
+                struct.pack("<H", len(key))
+                + key
+                + struct.pack("<H", 0xFFFF)
+            )
+        else:
+            value = bytes(
+                _wal_vbyte(i, w, j)
+                for j in range(_wal_vlen(i, w))
+            )
+            payload = (
+                struct.pack("<H", len(key))
+                + key
+                + struct.pack("<H", len(value))
+                + value
+            )
+        if w == i % 5:
+            # a jumbo record spanning a block boundary: the value is
+            # chunked into several KV pairs inside ONE record
+            # (u16 length caps a single value at 65535)
+            big_val = bytes(
+                _wal_vbyte(i, w, j) for j in range(40000)
+            )
+            parts = []
+            off = 0
+            kk = 0
+            while off < len(big_val):
+                chunk = big_val[off : off + 30000]
+                pk = key + b".%d" % kk
+                parts.append(
+                    struct.pack("<H", len(pk))
+                    + pk
+                    + struct.pack("<H", len(chunk))
+                    + chunk
+                )
+                off += len(chunk)
+                kk += 1
+            payload = b"".join(parts)
+        writes.append(payload)
+    out = bytearray()
+
+    def emit_fragment(rtype: int, payload: bytes) -> None:
+        crc = _mask_crc(crc32c(bytes([rtype]) + payload))
+        out.extend(struct.pack("<IHB", crc, len(payload), rtype))
+        out.extend(payload)
+
+    frag_kinds: list[tuple[int, int]] = []  # (out_pos, type)
+    for w, payload in enumerate(writes):
+        p = 0
+        first = True
+        while True:
+            block_used = len(out) % _WAL_BLOCK
+            room = _WAL_BLOCK - block_used
+            if room < 7:
+                out.extend(b"\x00" * room)
+                continue
+            avail = room - 7
+            rest = len(payload) - p
+            if rest <= avail:
+                rtype = _FULL if first else _LAST
+                frag_kinds.append((len(out), rtype))
+                emit_fragment(rtype, payload[p:])
+                break
+            rtype = _FIRST if first else _MIDDLE
+            frag_kinds.append((len(out), rtype))
+            emit_fragment(rtype, payload[p : p + avail])
+            p += avail
+            first = False
+    blob = bytearray(out)
+    if i % 13 == 0:
+        pos0 = frag_kinds[0][0]
+        blob[pos0] ^= 0x01  # CRC field flip
+    elif i % 17 == 0:
+        # turn the final LAST fragment into MIDDLE, re-CRC'd so only
+        # the state machine catches it
+        for pos, rtype in reversed(frag_kinds):
+            if rtype == _LAST:
+                (ln,) = struct.unpack_from("<H", blob, pos + 4)
+                payload = bytes(
+                    blob[pos + 7 : pos + 7 + ln]
+                )
+                blob[pos + 6] = _MIDDLE
+                struct.pack_into(
+                    "<I",
+                    blob,
+                    pos,
+                    _mask_crc(
+                        crc32c(bytes([_MIDDLE]) + payload)
+                    ),
+                )
+                break
+    elif i % 19 == 0:
+        # junk in the zero padding of a block tail
+        pad_pos = None
+        bpos = _WAL_BLOCK
+        while bpos <= len(blob):
+            if bytes(blob[bpos - 6 : bpos]) == b"\x00" * 6:
+                pad_pos = bpos - 3
+                break
+            bpos += _WAL_BLOCK
+        if pad_pos is None:
+            blob.extend(b"\x00" * 7)  # force a padded tail
+            pad_pos = len(blob) - 3
+        blob[pad_pos] = 0x55
+    return bytes(blob)
+
+
+def synthesize_wal_media(docs: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA table of WAL files."""
+    from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
+    from gmall_flink_210726_spark.session import (
+        ensure_parallelism,
+        ship_package,
+    )
+
+    ship_package(docs.sparkSession)
+    docs = ensure_parallelism(docs.select("doc_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        make_leveldb_wal(int(x)) for x in ids
+                    ],
+                    "meta": [
+                        {
+                            "format": "leveldb-wal",
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 0,
+                        }
+                        for _ in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)

@@ -2069,3 +2069,98 @@ def multimodal_hbase_hfile(
         load_table(spark, sf_dir, "documents")
     )
     return hfile_stats(media)
+
+
+@register(
+    "multimodal_leveldb_wal",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 30 + doc_id % 30 AS nw,
+                        (30 + doc_id % 30) // 2 + 5 AS m,
+                        doc_id % 5 AS w0
+                 FROM documents),
+    w AS (SELECT i, nw, m, w0, unnest(range(0, nw)) AS ww FROM ids),
+    plain AS (SELECT i, nw, m, w0, ww,
+                   (ww * 7) % m AS kidx,
+                   ((ww + i) % 7 = 6) AS is_del
+            FROM w WHERE ww != w0),
+    vj AS (SELECT i, ww, unnest(range(0, 20 + (i + ww) % 40)) AS jj
+           FROM plain WHERE NOT is_del),
+    vs AS (SELECT i, ww,
+                  CAST(SUM((11 * i + 3 * ww + jj) % 251) AS BIGINT)
+                    AS vsum
+           FROM vj GROUP BY i, ww),
+    latest AS (SELECT p.*, ROW_NUMBER() OVER (
+                   PARTITION BY p.i, p.kidx ORDER BY p.ww DESC)
+                   AS rn
+               FROM plain p),
+    liv AS (SELECT l.i,
+                   CAST(COALESCE(SUM(CASE WHEN l.rn = 1
+                            AND NOT l.is_del THEN 1 END), 0)
+                        AS BIGINT) AS live_n,
+                   CAST(COALESCE(SUM(CASE WHEN l.rn = 1
+                            AND NOT l.is_del THEN vs.vsum END), 0)
+                        AS BIGINT) AS live_sum
+            FROM latest l
+            LEFT JOIN vs ON vs.i = l.i AND vs.ww = l.ww
+            GROUP BY l.i),
+    dels AS (SELECT i, CAST(SUM(CASE WHEN is_del THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_del
+             FROM plain GROUP BY i),
+    jj AS (SELECT i, w0, unnest(range(0, 40000)) AS t FROM ids),
+    jumbo AS (SELECT i,
+                   CAST(SUM((11 * i + 3 * w0 + t) % 251) AS BIGINT)
+                     AS jsum
+              FROM jj GROUP BY i),
+    a AS (SELECT ids.i, ids.nw, liv.live_n, liv.live_sum,
+                 dels.n_del, jumbo.jsum,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids
+          JOIN liv ON liv.i = ids.i
+          JOIN dels ON dels.i = ids.i
+          JOIN jumbo ON jumbo.i = ids.i)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown'
+                ELSE 'leveldb-wal' END AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nw END AS BIGINT)
+             AS n_records,
+           CAST(CASE WHEN bad THEN 0 ELSE n_del END AS BIGINT)
+             AS n_deletes,
+           CAST(CASE WHEN bad THEN 0 ELSE live_n + 2 END AS BIGINT)
+             AS live_keys,
+           CAST(CASE WHEN bad THEN 0 ELSE live_sum + jsum END
+                AS BIGINT) AS value_byte_sum
+    FROM a
+    """,
+    doc="LevelDB/RocksDB WRITE-AHEAD LOG replay (log_format.md) — "
+    "the other half of the KV store next to the SSTable walk "
+    "(L292): every write hits the log first, and replaying logs "
+    "recovers the unflushed tail of a KV snapshot. Fixed 32 KiB "
+    "blocks of fragments [masked crc32c][len u16][type][payload]; "
+    "the CRC covers type+payload with the table's exact masking; a "
+    "fragment never crosses a block (tails are zero-padded, junk "
+    "in the padding refuses); records reassemble through the "
+    "FULL / FIRST / MIDDLE / LAST state machine (orphan MIDDLE/"
+    "LAST or an unterminated FIRST at EOF refuse) — a jumbo "
+    "record spans a block boundary in every fixture. Replayed "
+    "payloads are length-prefixed KV upserts with tombstones; "
+    "final state is latest-wins (the dim-upsert semantic, third "
+    "appearance after the compacted topic and Hudi MOR). Lies: a "
+    "CRC-field flip (13th), a LAST re-typed as MIDDLE re-CRC'd so "
+    "only the state machine catches it (17th), junk in block-tail "
+    "padding (19th) - all refuse. One Arrow-batched map stage, no "
+    "shuffle. operators/sstable.py read_leveldb_wal",
+    tags=("llm", "multimodal"),
+)
+def multimodal_leveldb_wal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.sstable import (
+        leveldb_wal_stats,
+        synthesize_wal_media,
+    )
+
+    media = synthesize_wal_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return leveldb_wal_stats(media)

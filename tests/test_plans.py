@@ -1094,5 +1094,6 @@ class TestRound14PlanShapes:
             "lakehouse_iceberg_refs",
             "multimodal_bson_dump",
             "multimodal_hbase_hfile",
+            "multimodal_leveldb_wal",
         ):
             self._assert_pure_map(spark, name)

@@ -61,3 +61,76 @@ class TestTrustChain:
         # and a re-read returns every key despite the sharing
         st = read_sstable(blob)
         assert st is not None and st["n_entries"] == nk
+
+
+class TestWal:
+    def test_model(self):
+        from gmall_flink_210726_spark.operators.sstable import (
+            _wal_nw,
+            make_leveldb_wal,
+            read_leveldb_wal,
+        )
+
+        for i in (1, 2, 3, 4, 5):
+            st = read_leveldb_wal(make_leveldb_wal(i))
+            assert st is not None, i
+            assert st["n_records"] == _wal_nw(i)
+
+    def test_jumbo_record_spans_blocks(self):
+        """Every fixture carries one ~40 KB record — bigger than a
+        32 KiB block, so FIRST/MIDDLE/LAST reassembly always runs."""
+        from gmall_flink_210726_spark.operators.sstable import (
+            _WAL_BLOCK,
+            make_leveldb_wal,
+            read_leveldb_wal,
+        )
+
+        blob = make_leveldb_wal(1)
+        assert len(blob) > _WAL_BLOCK  # at least two blocks
+        assert read_leveldb_wal(blob) is not None
+
+    def test_stripes_refuse(self):
+        from gmall_flink_210726_spark.operators.sstable import (
+            make_leveldb_wal,
+            read_leveldb_wal,
+        )
+
+        # CRC flip / LAST->MIDDLE / padding junk
+        for i in (13, 26, 17, 34, 19, 38):
+            assert (
+                read_leveldb_wal(make_leveldb_wal(i)) is None
+            ), i
+
+    def test_truncation_refuses(self):
+        """Cutting mid-record leaves an unterminated FIRST or a
+        short fragment — both refuse."""
+        from gmall_flink_210726_spark.operators.sstable import (
+            make_leveldb_wal,
+            read_leveldb_wal,
+        )
+
+        blob = make_leveldb_wal(1)
+        assert read_leveldb_wal(blob[:-100]) is None
+
+    def test_orphan_middle_refuses(self):
+        import struct as _struct
+
+        from gmall_flink_210726_spark.operators.sstable import (
+            _mask_crc,
+            read_leveldb_wal,
+        )
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            crc32c,
+        )
+
+        payload = b"xx"
+        frag = (
+            _struct.pack(
+                "<IHB",
+                _mask_crc(crc32c(b"\x03" + payload)),
+                len(payload),
+                3,  # MIDDLE with no FIRST
+            )
+            + payload
+        )
+        assert read_leveldb_wal(frag) is None
