@@ -2833,3 +2833,120 @@ def st36_stream_git_pack(
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "st37_stream_hbase_hfile",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 20 + doc_id % 25 AS nr
+                 FROM documents),
+    r AS (SELECT i, nr, unnest(range(0, nr)) AS rr FROM ids),
+    v AS (SELECT i, nr, rr,
+                 unnest(range(0, 8 + (i + rr) % 10)) AS jj
+          FROM r),
+    s AS (SELECT i,
+                 CAST(SUM((7 * i + 5 * rr + jj) % 251) AS BIGINT)
+                   AS val_sum
+          FROM v GROUP BY i),
+    a AS (SELECT ids.i, ids.nr, s.val_sum,
+                 (ids.i % 13 = 0 OR ids.i % 17 = 0
+                  OR ids.i % 19 = 0) AS bad
+          FROM ids JOIN s ON s.i = ids.i)
+    SELECT CAST(i % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE nr END) AS BIGINT)
+             AS n_cells,
+           CAST(SUM(CASE WHEN bad THEN 0 ELSE val_sum END)
+                AS BIGINT) AS value_byte_sum
+    FROM a GROUP BY 1
+    """,
+    doc="STREAMING HFile ingest — the reference's dim-store format "
+    "(multimodal_hbase_hfile) as a Structured Streaming operator: "
+    "HFiles arrive as a parquet file stream (32 files, 16 per "
+    "trigger); the full verified walk (chunked CRC32C, comparator "
+    "order, root-index and trailer books) runs Arrow-batched ON "
+    "THE STREAM PLAN with per-epoch per-bucket partials through "
+    "the checkpointed overwrite-idempotent epoch sink — a region "
+    "snapshot ingest as a stream. operators/hfile.py read_hfile",
+    tags=("streaming", "llm", "multimodal"),
+)
+def st37_stream_hbase_hfile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from gmall_flink_210726_spark.operators.hfile import (
+        hfile_stats,
+        synthesize_hfile_media,
+    )
+    from gmall_flink_210726_spark.sinks import append_stats_exactly_once
+    from gmall_flink_210726_spark.streaming.pipelines import (
+        write_foreach_batch,
+    )
+
+    src = tempfile.mkdtemp(prefix="st37_src_")
+    out = tempfile.mkdtemp(prefix="st37_out_")
+    ckpt = tempfile.mkdtemp(prefix="st37_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        (
+            synthesize_hfile_media(
+                load_table(spark, sf_dir, "documents")
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src)
+        )
+        decoded = hfile_stats(stream)
+
+        def _write_partials(batch: DataFrame, epoch: int) -> None:
+            partials = batch.groupBy(
+                (F.col("media_id") % 10).alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_blobs"),
+                F.sum((F.col("format") == "hfile").cast("long"))
+                .cast("long")
+                .alias("n_ok"),
+                F.sum("n_cells").cast("long").alias("n_cells"),
+                F.sum("value_byte_sum")
+                .cast("long")
+                .alias("value_byte_sum"),
+            )
+            append_stats_exactly_once(partials, epoch, out)
+
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = write_foreach_batch(
+            decoded, _write_partials, checkpoint_dir=ckpt
+        )
+        finished = q.awaitTermination(600)
+        if not finished:  # pragma: no cover - hung stream
+            raise TimeoutError("st37 hfile stream did not finish")
+        q.stop()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_blobs").cast("long").alias("n_blobs"),
+                F.sum("n_ok").cast("long").alias("n_ok"),
+                F.sum("n_cells").cast("long").alias("n_cells"),
+                F.sum("value_byte_sum")
+                .cast("long")
+                .alias("value_byte_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return result
