@@ -2164,3 +2164,78 @@ def multimodal_leveldb_wal(
         load_table(spark, sf_dir, "documents")
     )
     return leveldb_wal_stats(media)
+
+
+@register(
+    "multimodal_msgpack_rows",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS i, 10 + doc_id % 15 AS nr
+                 FROM documents),
+    r AS (SELECT i, nr, unnest(range(0, nr)) AS rr FROM ids),
+    v AS (SELECT i, nr, rr,
+                 (1000 * i + 37 * rr) % 3000000000 AS idv,
+                 -((13 * i + 7 * rr) % 40000) AS score,
+                 10 + (i + rr) % 40 AS namelen,
+                 1 + (i + rr) % 4 AS nt,
+                 (3 * i + rr) % 100 AS mv
+          FROM r),
+    a AS (SELECT i, MAX(nr) AS nr,
+                 CAST(SUM(idv + score + mv
+                          + nt * (nt - 1) // 2) AS BIGINT)
+                   AS int_sum,
+                 CAST(SUM(26 + namelen) AS BIGINT) AS str_bytes,
+                 CAST(SUM(14 + nt) AS BIGINT) AS n_values,
+                 CAST(SUM(CASE WHEN rr % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_true
+          FROM v GROUP BY i),
+    b AS (SELECT *,
+                 (i % 13 = 0 OR i % 17 = 0 OR i % 19 = 0) AS bad
+          FROM a)
+    SELECT i AS media_id,
+           CASE WHEN bad THEN 'unknown' ELSE 'msgpack' END
+             AS format,
+           CAST(CASE WHEN bad THEN 0 ELSE nr END AS BIGINT)
+             AS n_objects,
+           CAST(CASE WHEN bad THEN 0 ELSE 2 * nr END AS BIGINT)
+             AS n_maps,
+           CAST(CASE WHEN bad THEN 0 ELSE nr END AS BIGINT)
+             AS n_arrays,
+           CAST(CASE WHEN bad THEN 0 ELSE n_values END AS BIGINT)
+             AS n_values,
+           CAST(CASE WHEN bad THEN 0 ELSE int_sum END AS BIGINT)
+             AS int_sum,
+           CAST(CASE WHEN bad THEN 0 ELSE str_bytes END AS BIGINT)
+             AS str_bytes,
+           CAST(CASE WHEN bad THEN 0 ELSE n_true END AS BIGINT)
+             AS n_true
+    FROM b
+    """,
+    doc="MessagePack stream walk with CANONICAL-encoding "
+    "enforcement (msgpack spec) — the compact serialization "
+    "feature caches and RPC layers ship: full grammar (fixint/"
+    "fixmap/fixarray/fixstr, nil/bool, bin/str/array/map 8-32, "
+    "int/uint 8-64; the never-used 0xc1 refuses instantly) PLUS "
+    "the minimality rule content-addressed systems make mandatory "
+    "— a uint16 carrying 7 re-serializes differently and breaks "
+    "hashes, so every non-minimal int, str, bin, array or map "
+    "header refuses. Values exercise uint32 ids, negative "
+    "fixint..int16 scores, the fixstr/str8 boundary, nested maps. "
+    "Top-level objects must be maps and tile the blob. Lies: a "
+    "non-minimal uint16 (13th), a str8 length overshoot (17th), "
+    "the reserved byte 0xc1 (19th) - all refuse. One Arrow-batched "
+    "map stage, no shuffle. operators/msgpack.py "
+    "read_msgpack_stream",
+    tags=("llm", "multimodal"),
+)
+def multimodal_msgpack_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_flink_210726_spark.operators.msgpack import (
+        msgpack_stats,
+        synthesize_msgpack_media,
+    )
+
+    media = synthesize_msgpack_media(
+        load_table(spark, sf_dir, "documents")
+    )
+    return msgpack_stats(media)

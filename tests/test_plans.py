@@ -1095,5 +1095,6 @@ class TestRound14PlanShapes:
             "multimodal_bson_dump",
             "multimodal_hbase_hfile",
             "multimodal_leveldb_wal",
+            "multimodal_msgpack_rows",
         ):
             self._assert_pure_map(spark, name)
