@@ -32,6 +32,7 @@ arriving as BSON dumps.  Extends SURVEY §2.12's multimodal family.
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Iterator
 
@@ -86,8 +87,8 @@ def _parse_doc(
                 return None
             (x,) = struct.unpack_from("<d", data, p)
             p += 8
-            if x != int(x):
-                return None  # fixture doubles are integral
+            if not math.isfinite(x) or x != int(x):
+                return None  # fixture doubles are finite integers
             stats["dbl_sum"] += int(x)
             stats["n_values"] += 1
         elif etype == 0x02:  # string

@@ -117,7 +117,7 @@ def _parse_cell(payload: bytes, p: int):
         return None
     klen, vlen = struct.unpack_from(">ii", payload, p)
     p += 8
-    if klen < 13 or p + klen + vlen > len(payload):
+    if klen < 13 or vlen < 0 or p + klen + vlen > len(payload):
         return None
     key = payload[p : p + klen]
     (rlen,) = struct.unpack_from(">h", key, 0)
@@ -231,14 +231,16 @@ def read_hfile(data: bytes) -> dict | None:
             return None
         off, sz = struct.unpack_from(">qi", idx_payload, p)
         p += 12
-        klen = 0
-        shift_pos = p
+        if p >= len(idx_payload):
+            return None  # entry must carry its key vint
         # vint (HBase WritableUtils.writeVInt: single byte for < 128)
-        b0 = idx_payload[shift_pos]
+        b0 = idx_payload[p]
         if b0 >= 128:
             return None  # fixture keys are short
         klen = b0
         p += 1
+        if p + klen > len(idx_payload):
+            return None
         key = idx_payload[p : p + klen]
         p += klen
         if off != b_off:

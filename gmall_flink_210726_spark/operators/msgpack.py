@@ -410,12 +410,9 @@ def make_msgpack_stream(i: int) -> bytes:
         if i % 13 == 0 and r == nr - 1:
             # re-encode id non-minimally: uint16 for a value < 256
             small = 7
-            minimal = _enc({"id": small})
-            bloated = b"\x81" + _enc("id") + b"\xcd" + struct.pack(
+            enc = b"\x81" + _enc("id") + b"\xcd" + struct.pack(
                 ">H", small
             )
-            enc = bloated
-            _ = minimal
         if i % 17 == 0 and i % 13 != 0 and r == nr - 1:
             # str8 header claiming 200 bytes with fewer present
             enc = b"\x81" + _enc("s") + b"\xd9\xc8" + b"x" * 20

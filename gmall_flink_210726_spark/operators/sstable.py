@@ -479,7 +479,6 @@ def read_leveldb_wal(data: bytes) -> dict | None:
     records: list[bytes] = []
     frag: bytearray | None = None
     pos = 0
-    n_fragments = 0
     while pos < len(data):
         block_end = min(pos + _WAL_BLOCK, len(data))
         while pos < block_end:
@@ -503,7 +502,6 @@ def read_leveldb_wal(data: bytes) -> dict | None:
             payload = data[pos + 7 : pos + 7 + length]
             if _mask_crc(crc32c(bytes([rtype]) + payload)) != crc:
                 return None  # per-fragment masked CRC
-            n_fragments += 1
             if rtype == _FULL:
                 if frag is not None:
                     return None
@@ -525,7 +523,6 @@ def read_leveldb_wal(data: bytes) -> dict | None:
             pos += 7 + length
     if frag is not None:
         return None  # unterminated record at EOF
-    _ = n_fragments  # proven by reassembly; not a closed-form metric
     # payload grammar: [klen u16][key][vlen u16][value] upserts;
     # vlen 0xFFFF marks a delete
     state: dict[bytes, bytes | None] = {}

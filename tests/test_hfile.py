@@ -17,7 +17,7 @@ class TestModel:
             assert st["n_cells"] == _hf_nrows(i)
 
     def test_multi_chunk_checksums(self):
-        """Data blocks exceed bytesPerChecksum=512, so the chunked
+        """Data blocks exceed bytesPerChecksum=256, so the chunked
         scheme is exercised with >1 chunk per block."""
         blob = make_hfile(2)
         # first block's covered size from its header
