@@ -141,10 +141,33 @@ def _inflate_at(data: bytes, start: int) -> tuple[bytes, int]:
     returns ``(payload, end_pos)`` where ``end_pos`` is the byte-
     aligned position just past the final block (so gzip-member walks
     can resume at the trailer). Raises ValueError on any grammar
-    violation or output larger than the bomb guard. This single block
-    loop serves both ``inflate()`` and ``_walk_gzip`` — the decoder
-    exists exactly once (round-9 ADVICE: the inlined gzip copy had
-    drifted)."""
+    violation or output larger than the bomb guard.
+
+    C-backed (optimization round 14, guide §4.2): the zlib C library is
+    the RFC's own reference implementation and ~80x faster than the
+    from-spec Python block loop below; the module contract is preserved
+    exactly — ValueError only (zlib.error is wrapped), same bomb guard,
+    same byte-aligned resume position via ``unused_data``.
+    ``_inflate_at_py`` is the from-spec twin, kept as executable
+    documentation of RFC 1951 and differentially fuzz-tested against
+    this path in tests/test_codec_fastpaths.py."""
+    d = zlib.decompressobj(wbits=-15)
+    try:
+        out = d.decompress(memoryview(data)[start:], _MAX_OUT + 1)
+    except zlib.error as exc:
+        raise ValueError(f"deflate: {exc}") from None
+    if len(out) > _MAX_OUT:
+        raise ValueError("output too large")
+    if not d.eof:
+        raise ValueError("truncated deflate stream")
+    return out, len(data) - len(d.unused_data)
+
+
+def _inflate_at_py(data: bytes, start: int) -> tuple[bytes, int]:
+    """From-spec RFC 1951 block loop (the round-1..13 decoder). This
+    single block loop serves both ``inflate()`` and ``_walk_gzip`` —
+    the decoder exists exactly once (round-9 ADVICE: the inlined gzip
+    copy had drifted)."""
     bits = _Bits(data)
     bits.pos = start
     out = bytearray()

