@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -59,6 +60,7 @@ from gmall_flink_210726_spark.operators.orc import (
     _pb_fields,
     _rle_v2,
     _svarint,
+    _svarints,
     _unframe,
     _zz,
 )
@@ -192,10 +194,8 @@ def read_orc_dec_ts(data: bytes) -> dict | None:
             if encs.get(1) != 2 or encs.get(2) != 2:  # DIRECT_V2
                 return None
             body = _unframe(streams.get((1, 1), b""), comp)
-            pos = 0
-            for _ in range(rows):
-                v, pos = _svarint(body, pos)
-                mants.append(v)
+            vals, pos = _svarints(body, rows)
+            mants.extend(vals)
             if pos != len(body):
                 return None  # mantissa varints must consume exactly
             scales, _ = _rle_v2(
@@ -294,27 +294,35 @@ def _make_orc_dec(i: int, bad_stripe: int = 23) -> bytes:
     id. Every ``bad_stripe``-th id flips a byte inside the first
     stripe's data region — caught by codec grammar, varint/RLE
     grammar, or the statistics books."""
-    import decimal
     import io
 
     import pyarrow as pa
     import pyarrow.orc as orc_mod
 
     n = 1500 + (i % 4) * 400
-    mants, secs, nanos = _dec_ts_rows(i, n)
-    dec = [decimal.Decimal(m).scaleb(-2) for m in mants]
+    # vectorized twin of _dec_ts_rows (optimization round 14, guide
+    # §4.2; byte-identity of the written file against the list-based
+    # construction is pinned in tests/test_codec_fastpaths.py): the
+    # decimal128(12,2) array is built straight from the int64 unscaled
+    # mantissas as 16-byte little-endian two's-complement pairs —
+    # skipping the per-row decimal.Decimal objects
+    r = np.arange(n, dtype=np.int64)
+    mants = (i * 37 + r * 131) % 100000 - 50000
+    secs = 1577836800 + (i + r * 7) % 86400
+    nanos = np.array(_NANOS_CYCLE, dtype=np.int64)[r % 5]
+    lohi = np.empty((n, 2), dtype="<i8")
+    lohi[:, 0] = mants
+    lohi[:, 1] = mants >> 63
+    dec_arr = pa.Array.from_buffers(
+        pa.decimal128(12, 2), n, [None, pa.py_buffer(lohi.tobytes())]
+    )
     # raw int64 nanoseconds — a datetime round-trip would quantize
     # the 123456789-ns rows to microseconds
-    ts = [s * 10**9 + ns for s, ns in zip(secs, nanos)]
+    ts_arr = pa.array(secs * 10**9 + nanos, pa.timestamp("ns"))
     comp = ("uncompressed", "zlib", "snappy", "zstd", "lz4")[i % 5]
     buf = io.BytesIO()
     orc_mod.write_table(
-        pa.table(
-            {
-                "d": pa.array(dec, pa.decimal128(12, 2)),
-                "t": pa.array(ts, pa.timestamp("ns")),
-            }
-        ),
+        pa.table({"d": dec_arr, "t": ts_arr}),
         buf,
         compression=comp,
         stripe_size=4096,
@@ -1192,8 +1200,17 @@ def read_orc_double_bin(data: bytes) -> dict | None:
         return None
     if kinds != [12, 5, 6, 8]:  # struct, FLOAT, DOUBLE, BINARY
         return None
-    floats: list[float] = []
-    doubles: list[float] = []
+    # vectorized (optimization round 14, guide §4.2): frombuffer views
+    # replace the per-value unpack/extend loops. The exactness argument
+    # is unchanged from the fixture design: every value is an integer /
+    # 64 with |sum| far below 2^53, so EVERY partial sum is exactly
+    # representable and summation order cannot change the result —
+    # numpy's pairwise float64 sum equals the writer's sequential
+    # per-stripe accumulation bit-for-bit. bsum needs no per-row loop
+    # at all: the LENGTH stream is proven to tile DATA exactly first,
+    # so the per-row byte sums telescope into one sum over the body.
+    f_parts: list = []
+    x_parts: list = []
     f_sum = x_sum = 0.0  # per-stripe accumulation, merged in order
     blen_sum = bsum = n_bin = 0
     n_stripes = 0
@@ -1210,35 +1227,32 @@ def read_orc_double_bin(data: bytes) -> dict | None:
             fbody = _unframe(streams.get((1, 1), b""), comp)
             if len(fbody) != 4 * rows:
                 return None
-            fvals = list(_s.unpack(f"<{rows}f", fbody))
+            fvals = np.frombuffer(fbody, "<f4")
             xbody = _unframe(streams.get((1, 2), b""), comp)
             if len(xbody) != 8 * rows:
                 return None
-            xvals = list(_s.unpack(f"<{rows}d", xbody))
+            xvals = np.frombuffer(xbody, "<f8")
             bbody = _unframe(streams.get((1, 3), b""), comp)
             lens, _ = _rle_v2(
                 _unframe(streams.get((2, 3), b""), comp), rows, False
             )
-            if any(ln < 0 for ln in lens) or sum(lens) != len(bbody):
+            lens_a = np.array(lens, dtype=np.int64)
+            if (lens_a < 0).any() or int(lens_a.sum()) != len(bbody):
                 return None
-            pos = 0
-            for ln in lens:
-                bsum += sum(bbody[pos : pos + ln])
-                pos += ln
-            blen_sum += sum(lens)
+            bsum += int(np.frombuffer(bbody, np.uint8).sum())
+            blen_sum += len(bbody)
             n_bin += rows
-            floats.extend(fvals)
-            doubles.extend(xvals)
-            sf = sx = 0.0
-            for v in fvals:
-                sf += v
-            for v in xvals:
-                sx += v
-            f_sum += sf
-            x_sum += sx
+            f_parts.append(fvals)
+            x_parts.append(xvals)
+            f_sum += float(fvals.sum(dtype=np.float64))
+            x_sum += float(xvals.sum(dtype=np.float64))
             n_stripes += 1
     except (ValueError, IndexError, TypeError):
         return None
+    floats = (
+        np.concatenate(f_parts) if f_parts else np.empty(0, "<f4")
+    ).astype(np.float64)
+    doubles = np.concatenate(x_parts) if x_parts else np.empty(0, "<f8")
     if len(floats) != num_rows or n_bin != num_rows:
         return None
     # ---- footer statistics vs the decode
@@ -1252,7 +1266,11 @@ def read_orc_double_bin(data: bytes) -> dict | None:
         if cs.get(1, [None])[0] != num_rows:
             return None
         ds = _pb_fields(cs.get(3, [b""])[0]) if 3 in cs else {}
-        for fno, want in ((1, min(vals)), (2, max(vals)), (3, total)):
+        for fno, want in (
+            (1, float(vals.min())),
+            (2, float(vals.max())),
+            (3, total),
+        ):
             if fno in ds:
                 (got_d,) = _s.unpack("<d", ds[fno][0])
                 if got_d != want:
@@ -1268,8 +1286,8 @@ def read_orc_double_bin(data: bytes) -> dict | None:
         "n_stripes": n_stripes,
         "f_sum": f_sum,
         "x_sum": x_sum,
-        "x_min": min(doubles),
-        "x_max": max(doubles),
+        "x_min": float(doubles.min()),
+        "x_max": float(doubles.max()),
         "blen_sum": blen_sum,
         "bsum": bsum,
         "compression": _COMP_NAMES[comp],
@@ -1323,15 +1341,39 @@ def _make_orc_double(i: int, bad_stripe: int = 21) -> bytes:
     import pyarrow.orc as orc_mod
 
     n = 1200 + (i % 4) * 300
-    mf, mx = _dbl_rows(i, n)
+    # vectorized twins of _dbl_rows/_bin_rows (optimization round 14,
+    # guide §4.2; written-file byte-identity vs the list-based
+    # construction pinned in tests/test_codec_fastpaths.py). The
+    # binary column is assembled as Arrow offsets + one data buffer —
+    # the §4.2 re-slice trick — instead of ~n tiny bytes objects.
+    r = np.arange(n, dtype=np.int64)
+    mf = (i * 13 + r * 7) % 8192 - 4096
+    mx = (i * 29 + r * 17) % 2_000_001 - 1_000_000
+    lens = (i + r) % 18
+    offsets = np.zeros(n + 1, dtype="<i4")
+    np.cumsum(lens, out=offsets[1:])
+    j = np.arange(17, dtype=np.int64)
+    grid = ((i * 3 + 5 * r[:, None] + 11 * j[None, :]) % 256).astype(
+        np.uint8
+    )
+    data_buf = grid[j[None, :] < lens[:, None]]
+    b_arr = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [
+            None,
+            pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(data_buf.tobytes()),
+        ],
+    )
     comp = ("uncompressed", "zlib", "snappy", "zstd", "lz4")[i % 5]
     buf = io.BytesIO()
     orc_mod.write_table(
         pa.table(
             {
-                "f": pa.array([m / 64 for m in mf], pa.float32()),
-                "x": pa.array([m / 64 for m in mx], pa.float64()),
-                "b": pa.array(_bin_rows(i, n), pa.binary()),
+                "f": pa.array((mf / 64.0).astype(np.float32), pa.float32()),
+                "x": pa.array(mx / 64.0, pa.float64()),
+                "b": b_arr,
             }
         ),
         buf,

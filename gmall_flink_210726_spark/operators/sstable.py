@@ -619,6 +619,19 @@ def _wal_is_delete(i: int, w: int) -> bool:
     return (w + i) % 7 == 6
 
 
+def _wal_vbytes(i: int, w: int, ln: int) -> bytes:
+    """Vectorized run of ``_wal_vbyte(i, w, 0..ln)`` (optimization
+    round 14, guide §4.2) — byte-identical to the scalar generator,
+    pinned in tests/test_codec_fastpaths.py."""
+    import numpy as np
+
+    return (
+        ((11 * i + 3 * w + np.arange(ln, dtype=np.int64)) % 251)
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
 def make_leveldb_wal(i: int) -> bytes:
     """``30 + i%30`` upsert records (repeated keys exercise
     latest-wins; every 7th-offset a delete); record ``i%5`` is
@@ -640,10 +653,7 @@ def make_leveldb_wal(i: int) -> bytes:
                 + struct.pack("<H", 0xFFFF)
             )
         else:
-            value = bytes(
-                _wal_vbyte(i, w, j)
-                for j in range(_wal_vlen(i, w))
-            )
+            value = _wal_vbytes(i, w, _wal_vlen(i, w))
             payload = (
                 struct.pack("<H", len(key))
                 + key
@@ -654,9 +664,7 @@ def make_leveldb_wal(i: int) -> bytes:
             # a jumbo record spanning a block boundary: the value is
             # chunked into several KV pairs inside ONE record
             # (u16 length caps a single value at 65535)
-            big_val = bytes(
-                _wal_vbyte(i, w, j) for j in range(40000)
-            )
+            big_val = _wal_vbytes(i, w, 40000)
             parts = []
             off = 0
             kk = 0

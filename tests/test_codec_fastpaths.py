@@ -99,6 +99,192 @@ class TestSnappyFastPath:
             assert a == b
 
 
+class TestRleV2Vectorized:
+    def _harvest(self):
+        """Capture every RLEv2 stream the ORC fixture walks decode."""
+        import gmall_flink_210726_spark.operators.orc as orc_mod
+        import gmall_flink_210726_spark.operators.orc2 as orc2_mod
+
+        captured = []
+        orig = orc_mod._rle_v2
+
+        def spy(data, n, signed, runs=None):
+            captured.append((bytes(data), n, signed))
+            return orig(data, n, signed, runs)
+
+        # orc2 binds the name at import time — patch both modules
+        orc_mod._rle_v2 = spy
+        orc2_mod._rle_v2 = spy
+        try:
+            from gmall_flink_210726_spark.operators.orc2 import (
+                _make_orc_dec,
+                _make_orc_double,
+                _make_orc_rowindex,
+                _rowindex_params,
+                read_orc_dec_ts,
+                read_orc_double_bin,
+                read_orc_rowindex,
+            )
+
+            for i in range(8):
+                read_orc_dec_ts(_make_orc_dec(i))
+                lo, hi, _ = _rowindex_params(i)
+                read_orc_rowindex(_make_orc_rowindex(i), lo, hi)
+                read_orc_double_bin(_make_orc_double(i))
+        finally:
+            orc_mod._rle_v2 = orig
+            orc2_mod._rle_v2 = orig
+        return captured
+
+    def test_agrees_with_py_twin_on_real_streams(self):
+        from gmall_flink_210726_spark.operators.orc import (
+            _rle_v2,
+            _rle_v2_py,
+        )
+
+        streams = self._harvest()
+        assert streams  # the spy must have seen the fixture walks
+        for data, n, signed in streams:
+            runs_a: list = []
+            runs_b: list = []
+            assert _rle_v2(data, n, signed, runs_a) == _rle_v2_py(
+                data, n, signed, runs_b
+            )
+            assert runs_a == runs_b
+
+    def test_corrupt_streams_same_outcome(self):
+        from gmall_flink_210726_spark.operators.orc import (
+            _rle_v2,
+            _rle_v2_py,
+        )
+
+        rng = random.Random(21)
+        for data, n, signed in self._harvest()[:60]:
+            for _ in range(4):
+                mut = bytearray(data)
+                mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+                mut = bytes(mut)
+                try:
+                    a = _rle_v2(mut, n, signed)
+                except ValueError:
+                    a = "VE"
+                try:
+                    b = _rle_v2_py(mut, n, signed)
+                except ValueError:
+                    b = "VE"
+                assert a == b
+
+    def test_svarints_agrees_with_scalar(self):
+        from gmall_flink_210726_spark.operators.orc import (
+            _svarint,
+            _svarints,
+        )
+
+        rng = random.Random(5)
+        for _ in range(200)  :
+            vals = [
+                rng.randrange(-(1 << 45), 1 << 45)
+                for _ in range(rng.randrange(1, 60))
+            ]
+            body = bytearray()
+            for v in vals:
+                u = ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1)
+                while u >= 0x80:
+                    body.append((u & 0x7F) | 0x80)
+                    u >>= 7
+                body.append(u)
+            body = bytes(body)
+            ref, pos = [], 0
+            for _ in range(len(vals)):
+                v, pos = _svarint(body, pos)
+                ref.append(v)
+            assert _svarints(body, len(vals)) == (ref, pos)
+        with pytest.raises(ValueError):
+            _svarints(b"\x80\x80", 1)
+
+
+class TestOrcSynthesisVectorized:
+    def test_make_orc_dec_byte_identical_to_list_construction(self):
+        import decimal
+        import io
+
+        import pyarrow as pa
+        import pyarrow.orc as orc_mod
+
+        from gmall_flink_210726_spark.operators.orc2 import (
+            _dec_ts_rows,
+            _make_orc_dec,
+        )
+
+        for i in (1, 2, 3, 4, 5, 9, 24, 101):  # spans all five codecs
+            n = 1500 + (i % 4) * 400
+            mants, secs, nanos = _dec_ts_rows(i, n)
+            dec = [decimal.Decimal(m).scaleb(-2) for m in mants]
+            ts = [s * 10**9 + ns for s, ns in zip(secs, nanos)]
+            comp = ("uncompressed", "zlib", "snappy", "zstd", "lz4")[i % 5]
+            buf = io.BytesIO()
+            orc_mod.write_table(
+                pa.table(
+                    {
+                        "d": pa.array(dec, pa.decimal128(12, 2)),
+                        "t": pa.array(ts, pa.timestamp("ns")),
+                    }
+                ),
+                buf,
+                compression=comp,
+                stripe_size=4096,
+                batch_size=256,
+            )
+            assert _make_orc_dec(i) == buf.getvalue(), i
+
+    def test_make_orc_double_byte_identical_to_list_construction(self):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.orc as orc_mod
+
+        from gmall_flink_210726_spark.operators.orc2 import (
+            _bin_rows,
+            _dbl_rows,
+            _make_orc_double,
+        )
+
+        for i in (1, 2, 3, 4, 5, 9, 22, 101):
+            n = 1200 + (i % 4) * 300
+            mf, mx = _dbl_rows(i, n)
+            comp = ("uncompressed", "zlib", "snappy", "zstd", "lz4")[i % 5]
+            buf = io.BytesIO()
+            orc_mod.write_table(
+                pa.table(
+                    {
+                        "f": pa.array([m / 64 for m in mf], pa.float32()),
+                        "x": pa.array([m / 64 for m in mx], pa.float64()),
+                        "b": pa.array(_bin_rows(i, n), pa.binary()),
+                    }
+                ),
+                buf,
+                compression=comp,
+                stripe_size=4096,
+                batch_size=256,
+            )
+            assert _make_orc_double(i) == buf.getvalue(), i
+
+
+class TestWalValueGenVectorized:
+    def test_byte_identical_to_scalar_generator(self):
+        from gmall_flink_210726_spark.operators.sstable import (
+            _wal_vbyte,
+            _wal_vbytes,
+        )
+
+        for i in (0, 1, 2, 13, 17, 19, 101, 4999):
+            for w in (0, 3, 9, 29):
+                for ln in (0, 1, 59, 40000):
+                    assert _wal_vbytes(i, w, ln) == bytes(
+                        _wal_vbyte(i, w, j) for j in range(ln)
+                    )
+
+
 class TestZstdFastPath:
     def test_fixture_streams_roundtrip_and_refuse(self):
         from gmall_flink_210726_spark.operators.zstd import (
