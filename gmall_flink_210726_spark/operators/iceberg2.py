@@ -97,6 +97,34 @@ def iceberg_bucket(k: int, n: int = _N_BUCKETS) -> int:
     return (h & 0x7FFFFFFF) % n
 
 
+def _iceberg_buckets_np(ks, n: int = _N_BUCKETS):
+    """Vectorized ``iceberg_bucket`` over an int64 numpy array
+    (optimization round 14, guide §4.2): the long-key case is two
+    4-byte murmur blocks with no tail, done in uint64 lanes with
+    explicit 32-bit masking; pinned equal to the scalar transform in
+    tests/test_codec_fastpaths.py."""
+    import numpy as np
+
+    m32 = 0xFFFFFFFF
+    blocks = np.ascontiguousarray(ks, dtype="<i8").view("<u4")
+    blocks = blocks.reshape(-1, 2).astype(np.uint64)
+    h = np.zeros(len(blocks), np.uint64)
+    for j in (0, 1):
+        k = (blocks[:, j] * 0xCC9E2D51) & m32
+        k = ((k << np.uint64(15)) | (k >> np.uint64(17))) & m32
+        k = (k * 0x1B873593) & m32
+        h ^= k
+        h = ((h << np.uint64(13)) | (h >> np.uint64(19))) & m32
+        h = (h * 5 + 0xE6546B64) & m32
+    h ^= np.uint64(8)
+    h ^= h >> np.uint64(16)
+    h = (h * 0x85EBCA6B) & m32
+    h ^= h >> np.uint64(13)
+    h = (h * 0xC2B2AE35) & m32
+    h ^= h >> np.uint64(16)
+    return (h & np.uint64(0x7FFFFFFF)) % np.uint64(n)
+
+
 MLIST_SCHEMA_B = {
     "type": "record",
     "name": "manifest_file",
@@ -284,13 +312,19 @@ def _bucket_keys(i: int, m: int, e: int, bucket: int) -> list[int]:
     """The first ``rows`` integers >= a per-file base whose Iceberg
     bucket equals ``bucket`` — hash-dependent membership, but every
     COUNT the oracle sees is fixed by construction."""
+    import numpy as np
+
     rows = _bucket_rows(i, m, e)
-    out = []
+    out: list[int] = []
     k = 1000 * (2 * m + e) + i
+    # ~N_BUCKETS candidates per hit: probe in vectorized chunks
+    # (identical membership to the scalar while-loop — same candidate
+    # order, same bucket transform)
     while len(out) < rows:
-        if iceberg_bucket(k) == bucket:
-            out.append(k)
-        k += 1
+        ks = np.arange(k, k + 16 * rows, dtype=np.int64)
+        hits = ks[_iceberg_buckets_np(ks) == bucket]
+        out.extend(int(x) for x in hits[: rows - len(out)])
+        k += 16 * rows
     return out
 
 

@@ -57,12 +57,71 @@ for _n in range(256):
         _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
     _CRC32C_TABLE.append(_c)
 
+# slice-by-16 tables: _CRC32C_T16[k][b] is the CRC contribution of byte
+# b followed by k zero bytes — the standard slicing decomposition
+# (Kounavis & Berry 2008), derived from the base table above
+_CRC32C_T16 = [list(_CRC32C_TABLE)]
+for _ in range(15):
+    _prev = _CRC32C_T16[-1]
+    _CRC32C_T16.append(
+        [(_prev[_n] >> 8) ^ _CRC32C_TABLE[_prev[_n] & 0xFF] for _n in range(256)]
+    )
+_CRC32C_T16 = [tuple(_t) for _t in _CRC32C_T16]
+_CRC32C_NP = None  # numpy copies, built lazily on first large input
 
-def crc32c(data: bytes, crc: int = 0) -> int:
-    crc ^= 0xFFFFFFFF
+
+def _crc32c_small(data: bytes, crc: int) -> int:
+    """Byte-at-a-time core (the from-scratch round-13 path)."""
     for b in data:
         crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
-    return crc ^ 0xFFFFFFFF
+    return crc
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC32C. For payloads >= 512 bytes (WAL jumbo fragments, HFile
+    blocks) the data-only 12 of every 16 slice-by-16 contributions are
+    vectorized with numpy and only the 4 crc-dependent lookups stay in
+    the sequential loop (~4x; optimization round 14, guide §4.2);
+    below that the byte-at-a-time loop is faster. Both paths share the
+    same derived tables; agreement is pinned across the size boundary
+    in tests/test_codec_fastpaths.py."""
+    crc ^= 0xFFFFFFFF
+    n = len(data)
+    if n < 512:
+        return _crc32c_small(data, crc) ^ 0xFFFFFFFF
+    global _CRC32C_NP
+    if _CRC32C_NP is None:
+        import numpy as np
+
+        _CRC32C_NP = [np.array(t, np.uint32) for t in _CRC32C_T16]
+    import numpy as np
+
+    m = n - (n % 16)
+    a = np.frombuffer(data, np.uint8, m).reshape(-1, 16)
+    acc = _CRC32C_NP[11][a[:, 4]]
+    for j in range(5, 16):
+        acc = acc ^ _CRC32C_NP[15 - j][a[:, j]]
+    t15, t14, t13, t12 = (
+        _CRC32C_T16[15],
+        _CRC32C_T16[14],
+        _CRC32C_T16[13],
+        _CRC32C_T16[12],
+    )
+    for x0, x1, x2, x3, ac in zip(
+        a[:, 0].tolist(),
+        a[:, 1].tolist(),
+        a[:, 2].tolist(),
+        a[:, 3].tolist(),
+        acc.tolist(),
+    ):
+        crc = (
+            t15[(crc ^ x0) & 0xFF]
+            ^ t14[((crc >> 8) ^ x1) & 0xFF]
+            ^ t13[((crc >> 16) ^ x2) & 0xFF]
+            ^ t12[(crc >> 24) ^ x3]
+            ^ ac
+        )
+    return _crc32c_small(data[m:], crc) ^ 0xFFFFFFFF
 
 
 def _zz_dec(data: bytes, pos: int) -> tuple[int, int]:

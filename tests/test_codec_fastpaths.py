@@ -270,6 +270,49 @@ class TestOrcSynthesisVectorized:
             assert _make_orc_double(i) == buf.getvalue(), i
 
 
+class TestCrc32cHybrid:
+    def test_agrees_with_byte_at_a_time_across_size_boundary(self):
+        from gmall_flink_210726_spark.operators.kafkalog import (
+            _crc32c_small,
+            crc32c,
+        )
+
+        rng = random.Random(3)
+        for ln in (0, 1, 15, 16, 511, 512, 513, 1000, 4096, 32771):
+            d = bytes(rng.randrange(256) for _ in range(ln))
+            for init in (0, 0x12345678):
+                ref = _crc32c_small(d, init ^ 0xFFFFFFFF) ^ 0xFFFFFFFF
+                assert crc32c(d, init) == ref, (ln, init)
+
+    def test_known_vector(self):
+        # RFC 3720 B.4: CRC32C of 32 zero bytes
+        from gmall_flink_210726_spark.operators.kafkalog import crc32c
+
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+class TestIcebergBucketVectorized:
+    def test_agrees_with_scalar_transform(self):
+        import numpy as np
+
+        from gmall_flink_210726_spark.operators.iceberg2 import (
+            _iceberg_buckets_np,
+            iceberg_bucket,
+        )
+
+        ks = np.concatenate(
+            [
+                np.arange(-3000, 3000, dtype=np.int64),
+                np.array(
+                    [2**62, -(2**62), 2**63 - 1, -(2**63), 0],
+                    dtype=np.int64,
+                ),
+            ]
+        )
+        ref = np.array([iceberg_bucket(int(k)) for k in ks])
+        assert (ref == _iceberg_buckets_np(ks).astype(np.int64)).all()
+
+
 class TestWalValueGenVectorized:
     def test_byte_identical_to_scalar_generator(self):
         from gmall_flink_210726_spark.operators.sstable import (
