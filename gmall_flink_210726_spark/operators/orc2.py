@@ -59,7 +59,6 @@ from gmall_flink_210726_spark.operators.orc import (
     _COMP_NAMES,
     _pb_fields,
     _rle_v2,
-    _svarint,
     _svarints,
     _unframe,
     _zz,
