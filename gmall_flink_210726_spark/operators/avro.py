@@ -532,7 +532,9 @@ def avro_container_stats(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(gen, AVRO_SCHEMA)
 
 
-def synthesize_avro_media(docs: DataFrame) -> DataFrame:
+def synthesize_avro_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of Avro object-container files."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -541,7 +543,10 @@ def synthesize_avro_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -999,7 +1004,9 @@ def avro_evolution_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_avro_v1_media(docs: DataFrame) -> DataFrame:
+def synthesize_avro_v1_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of v1-writer Avro containers."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1008,7 +1015,10 @@ def synthesize_avro_v1_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1206,7 +1216,9 @@ def avro_logical_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_avro_logical_media(docs: DataFrame) -> DataFrame:
+def synthesize_avro_logical_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of logical-type Avro containers."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1215,7 +1227,10 @@ def synthesize_avro_logical_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:

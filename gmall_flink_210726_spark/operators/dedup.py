@@ -89,17 +89,40 @@ def _shingle_table(
     from gmall_flink_210726_spark.session import ensure_parallelism
 
     base = ensure_parallelism(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+    # Optimization round 15 (guide §2.4): the shingle explode is the
+    # expensive subtree here (normalize + split + n-window concat per
+    # doc), and the former groupBy-counts join plus broadcast-anti
+    # hot-shingle cap re-planned it once per leg — 4 Generate
+    # instances per shingle-table reference, 8 in the self-join pair
+    # miners. One projection now materializes the shingle array once
+    # and explodes it once:
+    #  - max_df=None: n_sh IS the distinct-shingle array size (no
+    #    shingle is dropped), so the counts join disappears outright.
+    #  - max_df set: both counts become window aggregates over the
+    #    exploded 16-byte (id, sh) rows — two exchanges of hashes
+    #    instead of two more explodes + a broadcast build.
+    # Counts are per-ROW either way, so xxhash64-collision behavior is
+    # unchanged (verified equal to the join form by the oracles).
+    base = base.withColumn("_g", word_shingles(text_col, n))
+    if max_df is None:
+        return base.select(
+            "id",
+            F.explode("_g").alias("sh_str"),
+            F.size("_g").alias("n_sh"),
+        ).select("id", F.xxhash64("sh_str").alias("sh"), "n_sh")
     sh = base.select(
-        "id",
-        F.explode(word_shingles(text_col, n)).alias("sh_str"),
+        "id", F.explode("_g").alias("sh_str")
     ).select("id", F.xxhash64("sh_str").alias("sh"))
-    if max_df is not None:
-        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") > max_df
+    sh = (
+        sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
         )
-        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return sh.join(counts, "id")
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    return sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
 
 
 def ngram_jaccard_pairs(

@@ -499,7 +499,9 @@ def _make_delta_dv_table(
     return b"".join(out) + b"\x00" * (2 * _BLOCK)
 
 
-def synthesize_delta_dv_media(docs: DataFrame) -> DataFrame:
+def synthesize_delta_dv_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of Delta tables with deletion vectors."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -508,7 +510,10 @@ def synthesize_delta_dv_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:

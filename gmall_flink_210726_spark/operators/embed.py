@@ -320,8 +320,15 @@ def pq_ann_topk(
     # the grid feeds every Lloyd step, the final encode, and the
     # probe LUT — materialize it once instead of re-running the
     # explode+quantize lineage ~8x (this IS the cache you would
-    # keep at 100 TB; bench: ~10 s -> well under half at sf0.1)
-    grid = grid.localCheckpoint(eager=True)
+    # keep at 100 TB; bench: ~10 s -> well under half at sf0.1).
+    # Hash-partitioned by (vid, sub) BEFORE the checkpoint
+    # (optimization round 15, guide §2.4): LogicalRDD keeps the
+    # partitioning, and every Lloyd-step operator clusters on a
+    # superset of (vid, sub) — the argmin groupBy(vid, sub, c), the
+    # tiebreak window(vid, sub), and the means join on (vid, sub) —
+    # so the 32x-exploded distance table never crosses an Exchange
+    # again (3 assign passes x 2 shuffles each at r14, now 0).
+    grid = grid.repartition("vid", "sub").localCheckpoint(eager=True)
     anchor_ids = (
         emb.select(id_col).orderBy(id_col).limit(n_centroids)
         .select(F.col(id_col).alias("_aid"))

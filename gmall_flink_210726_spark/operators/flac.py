@@ -27,6 +27,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -91,6 +92,28 @@ class _BitWriter:
     def align(self):
         if self.nbits:
             self.write(0, 8 - self.nbits)
+
+    def write_bits_np(self, bits) -> None:
+        """Append a 0/1 uint8 array of bits (MSB-first stream order),
+        byte-identical to the equivalent sequence of write() calls
+        (optimization round 15, guide §4.2): buffered partial bits are
+        prepended, whole bytes leave via one np.packbits, the tail
+        stays buffered."""
+        nb = self.nbits
+        if nb:
+            lead = np.empty(nb + len(bits), np.uint8)
+            for k in range(nb):
+                lead[k] = (self.acc >> (nb - 1 - k)) & 1
+            lead[nb:] = bits
+            bits = lead
+        n_full = len(bits) & ~7
+        if n_full:
+            self.buf += np.packbits(bits[:n_full]).tobytes()
+        acc = 0
+        for b in bits[n_full:].tolist():
+            acc = (acc << 1) | int(b)
+        self.acc = acc
+        self.nbits = len(bits) - n_full
 
     def bytes(self) -> bytes:
         assert self.nbits == 0
@@ -206,9 +229,10 @@ _SAMPLE_SIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
 _SAMPLE_SIZE_CODE = {v: k for k, v in _SAMPLE_SIZE.items()}
 
 
-def _pcm_md5(channels_pcm: list[list[int]], bps: int) -> bytes:
+def _pcm_md5_py(channels_pcm: list[list[int]], bps: int) -> bytes:
     """MD5 of the interleaved little-endian PCM exactly as STREAMINFO
-    defines it — shared by decoder verification and the encoder."""
+    defines it — the from-spec scalar form, kept as the executable
+    documentation and the fallback for values outside int64."""
     md5 = hashlib.md5()
     step = (bps + 7) // 8
     mask = (1 << (8 * step)) - 1
@@ -219,7 +243,45 @@ def _pcm_md5(channels_pcm: list[list[int]], bps: int) -> bytes:
     return md5.digest()
 
 
-def _residual_dec(r: _BitReader, blocksize: int, order: int) -> list[int]:
+def _pcm_md5(channels_pcm, bps: int) -> bytes:
+    """Vectorized _pcm_md5_py (optimization round 15, guide §4.2): one
+    numpy interleave + mask builds the exact byte stream the scalar
+    loop feeds MD5 per sample; pinned equal in
+    tests/test_codec_fastpaths.py. Accepts lists or int64 arrays;
+    values outside int64 (adversarial decode fallback shapes) route to
+    the scalar loop, whose & mask arithmetic is arbitrary-precision."""
+    step = (bps + 7) // 8
+    total = len(channels_pcm[0]) if len(channels_pcm) else 0
+    if total == 0 or step > 4:
+        return _pcm_md5_py(channels_pcm, bps)
+    try:
+        arrs = [np.asarray(c, dtype=np.int64) for c in channels_pcm]
+    except OverflowError:
+        return _pcm_md5_py(channels_pcm, bps)
+    mask = (1 << (8 * step)) - 1
+    stacked = np.stack(arrs, axis=1) & np.int64(mask)
+    if step == 1:
+        buf = stacked.astype(np.uint8)
+    elif step == 2:
+        buf = stacked.astype("<u2")
+    elif step == 4:
+        buf = stacked.astype("<u4")
+    else:  # step == 3: low 3 of 4 little-endian bytes per sample
+        buf = (
+            stacked.astype("<u4")
+            .view(np.uint8)
+            .reshape(total, len(arrs), 4)[:, :, :3]
+        )
+    md5 = hashlib.md5()
+    md5.update(buf.tobytes())
+    return md5.digest()
+
+
+def _residual_dec_py(
+    r: _BitReader, blocksize: int, order: int
+) -> list[int]:
+    """From-spec scalar residual decode — the executable documentation
+    and the differential-test reference for ``_residual_dec``."""
     method = r.read(2)
     if method > 1:
         raise ValueError("flac: reserved residual method")
@@ -247,6 +309,136 @@ def _residual_dec(r: _BitReader, blocksize: int, order: int) -> list[int]:
     return out
 
 
+class _Fallback(Exception):
+    """Raised by a vectorized decode helper when an int64-exactness
+    guard trips; read_flac reruns the whole blob on the scalar path."""
+
+
+def _take_signed_np(r: _BitReader, count: int, width: int):
+    """Vectorized fixed-width signed read: ``count`` two's-complement
+    values of ``width`` bits from the reader's bit position (MSB-first),
+    as int64; advances the reader. Exact for width <= 62."""
+    if count < 0 or width < 0:
+        raise ValueError("flac: negative bit-read shape")
+    if width == 0:
+        return np.zeros(count, np.int64)
+    if width > 62:  # pragma: no cover - no header field reaches this
+        raise _Fallback
+    total = count * width
+    start = r.pos * 8 + r.bit
+    end = start + total
+    if end > len(r.data) * 8:
+        raise ValueError("flac: bitstream truncated")
+    if count == 0:
+        return np.zeros(0, np.int64)
+    sb = start // 8
+    chunk = np.frombuffer(r.data, np.uint8, (end + 7) // 8 - sb, sb)
+    bits = np.unpackbits(chunk)[start - sb * 8 : start - sb * 8 + total]
+    w = np.left_shift(
+        np.uint64(1), np.arange(width - 1, -1, -1, dtype=np.uint64)
+    )
+    vals = (
+        bits.reshape(count, width).astype(np.uint64) @ w
+    ).astype(np.int64)
+    vals -= (vals >> np.int64(width - 1)) << np.int64(width)
+    r.pos, r.bit = end // 8, end % 8
+    return vals
+
+
+def _rice_vec(r: _BitReader, cnt: int, param: int):
+    """Vectorized rice decode: ``cnt`` unary-quotient + ``param``-bit
+    remainder codes from the reader's position, zigzag-decoded to
+    int64; advances the reader. The unary terminators are located by
+    chasing a precomputed next-one-bit table (one searchsorted over the
+    chunk's 1-bit positions), remainders gathered in one fancy-indexed
+    matmul; the chunk is re-unpacked at twice the size whenever the
+    run does not fit (rare: quotients are ~1 bit each on genuine
+    streams). Raises the scalar path's ValueErrors on truncation and
+    runaway unary. Exact: u < 2^51 (q <= 2^20, param <= 30)."""
+    if cnt == 0:
+        return np.zeros(0, np.int64)
+    data = r.data
+    nbits_total = len(data) * 8
+    start = r.pos * 8 + r.bit
+    need = cnt * (param + 2) + 64
+    while True:
+        end = min(start + need, nbits_total)
+        sb = start // 8
+        chunk = np.frombuffer(
+            data, np.uint8, (end + 7) // 8 - sb, sb
+        )
+        off = start - sb * 8
+        seg = np.unpackbits(chunk)[off : off + (end - start)]
+        ones = np.flatnonzero(seg)
+        if len(ones):
+            nxt = np.searchsorted(ones, ones + 1 + param).tolist()
+            ones_l = ones.tolist()
+            nones = len(ones_l)
+            terms: list[int] = []
+            j = 0
+            for _ in range(cnt):
+                if j >= nones:
+                    break
+                terms.append(ones_l[j])
+                j = nxt[j]
+            if len(terms) == cnt and terms[-1] + 1 + param <= len(seg):
+                ta = np.asarray(terms, np.int64)
+                starts = np.empty(cnt, np.int64)
+                starts[0] = 0
+                starts[1:] = ta[:-1] + 1 + param
+                q = ta - starts
+                if int(q.max()) > 1 << 20:
+                    raise ValueError("flac: runaway unary")
+                u = q.astype(np.uint64) << np.uint64(param)
+                if param:
+                    idx = ta[:, None] + 1 + np.arange(param)
+                    w = np.left_shift(
+                        np.uint64(1),
+                        np.arange(param - 1, -1, -1, dtype=np.uint64),
+                    )
+                    u |= seg[idx].astype(np.uint64) @ w
+                vals = (
+                    (u >> np.uint64(1))
+                    ^ (np.uint64(0) - (u & np.uint64(1)))
+                ).view(np.int64)
+                endbit = start + int(ta[-1]) + 1 + param
+                r.pos, r.bit = endbit // 8, endbit % 8
+                return vals
+        if end >= nbits_total:
+            raise ValueError("flac: bitstream truncated")
+        need *= 2
+
+
+def _residual_dec(r: _BitReader, blocksize: int, order: int):
+    """Vectorized residual decode (optimization round 15, guide §4.2)
+    -> int64 array; header parsing and every grammar check match
+    ``_residual_dec_py``, which is pinned equal to this path in
+    tests/test_codec_fastpaths.py."""
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    po = r.read(4)
+    parts = 1 << po
+    if blocksize % parts or blocksize // parts <= order and po:
+        raise ValueError("flac: bad partition order")
+    pieces = []
+    for p in range(parts):
+        cnt = blocksize // parts - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("flac: partition smaller than order")
+        param = r.read(pbits)
+        if param == esc:
+            nraw = r.read(5)
+            pieces.append(_take_signed_np(r, cnt, nraw))
+        else:
+            pieces.append(_rice_vec(r, cnt, param))
+    if not pieces:
+        return np.zeros(0, np.int64)
+    return np.concatenate(pieces)
+
+
 def _predict_apply(
     warm: list[int], resid: list[int], coeffs: list[int], shift: int
 ) -> list[int]:
@@ -258,7 +450,59 @@ def _predict_apply(
     return x
 
 
-def _subframe_dec(r: _BitReader, n: int, bits: int) -> list[int]:
+_SAFE_ABS = 1 << 61  # int64 headroom for one add/subtract on top
+
+
+def _predict_apply_np(warm, resid, coeffs: list[int], shift: int):
+    """Vectorized _predict_apply (optimization round 15, guide §4.2):
+    the FIXED predictors (and any LPC whose coefficients equal one,
+    shift 0) are k-th difference operators, so reconstruction is k
+    warm-started cumulative sums — exact in int64 under a per-level
+    magnitude guard (partial sums bounded by max|val| * (n+1)); guard
+    trips and non-difference LPC shapes run the scalar recursion on
+    Python ints, raising _Fallback if the result leaves int64. Pinned
+    equal to _predict_apply in tests/test_codec_fastpaths.py."""
+    k = len(coeffs)
+    warm = np.asarray(warm, np.int64)
+    if k == 0:
+        x = np.concatenate([warm, resid]) if len(warm) else resid
+        if len(x) and int(np.abs(x).max()) >= _SAFE_ABS:
+            raise _Fallback
+        return x
+    if shift == 0 and coeffs == _FIXED_COEFFS.get(k):
+        diffs = [warm]
+        for _ in range(1, k):
+            diffs.append(np.diff(diffs[-1]))
+        cur = resid
+        n1 = len(resid) + 1
+        ok = True
+        for j in range(k, 0, -1):
+            init = int(diffs[j - 1][-1])
+            m = max(
+                abs(init),
+                int(np.abs(cur).max()) if len(cur) else 0,
+            )
+            if m > (1 << 62) // n1:
+                ok = False
+                break
+            cur = init + np.cumsum(cur) if len(cur) else cur
+        if ok:
+            x = np.concatenate([warm, cur])
+            if len(x) and int(np.abs(x).max()) >= _SAFE_ABS:
+                raise _Fallback
+            return x
+    xs = _predict_apply(
+        [int(v) for v in warm], [int(v) for v in resid], coeffs, shift
+    )
+    if any(abs(v) >= _SAFE_ABS for v in xs):
+        raise _Fallback
+    return np.asarray(xs, np.int64)
+
+
+def _subframe_dec_py(r: _BitReader, n: int, bits: int) -> list[int]:
+    """From-spec scalar subframe decode (lists, arbitrary-precision
+    ints) — the executable documentation, the _Fallback target, and
+    the differential-test reference for ``_subframe_dec``."""
     if r.read(1):
         raise ValueError("flac: subframe padding bit set")
     t = r.read(6)
@@ -278,7 +522,7 @@ def _subframe_dec(r: _BitReader, n: int, bits: int) -> list[int]:
         if order > n:
             raise ValueError("flac: order exceeds blocksize")
         warm = [r.read_signed(eff) for _ in range(order)]
-        resid = _residual_dec(r, n, order)
+        resid = _residual_dec_py(r, n, order)
         x = _predict_apply(warm, resid, _FIXED_COEFFS[order], 0)
     elif t & 0x20:  # LPC
         order = (t & 0x1F) + 1
@@ -293,7 +537,7 @@ def _subframe_dec(r: _BitReader, n: int, bits: int) -> list[int]:
         if shift < 0:
             raise ValueError("flac: negative qlp shift")
         coeffs = [r.read_signed(prec) for _ in range(order)]
-        resid = _residual_dec(r, n, order)
+        resid = _residual_dec_py(r, n, order)
         x = _predict_apply(warm, resid, coeffs, shift)
     else:
         raise ValueError("flac: reserved subframe type")
@@ -302,9 +546,75 @@ def _subframe_dec(r: _BitReader, n: int, bits: int) -> list[int]:
     return x
 
 
+def _subframe_dec(r: _BitReader, n: int, bits: int):
+    """Vectorized subframe decode (optimization round 15, guide §4.2)
+    -> int64 array; same header walk and grammar checks as
+    ``_subframe_dec_py``, with the residual/verbatim bit streams and
+    predictor reconstruction handed to numpy. Raises _Fallback when an
+    int64-exactness guard trips (read_flac then reruns the blob on the
+    scalar path). Pinned equal to the scalar path in
+    tests/test_codec_fastpaths.py."""
+    if r.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    t = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+    eff = bits - wasted
+    if eff <= 0:
+        raise ValueError("flac: wasted bits exhaust the sample")
+    if t == 0:  # CONSTANT
+        x = np.full(n, r.read_signed(eff), np.int64)
+    elif t == 1:  # VERBATIM
+        x = _take_signed_np(r, n, eff)
+    elif 8 <= t <= 12:  # FIXED
+        order = t - 8
+        if order > n:
+            raise ValueError("flac: order exceeds blocksize")
+        warm = [r.read_signed(eff) for _ in range(order)]
+        resid = _residual_dec(r, n, order)
+        x = _predict_apply_np(warm, resid, _FIXED_COEFFS[order], 0)
+    elif t & 0x20:  # LPC
+        order = (t & 0x1F) + 1
+        if order > n:
+            raise ValueError("flac: order exceeds blocksize")
+        warm = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 0xF:
+            raise ValueError("flac: invalid qlp precision")
+        prec += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative qlp shift")
+        coeffs = [r.read_signed(prec) for _ in range(order)]
+        resid = _residual_dec(r, n, order)
+        x = _predict_apply_np(warm, resid, coeffs, shift)
+    else:
+        raise ValueError("flac: reserved subframe type")
+    if wasted:
+        if len(x) and int(np.abs(x).max()) >= _SAFE_ABS >> wasted:
+            raise _Fallback
+        x = x << wasted
+    return x
+
+
 def read_flac(data: bytes) -> dict | None:
     """FLAC stream -> decoded-stream stats with the full trust chain
-    (module doc); None on any violation."""
+    (module doc); None on any violation.
+
+    Optimization round 15 (guide §4.2): subframe bit streams decode
+    through the vectorized helpers above; any int64-exactness guard
+    trip reruns the WHOLE blob on the scalar from-spec path, so
+    adversarial magnitudes decode with arbitrary-precision ints
+    exactly as before. Both tiers pinned equal in
+    tests/test_codec_fastpaths.py."""
+    try:
+        return _read_flac_impl(data, fast=True)
+    except _Fallback:
+        return _read_flac_impl(data, fast=False)
+
+
+def _read_flac_impl(data: bytes, fast: bool) -> dict | None:
     if len(data) < 42 or data[:4] != b"fLaC":
         return None
     pos = 4
@@ -395,39 +705,73 @@ def read_flac(data: bytes) -> dict | None:
                 return None  # mid/side not emitted by the encoder
             if nch != ch:
                 return None
+            dec = _subframe_dec if fast else _subframe_dec_py
             subs = []
             for c in range(nch):
                 bits = bps + (1 if c == side else 0)
-                subs.append(_subframe_dec(r, blocksize, bits))
+                subs.append(dec(r, blocksize, bits))
             r.align()
             fcrc = r.read(16)
             if crc16(data[start : r.pos - 2]) != fcrc:
                 return None  # frame CRC-16
             if asgn == 8:  # left/side
                 left, s = subs
-                subs = [left, [a - b for a, b in zip(left, s)]]
+                subs = [
+                    left,
+                    left - s if fast
+                    else [a - b for a, b in zip(left, s)],
+                ]
             elif asgn == 9:  # right/side
                 s, right = subs
-                subs = [[a + b for a, b in zip(right, s)], right]
+                subs = [
+                    right + s if fast
+                    else [a + b for a, b in zip(right, s)],
+                    right,
+                ]
             if decoded + blocksize > total:
                 return None  # more samples than the books allow
             for c in range(ch):
-                channels_pcm[c].extend(subs[c])
+                if fast:  # list of per-frame arrays, concat at the end
+                    channels_pcm[c].append(subs[c])
+                else:
+                    channels_pcm[c].extend(subs[c])
             decoded += blocksize
             n_frames += 1
             frame_idx += 1
             pos = r.pos
         if pos != len(data):
             return None  # trailing garbage
+        if fast:
+            # per-channel frame arrays -> one int64 array per channel
+            # (subframe values guarded < 2^61, so the +/- above and the
+            # np sums below are int64-exact for any decodable stream)
+            channels_pcm = [
+                np.concatenate(c) if c else np.zeros(0, np.int64)
+                for c in channels_pcm
+            ]
         if _pcm_md5(channels_pcm, bps) != info["md5"]:
             return None  # the decoded PCM vs STREAMINFO's claim
+        if fast:
+            m = max(
+                (int(np.abs(c).max()) for c in channels_pcm if len(c)),
+                default=0,
+            )
+            n_vals = sum(len(c) for c in channels_pcm)
+            if m and n_vals > (1 << 62) // m:
+                sample_sum = sum(sum(c.tolist()) for c in channels_pcm)
+            else:
+                sample_sum = int(
+                    sum(int(np.sum(c)) for c in channels_pcm)
+                )
+        else:
+            sample_sum = sum(sum(c) for c in channels_pcm)
         return {
             "sample_rate": sr,
             "channels": ch,
             "bps": bps,
             "n_frames": n_frames,
             "n_samples": total,
-            "sample_sum": sum(sum(c) for c in channels_pcm),
+            "sample_sum": sample_sum,
         }
     except (ValueError, struct.error):
         return None
@@ -438,9 +782,12 @@ def read_flac(data: bytes) -> dict | None:
 # --------------------------------------------------------------------------
 
 
-def _residual_enc(
+def _residual_enc_py(
     w: _BitWriter, resid: list[int], order: int, po: int, escape: bool
 ):
+    """From-spec scalar residual encoder — the executable
+    documentation, the fallback for magnitudes outside int64, and the
+    differential-test reference for ``_residual_enc``."""
     w.write(0, 2)  # rice method 0 (4-bit params)
     w.write(po, 4)
     parts = 1 << po
@@ -452,22 +799,95 @@ def _residual_enc(
         idx += cnt
         if escape:
             nraw = max(
-                (e.bit_length() + 1 for e in chunk), default=1
+                (int(e).bit_length() + 1 for e in chunk), default=1
             )
             nraw = min(nraw, 31)
             w.write(0xF, 4)
             w.write(nraw, 5)
             for e in chunk:
-                w.write_signed(e, nraw)
+                w.write_signed(int(e), nraw)
         else:
-            mx = max((_zigzag(e) for e in chunk), default=0)
+            mx = max((_zigzag(int(e)) for e in chunk), default=0)
             param = max(0, mx.bit_length() - 4)
             param = min(param, 14)
             w.write(param, 4)
             for e in chunk:
-                u = _zigzag(e)
+                u = _zigzag(int(e))
                 w.write_unary(u >> param)
                 w.write(u & ((1 << param) - 1), param)
+
+
+def _fixed_width_bits(vals, width: int):
+    """MSB-first two's-complement bit matrix of int64 ``vals`` at
+    ``width`` bits each, flattened to the stream order write_signed
+    emits. Exact for width <= 64 (uint64 view == & mask)."""
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (
+        (vals.astype(np.uint64)[:, None] >> shifts) & np.uint64(1)
+    ).astype(np.uint8).ravel()
+
+
+def _residual_enc(
+    w: _BitWriter, resid, order: int, po: int, escape: bool
+):
+    """Vectorized residual encoder (optimization round 15, guide
+    §4.2): per-partition rice/escape bit streams are built as one
+    numpy 0/1 array (terminator + remainder bits scattered by
+    cumsum-ed code lengths) and blitted via write_bits_np —
+    byte-identical to _residual_enc_py, pinned in
+    tests/test_codec_fastpaths.py. Magnitudes outside int64 (or
+    degenerate quotient blowups) take the scalar path."""
+    try:
+        arr = np.asarray(resid, np.int64)
+    except OverflowError:
+        return _residual_enc_py(w, list(resid), order, po, escape)
+    if len(arr) and int(np.abs(arr).max()) >= 1 << 62:
+        return _residual_enc_py(w, list(resid), order, po, escape)
+    w.write(0, 2)  # rice method 0 (4-bit params)
+    w.write(po, 4)
+    parts = 1 << po
+    n = len(arr) + order
+    idx = 0
+    for p in range(parts):
+        cnt = n // parts - (order if p == 0 else 0)
+        chunk = arr[idx : idx + cnt]
+        idx += cnt
+        if escape:
+            mx = int(np.abs(chunk).max()) if len(chunk) else 0
+            nraw = mx.bit_length() + 1 if len(chunk) else 1
+            nraw = min(nraw, 31)
+            w.write(0xF, 4)
+            w.write(nraw, 5)
+            w.write_bits_np(_fixed_width_bits(chunk, nraw))
+        else:
+            # zigzag: arithmetic shift form equals the scalar branch
+            u = ((chunk >> np.int64(63)) ^ (chunk << np.int64(1))).view(
+                np.uint64
+            )
+            mx = int(u.max()) if len(u) else 0
+            param = max(0, mx.bit_length() - 4)
+            param = min(param, 14)
+            w.write(param, 4)
+            q = (u >> np.uint64(param)).astype(np.int64)
+            total = int(q.sum()) + (1 + param) * len(chunk)
+            if total > 1 << 26:  # degenerate quotients: spec path
+                for e in chunk.tolist():
+                    ue = _zigzag(e)
+                    w.write_unary(ue >> param)
+                    w.write(ue & ((1 << param) - 1), param)
+                continue
+            lens = q + 1 + param
+            starts = np.zeros(len(chunk), np.int64)
+            if len(chunk) > 1:
+                starts[1:] = np.cumsum(lens)[:-1]
+            bits = np.zeros(total, np.uint8)
+            term = starts + q
+            bits[term] = 1
+            for j in range(param):
+                bits[term + 1 + j] = (
+                    (u >> np.uint64(param - 1 - j)) & np.uint64(1)
+                ).astype(np.uint8)
+            w.write_bits_np(bits)
 
 
 def _subframe_enc(
@@ -482,8 +902,15 @@ def _subframe_enc(
     if kind == "verbatim":
         w.write(1, 6)
         w.write(0, 1)
-        for v in x:
-            w.write_signed(v, bits)
+        try:
+            arr = np.asarray(x, np.int64)
+        except OverflowError:
+            arr = None
+        if arr is not None and bits <= 62:
+            w.write_bits_np(_fixed_width_bits(arr, bits))
+        else:  # from-spec scalar fallback
+            for v in x:
+                w.write_signed(v, bits)
         return
     if kind == "constant":
         w.write(0, 6)
@@ -507,14 +934,30 @@ def _subframe_enc(
         w.write_signed(0, 5)
         for c in coeffs:
             w.write_signed(c, 4)
-    resid = [
-        x[k]
-        - (
-            sum(c * x[k - 1 - j] for j, c in enumerate(coeffs))
-            >> shift
-        )
-        for k in range(order, len(x))
-    ]
+    # fixed coefficients (incl. lpc2 == fixed-2, shift 0) are k-th
+    # difference operators: resid = np.diff(x, order), int64-exact
+    # under the magnitude guard (each diff at most doubles |value|)
+    arr = None
+    if shift == 0 and coeffs == _FIXED_COEFFS.get(order):
+        try:
+            arr = np.asarray(x, np.int64)
+        except OverflowError:
+            arr = None
+        if arr is not None and len(arr) and int(
+            np.abs(arr).max()
+        ) >= 1 << (62 - order):
+            arr = None
+    if arr is not None:
+        resid = np.diff(arr, order)
+    else:  # from-spec scalar fallback
+        resid = [
+            x[k]
+            - (
+                sum(c * x[k - 1 - j] for j, c in enumerate(coeffs))
+                >> shift
+            )
+            for k in range(order, len(x))
+        ]
     _residual_enc(w, resid, order, po, escape)
 
 
@@ -690,7 +1133,9 @@ def _make_flac_media(i: int) -> bytes:
     return bytes(blob)
 
 
-def synthesize_flac_media(docs: DataFrame) -> DataFrame:
+def synthesize_flac_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of FLAC blobs."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -699,7 +1144,10 @@ def synthesize_flac_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:

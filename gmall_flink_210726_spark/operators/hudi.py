@@ -261,7 +261,9 @@ def _make_hudi_table(i: int) -> bytes:
     return b"".join(parts) + b"\x00" * (2 * _BLOCK)
 
 
-def synthesize_hudi_media(docs: DataFrame) -> DataFrame:
+def synthesize_hudi_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of Hudi COW tables (timeline + base files)."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -270,7 +272,10 @@ def synthesize_hudi_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -993,7 +998,9 @@ def _make_hudi_mor_table(i: int) -> bytes:
     return b"".join(parts) + b"\x00" * (2 * _BLOCK)
 
 
-def synthesize_hudi_mor_media(docs: DataFrame) -> DataFrame:
+def synthesize_hudi_mor_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of Hudi MOR tables (timeline + base files +
     HoodieLogFormat delta logs)."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
@@ -1003,7 +1010,10 @@ def synthesize_hudi_mor_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:

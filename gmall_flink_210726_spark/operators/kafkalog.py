@@ -77,18 +77,57 @@ def _crc32c_small(data: bytes, crc: int) -> int:
     return crc
 
 
+def _crc32c_sliced_py(data: bytes, crc: int) -> int:
+    """Pure-Python slice-by-16 (optimization round 15, guide §4.2):
+    one loop iteration per 16 bytes — 16 tuple lookups + xors — beats
+    the byte-at-a-time loop ~1.4x from 16 B up (measured 125 -> 79-110
+    ns/B across 32-256 B), the small-record Kafka/TFRecord/WAL floor
+    the numpy hybrid's fixed cost cannot reach (numpy overtakes only
+    at ~512 B; break-even re-measured this round). Same derived
+    tables; agreement pinned in tests/test_codec_fastpaths.py."""
+    n = len(data)
+    m = n & ~15
+    t15, t14, t13, t12, t11, t10, t9, t8 = _CRC32C_T16[15:7:-1]
+    t7, t6, t5, t4, t3, t2, t1, t0 = _CRC32C_T16[7::-1]
+    i = 0
+    while i < m:
+        crc = (
+            t15[(crc ^ data[i]) & 0xFF]
+            ^ t14[((crc >> 8) ^ data[i + 1]) & 0xFF]
+            ^ t13[((crc >> 16) ^ data[i + 2]) & 0xFF]
+            ^ t12[(crc >> 24) ^ data[i + 3]]
+            ^ t11[data[i + 4]]
+            ^ t10[data[i + 5]]
+            ^ t9[data[i + 6]]
+            ^ t8[data[i + 7]]
+            ^ t7[data[i + 8]]
+            ^ t6[data[i + 9]]
+            ^ t5[data[i + 10]]
+            ^ t4[data[i + 11]]
+            ^ t3[data[i + 12]]
+            ^ t2[data[i + 13]]
+            ^ t1[data[i + 14]]
+            ^ t0[data[i + 15]]
+        )
+        i += 16
+    return _crc32c_small(data[m:], crc)
+
+
 def crc32c(data: bytes, crc: int = 0) -> int:
-    """CRC32C. For payloads >= 512 bytes (WAL jumbo fragments, HFile
-    blocks) the data-only 12 of every 16 slice-by-16 contributions are
-    vectorized with numpy and only the 4 crc-dependent lookups stay in
-    the sequential loop (~4x; optimization round 14, guide §4.2);
-    below that the byte-at-a-time loop is faster. Both paths share the
-    same derived tables; agreement is pinned across the size boundary
-    in tests/test_codec_fastpaths.py."""
+    """CRC32C. Three tiers by payload size, break-evens measured:
+    < 16 B byte-at-a-time; 16-511 B pure-Python slice-by-16
+    (small-record floor, round 15); >= 512 B the numpy hybrid where
+    the data-only 12 of every 16 slice-by-16 contributions are
+    vectorized and only the 4 crc-dependent lookups stay in the
+    sequential loop (~4x; optimization round 14, guide §4.2). All
+    tiers share the same derived tables; agreement is pinned across
+    both size boundaries in tests/test_codec_fastpaths.py."""
     crc ^= 0xFFFFFFFF
     n = len(data)
-    if n < 512:
+    if n < 16:
         return _crc32c_small(data, crc) ^ 0xFFFFFFFF
+    if n < 512:
+        return _crc32c_sliced_py(data, crc) ^ 0xFFFFFFFF
     global _CRC32C_NP
     if _CRC32C_NP is None:
         import numpy as np
@@ -467,7 +506,9 @@ def _make_kafka_segment(i: int, bad_stripe: int = 11) -> bytes:
     return bytes(blob)
 
 
-def synthesize_kafka_media(docs: DataFrame) -> DataFrame:
+def synthesize_kafka_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of Kafka log-segment byte streams."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -476,7 +517,10 @@ def synthesize_kafka_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -839,7 +883,9 @@ def _make_kafka_txn_segment(i: int) -> bytes:
     return bytes(blob)
 
 
-def synthesize_kafka_txn_media(docs: DataFrame) -> DataFrame:
+def synthesize_kafka_txn_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of transactional Kafka segments."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -848,7 +894,10 @@ def synthesize_kafka_txn_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1064,7 +1113,9 @@ def _make_kafka_indexed_segment(i: int) -> bytes:
     return b"".join(out) + b"\x00" * (2 * _BLOCK)
 
 
-def synthesize_kafka_indexed_media(docs: DataFrame) -> DataFrame:
+def synthesize_kafka_indexed_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of (segment.log, segment.index) tars."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1073,7 +1124,10 @@ def synthesize_kafka_indexed_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1389,7 +1443,9 @@ def _make_kafka_registry_tar(i: int) -> bytes:
     return b"".join(out) + b"\x00" * (2 * _BLOCK)
 
 
-def synthesize_kafka_registry_media(docs: DataFrame) -> DataFrame:
+def synthesize_kafka_registry_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of registry+segment tars."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1398,7 +1454,10 @@ def synthesize_kafka_registry_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1644,7 +1703,9 @@ def _enc_ts_record(ts_delta: int, rel: int, value: bytes) -> bytes:
     return _zz_enc(len(body)) + bytes(body)
 
 
-def synthesize_kafka_timeindexed_media(docs: DataFrame) -> DataFrame:
+def synthesize_kafka_timeindexed_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of (segment.log, segment.timeindex) tars."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1653,7 +1714,10 @@ def synthesize_kafka_timeindexed_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1968,7 +2032,9 @@ def _enc_batch_sparse(
     ) + mid
 
 
-def synthesize_kafka_compacted_media(docs: DataFrame) -> DataFrame:
+def synthesize_kafka_compacted_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of compacted-topic log dirs."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1977,7 +2043,10 @@ def synthesize_kafka_compacted_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:

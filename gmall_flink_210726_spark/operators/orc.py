@@ -223,6 +223,8 @@ def _bits_np(data: bytes, pos: int, count: int, width: int):
     bits starting at byte ``pos`` (MSB-first, the RLEv2 packing);
     returns (uint64 array, end byte position). Exact for width <= 64:
     the bit-matrix x power-of-two dot product is integer numpy."""
+    if count < 0:
+        raise ValueError("rle: negative bit-unpack count")
     total = count * width
     nbytes = (total + 7) // 8
     if pos + nbytes > len(data):
@@ -311,7 +313,10 @@ def _rle_v2(
             if width:
                 sign = 1 if dbase >= 0 else -1
                 if width <= 32 and -(1 << 53) < base + dbase < (1 << 53):
-                    deltas, p = _bits_np(data, p, ln - 2, width)
+                    # ln <= 2 packs no deltas (the scalar range(ln-2)
+                    # no-op); a raw ln-2 of -1 would read the whole
+                    # remaining buffer via np.frombuffer(count=-1).
+                    deltas, p = _bits_np(data, p, max(ln - 2, 0), width)
                     cum = np.cumsum(deltas.astype(np.int64)) * sign + (
                         base + dbase
                     )
@@ -748,7 +753,9 @@ def _make_orc(i: int, bad_stripe: int = 17) -> bytes:
     return bytes(blob)
 
 
-def synthesize_orc_media(docs: DataFrame) -> DataFrame:
+def synthesize_orc_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of real ORC files."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -757,7 +764,10 @@ def synthesize_orc_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1077,7 +1087,9 @@ def _make_orc_str(i: int, bad_stripe: int = 19) -> bytes:
     return bytes(blob)
 
 
-def synthesize_orc_str_media(docs: DataFrame) -> DataFrame:
+def synthesize_orc_str_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of real ORC string-column files."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1086,7 +1098,10 @@ def synthesize_orc_str_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:

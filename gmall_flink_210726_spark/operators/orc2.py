@@ -343,7 +343,9 @@ def _make_orc_dec(i: int, bad_stripe: int = 23) -> bytes:
     return bytes(blob)
 
 
-def synthesize_orc_dec_media(docs: DataFrame) -> DataFrame:
+def synthesize_orc_dec_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of real decimal+timestamp ORC files."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -352,7 +354,10 @@ def synthesize_orc_dec_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -725,7 +730,9 @@ def _make_orc_rowindex(i: int) -> bytes:
     return bytes(blob)
 
 
-def synthesize_orc_rowindex_media(docs: DataFrame) -> DataFrame:
+def synthesize_orc_rowindex_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of row-index ORC files."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -734,7 +741,10 @@ def synthesize_orc_rowindex_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1088,7 +1098,9 @@ def _make_orc_bloom(i: int) -> bytes:
     return bytes(blob)
 
 
-def synthesize_orc_bloom_media(docs: DataFrame) -> DataFrame:
+def synthesize_orc_bloom_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of bloom-bearing ORC files."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1097,7 +1109,10 @@ def synthesize_orc_bloom_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1396,7 +1411,9 @@ def _make_orc_double(i: int, bad_stripe: int = 21) -> bytes:
     return bytes(blob)
 
 
-def synthesize_orc_double_media(docs: DataFrame) -> DataFrame:
+def synthesize_orc_double_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of real float/double/binary ORC files."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1405,7 +1422,10 @@ def synthesize_orc_double_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:

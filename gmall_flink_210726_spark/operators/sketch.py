@@ -325,6 +325,13 @@ def minhash_jaccard_calibration(
     """
     from gmall_flink_210726_spark.operators.dedup import word_shingles
 
+    # ``pairs`` feeds BOTH the membership filter below and the final
+    # broadcast join — without a cut, the whole upstream pair-mining
+    # plan (the exact-Jaccard shingle self-join) is executed twice.
+    # Near-dup pairs are sparse at any scale, so materializing them
+    # once is a few MB of state for a full mining pass saved
+    # (optimization round 15, guide §2.4 / §5 localCheckpoint).
+    pairs = pairs.localCheckpoint(eager=True)
     # signatures only for docs that appear in a candidate pair — slot
     # values are per-doc (corpus-independent), so restricting the
     # signature scan to the sparse pair membership changes nothing and

@@ -312,7 +312,9 @@ def _make_warc_stream(i: int) -> bytes:
     return b"".join(parts)
 
 
-def synthesize_warc_media(docs: DataFrame) -> DataFrame:
+def synthesize_warc_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of .warc.gz streams."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -321,7 +323,10 @@ def synthesize_warc_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -487,7 +492,9 @@ def _make_warc_html_stream(i: int, text: str) -> bytes:
     return _gzip_member(info) + _gzip_member(resp)
 
 
-def synthesize_warc_html_media(docs: DataFrame) -> DataFrame:
+def synthesize_warc_html_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of .warc.gz streams whose response bodies
     are the HTML fixture pages."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
@@ -497,7 +504,10 @@ def synthesize_warc_html_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id", "text"))
+    sel = docs.select("doc_id", "text")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -670,7 +680,9 @@ def _make_wet_stream(i: int, text: str) -> bytes:
     return b"".join(parts)
 
 
-def synthesize_wet_media(docs: DataFrame) -> DataFrame:
+def synthesize_wet_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of mixed WARC/WET .gz streams."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -679,7 +691,10 @@ def synthesize_wet_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id", "text"))
+    sel = docs.select("doc_id", "text")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -881,7 +896,9 @@ def _make_warc_zstd_stream(i: int, text: str) -> bytes:
     return b"".join(parts)
 
 
-def synthesize_warc_zstd_media(docs: DataFrame) -> DataFrame:
+def synthesize_warc_zstd_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of .warc.zst streams."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -890,7 +907,10 @@ def synthesize_warc_zstd_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id", "text"))
+    sel = docs.select("doc_id", "text")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1095,7 +1115,9 @@ def _make_wat_stream(i: int) -> bytes:
     )
 
 
-def synthesize_wat_media(docs: DataFrame) -> DataFrame:
+def synthesize_wat_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of mixed WARC/WET/WAT .gz streams."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1104,7 +1126,10 @@ def synthesize_wat_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1406,7 +1431,9 @@ def _make_warc_http_stream(i: int, text: str) -> bytes:
     return _gzip_member(info) + _gzip_member(resp)
 
 
-def synthesize_warc_http_media(docs: DataFrame) -> DataFrame:
+def synthesize_warc_http_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of .warc.gz streams whose response records
     carry full HTTP/1.1 messages (the real CommonCrawl shape)."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
@@ -1416,7 +1443,10 @@ def synthesize_warc_http_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id", "text"))
+    sel = docs.select("doc_id", "text")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1580,7 +1610,9 @@ def _make_warc_reqresp_stream(i: int, text: str) -> bytes:
     return _gzip_member(info) + _gzip_member(req) + _gzip_member(resp)
 
 
-def synthesize_warc_reqresp_media(docs: DataFrame) -> DataFrame:
+def synthesize_warc_reqresp_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of request/response-pair .warc.gz blobs."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1589,7 +1621,10 @@ def synthesize_warc_reqresp_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id", "text"))
+    sel = docs.select("doc_id", "text")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -1889,7 +1924,9 @@ def _make_cdx_archive(i: int, text: str) -> bytes:
     return b"".join(out) + b"\x00" * (2 * _BLOCK)
 
 
-def synthesize_cdx_media(docs: DataFrame) -> DataFrame:
+def synthesize_cdx_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of (index.cdxj, data.warc.gz) tars."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -1898,7 +1935,10 @@ def synthesize_cdx_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id", "text"))
+    sel = docs.select("doc_id", "text")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:
@@ -2135,7 +2175,9 @@ def _make_warc_revisit_stream(i: int) -> bytes:
     return b"".join(members)
 
 
-def synthesize_warc_revisit_media(docs: DataFrame) -> DataFrame:
+def synthesize_warc_revisit_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of revisit-bearing WARC streams."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -2144,7 +2186,10 @@ def synthesize_warc_revisit_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:

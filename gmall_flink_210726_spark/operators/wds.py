@@ -197,7 +197,9 @@ def _make_wds_shard(i: int, bad_stripe: int = 17) -> bytes:
     return bytes(blob)
 
 
-def synthesize_wds_media(docs: DataFrame) -> DataFrame:
+def synthesize_wds_media(
+    docs: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """MEDIA_SCHEMA table of WebDataset tar shards."""
     from gmall_flink_210726_spark.operators.multimodal import MEDIA_SCHEMA
     from gmall_flink_210726_spark.session import (
@@ -206,7 +208,10 @@ def synthesize_wds_media(docs: DataFrame) -> DataFrame:
     )
 
     ship_package(docs.sparkSession)
-    docs = ensure_parallelism(docs.select("doc_id"))
+    sel = docs.select("doc_id")
+    # partitions: stream twins pin the src file count here, BEFORE
+    # blob synthesis, so only doc ids are ever shuffled (guide §8)
+    docs = sel.repartition(partitions) if partitions else ensure_parallelism(sel)
 
     def gen(batches):
         for pdf in batches:

@@ -778,20 +778,22 @@ def iter_zstd_frames(data: bytes, dicts: dict | None = None):
             if fcs_bytes == 2:
                 fcs += 256
             pos += fcs_bytes
-        # FAST PATH (optimization round 14, guide §4.2): dictionary-free
-        # frames with a declared content size decode through libzstd
-        # (via the Arrow C++ codec) after a cheap block-extent scan that
-        # applies the same framing grammar as the loop below. libzstd
-        # verifies the XXH64 content checksum and the declared content
-        # size itself, so every refusal the hand loop would raise on a
-        # tampered frame still raises ValueError here (block-internal
-        # strictness differences on corrupt-only streams are covered by
-        # the checksum/size books — the corrupt stripes are force-
-        # checksummed for exactly this reason). Dictionary frames and
-        # unknown-size frames take the from-spec loop below, which also
-        # remains the executable documentation of RFC 8878 and is
+        # FAST PATH (optimization round 14, guide §4.2; narrowed round
+        # 15): dictionary-free frames with a declared content size AND
+        # a content checksum decode through libzstd (via the Arrow C++
+        # codec) after a cheap block-extent scan that applies the same
+        # framing grammar as the loop below. libzstd verifies the XXH64
+        # content checksum and the declared content size itself, so
+        # every refusal the hand loop would raise on a tampered frame
+        # still raises ValueError here. Checksum-less frames (e.g.
+        # pyarrow-written ORC zstd chunks) stay on the strict from-spec
+        # loop: libzstd is laxer block-internally (it accepts some
+        # corrupt huffman streams the hand loop rejects), and without a
+        # checksum nothing else catches that. Dictionary frames and
+        # unknown-size frames take the from-spec loop below too, which
+        # also remains the executable documentation of RFC 8878 and is
         # differentially fuzz-tested in tests/test_codec_fastpaths.py.
-        if did == 0 and fcs is not None and fcs <= (1 << 26):
+        if did == 0 and has_checksum and fcs is not None and fcs <= (1 << 26):
             end = _scan_frame_blocks(data, pos)
             if has_checksum:
                 if end + 4 > len(data):

@@ -968,8 +968,7 @@ def st22_stream_warc_ingest(
         # layout choice is moot; at bench scale a 2-file trigger
         # would starve 30 of 32 cores during the Python decode)
         (
-            synthesize_wet_media(load_table(spark, sf_dir, "documents"))
-            .repartition(32)
+            synthesize_wet_media(load_table(spark, sf_dir, "documents"), partitions=32)
             .write.mode("overwrite")
             .option("compression", "none")  # blobs are already gzip
             .parquet(src)
@@ -1110,8 +1109,7 @@ def st23_stream_webdataset(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         (
-            synthesize_wds_media(load_table(spark, sf_dir, "documents"))
-            .repartition(32)
+            synthesize_wds_media(load_table(spark, sf_dir, "documents"), partitions=32)
             .write.mode("overwrite")
             .parquet(src)
         )
@@ -1233,8 +1231,7 @@ def st24_stream_avro_ingest(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         (
-            synthesize_avro_media(load_table(spark, sf_dir, "documents"))
-            .repartition(32)
+            synthesize_avro_media(load_table(spark, sf_dir, "documents"), partitions=32)
             .write.mode("overwrite")
             .parquet(src)
         )
@@ -1352,8 +1349,7 @@ def st25_stream_orc_ingest(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         (
-            synthesize_orc_media(load_table(spark, sf_dir, "documents"))
-            .repartition(32)
+            synthesize_orc_media(load_table(spark, sf_dir, "documents"), partitions=32)
             .write.mode("overwrite")
             .parquet(src)
         )
@@ -1464,8 +1460,7 @@ def st26_stream_kafka_ingest(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         (
-            synthesize_kafka_media(load_table(spark, sf_dir, "documents"))
-            .repartition(32)
+            synthesize_kafka_media(load_table(spark, sf_dir, "documents"), partitions=32)
             .write.mode("overwrite")
             .parquet(src)
         )
@@ -1582,9 +1577,9 @@ def st27_stream_wiki_ingest(
     try:
         (
             synthesize_wiki_dump_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .option("compression", "none")  # blobs are already bz2
             .parquet(src)
@@ -1715,9 +1710,9 @@ def st28_stream_delta_dv_scan(
     try:
         (
             synthesize_delta_dv_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .option("compression", "none")
             .parquet(src)
@@ -1841,9 +1836,9 @@ def st29_stream_warc_http_ingest(
     try:
         (
             synthesize_warc_http_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .option("compression", "none")  # blobs are already gzip
             .parquet(src)
@@ -1967,9 +1962,9 @@ def st30_stream_orc_decimal_ingest(
     try:
         (
             synthesize_orc_dec_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .option("compression", "none")
             .parquet(src)
@@ -2116,9 +2111,9 @@ def st31_stream_kafka_txn_ingest(
     try:
         (
             synthesize_kafka_txn_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .option("compression", "none")  # blobs already compressed
             .parquet(src)
@@ -2250,9 +2245,9 @@ def st32_stream_warc_zstd_ingest(
     try:
         (
             synthesize_warc_zstd_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .option("compression", "none")  # blobs already zstd
             .parquet(src)
@@ -2394,9 +2389,9 @@ def st33_stream_hudi_mor_ingest(
     try:
         (
             synthesize_hudi_mor_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .parquet(src)
         )
@@ -2511,9 +2506,9 @@ def st34_stream_flac_ingest(
     try:
         (
             synthesize_flac_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .parquet(src)
         )
@@ -2650,9 +2645,9 @@ def st35_stream_kafka_compacted(
     try:
         (
             synthesize_kafka_compacted_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .parquet(src)
         )
@@ -2775,9 +2770,9 @@ def st36_stream_git_pack(
     try:
         (
             synthesize_git_pack_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .parquet(src)
         )
@@ -2894,9 +2889,9 @@ def st37_stream_hbase_hfile(
     try:
         (
             synthesize_hfile_media(
-                load_table(spark, sf_dir, "documents")
+                load_table(spark, sf_dir, "documents"),
+                partitions=32,
             )
-            .repartition(32)
             .write.mode("overwrite")
             .parquet(src)
         )

@@ -278,7 +278,9 @@ class TestCrc32cHybrid:
         )
 
         rng = random.Random(3)
-        for ln in (0, 1, 15, 16, 511, 512, 513, 1000, 4096, 32771):
+        # both tier boundaries (16: byte -> sliced-py, 512: -> numpy)
+        for ln in (0, 1, 15, 16, 17, 31, 32, 100, 255, 511, 512, 513,
+                   1000, 4096, 32771):
             d = bytes(rng.randrange(256) for _ in range(ln))
             for init in (0, 0x12345678):
                 ref = _crc32c_small(d, init ^ 0xFFFFFFFF) ^ 0xFFFFFFFF
@@ -371,3 +373,134 @@ class TestZstdFastPath:
         blob = _make_warc_zstd_stream(i, "dict fallback text " * 8)
         st = _walk_warc_zstd_text(blob)
         assert st is not None
+
+
+class TestFlacVectorized:
+    """Round-15 FLAC fast paths: vectorized decode tiers and the
+    byte-identical vectorized encoder, pinned to the scalar spec."""
+
+    def test_decode_tiers_agree_on_fixture_range(self):
+        from gmall_flink_210726_spark.operators.flac import (
+            _make_flac_media,
+            _read_flac_impl,
+        )
+
+        for i in range(200):
+            blob = _make_flac_media(i)
+            assert _read_flac_impl(blob, True) == _read_flac_impl(
+                blob, False
+            ), i
+
+    def test_decode_tiers_agree_under_mutation(self):
+        from gmall_flink_210726_spark.operators.flac import (
+            _Fallback,
+            _make_flac_media,
+            _read_flac_impl,
+        )
+
+        rng = random.Random(1507)
+        for trial in range(400):
+            blob = bytearray(_make_flac_media(rng.randrange(120)))
+            for _ in range(rng.randrange(1, 4)):
+                blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+            blob = bytes(blob)
+            try:
+                fast = _read_flac_impl(blob, True)
+            except _Fallback:
+                fast = _read_flac_impl(blob, False)
+            assert fast == _read_flac_impl(blob, False), trial
+
+    def test_residual_decoders_agree(self):
+        from gmall_flink_210726_spark.operators.flac import (
+            _BitReader,
+            _BitWriter,
+            _residual_dec,
+            _residual_dec_py,
+            _residual_enc_py,
+        )
+
+        rng = random.Random(7)
+        for trial in range(60):
+            n = rng.choice((8, 64, 256))
+            order = rng.randrange(0, 3)
+            resid = [
+                rng.randrange(-(1 << 12), 1 << 12)
+                for _ in range(n - order)
+            ]
+            po = rng.choice((0, 1))
+            if n % (1 << po):
+                po = 0
+            w = _BitWriter()
+            _residual_enc_py(w, resid, order, po, rng.random() < 0.3)
+            w.align()
+            data = w.bytes()
+            fast = _residual_dec(_BitReader(data), n, order)
+            slow = _residual_dec_py(_BitReader(data), n, order)
+            assert fast.tolist() == slow, trial
+
+    def test_encoder_byte_identical_to_scalar(self):
+        from gmall_flink_210726_spark.operators.flac import (
+            _BitWriter,
+            _residual_enc,
+            _residual_enc_py,
+        )
+
+        rng = random.Random(99)
+        for trial in range(60):
+            n = rng.choice((8, 64, 256))
+            order = rng.randrange(0, 3)
+            resid = [
+                rng.randrange(-(1 << 20), 1 << 20)
+                for _ in range(n - order)
+            ]
+            po = rng.choice((0, 1))
+            if n % (1 << po):
+                po = 0
+            esc = rng.random() < 0.5
+            w1, w2 = _BitWriter(), _BitWriter()
+            # desync the byte phase to exercise write_bits_np's
+            # buffered-partial-bit prepend
+            phase = rng.randrange(0, 7)
+            w1.write(0, phase)
+            w2.write(0, phase)
+            _residual_enc(w1, resid, order, po, esc)
+            _residual_enc_py(w2, resid, order, po, esc)
+            w1.align()
+            w2.align()
+            assert w1.bytes() == w2.bytes(), trial
+
+    def test_pcm_md5_matches_scalar(self):
+        from gmall_flink_210726_spark.operators.flac import (
+            _pcm_md5,
+            _pcm_md5_py,
+        )
+
+        rng = random.Random(3)
+        for bps in (8, 12, 16, 20, 24, 32):
+            ch = rng.choice((1, 2))
+            pcm = [
+                [
+                    rng.randrange(-(1 << (bps - 1)), 1 << (bps - 1))
+                    for _ in range(50)
+                ]
+                for _ in range(ch)
+            ]
+            assert _pcm_md5(pcm, bps) == _pcm_md5_py(pcm, bps), bps
+        # out-of-int64 values must route to the scalar loop
+        big = [[1 << 70, -(1 << 70), 5]]
+        assert _pcm_md5(big, 16) == _pcm_md5_py(big, 16)
+
+    def test_fixture_blobs_byte_stable(self):
+        # the encoder rewrite must not move a single fixture byte
+        import hashlib
+
+        from gmall_flink_210726_spark.operators.flac import (
+            _make_flac_media,
+        )
+
+        digest = hashlib.sha256()
+        for i in range(64):
+            digest.update(_make_flac_media(i))
+        assert digest.hexdigest() == (
+            "97a7c5a71af77980320c3c56a0b69ccebf3d00fd249781cb822cc0afcd9d23c5"
+        )
