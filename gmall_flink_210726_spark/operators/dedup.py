@@ -88,41 +88,31 @@ def _shingle_table(
     collision-free dataset (verified against the string-based oracle)."""
     from gmall_flink_210726_spark.session import ensure_parallelism
 
+    # Round-15 negative result, measured and REVERTED (kept as the
+    # original round-13 shape): materializing the shingle array in a
+    # Project (withColumn + explode of the alias, to carry
+    # size(array) as n_sh / replace the counts legs with windows)
+    # regressed the whole family 3-6x at sf0.1 (ngram 2.09 -> 12.48 s,
+    # prefix_filter 3.36 -> 14.11 s, family 27 -> 91 s). Root cause in
+    # the optimized plan: InferFiltersFromGenerate + alias inlining
+    # push a `size(<full shingle expression>) > 0 AND isnotnull(...)`
+    # Filter below the projection — the ~40-node normalize/split/
+    # slice-concat expression is then re-evaluated 2-3x PER INPUT ROW
+    # (and below the parallelism repartition). Keeping the expression
+    # INSIDE Generate (below) evaluates it exactly once per row; the
+    # duplicated counts/hot legs are the cheaper trade by 4x+.
     base = ensure_parallelism(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
-    # Optimization round 15 (guide §2.4): the shingle explode is the
-    # expensive subtree here (normalize + split + n-window concat per
-    # doc), and the former groupBy-counts join plus broadcast-anti
-    # hot-shingle cap re-planned it once per leg — 4 Generate
-    # instances per shingle-table reference, 8 in the self-join pair
-    # miners. One projection now materializes the shingle array once
-    # and explodes it once:
-    #  - max_df=None: n_sh IS the distinct-shingle array size (no
-    #    shingle is dropped), so the counts join disappears outright.
-    #  - max_df set: both counts become window aggregates over the
-    #    exploded 16-byte (id, sh) rows — two exchanges of hashes
-    #    instead of two more explodes + a broadcast build.
-    # Counts are per-ROW either way, so xxhash64-collision behavior is
-    # unchanged (verified equal to the join form by the oracles).
-    base = base.withColumn("_g", word_shingles(text_col, n))
-    if max_df is None:
-        return base.select(
-            "id",
-            F.explode("_g").alias("sh_str"),
-            F.size("_g").alias("n_sh"),
-        ).select("id", F.xxhash64("sh_str").alias("sh"), "n_sh")
     sh = base.select(
-        "id", F.explode("_g").alias("sh_str")
+        "id",
+        F.explode(word_shingles(text_col, n)).alias("sh_str"),
     ).select("id", F.xxhash64("sh_str").alias("sh"))
-    sh = (
-        sh.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    if max_df is not None:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") > max_df
         )
-        .filter(F.col("_df") <= max_df)
-        .drop("_df")
-    )
-    return sh.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
-    )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return sh.join(counts, "id")
 
 
 def ngram_jaccard_pairs(

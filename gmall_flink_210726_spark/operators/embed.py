@@ -321,14 +321,18 @@ def pq_ann_topk(
     # probe LUT — materialize it once instead of re-running the
     # explode+quantize lineage ~8x (this IS the cache you would
     # keep at 100 TB; bench: ~10 s -> well under half at sf0.1).
-    # Hash-partitioned by (vid, sub) BEFORE the checkpoint
-    # (optimization round 15, guide §2.4): LogicalRDD keeps the
-    # partitioning, and every Lloyd-step operator clusters on a
-    # superset of (vid, sub) — the argmin groupBy(vid, sub, c), the
-    # tiebreak window(vid, sub), and the means join on (vid, sub) —
-    # so the 32x-exploded distance table never crosses an Exchange
-    # again (3 assign passes x 2 shuffles each at r14, now 0).
-    grid = grid.repartition("vid", "sub").localCheckpoint(eager=True)
+    # Hash-partitioned by (vid, sub) ABOVE the checkpoint
+    # (optimization round 15, guide §2.4): localCheckpoint does NOT
+    # preserve hash partitioning (measured: a groupBy over a
+    # checkpointed repartition still plans an Exchange), so the
+    # repartition sits on top and re-runs per action — one shuffle of
+    # the n_dims-per-vector grid — while every Lloyd-step operator
+    # clusters on a superset of (vid, sub): the argmin
+    # groupBy(vid, sub, c), the min-struct argmin groupBy(vid, sub),
+    # and the means join on (vid, sub) all run exchange-free on the
+    # 32x-exploded distance table (r14: 2 shuffles of that table per
+    # assign pass, 3 passes).
+    grid = grid.localCheckpoint(eager=True).repartition("vid", "sub")
     anchor_ids = (
         emb.select(id_col).orderBy(id_col).limit(n_centroids)
         .select(F.col(id_col).alias("_aid"))
@@ -359,11 +363,15 @@ def pq_ann_topk(
             ((grid["q"] - centroids["cq"]) * (grid["q"] - centroids["cq"])).alias("d2"),
         )
         dist = pair.groupBy("vid", "sub", "c").agg(F.sum("d2").alias("d2"))
-        w = Window.partitionBy("vid", "sub").orderBy("d2", "c")
+        # argmin with the (d2, c) tiebreak as ONE lexicographic struct
+        # min — same result as the former row_number window (struct
+        # comparison is field-by-field), without the window's extra
+        # sort, and clustering on (vid, sub) keeps it exchange-free
+        # over the (vid, sub)-partitioned grid (round 15)
         return (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vid", "sub", F.col("c").alias("code"))
+            dist.groupBy("vid", "sub")
+            .agg(F.min(F.struct("d2", "c")).alias("_m"))
+            .select("vid", "sub", F.col("_m.c").alias("code"))
         )
 
     for _ in range(lloyd_iters):

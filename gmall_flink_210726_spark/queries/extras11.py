@@ -59,6 +59,11 @@ def x49_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("cents"),
             )
+            # cluster by the partition column before the write (guide
+            # §6, round 15): partitionBy from N scan tasks otherwise
+            # emits N files per month directory — the classic
+            # small-files ingest tax paid again at read time
+            .repartition("month")
             .write.partitionBy("month")
             .mode("overwrite")
             .parquet(out)
@@ -177,6 +182,11 @@ def x51_dynamic_partition_pruning(
                 .cast("long")
                 .alias("cents"),
             )
+            # cluster by the partition column before the write (guide
+            # §6, round 15): partitionBy from N scan tasks otherwise
+            # emits N files per month directory — the classic
+            # small-files ingest tax paid again at read time
+            .repartition("month")
             .write.partitionBy("month")
             .mode("overwrite")
             .parquet(out)
